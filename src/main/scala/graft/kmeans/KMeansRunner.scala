@@ -55,20 +55,30 @@ object KMeansRunner {
       math.sqrt(math.pow(b.x - a.x, 2) + math.pow(b.y - a.y, 2) + math.pow(b.z - a.z, 2))
     }.sum
 
+  /** C4: per-iteration hook — called after each iteration with
+    * (iterationIndex, centers, assignedDataFrame). The reference runs its
+    * silhouette evaluation here (reference `SilhouetteEvaluation2.java:275-278`);
+    * sinks can snapshot `iteration_i` files. No-op by default. */
+  type IterationHook = (Int, Seq[(Int, Point)], DataFrame) => Unit
+  val noHook: IterationHook = (_, _, _) => ()
+
   /** C2: fixed-R loop (reference `Task2.java:137-155`, R=5). */
-  def fixedIterations(points: DataFrame, seeds: Seq[Point], r: Int): Result =
-    run(points, seeds, maxIter = r, threshold = None)
+  def fixedIterations(points: DataFrame, seeds: Seq[Point], r: Int,
+                      hook: IterationHook = noHook): Result =
+    run(points, seeds, maxIter = r, threshold = None, hook)
 
   /** C3: converge-or-max loop (reference `Task3.java:185-218`; maxIter=30,
     * threshold=5 in the reference mains). Checks displacement after each
     * iteration and stops early once it drops below the threshold.
     */
   def converge(points: DataFrame, seeds: Seq[Point],
-               maxIter: Int = 30, threshold: Double = 5.0): Result =
-    run(points, seeds, maxIter, Some(threshold))
+               maxIter: Int = 30, threshold: Double = 5.0,
+               hook: IterationHook = noHook): Result =
+    run(points, seeds, maxIter, Some(threshold), hook)
 
   private def run(points: DataFrame, seeds: Seq[Point],
-                  maxIter: Int, threshold: Option[Double]): Result = {
+                  maxIter: Int, threshold: Option[Double],
+                  hook: IterationHook = noHook): Result = {
     val managedCache = points.storageLevel == StorageLevel.NONE
     if (managedCache) points.persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -81,6 +91,7 @@ object KMeansRunner {
       while (i < maxIter && !converged) {
         centers = step(points, prev)
         history :+= centers
+        hook(i, centers, Assign.assign(points, prev))
         val curr = centers.map(_._2)
         val d = displacement(prev, curr)
         displacements :+= d

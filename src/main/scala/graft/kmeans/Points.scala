@@ -37,9 +37,17 @@ object Points {
     StructField("y", DoubleType, nullable = false),
     StructField("z", DoubleType, nullable = false)))
 
-  /** S1: distributed CSV point scan. */
-  def readCsv(spark: SparkSession, path: String): DataFrame =
+  /** S1: distributed CSV point scan. DROPMALFORMED handles wrong-arity /
+    * unparseable lines; the explicit null filter additionally drops lines
+    * with *empty* fields (e.g. `1,2,`), which the file source leaves as
+    * nulls because it forces a nullable schema — a null would otherwise
+    * silently reach Assign (null distance sorts first) and Recenter.
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(path)
+      .filter(col("x").isNotNull && col("y").isNotNull && col("z").isNotNull)
+  }
 
   /** S1 variant that also keeps the raw input line as `_raw`. The reference
     * shuffles the *unparsed* `Text` line as the map value (reference
@@ -49,13 +57,16 @@ object Points {
     */
   def readCsvWithRaw(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val parts = split(col("value"), ",")
+    // try_element_at + try_cast: Spark 4 runs with spark.sql.ansi.enabled=true,
+    // where getItem on a short array / cast of a non-numeric token would THROW
+    // instead of yielding null — the try_ variants restore null-on-failure so
+    // malformed lines are filtered, not fatal.
+    def axis(i: Int) =
+      expr(s"try_cast(try_element_at(split(value, ','), $i) AS DOUBLE)")
     spark.read.text(path)
       .select(
         col("value").as("_raw"),
-        parts.getItem(0).cast(DoubleType).as("x"),
-        parts.getItem(1).cast(DoubleType).as("y"),
-        parts.getItem(2).cast(DoubleType).as("z"))
+        axis(1).as("x"), axis(2).as("y"), axis(3).as("z"))
       .filter(size(split(col("_raw"), ",")) === 3 &&
         col("x").isNotNull && col("y").isNotNull && col("z").isNotNull)
   }

@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
 object Recenter {
 
   /** `assigned` must have columns x, y, z, cluster. Returns one row per
-    * non-empty cluster: (cluster, x, y, z) where x,y,z is the member mean. */
+    * non-empty cluster: (cluster, x, y, z) where x,y,z is the member mean.
+    *
+    * Floating-point caveat: partial sums combine in partition order, so
+    * results agree with the single-reducer reference only to ~1e-12
+    * relative unless the input is a single partition. Golden-parity tests
+    * must either `coalesce(1)` the input or compare with tolerance;
+    * multi-partition byte parity is NOT guaranteed. */
   def recenter(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("cluster")).agg(
       (sum("x") / count(lit(1))).as("x"),

@@ -30,10 +30,15 @@ object Sinks {
   }
 
   /** S6: Task5A's final-centers stdout lines (reference `Task5A.java:212-218`)
-    * plus the convergence flag the README documents (C5). */
+    * plus the convergence flag the README documents (C5). The printed index
+    * is POSITIONAL over the centroid list (reference iterates file lines),
+    * not the stored cluster id — they differ once a cluster empties and ids
+    * become non-contiguous. */
   def finalCentersLines(result: KMeansRunner.Result): Seq[String] =
     "Final cluster centers:" +:
-      result.centers.map { case (i, c) => s"Cluster $i center: ${fmt(c.x)},${fmt(c.y)},${fmt(c.z)}" } :+
+      result.centers.zipWithIndex.map { case ((_, c), i) =>
+        s"Cluster $i center: ${fmt(c.x)},${fmt(c.y)},${fmt(c.z)}"
+      } :+
       s"Convergence reached: ${result.converged}"
 
   /** S5: Task5B's final-assignment lines (reference `Task5B.java:213-245`):
