@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: runs each SparkEntry
+query result (parquet dumped by graft.Verify) against its DuckDB oracle
+SQL and compares schema + sorted rows, exact for non-floats and bitwise
+for floats (with a max-abs-diff report when not bitwise equal).
+
+Usage: python3 scripts/check_contract.py [sfDir] [verifyOutDir]
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output parquet")
+            fails += 1
+            continue
+        sdf = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        ddf = con.sql(sql).df()
+        # canonicalize: sort columns by name, then rows by all columns
+        sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+        ddf = ddf.reindex(sorted(ddf.columns), axis=1)
+        if list(sdf.columns) != list(ddf.columns):
+            print(f"FAIL {name}: columns spark={list(sdf.columns)} duck={list(ddf.columns)}")
+            fails += 1
+            continue
+        if len(sdf) != len(ddf):
+            print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
+            fails += 1
+            continue
+        sdf = sdf.sort_values(by=list(sdf.columns), ignore_index=True)
+        ddf = ddf.sort_values(by=list(ddf.columns), ignore_index=True)
+        ok = True
+        for c in sdf.columns:
+            a, b = sdf[c], ddf[c]
+            if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+                aa, bb = a.astype(float).values, b.astype(float).values
+                both_nan = np.isnan(aa) & np.isnan(bb)
+                eq = (aa == bb) | both_nan
+                if not eq.all():
+                    diffs = np.abs(aa - bb)
+                    print(f"FAIL {name}.{c}: {np.sum(~eq)} rows differ, maxAbsDiff={np.nanmax(diffs[~eq]):.3e}")
+                    ok = False
+            elif np.issubdtype(a.dtype, np.datetime64) and np.issubdtype(b.dtype, np.datetime64):
+                aa = a.astype("datetime64[ns]")
+                bb = b.astype("datetime64[ns]")
+                if not aa.equals(bb):
+                    neq = (aa != bb)
+                    i = neq.idxmax()
+                    print(f"FAIL {name}.{c}: {neq.sum()} rows differ, first at {i}: spark={aa[i]!r} duck={bb[i]!r}")
+                    ok = False
+            else:
+                if not a.equals(b):
+                    neq = (a != b)
+                    i = neq.idxmax()
+                    print(f"FAIL {name}.{c}: {neq.sum()} rows differ, first at {i}: spark={a[i]!r} duck={b[i]!r}")
+                    ok = False
+        if ok:
+            print(f"PASS {name} ({len(sdf)} rows, {len(sdf.columns)} cols)")
+        else:
+            fails += 1
+    except Exception as e:
+        print(f"FAIL {name}: exception {e}")
+        fails += 1
+
+print(f"\n{'ALL PASS' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
+sys.exit(1 if fails else 0)

@@ -1,13 +1,186 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.contract.PointSpace
+import graft.eval.Silhouette
+import graft.kmeans.KMeansRunner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
+  * per verified operator. Column names/aliases are kept IDENTICAL between
+  * the Spark result and the SQL so the driver's sorted-column hash
+  * compares. Floating-point outputs are either bit-exact by construction
+  * (see PointSpace) or rounded with analyzed safety margins.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import PointSpace._
+
+  /** l_orderkey cutoff for the O(n²) silhouette oracle query (~590 rows
+    * at sf0.01 — 350k pairs, trivial for both engines). */
+  private val SilCutoff = 150
+
+  /** Flagship: converge-loop K-Means over sf0.001 lineitem, returns the
+    * final centroids (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val pts = points(spark, "/root/testdata/sf0.001")
+    val r = KMeansRunner.converge(pts, seeds.map(_._2), maxIter = 10, threshold = 100.0)
+    import spark.implicits._
+    r.centers.map { case (id, c) => (id, c.x, c.y, c.z) }.toDF("cluster", "x", "y", "z")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1/P4: parquet scan + projection + null filter
+    "s1_scan_project" -> ((s, dir) =>
+      points(s, dir).orderBy(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"), col("z"))),
+
+    // P2: Euclidean distance to a fixed centroid (bit-exact: mult + sqrt)
+    "p2_distance" -> ((s, dir) =>
+      points(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sqrt(distSq(seeds.head._2)).as("dist"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("dist"))),
+
+    // P3/J1: nearest-centroid argmin over K=5 literal seeds
+    "p3_assign" -> ((s, dir) =>
+      assign(points(s, dir), seeds)
+        .select(col("l_orderkey"), col("l_linenumber"), col("cluster"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("cluster"))),
+
+    // A1/A2/X1: assign + per-cluster mean re-centering (one shuffle)
+    "a1_recenter" -> ((s, dir) =>
+      assign(points(s, dir), seeds)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("x"), 4).as("cx"), round(avg("y"), 4).as("cy"), round(avg("z"), 4).as("cz"))
+        .orderBy(col("cluster"))),
+
+    // C1/A7: one K-Means step + total centroid displacement vs the seeds
+    "a7_step_displacement" -> ((s, dir) => {
+      val cents = assign(points(s, dir), seeds)
+        .groupBy(col("cluster"))
+        .agg(avg("x").as("cx"), avg("y").as("cy"), avg("z").as("cz"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1)
+      val seedMap = seeds.toMap
+      val disp = cents.map { case (id, (cx, cy, cz)) =>
+        val sd = seedMap(id)
+        math.sqrt((cx - sd.x) * (cx - sd.x) + (cy - sd.y) * (cy - sd.y) + (cz - sd.z) * (cz - sd.z))
+      }.sum
+      val rounded = BigDecimal(disp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((rounded, cents.length.toLong)).toDF("displacement", "k")
+    }),
+
+    // C2/C3: 3 assignment rounds with 4-decimal centroid rounding between
+    // iterations (contract semantics: keeps both engines bit-aligned)
+    "c2_iterate3" -> ((s, dir) => {
+      val pts = points(s, dir).cache()
+      try {
+        var cents = seeds
+        for (_ <- 1 to 2) cents = roundedStep(pts, cents)
+        assign(pts, cents)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"),
+            round(avg("x"), 4).as("cx"), round(avg("y"), 4).as("cy"), round(avg("z"), 4).as("cz"))
+          .orderBy(col("cluster"))
+      } finally pts.unpersist()
+    }),
+
+    // A4/A5/A6/J2: silhouette metrics (quirk divisor + guards) on a
+    // deterministic subset
+    "sil_lineitem" -> ((s, dir) => {
+      val assigned = assign(points(s, dir).filter(col("l_orderkey") <= SilCutoff), seeds)
+      Silhouette.metrics(assigned, guards = true)
+        .select(col("cluster"), col("n"),
+          round(col("avg_intra"), 2).as("avg_intra"),
+          round(col("avg_inter"), 2).as("avg_inter"),
+          round(col("silhouette"), 6).as("silhouette"))
+        .orderBy(col("cluster"))
+    }),
+
+    // Extra: streaming-shaped tumbling-window aggregation over events.
+    // events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; read nanos as long and convert (micros precision is
+    // irrelevant after an hour-truncation).
+    "events_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    })
+  )
+
+  // ---------- DuckDB oracle SQL (generated from the same constants) ----------
+
+  private def aggSql(srcCte: String): String =
+    s"SELECT cluster, count(*) AS n, round(avg(x),4) AS cx, round(avg(y),4) AS cy, round(avg(z),4) AS cz " +
+      s"FROM $srcCte GROUP BY cluster ORDER BY cluster"
+
+  private lazy val (dCteBody, caseExpr) = caseAssignSql(seeds, "pts")
+
+  private def pairDistSql(a: String, b: String): String =
+    s"sqrt(($a.x - $b.x)*($a.x - $b.x) + ($a.y - $b.y)*($a.y - $b.y) + ($a.z - $b.z)*($a.z - $b.z))"
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_project" ->
+      s"WITH pts AS ($pointsSql) SELECT * FROM pts ORDER BY l_orderkey, l_linenumber, x, y, z",
+
+    "p2_distance" ->
+      (s"WITH pts AS ($pointsSql) SELECT l_orderkey, l_linenumber, " +
+        s"sqrt(${distSqSql(seeds.head._2)}) AS dist FROM pts ORDER BY l_orderkey, l_linenumber, dist"),
+
+    "p3_assign" ->
+      (s"WITH pts AS ($pointsSql), d AS ($dCteBody) " +
+        s"SELECT l_orderkey, l_linenumber, $caseExpr AS cluster FROM d " +
+        "ORDER BY l_orderkey, l_linenumber, cluster"),
+
+    "a1_recenter" ->
+      (s"WITH pts AS ($pointsSql), d AS ($dCteBody), " +
+        s"asg AS (SELECT *, $caseExpr AS cluster FROM d) " + aggSql("asg")),
+
+    "a7_step_displacement" ->
+      (s"WITH pts AS ($pointsSql), d AS ($dCteBody), " +
+        s"asg AS (SELECT *, $caseExpr AS cluster FROM d), " +
+        "cent AS (SELECT cluster, avg(x) AS cx, avg(y) AS cy, avg(z) AS cz FROM asg GROUP BY cluster), " +
+        s"sd ${seedsValuesSql(seeds, ("cluster", "sx", "sy", "sz"))} " +
+        "SELECT round(sum(sqrt((cx-sx)*(cx-sx) + (cy-sy)*(cy-sy) + (cz-sz)*(cz-sz))),4) AS displacement, " +
+        "count(*) AS k FROM cent JOIN sd USING (cluster)"),
+
+    "c2_iterate3" -> {
+      val centAgg = (src: String) =>
+        s"SELECT cluster, round(avg(x),4) AS cx, round(avg(y),4) AS cy, round(avg(z),4) AS cz FROM $src GROUP BY cluster"
+      s"WITH pts AS ($pointsSql), " +
+        s"cent0 ${seedsValuesSql(seeds)}, " +
+        s"asg1 AS (${correlatedAssignSql("cent0", "pts")}), " +
+        s"cent1 AS (${centAgg("asg1")}), " +
+        s"asg2 AS (${correlatedAssignSql("cent1", "pts")}), " +
+        s"cent2 AS (${centAgg("asg2")}), " +
+        s"asg3 AS (${correlatedAssignSql("cent2", "pts")}) " +
+        aggSql("asg3")
+    },
+
+    "sil_lineitem" ->
+      (s"WITH pts0 AS ($pointsSql), pts AS (SELECT * FROM pts0 WHERE l_orderkey <= $SilCutoff), " +
+        s"d AS ($dCteBody), " +
+        s"asg AS (SELECT x, y, z, $caseExpr AS cluster FROM d), " +
+        "sizes AS (SELECT cluster, count(*) AS n FROM asg GROUP BY cluster), " +
+        s"intra AS (SELECT a.cluster AS cluster, sum(${pairDistSql("a", "b")}) AS s " +
+        "FROM asg a JOIN asg b ON a.cluster = b.cluster GROUP BY a.cluster), " +
+        s"inter AS (SELECT a.cluster AS cluster, sum(${pairDistSql("a", "b")}) AS s, " +
+        "count(DISTINCT b.cluster) AS nb FROM asg a JOIN asg b ON a.cluster <> b.cluster GROUP BY a.cluster), " +
+        "m AS (SELECT sz.cluster AS cluster, sz.n AS n, " +
+        "CASE WHEN sz.n > 1 THEN coalesce(i.s, 0)/(sz.n*(sz.n-1)) ELSE 0 END AS ai, " +
+        "CASE WHEN coalesce(e.nb, 0) > 0 THEN e.s/(sz.n*e.nb) ELSE 0 END AS ae " +
+        "FROM sizes sz LEFT JOIN intra i ON sz.cluster = i.cluster LEFT JOIN inter e ON sz.cluster = e.cluster) " +
+        "SELECT cluster, n, round(ai,2) AS avg_intra, round(ae,2) AS avg_inter, " +
+        "round((ae-ai)/greatest(ai,ae),6) AS silhouette " +
+        "FROM m WHERE n > 1 AND (ai > 0 OR ae > 0) ORDER BY cluster"),
+
+    "events_window" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
+        "round(sum(value),4) AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+  )
 }
