@@ -1,8 +1,9 @@
 package graft
 
-import graft.contract.PointSpace
+import graft.contract.{PointSpace, TextSql}
 import graft.eval.Silhouette
 import graft.kmeans.KMeansRunner
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,6 +19,20 @@ object SparkEntry {
   /** l_orderkey cutoff for the O(n²) silhouette oracle query (~590 rows
     * at sf0.01 — 350k pairs, trivial for both engines). */
   private val SilCutoff = 150
+
+  /** Near-dup Jaccard threshold (documents contain planted near-dups at
+    * ~0.96; random word-salad pairs sit below 0.15). */
+  private val JacThreshold = 0.5
+
+  /** ANN contract parameters: query vectors + coarse IVF cells are
+    * corpus vectors selected by id (deterministic, no literals). */
+  private val AnnQueryIds = Seq(0L, 1L, 2L)
+  private val IvfCoarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Flagship: converge-loop K-Means over sf0.001 lineitem, returns the
     * final centroids (driver smoke-checks rows > 0). */
@@ -110,7 +125,43 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
         .orderBy(col("window_start"), col("event_type"))
-    })
+    }),
+
+    // ---- LLM-data-pipeline operators ----
+
+    // text analysis: token/char counts, stopword ratio, quality score
+    "text_stats" -> ((s, dir) => TextAnalysis.stats(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // n-gram/stopword-heuristic language ID
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // rolling polynomial document fingerprint
+    "fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // exact dedup: content digest + kept id + copy count
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir)).orderBy(col("text_md5"))),
+
+    // near-dup pairs by word-bigram Jaccard (inverted-index join)
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), JacThreshold).orderBy(col("da"), col("db"))),
+
+    // near-dup pairs by MinHash+LSH banding, Jaccard-verified
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), JacThreshold).orderBy(col("da"), col("db"))),
+
+    // 20-bit SimHash signature per document
+    "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // exact cosine top-k over the embedding column
+    "ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), AnnQueryIds, 10)),
+
+    // IVF approximate top-k: coarse quantize + probe 2 cells
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5)),
+
+    // multimodal: binary payload metadata (no decode needed)
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(docs(s, dir), "doc_id", "text").orderBy(col("doc_id")))
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -181,6 +232,17 @@ object SparkEntry {
 
     "events_window" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
-        "round(sum(value),4) AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+        "round(sum(value),4) AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "text_stats" -> TextSql.textStatsSql,
+    "lang_id" -> TextSql.langIdSql,
+    "fingerprint" -> TextSql.fingerprintSql,
+    "dedup_exact" -> TextSql.dedupExactSql,
+    "dedup_jaccard" -> TextSql.dedupJaccardSql(JacThreshold),
+    "dedup_minhash" -> TextSql.dedupMinhashSql(JacThreshold),
+    "simhash" -> TextSql.simhashSql,
+    "ann_topk" -> TextSql.annTopKSql(AnnQueryIds, 10),
+    "ann_ivf" -> TextSql.annIvfSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),
+    "multimodal_meta" -> TextSql.multimodalMetaSql
   )
 }

@@ -1,0 +1,151 @@
+package graft.contract
+
+import graft.llm.{Dedup, TextAnalysis}
+
+/** DuckDB-SQL mirrors of the graft.llm text/dedup operators, generated
+  * from the SAME Scala constants (stopword lists, hash constants, band
+  * layout) so the two sides cannot drift. All arithmetic is integer or
+  * identical-order double — the oracle matches bitwise.
+  */
+object TextSql {
+
+  private def strList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** string tokens CTE: t(doc_id, text, toks) */
+  val toksCte: String =
+    "SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents"
+
+  /** polynomial rolling hash of a string expression (BIGINT, exact):
+    * fold (acc*31 + ord) % FpMod with acc0=0 via list_prepend. */
+  def polyHashSql(strExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($strExpr)+1), j -> ord($strExpr[j::INT]))), " +
+      s"(acc, c) -> (acc*31 + c) % ${TextAnalysis.FpMod})"
+
+  /** distinct word-bigram shingles of `toks` (empty list when <2 tokens) */
+  val shinglesExpr: String =
+    "CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(range(1, len(toks)), " +
+      "i -> toks[i::INT] || ' ' || toks[(i+1)::INT])) ELSE CAST([] AS VARCHAR[]) END"
+
+  val textStatsSql: String = {
+    val stop = strList(TextAnalysis.Stopwords)
+    s"WITH t AS ($toksCte), " +
+      "s AS (SELECT doc_id, len(text) AS n_chars, len(toks) AS n_tokens, " +
+      "list_sum(list_transform(toks, t -> len(t))) AS sum_len, " +
+      s"len(list_filter(toks, t -> list_contains($stop, t))) AS stop_hits FROM t) " +
+      "SELECT doc_id, n_chars, n_tokens, sum_len/n_tokens AS avg_token_len, " +
+      "stop_hits/n_tokens AS stop_ratio, " +
+      "least(1.0, n_tokens/100.0)*0.5 + stop_hits/n_tokens*0.3 + " +
+      "least(1.0, (sum_len/n_tokens)/8.0)*0.2 AS quality " +
+      "FROM s ORDER BY doc_id"
+  }
+
+  val langIdSql: String = {
+    val hitCols = TextAnalysis.LangStopwords.map { case (lang, words) =>
+      s"len(list_filter(toks, t -> list_contains(${strList(words)}, t))) AS h_$lang"
+    }.mkString(", ")
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val zero = langs.map(l => s"h_$l").mkString(" + ") + " = 0"
+    val cases = langs.dropRight(1).map { l =>
+      val wins = langs.filter(_ != l).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $wins THEN '$l'"
+    }.mkString(" ")
+    s"WITH t AS ($toksCte), h AS (SELECT doc_id, $hitCols FROM t) " +
+      s"SELECT doc_id, CASE WHEN $zero THEN 'und' $cases ELSE '${langs.last}' END AS lang_pred " +
+      "FROM h ORDER BY doc_id"
+  }
+
+  val fingerprintSql: String =
+    s"SELECT doc_id, CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END AS fp " +
+      "FROM documents ORDER BY doc_id"
+
+  val dedupExactSql: String =
+    "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies " +
+      "FROM documents GROUP BY text ORDER BY text_md5"
+
+  /** shared CTE prefix for shingle-based queries:
+    * d(doc_id, sh), ex(doc_id, s), sizes(doc_id, n) */
+  private val shingleCtes: String =
+    s"t AS ($toksCte), " +
+      s"d AS (SELECT doc_id, $shinglesExpr AS sh FROM t), " +
+      "ex AS (SELECT doc_id, unnest(sh) AS s FROM d), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)"
+
+  def dedupJaccardSql(threshold: Double): String =
+    s"WITH $shingleCtes, " +
+      "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+      "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT da, db, i/(na.n + nb.n - i) AS jaccard " +
+      "FROM inter JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id " +
+      s"WHERE i/(na.n + nb.n - i) >= $threshold ORDER BY da, db"
+
+  def dedupMinhashSql(threshold: Double): String = {
+    val sigEntries = Dedup.HashAB.map { case (a, b) =>
+      s"list_min(list_transform(hv, h -> ($a*h + $b) % ${TextAnalysis.FpMod}))"
+    }.mkString("[", ", ", "]")
+    val bandVals = (0 until Dedup.Bands).map(b => s"($b)").mkString(", ")
+    // band key: the RowsPerBand signature entries of band b, comma-joined
+    val keyExpr = (0 until Dedup.RowsPerBand).map { r =>
+      s"CAST(sig[(band*${Dedup.RowsPerBand} + ${r + 1})::INT] AS VARCHAR)"
+    }.mkString(" || ',' || ")
+    s"WITH $shingleCtes, " +
+      s"hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${polyHashSql("s")}) AS hv " +
+      "FROM d WHERE len(sh) > 0), " +
+      s"sig AS (SELECT doc_id, $sigEntries AS sig FROM hs), " +
+      s"bands AS (SELECT doc_id, band, $keyExpr AS key FROM sig, (VALUES $bandVals) bn(band)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+      "iv AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+      "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "JOIN cand c ON c.da = a.doc_id AND c.db = b.doc_id GROUP BY 1, 2) " +
+      "SELECT da, db, i/(na.n + nb.n - i) AS jaccard " +
+      "FROM iv JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id " +
+      s"WHERE i/(na.n + nb.n - i) >= $threshold ORDER BY da, db"
+  }
+
+  val simhashSql: String = {
+    val terms = (0 until 20).map { bit =>
+      s"CASE WHEN 2*len(list_filter(hv, h -> (h >> $bit) & 1 = 1)) >= len(hv) " +
+        s"THEN CAST(${1L << bit} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"WITH t AS ($toksCte), d AS (SELECT doc_id, $shinglesExpr AS sh FROM t), " +
+      s"hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${polyHashSql("s")}) AS hv FROM d) " +
+      s"SELECT doc_id, CASE WHEN len(sh) = 0 THEN 0 ELSE $terms END AS simhash " +
+      "FROM hs ORDER BY doc_id"
+  }
+
+  val multimodalMetaSql: String =
+    "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS digest " +
+      "FROM documents ORDER BY doc_id"
+
+  // ---------- similarity search ----------
+
+  private val cosSql =
+    "list_dot_product(qv, v)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(v, v)))"
+
+  def annTopKSql(queryIds: Seq[Long], k: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      s"scored AS (SELECT query_id, e.vec_id AS neighbor_id, $cosSql AS sim " +
+      "FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored) " +
+      s"SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM r WHERE rn <= $k " +
+      "ORDER BY query_id, neighbor_id"
+
+  def annIvfSql(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int, k: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +
+      "ad AS (SELECT vec_id, v, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id " +
+      "ORDER BY list_distance(v, cv), cell_id) AS rn FROM e CROSS JOIN coarse), " +
+      "assigned AS (SELECT vec_id, v, cell_id FROM ad WHERE rn = 1), " +
+      s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      "pd AS (SELECT query_id, qv, cell_id, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY list_distance(qv, cv), cell_id) AS rn FROM q CROSS JOIN coarse), " +
+      s"probes AS (SELECT query_id, qv, cell_id FROM pd WHERE rn <= $nprobe), " +
+      s"scored AS (SELECT query_id, vec_id AS neighbor_id, $cosSql AS sim " +
+      "FROM assigned JOIN probes USING (cell_id) WHERE vec_id <> query_id), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored) " +
+      s"SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM r WHERE rn <= $k " +
+      "ORDER BY query_id, neighbor_id"
+}

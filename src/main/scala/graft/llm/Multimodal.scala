@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in
+  * batches. The actual codec is NOT available in this environment, so
+  * `decodeStub` is a clearly-marked deterministic fake — but the
+  * Spark-side contract (schema, binary handling, partition-batched
+  * processing, output shape) is real and tested, and swapping the stub
+  * for a JNI/codec call changes nothing upstream.
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end (no driver
+  * collect); decode is mapPartitions so a real codec amortizes its init
+  * per partition, not per row; metadata extraction (byte length, digest)
+  * is pure column expression on the binary type.
+  */
+object Multimodal {
+
+  /** Metadata over a binary payload column — no decode needed. */
+  def binaryMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol),
+      length(col(payloadCol).cast("binary")).cast("long").as("byte_len"),
+      md5(col(payloadCol).cast("binary")).as("digest"))
+
+  /** Output schema of the decode step: fixed-shape media metadata plus a
+    * small feature vector, the shape a real image decoder would emit. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** STUB — deterministic fake decode. A real implementation would call
+    * an image/audio codec here (not installed in this container); the
+    * fake derives width/height/format/features from the payload bytes so
+    * the pipeline is deterministic and testable. Per-partition batching
+    * is the real contract: a codec's native context is initialized once
+    * per partition.
+    */
+  def decodeStub(media: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val input = media.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+    val rows = input.rdd.mapPartitions { it =>
+      // real codec init would happen here, once per partition
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val b = (i: Int) => if (bytes.length > i) bytes(i) & 0xff else 0
+        val width = 16 + (b(0) % 16) * 8           // fake header parse
+        val height = 16 + (b(1) % 16) * 8
+        val format = if (bytes.length % 2 == 0) "png" else "jpg"
+        val features = Array.tabulate(4) { j =>    // fake pooled features
+          var acc = 0L
+          var i = j
+          while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000003L; i += 4 }
+          acc.toDouble / 1000003.0
+        }
+        Row(id, width, height, format, features.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, decodedSchema)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  *
+  *   - brute-force cosine top-k — the exact baseline: broadcast the (few)
+  *     query vectors against every candidate, cosine as a codegen'd
+  *     zip_with/aggregate fold, window top-k. One scan, no shuffle of
+  *     the embedding table beyond the final tiny top-k.
+  *   - IVF (inverted-file) top-k — the 100 TB path: vectors are coarsely
+  *     quantized to their nearest of K "cells" (here: K-Means-style
+  *     centroids chosen from the corpus); a query probes only the nprobe
+  *     nearest cells, so the scored candidate set shrinks by ~K/nprobe.
+  *     At cluster scale the assignment becomes a partition key: each
+  *     cell's vectors co-locate, and a probe reads only those partitions.
+  *
+  * Vectors are cast float->double; all engines' cosine then agrees to
+  * the last ulp modulo summation order (outputs round to 4 decimals).
+  */
+object Similarity {
+
+  private def v(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, p) => acc + p)
+
+  /** Exact top-k neighbors (cosine) of each query vector, excluding self.
+    * Output: (query_id, neighbor_id, sim). */
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** IVF top-k: quantize every vector to its nearest coarse cell (L2,
+    * ties to lowest cell id), probe the nprobe nearest cells per query,
+    * score only those candidates. Coarse centroids are corpus vectors
+    * selected by id (deterministic; a K-Means fit is the production way
+    * to pick them — the engine's own KMeansRunner generalizes here).
+    * Output: (query_id, neighbor_id, sim). */
+  def ivfTopK(emb: DataFrame, coarseIds: Seq[Long], queryIds: Seq[Long],
+              nprobe: Int, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val coarse = e.filter(col("vec_id").isin(coarseIds: _*))
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+
+    // cell assignment: argmin_{cell} L2^2, ties -> lowest cell_id
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd2"), col("cell_id"))
+    val assigned = e.join(broadcast(coarse))
+      .withColumn("cd2", distSq(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("cell_id"))
+
+    // probe list: the nprobe nearest cells of each query vector
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2"), col("cell_id"))
+    val probes = q.join(broadcast(coarse))
+      .withColumn("qd2", distSq(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell_id"))
+
+    // score candidates in probed cells only
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("sim"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, n-gram-heuristic language ID, and
+  * document fingerprinting — all pure codegen'd column expressions (no
+  * UDFs), so they run inside whole-stage codegen and scale linearly
+  * with a single scan of the documents table.
+  *
+  * Every operator has an exact ANSI-SQL mirror (see SparkEntry.oracleSql):
+  * the arithmetic is integer or same-order double, so the DuckDB oracle
+  * matches bitwise.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** English stopword list used for the quality score. */
+  val Stopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that")
+
+  /** Per-language stopword lists for the n-gram/stopword-hit language ID.
+    * Precedence order (ties -> earlier entry) is part of the contract. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "es" -> Seq("el", "los", "de", "que", "y", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour"))
+
+  /** Count of tokens contained in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** doc_id + (n_chars, n_tokens, avg_token_len, stop_ratio, quality).
+    * quality = capped-length term + stopword term + word-shape term; the
+    * exact formula is arbitrary but contractual (mirrored in SQL). */
+  def stats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+    val stopRatio = hitCount(toks, Stopwords) / nTok
+    val avgLen = sumLen / nTok
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      avgLen.as("avg_token_len"),
+      stopRatio.as("stop_ratio"),
+      (least(lit(1.0), nTok / 100.0) * 0.5 + stopRatio * 0.3 +
+        least(lit(1.0), avgLen / 8.0) * 0.2).as("quality"))
+  }
+
+  /** Stopword-hit language ID: argmax of per-language hit counts with
+    * fixed precedence; "und" (undetermined) when no list scores a hit. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val hits = LangStopwords.map { case (lang, words) => lang -> hitCount(toks, words) }
+    val anyHit = hits.map(_._2).reduce(_ + _) > 0
+    val langs = hits.map(_._1)
+    val argmax = hits.zipWithIndex.foldRight(lit("und")) { case (((lang, h), i), els) =>
+      val winsAll = langs.zipWithIndex.filter(_._2 != i)
+        .map { case (_, j) => h >= hits(j)._2 }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      when(winsAll, lang).otherwise(els)
+    }
+    docs.select(col("doc_id"), when(anyHit, argmax).otherwise("und").as("lang_pred"))
+  }
+
+  /** Modulus for the rolling polynomial fingerprint: keeps every
+    * intermediate < 2^63 under acc*31+c, so BIGINT arithmetic is exact in
+    * both engines (Java Long wraps, DuckDB errors — neither happens). */
+  val FpMod = 1000003L
+
+  /** Rolling polynomial hash of the full text: fold (acc*31 + code) % M
+    * over the character codes, acc0 = 0. Mirrors DuckDB's
+    * list_reduce(list_prepend(0, ords), ...). */
+  def fingerprint(text: Column): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(text)), i => ascii(substr(text, i, lit(1)))),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % FpMod))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+}

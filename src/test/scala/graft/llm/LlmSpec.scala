@@ -1,0 +1,126 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ---------- text analysis ----------
+
+  test("stats: hand-computed micro fixture") {
+    val out = TextAnalysis.stats(docsDF(1L -> "the cat sat")).collect().head
+    out.getLong(1) shouldBe 11L  // n_chars
+    out.getLong(2) shouldBe 3L   // n_tokens
+    out.getDouble(3) shouldBe 3.0 // avg token len (3+3+3)/3
+    out.getDouble(4) shouldBe 1.0 / 3.0 // "the" of 3 tokens
+  }
+
+  test("langId: stopword-hit argmax with precedence, und when no hits") {
+    val out = TextAnalysis.langId(docsDF(
+      1L -> "der hund und das brot",
+      2L -> "the cat and the dog",
+      3L -> "xyzzy plugh")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "de", 2L -> "en", 3L -> "und")
+  }
+
+  test("fingerprint: rolling polynomial hash matches hand computation") {
+    // "ab": ((0*31+97)%M)*31+98 = 3105
+    val out = TextAnalysis.fingerprints(docsDF(1L -> "ab")).collect().head
+    out.getLong(1) shouldBe 3105L
+  }
+
+  // ---------- dedup ----------
+
+  test("shingles: word bigrams, distinct, empty for short docs") {
+    val sh = docsDF(1L -> "a b c b c", 2L -> "solo")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    sh(1L).toSet shouldBe Set("a b", "b c", "c b")
+    sh(2L) shouldBe empty
+  }
+
+  test("exact dedup: collapses identical texts, keeps lowest id") {
+    val out = Dedup.exact(docsDF(5L -> "same text", 2L -> "same text", 9L -> "other words"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    out shouldBe Set((2L, 2L), (9L, 1L))
+  }
+
+  test("jaccardPairs: identical docs score 1.0, disjoint docs never pair") {
+    val out = Dedup.jaccardPairs(docsDF(
+      1L -> "x y z w", 2L -> "x y z w", 3L -> "p q r s"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.toSeq shouldBe Seq((1L, 2L, 1.0))
+  }
+
+  test("minhashPairs agrees with jaccardPairs on the sf0.001 documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaJaccard = Dedup.jaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaMinhash = Dedup.minhashPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    viaMinhash shouldBe viaJaccard
+    viaJaccard should not be empty // planted near-dups exist
+  }
+
+  test("simhash: identical texts get identical signatures; near-dups are close") {
+    val out = Dedup.simhash(docsDF(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "alpha beta gamma delta epsilon eta", // one word changed
+      4L -> "totally different words here now then")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe out(2L)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    ham(out(1L), out(3L)) should be < ham(out(1L), out(4L))
+  }
+
+  // ---------- similarity ----------
+
+  private def embDF(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: exact cosine ordering on a hand fixture") {
+    val e = embDF(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(1f, 0.1f, 0f),  // nearest to 0
+      2L -> Seq(0.5f, 1f, 0f),  // second
+      3L -> Seq(-1f, 0f, 0f))   // anti-parallel, last
+    val out = Similarity.bruteForceTopK(e, Seq(0L), 2)
+      .collect().map(r => r.getLong(1)).toSet
+    out shouldBe Set(1L, 2L)
+  }
+
+  test("ivfTopK with nprobe=all cells equals brute force") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = Seq(3L, 17L, 29L)
+    val ivf = Similarity.ivfTopK(docs, coarse, Seq(0L), nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bf = Similarity.bruteForceTopK(docs, Seq(0L), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    ivf shouldBe bf
+  }
+
+  // ---------- multimodal ----------
+
+  test("binaryMeta: byte length + md5 digest of the payload") {
+    val out = Multimodal.binaryMeta(docsDF(1L -> "hello"), "doc_id", "text").collect().head
+    out.getLong(1) shouldBe 5L
+    out.getString(2) shouldBe "5d41402abc4b2a76b9719d911017c592"
+  }
+
+  test("decodeStub: deterministic fixed-shape output per payload") {
+    val media = docsDF(1L -> "payload-bytes-one", 2L -> "payload-two")
+    val out1 = Multimodal.decodeStub(media, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    val out2 = Multimodal.decodeStub(media, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    out1 shouldBe out2                      // deterministic
+    out1.length shouldBe 2
+    all(out1.map(_._2)) should be >= 16     // fake header parse in range
+    val feats = Multimodal.decodeStub(media, "doc_id", "text")
+      .select("features").collect().head.getSeq[Double](0)
+    feats should have size 4
+  }
+}
