@@ -1,24 +1,70 @@
 package graft
+
+import graft.contract.PointSpace
+import graft.kmeans.KMeansRunner
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry contract query plus the full
+  * iterative K-Means loop on SPARK_GRAFT_SF_DIR, printing one JSON line.
+  * Failures are recorded per-query in "errors" (and still counted in the
+  * time) — a broken query must never silently pass as benchmarked.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(thunk: () => Unit): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { thunk(); ((System.nanoTime() - t0) / 1e9, None) }
+      catch {
+        case e: Throwable =>
+          ((System.nanoTime() - t0) / 1e9,
+            Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // untimed warmup: touch every input table once (OS page cache + JIT)
+    // so the first timed query doesn't absorb cold-start costs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- Seq("lineitem", "documents", "embeddings", "events"))
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+
+    // headline extra: the iterative engine loop itself (C1-C3), 10 rounds
+    val extras: Seq[(String, () => Unit)] = Seq(
+      "kmeans_converge10" -> (() => {
+        val pts = PointSpace.points(spark, sfDir)
+        val r = KMeansRunner.converge(pts, PointSpace.seeds.map(_._2),
+          maxIter = 10, threshold = 0.0)
+        require(r.centers.nonEmpty, "no centroids")
+      }))
+
+    val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (() => { fn(spark, sfDir).count(); () })
+    } ++ extras
+
+    val results = all.map { case (name, thunk) =>
+      val (sec, err) = time(thunk)
+      // operators persist shared intermediates; isolate the next query
+      spark.catalog.clearCache()
+      (name, sec, err)
+    }
+
+    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (n, s, _) => jstr(n) + ":" + s }.mkString("{", ",", "}")
+    val errors = results.collect { case (n, _, Some(e)) => jstr(n) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -53,7 +53,11 @@ object Silhouette {
     *               score may be NaN when both averages are 0).
     */
   def metrics(assigned: DataFrame, guards: Boolean = true): DataFrame = {
+    // persist: the assigned points feed five plan references (sizes +
+    // both sides of two self-joins); without it the upstream scan and
+    // assignment expression re-run per reference
     val pts = assigned.select(col("cluster"), col("x"), col("y"), col("z"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pts.as("a")
     val b = pts.as("b")
 

@@ -74,14 +74,10 @@ object TextAnalysis {
   val FpMod = 1000003L
 
   /** Rolling polynomial hash of the full text: fold (acc*31 + code) % M
-    * over the character codes, acc0 = 0. Mirrors DuckDB's
+    * over the character codes, acc0 = 0 (empty text folds to 0). Native
+    * codegen'd Expression; mirrors DuckDB's
     * list_reduce(list_prepend(0, ords), ...). */
-  def fingerprint(text: Column): Column =
-    when(length(text) === 0, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(text)), i => ascii(substr(text, i, lit(1)))),
-        lit(0L),
-        (acc, c) => (acc * 31 + c) % FpMod))
+  def fingerprint(text: Column): Column = graft.functions.PolyHash(text, FpMod)
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
