@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, ...).
+  *
+  * The reference is pure batch — this module is the engine's streaming
+  * surface for the same aggregations: `hourlyWindowedStats` is the
+  * streaming twin of the `events_window` contract query (identical
+  * grouping/aggregates, plus a watermark so state is bounded), and
+  * `runningUserTotals` shows the custom-state path via
+  * mapGroupsWithState.
+  *
+  * Scale notes: the windowed aggregate shuffles once per trigger on
+  * (window, event_type) with partial aggregation map-side; the watermark
+  * evicts windows older than the lateness bound, so state size is
+  * O(active windows x event types), independent of stream length. The
+  * stateful per-user operator partitions by user_id — state is sharded
+  * across executors and survives through the checkpoint location.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour window counts/sums per event type. Works on a
+    * streaming OR batch DataFrame with (ts, event_type, value). */
+  def hourlyWindowedStats(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserTotals(user_id: Long, events: Long, total: Double)
+
+  /** Running per-user event count + value sum, maintained as explicit
+    * state across triggers (KeyValueGroupedDataset.mapGroupsWithState). */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.events
+          var tot = prev.total
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $s")
+
+  test("hourlyWindowedStats: windowed counts/sums over a memory stream") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.hourlyWindowedStats(mem.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("win").outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts("10:05:00"), "click", 1.0),
+        (ts("10:40:00"), "click", 2.0),
+        (ts("10:59:59"), "view", 5.0),
+        (ts("11:00:00"), "click", 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM win ORDER BY window_start, event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      rows.toSeq shouldBe Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 5.0),
+        ("2024-01-01 11:00:00.0", "click", 1L, 7.0))
+    } finally q.stop()
+  }
+
+  test("hourlyWindowedStats agrees with the batch events_window grouping") {
+    // the streaming operator on a BATCH frame must equal the batch query
+    val batch = Seq(
+      (ts("10:05:00"), "click", 1.0),
+      (ts("10:40:00"), "click", 2.0),
+      (ts("11:00:00"), "view", 3.0)).toDF("ts", "event_type", "value")
+    val out = EventStream.hourlyWindowedStats(batch)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    out shouldBe Set(
+      ("2024-01-01 10:00:00.0", "click", 2L),
+      ("2024-01-01 11:00:00.0", "view", 1L))
+  }
+
+  test("runningUserTotals: state accumulates across triggers") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    try {
+      mem.addData(EventStream.UserEvent(1L, "click", 2.0), EventStream.UserEvent(2L, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.UserEvent(1L, "click", 3.0))
+      q.processAllAvailable()
+      // update mode: latest row per user wins
+      val last = spark.sql("SELECT * FROM totals").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      last(1L) shouldBe ((2L, 5.0))
+      last(2L) shouldBe ((1L, 5.0))
+    } finally q.stop()
+  }
+}
