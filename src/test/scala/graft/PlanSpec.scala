@@ -1,0 +1,53 @@
+package graft
+
+/** Plan-regression guards: the contract queries must keep the physical
+  * plans that make them scale — filters pushed into the parquet scan,
+  * schemas pruned to the referenced columns, joins staying equi/broadcast
+  * where designed. A refactor that silently reads all columns or turns a
+  * bucket join into a cartesian product fails here, not at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  import org.apache.spark.sql.execution.ExplainMode
+
+  private def plan(name: String, mode: String = "formatted"): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(ExplainMode.fromString(mode))
+
+  test("p3_assign: null filters pushed to scan, schema pruned to 5 columns") {
+    val p = plan("p3_assign")
+    p should include("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_extendedprice), IsNotNull(l_discount)]")
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double>")
+    (p should not).include("l_tax")
+  }
+
+  test("a1_recenter: scan reads only the three aggregated columns") {
+    val p = plan("a1_recenter")
+    p should include("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>")
+  }
+
+  test("sil_lineitem: subset predicate pushed; no cartesian product") {
+    val p = plan("sil_lineitem")
+    p should include("LessThanOrEqual(l_orderkey,150)")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("ann_topk: query-id IN filter pushed to the embeddings scan") {
+    val p = plan("ann_topk")
+    p should include("In(vec_id, [0,1,2])")
+  }
+
+  test("dedup joins are equi-joins — never cartesian/nested-loop") {
+    for (q <- Seq("dedup_jaccard", "dedup_minhash")) {
+      val p = plan(q)
+      withClue(s"$q: ") {
+        (p should not).include("CartesianProduct")
+        (p should not).include("BroadcastNestedLoopJoin")
+      }
+    }
+  }
+
+  test("assignment expression stays inside whole-stage codegen") {
+    plan("p3_assign", "codegen") should include("WholeStageCodegen")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.kmeans
+
+import graft.SparkSpec
+
+/** Property-style invariants (seeded random fixtures) from SURVEY §5c:
+  * assignment is argmin-invariant under centroid permutation, means stay
+  * in the members' convex hull, displacement is 0 iff centroid sets are
+  * equal, and re-centering is partition-count invariant (the correct
+  * (sum,count) partial-agg semantics — the reference's combiner trap). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def randPoints(n: Int) =
+    Seq.fill(n)((rnd.nextDouble() * 100, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+  private def randCents(k: Int) =
+    Seq.fill(k)(Point(rnd.nextDouble() * 100, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+
+  test("assignment is invariant under centroid permutation (indices remapped)") {
+    val pts = randPoints(300).toDF("x", "y", "z")
+    val cents = randCents(5)
+    val perm = rnd.shuffle(cents.indices.toList)
+    val permuted = perm.map(cents(_)) // permuted(j) = cents(perm(j))
+    val orig = Assign.assign(pts, cents)
+      .select("x", "y", "z", "cluster").as[(Double, Double, Double, Int)]
+      .collect().map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val remap = Assign.assign(pts, permuted)
+      .select("x", "y", "z", "cluster").as[(Double, Double, Double, Int)]
+      .collect()
+    remap.foreach { case (x, y, z, c2) =>
+      perm(c2) shouldBe orig((x, y, z))
+    }
+  }
+
+  test("re-centered means lie in the members' per-axis convex hull") {
+    val pts = randPoints(500).toDF("x", "y", "z")
+    val cents = randCents(4)
+    val assigned = Assign.assign(pts, cents).cache()
+    val bounds = assigned.groupBy("cluster")
+      .agg(org.apache.spark.sql.functions.min("x"), org.apache.spark.sql.functions.max("x"),
+        org.apache.spark.sql.functions.min("y"), org.apache.spark.sql.functions.max("y"),
+        org.apache.spark.sql.functions.min("z"), org.apache.spark.sql.functions.max("z"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    Recenter.recenter(assigned).collect().foreach { r =>
+      val (xl, xh, yl, yh, zl, zh) = bounds(r.getInt(0))
+      r.getDouble(1) should (be >= xl and be <= xh)
+      r.getDouble(2) should (be >= yl and be <= yh)
+      r.getDouble(3) should (be >= zl and be <= zh)
+    }
+  }
+
+  test("displacement is 0 iff centroid sequences are equal") {
+    val c = randCents(5)
+    KMeansRunner.displacement(c, c) shouldBe 0.0
+    val moved = c.updated(2, Point(c(2).x + 1e-6, c(2).y, c(2).z))
+    KMeansRunner.displacement(c, moved) should be > 0.0
+  }
+
+  test("re-centering is partition-count invariant (correct partial-agg semantics)") {
+    val pts = randPoints(1000).toDF("x", "y", "z")
+    val cents = randCents(5)
+    val one = KMeansRunner.step(pts.coalesce(1), cents)
+    val many = KMeansRunner.step(pts.repartition(7), cents)
+    one.map(_._1) shouldBe many.map(_._1)
+    one.zip(many).foreach { case ((_, a), (_, b)) =>
+      math.abs(a.x - b.x) should be <= 1e-9 * math.max(1.0, math.abs(a.x))
+      math.abs(a.y - b.y) should be <= 1e-9 * math.max(1.0, math.abs(a.y))
+      math.abs(a.z - b.z) should be <= 1e-9 * math.max(1.0, math.abs(a.z))
+    }
+  }
+
+  test("jaccard pair mining is partition-count invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p1 = graft.llm.Dedup.jaccardPairs(docs.coalesce(1), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p8 = graft.llm.Dedup.jaccardPairs(docs.repartition(8), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    p1 shouldBe p8
+  }
+}
