@@ -161,7 +161,39 @@ object SparkEntry {
 
     // multimodal: binary payload metadata (no decode needed)
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.binaryMeta(docs(s, dir), "doc_id", "text").orderBy(col("doc_id")))
+      Multimodal.binaryMeta(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // ---- general analytics over the star schema ----
+
+    // broadcast-dim join + aggregation: order revenue per nation
+    "q_join_agg" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // window function: top-3 longest documents per language
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, dir).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // global sort + limit: top-20 orders by price
+    "q_topk_orders" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total")))
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -243,6 +275,21 @@ object SparkEntry {
     "simhash" -> TextSql.simhashSql,
     "ann_topk" -> TextSql.annTopKSql(AnnQueryIds, 10),
     "ann_ivf" -> TextSql.annIvfSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),
-    "multimodal_meta" -> TextSql.multimodalMetaSql
+    "multimodal_meta" -> TextSql.multimodalMetaSql,
+
+    "q_join_agg" ->
+      ("SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+
+    "q_window_rank" ->
+      ("SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 3 ORDER BY lang, doc_id"),
+
+    "q_topk_orders" ->
+      ("SELECT o_orderkey, round(o_totalprice,2) AS total FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20")
   )
 }

@@ -59,6 +59,14 @@ object Similarity {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
     val coarse = e.filter(col("vec_id").isin(coarseIds: _*))
       .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    ivfTopKWith(emb, coarse, queryIds, nprobe, k)
+  }
+
+  /** IVF top-k against an explicit coarse-cell table (cell_id, cvec) —
+    * e.g. centroids fitted by VectorKMeans, the production quantizer. */
+  def ivfTopKWith(emb: DataFrame, coarse: DataFrame, queryIds: Seq[Long],
+                  nprobe: Int, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
 
     // cell assignment: argmin_{cell} L2^2, ties -> lowest cell_id
     val wCell = Window.partitionBy(col("vec_id"))

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** General-dimension Lloyd's K-Means over an `array<double>` vector
+  * column — the engine's 3-D K-Means core (assign -> re-center ->
+  * driver collect of K rows) generalized to embedding space, used to FIT
+  * the IVF coarse quantizer instead of picking corpus vectors by id.
+  *
+  * Spark-first shape, mirroring graft.kmeans:
+  *   - assignment: argmin over K literal centroid arrays via a codegen'd
+  *     struct/array_min expression (K*dim literals inline; no UDF, no
+  *     shuffle, no broadcast round-trip)
+  *   - re-centering: posexplode to (cell, dim, value) rows, ONE
+  *     HashAggregate keyed (cell, dim) with map-side partial (sum,count),
+  *     K*dim rows collected to the driver per iteration
+  *   - convergence: driver-side Σ-displacement over K centroids
+  *
+  * At 100 TB the per-iteration cost is one scan + one K*dim-row shuffle,
+  * identical in structure to the 3-D runner.
+  */
+object VectorKMeans {
+
+  case class Result(centers: Seq[Array[Double]], iterations: Int, converged: Boolean)
+
+  private def litVec(v: Array[Double]): Column = array(v.map(lit).toSeq: _*)
+
+  /** Squared L2 distance between a vector column and a literal centroid. */
+  def distSqTo(vec: Column, c: Array[Double]): Column =
+    aggregate(zip_with(vec, litVec(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Cell id (0-based position in `cents`) of the nearest centroid,
+    * ties to the lowest cell id (array_position finds the FIRST minimum;
+    * struct-based argmin is avoided because aliases on higher-order-
+    * function children get stripped during resolution). */
+  def cellOf(vec: Column, cents: Seq[Array[Double]]): Column = {
+    val d2s = array(cents.map(c => distSqTo(vec, c)): _*)
+    (array_position(d2s, array_min(d2s)) - 1).cast("int")
+  }
+
+  /** One assign+re-center step; returns the new centroid per cell (cells
+    * that received no vectors keep their previous centroid, so K never
+    * shrinks — the quantizer contract differs from the reference
+    * K-Means, where absent clusters vanish). */
+  def step(emb: DataFrame, vecCol: String, cents: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val dim = cents.head.length
+    val means = emb
+      .select(cellOf(col(vecCol), cents).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg("v").as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        val arr = new Array[Double](dim)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        cell -> arr
+      }
+    cents.indices.map(i => means.getOrElse(i, cents(i)))
+  }
+
+  /** Fit k centroids, seeded deterministically from corpus vectors. */
+  def fit(emb: DataFrame, vecCol: String, seedIds: Seq[Long], idCol: String = "vec_id",
+          maxIter: Int = 10, tol: Double = 1e-4): Result = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    var cents: Seq[Array[Double]] = e.filter(col(idCol).isin(seedIds: _*))
+      .orderBy(col(idCol)).collect().map(_.getSeq[Double](1).toArray).toSeq
+    require(cents.nonEmpty, "no seed vectors found")
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val next = step(e, "v", cents)
+      val disp = cents.lazyZip(next).map { (a, b) =>
+        math.sqrt(a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum)
+      }.sum
+      cents = next
+      converged = disp < tol
+      i += 1
+    }
+    Result(cents, i, converged)
+  }
+
+  /** The fitted centroids as a (cell_id, cvec) DataFrame — the coarse
+    * side expected by Similarity.ivfTopKWith. */
+  def asCells(emb: DataFrame, result: Result): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    result.centers.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cell_id", "cvec")
+  }
+}
