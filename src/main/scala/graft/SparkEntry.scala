@@ -193,7 +193,21 @@ object SparkEntry {
       s.read.parquet(s"$dir/orders.parquet")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
-        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total")))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))),
+
+    // embedding-cosine near-dup pairs, coarse-cell pruned
+    "dedup_embedding" -> ((s, dir) =>
+      graft.llm.Similarity.cosineNearDupPairs(emb(s, dir), IvfCoarseIds, 0.4)
+        .orderBy(col("va"), col("vb"))),
+
+    // gap-based sessionization (lag + running-sum windows)
+    "events_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+      graft.streaming.EventStream.sessionize(ev)
+        .orderBy(col("user_id"), col("session_id"))
+    })
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -290,6 +304,9 @@ object SparkEntry {
 
     "q_topk_orders" ->
       ("SELECT o_orderkey, round(o_totalprice,2) AS total FROM orders " +
-        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20")
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+
+    "dedup_embedding" -> TextSql.dedupEmbeddingSql(IvfCoarseIds, 0.4),
+    "events_sessionize" -> TextSql.eventsSessionizeSql
   )
 }

@@ -133,6 +133,26 @@ object TextSql {
       s"SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM r WHERE rn <= $k " +
       "ORDER BY query_id, neighbor_id"
 
+  def dedupEmbeddingSql(coarseIds: Seq[Long], threshold: Double): String = {
+    val cos = "list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v)))"
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +
+      "ad AS (SELECT vec_id, v, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id " +
+      "ORDER BY list_distance(v, cv), cell_id) AS rn FROM e CROSS JOIN coarse), " +
+      "assigned AS (SELECT vec_id, v, cell_id FROM ad WHERE rn = 1) " +
+      s"SELECT a.vec_id AS va, b.vec_id AS vb, round($cos, 4) AS sim " +
+      "FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id " +
+      s"WHERE $cos >= $threshold ORDER BY va, vb"
+  }
+
+  val eventsSessionizeSql: String =
+    "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events), " +
+      "l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM ev), " +
+      "s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM l) " +
+      "SELECT user_id, session_id, count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us " +
+      "FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+
   def annIvfSql(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int, k: Int): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +

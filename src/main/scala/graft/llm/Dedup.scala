@@ -51,6 +51,12 @@ object Dedup {
   def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
 
+  /** Repartitions the (narrow) documents to session parallelism so the
+    * downstream explode + hash compute isn't pinned to the source's few
+    * file partitions. */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Exact Jaccard over the shingle sets of candidate (da, db) pairs.
     * Shingle sets are computed only for docs appearing in a pair
     * (left-semi pushdown), so verification cost tracks the candidate
@@ -86,8 +92,13 @@ object Dedup {
     // persist: the hashed inverted index feeds both self-join sides and
     // the size aggregate — three evaluations of the shingle+hash subtree
     // without it (Spark only reuses identical *exchanges*, and AQE's
-    // broadcast conversion recomputes the build side)
-    val sh = shingleRows(docs).select(col("doc_id"), shingleHash(col("s")).as("h"))
+    // broadcast conversion recomputes the build side).
+    // repartition BEFORE exploding: documents.parquet arrives in 2-3
+    // file partitions, so the shingle/hash compute and — worse — the
+    // 73M-row self-join probe+aggregate would run on 2-3 tasks (the
+    // broadcast join preserves the probe side's partitioning). A cheap
+    // 5k-row shuffle buys full-width parallelism (17s -> 10s at sf0.1).
+    val sh = shingleRows(spread(docs)).select(col("doc_id"), shingleHash(col("s")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // pair key packed into one long: halves the aggregation hash-map
@@ -134,7 +145,7 @@ object Dedup {
     * (an expression-tree form would be duplicated 16x by
     * CollapseProject and cost 16 char-level hash passes per row). */
   def signatures(docs: DataFrame): DataFrame = {
-    val ex = shingleRows(docs).select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val ex = shingleRows(spread(docs)).select(col("doc_id"), shingleHash(col("s")).as("h"))
     val minCols = HashAB.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % FpMod).as(s"m$j")
     }

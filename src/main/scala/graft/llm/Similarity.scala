@@ -48,6 +48,31 @@ object Similarity {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, cell-pruned: vectors are
+    * coarse-quantized (same assignment as IVF) and only SAME-CELL pairs
+    * are scored — the pair space shrinks by ~K and the quantization is
+    * part of the operator's contract (the oracle mirrors it), so the
+    * output is deterministic. Returns (va, vb, sim) with va < vb and
+    * cosine >= threshold. */
+  def cosineNearDupPairs(emb: DataFrame, coarseIds: Seq[Long], threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val coarse = e.filter(col("vec_id").isin(coarseIds: _*))
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("cell_id"))
+    val assigned = e.join(broadcast(coarse))
+      .withColumn("cd2", distSq(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("cell_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosine(col("a.vec"), col("b.vec")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
+  }
+
   /** IVF top-k: quantize every vector to its nearest coarse cell (L2,
     * ties to lowest cell id), probe the nprobe nearest cells per query,
     * score only those candidates. Coarse centroids are corpus vectors

@@ -33,6 +33,25 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Gap-based sessionization (batch form): a new session starts when a
+    * user's inter-event gap exceeds `gapMicros`. Input needs
+    * (user_id, event_id, tus) with tus = event time in epoch micros;
+    * output one row per session: (user_id, session_id, n_events,
+    * start_us, end_us). Window functions partition by user, so state is
+    * per-user and shuffles once. */
+  def sessionize(events: DataFrame, gapMicros: Long = 1800L * 1000 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    events
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("tus") - col("prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min("tus").as("start_us"), max("tus").as("end_us"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(user_id: Long, events: Long, total: Double)
 
