@@ -15,7 +15,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -35,7 +35,8 @@ object Bench {
     // untimed warmup: touch every input table once (OS page cache + JIT)
     // so the first timed query doesn't absorb cold-start costs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for (t <- Seq("lineitem", "documents", "embeddings", "events"))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings"))
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
 

@@ -34,6 +34,16 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** events.parquet with its TIMESTAMP(NANOS) column read as long nanos.
+    * Uses a cloned session (shared context, own conf) so the caller's
+    * session is NOT left with nanosAsLong=true as a side effect — that
+    * would silently change every later TIMESTAMP(NANOS) read. */
+  private def eventsNanos(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.read.parquet(s"$dir/events.parquet")
+  }
+
   /** Flagship: converge-loop K-Means over sf0.001 lineitem, returns the
     * final centroids (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
@@ -119,8 +129,7 @@ object SparkEntry {
     // reader rejects; read nanos as long and convert (micros precision is
     // irrelevant after an hour-truncation).
     "events_window" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
+      eventsNanos(s, dir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
@@ -202,8 +211,7 @@ object SparkEntry {
 
     // gap-based sessionization (lag + running-sum windows)
     "events_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = eventsNanos(s, dir)
         .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
       graft.streaming.EventStream.sessionize(ev)
         .orderBy(col("user_id"), col("session_id"))

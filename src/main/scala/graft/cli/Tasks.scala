@@ -35,7 +35,7 @@ object Tasks {
     spark.sparkContext.setLogLevel("WARN")
     // single partition = reference's single-reducer accumulation order
     val pts = Points.readCsv(spark, pointsCsv).coalesce(1).cache()
-    val raw = Points.readCsvWithRaw(spark, pointsCsv).coalesce(1)
+    val raw = Points.readCsvWithRaw(spark, pointsCsv).coalesce(1).cache()
     Ctx(spark, pts, raw, Points.readSeeds(seedsCsv), outDir)
   }
 

@@ -124,6 +124,16 @@ object TextSql {
   private val cosSql =
     "list_dot_product(qv, v)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(v, v)))"
 
+  /** Squared L2 distance between two DOUBLE[] expressions — mirrors the
+    * Spark side's distSq. Ranking by list_distance (a sqrt) would admit a
+    * divergence class: sqrt is non-injective over doubles, so two cells
+    * with distinct d2 can collide post-sqrt and fall to the cell_id
+    * tie-break in ONE engine only. Squared distances keep both engines
+    * ordering the same quantity. */
+  private def l2sqSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> ($a[i::INT] - $b[i::INT])*($a[i::INT] - $b[i::INT])))"
+
   def annTopKSql(queryIds: Seq[Long], k: Int): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
@@ -138,7 +148,7 @@ object TextSql {
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +
       "ad AS (SELECT vec_id, v, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id " +
-      "ORDER BY list_distance(v, cv), cell_id) AS rn FROM e CROSS JOIN coarse), " +
+      s"ORDER BY ${l2sqSql("v", "cv")}, cell_id) AS rn FROM e CROSS JOIN coarse), " +
       "assigned AS (SELECT vec_id, v, cell_id FROM ad WHERE rn = 1) " +
       s"SELECT a.vec_id AS va, b.vec_id AS vb, round($cos, 4) AS sim " +
       "FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id " +
@@ -157,11 +167,11 @@ object TextSql {
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +
       "ad AS (SELECT vec_id, v, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id " +
-      "ORDER BY list_distance(v, cv), cell_id) AS rn FROM e CROSS JOIN coarse), " +
+      s"ORDER BY ${l2sqSql("v", "cv")}, cell_id) AS rn FROM e CROSS JOIN coarse), " +
       "assigned AS (SELECT vec_id, v, cell_id FROM ad WHERE rn = 1), " +
       s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
       "pd AS (SELECT query_id, qv, cell_id, ROW_NUMBER() OVER (PARTITION BY query_id " +
-      "ORDER BY list_distance(qv, cv), cell_id) AS rn FROM q CROSS JOIN coarse), " +
+      s"ORDER BY ${l2sqSql("qv", "cv")}, cell_id) AS rn FROM q CROSS JOIN coarse), " +
       s"probes AS (SELECT query_id, qv, cell_id FROM pd WHERE rn <= $nprobe), " +
       s"scored AS (SELECT query_id, vec_id AS neighbor_id, $cosSql AS sim " +
       "FROM assigned JOIN probes USING (cell_id) WHERE vec_id <> query_id), " +

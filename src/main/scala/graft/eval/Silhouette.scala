@@ -96,7 +96,15 @@ object Silhouette {
         joined.filter(col("n") > 1)
           .filter(col("avg_intra") > 0 || col("avg_inter") > 0)
       else joined
-    guarded.orderBy(col("cluster"))
+    // materialize the K-row result, then release the (large) cached
+    // points — per-iteration callers (C4 hook, cli.Silhouette2/3) would
+    // otherwise accumulate one cached point set per call for the life of
+    // the session. Callers may unpersist the returned frame.
+    val out = guarded.orderBy(col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pts.unpersist(false)
+    out
   }
 
   /** Scale path: same metric over a deterministic Bernoulli sample. The

@@ -42,8 +42,24 @@ case class PolyHash(child: Expression, mod: Long) extends UnaryExpression {
 }
 
 object PolyHash {
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. ASCII fast path
+    * walks the UTF8String bytes in place (no String allocation / UTF-8
+    * decode per row — this runs once per shingle in the MinHash hot
+    * loop); multi-byte input falls back to the decoded form. */
   def hash(s: UTF8String, mod: Long): Long = {
+    val n = s.numBytes()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) return hashDecoded(s, mod) // non-ASCII byte: decode
+      acc = (acc * 31 + b) % mod
+      i += 1
+    }
+    acc
+  }
+
+  private def hashDecoded(s: UTF8String, mod: Long): Long = {
     val str = s.toString
     var acc = 0L
     var i = 0

@@ -61,25 +61,39 @@ object Dedup {
     * Shingle sets are computed only for docs appearing in a pair
     * (left-semi pushdown), so verification cost tracks the candidate
     * count, not the corpus. */
-  private def verifyJaccard(docs: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+  /** Forces `df` into its own (small) cache, then releases the given
+    * upstream caches. Operators return lazily-consumed DataFrames, so
+    * intermediates can't be unpersisted on return — materializing the
+    * compact final result lets every large upstream block go. Callers
+    * holding the result long-term may `unpersist()` it themselves. */
+  private def materialized(df: DataFrame, release: Seq[DataFrame]): DataFrame = {
+    val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release.foreach(_.unpersist(false))
+    out
+  }
+
+  private def verifyJaccard(docs: DataFrame, candidates: DataFrame, threshold: Double,
+                            release: Seq[DataFrame]): DataFrame = {
     // persist: the candidate set is tiny but referenced three times (the
     // id-union twice + the final join) — without it the ENTIRE upstream
     // candidate-generation chain re-executes per reference
     val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = cand.select(col("da").as("doc_id"))
-      .union(cand.select(col("db").as("doc_id"))).distinct()
     // persist: referenced twice (sa/sb) — without it the semi-join +
     // shingle computation would run once per side
+    val candIds = cand.select(col("da").as("doc_id"))
+      .union(cand.select(col("db").as("doc_id"))).distinct()
     val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val i = size(array_intersect(col("sa"), col("sb")))
-    cand
+    val result = cand
       .join(sets.select(col("doc_id").as("da"), col("sh").as("sa")), Seq("da"))
       .join(sets.select(col("doc_id").as("db"), col("sh").as("sb")), Seq("db"))
       .select(col("da"), col("db"),
         (i / (size(col("sa")) + size(col("sb")) - i)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    materialized(result, release ++ Seq(cand, sets))
   }
 
   /** Near-duplicate pairs (da < db) with word-bigram Jaccard >= threshold.
@@ -101,20 +115,19 @@ object Dedup {
     val sh = shingleRows(spread(docs)).select(col("doc_id"), shingleHash(col("s")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // pair key packed into one long: halves the aggregation hash-map
-    // entry size at 10M+ group cardinality
+    // (a 64-bit packed pair key would shave ~15% off this aggregation,
+    // but silently corrupts for doc_id >= 2^32 — ids at 100 TB scale —
+    // so the pair key stays two columns)
     val hashInter = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(shiftleft(col("a.doc_id"), 32).bitwiseOR(col("b.doc_id")).as("p"))
-      .groupBy(col("p")).agg(count(lit(1)).as("ic"))
-      .select(shiftright(col("p"), 32).as("da"),
-        col("p").bitwiseAND(lit(0xffffffffL)).as("db"), col("ic"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("ic"))
     val cand = hashInter
       .join(sizes.as("na"), col("da") === col("na.doc_id"))
       .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
       .filter(col("ic") >= lit(threshold) * (col("na.n") + col("nb.n")) / (1.0 + threshold))
       .select(col("da"), col("db"))
-    verifyJaccard(docs, cand, threshold)
+    verifyJaccard(docs, cand, threshold, release = Seq(sh))
   }
 
   // ---------- MinHash + LSH ----------
@@ -171,7 +184,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyJaccard(docs, cand, threshold)
+    verifyJaccard(docs, cand, threshold, release = Seq(bands))
   }
 
   // ---------- SimHash ----------

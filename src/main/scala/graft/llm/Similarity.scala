@@ -54,23 +54,36 @@ object Similarity {
     * part of the operator's contract (the oracle mirrors it), so the
     * output is deterministic. Returns (va, vb, sim) with va < vb and
     * cosine >= threshold. */
+  /** argmin-cell assignment shared by IVF and near-dup pruning:
+    * (vec_id, vec, cell_id) with cell = nearest coarse centroid by L2²,
+    * ties to lowest cell_id. */
+  private def assignCells(e: DataFrame, coarse: DataFrame): DataFrame = {
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("cell_id"))
+    e.join(broadcast(coarse))
+      .withColumn("cd2", distSq(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("cell_id"))
+  }
+
   def cosineNearDupPairs(emb: DataFrame, coarseIds: Seq[Long], threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
     val coarse = e.filter(col("vec_id").isin(coarseIds: _*))
       .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("cell_id"))
-    val assigned = e.join(broadcast(coarse))
-      .withColumn("cd2", distSq(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("vec"), col("cell_id"))
+    // persist: both sides of the pair self-join
+    val assigned = assignCells(e, coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assigned.as("a")
+    val result = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         cosine(col("a.vec"), col("b.vec")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
+    // materialize the small pair set, release the cached assignment
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    assigned.unpersist(false)
+    out
   }
 
   /** IVF top-k: quantize every vector to its nearest coarse cell (L2,
@@ -94,12 +107,7 @@ object Similarity {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
 
     // cell assignment: argmin_{cell} L2^2, ties -> lowest cell_id
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cd2"), col("cell_id"))
-    val assigned = e.join(broadcast(coarse))
-      .withColumn("cd2", distSq(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("vec"), col("cell_id"))
+    val assigned = assignCells(e, coarse)
 
     // probe list: the nprobe nearest cells of each query vector
     val q = e.filter(col("vec_id").isin(queryIds: _*))
