@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through raw instead of being [info]-prefixed
+// by sbt's logger — Bench prints ONE machine-parsed JSON line to stdout,
+// and a log-decorated line is not valid JSON for the harness.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,7 +65,12 @@ object Bench {
     val errors = results.collect { case (n, _, Some(e)) => jstr(n) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":${jstr(sfDir)}}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":${jstr(sfDir)}}"""
+    println(json)
+    // belt-and-braces for log-wrapped stdout: also drop the line in CWD
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

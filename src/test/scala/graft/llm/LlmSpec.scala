@@ -102,6 +102,17 @@ class LlmSpec extends SparkSpec {
     ivf shouldBe bf
   }
 
+  test("cosineNearDupPairs: finds parallel vectors in the same cell, not cross-cell") {
+    val e = embDF(
+      0L -> Seq(1f, 0f, 0f),      // coarse cell A
+      1L -> Seq(0f, 1f, 0f),      // coarse cell B
+      2L -> Seq(0.9f, 0.01f, 0f), // near-parallel to 0, lands in cell A
+      3L -> Seq(0.01f, 0.9f, 0f)) // near-parallel to 1, lands in cell B
+    val out = Similarity.cosineNearDupPairs(e, Seq(0L, 1L), 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe Set((0L, 2L), (1L, 3L)) // (0,3)/(1,2)/(2,3) are cross-cell or dissimilar
+  }
+
   // ---------- multimodal ----------
 
   test("binaryMeta: byte length + md5 digest of the payload") {

@@ -45,6 +45,24 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L))
   }
 
+  test("sessionize: splits on >30min gaps, keeps multi-event sessions together") {
+    // user 1: events at 0s, 60s (same session), then +40min (new session)
+    // user 2: single event
+    val us = 1000L * 1000
+    val ev = Seq(
+      (1L, 10L, 0L * us), (1L, 11L, 60L * us), (1L, 12L, (60L + 2400L) * us),
+      (2L, 20L, 5L * us)
+    ).toDF("user_id", "event_id", "tus")
+    val out = EventStream.sessionize(ev)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 2L, 0L, 60L * us),                        // first session: 2 events
+      (1L, 2L, 1L, 2460L * us, 2460L * us),              // after the 40min gap
+      (2L, 1L, 1L, 5L * us, 5L * us))
+  }
+
   test("runningUserTotals: state accumulates across triggers") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[EventStream.UserEvent]
