@@ -215,6 +215,26 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
       graft.streaming.EventStream.sessionize(ev)
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // distinct aggregation: unique users + events per event type
+    "q_distinct_users" -> ((s, dir) =>
+      eventsNanos(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
+
+    // grouping sets: revenue rollup over (nation, order status)
+    "q_rollup" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     })
   )
 
@@ -315,6 +335,17 @@ object SparkEntry {
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
 
     "dedup_embedding" -> TextSql.dedupEmbeddingSql(IvfCoarseIds, 0.4),
-    "events_sessionize" -> TextSql.eventsSessionizeSql
+    "events_sessionize" -> TextSql.eventsSessionizeSql,
+
+    "q_distinct_users" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_rollup" ->
+      ("SELECT n_name, o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY ROLLUP (n_name, o_orderstatus) " +
+        "ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST")
   )
 }
