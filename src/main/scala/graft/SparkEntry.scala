@@ -224,6 +224,14 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))),
 
+    // set operations: customers with both F and O orders, minus P
+    "q_set_ops" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      def custs(status: String) =
+        orders.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+      custs("F").intersect(custs("O")).except(custs("P")).orderBy(col("o_custkey"))
+    }),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -340,6 +348,12 @@ object SparkEntry {
     "q_distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_set_ops" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P' " +
+        "ORDER BY o_custkey"),
 
     "q_rollup" ->
       ("SELECT n_name, o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue " +

@@ -36,6 +36,32 @@ object KMeansRunner {
       displacements: Seq[Double],
       history: Seq[Seq[(Int, Point)]])
 
+  /** Deterministic farthest-point (k-center greedy) seeding — an init
+    * strategy beyond the reference's fixed seed file: the first centroid
+    * is the lexicographically-largest point; each next one maximizes the
+    * min squared distance to the chosen set (ties again lexicographic).
+    * One codegen'd aggregate pass per centroid, no randomness — the same
+    * corpus always seeds identically. */
+  def farthestPointInit(points: DataFrame, k: Int): Seq[Point] = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, "k must be >= 1")
+    def d2(c: Point) =
+      (col("x") - c.x) * (col("x") - c.x) +
+        (col("y") - c.y) * (col("y") - c.y) +
+        (col("z") - c.z) * (col("z") - c.z)
+    def pick(selector: org.apache.spark.sql.Column): Point = {
+      val r = points.select(max(selector).as("s")).collect().head.getStruct(0)
+      val n = r.size
+      Point(r.getDouble(n - 3), r.getDouble(n - 2), r.getDouble(n - 1))
+    }
+    var cents = Vector(pick(struct(col("x"), col("y"), col("z"))))
+    while (cents.size < k) {
+      val minD2 = cents.map(d2).reduce(least(_, _))
+      cents :+= pick(struct(minD2.as("d"), col("x"), col("y"), col("z")))
+    }
+    cents
+  }
+
   /** C1: one iteration — assign + re-center, collecting K rows to the driver. */
   def step(points: DataFrame, centroids: Seq[Point]): Seq[(Int, Point)] =
     Recenter.recenter(Assign.assign(points, centroids))

@@ -83,4 +83,25 @@ class KMeansCoreSpec extends SparkSpec {
   test("centroidLines renders Double.toString, id TAB x,y,z") {
     Sinks.centroidLines(Seq(1 -> Point(1.5, 2.0, 3.25))) shouldBe Seq("1\t1.5,2.0,3.25")
   }
+
+  test("farthestPointInit: greedy k-center picks extremes deterministically") {
+    val pts = Seq(
+      (0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (10.0, 0.0, 0.0), (5.0, 0.0, 0.0)
+    ).toDF("x", "y", "z")
+    // first = lexicographic max (10), then farthest from it (0), then (5)
+    KMeansRunner.farthestPointInit(pts, 3) shouldBe
+      Seq(Point(10, 0, 0), Point(0, 0, 0), Point(5, 0, 0))
+    // deterministic across partitionings
+    KMeansRunner.farthestPointInit(pts.repartition(3), 3) shouldBe
+      KMeansRunner.farthestPointInit(pts.coalesce(1), 3)
+  }
+
+  test("farthestPointInit seeds a converging run on the reference data") {
+    val pts = Points.readCsv(spark, s"$ref/3d_points_dataset.csv").cache()
+    val seeds = KMeansRunner.farthestPointInit(pts, 5)
+    seeds.toSet should have size 5
+    val r = KMeansRunner.converge(pts, seeds, maxIter = 30, threshold = 5.0)
+    r.converged shouldBe true
+    r.centers should have size 5
+  }
 }
