@@ -100,24 +100,30 @@ class GoldenParitySpec extends SparkSpec {
     (id.toInt, parts.head, parts.tail.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
-  test("Silhouette2: iteration_0 clustered data matches (centroid bytes + member multiset)") {
-    val assigned = Assign.assign(rawPoints, seeds)
-    val ours = Sinks.clusteredDataLines(assigned).collect()
-      .map(r => parseClusteredLine(s"${r.getInt(0)}\t${r.getString(1)}")).toSeq
-    val golden = goldenLines(s"$ref/output/Silhouette2/iteration_0/part-r-00000")
-      .map(parseClusteredLine)
-    ours shouldBe golden
+  test("Silhouette2: all 5 iterations' clustered data match (centroid bytes + member multiset)") {
+    var prev = seeds
+    for (i <- 0 until 5) {
+      val assigned = Assign.assign(rawPoints, prev)
+      val ours = Sinks.clusteredDataLines(assigned).collect()
+        .map(r => parseClusteredLine(s"${r.getInt(0)}\t${r.getString(1)}")).toSeq
+      val golden = goldenLines(s"$ref/output/Silhouette2/iteration_$i/part-r-00000")
+        .map(parseClusteredLine)
+      withClue(s"iteration_$i: ") { ours shouldBe golden }
+      prev = KMeansRunner.step(points, prev).map(_._2)
+    }
   }
 
-  test("Silhouette3: converged iteration_27 clustered data matches") {
+  test("Silhouette3: clustered data matches at iterations 0, 9, 18, 27") {
     val r = KMeansRunner.converge(points, seeds, maxIter = 30, threshold = 5.0)
-    // iteration 27's file is the assignment against iteration 26's centroids
-    val seeds27 = r.history(26).map(_._2)
-    val assigned = Assign.assign(rawPoints, seeds27)
-    val ours = Sinks.clusteredDataLines(assigned).collect()
-      .map(r2 => parseClusteredLine(s"${r2.getInt(0)}\t${r2.getString(1)}")).toSeq
-    val golden = goldenLines(s"$ref/output/Silhouette3/iteration_27/part-r-00000")
-      .map(parseClusteredLine)
-    ours shouldBe golden
+    // iteration i's file is the assignment against iteration i-1's output
+    for (i <- Seq(0, 9, 18, 27)) {
+      val seedsI = if (i == 0) seeds else r.history(i - 1).map(_._2)
+      val assigned = Assign.assign(rawPoints, seedsI)
+      val ours = Sinks.clusteredDataLines(assigned).collect()
+        .map(r2 => parseClusteredLine(s"${r2.getInt(0)}\t${r2.getString(1)}")).toSeq
+      val golden = goldenLines(s"$ref/output/Silhouette3/iteration_$i/part-r-00000")
+        .map(parseClusteredLine)
+      withClue(s"iteration_$i: ") { ours shouldBe golden }
+    }
   }
 }
