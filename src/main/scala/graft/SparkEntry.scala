@@ -224,6 +224,21 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))),
 
+    // BPE-ish regex token counting (beyond whitespace tokens)
+    "q_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    // JSON extraction over the events props column + aggregation
+    "q_json_extract" -> ((s, dir) =>
+      eventsNanos(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))),
+
     // set operations: customers with both F and O orders, minus P
     "q_set_ops" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -347,6 +362,15 @@ object SparkEntry {
 
     "q_distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_bpe_tokens" ->
+      (s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_json_extract" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
     "q_set_ops" ->

@@ -34,6 +34,45 @@ object Multimodal {
     StructField("format", StringType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
+  /** Aspect-preserving resize of decoded media metadata: scales
+    * (width, height) so the longer side equals `maxDim` (no payload
+    * decode needed — pure column arithmetic over decodeStub output). */
+  def resizeMeta(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val longSide = greatest(col("width"), col("height")).cast("double")
+    val scale = lit(maxDim.toDouble) / longSide
+    decoded.withColumn("out_width",
+        round(col("width") * scale).cast("int"))
+      .withColumn("out_height",
+        round(col("height") * scale).cast("int"))
+  }
+
+  /** STUB — frame sampling for "video" payloads: every `stride`-th
+    * 8-byte window of the binary is treated as a frame and digested.
+    * A real codec would demux/seek here; the per-partition batching and
+    * (media_id, frame_idx, digest) output shape are the contract. */
+  def frameSampleStub(media: DataFrame, idCol: String, payloadCol: String,
+                      stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    val input = media.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+    val rows = input.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        (0 until bytes.length / (8 * stride)).map { f =>
+          val off = f * 8 * stride
+          var acc = 0L
+          var i = off
+          while (i < off + 8 && i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000003L; i += 1 }
+          Row(id, f, acc)
+        }
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_digest", LongType, nullable = false))))
+  }
+
   /** STUB — deterministic fake decode. A real implementation would call
     * an image/audio codec here (not installed in this container); the
     * fake derives width/height/format/features from the payload bytes so

@@ -68,6 +68,16 @@ object TextAnalysis {
     docs.select(col("doc_id"), when(anyHit, argmax).otherwise("und").as("lang_pred"))
   }
 
+  /** BPE-ish tokenization regex (letters / digits / punctuation runs,
+    * optionally space-prefixed, GPT-2-style shape). Kept to constructs
+    * with identical semantics in Java regex and RE2 so the DuckDB oracle
+    * counts the same tokens. */
+  val BpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Count of BPE-ish tokens (regexp scan, codegen'd — no UDF). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
   /** Modulus for the rolling polynomial fingerprint: keeps every
     * intermediate < 2^63 under acc*31+c, so BIGINT arithmetic is exact in
     * both engines (Java Long wraps, DuckDB errors — neither happens). */

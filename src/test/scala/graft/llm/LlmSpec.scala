@@ -121,6 +121,33 @@ class LlmSpec extends SparkSpec {
     out.getString(2) shouldBe "5d41402abc4b2a76b9719d911017c592"
   }
 
+  test("bpeTokenCount: letters/digits/punct runs, space-prefixed") {
+    val out = docsDF(1L -> "hello world 42 x!").select(TextAnalysis.bpeTokenCount(col("text")))
+      .collect().head.getLong(0)
+    out shouldBe 5L // "hello", " world", " 42", " x", "!"
+  }
+
+  test("resizeMeta: aspect-preserving scale to max dimension") {
+    val decoded = Multimodal.decodeStub(docsDF(1L -> "some-payload"), "doc_id", "text")
+    val out = Multimodal.resizeMeta(decoded, 64).collect().head
+    val (w, h) = (out.getAs[Int]("width"), out.getAs[Int]("height"))
+    val (ow, oh) = (out.getAs[Int]("out_width"), out.getAs[Int]("out_height"))
+    math.max(ow, oh) shouldBe 64
+    // aspect preserved within rounding
+    math.abs(ow.toDouble / oh - w.toDouble / h) should be < 0.1
+  }
+
+  test("frameSampleStub: deterministic frame digests, count tracks payload size") {
+    val media = docsDF(1L -> ("x" * 64), 2L -> ("y" * 16))
+    val out = Multimodal.frameSampleStub(media, "doc_id", "text", stride = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    out.count(_._1 == 1L) shouldBe 8 // 64 bytes / 8
+    out.count(_._1 == 2L) shouldBe 2
+    val again = Multimodal.frameSampleStub(media, "doc_id", "text", stride = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    again.toSet shouldBe out.toSet
+  }
+
   test("decodeStub: deterministic fixed-shape output per payload") {
     val media = docsDF(1L -> "payload-bytes-one", 2L -> "payload-two")
     val out1 = Multimodal.decodeStub(media, "doc_id", "text").collect()
