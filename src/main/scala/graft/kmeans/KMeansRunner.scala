@@ -49,15 +49,22 @@ object KMeansRunner {
       (col("x") - c.x) * (col("x") - c.x) +
         (col("y") - c.y) * (col("y") - c.y) +
         (col("z") - c.z) * (col("z") - c.z)
-    def pick(selector: org.apache.spark.sql.Column): Point = {
-      val r = points.select(max(selector).as("s")).collect().head.getStruct(0)
+    def pick(selector: org.apache.spark.sql.Column): (Point, Double) = {
+      val row = points.select(max(selector).as("s")).collect().head
+      require(!row.isNullAt(0), "farthestPointInit: no points")
+      val r = row.getStruct(0)
       val n = r.size
-      Point(r.getDouble(n - 3), r.getDouble(n - 2), r.getDouble(n - 1))
+      val d = if (n == 4) r.getDouble(0) else Double.PositiveInfinity
+      (Point(r.getDouble(n - 3), r.getDouble(n - 2), r.getDouble(n - 1)), d)
     }
-    var cents = Vector(pick(struct(col("x"), col("y"), col("z"))))
-    while (cents.size < k) {
+    var cents = Vector(pick(struct(col("x"), col("y"), col("z")))._1)
+    var exhausted = false
+    while (cents.size < k && !exhausted) {
       val minD2 = cents.map(d2).reduce(least(_, _))
-      cents :+= pick(struct(minD2.as("d"), col("x"), col("y"), col("z")))
+      val (p, d) = pick(struct(minD2.as("d"), col("x"), col("y"), col("z")))
+      // every remaining point coincides with a chosen centroid: stop
+      // instead of silently returning duplicate centroids
+      if (d == 0.0) exhausted = true else cents :+= p
     }
     cents
   }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,6 +19,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Rolling (acc*31 + byte) % FpMod digest over a byte window — the
+    * one hash family used by every stub (same fold as
+    * TextAnalysis.fingerprint / PolyHash, byte-level). */
+  private def rollingDigest(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    val end = math.min(until, bytes.length)
+    while (i < end) { acc = (acc * 31 + (bytes(i) & 0xff)) % TextAnalysis.FpMod; i += 1 }
+    acc
+  }
+
   /** Metadata over a binary payload column — no decode needed. */
   def binaryMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(col(idCol),
@@ -36,14 +47,16 @@ object Multimodal {
 
   /** Aspect-preserving resize of decoded media metadata: scales
     * (width, height) so the longer side equals `maxDim` (no payload
-    * decode needed — pure column arithmetic over decodeStub output). */
+    * decode needed — pure column arithmetic over decodeStub output).
+    * Degenerate rows (zero-sized media) get null output dims instead of
+    * the NaN that would abort the job under ANSI mode. */
   def resizeMeta(decoded: DataFrame, maxDim: Int): DataFrame = {
     val longSide = greatest(col("width"), col("height")).cast("double")
     val scale = lit(maxDim.toDouble) / longSide
-    decoded.withColumn("out_width",
-        round(col("width") * scale).cast("int"))
-      .withColumn("out_height",
-        round(col("height") * scale).cast("int"))
+    def dim(c: Column) =
+      when(longSide > 0, round(c * scale).cast("int")).otherwise(lit(null).cast("int"))
+    decoded.withColumn("out_width", dim(col("width")))
+      .withColumn("out_height", dim(col("height")))
   }
 
   /** STUB — frame sampling for "video" payloads: every `stride`-th
@@ -52,6 +65,7 @@ object Multimodal {
     * (media_id, frame_idx, digest) output shape are the contract. */
   def frameSampleStub(media: DataFrame, idCol: String, payloadCol: String,
                       stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = media.sparkSession
     val input = media.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
     val rows = input.rdd.mapPartitions { it =>
@@ -60,10 +74,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](1)
         (0 until bytes.length / (8 * stride)).map { f =>
           val off = f * 8 * stride
-          var acc = 0L
-          var i = off
-          while (i < off + 8 && i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000003L; i += 1 }
-          Row(id, f, acc)
+          Row(id, f, rollingDigest(bytes, off, off + 8))
         }
       }
     }
@@ -95,8 +106,8 @@ object Multimodal {
         val features = Array.tabulate(4) { j =>    // fake pooled features
           var acc = 0L
           var i = j
-          while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000003L; i += 4 }
-          acc.toDouble / 1000003.0
+          while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % TextAnalysis.FpMod; i += 4 }
+          acc.toDouble / TextAnalysis.FpMod.toDouble
         }
         Row(id, width, height, format, features.toSeq)
       }

@@ -109,7 +109,7 @@ class GoldenParitySpec extends SparkSpec {
       val golden = goldenLines(s"$ref/output/Silhouette2/iteration_$i/part-r-00000")
         .map(parseClusteredLine)
       withClue(s"iteration_$i: ") { ours shouldBe golden }
-      prev = KMeansRunner.step(points, prev).map(_._2)
+      if (i < 4) prev = KMeansRunner.step(points, prev).map(_._2)
     }
   }
 

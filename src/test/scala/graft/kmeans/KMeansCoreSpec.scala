@@ -96,6 +96,11 @@ class KMeansCoreSpec extends SparkSpec {
       KMeansRunner.farthestPointInit(pts.coalesce(1), 3)
   }
 
+  test("farthestPointInit stops early when distinct points are exhausted") {
+    val pts = Seq((1.0, 1.0, 1.0), (2.0, 2.0, 2.0), (1.0, 1.0, 1.0)).toDF("x", "y", "z")
+    KMeansRunner.farthestPointInit(pts, 5) shouldBe Seq(Point(2, 2, 2), Point(1, 1, 1))
+  }
+
   test("farthestPointInit seeds a converging run on the reference data") {
     val pts = Points.readCsv(spark, s"$ref/3d_points_dataset.csv").cache()
     val seeds = KMeansRunner.farthestPointInit(pts, 5)
