@@ -69,14 +69,18 @@ object Similarity {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
     val coarse = e.filter(col("vec_id").isin(coarseIds: _*))
       .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
-    // persist: both sides of the pair self-join
+    // persist: both sides of the pair self-join. Norms are precomputed
+    // per VECTOR (n of them), not per pair (~n²/K of them) — same
+    // sqrt(dot(v,v)) expression, so sim values are bit-identical, but the
+    // pair loop does one fold instead of three
     val assigned = assignCells(e, coarse)
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val result = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        cosine(col("a.vec"), col("b.vec")).as("sim"))
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
     // materialize the small pair set, release the cached assignment
