@@ -24,14 +24,16 @@ object Similarity {
 
   private def v(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+  /** Native codegen'd kernels (graft.functions.VectorOps) — identical
+    * accumulation order to the HOF zip_with/aggregate forms, so values
+    * are bit-identical, without the per-element lambda overhead that
+    * dominates pair-join scoring. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dotCol(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  def distSq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, p) => acc + p)
+  def distSq(a: Column, b: Column): Column = graft.functions.VectorOps.l2sqCol(a, b)
 
   /** Exact top-k neighbors (cosine) of each query vector, excluding self.
     * Output: (query_id, neighbor_id, sim). */

@@ -26,10 +26,10 @@ object VectorKMeans {
 
   private def litVec(v: Array[Double]): Column = array(v.map(lit).toSeq: _*)
 
-  /** Squared L2 distance between a vector column and a literal centroid. */
+  /** Squared L2 distance between a vector column and a literal centroid
+    * (native codegen'd kernel, same accumulation order as the HOF form). */
   def distSqTo(vec: Column, c: Array[Double]): Column =
-    aggregate(zip_with(vec, litVec(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, p) => acc + p)
+    graft.functions.VectorOps.l2sqCol(vec, litVec(c))
 
   /** Cell id (0-based position in `cents`) of the nearest centroid,
     * ties to the lowest cell id (array_position finds the FIRST minimum;
