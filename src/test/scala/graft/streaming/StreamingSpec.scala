@@ -45,6 +45,26 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L))
   }
 
+  test("hourlyWindowedStats over a FILE stream equals the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    val batch = Seq(
+      (ts("10:05:00"), "click", 1.0),
+      (ts("10:40:00"), "click", 2.0),
+      (ts("11:00:00"), "view", 3.0)).toDF("ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventStream.hourlyWindowedStats(stream)
+      .writeStream.format("memory").queryName("filewin").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM filewin").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val direct = EventStream.hourlyWindowedStats(batch).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      streamed shouldBe direct
+    } finally q.stop()
+  }
+
   test("sessionize: splits on >30min gaps, keeps multi-event sessions together") {
     // user 1: events at 0s, 60s (same session), then +40min (new session)
     // user 2: single event
