@@ -56,6 +56,28 @@ object Similarity {
     * part of the operator's contract (the oracle mirrors it), so the
     * output is deterministic. Returns (va, vb, sim) with va < vb and
     * cosine >= threshold. */
+  /** Exact top-k via the bounded-heap Aggregator instead of a window
+    * sort: each partition keeps at most k candidates per query and
+    * partials merge by re-trim, so no full sort of the scored pair space
+    * ever happens — the 100 TB formulation of bruteForceTopK (identical
+    * output; the window path remains the oracle-mirrored contract
+    * query). Output: (query_id, neighbor_id, sim). */
+  def bruteForceTopKAgg(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), cosine(col("qvec"), col("vec")).as("sim"),
+        col("vec_id").as("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t._2").as("neighbor_id"),
+        round(col("t._1"), 4).as("sim"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** argmin-cell assignment shared by IVF and near-dup pruning:
     * (vec_id, vec, cell_id) with cell = nearest coarse centroid by L2²,
     * ties to lowest cell_id. */

@@ -13,20 +13,8 @@ class AggregatorsSpec extends SparkSpec {
     // window formulation (the contract query path)
     val viaWindow = graft.llm.Similarity.bruteForceTopK(emb, queryIds, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // aggregator formulation: score all pairs, bounded-heap top-k per query
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"),
-        graft.llm.Similarity.cosine(col("qvec"), col("vec")).as("sim"),
-        col("vec_id").as("neighbor_id"))
-    val topk = udaf(new TopKAgg(10))
-    val viaAgg = scored
-      .groupBy(col("query_id"))
-      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), col("t._2").as("neighbor_id"))
+    // aggregator formulation: bounded-heap top-k per query, no window sort
+    val viaAgg = graft.llm.Similarity.bruteForceTopKAgg(emb, queryIds, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     viaAgg shouldBe viaWindow
   }
