@@ -43,13 +43,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
 
-    // headline extra: the iterative engine loop itself (C1-C3), 10 rounds
+    // headline extras: the iterative engine loop itself (C1-C3) and the
+    // silhouette SCALE path — deterministic sample over the FULL table
+    // (the oracle query uses a key-range subset; this one shows the
+    // sampled formulation holds at the fuller row count)
     val extras: Seq[(String, () => Unit)] = Seq(
       "kmeans_converge10" -> (() => {
         val pts = PointSpace.points(spark, sfDir)
         val r = KMeansRunner.converge(pts, PointSpace.seeds.map(_._2),
           maxIter = 10, threshold = 0.0)
         require(r.centers.nonEmpty, "no centroids")
+      }),
+      "silhouette_sampled" -> (() => {
+        val assigned = PointSpace.assign(PointSpace.points(spark, sfDir), PointSpace.seeds)
+        val m = graft.eval.Silhouette.sampled(assigned, fraction = 0.01)
+        require(m.count() > 0, "no silhouette rows")
       }))
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
