@@ -104,11 +104,18 @@ object SparkEntry {
       try {
         var cents = seeds
         for (_ <- 1 to 2) cents = roundedStep(pts, cents)
-        assign(pts, cents)
+        // materialize the K-row result BEFORE unpersist so the cache also
+        // serves the third (most expensive) assignment pass — a lazily
+        // returned plan would re-scan the parquet input uncached
+        val rows = assign(pts, cents)
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n"),
             round(avg("x"), 4).as("cx"), round(avg("y"), 4).as("cy"), round(avg("z"), 4).as("cz"))
           .orderBy(col("cluster"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        import s.implicits._
+        rows.toSeq.toDF("cluster", "n", "cx", "cy", "cz")
       } finally pts.unpersist()
     }),
 
@@ -368,9 +375,11 @@ object SparkEntry {
       (s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe " +
         "FROM documents ORDER BY doc_id"),
 
+    // DuckDB sum(BIGINT) widens to HUGEINT (hashes as float64); cast the
+    // aggregate back to BIGINT to match Spark's int64 sum.
     "q_json_extract" ->
       ("SELECT event_type, count(*) AS n, " +
-        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
     "q_set_ops" ->

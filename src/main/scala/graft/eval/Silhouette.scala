@@ -39,11 +39,16 @@ import org.apache.spark.sql.functions._
   */
 object Silhouette {
 
-  /** P2 distance between the two sides of the self-join. */
-  private def pairDist: org.apache.spark.sql.Column =
-    sqrt(pow(col("a.x") - col("b.x"), 2) +
-      pow(col("a.y") - col("b.y"), 2) +
-      pow(col("a.z") - col("b.z"), 2))
+  /** P2 distance between the two sides of the self-join. Squares by
+    * multiplication (never pow) per the cross-engine float discipline —
+    * the DuckDB oracle mirrors `(a-b)*(a-b)` literally, and golden parity
+    * only needs 1e-9 relative, so matching Math.pow bits is unnecessary. */
+  private def pairDist: org.apache.spark.sql.Column = {
+    def sq(c: org.apache.spark.sql.Column) = c * c
+    sqrt(sq(col("a.x") - col("b.x")) +
+      sq(col("a.y") - col("b.y")) +
+      sq(col("a.z") - col("b.z")))
+  }
 
   /** Computes per-cluster (cluster, n, avg_intra, avg_inter, silhouette)
     * from an assigned DataFrame with columns x, y, z, cluster.
