@@ -254,6 +254,79 @@ object SparkEntry {
       custs("F").intersect(custs("O")).except(custs("P")).orderBy(col("o_custkey"))
     }),
 
+    // ---- round 3: pipeline composition + join/window/agg variety ----
+
+    // end-to-end training-data filter: quality + language gate, then
+    // exact-dedup keeping the lowest doc_id (one scan + one shuffle)
+    "pipeline_filter" -> ((s, dir) =>
+      TextAnalysis.pipelineFilter(docs(s, dir), minQuality = 0.5, lang = "en")
+        .orderBy(col("keep_id"))),
+
+    // deterministic content-hash train/test split, stratified counts
+    "q_train_split" -> ((s, dir) =>
+      TextAnalysis.contentSplit(docs(s, dir))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("split"))),
+
+    // vocabulary extraction: top-5 bigrams per language by doc frequency
+    "q_ngram_topk" -> ((s, dir) =>
+      TextAnalysis.topNgrams(docs(s, dir), 5)
+        .select(col("lang"), col("ngram"), col("n_docs"), col("rn").cast("long").as("rn"))
+        .orderBy(col("lang"), col("rn"))),
+
+    // as-of join: each click gets the latest strictly-prior view time of
+    // the same user (union-window formulation — no range join)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = eventsNanos(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tus"), col("tus").as("vtus"))
+      graft.ops.AsofJoin.lastBefore(clicks, views, keys = Seq("user_id"),
+        timeCol = "tus", valueCols = Seq("vtus"))
+        .select(col("event_id"), col("user_id"), col("tus").as("click_us"),
+          col("asof_vtus").as("prior_view_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // exact interpolated percentiles per group (no approx — contract)
+    "q_percentiles" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("med"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
+        .orderBy(col("l_returnflag"))),
+
+    // anti join: customers with no 'P'-status orders, counted per nation
+    "q_anti_join" -> ((s, dir) => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      customer
+        .join(orders.filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_name"))
+    }),
+
+    // sliding-frame window: 4-row moving average of event value per user
+    "q_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = eventsNanos(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        .rowsBetween(-3, 0)
+      ev.withColumn("mavg", round(avg(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("mavg"))
+        .orderBy(col("event_id"))
+    }),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -381,6 +454,33 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "pipeline_filter" -> TextSql.pipelineFilterSql(minQuality = 0.5, lang = "en"),
+    "q_train_split" -> TextSql.trainSplitSql(trainBuckets = 8, buckets = 10),
+    "q_ngram_topk" -> TextSql.ngramTopKSql(5),
+
+    "q_asof_join" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events) " +
+        "SELECT c.event_id, c.user_id, c.tus AS click_us, " +
+        "(SELECT max(v.tus) FROM ev v WHERE v.user_id = c.user_id " +
+        "AND v.event_type = 'view' AND v.tus < c.tus) AS prior_view_us " +
+        "FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id"),
+
+    "q_percentiles" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 4) AS med, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_anti_join" ->
+      ("SELECT n_name, count(*) AS n_cust FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') " +
+        "GROUP BY n_name ORDER BY n_name"),
+
+    "q_moving_avg" ->
+      ("SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts), event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg " +
+        "FROM events ORDER BY event_id"),
 
     "q_set_ops" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +

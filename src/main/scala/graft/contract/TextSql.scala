@@ -115,6 +115,51 @@ object TextSql {
       "FROM hs ORDER BY doc_id"
   }
 
+  /** Mirror of TextAnalysis.pipelineFilter: quality + language filter,
+    * then exact-dedup keep-lowest-id. n_tokens/quality are constant
+    * within a text group, so min() equals Spark's first(). */
+  def pipelineFilterSql(minQuality: Double, lang: String): String = {
+    val stop = strList(TextAnalysis.Stopwords)
+    val hitCols = TextAnalysis.LangStopwords.map { case (l, words) =>
+      s"len(list_filter(toks, t -> list_contains(${strList(words)}, t))) AS h_$l"
+    }.mkString(", ")
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val zero = langs.map(l => s"h_$l").mkString(" + ") + " = 0"
+    val cases = langs.dropRight(1).map { l =>
+      val wins = langs.filter(_ != l).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $wins THEN '$l'"
+    }.mkString(" ")
+    s"WITH t AS ($toksCte), " +
+      "s AS (SELECT doc_id, text, len(toks) AS n_tokens, " +
+      "list_sum(list_transform(toks, t -> len(t))) AS sum_len, " +
+      s"len(list_filter(toks, t -> list_contains($stop, t))) AS stop_hits, $hitCols FROM t), " +
+      "q AS (SELECT doc_id, text, n_tokens, " +
+      "least(1.0, n_tokens/100.0)*0.5 + stop_hits/n_tokens*0.3 + " +
+      "least(1.0, (sum_len/n_tokens)/8.0)*0.2 AS q, " +
+      s"CASE WHEN $zero THEN 'und' $cases ELSE '${langs.last}' END AS lang_pred FROM s) " +
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
+      "min(n_tokens) AS n_tokens, min(q) AS quality " +
+      s"FROM q WHERE lang_pred = '$lang' AND q >= $minQuality " +
+      "GROUP BY text ORDER BY keep_id"
+  }
+
+  /** Mirror of TextAnalysis.contentSplit + per-(lang, split) counts. */
+  def trainSplitSql(trainBuckets: Int, buckets: Int): String =
+    "WITH f AS (SELECT lang, CASE WHEN " +
+      s"(CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END) % $buckets < $trainBuckets " +
+      "THEN 'train' ELSE 'test' END AS split FROM documents) " +
+      "SELECT lang, split, count(*) AS n_docs FROM f GROUP BY lang, split ORDER BY lang, split"
+
+  /** Mirror of TextAnalysis.topNgrams: per-lang top-k word bigrams by
+    * document frequency, ties to the lexicographically-smaller bigram. */
+  def ngramTopKSql(k: Int): String =
+    "WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents), " +
+      s"d AS (SELECT lang, $shinglesExpr AS sh FROM t), " +
+      "ex AS (SELECT lang, unnest(sh) AS ngram FROM d), " +
+      "c AS (SELECT lang, ngram, count(*) AS n_docs FROM ex GROUP BY lang, ngram), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_docs DESC, ngram) AS rn FROM c) " +
+      s"SELECT lang, ngram, n_docs, rn FROM r WHERE rn <= $k ORDER BY lang, rn"
+
   val multimodalMetaSql: String =
     "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS digest " +
       "FROM documents ORDER BY doc_id"

@@ -52,10 +52,11 @@ object TextAnalysis {
         least(lit(1.0), avgLen / 8.0) * 0.2).as("quality"))
   }
 
-  /** Stopword-hit language ID: argmax of per-language hit counts with
-    * fixed precedence; "und" (undetermined) when no list scores a hit. */
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  /** The language-ID expression over a text column: argmax of
+    * per-language stopword-hit counts with fixed precedence; "und"
+    * (undetermined) when no list scores a hit. */
+  def langPred(text: Column): Column = {
+    val toks = tokens(text)
     val hits = LangStopwords.map { case (lang, words) => lang -> hitCount(toks, words) }
     val anyHit = hits.map(_._2).reduce(_ + _) > 0
     val langs = hits.map(_._1)
@@ -65,8 +66,12 @@ object TextAnalysis {
         .reduceOption(_ && _).getOrElse(lit(true))
       when(winsAll, lang).otherwise(els)
     }
-    docs.select(col("doc_id"), when(anyHit, argmax).otherwise("und").as("lang_pred"))
+    when(anyHit, argmax).otherwise("und")
   }
+
+  /** Stopword-hit language ID per document. */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langPred(col("text")).as("lang_pred"))
 
   /** BPE-ish tokenization regex (letters / digits / punctuation runs,
     * optionally space-prefixed, GPT-2-style shape). Kept to constructs
@@ -91,4 +96,56 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** End-to-end training-data filter — the composition a real pipeline
+    * runs before tokenization: quality score >= `minQuality`, predicted
+    * language == `lang`, then exact-dedup keeping the lowest doc_id per
+    * surviving text. Everything stays one scan + one hash aggregate: the
+    * quality/language expressions are codegen'd columns computed inline
+    * (no join between stats and langId — both derive from the same token
+    * array), and the dedup groupBy is the only shuffle.
+    * Output: (keep_id, n_copies, n_tokens, quality). */
+  def pipelineFilter(docs: DataFrame, minQuality: Double, lang: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+    val stopRatio = hitCount(toks, Stopwords) / nTok
+    val quality = least(lit(1.0), nTok / 100.0) * 0.5 + stopRatio * 0.3 +
+      least(lit(1.0), (sumLen / nTok) / 8.0) * 0.2
+    docs
+      .withColumn("q", quality)
+      .withColumn("n_tokens", nTok.cast("long"))
+      .filter(langPred(col("text")) === lang && col("q") >= minQuality)
+      .groupBy(col("text"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        first("n_tokens").as("n_tokens"), first("q").as("quality"))
+      .select(col("keep_id"), col("n_copies"), col("n_tokens"), col("quality"))
+  }
+
+  /** Deterministic content-hash train/test split: bucket =
+    * fingerprint(text) mod `buckets`; buckets < `trainBuckets` are
+    * "train". Hashing the CONTENT (not the id) keeps exact duplicates on
+    * the same side of the split — the property a training pipeline needs
+    * to avoid test-set leakage. Pure integer arithmetic, one scan. */
+  def contentSplit(docs: DataFrame, trainBuckets: Int = 8, buckets: Int = 10): DataFrame =
+    docs.withColumn("split",
+      when(fingerprint(col("text")) % buckets < trainBuckets, "train").otherwise("test"))
+
+  /** Vocabulary extraction: top-`k` word bigrams per language by document
+    * frequency (each document counts a bigram once). One explode + one
+    * hash aggregate on (lang, bigram) + a K-row-per-group window — the
+    * aggregate output is |vocab|·|langs| rows, so the window sort never
+    * sees the corpus itself. Ties break to the lexicographically-smaller
+    * bigram. */
+  def topNgrams(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("lang"), explode(Dedup.shingles(col("text"))).as("ngram"))
+      .groupBy(col("lang"), col("ngram"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_docs").desc, col("ngram"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("ngram"), col("n_docs"), col("rn"))
+  }
 }

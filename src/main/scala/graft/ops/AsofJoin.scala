@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the latest right row whose time
+  * is STRICTLY before the left row's time, within equal keys. Spark has
+  * no native as-of operator (Pandas `merge_asof` / DuckDB `ASOF JOIN`
+  * territory), and the naive formulation is a range theta-join that
+  * Catalyst plans as a per-key cartesian product — O(L·R) per key.
+  *
+  * Spark-first formulation instead: UNION the two sides, window over the
+  * key ordered by (time, side), and carry the last seen right-side value
+  * forward with `last(_, ignoreNulls)`. One hash shuffle on the key +
+  * one sort — O((L+R) log (L+R)) per partition, no pair blowup, skew
+  * bounded by the hottest key exactly like any window function. At 100 TB
+  * this is the only formulation that survives: the pair space of a range
+  * join over a hot key is quadratic, while the union-window is linear in
+  * rows after the sort.
+  *
+  * Strictness: right rows sort AFTER left rows at equal time (side flag
+  * is the final sort key), and the frame ends at the PREVIOUS row, so a
+  * right row at exactly t never matches a left row at t — "latest right
+  * strictly before", matching DuckDB's `ASOF JOIN ... ON l.t > r.t`.
+  */
+object AsofJoin {
+
+  /** @param left     probe side
+    * @param right    reference side (its `valueCols` are attached)
+    * @param keys     equi-join keys present on both sides
+    * @param timeCol  ordering column name present on both sides (numeric
+    *                 or timestamp; must be orderable)
+    * @param valueCols right-side columns to carry onto matching left rows
+    *                 (null when no right row precedes the left row)
+    * @param tieBreak extra right-side ordering columns — when several
+    *                 right rows share (keys, time), the LAST one in this
+    *                 ordering wins (deterministic output needs a unique
+    *                 tie-break, e.g. an event id)
+    */
+  def lastBefore(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 timeCol: String, valueCols: Seq[String],
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one key column")
+    val leftCols = left.columns.toSeq
+    val outValue = valueCols.map(v => s"asof_$v")
+
+    // union layout: keys ++ time ++ side ++ tieBreak ++ valueCols ++ leftCols
+    val lSide = left.select(
+      keys.map(col) ++ Seq(col(timeCol).as("_t"), lit(0).as("_side")) ++
+        tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"_tb_$c")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")) ++
+        leftCols.map(c => col(c).as(s"_l_$c")): _*)
+    val rSide = right.select(
+      keys.map(col) ++ Seq(col(timeCol).as("_t"), lit(1).as("_side")) ++
+        tieBreak.map(c => col(c).as(s"_tb_$c")) ++
+        valueCols.map(c => col(c).as(s"_v_$c")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
+
+    // right rows sort after left rows at equal _t => the "previous row"
+    // frame never exposes a same-time right row to a left row
+    val order: Seq[Column] =
+      col("_t") +: col("_side") +: tieBreak.map(c => col(s"_tb_$c"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    lSide.unionByName(rSide)
+      .select((keys.map(col) :+ col("_side") :+ col("_t")) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"_l_$c")) ++
+        valueCols.zip(outValue).map { case (c, out) =>
+          last(col(s"_v_$c"), ignoreNulls = true).over(w).as(out)
+        }: _*)
+      .filter(col("_side") === 0)
+      .select(leftCols.map(c => if (keys.contains(c)) col(c) else col(s"_l_$c").as(c)) ++
+        outValue.map(col): _*)
+  }
+}

@@ -52,6 +52,18 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), min("tus").as("start_us"), max("tus").as("end_us"))
   }
 
+  /** Streaming exact dedup on `keyCols` with bounded state: duplicates
+    * arriving within the watermark horizon are dropped; state for keys
+    * older than the watermark is evicted, so memory is O(keys per
+    * horizon), independent of stream length — the streaming twin of
+    * `Dedup.exact`. Works on a streaming DataFrame with an event-time
+    * column `tsCol`. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(user_id: Long, events: Long, total: Double)
 

@@ -32,6 +32,39 @@ class LlmSpec extends SparkSpec {
     out.getLong(1) shouldBe 3105L
   }
 
+  test("pipelineFilter: gates on lang + quality, dedups survivors to lowest id") {
+    // long English text passes quality; short/foreign/dup texts are handled
+    val en = ("the cat and the dog is in that house it is a fine day " * 4).trim
+    val out = TextAnalysis.pipelineFilter(docsDF(
+      7L -> en, 3L -> en,                        // dup pair: keep id 3
+      9L -> "der hund und das brot ist nicht da", // German: dropped
+      11L -> "x"),                                // junk: dropped
+      minQuality = 0.5, lang = "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.toSeq shouldBe Seq((3L, 2L))
+  }
+
+  test("contentSplit: identical texts land on the same side of the split") {
+    val out = TextAnalysis.contentSplit(docsDF(
+      1L -> "shared corpus text", 2L -> "shared corpus text", 3L -> "different text"))
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe out(2L) // content-hash: dups never straddle train/test
+    Set("train", "test") should contain(out(3L))
+  }
+
+  test("topNgrams: doc-frequency counts per lang, ties break lexicographically") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "a b d", "en"), (3L, "a b c", "en"),
+      (4L, "p q", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.topNgrams(docs, 2).orderBy(col("lang"), col("rn"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // en: "a b" in 3 docs; "b c" in 2 docs beats "b d" (1)
+    out.filter(_._1 == "en").toSeq shouldBe Seq(("en", "a b", 3L, 1), ("en", "b c", 2L, 2))
+    out.filter(_._1 == "de").toSeq shouldBe Seq(("de", "p q", 1L, 1))
+  }
+
   // ---------- dedup ----------
 
   test("shingles: word bigrams, distinct, empty for short docs") {

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force reference: latest right row with rt < lt per key,
+    * ties on rt broken by the largest tie-break value. */
+  private def bruteForce(left: Seq[(Long, Long)], right: Seq[(Long, Long, Long)])
+  : Map[(Long, Long), Option[Long]] =
+    left.map { case (k, lt) =>
+      val prior = right.filter { case (rk, rt, _) => rk == k && rt < lt }
+      (k, lt) -> prior.sortBy { case (_, rt, tb) => (rt, tb) }.lastOption.map(_._3)
+    }.toMap
+
+  test("lastBefore matches the brute-force as-of semantics, incl. equal-time strictness") {
+    // deterministic pseudo-random layout with deliberate time collisions
+    val left = for (k <- 0L until 5L; i <- 0L until 20L)
+      yield (k, (i * 7 + k * 3) % 40)
+    val right = for (k <- 0L until 5L; i <- 0L until 15L)
+      yield (k, (i * 5 + k) % 40, 1000 + k * 100 + i)
+    val l = left.toDF("user_id", "t")
+    val r = right.toDF("user_id", "t", "val")
+
+    val got = AsofJoin.lastBefore(l, r, keys = Seq("user_id"), timeCol = "t",
+      valueCols = Seq("val"), tieBreak = Seq("val"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)) ->
+        (if (row.isNullAt(2)) None else Some(row.getLong(2))))
+      .toMap
+
+    got shouldBe bruteForce(left, right)
+  }
+
+  test("a right row at exactly the left time is NOT matched (strictly before)") {
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 100L, 7L), (1L, 99L, 3L)).toDF("k", "t", "v")
+    val out = AsofJoin.lastBefore(l, r, Seq("k"), "t", Seq("v")).collect()
+    out.length shouldBe 1
+    out.head.getLong(2) shouldBe 3L // the t=100 row is invisible
+  }
+
+  test("left rows with no prior right row keep null values") {
+    val l = Seq((1L, 5L), (2L, 50L)).toDF("k", "t")
+    val r = Seq((2L, 10L, 42L)).toDF("k", "t", "v")
+    val got = AsofJoin.lastBefore(l, r, Seq("k"), "t", Seq("v"))
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(2)) None else Some(x.getLong(2)))).toMap
+    got shouldBe Map(1L -> None, 2L -> Some(42L))
+  }
+
+  test("plan is a single window over one shuffle, never a range join") {
+    val l = Seq((1L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 3L, 9L)).toDF("k", "t", "v")
+    val plan = AsofJoin.lastBefore(l, r, Seq("k"), "t", Seq("v"))
+      .queryExecution.executedPlan.toString()
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("Window")
+  }
+}

@@ -83,6 +83,25 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L, 1L, 5L * us, 5L * us))
   }
 
+  test("dedupStream: drops duplicate keys within the watermark horizon") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.dedupStream(
+      mem.toDF.toDF("ts", "event_id", "event_type"), keyCols = Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("10:00:00"), 1L, "click"),
+        (ts("10:01:00"), 1L, "click"), // duplicate id within horizon
+        (ts("10:02:00"), 2L, "view"))
+      q.processAllAvailable()
+      mem.addData((ts("10:03:00"), 1L, "click")) // still within horizon
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0)).sorted
+      ids.toSeq shouldBe Seq(1L, 2L)
+    } finally q.stop()
+  }
+
   test("runningUserTotals: state accumulates across triggers") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[EventStream.UserEvent]
