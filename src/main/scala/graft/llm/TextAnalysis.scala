@@ -139,7 +139,11 @@ object TextAnalysis {
     * bigram. */
   def topNgrams(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // repartition the narrow input BEFORE exploding: the documents table
+    // arrives in few file partitions, which would pin the shingle compute
+    // and the aggregate probe to that width
     val counts = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("lang"), explode(Dedup.shingles(col("text"))).as("ngram"))
       .groupBy(col("lang"), col("ngram"))
       .agg(count(lit(1)).as("n_docs"))

@@ -50,4 +50,30 @@ class PlanSpec extends SparkSpec {
   test("assignment expression stays inside whole-stage codegen") {
     plan("p3_assign", "codegen") should include("WholeStageCodegen")
   }
+
+  test("q_asof_join: event-type filters pushed to scan; no range join") {
+    val p = plan("q_asof_join")
+    p should include("EqualTo(event_type,click)")
+    p should include("EqualTo(event_type,view)")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("q_anti_join: anti + dim joins broadcast, status filter pushed") {
+    val p = plan("q_anti_join")
+    p should include("EqualTo(o_orderstatus,P)")
+    p should include("LeftAnti")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q_ngram_topk: partial top-k (WindowGroupLimit) before the shuffle") {
+    plan("q_ngram_topk") should include("WindowGroupLimit")
+  }
+
+  test("pipeline_filter: single scan, one aggregation shuffle") {
+    val p = plan("pipeline_filter", "simple")
+    // quality+language gate runs pre-shuffle: no join in the plan at all
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
 }
