@@ -327,6 +327,43 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // skew-resistant salted aggregation (two-stage; result = plain groupBy)
+    "q_salted_agg" -> ((s, dir) => {
+      val ev = eventsNanos(s, dir).select(col("user_id"), col("value"))
+      graft.ops.SaltedAgg.sumCount(ev, col("user_id"), col("value"),
+        salts = 8, keyName = "user_id")
+        .select(col("user_id"), round(col("sum"), 4).as("total"), col("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Gram matrix of the embedding corpus (join form; scale path =
+    // Similarity.gramMatrixAgg, spec-verified equal)
+    "q_gram" -> ((s, dir) =>
+      Similarity.gramMatrix(emb(s, dir)).orderBy(col("i"), col("j"))),
+
+    // HLL sketch distinct count — approximate by design, so NO DuckDB
+    // oracle (the driver records a rows-only check); LlmSpec pins the
+    // approx within 5% of exact on the testdata
+    "q_approx_distinct" -> ((s, dir) =>
+      eventsNanos(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .orderBy(col("event_type"))),
+
+    // full cube over (nation, order status) — all four grouping sets
+    "q_cube" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    }),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -454,6 +491,28 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_salted_agg" ->
+      ("SELECT user_id, round(sum(value), 4) AS total, count(*) AS n " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // positions are 1-based on both sides; embeddings are fixed 64-dim
+    // (the i <= len(v) guard keeps the mirror honest if that changes)
+    "q_gram" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "a AS (SELECT vec_id, i, v[i::INT] AS x FROM e CROSS JOIN range(1, 65) t(i) WHERE i <= len(v)) " +
+        "SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS g " +
+        "FROM a JOIN a b ON a.vec_id = b.vec_id GROUP BY a.i, b.i ORDER BY i, j"),
+
+    // q_approx_distinct: intentionally ABSENT — HLL sketches are
+    // approximate, so there is no exact SQL mirror (rows-only check)
+
+    "q_cube" ->
+      ("SELECT n_name, o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY CUBE (n_name, o_orderstatus) " +
+        "ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST"),
 
     "pipeline_filter" -> TextSql.pipelineFilterSql(minQuality = 0.5, lang = "en"),
     "q_train_split" -> TextSql.trainSplitSql(trainBuckets = 8, buckets = 10),

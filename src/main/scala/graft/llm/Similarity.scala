@@ -114,6 +114,68 @@ object Similarity {
     out
   }
 
+  /** Gram (second-moment) matrix of the embedding corpus: G[i][j] =
+    * Σ_vec vec(i)·vec(j) — the building block for covariance/whitening/
+    * PCA over a training-data embedding table. Join formulation (the
+    * SQL-mirrorable contract form): explode positions, self-join per
+    * vector, hash-aggregate the d² cells. Output: (i, j, g), 1-based.
+    *
+    * Fine at contract scale; the pair-row blowup is rows·d², so use
+    * `gramMatrixAgg` beyond toy sizes. */
+  def gramMatrix(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+    val a = e.select(col("vec_id"), posexplode(col("vec")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("x"))
+    val b = a.select(col("vec_id").as("vid2"), col("i").as("j"), col("x").as("y"))
+    a.join(b, col("vec_id") === col("vid2"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("x") * col("y")), 4).as("g"))
+  }
+
+  /** The 100 TB formulation: one pass per partition accumulating a local
+    * d×d matrix in a primitive array (no pair rows ever materialize),
+    * then a driver-side merge of #partitions tiny partials — the same
+    * (sum,count)-style algebraic decomposition as Recenter, lifted to
+    * matrices. Shuffles nothing; network cost is partitions·d² doubles.
+    * Output: (i, j, g), 1-based, same layout as `gramMatrix`. */
+  def gramMatrixAgg(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val partials = emb.select(v(col("embedding")))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        var acc: Array[Double] = null
+        var d = 0
+        it.foreach { s =>
+          val a = s.toArray
+          if (acc == null) { d = a.length; acc = new Array[Double](d * d) }
+          require(a.length == d, s"ragged embedding: ${a.length} vs $d")
+          var i = 0
+          while (i < d) {
+            val xi = a(i); var j = 0
+            while (j < d) { acc(i * d + j) += xi * a(j); j += 1 }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty else Iterator((d, acc.toSeq))
+      }
+      .collect()
+    require(partials.nonEmpty, "gramMatrixAgg: empty embedding table")
+    val d = partials.head._1
+    require(partials.forall(_._1 == d), "gramMatrixAgg: inconsistent dims")
+    val total = new Array[Double](d * d)
+    partials.foreach { case (_, p) =>
+      var k = 0; while (k < total.length) { total(k) += p(k); k += 1 }
+    }
+    // same 4-decimal output contract as the join form (values may still
+    // differ by one rounding step when the float sums straddle a boundary)
+    val rows = for (i <- 0 until d; j <- 0 until d)
+      yield ((i + 1).toLong, (j + 1).toLong,
+        BigDecimal(total(i * d + j)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    rows.toDF("i", "j", "g")
+  }
+
   /** IVF top-k: quantize every vector to its nearest coarse cell (L2,
     * ties to lowest cell id), probe the nprobe nearest cells per query,
     * score only those candidates. Coarse centroids are corpus vectors

@@ -148,6 +148,32 @@ class LlmSpec extends SparkSpec {
 
   // ---------- multimodal ----------
 
+  test("gramMatrixAgg (mapPartitions scale path) equals the join formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaJoin = Similarity.gramMatrix(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaAgg = Similarity.gramMatrixAgg(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    viaAgg.keySet shouldBe viaJoin.keySet
+    viaJoin.keySet.size shouldBe 64 * 64
+    for (k <- viaJoin.keys) {
+      // both sides round to 4 decimals; sums may straddle one boundary
+      val (a, b) = (viaJoin(k), viaAgg(k))
+      math.abs(a - b) should be <= 2e-4
+    }
+    // symmetry: G[i][j] == G[j][i] (join form rounds both from the same sum)
+    for (((i, j), g) <- viaJoin) viaJoin((j, i)) shouldBe g
+  }
+
+  test("approx_count_distinct stays within 5% of exact on a many-key column") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    val df = (1 to 20000).map(i => (i.toLong % 3000, i)).toDF("k", "x")
+    val row = df.agg(approx_count_distinct(col("k"), 0.01).as("a"),
+      countDistinct(col("k")).as("e")).collect().head
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    math.abs(a - e) / e should be < 0.05
+  }
+
   test("binaryMeta: byte length + md5 digest of the payload") {
     val out = Multimodal.binaryMeta(docsDF(1L -> "hello"), "doc_id", "text").collect().head
     out.getLong(1) shouldBe 5L
