@@ -52,6 +52,34 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), min("tus").as("start_us"), max("tus").as("end_us"))
   }
 
+  /** Stream-stream interval join: attribute each click to the view(s) of
+    * the same user within the preceding `horizonSec` seconds. Both sides
+    * carry watermarks, and the join condition bounds the event-time gap
+    * in BOTH directions, so Spark can evict buffered state once the
+    * watermark passes the horizon — state is O(events per horizon), not
+    * O(stream). Inputs need (user_id, ts, event_id) each; output one row
+    * per qualifying (view, click) pair.
+    *
+    * This is the streaming twin of the batch as-of join (`q_asof_join`):
+    * the batch form picks only the latest prior view, which streaming
+    * can't do with bounded state (a later view can always arrive before
+    * the watermark closes), so the streaming contract is the windowed
+    * pair set — downstream dedup picks winners once the window closes. */
+  def clickAttribution(views: DataFrame, clicks: DataFrame,
+                       horizonSec: Long = 3600, watermark: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup on `keyCols` with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for keys
     * older than the watermark is evicted, so memory is O(keys per

@@ -83,6 +83,27 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L, 1L, 5L * us, 5L * us))
   }
 
+  test("clickAttribution: stream-stream interval join pairs clicks with in-horizon views") {
+    implicit val ctx = spark.sqlContext
+    val vm = MemoryStream[(Long, Timestamp, Long)]
+    val cm = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStream.clickAttribution(
+      vm.toDF.toDF("user_id", "ts", "event_id"),
+      cm.toDF.toDF("user_id", "ts", "event_id"),
+      horizonSec = 1800)
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      vm.addData((1L, ts("10:00:00"), 100L), (1L, ts("11:30:00"), 101L), (2L, ts("10:05:00"), 102L))
+      cm.addData((1L, ts("10:20:00"), 200L), // within 30min of view 100
+        (1L, ts("11:00:00"), 201L),          // >30min after view 100, before view 101
+        (2L, ts("09:00:00"), 202L))          // click BEFORE the view: no match
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT view_id, click_id FROM attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs shouldBe Set((100L, 200L))
+    } finally q.stop()
+  }
+
   test("dedupStream: drops duplicate keys within the watermark horizon") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
