@@ -364,6 +364,14 @@ object SparkEntry {
         .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     }),
 
+    // dedup clusters: connected components (min-label + pointer jumping)
+    // over the MinHash near-dup pairs — each doc maps to its cluster's
+    // canonical keeper (smallest doc_id)
+    "dedup_components" -> ((s, dir) =>
+      graft.ops.ConnectedComponents.dedupClusters(
+        Dedup.minhashPairs(docs(s, dir), JacThreshold).select(col("da"), col("db")))
+        .orderBy(col("doc_id"))),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -552,6 +560,16 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY ROLLUP (n_name, o_orderstatus) " +
-        "ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST")
+        "ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST"),
+
+    // transitive closure over the SAME minhash pair set (recursive CTE);
+    // component = least reachable id — integer arithmetic only, so the
+    // match with Spark's label propagation is exact by construction
+    "dedup_components" ->
+      (s"WITH RECURSIVE pairs AS (SELECT da, db FROM (${TextSql.dedupMinhashSql(JacThreshold)}) mp), " +
+        "sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs), " +
+        "reach AS (SELECT a, b FROM sym " +
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a) " +
+        "SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a ORDER BY doc_id")
   )
 }
