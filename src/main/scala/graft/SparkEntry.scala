@@ -372,6 +372,94 @@ object SparkEntry {
         Dedup.minhashPairs(docs(s, dir), JacThreshold).select(col("da"), col("db")))
         .orderBy(col("doc_id"))),
 
+    // pivot: order-status counts as columns per nation (null cells -> 0,
+    // matching the oracle's count FILTER semantics)
+    "q_pivot" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .orderBy(col("n_name"))
+    }),
+
+    // correlation / covariance per group. Rounded to 4 decimals: both
+    // engines stream co-moments with different merge orders, so low bits
+    // differ (~1e-12 relative); the 1e-4 grid leaves >1e7 margin
+    "q_corr" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // fixed-width histogram over price (integer buckets — exact: the
+    // bucket division is the same IEEE op on both engines)
+    "q_histogram" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(floor(col("l_extendedprice") / 5000).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+
+    // semi join (EXISTS): customers with at least one open order, per nation
+    "q_semi_join" -> ((s, dir) => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      customer
+        .join(orders.filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_name"))
+    }),
+
+    // range (band) join: parts bucketed into literal price bands — a
+    // broadcast nested-loop theta join, the Spark-native band-join shape
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 933.0), ("mid", 933.0, 967.0),
+        ("high", 967.0, 1e9)).toDF("band", "lo", "hi")
+      s.read.parquet(s"$dir/part.parquet")
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+        .orderBy(col("band"))
+    }),
+
+    // KLL-sketch approximate quantiles — approximate by design, so NO
+    // DuckDB oracle (rows-only check); LlmSpec pins the rank error
+    "q_approx_quantile" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("ap90"))
+        .orderBy(col("l_returnflag"))),
+
+    // JSON-lines sink + source round-trip: write documents as JSON, read
+    // back with explicit schema, aggregate — proves string/int fidelity
+    // through the format (the oracle aggregates the original parquet)
+    "q_json_roundtrip" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_json_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, n_chars LONG").json(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    }),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -561,6 +649,47 @@ object SparkEntry {
         "JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY ROLLUP (n_name, o_orderstatus) " +
         "ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST"),
+
+    "q_pivot" ->
+      ("SELECT n_name, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+
+    "q_corr" ->
+      ("SELECT l_returnflag, " +
+        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp, " +
+        "round(stddev_samp(l_extendedprice), 2) AS sd_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_histogram" ->
+      ("SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, count(*) AS n " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    "q_semi_join" ->
+      ("SELECT n_name, count(*) AS n_cust FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_orderstatus = 'O') " +
+        "GROUP BY n_name ORDER BY n_name"),
+
+    "q_range_join" ->
+      ("SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price " +
+        "FROM part JOIN (VALUES ('low', 0.0, 933.0), ('mid', 933.0, 967.0), " +
+        "('high', 967.0, 1000000000.0)) b(band, lo, hi) " +
+        "ON p_retailprice >= lo AND p_retailprice < hi " +
+        "GROUP BY band ORDER BY band"),
+
+    // sums cast back to BIGINT: DuckDB sum(BIGINT) widens to HUGEINT,
+    // which pandas surfaces as float64 and the driver hash rejects
+    "q_json_roundtrip" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_len, min(doc_id) AS min_id " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
 
     // transitive closure over the SAME minhash pair set (recursive CTE);
     // component = least reachable id — integer arithmetic only, so the

@@ -174,6 +174,19 @@ class LlmSpec extends SparkSpec {
     math.abs(a - e) / e should be < 0.05
   }
 
+  test("percentile_approx stays within 2% rank error of the exact percentile") {
+    import org.apache.spark.sql.functions.{percentile, percentile_approx}
+    val df = (1 to 20000).map(i => ((i * 7919) % 20011).toDouble).toDF("v")
+    val row = df.agg(
+      percentile_approx(col("v"), lit(0.5), lit(1000)).as("a50"),
+      percentile(col("v"), lit(0.5)).as("e50"),
+      percentile_approx(col("v"), lit(0.9), lit(1000)).as("a90"),
+      percentile(col("v"), lit(0.9)).as("e90")).collect().head
+    // values are ~uniform on [0, 20011), so value error ~ rank error * range
+    math.abs(row.getDouble(0) - row.getDouble(1)) should be < 0.02 * 20011
+    math.abs(row.getDouble(2) - row.getDouble(3)) should be < 0.02 * 20011
+  }
+
   test("binaryMeta: byte length + md5 digest of the payload") {
     val out = Multimodal.binaryMeta(docsDF(1L -> "hello"), "doc_id", "text").collect().head
     out.getLong(1) shouldBe 5L
