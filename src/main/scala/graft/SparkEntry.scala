@@ -372,6 +372,11 @@ object SparkEntry {
         Dedup.minhashPairs(docs(s, dir), JacThreshold).select(col("da"), col("db")))
         .orderBy(col("doc_id"))),
 
+    // fixed-window token chunking with overlap (context-window prep)
+    "q_chunks" -> ((s, dir) =>
+      TextAnalysis.chunk(docs(s, dir), chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // pivot: order-status counts as columns per nation (null cells -> 0,
     // matching the oracle's count FILTER semantics)
     "q_pivot" -> ((s, dir) => {
@@ -649,6 +654,8 @@ object SparkEntry {
         "JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY ROLLUP (n_name, o_orderstatus) " +
         "ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST"),
+
+    "q_chunks" -> TextSql.chunksSql(32, 8),
 
     "q_pivot" ->
       ("SELECT n_name, " +

@@ -64,6 +64,18 @@ object TextSql {
     "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies " +
       "FROM documents GROUP BY text ORDER BY text_md5"
 
+  /** mirror of TextAnalysis.chunk: chunk starts every stride tokens,
+    * 1-based inclusive list_slice == Spark's slice(toks, start+1, len) */
+  def chunksSql(chunkTokens: Int, overlap: Int): String = {
+    val stride = chunkTokens - overlap
+    s"WITH t AS ($toksCte), " +
+      s"st AS (SELECT doc_id, toks, unnest(range(0, len(toks), $stride)) AS start FROM t) " +
+      s"SELECT doc_id, start // $stride AS chunk_id, " +
+      s"array_to_string(list_slice(toks, (start+1)::INT, (start+$chunkTokens)::INT), ' ') AS chunk_text, " +
+      s"CAST(least(len(toks) - start, $chunkTokens) AS BIGINT) AS n_tokens " +
+      "FROM st ORDER BY doc_id, chunk_id"
+  }
+
   /** shared CTE prefix for shingle-based queries:
     * d(doc_id, sh), ex(doc_id, s), sizes(doc_id, n) */
   private val shingleCtes: String =

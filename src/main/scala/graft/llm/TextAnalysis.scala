@@ -152,4 +152,28 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("lang"), col("ngram"), col("n_docs"), col("rn"))
   }
+
+  /** Fixed-window token chunking with overlap — the context-window prep
+    * step of a training pipeline (long documents become chunkTokens-sized
+    * training sequences; consecutive chunks share `overlap` tokens so no
+    * boundary context is lost). Chunk starts are every
+    * stride = chunkTokens − overlap tokens; the final chunk is whatever
+    * remains (possibly short — downstream filters drop it if unwanted).
+    * One narrow-input repartition + one explode, no shuffle after: rows
+    * scale as tokens/stride, never quadratic. */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        // start is a multiple of stride, so the double division is exact
+        (col("start") / stride).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("chunk_text"),
+        least(size(col("toks")) - col("start"), lit(chunkTokens)).cast("long").as("n_tokens"))
+  }
 }

@@ -174,6 +174,18 @@ class LlmSpec extends SparkSpec {
     math.abs(a - e) / e should be < 0.05
   }
 
+  test("chunk: overlapping windows cover every token, short tail kept") {
+    val out = TextAnalysis.chunk(docsDF(1L -> "a b c d e f g"), chunkTokens = 4, overlap = 2)
+      .orderBy(col("chunk_id"))
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    out shouldBe Array(
+      (0L, "a b c d", 4L), (1L, "c d e f", 4L), (2L, "e f g", 3L), (3L, "g", 1L))
+    // zero overlap: disjoint cover
+    val disjoint = TextAnalysis.chunk(docsDF(1L -> "a b c d e"), chunkTokens = 2, overlap = 0)
+      .orderBy(col("chunk_id")).collect().map(_.getString(2))
+    disjoint shouldBe Array("a b", "c d", "e")
+  }
+
   test("percentile_approx stays within 2% rank error of the exact percentile") {
     import org.apache.spark.sql.functions.{percentile, percentile_approx}
     val df = (1 to 20000).map(i => ((i * 7919) % 20011).toDouble).toDF("v")
