@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the runtime skew remedy the engine relies on at scale: AQE
+  * detecting an oversized shuffle partition in a sort-merge join and
+  * splitting it (the complement of the compile-time salting in
+  * ops/SaltedAgg — joins get skew handling for free from AQE, so the
+  * engine deliberately does NOT hand-salt join keys). */
+class AqeSkewSpec extends SparkSpec {
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the skewed partition of a sort-merge join") {
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // 95% of left rows share one key; right side is uniform
+      val left = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 50).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(50).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      joined.count() shouldBe 200000L
+      val finalPlan = joined.queryExecution.executedPlan.toString()
+      finalPlan should include("skew=true")
+    }
+  }
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Source/sink fidelity beyond parquet: ORC columnar round-trip and CSV
+  * with hostile content (embedded newlines, quotes, delimiters). The
+  * JSON-lines path is contract-verified (q_json_roundtrip); these two
+  * stay spec-level because DuckDB reads neither file from the oracle
+  * harness. */
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString + "/out"
+
+  test("ORC round-trip preserves rows, schema, and values") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+    val dir = tmpDir("orc")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    back.schema shouldBe src.schema
+    back.count() shouldBe src.count()
+    // order-independent content equality
+    back.exceptAll(src).count() shouldBe 0L
+    src.exceptAll(back).count() shouldBe 0L
+  }
+
+  test("CSV round-trip survives embedded newlines, quotes, and delimiters") {
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "line one\nline two"),
+      (3L, "says \"hello\", twice"),
+      (4L, "trailing,comma,fields"),
+      (5L, "")).toDF("id", "text")
+    val dir = tmpDir("csv")
+    nasty.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read
+      .schema("id LONG, text STRING")
+      .option("header", "true")
+      .option("multiLine", "true") // quoted newlines span lines
+      .csv(dir)
+    val got = back.collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val want = nasty.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe want
+  }
+}
