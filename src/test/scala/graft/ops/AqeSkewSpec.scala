@@ -35,8 +35,12 @@ class AqeSkewSpec extends SparkSpec {
           col("id").as("payload"))
       val right = spark.range(50).select(col("id").as("k"), (col("id") * 2).as("w"))
       val joined = left.join(right, "k")
-      joined.count() shouldBe 200000L
+      // collect() executes joined's OWN QueryExecution (count() would wrap
+      // it in a new aggregate plan, leaving this one un-executed and its
+      // AQE plan never finalized — skew=true only appears after execution)
+      joined.collect().length shouldBe 200000
       val finalPlan = joined.queryExecution.executedPlan.toString()
+      finalPlan should include("isFinalPlan=true")
       finalPlan should include("skew=true")
     }
   }

@@ -8,9 +8,18 @@ import scala.util.Random
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.components(edges.toDF("a", "b"))
+  /** Runs BOTH execution paths (driver union-find and the distributed
+    * pointer-jump loop, forced via localEdgeThreshold = 0), asserts they
+    * agree, and returns the labels — every test in this suite pins both. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val local = ConnectedComponents.components(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.components(df, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist shouldBe local
+    local
+  }
 
   test("path graph collapses to the min id (pointer jumping crosses the chain)") {
     val got = cc(Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), (10L, 11L)))

@@ -45,6 +45,17 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_poly_hash pins exact per-step-mod semantics") {
+    withExtendedSession { s =>
+      // 'a'=97, 'b'=98: (0*31+97)=97; (97*31+98)=3105
+      s.sql("SELECT graft_poly_hash('ab')").head().getLong(0) shouldBe 3105L
+      // per-step mod 100: 97%100=97; (97*31+98)%100=5 — NOT 3105%100=5 by
+      // coincidence alone: mod is applied at every step (overflow safety)
+      s.sql("SELECT graft_poly_hash('ab', 100)").head().getLong(0) shouldBe 5L
+      intercept[Exception] { s.sql("SELECT graft_poly_hash()").collect() }
+    }
+  }
+
   test("graft_dot / graft_l2sq are callable from SQL") {
     withExtendedSession { s =>
       val r = s.sql(
