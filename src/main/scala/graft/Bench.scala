@@ -35,13 +35,24 @@ object Bench {
       }
     }
 
-    // untimed warmup: touch every input table once (OS page cache + JIT)
-    // so the first timed query doesn't absorb cold-start costs
+    // untimed warmup: touch every input table once (OS page cache), then
+    // run the FULL query suite once at the smallest SF — JIT/codegen
+    // compilation of every pipeline happens off the clock, so the timed
+    // numbers measure steady-state throughput at the target SF instead of
+    // charging whichever query alphabetically first touches a pipeline
+    // with its one-time compilation cost (measured ~15s of JIT landing on
+    // dedup_components, whose warm runtime is ~6s)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings"))
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
+    val warmDir = "/root/testdata/sf0.001"
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+        try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
 
     // headline extras: the iterative engine loop itself (C1-C3) and the
     // silhouette SCALE path — deterministic sample over the FULL table
@@ -58,6 +69,50 @@ object Bench {
         val assigned = PointSpace.assign(PointSpace.points(spark, sfDir), PointSpace.seeds)
         val m = graft.eval.Silhouette.sampled(assigned, fraction = 0.01)
         require(m.count() > 0, "no silhouette rows")
+      }),
+      // streaming surface: file-stream click attribution over the events
+      // table (views/clicks split to parquet, consumed as streams, the
+      // watermarked interval join drained to completion). Equality with
+      // the batch join is spec-pinned (StreamingSpec); here the guard is
+      // rows > 0 so a state regression can't silently pass as fast
+      "stream_click_attribution" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = s2.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        // shuffle width = state-store count for a streaming join (4 stores
+        // per partition); size it to the stream, not the batch default —
+        // 64 partitions over a 100k-event file stream is 18s of state
+        // checkpointing for a 3s query. Production sizing follows the
+        // per-trigger row rate the same way.
+        val evCount = ev.count()
+        val streamParts = math.max(2L, math.min(32L, evCount / 65536L)).toString
+        s2.conf.set("spark.sql.shuffle.partitions", streamParts)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
+        try {
+          val views = ev.filter(col("event_type") === "view").drop("event_type")
+          val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+          views.write.mode("overwrite").parquet(s"$tmp/v")
+          clicks.write.mode("overwrite").parquet(s"$tmp/c")
+          val vs = s2.readStream.schema(views.schema).parquet(s"$tmp/v")
+          val cs = s2.readStream.schema(clicks.schema).parquet(s"$tmp/c")
+          var pairs = 0L
+          val q = graft.streaming.EventStream.clickAttribution(vs, cs, horizonSec = 3600)
+            .writeStream
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           _: Long) => { pairs += batch.count(); () })
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          require(pairs > 0, "no attribution pairs from the stream")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
       }))
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -455,14 +455,27 @@ object SparkEntry {
     // back with explicit schema, aggregate — proves string/int fidelity
     // through the format (the oracle aggregates the original parquet)
     "q_json_roundtrip" -> ((s, dir) => {
-      val tmp = s"/tmp/graft_json_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // per-application path: two concurrent gate runs on the same
+      // testdata dir must not race on one sink (applicationId is unique
+      // per SparkContext); the result is materialized so the sink can be
+      // deleted before returning
+      val tmp = s"/tmp/graft_json_roundtrip_${s.sparkContext.applicationId}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
       docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
         .write.mode("overwrite").json(tmp)
-      s.read.schema("doc_id LONG, text STRING, lang STRING, n_chars LONG").json(tmp)
+      val agg = s.read.schema("doc_id LONG, text STRING, lang STRING, n_chars LONG").json(tmp)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text"))).as("sum_len"), min(col("doc_id")).as("min_id"))
         .orderBy(col("lang"))
+      import s.implicits._
+      val rows = agg.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case _: Throwable => () }
+      rows.toSeq.toDF("lang", "n_docs", "sum_chars", "sum_len", "min_id")
     }),
 
     // grouping sets: revenue rollup over (nation, order status)
@@ -597,11 +610,12 @@ object SparkEntry {
       ("SELECT user_id, round(sum(value), 4) AS total, count(*) AS n " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
 
-    // positions are 1-based on both sides; embeddings are fixed 64-dim
-    // (the i <= len(v) guard keeps the mirror honest if that changes)
+    // positions are 1-based on both sides and DERIVED FROM THE DATA on
+    // both sides (generate_subscripts/unnest expand in lockstep), so the
+    // mirror cannot silently drop cells if the embedding dim changes
     "q_gram" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "a AS (SELECT vec_id, i, v[i::INT] AS x FROM e CROSS JOIN range(1, 65) t(i) WHERE i <= len(v)) " +
+        "a AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS i, unnest(v) AS x FROM e) " +
         "SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS g " +
         "FROM a JOIN a b ON a.vec_id = b.vec_id GROUP BY a.i, b.i ORDER BY i, j"),
 

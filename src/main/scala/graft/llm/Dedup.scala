@@ -201,15 +201,29 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 20-bit SimHash over the shingle hashes: bit i of the signature is
-    * set when at least half the shingle hashes have bit i set. */
+    * set when at least half the shingle hashes have bit i set.
+    *
+    * Single-pass formulation: explode the shingles once, hash each
+    * exactly ONCE, and fold the 20 per-bit counts in one hash aggregate
+    * of conditional sums — the same explode-once layout as `signatures`.
+    * (The previous per-bit HOF `filter` form referenced the hashed-
+    * shingle array 20 times; HOFs don't codegen or share subexpressions,
+    * so every row re-hashed its shingles ~20x — a 20x constant at scale.)
+    * `explode_outer` keeps shingle-less docs (n = 0 rows counted by the
+    * null-skipping count) so they still emit signature 0. */
   def simhash(docs: DataFrame): DataFrame = {
-    val hs = transform(shingles(col("text")), shingleHash(_))
-    val n = size(hs)
-    val bits = (0 until 20).map { bit =>
-      when(lit(2) * size(filter(hs, h => shiftright(h, bit).bitwiseAND(1) === 1)) >= n,
-        lit(1L << bit)).otherwise(lit(0L))
+    val ex = spread(docs)
+      .select(col("doc_id"), explode_outer(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val bitCounts = (0 until 20).map { bit =>
+      count(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1)).as(s"c$bit")
     }
-    docs.select(col("doc_id"),
-      when(n > 0, bits.reduce(_ + _)).otherwise(lit(0L)).as("simhash"))
+    val agg = ex.groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n"), bitCounts: _*)
+    val sig = (0 until 20).map { bit =>
+      when(lit(2) * col(s"c$bit") >= col("n"), lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"),
+      when(col("n") > 0, sig).otherwise(lit(0L)).as("simhash"))
   }
 }

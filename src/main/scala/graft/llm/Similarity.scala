@@ -80,13 +80,30 @@ object Similarity {
 
   /** argmin-cell assignment shared by IVF and near-dup pruning:
     * (vec_id, vec, cell_id) with cell = nearest coarse centroid by L2²,
-    * ties to lowest cell_id. */
-  private def assignCells(e: DataFrame, coarse: DataFrame): DataFrame = {
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("cell_id"))
-    e.join(broadcast(coarse))
-      .withColumn("cd2", distSq(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("vec"), col("cell_id"))
+    * ties to lowest cell_id.
+    *
+    * Shuffle-free: the coarse cells are K rows — the engine's documented
+    * driver boundary — so they are collected once and inlined as literal
+    * centroids into `VectorKMeans.cellOf`, the same codegen'd expression
+    * argmin the vector K-Means core uses. The assignment becomes a pure
+    * projection over the corpus scan: no join, no window, no Exchange
+    * (the previous `row_number` window formulation shuffled and sorted
+    * corpus×K rows — an avoidable corpus-wide exchange at 100 TB scale).
+    * The per-cell L2² expressions are identical to the joined form, so
+    * distances — and therefore the argmin — are bit-identical; cells are
+    * inlined sorted by cell_id, so `cellOf`'s first-minimum tie-break
+    * lands on the lowest cell_id exactly like the window's
+    * (cd2, cell_id) ordering. */
+  private[graft] def assignCells(e: DataFrame, coarse: DataFrame): DataFrame = {
+    val cells = coarse.select(col("cell_id").cast("long"), col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cells.nonEmpty, "assignCells: empty coarse cell table")
+    val ids = array(cells.map { case (id, _) => lit(id) }: _*)
+    val idx = VectorKMeans.cellOf(col("vec"), cells.map(_._2).toSeq)
+    e.select(col("vec_id"), col("vec"),
+      element_at(ids, idx + 1).as("cell_id"))
   }
 
   def cosineNearDupPairs(emb: DataFrame, coarseIds: Seq[Long], threshold: Double): DataFrame = {
@@ -133,23 +150,27 @@ object Similarity {
       .agg(round(sum(col("x") * col("y")), 4).as("g"))
   }
 
-  /** The 100 TB formulation: one pass per partition accumulating a local
-    * d×d matrix in a primitive array (no pair rows ever materialize),
-    * then a driver-side merge of #partitions tiny partials — the same
-    * (sum,count)-style algebraic decomposition as Recenter, lifted to
-    * matrices. Shuffles nothing; network cost is partitions·d² doubles.
-    * Output: (i, j, g), 1-based, same layout as `gramMatrix`. */
-  def gramMatrixAgg(emb: DataFrame): DataFrame = {
+  /** The 100 TB formulation: `treeAggregate` accumulates a local d×d
+    * matrix in a primitive array per partition (no pair rows ever
+    * materialize), then merges partials in a tree ON EXECUTORS — the
+    * driver receives ONE d² matrix, not #partitions of them, so the
+    * operator scales to any partition count (the same (sum,count)-style
+    * algebraic decomposition as Recenter, lifted to matrices). Shuffles
+    * nothing; network cost is O(d² · log partitions) spread over the
+    * tree. Output: (i, j, g), 1-based, same layout as `gramMatrix`. */
+  def gramMatrixAgg(emb: DataFrame, depth: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val partials = emb.select(v(col("embedding")))
+    // accumulator: (dim, flattened d×d sums); dim 0 = "nothing seen yet"
+    val zero = (0, Array.emptyDoubleArray)
+    val (d, total) = emb.select(v(col("embedding")))
       .as[Seq[Double]]
-      .mapPartitions { it =>
-        var acc: Array[Double] = null
-        var d = 0
-        it.foreach { s =>
+      .rdd
+      .treeAggregate(zero)(
+        seqOp = { case ((d0, acc0), s) =>
           val a = s.toArray
-          if (acc == null) { d = a.length; acc = new Array[Double](d * d) }
+          val d = if (d0 == 0) a.length else d0
+          val acc = if (d0 == 0) new Array[Double](d * d) else acc0
           require(a.length == d, s"ragged embedding: ${a.length} vs $d")
           var i = 0
           while (i < d) {
@@ -157,17 +178,20 @@ object Similarity {
             while (j < d) { acc(i * d + j) += xi * a(j); j += 1 }
             i += 1
           }
-        }
-        if (acc == null) Iterator.empty else Iterator((d, acc.toSeq))
-      }
-      .collect()
-    require(partials.nonEmpty, "gramMatrixAgg: empty embedding table")
-    val d = partials.head._1
-    require(partials.forall(_._1 == d), "gramMatrixAgg: inconsistent dims")
-    val total = new Array[Double](d * d)
-    partials.foreach { case (_, p) =>
-      var k = 0; while (k < total.length) { total(k) += p(k); k += 1 }
-    }
+          (d, acc)
+        },
+        combOp = { case ((da, pa), (db, pb)) =>
+          if (da == 0) (db, pb)
+          else if (db == 0) (da, pa)
+          else {
+            require(da == db, s"gramMatrixAgg: inconsistent dims $da vs $db")
+            var k = 0
+            while (k < pa.length) { pa(k) += pb(k); k += 1 }
+            (da, pa)
+          }
+        },
+        depth = depth)
+    require(d > 0, "gramMatrixAgg: empty embedding table")
     // same 4-decimal output contract as the join form (values may still
     // differ by one rounding step when the float sums straddle a boundary)
     val rows = for (i <- 0 until d; j <- 0 until d)

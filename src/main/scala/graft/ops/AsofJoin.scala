@@ -26,13 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param left     probe side
-    * @param right    reference side (its `valueCols` are attached)
+  /** @param left     probe side (every left row appears in the output,
+    *                 including null-key rows, which get null asof values)
+    * @param right    reference side (its `valueCols` are attached);
+    *                 null-key right rows are dropped — SQL equality
+    *                 semantics, matching the DuckDB `l.key = r.key`
+    *                 mirror, where NULL never matches (the window
+    *                 formulation would otherwise group null keys
+    *                 together and leak a null-key right row's values
+    *                 onto null-key left rows)
     * @param keys     equi-join keys present on both sides
     * @param timeCol  ordering column name present on both sides (numeric
     *                 or timestamp; must be orderable)
     * @param valueCols right-side columns to carry onto matching left rows
-    *                 (null when no right row precedes the left row)
+    *                 (null when no right row precedes the left row). All
+    *                 values come from the SAME matched right row: they
+    *                 travel as one struct through one `last(_,
+    *                 ignoreNulls)` — per-column lasts would each skip
+    *                 nulls independently and could stitch values from
+    *                 different right rows
     * @param tieBreak extra right-side ordering columns — when several
     *                 right rows share (keys, time), the LAST one in this
     *                 ordering wins (deterministic output needs a unique
@@ -44,18 +56,23 @@ object AsofJoin {
     require(keys.nonEmpty, "asof join needs at least one key column")
     val leftCols = left.columns.toSeq
     val outValue = valueCols.map(v => s"asof_$v")
+    val valueStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
 
-    // union layout: keys ++ time ++ side ++ tieBreak ++ valueCols ++ leftCols
+    // union layout: keys ++ time ++ side ++ tieBreak ++ value struct ++ leftCols
     val lSide = left.select(
       keys.map(col) ++ Seq(col(timeCol).as("_t"), lit(0).as("_side")) ++
         tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"_tb_$c")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")) ++
+        Seq(lit(null).cast(valueStructType).as("_v")) ++
         leftCols.map(c => col(c).as(s"_l_$c")): _*)
-    val rSide = right.select(
-      keys.map(col) ++ Seq(col(timeCol).as("_t"), lit(1).as("_side")) ++
-        tieBreak.map(c => col(c).as(s"_tb_$c")) ++
-        valueCols.map(c => col(c).as(s"_v_$c")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
+    val rSide = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(timeCol).as("_t"), lit(1).as("_side")) ++
+          tieBreak.map(c => col(c).as(s"_tb_$c")) ++
+          Seq(struct(valueCols.map(c => col(c).as(c)): _*).as("_v")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
 
     // right rows sort after left rows at equal _t => the "previous row"
     // frame never exposes a same-time right row to a left row
@@ -66,12 +83,10 @@ object AsofJoin {
 
     lSide.unionByName(rSide)
       .select((keys.map(col) :+ col("_side") :+ col("_t")) ++
-        leftCols.filterNot(keys.contains).map(c => col(s"_l_$c")) ++
-        valueCols.zip(outValue).map { case (c, out) =>
-          last(col(s"_v_$c"), ignoreNulls = true).over(w).as(out)
-        }: _*)
+        leftCols.filterNot(keys.contains).map(c => col(s"_l_$c")) :+
+        last(col("_v"), ignoreNulls = true).over(w).as("_vlast"): _*)
       .filter(col("_side") === 0)
       .select(leftCols.map(c => if (keys.contains(c)) col(c) else col(s"_l_$c").as(c)) ++
-        outValue.map(col): _*)
+        valueCols.zip(outValue).map { case (c, out) => col("_vlast")(c).as(out) }: _*)
   }
 }

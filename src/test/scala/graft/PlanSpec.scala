@@ -70,6 +70,21 @@ class PlanSpec extends SparkSpec {
     plan("q_ngram_topk") should include("WindowGroupLimit")
   }
 
+  test("IVF cell assignment is a pure projection: no Exchange, no Window") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val coarse = e.filter(col("vec_id").isin(7L, 123L, 247L))
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    val assigned = graft.llm.Similarity.assignCells(e, coarse)
+    val p = assigned.queryExecution.executedPlan.toString()
+    (p should not).include("Exchange")
+    (p should not).include("Window")
+    (p should not).include("Join")
+    // and it still assigns every vector
+    assigned.count() shouldBe emb.count()
+  }
+
   test("pipeline_filter: single scan, one aggregation shuffle") {
     val p = plan("pipeline_filter", "simple")
     // quality+language gate runs pre-shuffle: no join in the plan at all

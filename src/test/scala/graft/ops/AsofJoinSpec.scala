@@ -50,6 +50,29 @@ class AsofJoinSpec extends SparkSpec {
     got shouldBe Map(1L -> None, 2L -> Some(42L))
   }
 
+  test("null join keys follow SQL equality: right nulls never match, left nulls get null") {
+    val l = Seq((Option(1L), 10L), (Option.empty[Long], 10L)).toDF("k", "t")
+    val r = Seq((Option(1L), 5L, 7L), (Option.empty[Long], 5L, 99L)).toDF("k", "t", "v")
+    val got = AsofJoin.lastBefore(l, r, Seq("k"), "t", Seq("v"))
+      .collect()
+      .map(x => (if (x.isNullAt(0)) None else Some(x.getLong(0))) ->
+        (if (x.isNullAt(2)) None else Some(x.getLong(2)))).toMap
+    // the null-key right row (v=99) must never leak onto the null-key left row
+    got shouldBe Map(Some(1L) -> Some(7L), None -> None)
+  }
+
+  test("multiple valueCols all come from the SAME matched right row") {
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    // latest prior right row (t=90) has a NULL in v2: a per-column last()
+    // would skip it and stitch v2 from the older t=80 row — the struct
+    // carry must return (b, null), both from t=90
+    val r = Seq((1L, 80L, "a", Option(10L)), (1L, 90L, "b", Option.empty[Long]))
+      .toDF("k", "t", "v1", "v2")
+    val out = AsofJoin.lastBefore(l, r, Seq("k"), "t", Seq("v1", "v2")).collect().head
+    out.getString(2) shouldBe "b"
+    out.isNullAt(3) shouldBe true
+  }
+
   test("plan is a single window over one shuffle, never a range join") {
     val l = Seq((1L, 5L)).toDF("k", "t")
     val r = Seq((1L, 3L, 9L)).toDF("k", "t", "v")

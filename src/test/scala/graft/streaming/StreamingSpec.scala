@@ -104,6 +104,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttribution over FILE streams equals the batch interval join") {
+    // synthetic corpus: 20 users x 30 interleaved events; the file-stream
+    // run must produce EXACTLY the batch join's pair set (clickAttribution
+    // on batch frames is the same plan with the watermark a no-op)
+    val base = ts("08:00:00").getTime
+    val events = for (u <- 0L until 20L; i <- 0L until 30L)
+      yield (u, new Timestamp(base + (i * 7 + u) * 60000L), u * 1000 + i,
+        if ((i + u) % 3 == 0) "click" else "view")
+    val df = events.toDF("user_id", "ts", "event_id", "event_type")
+    val views = df.filter($"event_type" === "view").drop("event_type")
+    val clicks = df.filter($"event_type" === "click").drop("event_type")
+    val dir = java.nio.file.Files.createTempDirectory("attrstream").toString
+    views.write.mode("overwrite").parquet(s"$dir/v")
+    clicks.write.mode("overwrite").parquet(s"$dir/c")
+    val vs = spark.readStream.schema(views.schema).parquet(s"$dir/v")
+    val cs = spark.readStream.schema(clicks.schema).parquet(s"$dir/c")
+    val q = EventStream.clickAttribution(vs, cs, horizonSec = 1800)
+      .writeStream.format("memory").queryName("fattr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT view_id, click_id FROM fattr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStream.clickAttribution(views, clicks, horizonSec = 1800)
+        .select($"view_id", $"click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      streamed should not be empty
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("dedupStream: drops duplicate keys within the watermark horizon") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
