@@ -29,6 +29,15 @@ object SparkEntry {
   private val AnnQueryIds = Seq(0L, 1L, 2L)
   private val IvfCoarseIds = Seq(7L, 123L, 247L, 331L, 433L)
 
+  /** Shared constants of the round-4 pipeline queries (mirrored into the
+    * oracle SQL from the same values so the two sides cannot drift). */
+  private val SamplePct = 20
+  private val MaskTerms = Seq("the", "and", "of", "to", "in", "is")
+  private val TfidfK = 3
+  /** doc_id % IncrementalMod == 0 plays the "new batch"; the rest is the
+    * already-ingested corpus. */
+  private val IncrementalMod = 5
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -478,6 +487,48 @@ object SparkEntry {
       rows.toSeq.toDF("lang", "n_docs", "sum_chars", "sum_len", "min_id")
     }),
 
+    // ---- round 4: pipeline ops — sampling, tf-idf, masking, snapshots ----
+
+    // deterministic content-hash sample (20%), counted per language
+    "q_sample" -> ((s, dir) =>
+      TextAnalysis.deterministicSample(docs(s, dir), SamplePct)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+        .orderBy(col("lang"))),
+
+    // TF-IDF top-3 terms per document (score rounded before ranking)
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), TfidfK)
+        .orderBy(col("doc_id"), col("rn"))),
+
+    // PII/boilerplate-style whole-word masking: digest + hit count per doc
+    "q_mask" -> ((s, dir) =>
+      TextAnalysis.maskTerms(docs(s, dir), MaskTerms, "[MASKED]")
+        .orderBy(col("doc_id"))),
+
+    // incremental snapshot dedup: new batch (doc_id % 5 == 0) anti-joined
+    // against the existing corpus by content, deduped within the batch
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incremental(
+        d.filter(col("doc_id") % IncrementalMod === 0),
+        d.filter(col("doc_id") % IncrementalMod =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // end-to-end near-dup dedup APPLIED: minhash pairs -> components ->
+    // drop non-keepers -> surviving corpus counted per language
+    "q_dedup_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = graft.ops.ConnectedComponents.dedupClusters(
+        Dedup.minhashPairs(d, JacThreshold).select(col("da"), col("db")))
+      val losers = clusters.filter(col("doc_id") =!= col("keep_id")).select(col("doc_id"))
+      d.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+        .orderBy(col("lang"))
+    }),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -711,6 +762,56 @@ object SparkEntry {
       ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(sum(length(text)) AS BIGINT) AS sum_len, min(doc_id) AS min_id " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+
+    // sampling bucket = fingerprint % 100 — same polynomial hash both
+    // sides (empty text folds to 0, which samples in)
+    "q_sample" ->
+      (s"WITH f AS (SELECT lang, doc_id, " +
+        s"(CASE WHEN len(text) = 0 THEN 0 ELSE ${TextSql.polyHashSql("text")} END) % 100 AS b " +
+        "FROM documents) " +
+        s"SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id FROM f WHERE b < $SamplePct " +
+        "GROUP BY lang ORDER BY lang"),
+
+    // score rounded to 4 decimals BEFORE ranking on both sides, so the
+    // rank compares the same grid (raw ln may differ in the last ulp)
+    "q_tfidf" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "ex AS (SELECT doc_id, unnest(toks) AS term FROM t), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "s AS (SELECT doc_id, term, tf, df, round(tf * ln(n/df), 4) AS tfidf " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s) " +
+        s"SELECT doc_id, term, tf, df, tfidf, rn FROM r WHERE rn <= $TfidfK " +
+        "ORDER BY doc_id, rn"),
+
+    // \b alternation has identical semantics in Java regex and RE2; the
+    // pattern string is built from the same MaskTerms constant
+    "q_mask" -> {
+      val pat = "\\b(" + MaskTerms.mkString("|") + ")\\b"
+      s"SELECT doc_id, md5(regexp_replace(text, '$pat', '[MASKED]', 'g')) AS redacted_md5, " +
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_redactions " +
+        "FROM documents ORDER BY doc_id"
+    },
+
+    "dedup_incremental" ->
+      (s"SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS n_batch_copies " +
+        s"FROM documents d WHERE doc_id % $IncrementalMod = 0 AND NOT EXISTS " +
+        s"(SELECT 1 FROM documents c WHERE c.doc_id % $IncrementalMod <> 0 AND c.text = d.text) " +
+        "GROUP BY text ORDER BY doc_id"),
+
+    // same recursive-CTE closure as dedup_components, then the dedup
+    // policy applied: drop every doc that is not its cluster's keeper
+    "q_dedup_apply" ->
+      (s"WITH RECURSIVE pairs AS (SELECT da, db FROM (${TextSql.dedupMinhashSql(JacThreshold)}) mp), " +
+        "sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs), " +
+        "reach AS (SELECT a, b FROM sym " +
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a) " +
+        "SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keep_id) " +
+        "GROUP BY lang ORDER BY lang"),
 
     // transitive closure over the SAME minhash pair set (recursive CTE);
     // component = least reachable id — integer arithmetic only, so the

@@ -45,6 +45,23 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select(md5(col("text").cast("binary")).as("text_md5"), col("keep_id"), col("n_copies"))
 
+  /** Incremental (snapshot-append) dedup: rows of `newDocs` whose text
+    * does not already exist in `corpus`, deduped within the batch
+    * (lowest doc_id kept). The shape a pipeline runs when appending a
+    * crawl snapshot to an already-deduped corpus: one anti join keyed by
+    * content + one batch-local groupBy — the corpus is only ever probed,
+    * never re-aggregated, so cost tracks the BATCH size, not the corpus.
+    * At 100 TB the anti join's corpus side is a bucketed-by-content
+    * table (ops/Bucketing), making the probe exchange-free.
+    * Output: (doc_id, text_md5, n_batch_copies). */
+  def incremental(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    newDocs
+      .join(corpus.select(col("text")), Seq("text"), "left_anti")
+      .groupBy(col("text"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_copies"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+        col("n_batch_copies"))
+
   // ---------- n-gram Jaccard (inverted-index join) ----------
 
   /** Exploded (doc_id, shingle) rows — the shared inverted-index layout. */

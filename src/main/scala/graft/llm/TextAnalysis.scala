@@ -153,6 +153,66 @@ object TextAnalysis {
       .select(col("lang"), col("ngram"), col("n_docs"), col("rn"))
   }
 
+  /** Deterministic content-hash sampling: keep documents whose text
+    * fingerprint lands in the first `pct` of `buckets` hash buckets.
+    * Content-keyed (not id-keyed or random), so the sample is
+    * reproducible across runs/engines, exact duplicates sample
+    * together (a dedup-affine property), and at 100 TB it needs no
+    * coordination — each row decides locally from its own bytes, one
+    * scan, no shuffle, no RNG state. */
+  def deterministicSample(docs: DataFrame, pct: Int, buckets: Int = 100): DataFrame = {
+    require(pct >= 0 && pct <= buckets, s"need 0 <= pct <= $buckets, got $pct")
+    docs.filter(fingerprint(col("text")) % buckets < pct)
+  }
+
+  /** TF-IDF top-`k` terms per document: tf = term occurrences in the
+    * doc, df = documents containing the term, score = tf · ln(N/df),
+    * rounded to 4 decimals BEFORE ranking so both engines order the
+    * same quantity (raw libm ln may differ in the last ulp; the rounded
+    * grid is the contract). Ties break to the lexicographically smaller
+    * term. One explode + two hash aggregates + a vocabulary-sized join;
+    * the per-doc window sorts k·docs rows, never the corpus. `n` is the
+    * corpus document count (driver-side K-row boundary: one count). */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    val out = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"),
+        col("rn").cast("long").as("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist(false)
+    out
+  }
+
+  /** Masks every whole-word occurrence of `terms` with `mask` — the
+    * shape of a PII/boilerplate scrub pass (the real thing swaps the
+    * term list for entity patterns). Word-boundary alternation keeps
+    * Java-regex and RE2 semantics identical, so the oracle mirrors
+    * exactly. Output: (doc_id, redacted_md5, n_redactions) — the digest
+    * rather than the full text keeps the contract row narrow. One scan,
+    * codegen'd regexp, no shuffle. */
+  def maskTerms(docs: DataFrame, terms: Seq[String], mask: String): DataFrame = {
+    require(terms.nonEmpty, "maskTerms: empty term list")
+    val pattern = "\\b(" + terms.mkString("|") + ")\\b"
+    docs.select(
+      col("doc_id"),
+      md5(regexp_replace(col("text"), pattern, mask).cast("binary")).as("redacted_md5"),
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long").as("n_redactions"))
+  }
+
   /** Fixed-window token chunking with overlap — the context-window prep
     * step of a training pipeline (long documents become chunkTokens-sized
     * training sequences; consecutive chunks share `overlap` tokens so no

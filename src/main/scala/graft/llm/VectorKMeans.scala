@@ -60,6 +60,55 @@ object VectorKMeans {
     cents.indices.map(i => means.getOrElse(i, cents(i)))
   }
 
+  /** Typed (sum-vector, count) Aggregator — the CentroidAggregator
+    * pattern lifted to arbitrary dimension. Partials are K×(dim+1)
+    * doubles, so the shuffle after map-side combine is K rows of dim
+    * sums, not rows×dim exploded cells. */
+  class VectorSumAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Int, Seq[Double]), (Array[Double], Long), Seq[Double]] {
+    import org.apache.spark.sql.Encoder
+    override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    override def reduce(b: (Array[Double], Long), a: (Int, Seq[Double])): (Array[Double], Long) = {
+      val v = a._2
+      require(v.length == dim, s"ragged vector: ${v.length} vs $dim")
+      var i = 0
+      while (i < dim) { b._1(i) += v(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    override def finish(r: (Array[Double], Long)): Seq[Double] =
+      if (r._2 == 0L) Seq.empty else r._1.map(_ / r._2).toSeq
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** `step` via the typed Aggregator: same assignment expression, but
+    * re-centering shuffles K×(sum[dim], count) partials instead of
+    * posexploding rows×dim cells — the hardened 100 TB form (identical
+    * means up to float merge order; spec-pinned to 1e-9 of `step`). */
+  def stepAgg(emb: DataFrame, vecCol: String, cents: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = cents.head.length
+    val agg = new VectorSumAgg(dim).toColumn
+    val means = emb
+      .select(cellOf(col(vecCol), cents).as("_1"), col(vecCol).as("_2"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_._1)
+      .agg(agg)
+      .collect()
+      .collect { case (cell, m) if m.nonEmpty => cell -> m.toArray }
+      .toMap
+    cents.indices.map(i => means.getOrElse(i, cents(i)))
+  }
+
   /** Fit k centroids, seeded deterministically from corpus vectors. */
   def fit(emb: DataFrame, vecCol: String, seedIds: Seq[Long], idCol: String = "vec_id",
           maxIter: Int = 10, tol: Double = 1e-4): Result = {

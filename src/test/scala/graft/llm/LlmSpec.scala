@@ -44,6 +44,57 @@ class LlmSpec extends SparkSpec {
     out.toSeq shouldBe Seq((3L, 2L))
   }
 
+  test("deterministicSample: content-keyed, duplicates sample together, bounds exact") {
+    val d = docsDF(1L -> "alpha beta", 2L -> "alpha beta", 3L -> "gamma delta",
+      4L -> "epsilon zeta", 5L -> "eta theta")
+    TextAnalysis.deterministicSample(d, 100).count() shouldBe 5L
+    TextAnalysis.deterministicSample(d, 0).count() shouldBe 0L
+    // dup texts are in or out TOGETHER at every rate
+    for (pct <- Seq(10, 30, 50, 70, 90)) {
+      val ids = TextAnalysis.deterministicSample(d, pct)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      ids.contains(1L) shouldBe ids.contains(2L)
+    }
+  }
+
+  test("tfidfTopTerms: hand fixture — rare terms outrank common, ties lexicographic") {
+    // "cat" appears in all 3 docs (idf = ln(1) = 0); "rare"/"gem" in one
+    val d = docsDF(1L -> "cat rare rare", 2L -> "cat gem", 3L -> "cat cat")
+    val out = TextAnalysis.tfidfTopTerms(d, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._6))
+    // doc 1: rare tf=2 df=1 -> 2*ln(3) = 2.1972; cat -> 0.0
+    out(0) shouldBe ((1L, "rare", 2L, 1L, 2.1972, 1L))
+    out(1) shouldBe ((1L, "cat", 1L, 3L, 0.0, 2L))
+    // doc 2: gem tf=1 df=1 -> ln(3) = 1.0986
+    out(2) shouldBe ((2L, "gem", 1L, 1L, 1.0986, 1L))
+    // doc 3: only "cat" (tf=2, score 0) — short group, no padding
+    out(4) shouldBe ((3L, "cat", 2L, 3L, 0.0, 1L))
+    out.length shouldBe 5
+  }
+
+  test("maskTerms: whole words only, count matches, clean docs untouched") {
+    val d = docsDF(1L -> "the theme of the day", 2L -> "no hits here")
+    val out = TextAnalysis.maskTerms(d, Seq("the", "of"), "[X]").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    out(0)._3 shouldBe 3L // the, of, the — NOT "theme"
+    // masked digest equals md5 of the hand-masked text
+    val want = spark.sql("SELECT md5(CAST('[X] theme [X] [X] day' AS BINARY))").head().getString(0)
+    out(0)._2 shouldBe want
+    out(1)._3 shouldBe 0L
+    val clean = spark.sql("SELECT md5(CAST('no hits here' AS BINARY))").head().getString(0)
+    out(1)._2 shouldBe clean
+  }
+
+  test("incremental dedup: corpus texts excluded, batch dups collapse to lowest id") {
+    val batch = docsDF(10L -> "already ingested", 20L -> "fresh text", 25L -> "fresh text",
+      30L -> "also fresh")
+    val corpus = docsDF(1L -> "already ingested", 2L -> "other old text")
+    val out = Dedup.incremental(batch, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    out.toSeq shouldBe Seq((20L, 2L), (30L, 1L))
+  }
+
   test("contentSplit: identical texts land on the same side of the split") {
     val out = TextAnalysis.contentSplit(docsDF(
       1L -> "shared corpus text", 2L -> "shared corpus text", 3L -> "different text"))

@@ -33,6 +33,29 @@ class VectorKMeansSpec extends SparkSpec {
     next(0) shouldBe Array(0.5, 0.5)
   }
 
+  test("stepAgg (typed (sum,count) partials) equals step to float merge order") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val seeds = emb.filter(col2("vec_id").isin(3L, 17L, 29L))
+      .orderBy(col2("vec_id")).collect().map(_.getSeq[Double](1).toArray).toSeq
+    val viaExplode = VectorKMeans.step(emb, "v", seeds)
+    val viaAgg = VectorKMeans.stepAgg(emb, "v", seeds)
+    viaAgg.size shouldBe viaExplode.size
+    for ((a, b) <- viaAgg.zip(viaExplode); (x, y) <- a.zip(b))
+      math.abs(x - y) should be < 1e-9
+  }
+
+  test("stepAgg: empty cells keep their previous centroid") {
+    val vecs = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val far = Array(1e6, 1e6)
+    val next = VectorKMeans.stepAgg(
+      vecs.selectExpr("vec_id", "CAST(embedding AS array<double>) AS v"), "v",
+      Seq(Array(0.0, 0.0), far))
+    next(1) shouldBe far
+    next(0) shouldBe Array(0.5, 0.5)
+  }
+
   test("IVF with fitted coarse cells and nprobe=all equals brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val fitted = VectorKMeans.fit(emb, "embedding", Seq(3L, 17L, 29L), maxIter = 5)
