@@ -529,6 +529,24 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // winnowing fingerprints (MOSS): token-3-gram hashes, window-4 minima
+    "q_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(docs(s, dir), k = 3, w = 4)
+        .orderBy(col("doc_id"), col("fp"))),
+
+    // per-vector symmetric int8 quantization — integer aggregates of the
+    // codes match the oracle exactly (no float tolerance anywhere)
+    "q_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir))
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("sum_codes"),
+          array_max(col("codes")).as("max_code"),
+          array_min(col("codes")).as("min_code"),
+          size(col("codes")).cast("long").as("n_dims"),
+          aggregate(zip_with(col("codes"), sequence(lit(1), size(col("codes"))),
+            (c, i) => c * i.cast("long")), lit(0L), (a, x) => a + x).as("checksum"))
+        .orderBy(col("vec_id"))),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -794,6 +812,19 @@ object SparkEntry {
         s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_redactions " +
         "FROM documents ORDER BY doc_id"
     },
+
+    "q_winnow" -> TextSql.winnowSql(k = 3, w = 4),
+
+    "q_quantize" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e), " +
+        "s AS (SELECT vec_id, v, CASE WHEN ma > 0 THEN 127.0/ma ELSE 0.0 END AS sc FROM m), " +
+        "c AS (SELECT vec_id, list_transform(v, x -> CAST(round(x*sc) AS BIGINT)) AS codes FROM s) " +
+        "SELECT vec_id, CAST(list_sum(codes) AS BIGINT) AS sum_codes, " +
+        "list_max(codes) AS max_code, list_min(codes) AS min_code, " +
+        "CAST(len(codes) AS BIGINT) AS n_dims, " +
+        "CAST(list_sum(list_transform(range(1, len(codes)+1), i -> codes[i::INT]*i)) AS BIGINT) AS checksum " +
+        "FROM c ORDER BY vec_id"),
 
     "dedup_incremental" ->
       (s"SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS n_batch_copies " +

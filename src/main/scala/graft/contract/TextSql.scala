@@ -172,6 +172,21 @@ object TextSql {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_docs DESC, ngram) AS rn FROM c) " +
       s"SELECT lang, ngram, n_docs, rn FROM r WHERE rn <= $k ORDER BY lang, rn"
 
+  /** Mirror of TextAnalysis.winnow: k-gram hashes, w-window minima,
+    * distinct. Only full windows (len(hv) >= w) emit, like the Spark
+    * side. */
+  def winnowSql(k: Int, w: Int): String = {
+    val gram = (0 until k).map(o => s"toks[(i+$o)::INT]").mkString(" || ' ' || ")
+    s"WITH t AS ($toksCte), " +
+      s"g1 AS (SELECT doc_id, CASE WHEN len(toks) >= $k THEN " +
+      s"list_transform(range(1, len(toks)-${k - 1}+1), i -> $gram) " +
+      "ELSE CAST([] AS VARCHAR[]) END AS grams FROM t), " +
+      s"g AS (SELECT doc_id, list_transform(grams, s -> ${polyHashSql("s")}) AS hv FROM g1), " +
+      s"win AS (SELECT doc_id, unnest(list_transform(range(1, len(hv)-$w+2), " +
+      s"i -> list_min(hv[i:i+${w - 1}]))) AS fp FROM g WHERE len(hv) >= $w) " +
+      "SELECT DISTINCT doc_id, fp FROM win ORDER BY doc_id, fp"
+  }
+
   val multimodalMetaSql: String =
     "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS digest " +
       "FROM documents ORDER BY doc_id"

@@ -200,6 +200,25 @@ object Similarity {
     rows.toDF("i", "j", "g")
   }
 
+  /** Per-vector symmetric int8 quantization: scale = 127 / max|v_i|,
+    * code_i = round(v_i · scale) ∈ [-127, 127] — the memory layout an
+    * embedding index at 100 TB actually stores (4 GB of float32 → 1 GB
+    * of int8 + one float scale per vector, with dot products computed in
+    * integer SIMD and rescaled). All-zero vectors quantize to all-zero
+    * codes (scale 0). Pure per-row arithmetic — one scan, no shuffle —
+    * and every op (abs, max, divide, multiply, round-half-away-from-
+    * zero) is bit-identical across engines, so the codes match the SQL
+    * oracle EXACTLY, not approximately.
+    * Output: (vec_id, scale, codes array<long>). */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val maxAbs = array_max(transform(col("vec"), x => abs(x)))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    e.withColumn("scale", scale)
+      .select(col("vec_id"), col("scale"),
+        transform(col("vec"), x => round(x * col("scale")).cast("long")).as("codes"))
+  }
+
   /** IVF top-k: quantize every vector to its nearest coarse cell (L2,
     * ties to lowest cell id), probe the nprobe nearest cells per query,
     * score only those candidates. Coarse centroids are corpus vectors

@@ -153,6 +153,43 @@ object TextAnalysis {
       .select(col("lang"), col("ngram"), col("n_docs"), col("rn"))
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme: Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03): hash every token `k`-gram, slide a
+    * window of `w` consecutive gram hashes, keep each window's minimum,
+    * dedupe. The guarantee: any shared run of w+k-1 tokens between two
+    * documents yields at least one shared fingerprint, while storage is
+    * ~2/(w+1) of the gram count — the local-edit-robust fingerprint set
+    * a plagiarism/near-dup index wants, vs the single whole-doc hash of
+    * `fingerprint`.
+    *
+    * Spark-first: grams explode to (doc, pos, hash) rows (each gram
+    * hashed ONCE), the per-window minimum is a frame window function
+    * (rows between 0 and w-1 following) over one doc-keyed shuffle, and
+    * the final distinct is a hash aggregate — no per-row O(n·w) lambda
+    * rescans. Documents with fewer than w grams emit nothing (contract:
+    * both sides guard identically). Output: (doc_id, fp) distinct rows. */
+  def winnow(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val grams = transform(sequence(lit(1), n - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + lit(o))): _*))
+    val g = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"),
+        posexplode(when(n >= k, grams).otherwise(array().cast("array<string>")))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), fingerprint(col("gram")).as("h"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    g.withColumn("ng", count(lit(1)).over(perDoc))
+      .withColumn("fp", min(col("h")).over(frame))
+      .filter(col("pos") <= col("ng") - w) // only full windows (pos 0-based)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** Deterministic content-hash sampling: keep documents whose text
     * fingerprint lands in the first `pct` of `buckets` hash buckets.
     * Content-keyed (not id-keyed or random), so the sample is

@@ -91,4 +91,18 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Join")
     p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
   }
+
+  test("q_mask: pure single-scan projection — no join, one scan") {
+    val p = plan("q_mask", "simple")
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
+  test("q_sample: filter runs pre-aggregation on a single pruned scan") {
+    val p = plan("q_sample", "simple")
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+    // scan reads only the three referenced columns
+    plan("q_sample") should include("ReadSchema: struct<doc_id:bigint,text:string,lang:string>")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.kmeans
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Property-style invariants (seeded random fixtures) from SURVEY §5c:
   * assignment is argmin-invariant under centroid permutation, means stay
@@ -77,5 +78,24 @@ class PropertySpec extends SparkSpec {
     val p8 = graft.llm.Dedup.jaccardPairs(docs.repartition(8), 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     p1 shouldBe p8
+  }
+
+  test("deterministic sampling is partition-count AND row-order invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.deterministicSample(df, 20)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val base = ids(docs.coalesce(1))
+    ids(docs.repartition(8)) shouldBe base
+    ids(docs.orderBy(col("doc_id").desc)) shouldBe base
+    base should not be empty
+  }
+
+  test("tf-idf top terms are partition-count invariant (rounded-grid ranking)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def top(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.tfidfTopTerms(df, 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4), r.getLong(5))).toSet
+    top(docs.coalesce(1)) shouldBe top(docs.repartition(8))
   }
 }

@@ -95,6 +95,43 @@ class LlmSpec extends SparkSpec {
     out.toSeq shouldBe Seq((20L, 2L), (30L, 1L))
   }
 
+  test("winnow: edit-robust fingerprints — shared runs guarantee shared prints") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // one token changed in the middle
+    val edited = base.replace("zeta", "ZETA")
+    val fps = TextAnalysis.winnow(docsDF(1L -> base, 2L -> base, 3L -> edited), k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    fps(1L) shouldBe fps(2L) // identical docs: identical fingerprint sets
+    fps(1L) should not be empty
+    // winnowing guarantee: any shared w+k-1=6-token run yields a shared
+    // fingerprint; both flanks of the edit are longer than that. (The
+    // CONVERSE doesn't hold — an edit whose gram hashes are never window
+    // minima leaves the set unchanged; that robustness is the point.)
+    (fps(1L) intersect fps(3L)) should not be empty
+  }
+
+  test("winnow: documents shorter than k+w-1 grams emit nothing") {
+    // 5 tokens -> 3 grams < w=4 windows
+    TextAnalysis.winnow(docsDF(1L -> "a b c d e"), k = 3, w = 4).count() shouldBe 0L
+  }
+
+  test("quantizeInt8: codes bounded, peak hits 127, reconstruction within half a step") {
+    val emb = Seq((1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)), (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2))).sortBy(_._1).toSeq
+    out(0)._3 shouldBe Seq(64L, -127L, 32L, 0L)
+    out(0)._3.map(math.abs).max shouldBe 127L
+    // reconstruction: |code/scale - x| <= 0.5/scale
+    val sc = out(0)._2
+    for ((c, x) <- out(0)._3.zip(Seq(0.5, -1.0, 0.25, 0.0)))
+      math.abs(c / sc - x) should be <= 0.5 / sc
+    // all-zero vector: scale 0, all-zero codes (no NaN/div-by-zero)
+    out(1)._2 shouldBe 0.0
+    out(1)._3 shouldBe Seq(0L, 0L, 0L, 0L)
+  }
+
   test("contentSplit: identical texts land on the same side of the split") {
     val out = TextAnalysis.contentSplit(docsDF(
       1L -> "shared corpus text", 2L -> "shared corpus text", 3L -> "different text"))
