@@ -85,6 +85,27 @@ class PlanSpec extends SparkSpec {
     assigned.count() shouldBe emb.count()
   }
 
+  test("q_quantize: pure projection — the only exchange is the output sort") {
+    val p = plan("q_quantize", "simple")
+    (p should not).include("Join")
+    (p should not).include("Window")
+    (p should not).include("hashpartitioning") // no aggregation shuffle
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
+  test("dedup_incremental: broadcast anti join, batch filter pushed to both scans") {
+    val p = plan("dedup_incremental")
+    p should include("LeftAnti")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin") // corpus side broadcasts at contract scale
+  }
+
+  test("q_winnow: one scan, no join — window frame does the per-doc minima") {
+    val p = plan("q_winnow", "simple")
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
   test("pipeline_filter: single scan, one aggregation shuffle") {
     val p = plan("pipeline_filter", "simple")
     // quality+language gate runs pre-shuffle: no join in the plan at all

@@ -132,6 +132,27 @@ class LlmSpec extends SparkSpec {
     out(1)._3 shouldBe Seq(0L, 0L, 0L, 0L)
   }
 
+  test("text operators survive hostile input under ANSI mode: empty, whitespace, unicode, null") {
+    // ANSI mode throws on bad casts/subscripts — every operator must stay
+    // on null-safe expressions. None of these rows may throw anywhere.
+    val hostile = Seq(
+      (1L, ""), (2L, " "), (3L, "   "), (4L, "élève naïve 中文 emoji"),
+      (5L, "single"), (6L, "a b"))
+      .toDF("doc_id", "text")
+      .union(Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    noException should be thrownBy TextAnalysis.stats(hostile).collect()
+    noException should be thrownBy TextAnalysis.langId(hostile).collect()
+    noException should be thrownBy TextAnalysis.fingerprints(hostile).collect()
+    noException should be thrownBy TextAnalysis.maskTerms(hostile, Seq("a"), "[X]").collect()
+    noException should be thrownBy TextAnalysis.winnow(hostile, 3, 4).collect()
+    noException should be thrownBy TextAnalysis.chunk(hostile, 4, 1).collect()
+    noException should be thrownBy Dedup.simhash(hostile).collect()
+    noException should be thrownBy Dedup.exact(hostile.filter(col("text").isNotNull)).collect()
+    // deterministicSample on a null text: fingerprint is null -> filtered
+    // out (null comparison), not thrown
+    noException should be thrownBy TextAnalysis.deterministicSample(hostile, 50).collect()
+  }
+
   test("contentSplit: identical texts land on the same side of the split") {
     val out = TextAnalysis.contentSplit(docsDF(
       1L -> "shared corpus text", 2L -> "shared corpus text", 3L -> "different text"))
