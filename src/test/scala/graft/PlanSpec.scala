@@ -106,6 +106,34 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
   }
 
+  test("runtime bloom-filter join pruning engages for selective non-broadcast joins") {
+    // the 100 TB shuffle saver: a bloom filter built from the filtered
+    // (small) join side is pushed into the big side's scan, dropping
+    // non-matching rows BEFORE the shuffle. Pin that the optimizer
+    // actually injects it when enabled (off-by-default thresholds would
+    // silently skip it at contract scale).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      val ord = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString()
+      p should include("bloom_filter_agg")
+      p.toLowerCase should include("might_contain")
+      j.count() should be > 0L
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pipeline_filter: single scan, one aggregation shuffle") {
     val p = plan("pipeline_filter", "simple")
     // quality+language gate runs pre-shuffle: no join in the plan at all

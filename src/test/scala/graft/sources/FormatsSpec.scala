@@ -29,6 +29,23 @@ class FormatsSpec extends SparkSpec {
     src.exceptAll(back).count() shouldBe 0L
   }
 
+  test("partitioned writes give partition-pruned reads (PartitionFilters, not data filters)") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val dir = tmpDir("part")
+    src.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = q.queryExecution.executedPlan.toString()
+    // the lang predicate prunes DIRECTORIES — it must appear as a
+    // PartitionFilter, and no data-filter on lang should remain
+    plan should include("PartitionFilters: [isnotnull(lang")
+    // the pruned read returns exactly the partition's rows
+    q.count() shouldBe src.filter(col("lang") === "en").count()
+    // partition files for other langs are not even listed by the scan
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head.toString()
+    (scanned should not).include("lang=de")
+  }
+
   test("CSV round-trip survives embedded newlines, quotes, and delimiters") {
     val nasty = Seq(
       (1L, "plain text"),

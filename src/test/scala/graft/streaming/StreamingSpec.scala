@@ -153,6 +153,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restarted windowed aggregation neither loses nor duplicates") {
+    // exactly-once across restart: run the file-stream agg with a real
+    // checkpointLocation, stop it, add MORE input files, restart from
+    // the same checkpoint — the final state must equal a one-shot batch
+    // aggregation over all files (no double counting of batch 1)
+    val root = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val inDir = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    val first = Seq((ts("10:05:00"), "click", 1.0), (ts("10:40:00"), "click", 2.0))
+      .toDF("ts", "event_type", "value")
+    first.write.mode("append").parquet(inDir)
+    val schema = first.schema
+    def start() = EventStream.hourlyWindowedStats(
+      spark.readStream.schema(schema).parquet(inDir))
+      .writeStream.format("memory").queryName("ckwin").outputMode("complete")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // more data arrives while the query is DOWN
+    Seq((ts("10:50:00"), "click", 4.0), (ts("11:10:00"), "view", 8.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(inDir)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.sql("SELECT * FROM ckwin").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      got(("2024-01-01 10:00:00.0", "click")) shouldBe ((3L, 7.0)) // 1+2+4 once each
+      got(("2024-01-01 11:00:00.0", "view")) shouldBe ((1L, 8.0))
+    } finally q2.stop()
+  }
+
   test("runningUserTotals: state accumulates across triggers") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[EventStream.UserEvent]
