@@ -529,6 +529,11 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // near-dup pairs by SimHash hamming distance (chunk-banded, lossless)
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 1)
+        .orderBy(col("da"), col("db"))),
+
     // winnowing fingerprints (MOSS): token-3-gram hashes, window-4 minima
     "q_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(docs(s, dir), k = 3, w = 4)
@@ -812,6 +817,8 @@ object SparkEntry {
         s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_redactions " +
         "FROM documents ORDER BY doc_id"
     },
+
+    "dedup_simhash" -> TextSql.simhashPairsSql(maxHamming = 1),
 
     "q_winnow" -> TextSql.winnowSql(k = 3, w = 4),
 

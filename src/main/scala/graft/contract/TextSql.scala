@@ -172,6 +172,23 @@ object TextSql {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_docs DESC, ngram) AS rn FROM c) " +
       s"SELECT lang, ngram, n_docs, rn FROM r WHERE rn <= $k ORDER BY lang, rn"
 
+  /** Mirror of Dedup.simhashPairs: the simhash CTE, chunk banding from
+    * the SAME chunk constants, bucket-collision candidates, exact
+    * hamming filter — bit arithmetic only, so the match is exact. */
+  def simhashPairsSql(maxHamming: Int): String = {
+    val mask = (1 << Dedup.SimhashChunkBits) - 1
+    val bandVals = (0 until Dedup.SimhashChunks).map(c => s"($c)").mkString(", ")
+    s"WITH sig AS (SELECT doc_id, simhash FROM ($simhashSql) s0), " +
+      s"bands AS (SELECT doc_id, simhash, chunk, " +
+      s"(simhash >> (chunk*${Dedup.SimhashChunkBits})) & $mask AS key " +
+      s"FROM sig, (VALUES $bandVals) ch(chunk)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, " +
+      "a.simhash AS sa, b.simhash AS sb FROM bands a JOIN bands b " +
+      "ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id) " +
+      "SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+      s"FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY da, db"
+  }
+
   /** Mirror of TextAnalysis.winnow: k-gram hashes, w-window minima,
     * distinct. Only full windows (len(hv) >= w) emit, like the Spark
     * side. */

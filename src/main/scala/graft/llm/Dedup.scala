@@ -217,6 +217,15 @@ object Dedup {
 
   // ---------- SimHash ----------
 
+  /** SimHash signature banding layout: 20 bits as 4 chunks of 5. By
+    * pigeonhole, two signatures within hamming distance d share at
+    * least one chunk whenever d < chunk count — so chunk-bucket
+    * collision candidates are LOSSLESS for maxHamming <= 3, and the
+    * join only ever touches bucket collisions, never the n² pair
+    * space (the same banding argument as MinHash LSH, on bits). */
+  val SimhashChunks = 4
+  val SimhashChunkBits = 5
+
   /** 20-bit SimHash over the shingle hashes: bit i of the signature is
     * set when at least half the shingle hashes have bit i set.
     *
@@ -242,5 +251,38 @@ object Dedup {
     }.reduce(_ + _)
     agg.select(col("doc_id"),
       when(col("n") > 0, sig).otherwise(lit(0L)).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash hamming distance: signatures band
+    * into `SimhashChunks` bit chunks, candidate pairs come ONLY from
+    * chunk-bucket collisions (lossless for `maxHamming < SimhashChunks`),
+    * then the exact 20-bit hamming distance filters. Everything is
+    * integer/bit arithmetic, so the SQL oracle matches exactly.
+    * Output: (da, db, hamming) with da < db and hamming <= maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimhashChunks,
+      s"banding is only lossless for 0 <= maxHamming < $SimhashChunks, got $maxHamming")
+    val mask = (1 << SimhashChunkBits) - 1
+    val sigs = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkStructs = (0 until SimhashChunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * SimhashChunkBits).bitwiseAND(lit(mask)).as("key"))
+    }
+    // persist: both self-join sides re-derive from the banded table
+    val bands = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.chunk").as("chunk"), col("b.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    val result = cand
+      .select(col("da"), col("db"), expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    materialized(result, Seq(sigs, bands))
   }
 }

@@ -106,6 +106,24 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
   }
 
+  test("parquet aggregate pushdown: COUNT/MIN/MAX answered from footer metadata") {
+    val confs = Seq(
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{count, lit, max}
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .agg(count(lit(1)).as("n"), max("l_orderkey").as("mx"))
+      df.queryExecution.executedPlan.toString() should include("PushedAggregation")
+      df.head().getLong(0) should be > 0L
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom-filter join pruning engages for selective non-broadcast joins") {
     // the 100 TB shuffle saver: a bloom filter built from the filtered
     // (small) join side is pushed into the big side's scan, dropping

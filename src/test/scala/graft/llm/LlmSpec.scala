@@ -95,6 +95,21 @@ class LlmSpec extends SparkSpec {
     out.toSeq shouldBe Seq((20L, 2L), (30L, 1L))
   }
 
+  test("simhashPairs equals the brute-force hamming join (banding is lossless)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val banded = Dedup.simhashPairs(docs, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over ALL pairs — no banding
+    val sigs = Dedup.simhash(docs)
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("h"))
+      .filter(col("h") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    banded shouldBe brute
+    banded should not be empty // the planted near-dups are found
+  }
+
   test("winnow: edit-robust fingerprints — shared runs guarantee shared prints") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     // one token changed in the middle
