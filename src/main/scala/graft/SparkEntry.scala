@@ -529,6 +529,22 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ordered funnel: users reaching view -> click -> purchase in order
+    "q_funnel" -> ((s, dir) => {
+      val ev = eventsNanos(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      graft.streaming.EventStream.funnel(ev, Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+
+    // hour-cohort retention matrix (first-seen hour x comeback offset)
+    "q_retention" -> ((s, dir) => {
+      val ev = eventsNanos(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      graft.streaming.EventStream.retention(ev)
+        .orderBy(col("cohort_hour"), col("offset_hours"))
+    }),
+
     // near-dup pairs by SimHash hamming distance (chunk-banded, lossless)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 1)
@@ -817,6 +833,30 @@ object SparkEntry {
         s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_redactions " +
         "FROM documents ORDER BY doc_id"
     },
+
+    "q_funnel" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +
+        "f AS (SELECT user_id, " +
+        "min(CASE WHEN event_type = 'view' THEN tus END) AS t0, " +
+        "min(CASE WHEN event_type = 'click' THEN tus END) AS t1, " +
+        "min(CASE WHEN event_type = 'purchase' THEN tus END) AS t2 " +
+        "FROM ev GROUP BY user_id) " +
+        "SELECT stage, event_type, n_users FROM (" +
+        "SELECT CAST(0 AS BIGINT) AS stage, 'view' AS event_type, " +
+        "count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n_users FROM f " +
+        "UNION ALL SELECT 1, 'click', " +
+        "count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1 THEN 1 END) FROM f " +
+        "UNION ALL SELECT 2, 'purchase', " +
+        "count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL " +
+        "AND t0 < t1 AND t1 < t2 THEN 1 END) FROM f) ORDER BY stage"),
+
+    "q_retention" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour FROM events), " +
+        "a AS (SELECT DISTINCT user_id, hour FROM ev), " +
+        "c AS (SELECT user_id, min(hour) AS cohort_hour FROM ev GROUP BY user_id) " +
+        "SELECT cohort_hour, hour - cohort_hour AS offset_hours, " +
+        "count(DISTINCT a.user_id) AS n_users " +
+        "FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "dedup_simhash" -> TextSql.simhashPairsSql(maxHamming = 1),
 

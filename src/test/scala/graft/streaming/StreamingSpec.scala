@@ -153,6 +153,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel: ordered stages — out-of-order or missing stages stop the user") {
+    val ev = Seq(
+      // u1 completes the funnel in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2 clicks BEFORE viewing: stops at stage 0
+      (2L, "click", 5L), (2L, "view", 10L),
+      // u3 views and clicks, never purchases: stops at stage 1
+      (3L, "view", 1L), (3L, "click", 2L), (3L, "error", 3L),
+      // u4 never views: counted nowhere
+      (4L, "purchase", 9L)
+    ).toDF("user_id", "event_type", "tus")
+    val out = EventStream.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    out.toSeq shouldBe Seq((0L, "view", 3L), (1L, "click", 2L), (2L, "purchase", 1L))
+  }
+
+  test("retention: cohort = first-seen hour, offsets count comeback hours once") {
+    val h = 3600L * 1000 * 1000
+    val ev = Seq(
+      // u1 first in hour 0, back in hours 1 and 2 (twice in hour 1)
+      (1L, 0L), (1L, h + 5L), (1L, h + 6L), (1L, 2 * h),
+      // u2 first in hour 1 only
+      (2L, h + 1L)
+    ).toDF("user_id", "tus")
+    val out = EventStream.retention(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    out.toSeq shouldBe Seq((0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L))
+  }
+
   test("checkpoint recovery: a restarted windowed aggregation neither loses nor duplicates") {
     // exactly-once across restart: run the file-stream agg with a real
     // checkpointLocation, stop it, add MORE input files, restart from
