@@ -93,7 +93,11 @@ object Similarity {
     * distances — and therefore the argmin — are bit-identical; cells are
     * inlined sorted by cell_id, so `cellOf`'s first-minimum tie-break
     * lands on the lowest cell_id exactly like the window's
-    * (cd2, cell_id) ordering. */
+    * (cd2, cell_id) ordering.
+    *
+    * EAGER in `coarse` (collects the cells at call time) and requires a
+    * non-empty cell table: an empty quantizer is a configuration error
+    * that should fail loudly here, not propagate an empty assignment. */
   private[graft] def assignCells(e: DataFrame, coarse: DataFrame): DataFrame = {
     val cells = coarse.select(col("cell_id").cast("long"), col("cvec").cast("array<double>"))
       .collect()

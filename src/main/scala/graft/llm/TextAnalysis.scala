@@ -209,7 +209,12 @@ object TextAnalysis {
     * grid is the contract). Ties break to the lexicographically smaller
     * term. One explode + two hash aggregates + a vocabulary-sized join;
     * the per-doc window sorts k·docs rows, never the corpus. `n` is the
-    * corpus document count (driver-side K-row boundary: one count). */
+    * corpus document count (driver-side K-row boundary: one count).
+    *
+    * The returned frame is persisted + materialized (so the internal tf
+    * cache can be released before returning); callers holding it
+    * long-term may `unpersist()` it themselves — same contract as the
+    * Dedup pair operators. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()
@@ -243,6 +248,12 @@ object TextAnalysis {
     * codegen'd regexp, no shuffle. */
   def maskTerms(docs: DataFrame, terms: Seq[String], mask: String): DataFrame = {
     require(terms.nonEmpty, "maskTerms: empty term list")
+    // terms are LITERAL WORDS, not patterns: word characters only, so no
+    // regex metacharacter can change meaning (Java's \Q..\E quoting is
+    // not portable to the oracle's RE2, and '.'/'+'/'(' in a term would
+    // silently alter the match or desync the engines)
+    terms.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
+      s"maskTerms: term '$t' must be word characters only"))
     val pattern = "\\b(" + terms.mkString("|") + ")\\b"
     docs.select(
       col("doc_id"),

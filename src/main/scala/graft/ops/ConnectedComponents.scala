@@ -69,11 +69,11 @@ object ConnectedComponents {
     * small enough to never spill, big enough to amortize task launch. */
   private val RowsPerPartition = 65536L
 
-  /** Default cutover to driver-side union-find: 4M edges collect to
-    * ~64 MB of longs — comfortably inside any driver, microseconds to
-    * solve, and far above every dedup graph the contract corpora
-    * produce. */
-  val DefaultLocalEdgeThreshold: Long = 4L << 20
+  /** Default cutover to driver-side union-find: 1M edges collect (via
+    * the primitive tuple encoder) to ~60 MB of boxed pairs — inside any
+    * realistic driver, milliseconds to solve, and far above every dedup
+    * graph the contract corpora produce. */
+  val DefaultLocalEdgeThreshold: Long = 1L << 20
 
   /** Components of the undirected graph given by `edges` (columns
     * (`srcCol`, `dstCol`), any orientation, duplicates fine; ids are
@@ -121,9 +121,8 @@ object ConnectedComponents {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    e2.collect().foreach { row =>
-      val a = row.getLong(0)
-      val b = row.getLong(1)
+    import spark.implicits._
+    e2.as[(Long, Long)].collect().foreach { case (a, b) =>
       if (!parent.contains(a)) parent(a) = a
       if (!parent.contains(b)) parent(b) = b
       val ra = find(a)
@@ -132,14 +131,17 @@ object ConnectedComponents {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
-    import spark.implicits._
     parent.keys.toSeq.sorted.map(n => (n, find(n))).toDF("node", "component")
   }
 
   private def distributedComponents(spark: org.apache.spark.sql.SparkSession,
                                     e2: DataFrame, maxRounds: Int): DataFrame = {
-    val sym = e2
-      .union(e2.select(col("b").as("a"), col("a").as("b")))
+    // the loop runs on a CLONED session (shared context + cached blocks,
+    // own conf): sizing spark.sql.shuffle.partitions on the caller's
+    // session would resize any query another thread plans concurrently
+    val s2 = spark.newSession()
+    val sym = s2.createDataFrame(e2.rdd, e2.schema)
+      .union(s2.createDataFrame(e2.select(col("b").as("a"), col("a").as("b")).rdd, e2.schema))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materializes sym AND sizes the loop's shuffles to the graph
@@ -147,10 +149,7 @@ object ConnectedComponents {
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
       (edgeCount + RowsPerPartition - 1) / RowsPerPartition)).toInt
-
-    val confKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(confKey)
-    spark.conf.set(confKey, loopParts.toString)
+    s2.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
       var labels = sym.select(col("a").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
@@ -193,10 +192,7 @@ object ConnectedComponents {
           s"connected components did not converge after $maxRounds rounds " +
             s"($changed labels still changing) — partial labels would be wrong")
       labels.select(col("node"), col("label").as("component"))
-    } finally {
-      spark.conf.set(confKey, prevParts)
-      sym.unpersist(false)
-    }
+    } finally sym.unpersist(false)
   }
 
   /** Dedup policy over near-dup pairs: every document in a duplicate

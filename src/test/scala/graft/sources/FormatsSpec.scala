@@ -40,10 +40,20 @@ class FormatsSpec extends SparkSpec {
     // PartitionFilter, and no data-filter on lang should remain
     plan should include("PartitionFilters: [isnotnull(lang")
     // the pruned read returns exactly the partition's rows
-    q.count() shouldBe src.filter(col("lang") === "en").count()
-    // partition files for other langs are not even listed by the scan
-    val scanned = q.queryExecution.executedPlan.collectLeaves().head.toString()
-    (scanned should not).include("lang=de")
+    val langs = src.select(col("lang")).distinct().count()
+    langs should be > 1L // the fixture really has multiple partitions
+    q.collect().length shouldBe src.filter(col("lang") === "en").count()
+    // pruning proof by SCAN METRIC, not plan text: the executed scan must
+    // have read fewer files than an unpruned full read touches
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    }
+    val full = spark.read.parquet(dir)
+    val prunedFiles = filesRead(spark.read.parquet(dir).filter(col("lang") === "en"))
+    val allFiles = filesRead(full)
+    prunedFiles should be < allFiles
   }
 
   test("CSV round-trip survives embedded newlines, quotes, and delimiters") {
