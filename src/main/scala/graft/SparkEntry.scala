@@ -529,6 +529,14 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // native session_window aggregation (streaming-capable sessionize twin)
+    "q_session_window" -> ((s, dir) => {
+      val ev = eventsNanos(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      graft.streaming.EventStream.sessionWindowStats(ev)
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // ordered funnel: users reaching view -> click -> purchase in order
     "q_funnel" -> ((s, dir) => {
       val ev = eventsNanos(s, dir)
@@ -833,6 +841,18 @@ object SparkEntry {
         s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_redactions " +
         "FROM documents ORDER BY doc_id"
     },
+
+    // lag/running-sum formulation of the SAME session boundaries —
+    // session_window merges an exact-gap event (end-inclusive), i.e.
+    // the identical > rule as events_sessionize
+    "q_session_window" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events), " +
+        "l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev FROM ev), " +
+        "s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000 " +
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY tus " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM l) " +
+        "SELECT user_id, min(tus) AS start_us, max(tus) AS end_us, count(*) AS n_events " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"),
 
     "q_funnel" ->
       ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +

@@ -52,6 +52,32 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), min("tus").as("start_us"), max("tus").as("end_us"))
   }
 
+  /** Native session-window aggregation — the streaming-capable twin of
+    * `sessionize`: `session_window(ts, gap)` merges events of a user
+    * into sessions whose gaps are < `gapSeconds`, works identically on
+    * batch and streaming frames (add a watermark upstream for bounded
+    * streaming state), and at scale is ONE gap-merging aggregate instead
+    * of the window-function lag/running-sum pair.
+    *
+    * Boundary semantics: an event exactly `gap` after its predecessor
+    * MERGES into the session (session windows close at last+gap
+    * INCLUSIVE — verified against Spark 4.1, and pinned by spec) — the
+    * same `> gap`-starts-new-session rule as `sessionize`, and the
+    * oracle mirrors it.
+    * Input needs (user_id, tus epoch-micros).
+    * Output: (user_id, start_us, end_us, n_events), end = last event. */
+  def sessionWindowStats(events: DataFrame, gapSeconds: Long = 1800,
+                         watermark: Option[String] = None): DataFrame = {
+    val withTs = events.withColumn("ts", expr("timestamp_micros(tus)"))
+    // streaming session windows need the watermark ON THIS ts column
+    // (a watermark on a column dropped upstream does not carry over)
+    val src = watermark.fold(withTs)(w => withTs.withWatermark("ts", w))
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"), min("tus").as("start_us"), max("tus").as("end_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
+
   /** Stream-stream interval join: attribute each click to the view(s) of
     * the same user within the preceding `horizonSec` seconds. Both sides
     * carry watermarks, and the join condition bounds the event-time gap

@@ -153,6 +153,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowStats: exact-gap event MERGES (end-inclusive), one tick past splits") {
+    val gapUs = 1800L * 1000 * 1000
+    val m = 60L * 1000 * 1000
+    val ev = Seq(
+      (1L, 0L), (1L, m),          // one session: 60s apart
+      (1L, m + gapUs),            // EXACTLY gap after: merges (end-inclusive)
+      (1L, m + 2 * gapUs + 1L),   // one microsecond PAST the gap: new session
+      (2L, 5L)
+    ).toDF("user_id", "tus")
+    val out = EventStream.sessionWindowStats(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    out.toSeq shouldBe Seq(
+      (1L, 0L, m + gapUs, 3L),
+      (1L, m + 2 * gapUs + 1L, m + 2 * gapUs + 1L, 1L),
+      (2L, 5L, 5L, 1L))
+  }
+
+  test("sessionWindowStats over a memory STREAM equals the batch result") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val rows = Seq((1L, 1000L), (1L, 2000L), (2L, 5000L), (1L, 7_000_000_000L))
+    val q = EventStream.sessionWindowStats(
+      mem.toDF.toDF("user_id", "tus"), watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("swin").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM swin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = EventStream.sessionWindowStats(rows.toDF("user_id", "tus"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      streamed shouldBe batch
+      streamed should not be empty
+    } finally q.stop()
+  }
+
   test("funnel: ordered stages — out-of-order or missing stages stop the user") {
     val ev = Seq(
       // u1 completes the funnel in order
