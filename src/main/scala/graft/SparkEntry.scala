@@ -37,6 +37,12 @@ object SparkEntry {
   /** doc_id % IncrementalMod == 0 plays the "new batch"; the rest is the
     * already-ingested corpus. */
   private val IncrementalMod = 5
+  /** Decontamination: docs with doc_id % DecontamMod == 0 play the
+    * "benchmark/eval set"; overlap key is a word DecontamN-gram. */
+  private val DecontamN = 8
+  private val DecontamMod = 50
+  /** Stratified sample size per language. */
+  private val StratPerGroup = 20
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -576,6 +582,25 @@ object SparkEntry {
             (c, i) => c * i.cast("long")), lit(0L), (a, x) => a + x).as("checksum"))
         .orderBy(col("vec_id"))),
 
+    // benchmark decontamination: drop docs sharing a word 8-gram with
+    // the "eval set" (docs with doc_id % 50 == 0)
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, d.filter(col("doc_id") % DecontamMod === 0), DecontamN)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style intra-document repetition quality signals
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // deterministic per-language stratified sample (content-hash keyed)
+    "q_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir), StratPerGroup)
+        .orderBy(col("lang"), col("doc_id"))),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -881,6 +906,12 @@ object SparkEntry {
     "dedup_simhash" -> TextSql.simhashPairsSql(maxHamming = 1),
 
     "q_winnow" -> TextSql.winnowSql(k = 3, w = 4),
+
+    "q_decontaminate" -> TextSql.decontaminateSql(DecontamN, DecontamMod),
+
+    "q_repetition" -> TextSql.repetitionSql,
+
+    "q_stratified_sample" -> TextSql.stratifiedSampleSql(StratPerGroup),
 
     "q_quantize" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

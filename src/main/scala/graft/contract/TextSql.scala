@@ -208,6 +208,52 @@ object TextSql {
     "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS digest " +
       "FROM documents ORDER BY doc_id"
 
+  /** Mirror of Dedup.decontaminate with benchmark = documents whose
+    * doc_id % `benchMod` = 0: drop every document sharing a word
+    * `n`-gram STRING with any benchmark document (string match on both
+    * sides — no hash in the key, so no collision-dependence). */
+  def decontaminateSql(n: Int, benchMod: Int): String = {
+    val gram = (0 until n).map(o => s"toks[(i+$o)::INT]").mkString(" || ' ' || ")
+    s"WITH t AS ($toksCte), " +
+      s"g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= $n THEN " +
+      s"list_distinct(list_transform(range(1, len(toks)-${n - 1}+1), i -> $gram)) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS s FROM t), " +
+      s"bench AS (SELECT DISTINCT s FROM g WHERE doc_id % $benchMod = 0), " +
+      "bad AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (s)) " +
+      "SELECT d.doc_id, d.lang FROM documents d " +
+      "WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id) " +
+      "ORDER BY d.doc_id"
+  }
+
+  /** Mirror of TextAnalysis.repetition: word/bigram occurrence counts,
+    * duplicate and top-word fractions rounded to 4 decimals. */
+  val repetitionSql: String =
+    s"WITH t AS ($toksCte), " +
+      "w AS (SELECT doc_id, unnest(toks) AS w FROM t), " +
+      "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2), " +
+      "ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "count(*) AS n_distinct, max(c) AS top_cnt FROM wc GROUP BY 1), " +
+      "b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN " +
+      "list_transform(range(1, len(toks)), i -> toks[i::INT] || ' ' || toks[(i+1)::INT]) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t), " +
+      "bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2), " +
+      "bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi, " +
+      "count(*) AS n_bi_distinct FROM bc GROUP BY 1) " +
+      "SELECT ws.doc_id, n_tokens, " +
+      "round(1.0 - n_distinct/n_tokens, 4) AS dup_word_frac, " +
+      "round(top_cnt/n_tokens, 4) AS top_word_frac, " +
+      "coalesce(round(1.0 - n_bi_distinct/n_bi, 4), 0.0) AS dup_bigram_frac " +
+      "FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id"
+
+  /** Mirror of TextAnalysis.stratifiedSample: per-language top-k by
+    * (content polyhash, doc_id). */
+  def stratifiedSampleSql(perGroup: Int): String =
+    "WITH f AS (SELECT lang, doc_id, " +
+      s"(CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END) AS h FROM documents), " +
+      "r AS (SELECT lang, doc_id, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM f) " +
+      s"SELECT lang, doc_id, rn FROM r WHERE rn <= $perGroup ORDER BY lang, doc_id"
+
   // ---------- similarity search ----------
 
   private val cosSql =

@@ -62,6 +62,46 @@ object Dedup {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
         col("n_batch_copies"))
 
+  /** Distinct word `n`-grams of `text` (generalizes the bigram
+    * `shingles`; same <n-token guard). */
+  def ngramShingles(text: Column, n: Int): Column = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination — drop every corpus document that shares
+    * at least one word `n`-gram with any `benchmark` document (the
+    * eval-set-overlap removal step a training pipeline runs so test
+    * questions never leak into training data; n = 8..13 in published
+    * pipelines). Documents with fewer than `n` tokens emit no n-grams
+    * and are always kept.
+    *
+    * Shape: the benchmark side (eval sets are tiny next to the corpus)
+    * collapses to its distinct n-gram set and BROADCASTS; the corpus
+    * explodes once, left-semi probes the broadcast to find contaminated
+    * ids, and one anti join keyed by doc_id removes them — never an
+    * all-pairs comparison, and the corpus is scanned once per phase.
+    * Matching is on the n-gram STRING (exact semantics; the repo's
+    * contract polyhash is mod ~1e6, so hash-keyed matching would
+    * false-positive heavily at corpus scale — a production run at 100 TB
+    * would pre-hash both sides with a real 64-bit hash like xxhash64 to
+    * shrink the broadcast, which DuckDB can't mirror). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(ngramShingles(col("text"), n)).as("s"))
+      .distinct()
+    val contaminated = spread(corpus)
+      .select(col("doc_id"), explode(ngramShingles(col("text"), n)).as("s"))
+      .join(broadcast(benchGrams), Seq("s"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   // ---------- n-gram Jaccard (inverted-index join) ----------
 
   /** Exploded (doc_id, shingle) rows — the shared inverted-index layout. */

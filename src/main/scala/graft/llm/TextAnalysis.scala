@@ -202,6 +202,70 @@ object TextAnalysis {
     docs.filter(fingerprint(col("text")) % buckets < pct)
   }
 
+  /** Intra-document repetition metrics (the Gopher-paper quality
+    * signals: Rae et al. 2021 §A1.1): per document, the fraction of
+    * word occurrences that are repeats, the fraction claimed by the
+    * single most frequent word, and the fraction of bigram occurrences
+    * that are repeats. High values flag boilerplate/spam that
+    * whole-document dedup never catches (the repetition is INSIDE one
+    * document).
+    *
+    * Shape: one repartitioned scan feeding two explode+double-aggregate
+    * branches (words, bigrams) that reuse the same exchange; every
+    * aggregate partial-aggregates map-side, and the final join is K=doc
+    * keyed. Fractions are rounded to 4 decimals (cross-engine contract:
+    * long/long division then one subtraction, identical order both
+    * sides). Documents with <2 tokens have no bigrams -> dup_bigram_frac
+    * is 0 by contract.
+    * Output: (doc_id, n_tokens, dup_word_frac, top_word_frac,
+    * dup_bigram_frac). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val base = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val toks = tokens(col("text"))
+    // non-distinct bigram occurrences (shingles() would distinct them)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val words = base
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_cnt"))
+    val bi = base
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum("c").as("n_bi"), count(lit(1)).as("n_bi_distinct"))
+    words.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4).as("dup_word_frac"),
+        round(col("top_cnt") / col("n_tokens"), 4).as("top_word_frac"),
+        coalesce(round(lit(1.0) - col("n_bi_distinct") / col("n_bi"), 4), lit(0.0))
+          .as("dup_bigram_frac"))
+  }
+
+  /** Deterministic stratified sample: the `perGroup` documents of each
+    * language with the smallest (content fingerprint, doc_id) key — a
+    * fixed-size per-stratum sample that is reproducible across runs and
+    * engines (no RNG) and, being content-keyed, stable under corpus
+    * reordering. The rank filter compiles to WindowGroupLimit, so each
+    * map task keeps only its local top-`perGroup` per language BEFORE
+    * the shuffle — the window sort never sees the corpus, which is what
+    * makes per-stratum sampling viable at 100 TB.
+    * Output: (lang, doc_id, rn), rn = 1..perGroup within the stratum. */
+  def stratifiedSample(docs: DataFrame, perGroup: Int): DataFrame = {
+    require(perGroup >= 1, s"need perGroup >= 1, got $perGroup")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(fingerprint(col("text")).asc, col("doc_id").asc)
+    docs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perGroup)
+      .select(col("lang"), col("doc_id"), col("rn"))
+  }
+
   /** TF-IDF top-`k` terms per document: tf = term occurrences in the
     * doc, df = documents containing the term, score = tf · ln(N/df),
     * rounded to 4 decimals BEFORE ranking so both engines order the

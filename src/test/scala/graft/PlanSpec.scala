@@ -172,4 +172,23 @@ class PlanSpec extends SparkSpec {
     // scan reads only the three referenced columns
     plan("q_sample") should include("ReadSchema: struct<doc_id:bigint,text:string,lang:string>")
   }
+
+  test("q_stratified_sample: per-group limit runs map-side (WindowGroupLimit), one scan") {
+    val p = plan("q_stratified_sample", "simple")
+    p should include("WindowGroupLimit")
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
+  test("q_decontaminate: benchmark side broadcasts; both joins stay broadcast") {
+    val p = plan("q_decontaminate", "simple")
+    // semi probe of the benchmark n-gram set and the final anti join must
+    // both be broadcast hash joins — a shuffled join here means the
+    // corpus-wide exchange the operator exists to avoid
+    p should include("BroadcastHashJoin [s")
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+  }
 }

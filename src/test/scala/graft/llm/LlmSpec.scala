@@ -191,6 +191,52 @@ class LlmSpec extends SparkSpec {
 
   // ---------- dedup ----------
 
+  test("repetition: duplicate-word / top-word / duplicate-bigram fractions") {
+    val out = TextAnalysis.repetition(docsDF(
+      1L -> "a a a b",   // 4 tokens, 2 distinct, top=3; bigrams: "a a","a a","a b"
+      2L -> "x y z",     // no repeats at all
+      3L -> "solo"))     // 1 token: no bigrams -> dup_bigram_frac = 0
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    out(1L) shouldBe ((4L, 0.5, 0.75, 0.3333))   // 1-2/4, 3/4, round(1-2/3,4)
+    out(2L) shouldBe ((3L, 0.0, 0.3333, 0.0))
+    out(3L) shouldBe ((1L, 0.0, 1.0, 0.0))
+  }
+
+  test("decontaminate: drops exact and n-gram-overlapping docs, keeps clean and short ones") {
+    val corpus = Seq(
+      (1L, "q w e r t", "en"),          // exact copy of the benchmark doc
+      (2L, "z q w e r t z", "en"),      // contains benchmark 3-gram "q w e"
+      (3L, "a b c d e", "en"),          // clean
+      (4L, "q w", "en")                 // < n tokens: never contaminated
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, "q w e r t", "en")).toDF("doc_id", "text", "lang")
+    val kept = Dedup.decontaminate(corpus, bench, n = 3)
+      .select("doc_id").as[Long].collect().sorted
+    kept.toSeq shouldBe Seq(3L, 4L)
+  }
+
+  test("stratifiedSample: exact per-group size, deterministic, hash-prefix members") {
+    val docs = (0L until 30L).map(i =>
+      (i, s"doc number $i content", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.stratifiedSample(docs, perGroup = 5)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).view.mapValues(_.length).toMap shouldBe Map("en" -> 5, "de" -> 5)
+    rows.foreach { case (_, _, rn) => rn should be <= 5L }
+    // deterministic: a second run returns the identical set
+    val again = TextAnalysis.stratifiedSample(docs, perGroup = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.toSet shouldBe again.toSet
+    // members are the 5 smallest (fingerprint, doc_id) keys per lang
+    val expected = docs
+      .select(col("lang"), col("doc_id"), TextAnalysis.fingerprint(col("text")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).iterator.flatMap { case (lang, g) =>
+        g.sortBy(t => (t._3, t._2)).take(5).map(t => (lang, t._2)) }.toSet
+    rows.map(t => (t._1, t._2)).toSet shouldBe expected
+  }
+
   test("shingles: word bigrams, distinct, empty for short docs") {
     val sh = docsDF(1L -> "a b c b c", 2L -> "solo")
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
