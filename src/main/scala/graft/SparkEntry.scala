@@ -43,6 +43,8 @@ object SparkEntry {
   private val DecontamMod = 50
   /** Stratified sample size per language. */
   private val StratPerGroup = 20
+  /** Quality-weighted sampling hash-bucket count. */
+  private val QualityBuckets = 1000
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -522,6 +524,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental NEAR-dup: new batch LSH-banded against the corpus
+    // (batch bands broadcast; corpus never self-joins)
+    "q_incr_minhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalMinhash(
+        d.filter(col("doc_id") % IncrementalMod === 0),
+        d.filter(col("doc_id") % IncrementalMod =!= 0), JacThreshold)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
+    // quality-weighted (importance) sampling: keep probability = quality,
+    // content-hash coin; integer aggregates per lang verify the survivors
+    "q_quality_sample" -> ((s, dir) =>
+      TextAnalysis.qualityWeightedSample(docs(s, dir), QualityBuckets)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("sum_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy(col("lang"))),
+
     // end-to-end near-dup dedup APPLIED: minhash pairs -> components ->
     // drop non-keepers -> surviving corpus counted per language
     "q_dedup_apply" -> ((s, dir) => {
@@ -691,6 +713,10 @@ object SparkEntry {
     "dedup_exact" -> TextSql.dedupExactSql,
     "dedup_jaccard" -> TextSql.dedupJaccardSql(JacThreshold),
     "dedup_minhash" -> TextSql.dedupMinhashSql(JacThreshold),
+
+    "q_incr_minhash" -> TextSql.incrementalMinhashSql(JacThreshold, IncrementalMod),
+
+    "q_quality_sample" -> TextSql.qualityWeightedSampleSql(QualityBuckets),
     "simhash" -> TextSql.simhashSql,
     "ann_topk" -> TextSql.annTopKSql(AnnQueryIds, 10),
     "ann_ivf" -> TextSql.annIvfSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),

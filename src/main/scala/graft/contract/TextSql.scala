@@ -116,6 +116,51 @@ object TextSql {
       s"WHERE i/(na.n + nb.n - i) >= $threshold ORDER BY da, db"
   }
 
+  /** Mirror of Dedup.incrementalMinhash with batch = documents whose
+    * doc_id % `batchMod` = 0 and corpus = the rest: the same band
+    * layout on both sides, candidates only from batch-band x
+    * corpus-band bucket collisions, exact string-shingle verification. */
+  def incrementalMinhashSql(threshold: Double, batchMod: Int): String = {
+    val sigEntries = Dedup.HashAB.map { case (a, b) =>
+      s"list_min(list_transform(hv, h -> ($a*h + $b) % ${TextAnalysis.FpMod}))"
+    }.mkString("[", ", ", "]")
+    val bandVals = (0 until Dedup.Bands).map(b => s"($b)").mkString(", ")
+    val keyExpr = (0 until Dedup.RowsPerBand).map { r =>
+      s"CAST(sig[(band*${Dedup.RowsPerBand} + ${r + 1})::INT] AS VARCHAR)"
+    }.mkString(" || ',' || ")
+    s"WITH $shingleCtes, " +
+      s"hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${polyHashSql("s")}) AS hv " +
+      "FROM d WHERE len(sh) > 0), " +
+      s"sig AS (SELECT doc_id, $sigEntries AS sig FROM hs), " +
+      s"bands AS (SELECT doc_id, band, $keyExpr AS key FROM sig, (VALUES $bandVals) bn(band)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.key = b.key " +
+      s"AND a.doc_id % $batchMod = 0 AND b.doc_id % $batchMod <> 0), " +
+      "iv AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+      "FROM ex a JOIN ex b ON a.s = b.s " +
+      "JOIN cand c ON c.da = a.doc_id AND c.db = b.doc_id GROUP BY 1, 2) " +
+      "SELECT da AS batch_id, db AS corpus_id, i/(na.n + nb.n - i) AS jaccard " +
+      "FROM iv JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id " +
+      s"WHERE i/(na.n + nb.n - i) >= $threshold ORDER BY batch_id, corpus_id"
+  }
+
+  /** Mirror of TextAnalysis.qualityWeightedSample + per-lang integer
+    * aggregates (the quality arithmetic is textStatsSql's, verbatim). */
+  def qualityWeightedSampleSql(buckets: Int): String = {
+    val stop = strList(TextAnalysis.Stopwords)
+    "WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents), " +
+      "s AS (SELECT doc_id, lang, len(toks) AS n_tokens, " +
+      "list_sum(list_transform(toks, t -> len(t))) AS sum_len, " +
+      s"len(list_filter(toks, t -> list_contains($stop, t))) AS stop_hits, " +
+      s"(CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END) AS h FROM t), " +
+      "q AS (SELECT *, least(1.0, n_tokens/100.0)*0.5 + stop_hits/n_tokens*0.3 + " +
+      "least(1.0, (sum_len/n_tokens)/8.0)*0.2 AS quality FROM s) " +
+      "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
+      "min(doc_id) AS min_id, max(doc_id) AS max_id " +
+      s"FROM q WHERE (h % $buckets) < quality * $buckets " +
+      "GROUP BY lang ORDER BY lang"
+  }
+
   val simhashSql: String = {
     val terms = (0 until 20).map { bit =>
       s"CASE WHEN 2*len(list_filter(hv, h -> (h >> $bit) & 1 = 1)) >= len(hv) " +

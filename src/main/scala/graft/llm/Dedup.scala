@@ -233,18 +233,25 @@ object Dedup {
     ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
-  /** Candidate pairs from band-bucket collisions, verified with the true
-    * Jaccard over the shingle sets; returns (da, db, jaccard) with
-    * jaccard >= threshold. */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** (doc_id, band, key) LSH band-bucket rows of a corpus — the shared
+    * layout of the self-join (`minhashPairs`) and batch-vs-corpus
+    * (`incrementalMinhash`) candidate generators. */
+  private def bandTable(docs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until RowsPerBand).map(r =>
           col(s"m${b * RowsPerBand + r}")): _*).as("key"))
     }
-    val bands = signatures(docs)
+    signatures(docs)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs from band-bucket collisions, verified with the true
+    * Jaccard over the shingle sets; returns (da, db, jaccard) with
+    * jaccard >= threshold. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val bands = bandTable(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -253,6 +260,34 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     verifyJaccard(docs, cand, threshold, release = Seq(bands))
+  }
+
+  /** Incremental near-dup detection: pairs (batch_id, corpus_id,
+    * jaccard >= threshold) between a NEW snapshot and the existing
+    * corpus — the near-dup twin of `incremental` (which is exact-only).
+    * A pipeline appending a crawl snapshot runs this to drop batch docs
+    * that near-duplicate something already ingested, without ever
+    * re-pairing the corpus against itself.
+    *
+    * Shape: both sides band with the same LSH layout; the BATCH band
+    * table (small next to the corpus) broadcasts, so the corpus is
+    * scanned once and probed in place — no corpus self-join, no corpus
+    * shuffle, cost tracks the batch size. Candidates are then exactly
+    * verified on the string shingle sets (same `verifyJaccard` boundary
+    * as the other pair operators, so hash collisions never reach the
+    * output). doc_ids must be unique ACROSS both frames. */
+  def incrementalMinhash(newDocs: DataFrame, corpus: DataFrame,
+                         threshold: Double): DataFrame = {
+    val batchBands = bandTable(newDocs)
+    val cand = bandTable(corpus).as("c")
+      .join(broadcast(batchBands).as("b"),
+        col("c.band") === col("b.band") && col("c.key") === col("b.key"))
+      .select(col("b.doc_id").as("da"), col("c.doc_id").as("db"))
+      .distinct()
+    val both = newDocs.select(col("doc_id"), col("text"))
+      .unionByName(corpus.select(col("doc_id"), col("text")))
+    verifyJaccard(both, cand, threshold, release = Nil)
+      .select(col("da").as("batch_id"), col("db").as("corpus_id"), col("jaccard"))
   }
 
   // ---------- SimHash ----------

@@ -202,6 +202,35 @@ object TextAnalysis {
     docs.filter(fingerprint(col("text")) % buckets < pct)
   }
 
+  /** The contract quality score of a token array — the same expression
+    * `stats` and `pipelineFilter` compute (identical operation order, so
+    * all three agree bitwise and the SQL mirror stays single-sourced). */
+  def qualityScore(toks: Column): Column = {
+    val nTok = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+    val stopRatio = hitCount(toks, Stopwords) / nTok
+    least(lit(1.0), nTok / 100.0) * 0.5 + stopRatio * 0.3 +
+      least(lit(1.0), (sumLen / nTok) / 8.0) * 0.2
+  }
+
+  /** Quality-weighted deterministic sampling: keep each document with
+    * probability equal to its quality score — high-quality documents
+    * survive more often, junk is downsampled but not zeroed (the
+    * importance-resampling step quality-curated training sets use,
+    * rather than a hard threshold cut). The coin flip is the content
+    * hash: keep iff fingerprint(text) % buckets < quality * buckets —
+    * reproducible across runs and engines, duplicate-affine, no RNG
+    * state, one scan, no shuffle; each row decides locally from its own
+    * bytes (the `deterministicSample` scale argument, with a per-row
+    * acceptance rate). */
+  def qualityWeightedSample(docs: DataFrame, buckets: Int = 1000): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val q = qualityScore(tokens(col("text")))
+    docs.withColumn("quality", q)
+      .filter((fingerprint(col("text")) % buckets).cast("double") <
+        col("quality") * buckets)
+  }
+
   /** Intra-document repetition metrics (the Gopher-paper quality
     * signals: Rae et al. 2021 §A1.1): per document, the fraction of
     * word occurrences that are repeats, the fraction claimed by the

@@ -180,6 +180,18 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
   }
 
+  test("q_incr_minhash: batch band table broadcasts — corpus side never shuffles for the probe") {
+    val p = plan("q_incr_minhash", "simple")
+    p should include("BroadcastHashJoin [band")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_quality_sample: single-scan filter + aggregate, no join") {
+    val p = plan("q_quality_sample", "simple")
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
   test("q_decontaminate: benchmark side broadcasts; both joins stay broadcast") {
     val p = plan("q_decontaminate", "simple")
     // semi probe of the benchmark n-gram set and the final anti join must

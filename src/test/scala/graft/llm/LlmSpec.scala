@@ -268,6 +268,37 @@ class LlmSpec extends SparkSpec {
     viaJaccard should not be empty // planted near-dups exist
   }
 
+  test("incrementalMinhash equals the cross-membership slice of minhashPairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incr = Dedup.incrementalMinhash(batch, corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same band layout, same verification: the incremental result must be
+    // exactly the full self-join's pairs that straddle the batch boundary
+    val cross = Dedup.minhashPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (a, b) else (b, a) }.toSet
+    incr shouldBe cross
+    incr should not be empty // planted near-dups straddle the split
+  }
+
+  test("qualityWeightedSample: kept set is exactly the hash-below-quality predicate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = TextAnalysis.qualityWeightedSample(docs, buckets = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = TextAnalysis.stats(docs)
+      .join(TextAnalysis.fingerprints(docs), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("quality"), r.getAs[Long]("fp")))
+      .filter { case (_, q, fp) => (fp % 1000).toDouble < q * 1000 }
+      .map(_._1).toSet
+    kept shouldBe expected
+    // a real sample: strictly between empty and everything
+    kept.size should be > 0
+    kept.size should be < docs.count().toInt
+  }
+
   test("simhash: identical texts get identical signatures; near-dups are close") {
     val out = Dedup.simhash(docsDF(
       1L -> "alpha beta gamma delta epsilon zeta",
