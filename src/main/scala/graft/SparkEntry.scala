@@ -43,6 +43,11 @@ object SparkEntry {
   private val DecontamMod = 50
   /** Stratified sample size per language. */
   private val StratPerGroup = 20
+  /** Frame-sampling stride (every stride-th 8-byte window is a "frame"). */
+  private val FrameStride = 2
+  /** Sequence-packing token budget + shard count. */
+  private val PackBudget = 256L
+  private val PackShards = 8
   /** Quality-weighted sampling hash-bucket count. */
   private val QualityBuckets = 1000
 
@@ -195,6 +200,20 @@ object SparkEntry {
     // multimodal: binary payload metadata (no decode needed)
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // multimodal frame sampling (stub codec): every FrameStride-th 8-byte
+    // window of the binary payload digested — the mapPartitions batching
+    // and (media_id, frame_idx, digest) shape are the real contract; the
+    // integer digest lets DuckDB mirror it bit-for-bit
+    "q_frames" -> ((s, dir) =>
+      Multimodal.frameSampleStub(docs(s, dir), "doc_id", "text", FrameStride)
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    // sequence packing: greedy token-budget bin packing into training
+    // sequences, sharded for parallelism (per-shard sequential fold)
+    "q_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), PackBudget, PackShards)
+        .orderBy(col("doc_id"))),
 
     // ---- general analytics over the star schema ----
 
@@ -358,14 +377,19 @@ object SparkEntry {
     "q_gram" -> ((s, dir) =>
       Similarity.gramMatrix(emb(s, dir)).orderBy(col("i"), col("j"))),
 
-    // HLL sketch distinct count — approximate by design, so NO DuckDB
-    // oracle (the driver records a rows-only check); LlmSpec pins the
-    // approx within 5% of exact on the testdata
+    // HLL sketch distinct count. The sketch value itself has no SQL
+    // mirror, but its error BOUND does: the query emits the exact count
+    // plus a within-5% boolean, and the oracle asserts the boolean is
+    // TRUE — a sketch regression past tolerance flips the flag and the
+    // hash check catches it (LlmSpec additionally pins the 5% bound)
     "q_approx_distinct" -> ((s, dir) =>
       eventsNanos(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
           countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <= lit(0.05) * col("n_exact"))
+            .as("within_tol"))
         .orderBy(col("event_type"))),
 
     // full cube over (nation, order status) — all four grouping sets
@@ -459,14 +483,44 @@ object SparkEntry {
         .orderBy(col("band"))
     }),
 
-    // KLL-sketch approximate quantiles — approximate by design, so NO
-    // DuckDB oracle (rows-only check); LlmSpec pins the rank error
-    "q_approx_quantile" -> ((s, dir) =>
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
-          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("ap90"))
-        .orderBy(col("l_returnflag"))),
+    // KLL-style sketch quantiles. Like q_approx_distinct, the sketch
+    // value has no SQL mirror but the contract does: emit the EXACT
+    // rank-based quantile (value at 1-based rank ceil(p*n) — a raw data
+    // element, so bitwise-stable across engines) plus a boolean pinning
+    // the approx within 2x its guaranteed rank error (accuracy 1000 →
+    // eps = n/1000; slack = max(1, 0.002n) ranks). The oracle recomputes
+    // the exact values and asserts the booleans TRUE.
+    "q_approx_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.Window
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val ranked = li
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("v")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      // value at 1-based rank r = min(v | rn >= r): ties make row_number
+      // order nondeterministic but never change the value at a rank
+      def vAt(rank: Column) = min(when(col("rn") >= rank, col("v")))
+      val slack = greatest(lit(1L), floor(col("n") * lit(0.002)))
+      def bounds(p: Double): (Column, Column, Column) = {
+        val r = ceil(lit(p) * col("n"))
+        (vAt(r), vAt(greatest(lit(1L), r - slack)), vAt(least(col("n"), r + slack)))
+      }
+      val (e50, lo50, hi50) = bounds(0.5)
+      val (e90, lo90, hi90) = bounds(0.9)
+      val exact = ranked.groupBy(col("l_returnflag"))
+        .agg(e50.as("p50_exact"), lo50.as("lo50"), hi50.as("hi50"),
+          e90.as("p90_exact"), lo90.as("lo90"), hi90.as("hi90"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("ap50"),
+          percentile_approx(col("v"), lit(0.9), lit(1000)).as("ap90"))
+      exact.join(approx, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p90_exact"),
+          (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("p50_ok"),
+          (col("ap90") >= col("lo90") && col("ap90") <= col("hi90")).as("p90_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // JSON-lines sink + source round-trip: write documents as JSON, read
     // back with explicit schema, aggregate — proves string/int fidelity
@@ -569,7 +623,7 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) => {
       val ev = eventsNanos(s, dir)
         .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
-      graft.streaming.EventStream.funnel(ev, Seq("view", "click", "purchase"))
+      graft.analytics.Analytics.funnel(ev, Seq("view", "click", "purchase"))
         .orderBy(col("stage"))
     }),
 
@@ -577,7 +631,7 @@ object SparkEntry {
     "q_retention" -> ((s, dir) => {
       val ev = eventsNanos(s, dir)
         .select(col("user_id"), expr("ts div 1000").as("tus"))
-      graft.streaming.EventStream.retention(ev)
+      graft.analytics.Analytics.retention(ev)
         .orderBy(col("cohort_hour"), col("offset_hours"))
     }),
 
@@ -721,6 +775,8 @@ object SparkEntry {
     "ann_topk" -> TextSql.annTopKSql(AnnQueryIds, 10),
     "ann_ivf" -> TextSql.annIvfSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),
     "multimodal_meta" -> TextSql.multimodalMetaSql,
+    "q_frames" -> TextSql.frameSampleSql(FrameStride),
+    "q_pack" -> TextSql.packSequencesSql(PackBudget, PackShards),
 
     "q_join_agg" ->
       ("SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue " +
@@ -768,8 +824,24 @@ object SparkEntry {
         "SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS g " +
         "FROM a JOIN a b ON a.vec_id = b.vec_id GROUP BY a.i, b.i ORDER BY i, j"),
 
-    // q_approx_distinct: intentionally ABSENT — HLL sketches are
-    // approximate, so there is no exact SQL mirror (rows-only check)
+    // Sketch queries: the oracle mirrors the DETERMINISTIC half of the
+    // output (exact counts / rank-based quantiles) and asserts the
+    // within-tolerance booleans are TRUE — the sketch value itself never
+    // crosses engines, but a sketch drifting past its bound flips a
+    // boolean and fails the hash match.
+    "q_approx_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_tol " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_approx_quantile" ->
+      ("WITH r AS (SELECT l_returnflag, l_extendedprice AS v, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn, " +
+        "count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem) " +
+        "SELECT l_returnflag, " +
+        "min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) AS p50_exact, " +
+        "min(CASE WHEN rn >= ceil(0.9 * n) THEN v END) AS p90_exact, " +
+        "TRUE AS p50_ok, TRUE AS p90_ok " +
+        "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "q_cube" ->
       ("SELECT n_name, o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue " +

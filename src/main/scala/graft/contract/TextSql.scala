@@ -253,6 +253,42 @@ object TextSql {
     "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS digest " +
       "FROM documents ORDER BY doc_id"
 
+  /** Mirror of TextAnalysis.packSequences: the greedy per-shard fold as
+    * a recursive CTE walking each shard's docs in doc_id order, carrying
+    * (pack_id, acc) — pure integer arithmetic, so packs match the Spark
+    * fold exactly. */
+  def packSequencesSql(budget: Long, shards: Int): String =
+    s"WITH RECURSIVE t AS (SELECT doc_id, doc_id % $shards AS shard, " +
+      s"len(string_split(text, ' ')) AS n_tokens FROM documents), " +
+      "o AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t), " +
+      "p AS (" +
+      "SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc " +
+      "FROM o WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT o.shard, o.rn, o.doc_id, o.n_tokens, " +
+      s"CASE WHEN p.acc + o.n_tokens > $budget THEN p.pack_id + 1 ELSE p.pack_id END, " +
+      s"CASE WHEN p.acc + o.n_tokens > $budget THEN o.n_tokens ELSE p.acc + o.n_tokens END " +
+      "FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1) " +
+      "SELECT doc_id, CAST(shard AS BIGINT) AS shard, pack_id, CAST(n_tokens AS BIGINT) AS n_tokens " +
+      "FROM p ORDER BY doc_id"
+
+  /** Mirror of Multimodal.frameSampleStub over the documents payload:
+    * every `stride`-th 8-byte window digested with the byte-level
+    * rolling (acc*31 + byte) % FpMod fold, unrolled to 8 nested mods.
+    * Byte access is via character substr/ascii, which equals byte access
+    * because the corpus is pure ASCII (verified: octet_length = length
+    * on every SF) — a non-ASCII corpus would need a BLOB byte accessor. */
+  def frameSampleSql(stride: Int): String = {
+    val win = 8 * stride
+    val digest = (0 until 8).foldLeft("0") { (acc, k) =>
+      s"(($acc)*31 + ascii(substr(text, CAST(f*$win+$k+1 AS BIGINT), 1))) % ${TextAnalysis.FpMod}"
+    }
+    s"WITH fr AS (SELECT doc_id, text, " +
+      s"unnest(range(0, CAST(length(text) // $win AS BIGINT))) AS f FROM documents) " +
+      s"SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx, " +
+      s"CAST($digest AS BIGINT) AS frame_digest FROM fr ORDER BY media_id, frame_idx"
+  }
+
   /** Mirror of Dedup.decontaminate with benchmark = documents whose
     * doc_id % `benchMod` = 0: drop every document sharing a word
     * `n`-gram STRING with any benchmark document (string match on both

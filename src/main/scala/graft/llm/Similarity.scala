@@ -97,19 +97,50 @@ object Similarity {
     *
     * EAGER in `coarse` (collects the cells at call time) and requires a
     * non-empty cell table: an empty quantizer is a configuration error
-    * that should fail loudly here, not propagate an empty assignment. */
+    * that should fail loudly here, not propagate an empty assignment.
+    *
+    * K cap: the inlined-literal projection generates K distance kernels
+    * per row — past a few hundred cells the generated method outgrows
+    * the JVM's 64KB limit and Spark silently falls back to interpreted
+    * eval, and the literal plan tree itself gets expensive to analyze.
+    * Above `MaxInlineCells` the assignment switches to a broadcast join
+    * + one min(struct) aggregation: same distances, same (cd2, cell_id)
+    * tie-break, at the cost of ONE corpus-wide exchange (map-side
+    * partials shrink it to a row per vector) — the right trade once K is
+    * large enough that the projection would run interpreted anyway. */
+  private[graft] val MaxInlineCells = 256
+
   private[graft] def assignCells(e: DataFrame, coarse: DataFrame): DataFrame = {
     val cells = coarse.select(col("cell_id").cast("long"), col("cvec").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(cells.nonEmpty, "assignCells: empty coarse cell table")
-    val ids = array(cells.map { case (id, _) => lit(id) }: _*)
-    val idx = VectorKMeans.cellOf(col("vec"), cells.map(_._2).toSeq)
-    e.select(col("vec_id"), col("vec"),
-      element_at(ids, idx + 1).as("cell_id"))
+    if (cells.length <= MaxInlineCells) {
+      val ids = array(cells.map { case (id, _) => lit(id) }: _*)
+      val idx = VectorKMeans.cellOf(col("vec"), cells.map(_._2).toSeq)
+      e.select(col("vec_id"), col("vec"),
+        element_at(ids, idx + 1).as("cell_id"))
+    } else assignCellsJoin(e, coarse)
   }
 
+  /** Large-K assignment: broadcast the cell table, score each (vec,
+    * cell) pair with the SAME codegen'd L2² kernel, argmin via
+    * min(struct(cd2, cell_id, vec)) — struct ordering compares cd2 then
+    * cell_id, so ties break to the lowest cell id exactly like the
+    * inline path (AssignCellsSpec pins equality of the two paths). */
+  private[graft] def assignCellsJoin(e: DataFrame, coarse: DataFrame): DataFrame =
+    e.join(broadcast(coarse.select(col("cell_id").cast("long").as("cell_id"),
+        col("cvec").cast("array<double>").as("cvec"))))
+      .select(col("vec_id"), col("vec"), col("cell_id"),
+        distSq(col("vec"), col("cvec")).as("cd2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd2"), col("cell_id"), col("vec"))).as("m"))
+      .select(col("vec_id"), col("m.vec").as("vec"), col("m.cell_id").as("cell_id"))
+
+  /** NOTE: EAGER — composing this pipeline collects the coarse-cell
+    * table (K driver rows) and, because the result is materialized to
+    * release its caches, runs the scoring jobs at call time. */
   def cosineNearDupPairs(emb: DataFrame, coarseIds: Seq[Long], threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
     val coarse = e.filter(col("vec_id").isin(coarseIds: _*))
@@ -228,7 +259,12 @@ object Similarity {
     * score only those candidates. Coarse centroids are corpus vectors
     * selected by id (deterministic; a K-Means fit is the production way
     * to pick them — the engine's own KMeansRunner generalizes here).
-    * Output: (query_id, neighbor_id, sim). */
+    * Output: (query_id, neighbor_id, sim).
+    *
+    * NOTE: EAGER — composing this pipeline collects the coarse-cell
+    * table (K driver rows, the engine's documented driver boundary) so
+    * the assignment can be a shuffle-free literal projection; merely
+    * building the DataFrame therefore triggers a small Spark job. */
   def ivfTopK(emb: DataFrame, coarseIds: Seq[Long], queryIds: Seq[Long],
               nprobe: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
@@ -238,7 +274,8 @@ object Similarity {
   }
 
   /** IVF top-k against an explicit coarse-cell table (cell_id, cvec) —
-    * e.g. centroids fitted by VectorKMeans, the production quantizer. */
+    * e.g. centroids fitted by VectorKMeans, the production quantizer.
+    * EAGER in `coarse` (see `ivfTopK`). */
   def ivfTopKWith(emb: DataFrame, coarse: DataFrame, queryIds: Seq[Long],
                   nprobe: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))

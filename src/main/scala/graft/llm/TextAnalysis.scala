@@ -377,4 +377,49 @@ object TextAnalysis {
         concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("chunk_text"),
         least(size(col("toks")) - col("start"), lit(chunkTokens)).cast("long").as("n_tokens"))
   }
+
+  /** Sequence packing: greedily pack documents into fixed token-budget
+    * training sequences — the step that turns a filtered corpus into
+    * dense context-window-sized examples (padding waste shrinks from
+    * ~whole-sequence to the per-pack remainder). Deterministic contract:
+    * docs shard by `doc_id % shards`; within a shard, docs are taken in
+    * doc_id order; a doc joins the current pack unless that would exceed
+    * `budget` tokens, in which case it OPENS a new pack (so an oversized
+    * doc sits alone in its own pack — splitting it is `chunk`'s job,
+    * upstream). Output: (doc_id, shard, pack_id, n_tokens) with pack_id
+    * 0-based per shard.
+    *
+    * Scale shape: the greedy fold is inherently sequential PER SHARD,
+    * so the shard count is the parallelism knob (set it ~= cluster
+    * cores; each task folds its shards in one linear pass). One narrow
+    * shuffle on shard + an in-partition sort — no windows over the hot
+    * shard, no driver collect; 100 TB packs exactly like 100 MB, just
+    * with more shards. The oracle mirrors the fold with a per-shard
+    * recursive CTE, so the greedy semantics are pinned cross-engine. */
+  def packSequences(docs: DataFrame, budget: Long, shards: Int): DataFrame = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), (col("doc_id") % shards).cast("long").as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // several shards may hash to one partition; the sort makes each
+        // contiguous, so one running (pack, acc) pair per shard suffices
+        var cur = Long.MinValue
+        var pack = 0L
+        var acc = 0L
+        it.map { case (docId, shard, n) =>
+          if (shard != cur) { cur = shard; pack = 0L; acc = n }
+          else if (acc + n > budget) { pack += 1; acc = n }
+          else acc += n
+          (docId, shard, pack, n)
+        }
+      }
+      .toDF("doc_id", "shard", "pack_id", "n_tokens")
+  }
 }

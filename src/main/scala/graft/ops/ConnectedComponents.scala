@@ -192,7 +192,14 @@ object ConnectedComponents {
           s"connected components did not converge after $maxRounds rounds " +
             s"($changed labels still changing) — partial labels would be wrong")
       labels.select(col("node"), col("label").as("component"))
-    } finally sym.unpersist(false)
+    } finally {
+      sym.unpersist(false)
+      // restore the clone's shuffle width: the returned labels frame is
+      // bound to s2, and Spark plans at ACTION time — without the reset a
+      // caller's downstream write/join on the result would run at the
+      // loop's tiny partition count
+      s2.conf.set("spark.sql.shuffle.partitions", sessionParts.toString)
+    }
   }
 
   /** Dedup policy over near-dup pairs: every document in a duplicate

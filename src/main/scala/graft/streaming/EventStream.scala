@@ -38,7 +38,15 @@ object EventStream {
     * (user_id, event_id, tus) with tus = event time in epoch micros;
     * output one row per session: (user_id, session_id, n_events,
     * start_us, end_us). Window functions partition by user, so state is
-    * per-user and shuffles once. */
+    * per-user and shuffles once.
+    *
+    * SKEW at scale: a hot key (bot account) lands its ENTIRE history in
+    * one task here — the lag/running-sum window cannot be split. The
+    * 100 TB path for skewed corpora is `sessionWindowStats`: the native
+    * session_window is an AGGREGATE, so map-side partial merging trims
+    * hot keys before the shuffle and AQE can split what remains; this
+    * window formulation stays the contract query (its running session
+    * ids are SQL-mirrorable) at gate scale. */
   def sessionize(events: DataFrame, gapMicros: Long = 1800L * 1000 * 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
@@ -118,56 +126,54 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Ordered funnel analysis: how many users reach each stage of
-    * `stages` IN ORDER (stage i+1 counts only if it happens strictly
-    * after the user's first stage-i event). One hash aggregate computes
-    * every user's first time per stage (map-side partial min), a second
-    * tiny aggregate folds the stage predicates — no joins, no windows,
-    * no per-stage passes; cost is one scan + one user-keyed shuffle at
-    * any scale. Input needs (user_id, event_type, tus). Output: one row
-    * per stage prefix: (stage, event_type, n_users). */
-  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+  case class StageEvent(user_id: Long, event_type: String, tus: Long)
+  case class StageTimes(times: Seq[Long])
+  case class UserStage(user_id: Long, stage: Int)
+
+  /** STREAMING funnel twin of `graft.analytics.Analytics.funnel`:
+    * maintains each user's first-seen time per stage as explicit state
+    * (flatMapGroupsWithState) and emits (user_id, stage) whenever the
+    * user's furthest IN-ORDER stage prefix advances — `stage` is the
+    * 0-based index of the furthest stage reached with strictly
+    * increasing first-times, or -1 while the user hasn't hit stage 0.
+    * Out-of-order arrival is handled by keeping per-stage MINIMUM times
+    * in state, so once the stream drains the final update per user
+    * matches the batch funnel exactly (spec-pinned); per-stage counts
+    * are a downstream aggregate over the latest update per user.
+    *
+    * Scale: state is `stages.length` longs per user, sharded by user_id
+    * across the state store — O(users), independent of stream length,
+    * the same bound as any per-user stateful operator. */
+  def funnelStageUpdates(events: Dataset[StageEvent],
+                         stages: Seq[String]): Dataset[UserStage] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val firstCols = stages.map(st =>
-      min(when(col("event_type") === st, col("tus"))).as(s"t_$st"))
-    val firsts = events
-      .groupBy(col("user_id"))
-      .agg(firstCols.head, firstCols.tail: _*)
-    // reached(i): every t_0..t_i non-null and strictly increasing
-    val reached = stages.indices.map { i =>
-      (0 to i).map(j => col(s"t_${stages(j)}").isNotNull)
-        .reduce(_ && _) &&
-        (1 to i).map(j => col(s"t_${stages(j - 1)}") < col(s"t_${stages(j)}"))
-          .reduceOption(_ && _).getOrElse(lit(true))
-    }
-    val agg = firsts.agg(
-      count(when(reached.head, 1)).as("s0"),
-      reached.tail.zipWithIndex.map { case (c, i) => count(when(c, 1)).as(s"s${i + 1}") }: _*)
     val spark = events.sparkSession
     import spark.implicits._
-    val row = agg.collect().head
-    stages.zipWithIndex
-      .map { case (st, i) => (i.toLong, st, row.getLong(i)) }
-      .toDF("stage", "event_type", "n_users")
-  }
-
-  /** Hour-cohort retention: users grouped by their FIRST-seen hour
-    * (cohort), counted by how many distinct later hours they came back
-    * in. The standard growth-analytics matrix, shaped for scale: first
-    * hour and the per-(user, hour) activity grid are two hash
-    * aggregates; the cohort join keys on user_id only. Input needs
-    * (user_id, tus). Output: (cohort_hour, offset_hours, n_users) with
-    * offset 0 = the cohort's own hour. */
-  def retention(events: DataFrame): DataFrame = {
-    val hourUs = 3600L * 1000 * 1000
-    // integer `div`, not double division + cast: bit-identical to the
-    // oracle's `//` with no float quotient anywhere
-    val hours = events.select(col("user_id"), expr(s"tus div $hourUs").as("hour"))
-    val active = hours.distinct()
-    val cohorts = hours.groupBy(col("user_id")).agg(min("hour").as("cohort_hour"))
-    active.join(cohorts, Seq("user_id"))
-      .groupBy(col("cohort_hour"), (col("hour") - col("cohort_hour")).as("offset_hours"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+    val None_ = Long.MaxValue
+    val stageIdx = stages.zipWithIndex.toMap
+    def furthest(t: Seq[Long]): Int = {
+      var i = 0
+      while (i < t.length && t(i) != None_ && (i == 0 || t(i - 1) < t(i))) i += 1
+      i - 1
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[StageEvent], state: GroupState[StageTimes]) =>
+          val times = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(stages.length)(None_))
+          val before = furthest(times.toSeq)
+          it.foreach { e =>
+            stageIdx.get(e.event_type).foreach { i =>
+              if (e.tus < times(i)) times(i) = e.tus
+            }
+          }
+          state.update(StageTimes(times.toSeq))
+          val after = furthest(times.toSeq)
+          if (after != before) Iterator(UserStage(user, after)) else Iterator.empty
+      }
   }
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

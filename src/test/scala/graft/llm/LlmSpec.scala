@@ -336,6 +336,61 @@ class LlmSpec extends SparkSpec {
     ivf shouldBe bf
   }
 
+  test("packSequences: greedy fold invariants + equality with a reference fold") {
+    val budget = 10L
+    val shards = 2
+    val d = docsDF(
+      0L -> "a b c",            // shard 0: 3 tokens
+      2L -> "a b c d e",        // shard 0: 5 -> acc 8
+      4L -> "a b c d",          // shard 0: 4 -> overflow, pack 1
+      6L -> ("x " * 14).trim,   // shard 0: 14 > budget -> alone in pack 2
+      8L -> "a",                // shard 0: pack 3 (oversized pack closed)
+      1L -> "a b",              // shard 1
+      3L -> ("y " * 9).trim)    // shard 1: 9 -> 2+9 > 10 -> pack 1
+    val out = TextAnalysis.packSequences(d, budget, shards)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out shouldBe Map(
+      0L -> (0L, 0L, 3L), 2L -> (0L, 0L, 5L), 4L -> (0L, 1L, 4L),
+      6L -> (0L, 2L, 14L), 8L -> (0L, 3L, 1L),
+      1L -> (1L, 0L, 2L), 3L -> (1L, 1L, 9L))
+    // invariant on the real corpus: every pack fits the budget unless it
+    // is a single oversized doc, and pack ids are contiguous per shard
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packs = TextAnalysis.packSequences(corpus, 256L, 4)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+      .collect()
+    packs.foreach { r =>
+      assert(r.getLong(2) <= 256L || r.getLong(3) == 1L,
+        s"overfull multi-doc pack: $r")
+    }
+    packs.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      ids shouldBe (0L until ids.length).toArray
+    }
+  }
+
+  test("assignCells: inline-literal and broadcast-join paths agree, incl. ties") {
+    // AssignCellsSpec (referenced from Similarity.assignCellsJoin's doc):
+    // the large-K join formulation must produce the identical assignment,
+    // including the ties-to-lowest-cell-id break, since it replaces the
+    // inline path silently above MaxInlineCells
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val coarse = e.filter(col("vec_id").isin(3L, 17L, 29L))
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    val inline = Similarity.assignCells(e, coarse)
+      .select("vec_id", "cell_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = Similarity.assignCellsJoin(e, coarse)
+      .select("vec_id", "cell_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    joined shouldBe inline
+    // tie fixture: equidistant vector must pick the LOWEST cell id on both paths
+    val te = Seq((100L, Seq(0.0, 0.0))).toDF("vec_id", "vec")
+    val tc = Seq((5L, Seq(1.0, 0.0)), (2L, Seq(-1.0, 0.0))).toDF("cell_id", "cvec")
+    Similarity.assignCells(te, tc).select("cell_id").collect().head.getLong(0) shouldBe 2L
+    Similarity.assignCellsJoin(te, tc).select("cell_id").collect().head.getLong(0) shouldBe 2L
+  }
+
   test("cosineNearDupPairs: finds parallel vectors in the same cell, not cross-cell") {
     val e = embDF(
       0L -> Seq(1f, 0f, 0f),      // coarse cell A

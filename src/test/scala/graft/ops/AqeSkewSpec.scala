@@ -44,4 +44,30 @@ class AqeSkewSpec extends SparkSpec {
       finalPlan should include("skew=true")
     }
   }
+
+  test("stratifiedSample under a hot stratum: map-side WindowGroupLimit caps the skew") {
+    // one language holds 99.95% of the corpus — the per-lang window
+    // would put all of it in one task IF every row reached the shuffle.
+    // WindowGroupLimit's Partial mode trims each map partition to
+    // perGroup rows per stratum BEFORE the exchange, so the hot task
+    // sorts O(perGroup x mappers), not O(hot-stratum) — that partial
+    // step existing in the executed plan is the skew-safety contract.
+    import spark.implicits._
+    val perGroup = 5
+    val docs = spark.range(20000)
+      .select(col("id").as("doc_id"),
+        concat(lit("text body number "), col("id")).as("text"),
+        when(col("id") < 10, lit("cold")).otherwise(lit("hot")).as("lang"))
+      .repartition(8)
+    val out = graft.llm.TextAnalysis.stratifiedSample(docs, perGroup)
+    val rows = out.collect()
+    rows.length shouldBe 2 * perGroup
+    rows.count(_.getString(0) == "hot") shouldBe perGroup
+    rows.count(_.getString(0) == "cold") shouldBe perGroup
+    val plan = out.queryExecution.executedPlan.toString()
+    val wgl = plan.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    // both the map-side (Partial) trim and the post-shuffle (Final) trim
+    wgl.exists(_.contains("Partial")) shouldBe true
+    wgl.exists(_.contains("Final")) shouldBe true
+  }
 }

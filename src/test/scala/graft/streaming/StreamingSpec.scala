@@ -201,9 +201,43 @@ class StreamingSpec extends SparkSpec {
       // u4 never views: counted nowhere
       (4L, "purchase", 9L)
     ).toDF("user_id", "event_type", "tus")
-    val out = EventStream.funnel(ev, Seq("view", "click", "purchase"))
+    val out = graft.analytics.Analytics.funnel(ev, Seq("view", "click", "purchase"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     out.toSeq shouldBe Seq((0L, "view", 3L), (1L, "click", 2L), (2L, "purchase", 1L))
+  }
+
+  test("funnelStageUpdates: streaming stage counts equal the batch funnel") {
+    implicit val ctx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val rows = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 1L), (3L, "click", 2L), (3L, "error", 3L),
+      (4L, "purchase", 9L))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = EventStream.funnelStageUpdates(
+        mem.toDF.toDF("user_id", "event_type", "tus")
+          .as[EventStream.StageEvent], stages)
+      .writeStream.format("memory").queryName("fun").outputMode("update").start()
+    try {
+      // two triggers; u2's batch contains a click that precedes its view
+      // (stays at stage 0), u4 never views (no update at all)
+      mem.addData(rows.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(5): _*)
+      q.processAllAvailable()
+      // no user regresses in this fixture, so the max stage per user is
+      // its final state (the memory sink does not expose trigger order)
+      val fin = spark.sql(
+        "SELECT user_id, max(stage) AS stage FROM fun GROUP BY user_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batchCounts = graft.analytics.Analytics.funnel(
+          rows.toDF("user_id", "event_type", "tus"), stages)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val streamCounts = stages.indices
+        .map(i => i.toLong -> fin.values.count(_ >= i).toLong).toMap
+      streamCounts shouldBe batchCounts
+    } finally q.stop()
   }
 
   test("retention: cohort = first-seen hour, offsets count comeback hours once") {
@@ -214,7 +248,7 @@ class StreamingSpec extends SparkSpec {
       // u2 first in hour 1 only
       (2L, h + 1L)
     ).toDF("user_id", "tus")
-    val out = EventStream.retention(ev)
+    val out = graft.analytics.Analytics.retention(ev)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
     out.toSeq shouldBe Seq((0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L))
   }
