@@ -48,6 +48,8 @@ object SparkEntry {
   /** Sequence-packing token budget + shard count. */
   private val PackBudget = 256L
   private val PackShards = 8
+  /** Resize target for the decode contract query. */
+  private val DecodeMaxDim = 64
   /** Quality-weighted sampling hash-bucket count. */
   private val QualityBuckets = 1000
 
@@ -214,6 +216,22 @@ object SparkEntry {
     "q_pack" -> ((s, dir) =>
       TextAnalysis.packSequences(docs(s, dir), PackBudget, PackShards)
         .orderBy(col("doc_id"))),
+
+    // multimodal decode + resize (stub codec): header dims, parity
+    // format, digest features, aspect-preserving resize — every value
+    // integer-derived (one double division / one rounding each), so the
+    // oracle matches bitwise
+    "q_decode" -> ((s, dir) => {
+      val dec = Multimodal.decodeStub(docs(s, dir), "doc_id", "text")
+      Multimodal.resizeMeta(dec, DecodeMaxDim)
+        .select(col("media_id"), col("width"), col("height"), col("format"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 2).as("f1"),
+          element_at(col("features"), 3).as("f2"),
+          element_at(col("features"), 4).as("f3"),
+          col("out_width"), col("out_height"))
+        .orderBy(col("media_id"))
+    }),
 
     // ---- general analytics over the star schema ----
 
@@ -777,6 +795,7 @@ object SparkEntry {
     "multimodal_meta" -> TextSql.multimodalMetaSql,
     "q_frames" -> TextSql.frameSampleSql(FrameStride),
     "q_pack" -> TextSql.packSequencesSql(PackBudget, PackShards),
+    "q_decode" -> TextSql.decodeSql(DecodeMaxDim),
 
     "q_join_agg" ->
       ("SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue " +

@@ -272,6 +272,32 @@ object TextSql {
       "SELECT doc_id, CAST(shard AS BIGINT) AS shard, pack_id, CAST(n_tokens AS BIGINT) AS n_tokens " +
       "FROM p ORDER BY doc_id"
 
+  /** Mirror of Multimodal.decodeStub + resizeMeta over the documents
+    * payload: header-byte dims, parity format, stride-4 rolling-digest
+    * features (exact-integer fold, then ONE double division — bitwise
+    * stable), and the aspect-preserving resize (no 0.5-boundary rounding
+    * cases exist: dims are 16+8k <= 136, and c*64/long = x.5 would need
+    * long >= 1024). Bytes via substr/ascii — valid on the ASCII corpus
+    * (same caveat as frameSampleSql). */
+  def decodeSql(maxDim: Int): String = {
+    val feats = (0 until 4).map { j =>
+      s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(${j + 1}, length(text)+1, 4), " +
+        s"i -> ord(substr(text, CAST(i AS BIGINT), 1)))), " +
+        s"(acc, c) -> (acc*31 + c) % ${TextAnalysis.FpMod}) AS DOUBLE) " +
+        s"/ ${TextAnalysis.FpMod}.0 AS f$j"
+    }.mkString(", ")
+    "WITH d AS (SELECT doc_id AS media_id, " +
+      "16 + (ord(substr(text,1,1)) % 16) * 8 AS width, " +
+      "16 + (ord(substr(text,2,1)) % 16) * 8 AS height, " +
+      "CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format, " +
+      s"$feats FROM documents) " +
+      "SELECT media_id, width, height, format, f0, f1, f2, f3, " +
+      s"CAST(round(width * ($maxDim.0 / greatest(width, height))) AS INTEGER) AS out_width, " +
+      s"CAST(round(height * ($maxDim.0 / greatest(width, height))) AS INTEGER) AS out_height " +
+      "FROM d ORDER BY media_id"
+  }
+
   /** Mirror of Multimodal.frameSampleStub over the documents payload:
     * every `stride`-th 8-byte window digested with the byte-level
     * rolling (acc*31 + byte) % FpMod fold, unrolled to 8 nested mods.
