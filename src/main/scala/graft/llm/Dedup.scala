@@ -130,27 +130,45 @@ object Dedup {
     out
   }
 
+  /** Above this many candidate pairs the verification joins fall back to
+    * the shuffle formulation (the per-pair shingle-set table no longer
+    * fits a broadcast). Banded candidate sets are small BY DESIGN (band
+    * collisions only), so the broadcast branch is the expected regime. */
+  private val BroadcastVerifyLimit = 1L << 20
+
   private def verifyJaccard(docs: DataFrame, candidates: DataFrame, threshold: Double,
                             release: Seq[DataFrame]): DataFrame = {
-    // persist: the candidate set is tiny but referenced three times (the
-    // id-union twice + the final join) — without it the ENTIRE upstream
-    // candidate-generation chain re-executes per reference
+    // the candidate generation (band/index self-join) is the expensive
+    // subtree and is referenced three times downstream — persist it,
+    // force it with the ONE heavy job of this operator, and release the
+    // upstream caches immediately (they are no longer needed)
     val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persist: referenced twice (sa/sb) — without it the semi-join +
-    // shingle computation would run once per side
-    val candIds = cand.select(col("da").as("doc_id"))
-      .union(cand.select(col("db").as("doc_id"))).distinct()
-    val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val nCand = cand.count()
+    release.foreach(_.unpersist(false))
+    val candIds = cand.select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
+    // shingle sets ONLY for docs appearing in a pair (semi-join pushdown):
+    // verification cost tracks the candidate count, not the corpus. The
+    // persist bounds the corpus scan to one pass — `sets` is referenced
+    // by both join sides below.
+    val candIdsSized =
+      if (nCand <= BroadcastVerifyLimit) broadcast(candIds) else candIds
+    val sets = docs.join(candIdsSized, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(pairCol: String, setAlias: String) = {
+      val s = sets.select(col("doc_id").as(pairCol), col("sh").as(setAlias))
+      if (nCand <= BroadcastVerifyLimit) broadcast(s) else s
+    }
     val i = size(array_intersect(col("sa"), col("sb")))
     val result = cand
-      .join(sets.select(col("doc_id").as("da"), col("sh").as("sa")), Seq("da"))
-      .join(sets.select(col("doc_id").as("db"), col("sh").as("sb")), Seq("db"))
+      .join(side("da", "sa"), Seq("da"))
+      .join(side("db", "sb"), Seq("db"))
       .select(col("da"), col("db"),
         (i / (size(col("sa")) + size(col("sb")) - i)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    materialized(result, release ++ Seq(cand, sets))
+    // cheap second job: everything reads the cand/sets caches (broadcast
+    // builds in the small regime), then both caches go
+    materialized(result, Seq(cand, sets))
   }
 
   /** Near-duplicate pairs (da < db) with word-bigram Jaccard >= threshold.
@@ -338,13 +356,15 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < SimhashChunks,
       s"banding is only lossless for 0 <= maxHamming < $SimhashChunks, got $maxHamming")
     val mask = (1 << SimhashChunkBits) - 1
-    val sigs = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkStructs = (0 until SimhashChunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * SimhashChunkBits).bitwiseAND(lit(mask)).as("key"))
     }
-    // persist: both self-join sides re-derive from the banded table
-    val bands = sigs
+    // persist: both self-join sides re-derive from the banded table (the
+    // signature aggregation upstream has a single reference here, so it
+    // rides this one cache — persisting it separately would just add a
+    // second full-width cache build)
+    val bands = simhash(docs)
       .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.chunk").as("chunk"), col("b.key").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -358,6 +378,6 @@ object Dedup {
     val result = cand
       .select(col("da"), col("db"), expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    materialized(result, Seq(sigs, bands))
+    materialized(result, Seq(bands))
   }
 }
