@@ -52,6 +52,13 @@ object SparkEntry {
   private val DecodeMaxDim = 64
   /** Quality-weighted sampling hash-bucket count. */
   private val QualityBuckets = 1000
+  /** Round-5 constants: training-shard count of the deterministic
+    * shuffle, JL projection output dim, PQ codebook (corpus vector ids;
+    * code = position in this list) and subspace count. */
+  private val ShuffleShards = 8
+  private val RpDim = 8
+  private val PqCodebookIds = Seq(11L, 57L, 201L, 401L)
+  private val PqSubspaces = 4
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -706,7 +713,32 @@ object SparkEntry {
         .rollup(col("n_name"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
         .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
-    })
+    }),
+
+    // ---- round 5: normalization, corpus report, training order, RP, PQ ----
+
+    // pre-dedup text normalization: digest + sizes per document
+    "q_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // duplication-rate report: histogram of exact-duplicate group sizes
+    "q_dup_stats" -> ((s, dir) =>
+      Dedup.dupStats(docs(s, dir)).orderBy(col("group_size"))),
+
+    // deterministic training-order shuffle: MINSTD key + shard, no RNG
+    "q_shuffle" -> ((s, dir) =>
+      TextAnalysis.shuffleOrder(docs(s, dir), ShuffleShards)
+        .orderBy(col("doc_id"))),
+
+    // Johnson–Lindenstrauss ±1 random projection to 8 dims
+    "q_rp" -> ((s, dir) =>
+      Similarity.randomProject(emb(s, dir), RpDim)
+        .orderBy(col("vec_id"), col("j"))),
+
+    // product quantization: 4 subspaces, codebook = corpus vectors by id
+    "q_pq" -> ((s, dir) =>
+      Similarity.pqEncode(emb(s, dir), PqCodebookIds, PqSubspaces)
+        .orderBy(col("vec_id"), col("s")))
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -1067,6 +1099,13 @@ object SparkEntry {
         "sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs), " +
         "reach AS (SELECT a, b FROM sym " +
         "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a) " +
-        "SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a ORDER BY doc_id")
+        "SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a ORDER BY doc_id"),
+
+    // ---- round 5 ----
+    "q_normalize" -> TextSql.normalizeSql,
+    "q_dup_stats" -> TextSql.dupStatsSql,
+    "q_shuffle" -> TextSql.shuffleOrderSql(ShuffleShards),
+    "q_rp" -> TextSql.rpProjectSql(RpDim),
+    "q_pq" -> TextSql.pqEncodeSql(PqCodebookIds, PqSubspaces)
   )
 }

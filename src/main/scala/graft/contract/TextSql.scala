@@ -405,6 +405,70 @@ object TextSql {
       "SELECT user_id, session_id, count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us " +
       "FROM s GROUP BY 1, 2 ORDER BY 1, 2"
 
+  /** Mirror of TextAnalysis.normalize: lower → collapse non-alnum runs
+    * to one space → trim; digest + sizes. The character class is shared
+    * Java-regex/RE2 semantics; DuckDB needs the explicit 'g' flag for
+    * Spark's replace-all default. */
+  val normalizeSql: String =
+    "WITH n AS (SELECT doc_id, " +
+      "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t FROM documents) " +
+      "SELECT doc_id, md5(t) AS norm_md5, CAST(length(t) AS BIGINT) AS n_norm_chars, " +
+      "CAST(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_norm_tokens " +
+      "FROM n ORDER BY doc_id"
+
+  /** Mirror of Dedup.dupStats: histogram of exact-duplicate group sizes. */
+  val dupStatsSql: String =
+    "SELECT group_size, count(*) AS n_groups, group_size * count(*) AS n_docs " +
+      "FROM (SELECT CAST(count(*) AS BIGINT) AS group_size FROM documents GROUP BY text) " +
+      "GROUP BY group_size ORDER BY group_size"
+
+  /** Mirror of TextAnalysis.shuffleOrder: MINSTD key + shard, pure
+    * BIGINT arithmetic (the fold keeps the multiply < 2^63). */
+  def shuffleOrderSql(shards: Int): String = {
+    val key = s"((doc_id % ${TextAnalysis.ShuffleFold}) * ${TextAnalysis.ShuffleMult}) " +
+      s"% ${TextAnalysis.ShuffleMod}"
+    s"SELECT doc_id, $key AS skey, CAST(($key) % $shards AS BIGINT) AS shard " +
+      "FROM documents ORDER BY doc_id"
+  }
+
+  /** Mirror of Similarity.randomProject: the ±1 sign matrix is re-derived
+    * from the same quadratic-mix formula (i, j 0-based in the formula,
+    * 1-based in the output); products are exact (±float), so only the
+    * summation order differs — round(4) absorbs it (gram-matrix margin). */
+  def rpProjectSql(outDim: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "a AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS i, unnest(v) AS x FROM e), " +
+      s"js AS (SELECT CAST(range AS BIGINT) + 1 AS j FROM range($outDim)), " +
+      "h AS (SELECT ii.i, js.j, ((ii.i-1)*7919 + (js.j-1)*104729 + 12345) % 10007 AS h1 " +
+      "FROM (SELECT DISTINCT i FROM a) ii CROSS JOIN js), " +
+      "sgn AS (SELECT i, j, CASE WHEN ((h1*h1 + h1) % 10007) % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END AS sg FROM h) " +
+      "SELECT a.vec_id, g.j, " +
+      s"round(sum(a.x * g.sg) / sqrt(CAST($outDim AS DOUBLE)), 4) AS y " +
+      "FROM a JOIN sgn g ON a.i = g.i GROUP BY a.vec_id, g.j ORDER BY vec_id, j"
+
+  /** Mirror of Similarity.pqEncode: codebook rows come from the
+    * embeddings table by id with code = POSITION in `codebookIds` (the
+    * same numbering as the inlined-literal argmin); dsub is derived from
+    * the data (len(v)/m), so a dim change cannot silently truncate. Ties
+    * break to the lowest code on both sides. */
+  def pqEncodeSql(codebookIds: Seq[Long], m: Int): String = {
+    val cbValues = codebookIds.zipWithIndex
+      .map { case (id, c) => s"($c, $id)" }.mkString(", ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"cbm (code, cbid) AS (VALUES $cbValues), " +
+      "cb AS (SELECT CAST(code AS BIGINT) AS code, v AS cv FROM cbm JOIN e ON e.vec_id = cbm.cbid), " +
+      s"ss AS (SELECT CAST(range AS BIGINT) AS s FROM range($m)), " +
+      s"sub AS (SELECT vec_id, s, list_slice(v, s*(len(v)//$m)+1, (s+1)*(len(v)//$m)) AS sv " +
+      "FROM e CROSS JOIN ss), " +
+      s"csub AS (SELECT code, s, list_slice(cv, s*(len(cv)//$m)+1, (s+1)*(len(cv)//$m)) AS cs " +
+      "FROM cb CROSS JOIN ss), " +
+      s"d AS (SELECT vec_id, s, code, ${l2sqSql("sv", "cs")} AS d2 " +
+      "FROM sub JOIN csub USING (s)), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d) " +
+      "SELECT vec_id, s, code, round(d2, 4) AS err FROM r WHERE rn = 1 ORDER BY vec_id, s"
+  }
+
   def annIvfSql(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int, k: Int): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +

@@ -45,6 +45,20 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select(md5(col("text").cast("binary")).as("text_md5"), col("keep_id"), col("n_copies"))
 
+  /** Corpus duplication-rate report: the histogram of exact-duplicate
+    * group sizes — the number a data-curation run reports before/after a
+    * dedup pass ("x% of the corpus is copies, the largest clone family
+    * has n members"). Two hash aggregates: the first (wide, on text) is
+    * the same shuffle `exact` pays; the second runs over one row per
+    * DISTINCT size — a handful of rows at any corpus scale.
+    * Output: (group_size, n_groups, n_docs) with n_docs = size·groups. */
+  def dupStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text")).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"))
+
   /** Incremental (snapshot-append) dedup: rows of `newDocs` whose text
     * does not already exist in `corpus`, deduped within the batch
     * (lowest doc_id kept). The shape a pipeline runs when appending a

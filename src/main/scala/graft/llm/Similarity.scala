@@ -303,4 +303,86 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
+
+  /** Deterministic ±1 sign for projection cell (i, j), 0-based: two
+    * rounds of quadratic mixing mod a prime, parity decides. Pure
+    * integer arithmetic with every intermediate < 10^8 — exact in
+    * BIGINT on any engine (a hash-seeded sign matrix is the standard
+    * JL construction; Achlioptas 2001 shows ±1 entries suffice). The
+    * quadratic term matters: a LINEAR map's parity would make sign
+    * depend only on (i+j) mod 2 — a rank-2 "matrix". */
+  private[graft] def rpSign(i: Int, j: Int): Double = {
+    val h1 = (i.toLong * 7919L + j.toLong * 104729L + 12345L) % 10007L
+    val h2 = (h1 * h1 + h1) % 10007L
+    if (h2 % 2L == 0L) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * y_j = ⟨vec, s_j⟩ / √outDim with s_j the deterministic ±1 columns of
+    * `rpSign` — the dimensionality-reduction step an embedding pipeline
+    * runs before LSH/clustering when d is large. The sign matrix is
+    * TINY (d·outDim) and a pure function of (i, j), so it inlines as
+    * literal arrays into `outDim` codegen'd dot kernels: one scan, no
+    * shuffle, no matrix to broadcast or store — at 100 TB every
+    * executor re-derives the same matrix from the formula.
+    *
+    * EAGER in the input dim (reads one row to size the literals).
+    * Output: (vec_id, j, y) with j 1-based, y rounded to 4 decimals
+    * (products are exact — ±1 · float — so engines differ only in
+    * summation order, same margin analysis as the gram matrix). */
+  def randomProject(emb: DataFrame, outDim: Int): DataFrame = {
+    require(outDim >= 1, s"need outDim >= 1, got $outDim")
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val d = e.select(size(col("vec"))).head().getInt(0)
+    val scale = math.sqrt(outDim.toDouble)
+    val ys = (0 until outDim).map { j =>
+      val signs = array((0 until d).map(i => lit(rpSign(i, j))): _*)
+      round(dot(col("vec"), signs) / scale, 4)
+    }
+    e.select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("j0", "y")))
+      .select(col("vec_id"), (col("j0") + 1).cast("long").as("j"), col("y"))
+  }
+
+  /** Product quantization (Jégou et al., PAMI 2011): split each vector
+    * into `m` contiguous subspaces and quantize every slice to its
+    * nearest sub-codeword — the compressed-domain representation a
+    * 100 TB ANN index actually stores (d floats → m byte codes; query
+    * scoring becomes m table lookups per candidate). Codewords here are
+    * corpus vectors selected by id (deterministic contract; a per-
+    * subspace VectorKMeans fit is the production way to train them).
+    *
+    * The codebook is m·ncodes tiny arrays — the engine's documented
+    * driver-K-row boundary — collected once and inlined into codegen'd
+    * L2² kernels via `cellOf`, so encoding is a pure projection: one
+    * scan, no join, no shuffle (the IVF assignment argument, per
+    * subspace). Ties break to the lowest code (array_position's first
+    * minimum). Output: (vec_id, s, code, err) with s 0-based subspace,
+    * err = that slice's squared distance to its codeword rounded to 4
+    * decimals. */
+  def pqEncode(emb: DataFrame, codebookIds: Seq[Long], m: Int): DataFrame = {
+    require(m >= 1, s"need m >= 1, got $m")
+    require(codebookIds.nonEmpty, "pqEncode: empty codebook")
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    // EAGER: the codebook rows are K driver rows by construction
+    val cb = e.filter(col("vec_id").isin(codebookIds: _*))
+      .select(col("vec_id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .toMap
+    val cbVecs = codebookIds.map(id => cb.getOrElse(id,
+      sys.error(s"pqEncode: codebook id $id not in corpus")))
+    val d = cbVecs.head.length
+    require(d % m == 0, s"pqEncode: dim $d not divisible by m=$m")
+    val dsub = d / m
+    val perSub = (0 until m).map { s =>
+      val sub = slice(col("vec"), s * dsub + 1, dsub)
+      val cents = cbVecs.map(cv => cv.slice(s * dsub, (s + 1) * dsub))
+      val code = VectorKMeans.cellOf(sub, cents)
+      val errs = array(cents.map(c => VectorKMeans.distSqTo(sub, c)): _*)
+      struct(lit(s.toLong).as("s"), code.cast("long").as("code"),
+        round(element_at(errs, code + 1), 4).as("err"))
+    }
+    e.select(col("vec_id"), explode(array(perSub: _*)).as("p"))
+      .select(col("vec_id"), col("p.s").as("s"), col("p.code").as("code"),
+        col("p.err").as("err"))
+  }
 }

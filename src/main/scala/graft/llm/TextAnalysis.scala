@@ -378,6 +378,54 @@ object TextAnalysis {
         least(size(col("toks")) - col("start"), lit(chunkTokens)).cast("long").as("n_tokens"))
   }
 
+  /** Normalization used before exact/near dedup in real pipelines:
+    * lower-case, collapse every non-alphanumeric run to one space, trim.
+    * Catches the trivial variants (case, punctuation, whitespace) that
+    * byte-exact dedup misses. The character class and replacement have
+    * identical semantics in Java regex and RE2, so the oracle mirrors
+    * exactly. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Per-document normalization digest + size stats — the contract
+    * surface of `normalized` ((doc_id, norm_md5, n_norm_chars,
+    * n_norm_tokens); the digest rather than the text keeps rows narrow).
+    * Pure per-row expressions: one scan, no shuffle, codegen'd. */
+  def normalize(docs: DataFrame): DataFrame = {
+    val n = normalized(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(n.cast("binary")).as("norm_md5"),
+      length(n).cast("long").as("n_norm_chars"),
+      when(n === "", lit(0)).otherwise(size(split(n, " ")))
+        .cast("long").as("n_norm_tokens"))
+  }
+
+  /** Parameters of the deterministic training-order shuffle: doc_id is
+    * first folded mod `ShuffleFold` so the Lehmer multiply stays well
+    * under 2^63 for ANY BIGINT doc_id (no overflow in either engine);
+    * 48271/2147483647 are the MINSTD constants. */
+  val ShuffleFold = 44683L
+  val ShuffleMult = 48271L
+  val ShuffleMod = 2147483647L
+
+  /** Deterministic training-order shuffle: every epoch-shuffling trainer
+    * needs the corpus in a reproducible pseudo-random order, and at
+    * 100 TB that CANNOT be a random() sort — it must be a pure function
+    * of the row so any engine, any run, any partition layout derives the
+    * same order. skey = ((doc_id % fold) · 48271) % 2^31−1 (MINSTD LCG
+    * step); order is (skey, doc_id) — the doc_id tie-break makes the
+    * order total. `shard` = skey % shards is the write-partition key: a
+    * trainer reads shards round-robin and gets an interleaved corpus
+    * without any global sort ever running. One scan, no shuffle, no RNG
+    * state. Output: (doc_id, skey, shard). */
+  def shuffleOrder(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    docs.select(col("doc_id"),
+      (((col("doc_id") % ShuffleFold) * ShuffleMult) % ShuffleMod).as("skey"))
+      .withColumn("shard", (col("skey") % shards).cast("long"))
+  }
+
   /** Sequence packing: greedily pack documents into fixed token-budget
     * training sequences — the step that turns a filtered corpus into
     * dense context-window-sized examples (padding waste shrinks from

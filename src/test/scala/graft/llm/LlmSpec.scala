@@ -501,4 +501,73 @@ class LlmSpec extends SparkSpec {
       .select("features").collect().head.getSeq[Double](0)
     feats should have size 4
   }
+
+  // ---------- round 5: normalize / dup stats / shuffle / RP / PQ ----------
+
+  test("normalize: case, punctuation and whitespace variants collapse to one digest") {
+    val out = TextAnalysis.normalize(docsDF(
+      1L -> "Hello,  World!", 2L -> "hello world", 3L -> "HELLO--WORLD")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.map(_._2).distinct.length shouldBe 1 // one digest for all three
+    out.head._3 shouldBe 11L // "hello world"
+    out.head._4 shouldBe 2L
+  }
+
+  test("normalize: fully-symbolic text normalizes to empty with zero tokens") {
+    val out = TextAnalysis.normalize(docsDF(1L -> "!!! --- ???")).collect().head
+    out.getLong(2) shouldBe 0L
+    out.getLong(3) shouldBe 0L
+  }
+
+  test("dupStats: histogram of group sizes sums back to the corpus") {
+    val d = docsDF(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b", 5L -> "b", 6L -> "c")
+    val out = Dedup.dupStats(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    out shouldBe Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L))
+  }
+
+  test("shuffleOrder: key matches the MINSTD formula, shard bounded") {
+    val d = docsDF(0L -> "x", 1L -> "y", 44683L -> "z", 123456789L -> "w")
+    val out = TextAnalysis.shuffleOrder(d, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def key(id: Long) = ((id % TextAnalysis.ShuffleFold) * TextAnalysis.ShuffleMult) %
+      TextAnalysis.ShuffleMod
+    for (id <- Seq(0L, 1L, 44683L, 123456789L)) {
+      out(id)._1 shouldBe key(id)
+      out(id)._2 shouldBe key(id) % 8
+    }
+    out(0L)._1 shouldBe 0L
+    out(44683L)._1 shouldBe 0L // fold collision by design; doc_id tie-breaks
+  }
+
+  test("randomProject: matches a driver-side left-to-right fold, zero vec maps to zero") {
+    val e = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)), (2L, Array(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(e, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.size shouldBe 4
+    for (j <- 0 until 2) {
+      val dot = (0 until 4).foldLeft(0.0)((acc, i) =>
+        acc + Array(1.0, 2.0, 3.0, 4.0)(i) * Similarity.rpSign(i, j))
+      val exp = BigDecimal(dot / math.sqrt(2.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      out((1L, j + 1L)) shouldBe exp
+      out((2L, j + 1L)) shouldBe 0.0
+    }
+  }
+
+  test("pqEncode: codebook self-encodes at zero error, others to nearest slice, ties low") {
+    val e = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(10f, 10f, 0f, 0f)),
+      (2L, Array(1f, 1f, 9f, 9f)),
+      (3L, Array(5f, 5f, 5f, 5f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(e, Seq(0L, 1L), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2))
+    out.toSeq shouldBe Seq(
+      (0L, 0L, 0L, 0.0), (0L, 1L, 0L, 0.0),   // codeword 0 is itself
+      (1L, 0L, 1L, 0.0), (1L, 1L, 1L, 0.0),   // codeword 1 is itself
+      (2L, 0L, 0L, 2.0), (2L, 1L, 0L, 2.0),   // near codeword 0 in both
+      (3L, 0L, 0L, 50.0), (3L, 1L, 0L, 50.0)) // exact tie -> lowest code
+  }
 }
