@@ -176,6 +176,53 @@ object EventStream {
       }
   }
 
+  case class HourEvent(user_id: Long, hour: Long)
+  case class UserHours(cohort: Long, hours: Seq[Long])
+  case class RetentionDelta(cohort_hour: Long, offset_hours: Long, delta: Int)
+
+  /** Streaming twin of `analytics.Analytics.retention`: per-user cohort
+    * (first-seen hour) and activity-hour state, emitting DELTAS of
+    * retention-matrix cells — downstream `sum(delta)` grouped by
+    * (cohort_hour, offset_hours) reproduces the batch matrix at every
+    * trigger. Late data is handled by RETRACTION: an event earlier than
+    * the user's known cohort rebases every one of their cells (−1 the
+    * old, +1 the rebased) — the batch semantics (cohort = global min)
+    * preserved exactly on an unbounded stream, which a watermark-only
+    * formulation cannot do (dropping the late event would freeze a
+    * wrong cohort).
+    *
+    * State per user is O(distinct active hours); production bounds it
+    * by capping the matrix horizon (drop hours > cohort + H inside the
+    * update — cells past the horizon are never reported anyway).
+    * Update output mode; state shards by user_id like every stateful
+    * per-user operator here. */
+  def retentionCellUpdates(events: Dataset[HourEvent]): Dataset[RetentionDelta] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[HourEvent], state: GroupState[UserHours]) =>
+          val prev = state.getOption
+          val oldHours = prev.map(_.hours.toSet).getOrElse(Set.empty[Long])
+          val newHours = oldHours ++ it.map(_.hour)
+          if (newHours.isEmpty) Iterator.empty
+          else {
+            val cohort = newHours.min
+            state.update(UserHours(cohort, newHours.toSeq))
+            val oldCells = prev match {
+              case Some(p) => oldHours.map(h => (p.cohort, h - p.cohort))
+              case None => Set.empty[(Long, Long)]
+            }
+            val newCells = newHours.map(h => (cohort, h - cohort))
+            (oldCells -- newCells).iterator.map { case (c, o) => RetentionDelta(c, o, -1) } ++
+              (newCells -- oldCells).iterator.map { case (c, o) => RetentionDelta(c, o, 1) }
+          }
+      }
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(user_id: Long, events: Long, total: Double)
 

@@ -303,4 +303,34 @@ class StreamingSpec extends SparkSpec {
       last(2L) shouldBe ((1L, 5.0))
     } finally q.stop()
   }
+
+  test("retentionCellUpdates: summed deltas equal the batch matrix, late event rebases") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[EventStream.HourEvent]
+    val q = EventStream.retentionCellUpdates(mem.toDS())
+      .writeStream.format("memory").queryName("retdelta").outputMode("update").start()
+    try {
+      mem.addData(EventStream.HourEvent(1L, 10L), EventStream.HourEvent(1L, 12L),
+        EventStream.HourEvent(2L, 11L))
+      q.processAllAvailable()
+      // LATE hour 8 for user 1: rebases the cohort 10 -> 8 (retractions)
+      mem.addData(EventStream.HourEvent(1L, 8L), EventStream.HourEvent(2L, 11L),
+        EventStream.HourEvent(3L, 12L))
+      q.processAllAvailable()
+      val summed = spark.sql(
+        "SELECT cohort_hour, offset_hours, sum(delta) AS n FROM retdelta " +
+          "GROUP BY 1, 2 HAVING sum(delta) <> 0").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      summed shouldBe Map((8L, 0L) -> 1L, (8L, 2L) -> 1L, (8L, 4L) -> 1L,
+        (11L, 0L) -> 1L, (12L, 0L) -> 1L)
+      // equals the BATCH operator over the same events
+      val hourUs = 3600L * 1000 * 1000
+      val batch = graft.analytics.Analytics.retention(
+        Seq((1L, 10L), (1L, 12L), (2L, 11L), (1L, 8L), (2L, 11L), (3L, 12L))
+          .toDF("user_id", "hour")
+          .selectExpr("user_id", s"hour * ${hourUs} AS tus"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      summed shouldBe batch
+    } finally q.stop()
+  }
 }
