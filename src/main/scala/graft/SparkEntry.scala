@@ -59,6 +59,7 @@ object SparkEntry {
   private val RpDim = 8
   private val PqCodebookIds = Seq(11L, 57L, 201L, 401L)
   private val PqSubspaces = 4
+  private val PqSearchK = 5
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -738,7 +739,16 @@ object SparkEntry {
     // product quantization: 4 subspaces, codebook = corpus vectors by id
     "q_pq" -> ((s, dir) =>
       Similarity.pqEncode(emb(s, dir), PqCodebookIds, PqSubspaces)
-        .orderBy(col("vec_id"), col("s")))
+        .orderBy(col("vec_id"), col("s"))),
+
+    // PQ asymmetric-distance top-5: codes-only scan + per-query tables
+    "q_pq_search" -> ((s, dir) =>
+      Similarity.pqSearch(emb(s, dir), PqCodebookIds, PqSubspaces, AnnQueryIds, PqSearchK)
+        .orderBy(col("query_id"), col("rn"))),
+
+    // unigram-LM quality score: avg token log-prob under the corpus
+    "q_unigram_lp" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir)).orderBy(col("doc_id")))
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -1106,6 +1116,8 @@ object SparkEntry {
     "q_dup_stats" -> TextSql.dupStatsSql,
     "q_shuffle" -> TextSql.shuffleOrderSql(ShuffleShards),
     "q_rp" -> TextSql.rpProjectSql(RpDim),
-    "q_pq" -> TextSql.pqEncodeSql(PqCodebookIds, PqSubspaces)
+    "q_pq" -> TextSql.pqEncodeSql(PqCodebookIds, PqSubspaces),
+    "q_pq_search" -> TextSql.pqSearchSql(PqCodebookIds, PqSubspaces, AnnQueryIds, PqSearchK),
+    "q_unigram_lp" -> TextSql.unigramLogProbSql
   )
 }

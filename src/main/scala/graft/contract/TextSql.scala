@@ -469,6 +469,47 @@ object TextSql {
       "SELECT vec_id, s, code, round(d2, 4) AS err FROM r WHERE rn = 1 ORDER BY vec_id, s"
   }
 
+  /** Mirror of Similarity.pqSearch: PQ codes via the same slice-argmin
+    * as pqEncodeSql, per-query distance tables from the same slices,
+    * ADC distance = sum of the m looked-up cells rounded to 4 BEFORE
+    * ranking (the tfidf rounded-grid argument — both engines rank the
+    * same quantity; ties to the lowest neighbor id). */
+  def pqSearchSql(codebookIds: Seq[Long], m: Int, queryIds: Seq[Long], k: Int): String = {
+    val cbValues = codebookIds.zipWithIndex
+      .map { case (id, c) => s"($c, $id)" }.mkString(", ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"cbm (code, cbid) AS (VALUES $cbValues), " +
+      "cb AS (SELECT CAST(code AS BIGINT) AS code, v AS cv FROM cbm JOIN e ON e.vec_id = cbm.cbid), " +
+      s"ss AS (SELECT CAST(range AS BIGINT) AS s FROM range($m)), " +
+      s"sub AS (SELECT vec_id, s, list_slice(v, s*(len(v)//$m)+1, (s+1)*(len(v)//$m)) AS sv " +
+      "FROM e CROSS JOIN ss), " +
+      s"csub AS (SELECT code, s, list_slice(cv, s*(len(cv)//$m)+1, (s+1)*(len(cv)//$m)) AS cs " +
+      "FROM cb CROSS JOIN ss), " +
+      s"d AS (SELECT vec_id, s, code, ${l2sqSql("sv", "cs")} AS d2 FROM sub JOIN csub USING (s)), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d), " +
+      "codes AS (SELECT vec_id, s, code FROM r WHERE rn = 1), " +
+      s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      s"qsub AS (SELECT query_id, s, list_slice(qv, s*(len(qv)//$m)+1, (s+1)*(len(qv)//$m)) AS qs " +
+      "FROM q CROSS JOIN ss), " +
+      s"dt AS (SELECT query_id, s, code, ${l2sqSql("qs", "cs")} AS qd FROM qsub JOIN csub USING (s)), " +
+      "ad AS (SELECT dt.query_id, c.vec_id AS neighbor_id, round(sum(dt.qd), 4) AS adist " +
+      "FROM codes c JOIN dt ON c.s = dt.s AND c.code = dt.code " +
+      "WHERE c.vec_id <> dt.query_id GROUP BY 1, 2), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn FROM ad) " +
+      s"SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS rn FROM rk WHERE rn <= $k " +
+      "ORDER BY query_id, rn"
+  }
+
+  /** Mirror of TextAnalysis.unigramLogProb: same vocabulary aggregate,
+    * same ln(c/N) per token, per-doc average rounded to 4. */
+  val unigramLogProbSql: String =
+    "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "vc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY w), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "round(sum(ln(CAST(c AS DOUBLE) / total)) / count(*), 4) AS avg_logprob " +
+      "FROM t JOIN vc USING (w) CROSS JOIN n GROUP BY doc_id ORDER BY doc_id"
+
   def annIvfSql(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int, k: Int): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +

@@ -364,12 +364,7 @@ object Similarity {
     require(codebookIds.nonEmpty, "pqEncode: empty codebook")
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
     // EAGER: the codebook rows are K driver rows by construction
-    val cb = e.filter(col("vec_id").isin(codebookIds: _*))
-      .select(col("vec_id"), col("vec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .toMap
-    val cbVecs = codebookIds.map(id => cb.getOrElse(id,
-      sys.error(s"pqEncode: codebook id $id not in corpus")))
+    val cbVecs = pqCodebook(e, codebookIds)
     val d = cbVecs.head.length
     require(d % m == 0, s"pqEncode: dim $d not divisible by m=$m")
     val dsub = d / m
@@ -384,5 +379,73 @@ object Similarity {
     e.select(col("vec_id"), explode(array(perSub: _*)).as("p"))
       .select(col("vec_id"), col("p.s").as("s"), col("p.code").as("code"),
         col("p.err").as("err"))
+  }
+
+  /** The collected codebook slices shared by pqEncode/pqSearch:
+    * cbVecs(code) = full codeword vector, in codebookIds order. */
+  private def pqCodebook(e: DataFrame, codebookIds: Seq[Long]): Seq[Array[Double]] = {
+    val cb = e.filter(col("vec_id").isin(codebookIds: _*))
+      .select(col("vec_id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .toMap
+    codebookIds.map(id => cb.getOrElse(id,
+      sys.error(s"pq codebook id $id not in corpus")))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — the QUERY path of a
+    * product-quantized index: each query precomputes an m×ncodes
+    * distance table (driver-side: m·ncodes tiny L2²s, the K-row
+    * boundary), and every candidate's approximate distance is m TABLE
+    * LOOKUPS on its codes — no candidate vector is ever read, which is
+    * the entire point at 100 TB (the float corpus stays cold; only the
+    * m-byte code table scans). Here codes come from the same inlined
+    * argmin as `pqEncode`; the lookup is `element_at` on literal
+    * per-query arrays, summed left-to-right over subspaces — a pure
+    * codegen'd projection, one scan of the code table, top-k via the
+    * same rounded-grid window as tfidf (adist rounds to 4 decimals
+    * BEFORE ranking so both engines order the same quantity; ties to
+    * the lowest neighbor id).
+    * Output: (query_id, neighbor_id, adist, rn), self excluded. */
+  def pqSearch(emb: DataFrame, codebookIds: Seq[Long], m: Int,
+               queryIds: Seq[Long], k: Int): DataFrame = {
+    require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val cbVecs = pqCodebook(e, codebookIds)
+    val qVecs = pqCodebook(e, queryIds) // same id->vector collect, for queries
+    val d = cbVecs.head.length
+    require(d % m == 0, s"pqSearch: dim $d not divisible by m=$m")
+    val dsub = d / m
+    def sub(a: Array[Double], s: Int) = a.slice(s * dsub, (s + 1) * dsub)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    // per-vector codes once (shared across queries): codes(s) via the
+    // inlined argmin, one array column
+    val codeCols = (0 until m).map { s =>
+      val slc = slice(col("vec"), s * dsub + 1, dsub)
+      VectorKMeans.cellOf(slc, cbVecs.map(cv => sub(cv, s))).cast("long")
+    }
+    val coded = e.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    // ONE corpus scan for all queries: each row explodes to Q (query,
+    // adist) structs, each adist being m literal-table lookups
+    val qStructs = queryIds.zip(qVecs).map { case (qid, qv) =>
+      // distance table: dt(s)(c) = L2^2(q slice s, codeword c slice s)
+      val dt = (0 until m).map(s => cbVecs.indices.map(c =>
+        l2(sub(qv, s), sub(cbVecs(c), s))).toArray)
+      val adist = (0 until m).map(s =>
+        element_at(array(dt(s).map(lit).toSeq: _*),
+          (element_at(col("codes"), s + 1) + 1).cast("int")))
+        .reduce(_ + _) // left-to-right subspace sum
+      struct(lit(qid).as("query_id"), adist.as("adist"))
+    }
+    val scored = coded
+      .select(col("vec_id").as("neighbor_id"), explode(array(qStructs: _*)).as("qa"))
+      .filter(col("neighbor_id") =!= col("qa.query_id"))
+      .select(col("qa.query_id").as("query_id"), col("neighbor_id"),
+        round(col("qa.adist"), 4).as("adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 }

@@ -378,6 +378,42 @@ object TextAnalysis {
         least(size(col("toks")) - col("start"), lit(chunkTokens)).cast("long").as("n_tokens"))
   }
 
+  /** Unigram language-model quality score: each document's average
+    * token log-probability under the CORPUS unigram distribution,
+    * avg_lp = (Σ_t ln(count(t)/N)) / n_tokens — the cheap stand-in for
+    * the "perplexity filter" step of CCNet-style pipelines (real ones
+    * swap the unigram table for a KenLM model; the Spark shape — score
+    * every doc against a corpus-wide statistic — is identical).
+    * Boilerplate made of common words scores high, gibberish and rare-
+    * token noise score very low; filter on a threshold.
+    *
+    * Shape: one explode feeding the vocabulary aggregate, then a
+    * token↔vocab equi-join and a per-doc aggregate — the tfidf cost
+    * profile (the vocab side broadcasts when small, shuffles when not;
+    * both sides partial-aggregate map-side). N is one driver count on
+    * the persisted token table, released before returning. The output
+    * rounds to 4 decimals: ln values agree cross-engine to the last
+    * ulp and the per-doc sum order is the gram-matrix margin argument.
+    * Output: (doc_id, n_tokens, avg_logprob). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = toks.count()
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val out = toks.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(col("c").cast("double") / total.toDouble)).as("lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lp") / col("n_tokens"), 4).as("avg_logprob"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    toks.unpersist(false)
+    out
+  }
+
   /** Normalization used before exact/near dedup in real pipelines:
     * lower-case, collapse every non-alphanumeric run to one space, trim.
     * Catches the trivial variants (case, punctuation, whitespace) that

@@ -570,4 +570,28 @@ class LlmSpec extends SparkSpec {
       (2L, 0L, 0L, 2.0), (2L, 1L, 0L, 2.0),   // near codeword 0 in both
       (3L, 0L, 0L, 50.0), (3L, 1L, 0L, 50.0)) // exact tie -> lowest code
   }
+
+  test("pqSearch: ADC distances are table lookups on codes, ties break to low id") {
+    val e = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(10f, 10f, 0f, 0f)),
+      (2L, Array(1f, 1f, 9f, 9f)),
+      (3L, Array(2f, 2f, 8f, 8f))).toDF("vec_id", "embedding")
+    // codes: v2 and v3 both quantize to codeword 0 in both subspaces, so
+    // their ADC distance to query 0 is 0.0 (codes identical to v0's) and
+    // the tie breaks to the lower neighbor id
+    val out = Similarity.pqSearch(e, Seq(0L, 1L), 2, Seq(0L), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._4)
+    out.toSeq shouldBe Seq(
+      (0L, 2L, 0.0, 1L), (0L, 3L, 0.0, 2L), (0L, 1L, 400.0, 3L))
+  }
+
+  test("unigramLogProb: hand-computed corpus distribution") {
+    // tokens: a=2, b=2, c=1, N=5
+    val out = TextAnalysis.unigramLogProb(docsDF(1L -> "a a b", 2L -> "b c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    out(0) shouldBe ((1L, 3L, -0.9163)) // avg = ln(0.4)
+    out(1) shouldBe ((2L, 2L, -1.2629)) // (ln(0.4) + ln(0.2)) / 2
+  }
 }
