@@ -203,4 +203,25 @@ class PlanSpec extends SparkSpec {
     (p should not).include("SortMergeJoin")
     (p should not).include("CartesianProduct")
   }
+
+  test("q_shuffle: pure projection, scan pruned to doc_id alone") {
+    val p = plan("q_shuffle")
+    (p should not).include("Exchange hashpartitioning")
+    p should include("ReadSchema: struct<doc_id:bigint>")
+  }
+
+  test("q_rp: projection + generate only — the sign matrix never shuffles or broadcasts") {
+    val p = plan("q_rp")
+    (p should not).include("Exchange hashpartitioning")
+    (p should not).include("BroadcastExchange")
+    (p should not).include("Join")
+  }
+
+  test("q_pq_search: codes-only scan; top-k trims map-side before the one exchange") {
+    val p = plan("q_pq_search")
+    p should include("WindowGroupLimit")
+    (p should not).include("Join")
+    // exactly one hash exchange: the per-query top-k window
+    "Exchange hashpartitioning".r.findAllIn(plan("q_pq_search", "simple")).size shouldBe 1
+  }
 }
