@@ -748,7 +748,13 @@ object SparkEntry {
 
     // unigram-LM quality score: avg token log-prob under the corpus
     "q_unigram_lp" -> ((s, dir) =>
-      TextAnalysis.unigramLogProb(docs(s, dir)).orderBy(col("doc_id")))
+      TextAnalysis.unigramLogProb(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // IVF-PQ: coarse cells prune to nprobe=2, PQ codes score the rest
+    "q_ivf_pq" -> ((s, dir) =>
+      Similarity.ivfPqSearch(emb(s, dir), IvfCoarseIds, PqCodebookIds,
+        PqSubspaces, AnnQueryIds, nprobe = 2, k = PqSearchK)
+        .orderBy(col("query_id"), col("rn")))
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -1118,6 +1124,8 @@ object SparkEntry {
     "q_rp" -> TextSql.rpProjectSql(RpDim),
     "q_pq" -> TextSql.pqEncodeSql(PqCodebookIds, PqSubspaces),
     "q_pq_search" -> TextSql.pqSearchSql(PqCodebookIds, PqSubspaces, AnnQueryIds, PqSearchK),
-    "q_unigram_lp" -> TextSql.unigramLogProbSql
+    "q_unigram_lp" -> TextSql.unigramLogProbSql,
+    "q_ivf_pq" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
+      AnnQueryIds, nprobe = 2, k = PqSearchK)
   )
 }

@@ -500,6 +500,47 @@ object TextSql {
       "ORDER BY query_id, rn"
   }
 
+  /** Mirror of Similarity.ivfPqSearch: coarse assignment + probe lists
+    * via the annIvfSql ROW_NUMBER argmin (ties to lowest cell id), PQ
+    * codes + distance tables via the pqSearchSql CTEs, candidates
+    * restricted to probed cells, adist rounded before ranking. */
+  def ivfPqSearchSql(coarseIds: Seq[Long], codebookIds: Seq[Long], m: Int,
+                     queryIds: Seq[Long], nprobe: Int, k: Int): String = {
+    val cbValues = codebookIds.zipWithIndex
+      .map { case (id, c) => s"($c, $id)" }.mkString(", ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"cells AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +
+      "ad0 AS (SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id " +
+      s"ORDER BY ${l2sqSql("v", "cv")}, cell_id) AS rn FROM e CROSS JOIN cells), " +
+      "assigned AS (SELECT vec_id, cell_id FROM ad0 WHERE rn = 1), " +
+      s"cbm (code, cbid) AS (VALUES $cbValues), " +
+      "cb AS (SELECT CAST(code AS BIGINT) AS code, v AS cv FROM cbm JOIN e ON e.vec_id = cbm.cbid), " +
+      s"ss AS (SELECT CAST(range AS BIGINT) AS s FROM range($m)), " +
+      s"sub AS (SELECT vec_id, s, list_slice(v, s*(len(v)//$m)+1, (s+1)*(len(v)//$m)) AS sv " +
+      "FROM e CROSS JOIN ss), " +
+      s"csub AS (SELECT code, s, list_slice(cv, s*(len(cv)//$m)+1, (s+1)*(len(cv)//$m)) AS cs " +
+      "FROM cb CROSS JOIN ss), " +
+      s"cd AS (SELECT vec_id, s, code, ${l2sqSql("sv", "cs")} AS d2 FROM sub JOIN csub USING (s)), " +
+      "cr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM cd), " +
+      "codes AS (SELECT vec_id, s, code FROM cr WHERE rn = 1), " +
+      s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      "pd AS (SELECT query_id, cell_id, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      s"ORDER BY ${l2sqSql("qv", "cv")}, cell_id) AS rn FROM q CROSS JOIN cells), " +
+      s"probes AS (SELECT query_id, cell_id FROM pd WHERE rn <= $nprobe), " +
+      s"qsub AS (SELECT query_id, s, list_slice(qv, s*(len(qv)//$m)+1, (s+1)*(len(qv)//$m)) AS qs " +
+      "FROM q CROSS JOIN ss), " +
+      s"dt AS (SELECT query_id, s, code, ${l2sqSql("qs", "cs")} AS qd FROM qsub JOIN csub USING (s)), " +
+      "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM assigned a " +
+      "JOIN probes p ON a.cell_id = p.cell_id WHERE a.vec_id <> p.query_id), " +
+      "ad AS (SELECT c.query_id, c.neighbor_id, round(sum(dt.qd), 4) AS adist " +
+      "FROM cand c JOIN codes co ON co.vec_id = c.neighbor_id " +
+      "JOIN dt ON dt.query_id = c.query_id AND dt.s = co.s AND dt.code = co.code " +
+      "GROUP BY 1, 2), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn FROM ad) " +
+      s"SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS rn FROM rk WHERE rn <= $k " +
+      "ORDER BY query_id, rn"
+  }
+
   /** Mirror of TextAnalysis.unigramLogProb: same vocabulary aggregate,
     * same ln(c/N) per token, per-doc average rounded to 4. */
   val unigramLogProbSql: String =

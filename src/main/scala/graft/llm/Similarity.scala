@@ -448,4 +448,78 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
+
+  /** IVF-PQ search — the production 100 TB ANN layout (the FAISS
+    * IVFPQ composition): a coarse quantizer prunes the candidate set to
+    * `nprobe` cells per query, and PQ codes score what remains — the
+    * index stores ONE coarse cell id + m code bytes per vector; neither
+    * the scan nor the scoring ever touches the float corpus. Everything
+    * driver-sized is computed driver-side (probe lists, distance
+    * tables: K·Q tiny L2²s) and inlined, so the whole query is a pure
+    * projection over the (cell_id, codes) table followed by the one
+    * top-k exchange: at cluster scale cell_id is the partition key and
+    * a probe reads only nprobe/K of the data.
+    *
+    * Cell assignment/tie-breaks are `assignCells`' (lowest cell id);
+    * codes/adist/rounding are `pqSearch`'s (rounded grid before
+    * ranking, ties to lowest neighbor). Output: (query_id, neighbor_id,
+    * adist, rn). */
+  def ivfPqSearch(emb: DataFrame, coarseIds: Seq[Long], codebookIds: Seq[Long],
+                  m: Int, queryIds: Seq[Long], nprobe: Int, k: Int): DataFrame = {
+    require(m >= 1 && k >= 1 && nprobe >= 1,
+      s"need m, k, nprobe >= 1, got m=$m k=$k nprobe=$nprobe")
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val cellVecs = pqCodebook(e, coarseIds) // coarse centroids, by id
+    val cbVecs = pqCodebook(e, codebookIds) // PQ codewords
+    val qVecs = pqCodebook(e, queryIds)
+    val d = cbVecs.head.length
+    require(d % m == 0, s"ivfPqSearch: dim $d not divisible by m=$m")
+    val dsub = d / m
+    def sub(a: Array[Double], s: Int) = a.slice(s * dsub, (s + 1) * dsub)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    // driver-side probe lists: the nprobe nearest coarse cells per query
+    // (K x Q tiny distances; ties to the lowest cell id like assignCells)
+    val sortedCells = coarseIds.sorted
+    val probes: Map[Long, Seq[Long]] = queryIds.zip(qVecs).map { case (qid, qv) =>
+      qid -> sortedCells.map(cid =>
+          (l2(qv, cellVecs(coarseIds.indexOf(cid))), cid))
+        .sortBy(identity).take(nprobe).map(_._2)
+    }.toMap
+    // index layout: one coarse cell id + m PQ codes per vector
+    val cellCol = {
+      val ids = array(sortedCells.map(lit): _*)
+      val idx = VectorKMeans.cellOf(col("vec"),
+        sortedCells.map(cid => cellVecs(coarseIds.indexOf(cid))))
+      element_at(ids, idx + 1)
+    }
+    val codeCols = (0 until m).map { s =>
+      VectorKMeans.cellOf(slice(col("vec"), s * dsub + 1, dsub),
+        cbVecs.map(cv => sub(cv, s))).cast("long")
+    }
+    val indexed = e.select(col("vec_id"), cellCol.as("cell_id"),
+      array(codeCols: _*).as("codes"))
+    // one scan for all queries: adist only materializes for rows whose
+    // cell is probed by that query
+    val qStructs = queryIds.zip(qVecs).map { case (qid, qv) =>
+      val dt = (0 until m).map(s => cbVecs.indices.map(c =>
+        l2(sub(qv, s), sub(cbVecs(c), s))).toArray)
+      val adist = (0 until m).map(s =>
+        element_at(array(dt(s).map(lit).toSeq: _*),
+          (element_at(col("codes"), s + 1) + 1).cast("int")))
+        .reduce(_ + _)
+      struct(lit(qid).as("query_id"),
+        when(col("cell_id").isin(probes(qid): _*), adist).as("adist"))
+    }
+    val scored = indexed
+      .select(col("vec_id").as("neighbor_id"), explode(array(qStructs: _*)).as("qa"))
+      .filter(col("qa.adist").isNotNull && col("neighbor_id") =!= col("qa.query_id"))
+      .select(col("qa.query_id").as("query_id"), col("neighbor_id"),
+        round(col("qa.adist"), 4).as("adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
 }

@@ -594,4 +594,30 @@ class LlmSpec extends SparkSpec {
     out(0) shouldBe ((1L, 3L, -0.9163)) // avg = ln(0.4)
     out(1) shouldBe ((2L, 2L, -1.2629)) // (ln(0.4) + ln(0.2)) / 2
   }
+
+  test("ivfPqSearch with nprobe = all cells equals pqSearch; pruned neighbors stay in probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = Seq(7L, 23L, 41L)
+    val cb = Seq(3L, 11L, 29L, 37L)
+    val full = Similarity.ivfPqSearch(emb, cells, cb, 4, Seq(0L, 1L), nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val flat = Similarity.pqSearch(emb, cb, 4, Seq(0L, 1L), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    full shouldBe flat
+    // nprobe=1: every returned neighbor sits in its query's single probed cell
+    val pruned = Similarity.ivfPqSearch(emb, cells, cb, 4, Seq(0L, 1L), nprobe = 1, k = 5)
+    pruned.collect().length should be <= 10
+    import org.apache.spark.sql.functions.col
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val assigned = Similarity.assignCells(e,
+      e.filter(col("vec_id").isin(cells: _*))
+        .select(col("vec_id").as("cell_id"), col("vec").as("cvec")))
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prunedRows = pruned.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // each query probes exactly one cell; all its neighbors share it
+    prunedRows.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(p => assigned(p._2)).toSet.size shouldBe 1
+    }
+  }
 }
