@@ -60,6 +60,8 @@ object SparkEntry {
   private val PqCodebookIds = Seq(11L, 57L, 201L, 401L)
   private val PqSubspaces = 4
   private val PqSearchK = 5
+  /** Signature-agreement floor for the estimate-only pairs (8/16 = 0.5). */
+  private val MinhashEstMatch = 8
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -754,7 +756,12 @@ object SparkEntry {
     "q_ivf_pq" -> ((s, dir) =>
       Similarity.ivfPqSearch(emb(s, dir), IvfCoarseIds, PqCodebookIds,
         PqSubspaces, AnnQueryIds, nprobe = 2, k = PqSearchK)
-        .orderBy(col("query_id"), col("rn")))
+        .orderBy(col("query_id"), col("rn"))),
+
+    // signature-only near-dup estimate (no verification; n/16 exact)
+    "q_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimatePairs(docs(s, dir), MinhashEstMatch)
+        .orderBy(col("da"), col("db")))
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -1126,6 +1133,7 @@ object SparkEntry {
     "q_pq_search" -> TextSql.pqSearchSql(PqCodebookIds, PqSubspaces, AnnQueryIds, PqSearchK),
     "q_unigram_lp" -> TextSql.unigramLogProbSql,
     "q_ivf_pq" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
-      AnnQueryIds, nprobe = 2, k = PqSearchK)
+      AnnQueryIds, nprobe = 2, k = PqSearchK),
+    "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch)
   )
 }

@@ -116,6 +116,34 @@ object TextSql {
       s"WHERE i/(na.n + nb.n - i) >= $threshold ORDER BY da, db"
   }
 
+  /** Mirror of Dedup.minhashEstimatePairs: same signatures/banding as
+    * dedupMinhashSql, n_match = per-position signature agreement,
+    * est = n/16 (exact binary division — no float tolerance needed). */
+  def minhashEstimateSql(minMatch: Int): String = {
+    val sigEntries = Dedup.HashAB.map { case (a, b) =>
+      s"list_min(list_transform(hv, h -> ($a*h + $b) % ${TextAnalysis.FpMod}))"
+    }.mkString("[", ", ", "]")
+    val bandVals = (0 until Dedup.Bands).map(b => s"($b)").mkString(", ")
+    val keyExpr = (0 until Dedup.RowsPerBand).map { r =>
+      s"CAST(sig[(band*${Dedup.RowsPerBand} + ${r + 1})::INT] AS VARCHAR)"
+    }.mkString(" || ',' || ")
+    val matchExpr = Dedup.HashAB.indices.map(j =>
+      s"CASE WHEN sa.sig[${j + 1}] = sb.sig[${j + 1}] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"WITH $shingleCtes, " +
+      s"hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${polyHashSql("s")}) AS hv " +
+      "FROM d WHERE len(sh) > 0), " +
+      s"sig AS (SELECT doc_id, $sigEntries AS sig FROM hs), " +
+      s"bands AS (SELECT doc_id, band, $keyExpr AS key FROM sig, (VALUES $bandVals) bn(band)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+      s"m AS (SELECT c.da, c.db, $matchExpr AS nm " +
+      "FROM cand c JOIN sig sa ON sa.doc_id = c.da JOIN sig sb ON sb.doc_id = c.db) " +
+      "SELECT da, db, CAST(nm AS BIGINT) AS n_match, " +
+      s"CAST(nm AS DOUBLE) / ${Dedup.HashAB.length} AS est_jaccard " +
+      s"FROM m WHERE nm >= $minMatch ORDER BY da, db"
+  }
+
   /** Mirror of Dedup.incrementalMinhash with batch = documents whose
     * doc_id % `batchMod` = 0 and corpus = the rest: the same band
     * layout on both sides, candidates only from batch-band x

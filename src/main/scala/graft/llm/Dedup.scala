@@ -294,6 +294,54 @@ object Dedup {
     verifyJaccard(docs, cand, threshold, release = Seq(bands))
   }
 
+  /** Signature-only near-dup ESTIMATION: band-collision candidates
+    * scored by signature agreement alone — est_jaccard = matching
+    * positions / 16, no shingle-set verification. This is the 100 TB
+    * triage mode: verification re-reads both documents' text per
+    * candidate, while the estimate touches only the 16-column signature
+    * table (per-doc size is constant, text never re-read); a pipeline
+    * estimates first and exactly verifies only the band (or nothing —
+    * MinHash's unbiasedness is the point). n_match is integer, est is
+    * n/16 (exact binary), so the contract is float-safe cross-engine.
+    * `minMatch` >= RowsPerBand is guaranteed by construction (a band
+    * collision matches 4 positions); 8 = est 0.5.
+    * Output: (da, db, n_match, est_jaccard). */
+  def minhashEstimatePairs(docs: DataFrame, minMatch: Int): DataFrame = {
+    require(minMatch >= 1 && minMatch <= HashAB.length,
+      s"need 1 <= minMatch <= ${HashAB.length}, got $minMatch")
+    val sigs = signatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until RowsPerBand).map(r =>
+          col(s"m${b * RowsPerBand + r}")): _*).as("key"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("da") +:
+      HashAB.indices.map(j => col(s"m$j").as(s"a$j")): _*)
+    val sb = sigs.select(col("doc_id").as("db") +:
+      HashAB.indices.map(j => col(s"m$j").as(s"b$j")): _*)
+    val nMatch = HashAB.indices
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val out = cand.join(sa, Seq("da")).join(sb, Seq("db"))
+      .select(col("da"), col("db"), nMatch.cast("long").as("n_match"),
+        (nMatch.cast("double") / HashAB.length).as("est_jaccard"))
+      .filter(col("n_match") >= minMatch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sigs.unpersist(false)
+    out
+  }
+
   /** Incremental near-dup detection: pairs (batch_id, corpus_id,
     * jaccard >= threshold) between a NEW snapshot and the existing
     * corpus — the near-dup twin of `incremental` (which is exact-only).

@@ -595,6 +595,16 @@ class LlmSpec extends SparkSpec {
     out(1) shouldBe ((2L, 2L, -1.2629)) // (ln(0.4) + ln(0.2)) / 2
   }
 
+  test("minhashEstimatePairs: identical docs estimate 1.0, disjoint docs never pair") {
+    val d = docsDF(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta", // identical -> est 1.0
+      3L -> "one two three four five six seven")   // disjoint vocabulary
+    val out = Dedup.minhashEstimatePairs(d, minMatch = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.toSeq shouldBe Seq((1L, 2L, 16L, 1.0))
+  }
+
   test("ivfPqSearch with nprobe = all cells equals pqSearch; pruned neighbors stay in probed cells") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cells = Seq(7L, 23L, 41L)
