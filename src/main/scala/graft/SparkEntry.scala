@@ -761,7 +761,29 @@ object SparkEntry {
     // signature-only near-dup estimate (no verification; n/16 exact)
     "q_minhash_est" -> ((s, dir) =>
       Dedup.minhashEstimatePairs(docs(s, dir), MinhashEstMatch)
-        .orderBy(col("da"), col("db")))
+        .orderBy(col("da"), col("db"))),
+
+    // one vector-K-Means step over the embedding corpus — the engine's
+    // iterative core generalized to arbitrary dimension (seeds = corpus
+    // vectors by id, ascending; cell = list position). Cells are
+    // provably non-empty (each seed IS a corpus vector, self-assigned
+    // at distance 0), so step's keep-previous-centroid branch — which
+    // the SQL mirror cannot express — never fires here
+    "q_vkmeans_step" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val cents = e.filter(col("vec_id").isin(PqCodebookIds: _*))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2).toSeq
+      graft.llm.VectorKMeans.step(e, "vec", cents).zipWithIndex.flatMap {
+        case (c, cell) => c.zipWithIndex.map { case (v, d) =>
+          (cell.toLong, (d + 1).toLong,
+            BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toDF("cell", "dim", "m").orderBy(col("cell"), col("dim"))
+    })
   )
 
   // ---------- DuckDB oracle SQL (generated from the same constants) ----------
@@ -1134,6 +1156,7 @@ object SparkEntry {
     "q_unigram_lp" -> TextSql.unigramLogProbSql,
     "q_ivf_pq" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
       AnnQueryIds, nprobe = 2, k = PqSearchK),
-    "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch)
+    "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),
+    "q_vkmeans_step" -> TextSql.vkmeansStepSql(PqCodebookIds)
   )
 }

@@ -569,6 +569,24 @@ object TextSql {
       "ORDER BY query_id, rn"
   }
 
+  /** Mirror of one VectorKMeans.step over the embeddings table: seeds
+    * from the corpus by id ascending (cell = position), argmin
+    * assignment with ties to the lowest cell, per-(cell, dim) avg
+    * rounded to 4 (the a1_recenter margin). PqCodebook-style ids are
+    * passed ascending so position order == id order on both sides. */
+  def vkmeansStepSql(seedIds: Seq[Long]): String = {
+    val cmValues = seedIds.sorted.zipWithIndex
+      .map { case (id, c) => s"($c, $id)" }.mkString(", ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"cm (cell, cid) AS (VALUES $cmValues), " +
+      "cents AS (SELECT CAST(cell AS BIGINT) AS cell, v AS cv FROM cm JOIN e ON e.vec_id = cm.cid), " +
+      "ad AS (SELECT e.vec_id, v, cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY ${l2sqSql("v", "cv")}, cell) AS rn FROM e CROSS JOIN cents), " +
+      "a AS (SELECT vec_id, v, cell FROM ad WHERE rn = 1), " +
+      "x AS (SELECT cell, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim, unnest(v) AS val FROM a) " +
+      "SELECT cell, dim, round(avg(val), 4) AS m FROM x GROUP BY 1, 2 ORDER BY cell, dim"
+  }
+
   /** Mirror of TextAnalysis.unigramLogProb: same vocabulary aggregate,
     * same ln(c/N) per token, per-doc average rounded to 4. */
   val unigramLogProbSql: String =
