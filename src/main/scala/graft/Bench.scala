@@ -164,7 +164,10 @@ object Bench {
           val (s2, e2) = time(thunk)
           spark.catalog.clearCache()
           err = e2.map(e => s"retime_failed: $e")
-          samples = samples :+ s2
+          // a failed re-run's wall time is NOT a measurement of the
+          // query: keep only successful samples so min() can never
+          // report an errored run's duration as the query time
+          if (err.isEmpty) samples = samples :+ s2
         }
         (name, samples.min, err, Some(samples))
       case (name, _, sec, err) => (name, sec, err, None)

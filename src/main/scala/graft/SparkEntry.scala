@@ -777,6 +777,12 @@ object SparkEntry {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1).map(_._2).toSeq
+      // the non-empty-cells proof needs DISTINCT seed vectors: two
+      // identical seeds would both tie-break to the lower cell, empty
+      // the higher one, and fire step's keep-previous branch that the
+      // SQL mirror cannot express — fail loudly instead
+      require(cents.map(_.toSeq).distinct.length == cents.length,
+        "q_vkmeans_step: duplicate seed vectors would empty a cell")
       graft.llm.VectorKMeans.step(e, "vec", cents).zipWithIndex.flatMap {
         case (c, cell) => c.zipWithIndex.map { case (v, d) =>
           (cell.toLong, (d + 1).toLong,

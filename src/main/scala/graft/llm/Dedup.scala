@@ -144,11 +144,19 @@ object Dedup {
     out
   }
 
-  /** Above this many candidate pairs the verification joins fall back to
-    * the shuffle formulation (the per-pair shingle-set table no longer
-    * fits a broadcast). Banded candidate sets are small BY DESIGN (band
-    * collisions only), so the broadcast branch is the expected regime. */
+  /** Above this many candidate pairs the id-list broadcast falls back to
+    * the shuffle formulation. Banded candidate sets are small BY DESIGN
+    * (band collisions only), so the broadcast branch is the expected
+    * regime. */
   private val BroadcastVerifyLimit = 1L << 20
+
+  /** Separate, tighter gate for broadcasting the SHINGLE-SET table: its
+    * rows carry full bigram arrays (~1-2 KB/doc vs 8 bytes for an id),
+    * so the safe broadcast budget is documents, not pairs — 2^16 docs
+    * ≈ 64-128 MB, comfortably under Spark's broadcast limits. Pair
+    * count bounds doc count only loosely (2 docs/pair), which is why
+    * this is NOT derived from BroadcastVerifyLimit. */
+  private val BroadcastSetDocsLimit = 1L << 16
 
   private def verifyJaccard(docs: DataFrame, candidates: DataFrame, threshold: Double,
                             release: Seq[DataFrame]): DataFrame = {
@@ -169,9 +177,13 @@ object Dedup {
     val sets = docs.join(candIdsSized, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the set-table broadcast is gated on its OWN row count (documents
+    // with their full shingle arrays), not the pair count: the count
+    // also materializes the cache the two joins below share
+    val nSetDocs = sets.count()
     def side(pairCol: String, setAlias: String) = {
       val s = sets.select(col("doc_id").as(pairCol), col("sh").as(setAlias))
-      if (nCand <= BroadcastVerifyLimit) broadcast(s) else s
+      if (nSetDocs <= BroadcastSetDocsLimit) broadcast(s) else s
     }
     val i = size(array_intersect(col("sa"), col("sb")))
     val result = cand
@@ -265,19 +277,32 @@ object Dedup {
     ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
-  /** (doc_id, band, key) LSH band-bucket rows of a corpus — the shared
-    * layout of the self-join (`minhashPairs`) and batch-vs-corpus
-    * (`incrementalMinhash`) candidate generators. */
-  private def bandTable(docs: DataFrame): DataFrame = {
+  /** (doc_id, band, key) LSH band-bucket rows from a SIGNATURE table —
+    * the one definition of the band layout (key format + banding), so
+    * `minhashPairs`, `incrementalMinhash` and `minhashEstimatePairs`
+    * cannot drift from each other or the SQL mirrors. */
+  private def bandTableOf(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until RowsPerBand).map(r =>
           col(s"m${b * RowsPerBand + r}")): _*).as("key"))
     }
-    signatures(docs)
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
+
+  private def bandTable(docs: DataFrame): DataFrame = bandTableOf(signatures(docs))
+
+  /** Distinct (da < db) pairs from band-bucket collisions — the shared
+    * candidate generator of the self-join operators. */
+  private def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
 
   /** Candidate pairs from band-bucket collisions, verified with the true
     * Jaccard over the shingle sets; returns (da, db, jaccard) with
@@ -285,13 +310,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val bands = bandTable(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    verifyJaccard(docs, cand, threshold, release = Seq(bands))
+    verifyJaccard(docs, bandCandidates(bands), threshold, release = Seq(bands))
   }
 
   /** Signature-only near-dup ESTIMATION: band-collision candidates
@@ -311,20 +330,7 @@ object Dedup {
       s"need 1 <= minMatch <= ${HashAB.length}, got $minMatch")
     val sigs = signatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until RowsPerBand).map(r =>
-          col(s"m${b * RowsPerBand + r}")): _*).as("key"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    val cand = bandCandidates(bandTableOf(sigs))
     val sa = sigs.select(col("doc_id").as("da") +:
       HashAB.indices.map(j => col(s"m$j").as(s"a$j")): _*)
     val sb = sigs.select(col("doc_id").as("db") +:

@@ -111,12 +111,16 @@ object Similarity {
   private[graft] val MaxInlineCells = 256
 
   private[graft] def assignCells(e: DataFrame, coarse: DataFrame): DataFrame = {
-    val cells = coarse.select(col("cell_id").cast("long"), col("cvec").cast("array<double>"))
+    // limit(K+1) bounds the driver collect: past the inline cap the
+    // rows are discarded anyway (the join path re-reads `coarse`), so
+    // a huge cell table must never be pulled to the driver just to
+    // discover it is huge
+    val rows = coarse.select(col("cell_id").cast("long"), col("cvec").cast("array<double>"))
+      .limit(MaxInlineCells + 1)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(cells.nonEmpty, "assignCells: empty coarse cell table")
-    if (cells.length <= MaxInlineCells) {
+    require(rows.nonEmpty, "assignCells: empty coarse cell table")
+    if (rows.length <= MaxInlineCells) {
+      val cells = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
       val ids = array(cells.map { case (id, _) => lit(id) }: _*)
       val idx = VectorKMeans.cellOf(col("vec"), cells.map(_._2).toSeq)
       e.select(col("vec_id"), col("vec"),
@@ -334,6 +338,10 @@ object Similarity {
     require(outDim >= 1, s"need outDim >= 1, got $outDim")
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
     val d = e.select(size(col("vec"))).head().getInt(0)
+    require(d.toLong * outDim <= MaxInlineLiterals,
+      s"randomProject: $d x $outDim sign literals exceed the codegen budget " +
+        s"($MaxInlineLiterals) - would silently run interpreted; use a " +
+        "broadcast-matrix join formulation at this size")
     val scale = math.sqrt(outDim.toDouble)
     val ys = (0 until outDim).map { j =>
       val signs = array((0 until d).map(i => lit(rpSign(i, j))): _*)
@@ -367,6 +375,9 @@ object Similarity {
     val cbVecs = pqCodebook(e, codebookIds)
     val d = cbVecs.head.length
     require(d % m == 0, s"pqEncode: dim $d not divisible by m=$m")
+    require(codebookIds.length.toLong * d <= MaxInlineLiterals,
+      s"pqEncode: ${codebookIds.length} codewords x $d dims exceed the " +
+        s"codegen budget ($MaxInlineLiterals); use the broadcast-join argmin at this size")
     val dsub = d / m
     val perSub = (0 until m).map { s =>
       val sub = slice(col("vec"), s * dsub + 1, dsub)
@@ -380,6 +391,17 @@ object Similarity {
       .select(col("vec_id"), col("p.s").as("s"), col("p.code").as("code"),
         col("p.err").as("err"))
   }
+
+  /** Budget for literals inlined into one generated projection (sign
+    * matrices, PQ codeword kernels, ADC lookup tables). Past a few
+    * thousand literal doubles the generated method outgrows the JVM's
+    * 64KB limit and Spark silently falls back to interpreted eval —
+    * the same cliff `MaxInlineCells` guards. The PQ/RP operators
+    * REQUIRE below-budget configurations and fail loudly above it
+    * (the honest alternative to silently running 10x slower): a
+    * larger-than-budget deployment restructures to the broadcast-join
+    * formulation (`assignCellsJoin` pattern) instead. */
+  private[graft] val MaxInlineLiterals = 1 << 13
 
   /** The collected codebook slices shared by pqEncode/pqSearch:
     * cbVecs(code) = full codeword vector, in codebookIds order. */
@@ -414,6 +436,10 @@ object Similarity {
     val qVecs = pqCodebook(e, queryIds) // same id->vector collect, for queries
     val d = cbVecs.head.length
     require(d % m == 0, s"pqSearch: dim $d not divisible by m=$m")
+    require(codebookIds.length.toLong * d +
+        queryIds.length.toLong * m * codebookIds.length <= MaxInlineLiterals,
+      s"pqSearch: codeword kernels + ${queryIds.length} query tables exceed the " +
+        s"codegen budget ($MaxInlineLiterals); shard the query set or use a broadcast join")
     val dsub = d / m
     def sub(a: Array[Double], s: Int) = a.slice(s * dsub, (s + 1) * dsub)
     def l2(a: Array[Double], b: Array[Double]): Double = {
@@ -474,6 +500,11 @@ object Similarity {
     val qVecs = pqCodebook(e, queryIds)
     val d = cbVecs.head.length
     require(d % m == 0, s"ivfPqSearch: dim $d not divisible by m=$m")
+    require(coarseIds.length.toLong * d + codebookIds.length.toLong * d +
+        queryIds.length.toLong * m * codebookIds.length <= MaxInlineLiterals,
+      s"ivfPqSearch: ${coarseIds.length} cells + ${codebookIds.length} codewords " +
+        s"+ ${queryIds.length} query tables exceed the codegen budget " +
+        s"($MaxInlineLiterals); assign cells via assignCellsJoin at this size")
     val dsub = d / m
     def sub(a: Array[Double], s: Int) = a.slice(s * dsub, (s + 1) * dsub)
     def l2(a: Array[Double], b: Array[Double]): Double = {
@@ -481,19 +512,20 @@ object Similarity {
       while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
       acc
     }
+    // O(K) id -> centroid map (never indexOf inside a per-cell loop)
+    val cellById = coarseIds.zip(cellVecs).toMap
+    val sortedCells = coarseIds.sorted
+    val sortedCellVecs = sortedCells.map(cellById)
     // driver-side probe lists: the nprobe nearest coarse cells per query
     // (K x Q tiny distances; ties to the lowest cell id like assignCells)
-    val sortedCells = coarseIds.sorted
     val probes: Map[Long, Seq[Long]] = queryIds.zip(qVecs).map { case (qid, qv) =>
-      qid -> sortedCells.map(cid =>
-          (l2(qv, cellVecs(coarseIds.indexOf(cid))), cid))
+      qid -> sortedCells.zip(sortedCellVecs).map { case (cid, cv) => (l2(qv, cv), cid) }
         .sortBy(identity).take(nprobe).map(_._2)
     }.toMap
     // index layout: one coarse cell id + m PQ codes per vector
     val cellCol = {
       val ids = array(sortedCells.map(lit): _*)
-      val idx = VectorKMeans.cellOf(col("vec"),
-        sortedCells.map(cid => cellVecs(coarseIds.indexOf(cid))))
+      val idx = VectorKMeans.cellOf(col("vec"), sortedCellVecs)
       element_at(ids, idx + 1)
     }
     val codeCols = (0 until m).map { s =>
