@@ -224,4 +224,11 @@ class PlanSpec extends SparkSpec {
     // exactly one hash exchange: the per-query top-k window
     "Exchange hashpartitioning".r.findAllIn(plan("q_pq_search", "simple")).size shouldBe 1
   }
+
+  test("q_ivf_pq: cell+code projection, no join, one top-k exchange") {
+    val p = plan("q_ivf_pq")
+    p should include("WindowGroupLimit")
+    (p should not).include("Join")
+    "Exchange hashpartitioning".r.findAllIn(plan("q_ivf_pq", "simple")).size shouldBe 1
+  }
 }
