@@ -62,6 +62,20 @@ object SparkEntry {
   private val PqSearchK = 5
   /** Signature-agreement floor for the estimate-only pairs (8/16 = 0.5). */
   private val MinhashEstMatch = 8
+  /** Round-6 constants: Gopher rule thresholds (word count, mean word
+    * length, distinct-stopword floor, alphabetic-word fraction), the
+    * substring-match gram length + stop-gram df cap, the SemDeDup cosine
+    * threshold, and the source-blocklist duplicate-fraction cutoff. */
+  private val GopherMinWords = 30
+  private val GopherMaxWords = 100000
+  private val GopherMinAvgLen = 4.0
+  private val GopherMaxAvgLen = 10.0
+  private val GopherMinStop = 2
+  private val GopherMinAlphaFrac = 0.8
+  private val SubstrN = 12
+  private val SubstrDfCap = 16L
+  private val SemDedupThreshold = 0.4
+  private val SourceMaxDupFrac = 0.15
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -758,6 +772,81 @@ object SparkEntry {
         PqSubspaces, AnnQueryIds, nprobe = 2, k = PqSearchK)
         .orderBy(col("query_id"), col("rn"))),
 
+    // ---- round 6: quality rules, substring dedup, semantic dedup,
+    //      retrieval, source blocklist, subquery/window breadth ----
+
+    // Gopher-style quality rule gate: per-doc rule inputs + pass bit
+    "q_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir), GopherMinWords, GopherMaxWords,
+        GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac)
+        .orderBy(col("doc_id"))),
+
+    // exact substring-match pairs: shared word 12-grams, df-capped index
+    "q_substring_pairs" -> ((s, dir) =>
+      Dedup.substringPairs(docs(s, dir), SubstrN, SubstrDfCap)
+        .orderBy(col("da"), col("db"))),
+
+    // SemDeDup: embedding-space dedup policy (cell-pruned pairs, keep
+    // the lowest vec_id of every near-dup group) — surviving ids
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(emb(s, dir), IvfCoarseIds, SemDedupThreshold)
+        .orderBy(col("vec_id"))),
+
+    // RAG-shaped retrieval: IVF top-k neighbors joined back to the
+    // documents table (the tiny top-k side broadcasts; at scale this is
+    // the doc-id-keyed join a vector store runs per query batch)
+    "q_retrieval" -> ((s, dir) => {
+      val topk = Similarity.ivfTopK(emb(s, dir), IvfCoarseIds, AnnQueryIds,
+        nprobe = 2, k = 5)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .join(broadcast(topk), col("doc_id") === col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // per-source duplication report + blocklist bit, fed by the MinHash
+    // near-dup pair set (the composable sourceStats policy input)
+    "q_source_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, JacThreshold)
+      val ids = pairs.select(explode(array(col("da"), col("db"))).as("doc_id"))
+      Dedup.sourceStats(d, ids, SourceMaxDupFrac).orderBy(col("source"))
+    }),
+
+    // correlated scalar subqueries (SELECT-clause, one per column):
+    // Catalyst decorrelates both into aggregated left joins — including
+    // the COUNT-over-empty-group case ("count bug"), which must yield 0,
+    // not NULL. max is a raw data element, so round(max, 2) is bitwise
+    // stable cross-engine. Cloned session: temp view names can't race a
+    // concurrent gate run on the caller's session.
+    "q_scalar_subquery" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders")
+      s2.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("customer")
+      s2.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+          |  (SELECT round(max(o_totalprice), 2) FROM orders WHERE o_custkey = c_custkey) AS max_price
+          |FROM customer ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // RANGE-frame window: events within the trailing hour per user —
+    // the frame is value-based (microseconds), not row-based, so ties
+    // and gaps are handled identically in both engines
+    "q_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = eventsNanos(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0)
+      ev.select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 4).as("sum_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // signature-only near-dup estimate (no verification; n/16 exact)
     "q_minhash_est" -> ((s, dir) =>
       Dedup.minhashEstimatePairs(docs(s, dir), MinhashEstMatch)
@@ -1163,6 +1252,29 @@ object SparkEntry {
     "q_ivf_pq" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
       AnnQueryIds, nprobe = 2, k = PqSearchK),
     "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),
-    "q_vkmeans_step" -> TextSql.vkmeansStepSql(PqCodebookIds)
+    "q_vkmeans_step" -> TextSql.vkmeansStepSql(PqCodebookIds),
+
+    // ---- round 6 ----
+    "q_gopher" -> TextSql.gopherSql(GopherMinWords, GopherMaxWords,
+      GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac),
+    "q_substring_pairs" -> TextSql.substringPairsSql(SubstrN, SubstrDfCap),
+    "q_semdedup" -> TextSql.semDedupSql(IvfCoarseIds, SemDedupThreshold),
+    "q_retrieval" -> TextSql.retrievalSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),
+    "q_source_stats" -> TextSql.sourceStatsSql(JacThreshold, SourceMaxDupFrac),
+
+    "q_scalar_subquery" ->
+      ("SELECT c_custkey, " +
+        "(SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders, " +
+        "(SELECT round(max(o_totalprice), 2) FROM orders WHERE o_custkey = c_custkey) AS max_price " +
+        "FROM customer ORDER BY c_custkey"),
+
+    "q_range_frame" ->
+      ("SELECT event_id, user_id, " +
+        "count(*) OVER w AS n_1h, " +
+        "round(sum(value) OVER w, 4) AS sum_1h " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id")
   )
 }

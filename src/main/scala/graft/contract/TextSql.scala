@@ -612,4 +612,75 @@ object TextSql {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored) " +
       s"SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM r WHERE rn <= $k " +
       "ORDER BY query_id, neighbor_id"
+
+  /** Mirror of TextAnalysis.gopherRules: same rule thresholds, same
+    * single int/int divisions (bitwise-equal across engines), anchored
+    * regexp with shared Java-regex/RE2 semantics. */
+  def gopherSql(minWords: Int, maxWords: Int, minAvgLen: Double, maxAvgLen: Double,
+                minStopHits: Int, minAlphaFrac: Double): String = {
+    val stop = strList(TextAnalysis.Stopwords)
+    s"WITH t AS ($toksCte), " +
+      "s AS (SELECT doc_id, len(toks) AS n_words, " +
+      "list_sum(list_transform(toks, t -> len(t)))/len(toks) AS mean_word_len, " +
+      s"len(list_filter($stop, w -> list_contains(toks, w))) AS n_stop_distinct, " +
+      "len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))/len(toks) AS alpha_frac " +
+      "FROM t) " +
+      "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, " +
+      "CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct, alpha_frac, " +
+      s"(n_words >= $minWords AND n_words <= $maxWords AND " +
+      s"mean_word_len >= $minAvgLen AND mean_word_len <= $maxAvgLen AND " +
+      s"n_stop_distinct >= $minStopHits AND alpha_frac >= $minAlphaFrac) AS passes " +
+      "FROM s ORDER BY doc_id"
+  }
+
+  /** Mirror of Dedup.substringPairs: same n-gram expansion, the same
+    * df-cap pruning (so candidate sets match by construction), pair
+    * counts over the surviving inverted index. */
+  def substringPairsSql(n: Int, dfCap: Long): String = {
+    val gram = (0 until n).map(o => s"toks[(i+$o)::INT]").mkString(" || ' ' || ")
+    s"WITH t AS ($toksCte), " +
+      s"gr AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= $n THEN " +
+      s"list_distinct(list_transform(range(1, len(toks)-${n - 1}+1), i -> $gram)) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS g FROM t), " +
+      s"keep AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2 AND count(*) <= $dfCap), " +
+      "k AS (SELECT doc_id, g FROM gr JOIN keep USING (g)) " +
+      "SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared " +
+      "FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 ORDER BY da, db"
+  }
+
+  /** Mirror of Similarity.semDedup over the SAME cell-pruned pair set
+    * as dedupEmbeddingSql: survivors = vectors that are nobody's
+    * higher-id near-duplicate. */
+  def semDedupSql(coarseIds: Seq[Long], threshold: Double): String =
+    s"WITH dropped AS (SELECT DISTINCT vb AS vec_id FROM " +
+      s"(${dedupEmbeddingSql(coarseIds, threshold)}) p) " +
+      "SELECT vec_id FROM embeddings " +
+      "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id"
+
+  /** Mirror of the q_retrieval composition: IVF top-k (annIvfSql,
+    * identical parameters) joined back to the documents table on
+    * doc_id = neighbor_id. */
+  def retrievalSql(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int, k: Int): String =
+    s"WITH topk AS (SELECT * FROM (${annIvfSql(coarseIds, queryIds, nprobe, k)}) t) " +
+      "SELECT query_id, neighbor_id, sim, d.lang AS lang, d.source AS source, " +
+      "d.n_chars AS n_chars FROM topk JOIN documents d ON d.doc_id = neighbor_id " +
+      "ORDER BY query_id, neighbor_id"
+
+  /** Mirror of Dedup.sourceStats fed by the MinHash near-dup pair set
+    * (dedupMinhashSql, identical parameters): per-source duplication
+    * report + blocklist bit. */
+  def sourceStatsSql(threshold: Double, maxDupFrac: Double): String =
+    s"WITH pairs AS (SELECT da, db FROM (${dedupMinhashSql(threshold)}) mp), " +
+      "ids AS (SELECT DISTINCT doc_id FROM " +
+      "(SELECT da AS doc_id FROM pairs UNION ALL SELECT db AS doc_id FROM pairs) u), " +
+      "j AS (SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS nt, " +
+      "CASE WHEN ids.doc_id IS NULL THEN 0 ELSE 1 END AS isdup " +
+      "FROM documents d LEFT JOIN ids ON d.doc_id = ids.doc_id), " +
+      "a AS (SELECT source, count(*) AS n_docs, CAST(sum(isdup) AS BIGINT) AS n_dup_docs, " +
+      "CAST(sum(nt) AS BIGINT) AS n_tokens, min(doc_id) AS min_id FROM j GROUP BY source) " +
+      "SELECT source, n_docs, n_dup_docs, n_tokens, min_id, " +
+      "round(n_dup_docs/n_docs, 4) AS dup_frac, " +
+      s"round(n_dup_docs/n_docs, 4) > $maxDupFrac AS blocked " +
+      "FROM a ORDER BY source"
 }

@@ -116,6 +116,73 @@ object Dedup {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Exact substring-match near-dup pairs — the signal of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better"),
+    * at word granularity: document pairs sharing at least one exact word
+    * `n`-gram (n ≈ 10-50 in published pipelines; theirs is a 50-token
+    * suffix-array match), with the count of shared distinct grams.
+    * Catches copied passages inside otherwise-different documents, which
+    * whole-document Jaccard dilutes below threshold.
+    *
+    * Scale shape: candidates come ONLY from the inverted index (docs
+    * sharing a gram), and grams seen in more than `dfCap` documents are
+    * dropped FIRST — boilerplate grams pair every document containing
+    * them, so candidate volume is quadratic in gram doc-frequency (the
+    * jaccardPairs df argument). The cap is a contract parameter mirrored
+    * in SQL, so both engines prune the same grams and the outputs match
+    * by construction. Matching joins on the gram STRING for exact
+    * semantics (decontaminate's collision note applies: production
+    * pre-hashes both sides with xxhash64 and verifies).
+    * Output: (da, db, n_shared) with da < db. */
+  def substringPairs(docs: DataFrame, n: Int, dfCap: Long): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    require(dfCap >= 2, s"need dfCap >= 2, got $dfCap")
+    // persist: the exploded gram table feeds the df aggregate AND both
+    // self-join sides — three scans of the explode subtree without it
+    val g = spread(docs)
+      .select(col("doc_id"), explode(ngramShingles(col("text"), n)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only grams in 2..dfCap docs can produce (bounded) pairs
+    val keep = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("g"))
+    val kept = g.join(keep, Seq("g"))
+    val result = kept.as("a")
+      .join(kept.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+    materialized(result, Seq(g))
+  }
+
+  /** Per-source corpus report — the per-domain duplication/volume table
+    * a curation run builds source blocklists from (C4 dropped whole
+    * domains this way; `source` stands in for the crawl domain). Takes
+    * the duplicated-document id set from ANY upstream dedup signal — a
+    * (doc_id) frame built from exact groups, MinHash pairs, SemDeDup
+    * drops — so the policy composes with every dedup operator in this
+    * module. Per source: document count, documents flagged duplicated,
+    * token volume, and the `blocked` policy bit (dup_frac > maxDupFrac).
+    *
+    * One doc-id-keyed left join (the dup set is far smaller than the
+    * corpus — broadcast regime) + one source-keyed aggregate. dup_frac
+    * is one long/long division rounded to 4 decimals; the > comparison
+    * runs on the rounded grid, so `blocked` is deterministic
+    * cross-engine.
+    * Output: (source, n_docs, n_dup_docs, n_tokens, min_id, dup_frac,
+    * blocked). */
+  def sourceStats(docs: DataFrame, dupIds: DataFrame, maxDupFrac: Double): DataFrame =
+    docs
+      .join(dupIds.select(col("doc_id")).distinct().withColumn("isdup", lit(1L)),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"),
+        min(col("doc_id")).as("min_id"))
+      .withColumn("dup_frac", round(col("n_dup_docs") / col("n_docs"), 4))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"), col("n_tokens"),
+        col("min_id"), col("dup_frac"), (col("dup_frac") > maxDupFrac).as("blocked"))
+
   // ---------- n-gram Jaccard (inverted-index join) ----------
 
   /** Exploded (doc_id, shingle) rows — the shared inverted-index layout. */

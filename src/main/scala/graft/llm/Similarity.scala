@@ -170,6 +170,28 @@ object Similarity {
     out
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication over the
+    * embedding space — cluster the corpus (here: the same coarse-cell
+    * quantization IVF uses; production fits VectorKMeans), then within
+    * each cluster drop every vector that has a LOWER-id neighbor at
+    * cosine ≥ `threshold` (the paper's keep-lowest-index policy, which
+    * needs no transitive closure: any member of a near-dup group other
+    * than its minimum is dropped by the pair that connects it to an
+    * earlier member... and the minimum itself never is). Catches
+    * paraphrases/translations that text-level MinHash scores near zero.
+    *
+    * Pure composition: `cosineNearDupPairs` supplies the cell-pruned
+    * pair set (never n² — same-cell pairs only), and the policy is one
+    * distinct + one anti join keyed by vec_id. EAGER (inherited from
+    * the pair operator's cell collect + materialization).
+    * Output: the SURVIVING (vec_id) rows. */
+  def semDedup(emb: DataFrame, coarseIds: Seq[Long], threshold: Double): DataFrame = {
+    val dropped = cosineNearDupPairs(emb, coarseIds, threshold)
+      .select(col("vb").as("vec_id"))
+      .distinct()
+    emb.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Gram (second-moment) matrix of the embedding corpus: G[i][j] =
     * Σ_vec vec(i)·vec(j) — the building block for covariance/whitening/
     * PCA over a training-data embedding table. Join formulation (the

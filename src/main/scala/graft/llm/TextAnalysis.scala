@@ -437,6 +437,47 @@ object TextAnalysis {
         .cast("long").as("n_norm_tokens"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 "quality
+    * filtering"): a document passes when (1) its word count lies within
+    * [minWords, maxWords], (2) its mean word length lies within
+    * [minAvgLen, maxAvgLen], (3) it contains at least `minStopHits`
+    * DISTINCT stopwords (the "stop word" rule that kills keyword-stuffing
+    * spam), and (4) at least `minAlphaFrac` of its words are purely
+    * alphabetic (the symbol/number-noise rule). These are the published
+    * rule shapes; the thresholds are contract parameters.
+    *
+    * Pure per-row expressions — one scan, no shuffle, no UDF. The mean
+    * and fraction are single int/int divisions (identical order both
+    * engines, bitwise-equal), so the rule comparisons — and therefore
+    * `passes` — are deterministic cross-engine. The distinct-stopword
+    * count iterates the LITERAL stopword list (10 entries) against the
+    * token array, not the reverse: cost is O(|list| · n_tokens) with a
+    * constant small list, and duplicates in the document can't inflate
+    * the count.
+    * Output: (doc_id, n_words, mean_word_len, n_stop_distinct,
+    * alpha_frac, passes). */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int, maxWords: Int,
+                  minAvgLen: Double, maxAvgLen: Double,
+                  minStopHits: Int, minAlphaFrac: Double): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+    val meanLen = sumLen / nTok
+    val stopDistinct =
+      size(filter(array(Stopwords.map(lit): _*), w => array_contains(toks, w)))
+    val alphaFrac = size(filter(toks, t => t.rlike("^[A-Za-z]+$"))) / nTok
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      stopDistinct.cast("long").as("n_stop_distinct"),
+      alphaFrac.as("alpha_frac"),
+      (nTok >= minWords && nTok <= maxWords &&
+        meanLen >= minAvgLen && meanLen <= maxAvgLen &&
+        stopDistinct >= minStopHits && alphaFrac >= minAlphaFrac).as("passes"))
+  }
+
   /** Parameters of the deterministic training-order shuffle: doc_id is
     * first folded mod `ShuffleFold` so the Lehmer multiply stays well
     * under 2^63 for ANY BIGINT doc_id (no overflow in either engine);

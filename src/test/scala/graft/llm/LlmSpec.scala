@@ -630,4 +630,68 @@ class LlmSpec extends SparkSpec {
       rows.map(p => assigned(p._2)).toSet.size shouldBe 1
     }
   }
+
+  // ---------- round 6 ----------
+
+  test("gopherRules: each rule fails independently, clean doc passes") {
+    val d = docsDF(
+      1L -> "the cat sat on mat",   // all rules pass
+      2L -> "a b",                  // word count too low
+      3L -> "cat dog fox run big",  // no stopword
+      4L -> "c4t d0g 9x9 the cat")  // alpha fraction 2/5 < 0.5
+    val out = TextAnalysis.gopherRules(d, minWords = 3, maxWords = 10,
+      minAvgLen = 1.0, maxAvgLen = 5.0, minStopHits = 1, minAlphaFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    out(1L) shouldBe ((5L, 1L, 1.0, true))
+    out(2L)._4 shouldBe false
+    out(3L) shouldBe ((5L, 0L, 1.0, false))
+    out(4L) shouldBe ((5L, 1L, 0.4, false))
+    // mean word length: (3+3+3+2+3)/5 = 2.8 for doc 1
+    TextAnalysis.gopherRules(d, 3, 10, 1.0, 5.0, 1, 0.5)
+      .filter(col("doc_id") === 1).select("mean_word_len")
+      .head().getDouble(0) shouldBe 2.8
+  }
+
+  test("substringPairs: shared gram pairs, df cap prunes boilerplate grams") {
+    val d = docsDF(
+      1L -> "a b c d e",
+      2L -> "x a b c y",        // shares gram "a b c" with doc 1
+      3L -> "p q r s t",        // no shared grams
+      4L -> "foo bar baz one",  // "foo bar baz" in 3 docs: df=3 > cap=2,
+      5L -> "foo bar baz two",  // pruned -> no pairs among 4/5/6
+      6L -> "foo bar baz six")
+    val out = Dedup.substringPairs(d, n = 3, dfCap = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((1L, 2L, 1L))
+    // without the cap the boilerplate pairs appear
+    val uncapped = Dedup.substringPairs(d, n = 3, dfCap = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped should contain allOf ((4L, 5L), (4L, 6L), (5L, 6L))
+  }
+
+  test("semDedup: lowest id of each near-dup group survives, other cells untouched") {
+    val e = embDF(
+      1L -> Seq(1f, 0f),        // cell 1 (coarse)
+      2L -> Seq(1f, 0.01f),     // near-dup of 1 -> dropped
+      3L -> Seq(0.99f, 0.02f),  // near-dup of 1 -> dropped
+      5L -> Seq(0f, 1f),        // cell 5 (coarse), alone
+      6L -> Seq(-1f, 0.05f))    // cell 1 but anti-parallel: survives
+    val out = Similarity.semDedup(e, Seq(1L, 5L), 0.9)
+      .collect().map(_.getLong(0)).toSet
+    out shouldBe Set(1L, 5L, 6L)
+  }
+
+  test("sourceStats: dup fractions per source, blocklist bit on the rounded grid") {
+    val d = Seq(
+      (1L, "t1", "a"), (2L, "t2", "a"), (3L, "t3", "a"),
+      (4L, "t4", "b"), (5L, "t5", "b"))
+      .toDF("doc_id", "text", "source")
+    val dupIds = Seq(2L, 4L, 5L).toDF("doc_id")
+    val out = Dedup.sourceStats(d, dupIds, maxDupFrac = 0.4).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5), r.getBoolean(6))).toMap
+    out("a") shouldBe ((3L, 1L, 0.3333, false))
+    out("b") shouldBe ((2L, 2L, 1.0, true))
+  }
 }
