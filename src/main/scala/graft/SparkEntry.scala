@@ -76,6 +76,11 @@ object SparkEntry {
   private val SubstrDfCap = 16L
   private val SemDedupThreshold = 0.4
   private val SourceMaxDupFrac = 0.15
+  /** Full-outer customer-side floor (makes both null regions non-empty),
+    * NTILE bucket count, BPE merge-step top-k. */
+  private val FullOuterCustMin = 100
+  private val NtileBuckets = 4
+  private val BpeTopK = 8
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -847,6 +852,47 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // full outer join: per-user event activity reconciled against the
+    // customer dimension — matched, activity-only, and customer-only
+    // rows all survive (customer side restricted so both null regions
+    // are non-empty at every SF)
+    "q_full_outer" -> ((s, dir) => {
+      val ev = eventsNanos(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") >= FullOuterCustMin)
+        .select(col("c_custkey"), col("c_nationkey"))
+      ev.join(cust, col("user_id") === col("c_custkey"), "full_outer")
+        .select(coalesce(col("user_id"), col("c_custkey")).as("id"),
+          col("n_events"), col("total_value"), col("c_nationkey"))
+        .orderBy(col("id"))
+    }),
+
+    // NTILE quartiles of customer spend within each nation, aggregated
+    "q_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val spend = orders.groupBy(col("o_custkey"))
+        .agg(round(sum("o_totalprice"), 2).as("spend"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("spend").desc, col("o_custkey"))
+      spend.withColumn("q", ntile(NtileBuckets).over(w).cast("long"))
+        .groupBy(col("n_name"), col("q"))
+        .agg(count(lit(1)).as("n_cust"), round(sum("spend"), 2).as("total_spend"))
+        .orderBy(col("n_name"), col("q"))
+    }),
+
+    // one BPE merge-selection step: corpus-weighted adjacent char-pair
+    // counts over the distinct-word table, top-k
+    "q_bpe_merge" -> ((s, dir) =>
+      TextAnalysis.bpeMergeStep(docs(s, dir), BpeTopK)
+        .orderBy(col("rn"))),
+
     // signature-only near-dup estimate (no verification; n/16 exact)
     "q_minhash_est" -> ((s, dir) =>
       Dedup.minhashEstimatePairs(docs(s, dir), MinhashEstMatch)
@@ -1261,6 +1307,26 @@ object SparkEntry {
     "q_semdedup" -> TextSql.semDedupSql(IvfCoarseIds, SemDedupThreshold),
     "q_retrieval" -> TextSql.retrievalSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),
     "q_source_stats" -> TextSql.sourceStatsSql(JacThreshold, SourceMaxDupFrac),
+
+    "q_full_outer" ->
+      (s"WITH ev AS (SELECT user_id, count(*) AS n_events, round(sum(value),4) AS total_value " +
+        "FROM events GROUP BY user_id), " +
+        s"c AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey >= $FullOuterCustMin) " +
+        "SELECT coalesce(user_id, c_custkey) AS id, n_events, total_value, c_nationkey " +
+        "FROM ev FULL OUTER JOIN c ON user_id = c_custkey ORDER BY id"),
+
+    "q_ntile" ->
+      ("WITH spend AS (SELECT o_custkey, round(sum(o_totalprice),2) AS spend " +
+        "FROM orders GROUP BY o_custkey), " +
+        "j AS (SELECT n_name, o_custkey, spend FROM spend " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey), " +
+        s"qt AS (SELECT n_name, spend, CAST(ntile($NtileBuckets) OVER " +
+        "(PARTITION BY n_name ORDER BY spend DESC, o_custkey) AS BIGINT) AS q FROM j) " +
+        "SELECT n_name, q, count(*) AS n_cust, round(sum(spend),2) AS total_spend " +
+        "FROM qt GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_bpe_merge" -> TextSql.bpeMergeSql(BpeTopK),
 
     "q_scalar_subquery" ->
       ("SELECT c_custkey, " +

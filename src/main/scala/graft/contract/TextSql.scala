@@ -667,6 +667,21 @@ object TextSql {
       "d.n_chars AS n_chars FROM topk JOIN documents d ON d.doc_id = neighbor_id " +
       "ORDER BY query_id, neighbor_id"
 
+  /** Mirror of TextAnalysis.bpeMergeStep: corpus-weighted adjacent
+    * char-pair counts over the distinct-word table, top-k by
+    * (count desc, pair). DuckDB range(a, b) is [a, b) — the same index
+    * set as Spark's inclusive sequence(1, len-1). */
+  def bpeMergeSql(k: Int): String =
+    s"WITH t AS ($toksCte), " +
+      "wv AS (SELECT w, count(*) AS wc FROM " +
+      "(SELECT unnest(toks) AS w FROM t) u GROUP BY w), " +
+      "p AS (SELECT wc, unnest(CASE WHEN len(w) >= 2 THEN " +
+      "list_transform(range(1, len(w)), i -> substr(w, i::INT, 2)) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS pair FROM wv), " +
+      "c AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p GROUP BY pair), " +
+      "r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rn FROM c) " +
+      s"SELECT pair, n, rn FROM r WHERE rn <= $k ORDER BY rn"
+
   /** Mirror of Dedup.sourceStats fed by the MinHash near-dup pair set
     * (dedupMinhashSql, identical parameters): per-source duplication
     * report + blocklist bit. */

@@ -478,6 +478,37 @@ object TextAnalysis {
         stopDistinct >= minStopHits && alphaFrac >= minAlphaFrac).as("passes"))
   }
 
+  /** One BPE merge-selection step — the statistic a byte-pair-encoding
+    * tokenizer trainer computes each round: the corpus-frequency-weighted
+    * counts of ADJACENT character pairs, ranked (a real trainer then
+    * merges the top pair into one symbol and repeats; the per-round
+    * Spark shape is exactly this query over the current symbolization).
+    * Counting runs over the DISTINCT-word table with corpus weights, so
+    * the explode touches |vocab| rows, not corpus tokens — the standard
+    * trainer optimization, and at 100 TB the difference between a
+    * vocab-sized pass and a corpus-sized one. Single-char words emit no
+    * pairs. The top-k window orders by (count desc, pair) over the
+    * aggregated pair table (|char-bigrams| rows, tiny).
+    * Output: (pair, n, rn) for the top `k` pairs. */
+  def bpeMergeStep(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val words = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val charPairs = when(length(col("w")) >= 2,
+      transform(sequence(lit(1), length(col("w")) - 1), i => col("w").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val counts = words
+      .select(col("wc"), explode(charPairs).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+    val w = Window.orderBy(col("n").desc, col("pair"))
+    counts.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("pair"), col("n"), col("rn"))
+  }
+
   /** Parameters of the deterministic training-order shuffle: doc_id is
     * first folded mod `ShuffleFold` so the Lehmer multiply stays well
     * under 2^63 for ANY BIGINT doc_id (no overflow in either engine);

@@ -682,6 +682,15 @@ class LlmSpec extends SparkSpec {
     out shouldBe Set(1L, 5L, 6L)
   }
 
+  test("bpeMergeStep: corpus-weighted adjacent char pairs, ranked") {
+    // "aa ab" + "aa": word counts aa=2, ab=1 -> pairs: "aa"=2, "ab"=1;
+    // single-char words emit nothing
+    val d = docsDF(1L -> "aa ab x", 2L -> "aa")
+    val out = TextAnalysis.bpeMergeStep(d, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(("aa", 2L, 1L), ("ab", 1L, 2L))
+  }
+
   test("sourceStats: dup fractions per source, blocklist bit on the rounded grid") {
     val d = Seq(
       (1L, "t1", "a"), (2L, "t2", "a"), (3L, "t3", "a"),

@@ -65,6 +65,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality/language gate runs unchanged on a stream (stateless filter)") {
+    // the pipelineFilter GATE (lang + quality expressions) is pure
+    // per-row compute, so the same Column expressions drive a streaming
+    // ingest filter with no watermark/state; only the dedup aggregate
+    // stays batch-side (its streaming twin is dedupStream)
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.llm.TextAnalysis
+    val en = ("the cat and the dog is in that house it is a fine day " * 4).trim
+    val rows = Seq((1L, en), (2L, "der hund und das brot ist nicht da"), (3L, "x"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.filter(TextAnalysis.langPred(col("text")) === "en" &&
+        TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))) >= 0.5)
+    val mem = MemoryStream[(Long, String)]
+    val q = gate(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM qgate").collect().map(_.getLong(0)).toSet
+      val batch = gate(rows.toDF("doc_id", "text"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      streamed shouldBe batch
+      streamed shouldBe Set(1L)
+    } finally q.stop()
+  }
+
   test("sessionize: splits on >30min gaps, keeps multi-event sessions together") {
     // user 1: events at 0s, 60s (same session), then +40min (new session)
     // user 2: single event
