@@ -225,6 +225,52 @@ class PlanSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(plan("q_pq_search", "simple")).size shouldBe 1
   }
 
+  test("q_gopher: pure single-scan projection — rules never shuffle or join") {
+    val p = plan("q_gopher", "simple")
+    (p should not).include("Join")
+    (p should not).include("hashpartitioning") // no aggregation shuffle
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+    plan("q_gopher") should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("q_retrieval: tiny top-k side broadcasts — the documents scan never shuffles for the join") {
+    val p = plan("q_retrieval")
+    p should include("BroadcastHashJoin")
+    // top-k trims map-side before its one exchange
+    p should include("WindowGroupLimit")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q_full_outer: full outer stays an equi sort-merge join, aggregates partial map-side") {
+    val p = plan("q_full_outer")
+    p should include("FullOuter")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    p should include("partial_count")
+  }
+
+  test("q_bpe_merge: global rank filter becomes an ordered limit over the pair aggregate") {
+    // LimitPushDownThroughWindow rewrites the rn <= k filter into a
+    // global top-k (TakeOrderedAndProject), so only k rows ever reach
+    // the window — no single-partition sort of the pair table
+    val p = plan("q_bpe_merge")
+    p should include("TakeOrderedAndProject")
+    (p should not).include("Join")
+  }
+
+  test("q_scalar_subquery: decorrelated to aggregated broadcast joins — no per-row subquery") {
+    val p = plan("q_scalar_subquery")
+    (p should not).include("scalar-subquery")
+    p should include("BroadcastHashJoin")
+    p should include("partial_count")
+  }
+
+  test("q_range_frame: one user-keyed exchange feeds the RANGE window") {
+    val p = plan("q_range_frame", "simple")
+    p should include("RangeFrame")
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
   test("q_ivf_pq: cell+code projection, no join, one top-k exchange") {
     val p = plan("q_ivf_pq")
     p should include("WindowGroupLimit")
