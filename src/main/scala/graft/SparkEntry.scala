@@ -81,6 +81,9 @@ object SparkEntry {
   private val FullOuterCustMin = 100
   private val NtileBuckets = 4
   private val BpeTopK = 8
+  /** BM25 contract: query term set (corpus vocabulary words) + top-k. */
+  private val Bm25Terms = Seq("spark", "window", "customer", "filter")
+  private val Bm25K = 10
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -893,6 +896,19 @@ object SparkEntry {
       TextAnalysis.bpeMergeStep(docs(s, dir), BpeTopK)
         .orderBy(col("rn"))),
 
+    // BM25 lexical retrieval: top-10 docs for a fixed query term set
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, Bm25K)
+        .orderBy(col("rn"))),
+
+    // hourly resample with explicit zero rows on the dense spine
+    "q_resample" -> ((s, dir) => {
+      val ev = eventsNanos(s, dir)
+        .select(col("event_type"), expr("ts div 1000").as("tus"), col("value"))
+      graft.analytics.Analytics.resampleHourly(ev)
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // signature-only near-dup estimate (no verification; n/16 exact)
     "q_minhash_est" -> ((s, dir) =>
       Dedup.minhashEstimatePairs(docs(s, dir), MinhashEstMatch)
@@ -1327,6 +1343,21 @@ object SparkEntry {
         "FROM qt GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q_bpe_merge" -> TextSql.bpeMergeSql(BpeTopK),
+
+    "q_bm25" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
+
+    "q_resample" ->
+      ("WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, value FROM events), " +
+        "bh AS (SELECT event_type, hour, count(*) AS n, round(sum(value),4) AS total_value " +
+        "FROM ev GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev), " +
+        "types AS (SELECT DISTINCT event_type FROM ev), " +
+        "spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hour " +
+        "FROM types CROSS JOIN bounds) " +
+        "SELECT s.event_type, s.hour, coalesce(n, 0) AS n, " +
+        "coalesce(total_value, 0.0) AS total_value " +
+        "FROM spine s LEFT JOIN bh ON s.event_type = bh.event_type AND s.hour = bh.hour " +
+        "ORDER BY 1, 2"),
 
     "q_scalar_subquery" ->
       ("SELECT c_custkey, " +

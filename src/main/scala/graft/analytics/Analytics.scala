@@ -64,4 +64,35 @@ object Analytics {
       .groupBy(col("cohort_hour"), (col("hour") - col("cohort_hour")).as("offset_hours"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Hourly resample with gap filling: a dense (event_type × hour)
+    * spine over the corpus' global hour range, left-joined against the
+    * per-hour aggregates — missing hours come back as explicit zero
+    * rows, which is what any charting/anomaly layer downstream needs
+    * (a time series with silent holes reads as "no data", not "zero
+    * traffic"). Input needs (event_type, tus, value).
+    *
+    * Scale shape: the corpus collapses to (types × hours) aggregate
+    * rows FIRST (one scan + one shuffle, map-side partials); the spine
+    * is generated from two tiny aggregates (distinct types, global
+    * hour bounds) and is hours·types rows — generation and the final
+    * left join never touch corpus-sized data. Integer `div` bucketing
+    * (the retention argument).
+    * Output: (event_type, hour, n, total_value) — zeros where no
+    * events landed. */
+  def resampleHourly(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val ev = events.select(col("event_type"), expr(s"tus div $hourUs").as("hour"),
+      col("value"))
+    val byHour = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+    val bounds = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hour"))
+    spine.join(byHour, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+  }
 }

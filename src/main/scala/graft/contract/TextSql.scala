@@ -682,6 +682,28 @@ object TextSql {
       "r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rn FROM c) " +
       s"SELECT pair, n, rn FROM r WHERE rn <= $k ORDER BY rn"
 
+  /** Mirror of TextAnalysis.bm25TopDocs: identical formula text (the
+    * constants interpolate from the SAME Scala doubles, which
+    * round-trip exactly through their decimal repr), identical
+    * association order, score rounded to 4 before ranking. */
+  def bm25Sql(queryTerms: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val terms = strList(queryTerms)
+    s"WITH t AS ($toksCte), " +
+      "ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t), " +
+      s"q AS (SELECT unnest($terms) AS term), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf, first(dl) AS dl " +
+      "FROM ex JOIN q USING (term) GROUP BY doc_id, term), " +
+      "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS sumdl FROM t), " +
+      "sc AS (SELECT doc_id, round(sum(" +
+      s"(ln((n - df + 0.5)/(df + 0.5) + 1.0) * (tf * ${k1 + 1.0})) / " +
+      s"(tf + $k1 * (${1.0 - b} + $b * (dl / (CAST(sumdl AS DOUBLE)/n))))" +
+      "), 4) AS score FROM tf JOIN dfq USING (term) CROSS JOIN st GROUP BY doc_id), " +
+      "r AS (SELECT doc_id, score, CAST(row_number() OVER " +
+      "(ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM sc) " +
+      s"SELECT doc_id, score, rn FROM r WHERE rn <= $k ORDER BY rn"
+  }
+
   /** Mirror of Dedup.sourceStats fed by the MinHash near-dup pair set
     * (dedupMinhashSql, identical parameters): per-source duplication
     * report + blocklist bit. */

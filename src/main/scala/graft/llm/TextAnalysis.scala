@@ -478,6 +478,51 @@ object TextAnalysis {
         stopDistinct >= minStopHits && alphaFrac >= minAlphaFrac).as("passes"))
   }
 
+  /** BM25 document ranking for one query term set (Robertson et al.;
+    * the Lucene-shaped idf): score(d) = Σ_{t∈Q} idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)), idf = ln((N − df + 0.5)/(df + 0.5)
+    * + 1) — the retrieval scorer a RAG corpus index runs beside the
+    * embedding ANN path (lexical + semantic hybrid).
+    *
+    * Scale shape: one explode → (doc, term) tf aggregate, restricted to
+    * the (broadcast, literal) query terms BEFORE the df aggregate, so
+    * everything after the first shuffle is |Q|-bounded; N/avgdl ride a
+    * 1-row broadcast aggregate (exact integer sum/count, so the derived
+    * doubles are bit-identical cross-engine). The per-doc term sum is
+    * ≤|Q| doubles (round 4 absorbs order); ranking uses the rounded
+    * grid, ties to low doc_id.
+    * Output: (doc_id, score, rn) for the top `k` documents. */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25TopDocs: empty query")
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = tokens(col("text"))
+    val tf = docs
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), size(toks).cast("long").as("dl"), explode(toks).as("term"))
+      .join(broadcast(queryTerms.toDF("term")), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(toks).cast("long")).as("sumdl"))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val denom = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl))
+    val w = idf * (col("tf") * lit(k1 + 1.0)) / denom
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(w), 4).as("score"))
+    val win = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(win).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("score"), col("rn"))
+  }
+
   /** One BPE merge-selection step — the statistic a byte-pair-encoding
     * tokenizer trainer computes each round: the corpus-frequency-weighted
     * counts of ADJACENT character pairs, ranked (a real trainer then

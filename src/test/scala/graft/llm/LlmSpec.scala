@@ -682,6 +682,26 @@ class LlmSpec extends SparkSpec {
     out shouldBe Set(1L, 5L, 6L)
   }
 
+  test("bm25TopDocs: matches a driver-side formula evaluation, absent terms score nothing") {
+    val d = docsDF(1L -> "cat dog", 2L -> "cat cat cat fish", 3L -> "bird")
+    val out = TextAnalysis.bm25TopDocs(d, Seq("cat", "dog"), 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // driver-side mirror of the exact operation order
+    val (k1, b) = (1.2, 0.75)
+    val n = 3L; val avgdl = 7.0 / n
+    def wgt(tf: Long, df: Long, dl: Long): Double =
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r4(wgt(1, 2, 2) + wgt(1, 1, 2)) // cat + dog
+    val s2 = r4(wgt(3, 2, 4))                // cat only
+    val expect = Seq(1L -> s1, 2L -> s2).sortBy(t => (-t._2, t._1))
+      .zipWithIndex.map { case ((id, s), i) => (id, s, (i + 1).toLong) }
+    out.toSeq shouldBe expect
+    out.map(_._1).toSet shouldBe Set(1L, 2L) // doc 3 has no query terms
+  }
+
   test("bpeMergeStep: corpus-weighted adjacent char pairs, ranked") {
     // "aa ab" + "aa": word counts aa=2, ab=1 -> pairs: "aa"=2, "ab"=1;
     // single-char words emit nothing

@@ -65,6 +65,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("resampleHourly: dense spine with explicit zero rows on gap hours") {
+    val us = 3600L * 1000 * 1000
+    val ev = Seq(
+      ("click", 0L * us + 5, 1.0), ("click", 2L * us + 5, 2.0),
+      ("view", 1L * us, 4.0)).toDF("event_type", "tus", "value")
+    val out = graft.analytics.Analytics.resampleHourly(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    out.toSeq shouldBe Seq(
+      ("click", 0L, 1L, 1.0), ("click", 1L, 0L, 0.0), ("click", 2L, 1L, 2.0),
+      ("view", 0L, 0L, 0.0), ("view", 1L, 1L, 4.0), ("view", 2L, 0L, 0.0))
+  }
+
   test("quality/language gate runs unchanged on a stream (stateless filter)") {
     // the pipelineFilter GATE (lang + quality expressions) is pure
     // per-row compute, so the same Column expressions drive a streaming
