@@ -920,6 +920,33 @@ object SparkEntry {
     // provably non-empty (each seed IS a corpus vector, self-assigned
     // at distance 0), so step's keep-previous-centroid branch — which
     // the SQL mirror cannot express — never fires here
+    // the ITERATED engine core in embedding space: two Lloyd iterations
+    // with 4-decimal centroid rounding between them (the c2_iterate3
+    // contract at arbitrary dimension; emptied cells keep their previous
+    // centroid, mirrored in SQL as round(coalesce(new, prev), 4))
+    "q_vkmeans_iterate2" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val c0 = e.filter(col("vec_id").isin(PqCodebookIds: _*))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2).toSeq
+      require(c0.map(_.toSeq).distinct.length == c0.length,
+        "q_vkmeans_iterate2: duplicate seed vectors")
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var cents = c0
+        for (_ <- 1 to 2)
+          cents = graft.llm.VectorKMeans.step(cached, "vec", cents).map(_.map(r4))
+        cents.zipWithIndex.flatMap { case (c, cell) =>
+          c.zipWithIndex.map { case (v, d) => (cell.toLong, (d + 1).toLong, v) }
+        }.toDF("cell", "dim", "m").orderBy(col("cell"), col("dim"))
+      } finally { cached.unpersist(); () }
+    }),
+
     "q_vkmeans_step" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
@@ -1315,6 +1342,7 @@ object SparkEntry {
       AnnQueryIds, nprobe = 2, k = PqSearchK),
     "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),
     "q_vkmeans_step" -> TextSql.vkmeansStepSql(PqCodebookIds),
+    "q_vkmeans_iterate2" -> TextSql.vkmeansIterateSql(PqCodebookIds, 2),
 
     // ---- round 6 ----
     "q_gopher" -> TextSql.gopherSql(GopherMinWords, GopherMaxWords,

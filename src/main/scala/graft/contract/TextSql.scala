@@ -587,6 +587,45 @@ object TextSql {
       "SELECT cell, dim, round(avg(val), 4) AS m FROM x GROUP BY 1, 2 ORDER BY cell, dim"
   }
 
+  /** Mirror of the ITERATED vector K-Means chain (VectorKMeans.step
+    * applied `iters` times with per-iteration 4-decimal centroid
+    * rounding — the c2_iterate3 contract lifted to arbitrary
+    * dimension). Each iteration: argmin assignment against the previous
+    * (rounded) centroids, per-(cell, dim) avg, and the keep-previous-
+    * centroid branch for emptied cells as round(coalesce(new, prev), 4)
+    * over a LEFT JOIN from the full (cell, dim) grid — exactly step's
+    * `means.getOrElse(i, cents(i))` followed by the rounding both
+    * engines share. */
+  def vkmeansIterateSql(seedIds: Seq[Long], iters: Int): String = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val cmValues = seedIds.sorted.zipWithIndex
+      .map { case (id, c) => s"($c, $id)" }.mkString(", ")
+    val head =
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"cm (cell, cid) AS (VALUES $cmValues), " +
+        "g0 AS (SELECT CAST(cell AS BIGINT) AS cell, v AS cv FROM cm JOIN e ON e.vec_id = cm.cid), " +
+        // the seed grid: (cell, dim, m) of the UNROUNDED seed vectors
+        "c0 AS (SELECT cell, CAST(generate_subscripts(cv, 1) AS BIGINT) AS dim, " +
+        "unnest(cv) AS m FROM g0)"
+    val steps = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      // per-cell arrays of the previous grid (iteration 1 reuses the raw
+      // seed vectors; rounding them first would round(x)=x-diverge from
+      // Spark, which rounds only AFTER each step)
+      s"g$i AS (SELECT cell, array_agg(m ORDER BY dim) AS cv FROM $prev GROUP BY cell), " +
+        s"a$i AS (SELECT e.vec_id, v, cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${l2sqSql("v", "cv")}, cell) AS rn FROM e CROSS JOIN g$i), " +
+        s"s$i AS (SELECT vec_id, v, cell FROM a$i WHERE rn = 1), " +
+        s"x$i AS (SELECT cell, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim, " +
+        s"unnest(v) AS val FROM s$i), " +
+        s"m$i AS (SELECT cell, dim, avg(val) AS m FROM x$i GROUP BY 1, 2), " +
+        s"c$i AS (SELECT p.cell, p.dim, round(coalesce(n.m, p.m), 4) AS m " +
+        s"FROM $prev p LEFT JOIN m$i n ON p.cell = n.cell AND p.dim = n.dim)"
+    }
+    (head +: steps).mkString(", ") +
+      s" SELECT cell, dim, m FROM c$iters ORDER BY cell, dim"
+  }
+
   /** Mirror of TextAnalysis.unigramLogProb: same vocabulary aggregate,
     * same ln(c/N) per token, per-doc average rounded to 4. */
   val unigramLogProbSql: String =
