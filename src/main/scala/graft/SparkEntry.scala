@@ -901,6 +901,23 @@ object SparkEntry {
       TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, Bm25K)
         .orderBy(col("rn"))),
 
+    // forward fill (last observation carried forward): every event
+    // carries the user's most recent CLICK value; IGNORE NULLS over a
+    // running frame — null until the first click, then sticky. The
+    // carried value is a raw data element, so no rounding is needed.
+    "q_ffill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = eventsNanos(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.select(col("event_id"), col("user_id"),
+          last(when(col("event_type") === "click", col("value")), ignoreNulls = true)
+            .over(w).as("last_click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // hourly resample with explicit zero rows on the dense spine
     "q_resample" -> ((s, dir) => {
       val ev = eventsNanos(s, dir)
@@ -1373,6 +1390,13 @@ object SparkEntry {
     "q_bpe_merge" -> TextSql.bpeMergeSql(BpeTopK),
 
     "q_bm25" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
+
+    "q_ffill" ->
+      ("SELECT event_id, user_id, " +
+        "last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value " +
+        "FROM events ORDER BY event_id"),
 
     "q_resample" ->
       ("WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, value FROM events), " +

@@ -500,12 +500,16 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = tokens(col("text"))
+    // persist: tf feeds BOTH the df aggregate and the scoring join —
+    // without it the corpus explode runs twice (the tfidfTopTerms
+    // pattern; the cached table is |matching docs|·|Q| rows, tiny)
     val tf = docs
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), size(toks).cast("long").as("dl"), explode(toks).as("term"))
       .join(broadcast(queryTerms.toDF("term")), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(size(toks).cast("long")).as("sumdl"))
@@ -518,9 +522,13 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(round(sum(w), 4).as("score"))
     val win = Window.orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rn", row_number().over(win).cast("long"))
+    val out = scored.withColumn("rn", row_number().over(win).cast("long"))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("score"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist(false)
+    out
   }
 
   /** One BPE merge-selection step — the statistic a byte-pair-encoding
