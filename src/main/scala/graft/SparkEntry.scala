@@ -896,6 +896,28 @@ object SparkEntry {
       TextAnalysis.bpeMergeStep(docs(s, dir), BpeTopK)
         .orderBy(col("rn"))),
 
+    // end-to-end curation composition: Gopher rule gate -> exact dedup
+    // (keep lowest id) -> per-language corpus report. The operator
+    // chain a curation run actually executes, oracle-checked as ONE
+    // query so the composition itself is contract-pinned.
+    "q_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val passed = TextAnalysis.gopherRules(d, GopherMinWords, GopherMaxWords,
+        GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac)
+        .filter(col("passes")).select(col("doc_id"))
+      // the keeper's LANG rides a struct-min keyed by doc_id (arg_min in
+      // the oracle) — `first` would be partition-order nondeterministic
+      d.join(passed, Seq("doc_id"))
+        .groupBy(col("text"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("m"))
+        .select(col("m.doc_id").as("keep_id"), col("m.lang").as("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("keep_id")).as("min_id"))
+        .orderBy(col("lang"))
+    }),
+
     // BM25 lexical retrieval: top-10 docs for a fixed query term set
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, Bm25K)
@@ -1390,6 +1412,15 @@ object SparkEntry {
     "q_bpe_merge" -> TextSql.bpeMergeSql(BpeTopK),
 
     "q_bm25" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
+
+    "q_curate" ->
+      (s"WITH gp AS (SELECT doc_id FROM (${TextSql.gopherSql(GopherMinWords, GopherMaxWords,
+        GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac)}) g WHERE passes), " +
+        "k AS (SELECT text, min(d.doc_id) AS keep_id, arg_min(d.lang, d.doc_id) AS lang " +
+        "FROM documents d JOIN gp USING (doc_id) GROUP BY text) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, " +
+        "min(keep_id) AS min_id FROM k GROUP BY lang ORDER BY lang"),
 
     "q_ffill" ->
       ("SELECT event_id, user_id, " +

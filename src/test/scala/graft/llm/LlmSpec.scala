@@ -711,6 +711,20 @@ class LlmSpec extends SparkSpec {
     out.toSeq shouldBe Seq(("aa", 2L, 1L), ("ab", 1L, 2L))
   }
 
+  test("round-6 operators survive hostile input: empty text, no matches, short docs") {
+    val hostile = docsDF(1L -> "", 2L -> "x", 3L -> "a b")
+    // gopherRules: empty text tokenizes to [""], every rule fails, no throw
+    val g = TextAnalysis.gopherRules(hostile, 3, 10, 1.0, 5.0, 1, 0.5).collect()
+    g.length shouldBe 3
+    g.map(_.getBoolean(5)).forall(_ == false) shouldBe true
+    // substringPairs: all docs shorter than n emit no grams -> empty
+    Dedup.substringPairs(hostile, n = 5, dfCap = 10L).count() shouldBe 0L
+    // bm25: no document contains a query term -> empty ranking, no throw
+    TextAnalysis.bm25TopDocs(hostile, Seq("zzz"), 5).count() shouldBe 0L
+    // bpeMergeStep: "" and single chars emit no pairs; "a b" neither
+    TextAnalysis.bpeMergeStep(hostile, 5).count() shouldBe 0L
+  }
+
   test("sourceStats: dup fractions per source, blocklist bit on the rounded grid") {
     val d = Seq(
       (1L, "t1", "a"), (2L, "t2", "a"), (3L, "t3", "a"),

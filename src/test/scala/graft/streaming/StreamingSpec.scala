@@ -65,6 +65,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: a stream enriches against a static dimension") {
+    // the standard enrichment shape: unbounded fact stream, bounded
+    // dimension table — Spark broadcasts/probes the static side per
+    // micro-batch with no state store at all
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val joined = mem.toDF.toDF("user_id", "value").join(dim, Seq("user_id"))
+    val q = joined.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10.0), (2L, 20.0), (3L, 30.0)) // 3 has no dim row
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM enrich").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      rows shouldBe Set((1L, 10.0, "gold"), (2L, 20.0, "basic"))
+    } finally q.stop()
+  }
+
   test("resampleHourly: dense spine with explicit zero rows on gap hours") {
     val us = 3600L * 1000 * 1000
     val ev = Seq(
