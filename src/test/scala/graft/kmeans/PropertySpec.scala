@@ -98,4 +98,22 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4), r.getLong(5))).toSet
     top(docs.coalesce(1)) shouldBe top(docs.repartition(8))
   }
+
+  test("substring pair mining is partition-count invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Dedup.substringPairs(df, 12, 16L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = pairs(docs.coalesce(1))
+    pairs(docs.repartition(8)) shouldBe base
+    base should not be empty
+  }
+
+  test("bm25 ranking is partition-count invariant (rounded-grid scores)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def top(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.bm25TopDocs(df, Seq("spark", "window"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    top(docs.coalesce(1)) shouldBe top(docs.repartition(8))
+  }
 }
