@@ -84,6 +84,8 @@ object SparkEntry {
   /** BM25 contract: query term set (corpus vocabulary words) + top-k. */
   private val Bm25Terms = Seq("spark", "window", "customer", "filter")
   private val Bm25K = 10
+  /** Farthest-point seeding: number of centroids to pick. */
+  private val FpInitK = 5
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -151,6 +153,18 @@ object SparkEntry {
       val rounded = BigDecimal(disp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       import s.implicits._
       Seq((rounded, cents.length.toLong)).toDF("displacement", "k")
+    }),
+
+    // deterministic farthest-point (k-center greedy) seeding: first
+    // centroid = lexicographically-largest point, then argmax of the
+    // min squared distance to the chosen set, ties lexicographic. All
+    // comparisons run on raw doubles derived with identical op order,
+    // so no rounding is needed anywhere.
+    "q_fpinit" -> ((s, dir) => {
+      import s.implicits._
+      val cents = KMeansRunner.farthestPointInit(points(s, dir), FpInitK)
+      cents.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p.x, p.y, p.z) }
+        .toDF("k", "x", "y", "z").orderBy(col("k"))
     }),
 
     // C2/C3: 3 assignment rounds with 4-decimal centroid rounding between
@@ -1044,6 +1058,29 @@ object SparkEntry {
         s"sd ${seedsValuesSql(seeds, ("cluster", "sx", "sy", "sz"))} " +
         "SELECT round(sum(sqrt((cx-sx)*(cx-sx) + (cy-sy)*(cy-sy) + (cz-sz)*(cz-sz))),4) AS displacement, " +
         "count(*) AS k FROM cent JOIN sd USING (cluster)"),
+
+    // chained 1-row CTEs mirror the greedy loop: each step's argmax is
+    // ORDER BY min-d2 DESC, x DESC, y DESC, z DESC LIMIT 1 — the same
+    // (d, x, y, z) struct-max comparison the Spark side aggregates.
+    // least() is variadic here vs pairwise-reduced in Spark: min over
+    // doubles is associative, so the values are identical.
+    "q_fpinit" -> {
+      def fd2(q: String) =
+        s"((p.x - $q.x)*(p.x - $q.x) + (p.y - $q.y)*(p.y - $q.y) + (p.z - $q.z)*(p.z - $q.z))"
+      val ctes = (2 to FpInitK).map { i =>
+        val prevs = (1 until i).map(j => s"c$j f$j").mkString(" CROSS JOIN ")
+        val dists = (1 until i).map(j => fd2(s"f$j"))
+        val minD = if (dists.size == 1) dists.head else s"least(${dists.mkString(", ")})"
+        s"c$i AS (SELECT p.x AS x, p.y AS y, p.z AS z FROM pts p CROSS JOIN $prevs " +
+          s"ORDER BY $minD DESC, p.x DESC, p.y DESC, p.z DESC LIMIT 1)"
+      }
+      s"WITH pts AS ($pointsSql), " +
+        "c1 AS (SELECT x, y, z FROM pts ORDER BY x DESC, y DESC, z DESC LIMIT 1), " +
+        ctes.mkString(", ") + " " +
+        (1 to FpInitK).map(i => s"SELECT CAST($i AS BIGINT) AS k, x, y, z FROM c$i")
+          .mkString(" UNION ALL ") +
+        " ORDER BY k"
+    },
 
     "c2_iterate3" -> {
       val centAgg = (src: String) =>
