@@ -86,6 +86,9 @@ object SparkEntry {
   private val Bm25K = 10
   /** Farthest-point seeding: number of centroids to pick. */
   private val FpInitK = 5
+  /** PCA power-iteration count (contract: equality needs identical
+    * iteration counts, not convergence). */
+  private val PcaIters = 8
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -973,6 +976,12 @@ object SparkEntry {
     // provably non-empty (each seed IS a corpus vector, self-assigned
     // at distance 0), so step's keep-previous-centroid branch — which
     // the SQL mirror cannot express — never fires here
+    // principal component by power iteration on the (treeAggregate'd)
+    // gram matrix — G rounds to 6 decimals first, every iteration
+    // re-rounds, so both engines run the identical recurrence
+    "q_pca_power" -> ((s, dir) =>
+      Similarity.pcaPowerDirection(emb(s, dir), PcaIters).orderBy(col("dim"))),
+
     // the ITERATED engine core in embedding space: two Lloyd iterations
     // with 4-decimal centroid rounding between them (the c2_iterate3
     // contract at arbitrary dimension; emptied cells keep their previous
@@ -1419,6 +1428,7 @@ object SparkEntry {
     "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),
     "q_vkmeans_step" -> TextSql.vkmeansStepSql(PqCodebookIds),
     "q_vkmeans_iterate2" -> TextSql.vkmeansIterateSql(PqCodebookIds, 2),
+    "q_pca_power" -> TextSql.pcaPowerSql(PcaIters),
 
     // ---- round 6 ----
     "q_gopher" -> TextSql.gopherSql(GopherMinWords, GopherMaxWords,

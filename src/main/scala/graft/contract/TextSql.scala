@@ -587,6 +587,29 @@ object TextSql {
       "SELECT cell, dim, round(avg(val), 4) AS m FROM x GROUP BY 1, 2 ORDER BY cell, dim"
   }
 
+  /** Mirror of Similarity.pcaPowerDirection: gram sums rounded to 6
+    * decimals FIRST, then `iters` unrolled power-iteration CTEs, each
+    * computing round((G·v)/‖G·v‖, 6) — the identical recurrence the
+    * driver runs, so the direction matches without requiring
+    * convergence. */
+  def pcaPowerSql(iters: Int): String = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val head =
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "a AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS i, unnest(v) AS x FROM e), " +
+        "g AS (SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 6) AS g " +
+        "FROM a JOIN a b ON a.vec_id = b.vec_id GROUP BY 1, 2), " +
+        "v0 AS (SELECT DISTINCT i, 1.0 AS val FROM g)"
+    val steps = (1 to iters).map { t =>
+      s"r$t AS (SELECT g.i AS i, sum(g.g * v.val) AS raw " +
+        s"FROM g JOIN v${t - 1} v ON g.j = v.i GROUP BY g.i), " +
+        s"n$t AS (SELECT sqrt(sum(raw*raw)) AS nrm FROM r$t), " +
+        s"v$t AS (SELECT i, round(raw / nrm, 6) AS val FROM r$t CROSS JOIN n$t)"
+    }
+    (head +: steps).mkString(", ") +
+      s" SELECT i AS dim, val FROM v$iters ORDER BY dim"
+  }
+
   /** Mirror of the ITERATED vector K-Means chain (VectorKMeans.step
     * applied `iters` times with per-iteration 4-decimal centroid
     * rounding — the c2_iterate3 contract lifted to arbitrary

@@ -222,6 +222,20 @@ object Similarity {
   def gramMatrixAgg(emb: DataFrame, depth: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val (d, total) = gramRaw(emb, depth)
+    // same 4-decimal output contract as the join form (values may still
+    // differ by one rounding step when the float sums straddle a boundary)
+    val rows = for (i <- 0 until d; j <- 0 until d)
+      yield ((i + 1).toLong, (j + 1).toLong,
+        BigDecimal(total(i * d + j)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    rows.toDF("i", "j", "g")
+  }
+
+  /** The raw (unrounded) flattened d×d gram matrix via treeAggregate —
+    * shared by `gramMatrixAgg` and the PCA power iteration. */
+  private[graft] def gramRaw(emb: DataFrame, depth: Int = 2): (Int, Array[Double]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     // accumulator: (dim, flattened d×d sums); dim 0 = "nothing seen yet"
     val zero = (0, Array.emptyDoubleArray)
     val (d, total) = emb.select(v(col("embedding")))
@@ -253,12 +267,43 @@ object Similarity {
         },
         depth = depth)
     require(d > 0, "gramMatrixAgg: empty embedding table")
-    // same 4-decimal output contract as the join form (values may still
-    // differ by one rounding step when the float sums straddle a boundary)
-    val rows = for (i <- 0 until d; j <- 0 until d)
-      yield ((i + 1).toLong, (j + 1).toLong,
-        BigDecimal(total(i * d + j)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    rows.toDF("i", "j", "g")
+    (d, total)
+  }
+
+  /** Principal direction of the embedding corpus by POWER ITERATION on
+    * the gram matrix — the PCA step quality pipelines run before
+    * whitening or before SemDeDup-style clustering. G comes from
+    * `gramRaw` (treeAggregate: no shuffle, driver receives ONE d²
+    * matrix); the iteration itself is d²-sized driver arithmetic — the
+    * documented K-row driver boundary, independent of corpus size.
+    *
+    * Cross-engine contract (the c2_iterate3 technique): G rounds to 6
+    * decimals FIRST, then each iteration computes v ← round((G·v) /
+    * ‖G·v‖, 6) — both engines run the identical recurrence on identical
+    * rounded inputs, so the only divergence channel is last-ulp sum
+    * order inside one iteration, absorbed by the 1e-6 grid (margin
+    * ~1e7). Equality does NOT require convergence: both sides run
+    * exactly `iters` iterations from v₀ = all-ones.
+    * Output: (dim, val) — the unit principal direction, 1-based dims. */
+  def pcaPowerDirection(emb: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (d, raw) = gramRaw(emb)
+    val g = raw.map(r6)
+    var vv = Array.fill(d)(1.0)
+    for (_ <- 1 to iters) {
+      val mv = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += g(i * d + j) * vv(j); j += 1 }
+        s
+      }
+      val nrm = math.sqrt(mv.map(x => x * x).sum)
+      vv = mv.map(x => r6(x / nrm))
+    }
+    vv.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }.toSeq.toDF("dim", "val")
   }
 
   /** Per-vector symmetric int8 quantization: scale = 127 / max|v_i|,

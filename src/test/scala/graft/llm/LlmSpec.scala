@@ -725,6 +725,23 @@ class LlmSpec extends SparkSpec {
     TextAnalysis.bpeMergeStep(hostile, 5).count() shouldBe 0L
   }
 
+  test("pcaPowerDirection: unit norm, partition invariant, dominant on an anisotropic fixture") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v1 = Similarity.pcaPowerDirection(e, 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    math.abs(v1.map(x => x * x).sum - 1.0) should be < 1e-4
+    val v8 = Similarity.pcaPowerDirection(e.repartition(8), 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    v8 shouldBe v1
+    // anisotropic fixture: variance concentrated on axis 0 -> the
+    // direction must load overwhelmingly on dim 1
+    val aniso = Seq.tabulate(20)(i => (i.toLong, Seq(10f * (i % 3 - 1), 0.1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.pcaPowerDirection(aniso, 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    math.abs(d(1L)) should be > 0.99
+  }
+
   test("sourceStats: dup fractions per source, blocklist bit on the rounded grid") {
     val d = Seq(
       (1L, "t1", "a"), (2L, "t2", "a"), (3L, "t3", "a"),
