@@ -982,6 +982,20 @@ object SparkEntry {
     "q_pca_power" -> ((s, dir) =>
       Similarity.pcaPowerDirection(emb(s, dir), PcaIters).orderBy(col("dim"))),
 
+    // fit-then-apply: the fitted principal direction inlines as literals
+    // and the corpus projection is a pure shuffle-free scan (the IVF
+    // literal-centroid pattern applied to PCA)
+    "q_pca_project" -> ((s, dir) => {
+      val dirV = Similarity.pcaPowerDirection(emb(s, dir), PcaIters).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      e.select(col("vec_id"),
+          round(graft.functions.VectorOps.dotCol(col("vec"),
+            array(dirV.map(lit).toSeq: _*)), 4).as("proj"))
+        .orderBy(col("vec_id"))
+    }),
+
     // the ITERATED engine core in embedding space: two Lloyd iterations
     // with 4-decimal centroid rounding between them (the c2_iterate3
     // contract at arbitrary dimension; emptied cells keep their previous
@@ -1429,6 +1443,7 @@ object SparkEntry {
     "q_vkmeans_step" -> TextSql.vkmeansStepSql(PqCodebookIds),
     "q_vkmeans_iterate2" -> TextSql.vkmeansIterateSql(PqCodebookIds, 2),
     "q_pca_power" -> TextSql.pcaPowerSql(PcaIters),
+    "q_pca_project" -> TextSql.pcaProjectSql(PcaIters),
 
     // ---- round 6 ----
     "q_gopher" -> TextSql.gopherSql(GopherMinWords, GopherMaxWords,

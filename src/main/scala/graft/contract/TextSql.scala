@@ -610,6 +610,17 @@ object TextSql {
       s" SELECT i AS dim, val FROM v$iters ORDER BY dim"
   }
 
+  /** Mirror of the q_pca_project composition: the same power-iteration
+    * CTEs re-derive the direction, then every corpus vector dots
+    * against it (list fold, same order as the Spark literal kernel). */
+  def pcaProjectSql(iters: Int): String = {
+    val base = pcaPowerSql(iters)
+    val withClause = base.substring(0, base.lastIndexOf(" SELECT "))
+    s"$withClause, dv AS (SELECT array_agg(val ORDER BY i) AS w FROM v$iters) " +
+      "SELECT vec_id, round(list_dot_product(v, w), 4) AS proj " +
+      "FROM e CROSS JOIN dv ORDER BY vec_id"
+  }
+
   /** Mirror of the ITERATED vector K-Means chain (VectorKMeans.step
     * applied `iters` times with per-iteration 4-decimal centroid
     * rounding — the c2_iterate3 contract lifted to arbitrary

@@ -271,6 +271,13 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
   }
 
+  test("q_pca_project: the fitted direction inlines — projection is a pure scan") {
+    val p = plan("q_pca_project", "simple")
+    (p should not).include("Join")
+    (p should not).include("hashpartitioning") // no shuffle before the sort
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
   test("q_ivf_pq: cell+code projection, no join, one top-k exchange") {
     val p = plan("q_ivf_pq")
     p should include("WindowGroupLimit")
