@@ -166,6 +166,13 @@ object SparkEntry {
     "q_fpinit" -> ((s, dir) => {
       import s.implicits._
       val cents = KMeansRunner.farthestPointInit(points(s, dir), FpInitK)
+      // the SQL mirror cannot express the exhaustion early-stop (fewer
+      // than K distinct points -> Spark returns fewer centroids, the
+      // CTE chain would re-pick duplicates): fail loudly on degenerate
+      // input instead of silently hash-mismatching. Every contract SF
+      // has far more than K distinct points.
+      require(cents.length == FpInitK,
+        s"q_fpinit: only ${cents.length} distinct points — mirror assumes >= $FpInitK")
       cents.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p.x, p.y, p.z) }
         .toDF("k", "x", "y", "z").orderBy(col("k"))
     }),
@@ -428,6 +435,18 @@ object SparkEntry {
       ev.withColumn("mavg", round(avg(col("value")).over(w), 4))
         .select(col("event_id"), col("user_id"), col("mavg"))
         .orderBy(col("event_id"))
+    }),
+
+    // skew-resistant salted JOIN (fact salts, dim explodes; result =
+    // the plain equi join, aggregated for a stable contract shape)
+    "q_salted_join" -> ((s, dir) => {
+      val fact = eventsNanos(s, dir).select(col("user_id").as("key"), col("value"))
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("key"), col("c_nationkey"))
+      graft.ops.SaltedJoin.inner(fact, dim, "key", salts = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy(col("c_nationkey"))
     }),
 
     // skew-resistant salted aggregation (two-stage; result = plain groupBy)
@@ -1193,6 +1212,12 @@ object SparkEntry {
     "q_salted_agg" ->
       ("SELECT user_id, round(sum(value), 4) AS total, count(*) AS n " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // the salted join's contract IS the plain equi join
+    "q_salted_join" ->
+      ("SELECT c_nationkey, count(*) AS n, round(sum(value), 4) AS total_value " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
 
     // positions are 1-based on both sides and DERIVED FROM THE DATA on
     // both sides (generate_subscripts/unnest expand in lockstep), so the

@@ -84,15 +84,24 @@ object Analytics {
     val hourUs = 3600L * 1000 * 1000
     val ev = events.select(col("event_type"), expr(s"tus div $hourUs").as("hour"),
       col("value"))
+    // ONE corpus scan: bounds and the type set derive from the tiny
+    // per-hour aggregate, which is persisted because it feeds three
+    // plan references (bounds, types, final join) — without the cache
+    // each reference would re-run the corpus aggregate
     val byHour = ev.groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
-    val bounds = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
-    val spine = ev.select(col("event_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = byHour.agg(min("hour").as("lo"), max("hour").as("hi"))
+    val spine = byHour.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hour"))
-    spine.join(byHour, Seq("event_type", "hour"), "left")
+    val out = spine.join(byHour, Seq("event_type", "hour"), "left")
       .select(col("event_type"), col("hour"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    byHour.unpersist(false)
+    out
   }
 }

@@ -592,7 +592,11 @@ object TextSql {
     * computing round((G·v)/‖G·v‖, 6) — the identical recurrence the
     * driver runs, so the direction matches without requiring
     * convergence. */
-  def pcaPowerSql(iters: Int): String = {
+  /** The shared WITH-clause of the power-iteration mirrors: gram sums
+    * rounded to 6, then `iters` unrolled v <- round((G·v)/‖G·v‖, 6)
+    * CTEs (composed structurally — never by string surgery on a
+    * finished query). */
+  private def pcaCtes(iters: Int): String = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val head =
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
@@ -606,20 +610,20 @@ object TextSql {
         s"n$t AS (SELECT sqrt(sum(raw*raw)) AS nrm FROM r$t), " +
         s"v$t AS (SELECT i, round(raw / nrm, 6) AS val FROM r$t CROSS JOIN n$t)"
     }
-    (head +: steps).mkString(", ") +
-      s" SELECT i AS dim, val FROM v$iters ORDER BY dim"
+    (head +: steps).mkString(", ")
   }
+
+  def pcaPowerSql(iters: Int): String =
+    pcaCtes(iters) + s" SELECT i AS dim, val FROM v$iters ORDER BY dim"
 
   /** Mirror of the q_pca_project composition: the same power-iteration
     * CTEs re-derive the direction, then every corpus vector dots
     * against it (list fold, same order as the Spark literal kernel). */
-  def pcaProjectSql(iters: Int): String = {
-    val base = pcaPowerSql(iters)
-    val withClause = base.substring(0, base.lastIndexOf(" SELECT "))
-    s"$withClause, dv AS (SELECT array_agg(val ORDER BY i) AS w FROM v$iters) " +
+  def pcaProjectSql(iters: Int): String =
+    pcaCtes(iters) +
+      s", dv AS (SELECT array_agg(val ORDER BY i) AS w FROM v$iters) " +
       "SELECT vec_id, round(list_dot_product(v, w), 4) AS proj " +
       "FROM e CROSS JOIN dv ORDER BY vec_id"
-  }
 
   /** Mirror of the ITERATED vector K-Means chain (VectorKMeans.step
     * applied `iters` times with per-iteration 4-decimal centroid
@@ -768,9 +772,15 @@ object TextSql {
       "FROM ex JOIN q USING (term) GROUP BY doc_id, term), " +
       "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
       "st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS sumdl FROM t), " +
+      // every integer leaf casts to DOUBLE before meeting a decimal
+      // literal: DuckDB would otherwise run BIGINT*DECIMAL exactly
+      // (tf*2.2 -> 6.6 exactly -> double 6.5999999999999996) while
+      // Spark runs long*double (6.6000000000000005) — a pre-rounding
+      // ulp divergence the round-4 grid cannot absorb at a boundary
       "sc AS (SELECT doc_id, round(sum(" +
-      s"(ln((n - df + 0.5)/(df + 0.5) + 1.0) * (tf * ${k1 + 1.0})) / " +
-      s"(tf + $k1 * (${1.0 - b} + $b * (dl / (CAST(sumdl AS DOUBLE)/n))))" +
+      s"(ln((CAST(n - df AS DOUBLE) + 0.5)/(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+      s"(CAST(tf AS DOUBLE) * ${k1 + 1.0})) / " +
+      s"(CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE)/n))))" +
       "), 4) AS score FROM tf JOIN dfq USING (term) CROSS JOIN st GROUP BY doc_id), " +
       "r AS (SELECT doc_id, score, CAST(row_number() OVER " +
       "(ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM sc) " +

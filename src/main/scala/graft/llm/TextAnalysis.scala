@@ -463,19 +463,28 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     val nTok = size(toks)
     val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
-    val meanLen = sumLen / nTok
+    // \A..\z absolute anchors: Java-regex '$' would also match before a
+    // trailing newline, silently diverging from the RE2 oracle's
+    // end-of-text '$' — the anchored pair means END OF TEXT in both
+    val alphaHits = size(filter(toks, t => t.rlike("\\A[A-Za-z]+\\z")))
     val stopDistinct =
       size(filter(array(Stopwords.map(lit): _*), w => array_contains(toks, w)))
-    val alphaFrac = size(filter(toks, t => t.rlike("^[A-Za-z]+$"))) / nTok
+    // stats project FIRST, `passes` derives from the projected columns:
+    // each alias is referenced twice (output + rule), which stops
+    // CollapseProject from inlining — so every HOF runs once per row,
+    // not once per reference
     docs.select(
       col("doc_id"),
       nTok.cast("long").as("n_words"),
-      meanLen.as("mean_word_len"),
+      (sumLen / nTok).as("mean_word_len"),
       stopDistinct.cast("long").as("n_stop_distinct"),
-      alphaFrac.as("alpha_frac"),
-      (nTok >= minWords && nTok <= maxWords &&
-        meanLen >= minAvgLen && meanLen <= maxAvgLen &&
-        stopDistinct >= minStopHits && alphaFrac >= minAlphaFrac).as("passes"))
+      (alphaHits / nTok).as("alpha_frac"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("n_stop_distinct"), col("alpha_frac"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minAvgLen && col("mean_word_len") <= maxAvgLen &&
+          col("n_stop_distinct") >= minStopHits &&
+          col("alpha_frac") >= minAlphaFrac).as("passes"))
   }
 
   /** BM25 document ranking for one query term set (Robertson et al.;
