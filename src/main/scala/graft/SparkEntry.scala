@@ -89,6 +89,11 @@ object SparkEntry {
   /** PCA power-iteration count (contract: equality needs identical
     * iteration counts, not convergence). */
   private val PcaIters = 8
+  /** Binned range join: band count / base / width and the bin width. */
+  private val RangeBins = 40
+  private val RangeBase = 800.0
+  private val RangeW = 5.0
+  private val RangeBinWidth = 7.0
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -435,6 +440,23 @@ object SparkEntry {
       ev.withColumn("mavg", round(avg(col("value")).over(w), 4))
         .select(col("event_id"), col("user_id"), col("mavg"))
         .orderBy(col("event_id"))
+    }),
+
+    // binned range join: 40 price bands resolved by bin equi-join +
+    // exact filter (the many-interval regime where the broadcast theta
+    // join of q_range_join stops scaling); result = the theta join
+    "q_binned_range" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq.tabulate(RangeBins)(i =>
+        (s"b$i", RangeBase + RangeW * i, RangeBase + RangeW * (i + 1)))
+        .toDF("band", "lo", "hi")
+      val parts = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_retailprice"))
+      graft.ops.BinnedRangeJoin.pointInInterval(parts, "p_retailprice",
+        bands, "lo", "hi", RangeBinWidth)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+        .orderBy(col("band"))
     }),
 
     // skew-resistant salted JOIN (fact salts, dim explodes; result =
@@ -1212,6 +1234,16 @@ object SparkEntry {
     "q_salted_agg" ->
       ("SELECT user_id, round(sum(value), 4) AS total, count(*) AS n " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // the binned join's contract IS the theta join over the same
+    // generated band table
+    "q_binned_range" ->
+      (s"WITH bands AS (SELECT 'b' || CAST(i AS VARCHAR) AS band, " +
+        s"$RangeBase + $RangeW*i AS lo, $RangeBase + $RangeW*(i+1) AS hi " +
+        s"FROM range(0, $RangeBins) t(i)) " +
+        "SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price " +
+        "FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi " +
+        "GROUP BY band ORDER BY band"),
 
     // the salted join's contract IS the plain equi join
     "q_salted_join" ->
