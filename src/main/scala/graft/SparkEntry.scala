@@ -89,6 +89,8 @@ object SparkEntry {
   /** PCA power-iteration count (contract: equality needs identical
     * iteration counts, not convergence). */
   private val PcaIters = 8
+  /** Weighted-sample-without-replacement size. */
+  private val WsK = 50
   /** Binned range join: band count / base / width and the bin width. */
   private val RangeBins = 40
   private val RangeBase = 800.0
@@ -976,6 +978,12 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // weighted sampling without replacement (derandomized A-ES):
+    // fixed-size token-weighted draw, reproducible, dup-affine
+    "q_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSampleTopK(docs(s, dir), WsK)
+        .orderBy(col("rn"))),
+
     // BM25 lexical retrieval: top-10 docs for a fixed query term set
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, Bm25K)
@@ -1531,6 +1539,8 @@ object SparkEntry {
     "q_bpe_merge" -> TextSql.bpeMergeSql(BpeTopK),
 
     "q_bm25" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
+
+    "q_weighted_sample" -> TextSql.weightedSampleSql(WsK),
 
     "q_curate" ->
       (s"WITH gp AS (SELECT doc_id FROM (${TextSql.gopherSql(GopherMinWords, GopherMaxWords,

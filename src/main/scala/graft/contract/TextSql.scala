@@ -759,6 +759,19 @@ object TextSql {
       "r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rn FROM c) " +
       s"SELECT pair, n, rn FROM r WHERE rn <= $k ORDER BY rn"
 
+  /** Mirror of TextAnalysis.weightedSampleTopK: same fingerprint-
+    * derived u, same −ln(u)/w clock, round-6 grid before ranking. */
+  def weightedSampleSql(k: Int): String = {
+    val m1 = (TextAnalysis.FpMod + 1).toDouble
+    s"WITH t AS ($toksCte), " +
+      "s AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS w, " +
+      s"CAST((CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END) + 1 AS DOUBLE) / $m1 AS u " +
+      "FROM t), " +
+      "r AS (SELECT doc_id, round(-ln(u)/w, 6) AS skey FROM s), " +
+      "rk AS (SELECT doc_id, skey, CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS rn FROM r) " +
+      s"SELECT doc_id, skey, rn FROM rk WHERE rn <= $k ORDER BY rn"
+  }
+
   /** Mirror of TextAnalysis.bm25TopDocs: identical formula text (the
     * constants interpolate from the SAME Scala doubles, which
     * round-trip exactly through their decimal repr), identical

@@ -540,6 +540,35 @@ object TextAnalysis {
     out
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    * derandomized: each document draws an exponential clock
+    * key = −ln(u)/w and the k SMALLEST keys win — the distribution-
+    * correct fixed-size weighted sample (heavier documents
+    * proportionally likelier), vs `qualityWeightedSample`'s per-row
+    * Bernoulli (random SIZE) and `deterministicSample`'s unweighted
+    * rate. The "randomness" u derives from the content fingerprint, so
+    * the draw is reproducible across engines/runs/layouts with no RNG
+    * state, and exact duplicates draw the same key (dup-affine).
+    * Weight = token count (sample ∝ training-token contribution).
+    *
+    * One scan; keys round to 6 decimals BEFORE ranking (ln last-ulp
+    * discipline), ties to low doc_id; the global rank-filter compiles
+    * to an ordered limit (TakeOrderedAndProject — the q_bpe_merge
+    * plan argument), so no single-partition sort of the corpus.
+    * Output: (doc_id, skey, rn), rn = 1..k. */
+  def weightedSampleTopK(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val w = size(tokens(col("text"))).cast("double")
+    val u = (fingerprint(col("text")) + 1).cast("double") / (FpMod + 1).toDouble
+    val key = round(-log(u) / w, 6)
+    val win = Window.orderBy(col("skey").asc, col("doc_id").asc)
+    docs.withColumn("skey", key)
+      .withColumn("rn", row_number().over(win).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("skey"), col("rn"))
+  }
+
   /** One BPE merge-selection step — the statistic a byte-pair-encoding
     * tokenizer trainer computes each round: the corpus-frequency-weighted
     * counts of ADJACENT character pairs, ranked (a real trainer then

@@ -702,6 +702,26 @@ class LlmSpec extends SparkSpec {
     out.map(_._1).toSet shouldBe Set(1L, 2L) // doc 3 has no query terms
   }
 
+  test("weightedSampleTopK: deterministic, dup-affine keys, heavier docs favored in aggregate") {
+    val d = docsDF(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", // dups: same key
+      3L -> "x", 4L -> "one two three four five six seven eight nine ten")
+    val out = TextAnalysis.weightedSampleTopK(d, 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    out.length shouldBe 4
+    val keys = out.map(t => t._1 -> t._2).toMap
+    keys(1L) shouldBe keys(2L)     // identical content -> identical clock
+    // reproducible across runs and partition layouts
+    val again = TextAnalysis.weightedSampleTopK(d.repartition(4), 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    again.sortBy(_._3) shouldBe out.sortBy(_._3)
+    // key = -ln(u)/w: recompute doc 3's clock by hand (w=1, fp("x")=120)
+    val u3 = 121.0 / (TextAnalysis.FpMod + 1).toDouble
+    val want = BigDecimal(-math.log(u3) / 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    keys(3L) shouldBe want
+  }
+
   test("bpeMergeStep: corpus-weighted adjacent char pairs, ranked") {
     // "aa ab" + "aa": word counts aa=2, ab=1 -> pairs: "aa"=2, "ab"=1;
     // single-char words emit nothing
