@@ -65,6 +65,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: near-dups of earlier batches never reach the corpus") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest").toString
+    val corpusPath = s"$dir/corpus"
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mem = MemoryStream[(Long, String)]
+    val q = IngestDedup.start(mem.toDF.toDF("doc_id", "text"),
+      corpusPath, s"$dir/ck", threshold = 0.5)
+    try {
+      mem.addData((1L, a), (2L, "one two three four five six seven"))
+      q.processAllAvailable()
+      // batch 2: 10 dups batch 1's doc 1; 11/12 duplicate each other
+      mem.addData((10L, a),
+        (11L, "red green blue cyan magenta yellow black white"),
+        (12L, "red green blue cyan magenta yellow black white"))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      corpus shouldBe Set(1L, 2L, 11L) // 10 dropped vs corpus, 12 within batch
+      // idempotent sink: replaying a batch overwrites its partition, not appends
+      IngestDedup.ingestBatch(Seq((11L, "red green blue cyan magenta yellow black white"),
+        (12L, "red green blue cyan magenta yellow black white"))
+        .toDF("doc_id", "text"), corpusPath, batchId = 1L, threshold = 0.5)
+      val again = spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      again shouldBe Seq(1L, 2L, 11L) // same rows — no duplicate 11
+    } finally q.stop()
+  }
+
   test("stream-static join: a stream enriches against a static dimension") {
     // the standard enrichment shape: unbounded fact stream, bounded
     // dimension table — Spark broadcasts/probes the static side per
