@@ -1246,8 +1246,12 @@ object SparkEntry {
     // the binned join's contract IS the theta join over the same
     // generated band table
     "q_binned_range" ->
+      // CAST i to DOUBLE before the decimal literals (the CLAUDE.md
+      // BIGINT×DECIMAL trap): today's bounds are exact either way, but
+      // the rule must hold for any RangeBase/RangeW
       (s"WITH bands AS (SELECT 'b' || CAST(i AS VARCHAR) AS band, " +
-        s"$RangeBase + $RangeW*i AS lo, $RangeBase + $RangeW*(i+1) AS hi " +
+        s"$RangeBase + $RangeW*CAST(i AS DOUBLE) AS lo, " +
+        s"$RangeBase + $RangeW*(CAST(i AS DOUBLE)+1) AS hi " +
         s"FROM range(0, $RangeBins) t(i)) " +
         "SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price " +
         "FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi " +

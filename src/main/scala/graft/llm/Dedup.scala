@@ -443,6 +443,44 @@ object Dedup {
       .select(col("da").as("batch_id"), col("db").as("corpus_id"), col("jaccard"))
   }
 
+  /** Near-dup ids to DROP from an arriving batch (the streaming-ingest
+    * loop): batch docs that near-duplicate the corpus, or a lower-id
+    * sibling in the same batch. The batch signature/band table is
+    * computed ONCE and shared by both candidate generators (the naive
+    * composition of `minhashPairs` + `incrementalMinhash` would sign
+    * and band the batch twice); both candidate sets are exactly
+    * shingle-verified. `corpus = None` means "first batch" and skips
+    * the corpus probe entirely — an EMPTY corpus frame is also fine
+    * (the band join just yields no candidates), so callers can decide
+    * emptiness from cheap filesystem metadata instead of a Spark job.
+    * Returns a small materialized (doc_id) frame; every internal cache
+    * is released before returning (callers may unpersist the result). */
+  def ingestDupIds(newDocs: DataFrame, corpus: Option[DataFrame],
+                   threshold: Double): DataFrame = {
+    val batchBands = bandTable(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withinPairs = verifyJaccard(newDocs, bandCandidates(batchBands),
+      threshold, release = Nil)
+    val vsCorpusPairs = corpus.map { c =>
+      val cand = bandTable(c).as("c")
+        .join(broadcast(batchBands).as("b"),
+          col("c.band") === col("b.band") && col("c.key") === col("b.key"))
+        .select(col("b.doc_id").as("da"), col("c.doc_id").as("db"))
+        .distinct()
+      val both = newDocs.select(col("doc_id"), col("text"))
+        .unionByName(c.select(col("doc_id"), col("text")))
+      verifyJaccard(both, cand, threshold, release = Nil)
+    }
+    val ids = vsCorpusPairs
+      .map(vc => withinPairs.select(col("db").as("doc_id"))
+        .unionByName(vc.select(col("da").as("doc_id"))))
+      .getOrElse(withinPairs.select(col("db").as("doc_id")))
+      .distinct()
+    val out = materialized(ids,
+      release = Seq(batchBands, withinPairs) ++ vsCorpusPairs.toSeq)
+    out
+  }
+
   // ---------- SimHash ----------
 
   /** SimHash signature banding layout: 20 bits as 4 chunks of 5. By

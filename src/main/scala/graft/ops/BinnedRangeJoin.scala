@@ -32,6 +32,9 @@ object BinnedRangeJoin {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"need binWidth > 0, got $binWidth")
+    // the internal bin key must not clobber caller data
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "pointInInterval: inputs must not carry a '_bin' column")
     val iv = intervals.withColumn("_bin",
       explode(sequence(floor(col(loCol) / binWidth).cast("long"),
         floor(col(hiCol) / binWidth).cast("long"))))

@@ -34,32 +34,39 @@ object IngestDedup {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(corpusPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDocs = batch.select(col("doc_id"), col("text"))
+    // an empty batch writes nothing: a zero-row dynamic overwrite would
+    // create a file-less directory that later parquet reads choke on
+    if (batchDocs.isEmpty) return
+    // corpus presence = actual ingest_batch=* partition directories
+    // (cheap filesystem metadata, no Spark job) — a bare exists() on
+    // the root is wrong after any file-less write
+    val partDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$corpusPath/ingest_batch=*"))
     // a batch compares ONLY against partitions written BEFORE it
     // (ingest_batch < batchId, a pruned directory read): a REPLAYED
     // batch therefore sees exactly the corpus view of its original
     // run — comparing against its own previous output would self-match
     // and drop every row, turning replay into data loss
     val corpus =
-      if (fs.exists(new org.apache.hadoop.fs.Path(corpusPath)))
-        spark.read.parquet(corpusPath)
+      if (partDirs != null && partDirs.nonEmpty)
+        Some(spark.read.parquet(corpusPath)
           .filter(col("ingest_batch") < batchId)
-          .select(col("doc_id"), col("text"))
-      else spark.emptyDataFrame
-    val batchDocs = batch.select(col("doc_id"), col("text"))
-    val dupOfCorpus =
-      if (corpus.isEmpty) batchDocs.limit(0).select(col("doc_id"))
-      else Dedup.incrementalMinhash(batchDocs, corpus, threshold)
-        .select(col("batch_id").as("doc_id")).distinct()
-    val dupWithin = Dedup.minhashPairs(batchDocs, threshold)
-      .select(col("db").as("doc_id")).distinct()
+          .select(col("doc_id"), col("text")))
+      else None
+    // one shared batch signature table drives both candidate sets
+    val dropIds = Dedup.ingestDupIds(batchDocs, corpus, threshold)
     val survivors = batchDocs
-      .join(dupOfCorpus.unionByName(dupWithin).distinct(), Seq("doc_id"), "left_anti")
+      .join(dropIds, Seq("doc_id"), "left_anti")
       .withColumn("ingest_batch", lit(batchId))
     survivors.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch")
       .parquet(corpusPath)
+    // the drop-id frame is the only cache ingestDupIds leaves alive
+    dropIds.unpersist(false)
+    ()
   }
 
   /** Starts the ingestion stream; `docsStream` must be a streaming

@@ -271,6 +271,19 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
   }
 
+  test("q_weighted_sample: global rank filter becomes an ordered limit") {
+    val p = plan("q_weighted_sample")
+    p should include("TakeOrderedAndProject")
+    (p should not).include("Join")
+  }
+
+  test("q_binned_range: bin equi-join, never a nested-loop theta join") {
+    val p = plan("q_binned_range")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    p should include("BroadcastHashJoin")
+  }
+
   test("q_pca_project: the fitted direction inlines — projection is a pure scan") {
     val p = plan("q_pca_project", "simple")
     (p should not).include("Join")
