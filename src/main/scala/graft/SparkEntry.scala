@@ -1031,6 +1031,11 @@ object SparkEntry {
     "q_pca_power" -> ((s, dir) =>
       Similarity.pcaPowerDirection(emb(s, dir), PcaIters).orderBy(col("dim"))),
 
+    // second component via Hotelling deflation — same round-6 grid at
+    // every stage (chain -> Rayleigh -> deflate -> chain)
+    "q_pca2" -> ((s, dir) =>
+      Similarity.pcaSecondDirection(emb(s, dir), PcaIters).orderBy(col("dim"))),
+
     // fit-then-apply: the fitted principal direction inlines as literals
     // and the corpus projection is a pure shuffle-free scan (the IVF
     // literal-centroid pattern applied to PCA)
@@ -1513,6 +1518,7 @@ object SparkEntry {
     "q_vkmeans_iterate2" -> TextSql.vkmeansIterateSql(PqCodebookIds, 2),
     "q_pca_power" -> TextSql.pcaPowerSql(PcaIters),
     "q_pca_project" -> TextSql.pcaProjectSql(PcaIters),
+    "q_pca2" -> TextSql.pcaSecondSql(PcaIters),
 
     // ---- round 6 ----
     "q_gopher" -> TextSql.gopherSql(GopherMinWords, GopherMaxWords,

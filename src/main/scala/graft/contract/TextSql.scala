@@ -596,25 +596,48 @@ object TextSql {
     * rounded to 6, then `iters` unrolled v <- round((G·v)/‖G·v‖, 6)
     * CTEs (composed structurally — never by string surgery on a
     * finished query). */
+  /** The unrolled power-iteration step CTEs over matrix table `gTab`,
+    * producing `$p1 .. $p$iters` direction CTEs (step t reads
+    * `$p${t-1}`). */
+  /** Every CTE in these chains is AS MATERIALIZED: DuckDB inlines
+    * plain CTEs per REFERENCE, and the deflated second-component query
+    * references the gram scan through nested chains — inlining expands
+    * it combinatorially (observed: "Too many open files" from hundreds
+    * of re-opened parquet scans). Materialization evaluates each CTE
+    * once, like Spark's persisted subplans. */
+  private def powerSteps(gTab: String, p: String, iters: Int): String =
+    (1 to iters).map { t =>
+      s"${p}r$t AS MATERIALIZED (SELECT $gTab.i AS i, sum($gTab.g * v.val) AS raw " +
+        s"FROM $gTab JOIN $p${t - 1} v ON $gTab.j = v.i GROUP BY $gTab.i), " +
+        s"${p}n$t AS MATERIALIZED (SELECT sqrt(sum(raw*raw)) AS nrm FROM ${p}r$t), " +
+        s"$p$t AS MATERIALIZED (SELECT i, round(raw / nrm, 6) AS val FROM ${p}r$t CROSS JOIN ${p}n$t)"
+    }.mkString(", ")
+
   private def pcaCtes(iters: Int): String = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val head =
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "a AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS i, unnest(v) AS x FROM e), " +
-        "g AS (SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 6) AS g " +
-        "FROM a JOIN a b ON a.vec_id = b.vec_id GROUP BY 1, 2), " +
-        "v0 AS (SELECT DISTINCT i, 1.0 AS val FROM g)"
-    val steps = (1 to iters).map { t =>
-      s"r$t AS (SELECT g.i AS i, sum(g.g * v.val) AS raw " +
-        s"FROM g JOIN v${t - 1} v ON g.j = v.i GROUP BY g.i), " +
-        s"n$t AS (SELECT sqrt(sum(raw*raw)) AS nrm FROM r$t), " +
-        s"v$t AS (SELECT i, round(raw / nrm, 6) AS val FROM r$t CROSS JOIN n$t)"
-    }
-    (head +: steps).mkString(", ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "a AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS i, unnest(v) AS x FROM e), " +
+      "g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 6) AS g " +
+      "FROM a JOIN a b ON a.vec_id = b.vec_id GROUP BY 1, 2), " +
+      "v0 AS (SELECT DISTINCT i, 1.0 AS val FROM g), " +
+      powerSteps("g", "v", iters)
   }
 
   def pcaPowerSql(iters: Int): String =
     pcaCtes(iters) + s" SELECT i AS dim, val FROM v$iters ORDER BY dim"
+
+  /** Mirror of Similarity.pcaSecondDirection: Rayleigh quotient of v₁
+    * rounded to 6, Hotelling deflation G₂ = round(G − λ·v₁v₁ᵀ, 6),
+    * then the identical power chain over G₂. */
+  def pcaSecondSql(iters: Int): String =
+    pcaCtes(iters) + ", " +
+      s"lam AS MATERIALIZED (SELECT round(sum((vi.val * g.g) * vj.val), 6) AS lam " +
+      s"FROM g JOIN v$iters vi ON g.i = vi.i JOIN v$iters vj ON g.j = vj.i), " +
+      s"g2 AS MATERIALIZED (SELECT g.i AS i, g.j AS j, round(g.g - lam * (vi.val * vj.val), 6) AS g " +
+      s"FROM g JOIN v$iters vi ON g.i = vi.i JOIN v$iters vj ON g.j = vj.i CROSS JOIN lam), " +
+      "w0 AS (SELECT DISTINCT i, 1.0 AS val FROM g2), " +
+      powerSteps("g2", "w", iters) +
+      s" SELECT i AS dim, val FROM w$iters ORDER BY dim"
 
   /** Mirror of the q_pca_project composition: the same power-iteration
     * CTEs re-derive the direction, then every corpus vector dots

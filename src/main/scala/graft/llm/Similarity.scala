@@ -285,14 +285,12 @@ object Similarity {
     * ~1e7). Equality does NOT require convergence: both sides run
     * exactly `iters` iterations from v₀ = all-ones.
     * Output: (dim, val) — the unit principal direction, 1-based dims. */
-  def pcaPowerDirection(emb: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1, s"need iters >= 1, got $iters")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val (d, raw) = gramRaw(emb)
-    val g = raw.map(r6)
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** `iters` power iterations of v ← round((G·v)/‖G·v‖, 6) from the
+    * all-ones start — the driver half of the cross-engine recurrence. */
+  private def powerChain(g: Array[Double], d: Int, iters: Int): Array[Double] = {
     var vv = Array.fill(d)(1.0)
     for (_ <- 1 to iters) {
       val mv = Array.tabulate(d) { i =>
@@ -303,7 +301,45 @@ object Similarity {
       val nrm = math.sqrt(mv.map(x => x * x).sum)
       vv = mv.map(x => r6(x / nrm))
     }
+    vv
+  }
+
+  def pcaPowerDirection(emb: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (d, raw) = gramRaw(emb)
+    val vv = powerChain(raw.map(r6), d, iters)
     vv.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }.toSeq.toDF("dim", "val")
+  }
+
+  /** Second principal direction by HOTELLING DEFLATION: run the power
+    * chain for v₁, estimate its Rayleigh quotient λ = round(v₁ᵀGv₁, 6),
+    * deflate G₂ = round(G − λ·v₁v₁ᵀ, 6), and run the identical chain on
+    * G₂ — the standard top-k eigensolver step, each stage on the same
+    * round-6 contract grid so both engines walk the same matrices.
+    * v₂ is orthogonal to v₁ exactly insofar as v₁ converged (spec pins
+    * near-orthogonality on a separated fixture).
+    * Output: (dim, val) of the second direction, 1-based dims. */
+  def pcaSecondDirection(emb: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (d, raw) = gramRaw(emb)
+    val g = raw.map(r6)
+    val v1 = powerChain(g, d, iters)
+    var lam = 0.0
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { lam += (v1(i) * g(i * d + j)) * v1(j); j += 1 }
+      i += 1
+    }
+    val lr = r6(lam)
+    val g2 = Array.tabulate(d * d)(k =>
+      r6(g(k) - lr * (v1(k / d) * v1(k % d))))
+    val v2 = powerChain(g2, d, iters)
+    v2.zipWithIndex.map { case (x, i2) => ((i2 + 1).toLong, x) }.toSeq.toDF("dim", "val")
   }
 
   /** Per-vector symmetric int8 quantization: scale = 127 / max|v_i|,

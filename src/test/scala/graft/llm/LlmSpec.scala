@@ -762,6 +762,22 @@ class LlmSpec extends SparkSpec {
     math.abs(d(1L)) should be > 0.99
   }
 
+  test("pcaSecondDirection: deflation yields a near-orthogonal unit direction") {
+    // separated fixture: big variance on axis 1, medium on axis 2,
+    // none on axis 3 -> v1 ~ e1, v2 ~ e2
+    val rows = Seq.tabulate(30)(i =>
+      (i.toLong, Seq(10f * (i % 3 - 1), 2f * (i % 2 * 2 - 1), 0.01f)))
+    val e = rows.toDF("vec_id", "embedding")
+    def vec(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val v1 = vec(Similarity.pcaPowerDirection(e, 8))
+    val v2 = vec(Similarity.pcaSecondDirection(e, 8))
+    math.abs(v2.map(x => x * x).sum - 1.0) should be < 1e-4
+    math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum) should be < 1e-3
+    math.abs(v1(0)) should be > 0.99
+    math.abs(v2(1)) should be > 0.99
+  }
+
   test("sourceStats: dup fractions per source, blocklist bit on the rounded grid") {
     val d = Seq(
       (1L, "t1", "a"), (2L, "t2", "a"), (3L, "t3", "a"),
