@@ -91,6 +91,11 @@ object SparkEntry {
   private val PcaIters = 8
   /** Weighted-sample-without-replacement size. */
   private val WsK = 50
+  /** Sparse TF-IDF cosine pairs: rounded-sim threshold + stop-gram cap
+    * (64 keeps every bigram at the sf0.01 gate — max df there is 46 —
+    * while pruning the dense tail at bench scale). */
+  private val TcosThreshold = 0.5
+  private val TcosDfCap = 64L
   /** Binned range join: band count / base / width and the bin width. */
   private val RangeBins = 40
   private val RangeBase = 800.0
@@ -744,6 +749,12 @@ object SparkEntry {
       graft.analytics.Analytics.retention(ev)
         .orderBy(col("cohort_hour"), col("offset_hours"))
     }),
+
+    // sparse TF-IDF cosine near-dup pairs (weighted lexical overlap;
+    // df-capped inverted index, weights on the round-4 grid)
+    "dedup_tfidf_cosine" -> ((s, dir) =>
+      Dedup.tfidfCosinePairs(docs(s, dir), TcosThreshold, TcosDfCap)
+        .orderBy(col("da"), col("db"))),
 
     // near-dup pairs by SimHash hamming distance (chunk-banded, lossless)
     "dedup_simhash" -> ((s, dir) =>
@@ -1455,6 +1466,8 @@ object SparkEntry {
         "FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "dedup_simhash" -> TextSql.simhashPairsSql(maxHamming = 1),
+
+    "dedup_tfidf_cosine" -> TextSql.tfidfCosineSql(TcosThreshold, TcosDfCap),
 
     "q_winnow" -> TextSql.winnowSql(k = 3, w = 4),
 

@@ -795,6 +795,27 @@ object TextSql {
       s"SELECT doc_id, skey, rn FROM rk WHERE rn <= $k ORDER BY rn"
   }
 
+  /** Mirror of Dedup.tfidfCosinePairs: same bigram occurrences, same
+    * df-cap pruning, weights on the same round-4 grid, rounded-sim
+    * threshold. */
+  def tfidfCosineSql(threshold: Double, dfCap: Long): String =
+    s"WITH t AS ($toksCte), " +
+      "b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN " +
+      "list_transform(range(1, len(toks)), i -> toks[i::INT] || ' ' || toks[(i+1)::INT]) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS tm FROM t), " +
+      "tf AS (SELECT doc_id, tm, count(*) AS tf FROM b GROUP BY 1, 2), " +
+      s"dfq AS (SELECT tm, count(*) AS df FROM tf GROUP BY tm HAVING count(*) <= $dfCap), " +
+      "nn AS (SELECT count(*) AS n FROM documents), " +
+      "w AS MATERIALIZED (SELECT doc_id, tm, df, round(tf * ln(n/df), 4) AS w " +
+      "FROM tf JOIN dfq USING (tm) CROSS JOIN nn), " +
+      "norms AS MATERIALIZED (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id), " +
+      "dots AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot " +
+      "FROM w a JOIN w b ON a.tm = b.tm AND a.doc_id < b.doc_id " +
+      "WHERE a.df >= 2 AND b.df >= 2 GROUP BY 1, 2) " +
+      "SELECT da, db, round(dot/(na.nrm*nb.nrm), 4) AS sim " +
+      "FROM dots JOIN norms na ON da = na.doc_id JOIN norms nb ON db = nb.doc_id " +
+      s"WHERE round(dot/(na.nrm*nb.nrm), 4) >= $threshold ORDER BY da, db"
+
   /** Mirror of TextAnalysis.bm25TopDocs: identical formula text (the
     * constants interpolate from the SAME Scala doubles, which
     * round-trip exactly through their decimal repr), identical

@@ -443,6 +443,56 @@ object Dedup {
       .select(col("da").as("batch_id"), col("db").as("corpus_id"), col("jaccard"))
   }
 
+  /** Sparse TF-IDF cosine near-dup pairs — the SPARSE-vector similarity
+    * family (weighted lexical overlap), complementing set Jaccard
+    * (unweighted) and dense embedding cosine: rare shared n-grams count
+    * for more, boilerplate counts for less. Terms are word-bigram
+    * OCCURRENCES; weight = round(tf · ln(N/df), 4) — the round-4 grid
+    * makes both engines' weights identical BEFORE any sum, so norms and
+    * dot products diverge only by summation-order ulps that the final
+    * round-4 absorbs.
+    *
+    * Scale shape: pairs come ONLY from the inverted index of terms with
+    * 2 ≤ df ≤ dfCap (the substringPairs stop-gram argument — candidate
+    * volume is quadratic in df, and high-df terms carry near-zero idf
+    * anyway); the cap is a mirrored contract parameter, so both engines
+    * prune identically. Norms run over ALL kept terms (df ≤ dfCap),
+    * including df=1 terms that can never pair.
+    * Output: (da, db, sim) with da < db and rounded sim ≥ threshold. */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
+    require(dfCap >= 2, s"need dfCap >= 2, got $dfCap")
+    val n = docs.count() // driver boundary: one count (the tfidf pattern)
+    val toks = TextAnalysis.tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val tf = spread(docs)
+      .select(col("doc_id"), explode(bigrams).as("tm"))
+      .groupBy(col("doc_id"), col("tm"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("tm")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val w = tf.join(dfreq, Seq("tm"))
+      .select(col("doc_id"), col("tm"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val pairTerms = w.filter(col("df") >= 2)
+    val dots = pairTerms.as("a")
+      .join(pairTerms.as("b"),
+        col("a.tm") === col("b.tm") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    val result = dots
+      .join(norms.select(col("doc_id").as("da"), col("nrm").as("na")), Seq("da"))
+      .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), Seq("db"))
+      .select(col("da"), col("db"), round(col("dot") / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+    materialized(result, Seq(tf, w))
+  }
+
   /** Near-dup ids to DROP from an arriving batch (the streaming-ingest
     * loop): batch docs that near-duplicate the corpus, or a lower-id
     * sibling in the same batch. The batch signature/band table is

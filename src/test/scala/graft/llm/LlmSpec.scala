@@ -722,6 +722,26 @@ class LlmSpec extends SparkSpec {
     keys(3L) shouldBe want
   }
 
+  test("tfidfCosinePairs: clones score ~1, rare overlap outweighs common, cap prunes") {
+    val d = docsDF(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta", // clone of 1 -> sim 1.0
+      3L -> "one two three four five six seven",   // disjoint
+      4L -> "alpha beta nine ten eleven twelve")   // shares one bigram with 1/2
+    val out = Dedup.tfidfCosinePairs(d, threshold = 0.01, dfCap = 10L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    out((1L, 2L)) shouldBe 1.0
+    // one common (df=3, low-idf) shared bigram: present but weighted
+    // down hard — the weighted-overlap point of the operator
+    out((1L, 4L)) should be < 0.1
+    (out.keySet.flatMap(p => Set(p._1, p._2)) should not).contain(3L)
+    // a tight df cap prunes the shared bigram (df=3 > 2) -> no 1-4 pair,
+    // but the clone pair (every bigram df=2) survives
+    val capped = Dedup.tfidfCosinePairs(d, threshold = 0.01, dfCap = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe Set((1L, 2L))
+  }
+
   test("bpeMergeStep: corpus-weighted adjacent char pairs, ranked") {
     // "aa ab" + "aa": word counts aa=2, ab=1 -> pairs: "aa"=2, "ab"=1;
     // single-char words emit nothing
