@@ -943,6 +943,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // distribution-rank windows: percent_rank + cume_dist of each
+    // order's price within its status group. Both are pure rank
+    // arithmetic over a total (price, key) order — (rank-1)/(n-1) and
+    // rank'/n are single integer divisions, bitwise cross-engine
+    "q_percent_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // NTILE quartiles of customer spend within each nation, aggregated
     "q_ntile" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1547,6 +1562,13 @@ object SparkEntry {
         s"c AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey >= $FullOuterCustMin) " +
         "SELECT coalesce(user_id, c_custkey) AS id, n_events, total_value, c_nationkey " +
         "FROM ev FULL OUTER JOIN c ON user_id = c_custkey ORDER BY id"),
+
+    "q_percent_rank" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+        "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
+        "FROM orders WHERE o_orderkey <= 2000 " +
+        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_orderkey"),
 
     "q_ntile" ->
       ("WITH spend AS (SELECT o_custkey, round(sum(o_totalprice),2) AS spend " +
