@@ -587,24 +587,14 @@ object TextSql {
       "SELECT cell, dim, round(avg(val), 4) AS m FROM x GROUP BY 1, 2 ORDER BY cell, dim"
   }
 
-  /** Mirror of Similarity.pcaPowerDirection: gram sums rounded to 6
-    * decimals FIRST, then `iters` unrolled power-iteration CTEs, each
-    * computing round((G·v)/‖G·v‖, 6) — the identical recurrence the
-    * driver runs, so the direction matches without requiring
-    * convergence. */
-  /** The shared WITH-clause of the power-iteration mirrors: gram sums
-    * rounded to 6, then `iters` unrolled v <- round((G·v)/‖G·v‖, 6)
-    * CTEs (composed structurally — never by string surgery on a
-    * finished query). */
   /** The unrolled power-iteration step CTEs over matrix table `gTab`,
     * producing `$p1 .. $p$iters` direction CTEs (step t reads
-    * `$p${t-1}`). */
-  /** Every CTE in these chains is AS MATERIALIZED: DuckDB inlines
-    * plain CTEs per REFERENCE, and the deflated second-component query
-    * references the gram scan through nested chains — inlining expands
-    * it combinatorially (observed: "Too many open files" from hundreds
-    * of re-opened parquet scans). Materialization evaluates each CTE
-    * once, like Spark's persisted subplans. */
+    * `$p${t-1}`). Every CTE in these chains is AS MATERIALIZED: DuckDB
+    * inlines plain CTEs per REFERENCE, and the deflated second-
+    * component query references the gram scan through nested chains —
+    * inlining expands it combinatorially (observed: "Too many open
+    * files" from hundreds of re-opened parquet scans). Materialization
+    * evaluates each CTE once, like Spark's persisted subplans. */
   private def powerSteps(gTab: String, p: String, iters: Int): String =
     (1 to iters).map { t =>
       s"${p}r$t AS MATERIALIZED (SELECT $gTab.i AS i, sum($gTab.g * v.val) AS raw " +
@@ -613,6 +603,12 @@ object TextSql {
         s"$p$t AS MATERIALIZED (SELECT i, round(raw / nrm, 6) AS val FROM ${p}r$t CROSS JOIN ${p}n$t)"
     }.mkString(", ")
 
+  /** The shared WITH-clause of the power-iteration mirrors (the
+    * Similarity.pcaPowerDirection contract): gram sums rounded to 6
+    * decimals FIRST, then `iters` unrolled v ← round((G·v)/‖G·v‖, 6)
+    * CTEs — the identical recurrence the driver runs, so directions
+    * match without requiring convergence. Composed structurally, never
+    * by string surgery on a finished query. */
   private def pcaCtes(iters: Int): String = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
@@ -814,7 +810,8 @@ object TextSql {
       "WHERE a.df >= 2 AND b.df >= 2 GROUP BY 1, 2) " +
       "SELECT da, db, round(dot/(na.nrm*nb.nrm), 4) AS sim " +
       "FROM dots JOIN norms na ON da = na.doc_id JOIN norms nb ON db = nb.doc_id " +
-      s"WHERE round(dot/(na.nrm*nb.nrm), 4) >= $threshold ORDER BY da, db"
+      "WHERE na.nrm > 0 AND nb.nrm > 0 " +
+      s"AND round(dot/(na.nrm*nb.nrm), 4) >= $threshold ORDER BY da, db"
 
   /** Mirror of TextAnalysis.bm25TopDocs: identical formula text (the
     * constants interpolate from the SAME Scala doubles, which

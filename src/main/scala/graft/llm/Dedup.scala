@@ -430,8 +430,17 @@ object Dedup {
     * as the other pair operators, so hash collisions never reach the
     * output). doc_ids must be unique ACROSS both frames. */
   def incrementalMinhash(newDocs: DataFrame, corpus: DataFrame,
-                         threshold: Double): DataFrame = {
-    val batchBands = bandTable(newDocs)
+                         threshold: Double): DataFrame =
+    corpusProbePairs(bandTable(newDocs), newDocs, corpus, threshold)
+      .select(col("da").as("batch_id"), col("db").as("corpus_id"), col("jaccard"))
+
+  /** Verified (da = batch doc, db = corpus doc) near-dup pairs of a
+    * PREBUILT batch band table probed against a corpus — the ONE
+    * definition of the incremental probe, shared by `incrementalMinhash`
+    * and `ingestDupIds` so the streaming path cannot drift from the
+    * contract-verified one. */
+  private def corpusProbePairs(batchBands: DataFrame, newDocs: DataFrame,
+                               corpus: DataFrame, threshold: Double): DataFrame = {
     val cand = bandTable(corpus).as("c")
       .join(broadcast(batchBands).as("b"),
         col("c.band") === col("b.band") && col("c.key") === col("b.key"))
@@ -440,7 +449,6 @@ object Dedup {
     val both = newDocs.select(col("doc_id"), col("text"))
       .unionByName(corpus.select(col("doc_id"), col("text")))
     verifyJaccard(both, cand, threshold, release = Nil)
-      .select(col("da").as("batch_id"), col("db").as("corpus_id"), col("jaccard"))
   }
 
   /** Sparse TF-IDF cosine near-dup pairs — the SPARSE-vector similarity
@@ -485,9 +493,15 @@ object Dedup {
         col("a.tm") === col("b.tm") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    // zero-norm guard, mirrored in SQL: an all-zero-weight document
+    // (every bigram at df = n) would make sim = 0/0 = NaN, and Spark's
+    // NaN-greater-than-everything comparison would PASS the threshold
+    // filter while DuckDB's NaN semantics differ — drop such docs on
+    // both sides instead
     val result = dots
       .join(norms.select(col("doc_id").as("da"), col("nrm").as("na")), Seq("da"))
       .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), Seq("db"))
+      .filter(col("na") > 0 && col("nb") > 0)
       .select(col("da"), col("db"), round(col("dot") / (col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
     materialized(result, Seq(tf, w))
@@ -511,16 +525,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withinPairs = verifyJaccard(newDocs, bandCandidates(batchBands),
       threshold, release = Nil)
-    val vsCorpusPairs = corpus.map { c =>
-      val cand = bandTable(c).as("c")
-        .join(broadcast(batchBands).as("b"),
-          col("c.band") === col("b.band") && col("c.key") === col("b.key"))
-        .select(col("b.doc_id").as("da"), col("c.doc_id").as("db"))
-        .distinct()
-      val both = newDocs.select(col("doc_id"), col("text"))
-        .unionByName(c.select(col("doc_id"), col("text")))
-      verifyJaccard(both, cand, threshold, release = Nil)
-    }
+    val vsCorpusPairs = corpus.map(c =>
+      corpusProbePairs(batchBands, newDocs, c, threshold))
     val ids = vsCorpusPairs
       .map(vc => withinPairs.select(col("db").as("doc_id"))
         .unionByName(vc.select(col("da").as("doc_id"))))

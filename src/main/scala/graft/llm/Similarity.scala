@@ -299,6 +299,11 @@ object Similarity {
         s
       }
       val nrm = math.sqrt(mv.map(x => x * x).sum)
+      // a zero matrix (e.g. a grid-exact rank-1 gram after deflation)
+      // has no principal direction: fail explicitly instead of folding
+      // NaN into BigDecimal (NumberFormatException) or diverging from
+      // the SQL mirror's 0/0 semantics
+      require(nrm > 0, "powerChain: zero matrix — no principal direction")
       vv = mv.map(x => r6(x / nrm))
     }
     vv
@@ -326,6 +331,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val (d, raw) = gramRaw(emb)
+    require(d >= 2, s"pcaSecondDirection: needs >= 2 dims, got $d")
     val g = raw.map(r6)
     val v1 = powerChain(g, d, iters)
     var lam = 0.0
