@@ -30,15 +30,58 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(thunk: () => Unit): (Double, Option[String]) = {
-      val t0 = System.nanoTime()
-      try { thunk(); ((System.nanoTime() - t0) / 1e9, None) }
-      catch {
-        case e: Throwable =>
-          ((System.nanoTime() - t0) / 1e9,
-            Some(e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)))
+    // Load-invariant measure alongside wall time: this VM's effective CPU
+    // speed swings with external load (identical warm queries measured
+    // 0.7s -> 39s), so wall-clock alone cannot separate noise from a
+    // regression. A SparkListener sums task executorCpuTime; each query
+    // reports the CPU-seconds its tasks actually burned, which external
+    // contention barely moves.
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) { cpuNanos.addAndGet(m.executorCpuTime); () }
       }
+    })
+    // the listener bus is async: after a job returns, poll until the
+    // counter stops moving so one query's tail tasks don't bleed into the
+    // next line's delta (bounded — a stuck bus costs 1s, not a hang)
+    def cpuSnapshot(): Long = {
+      var prev = -1L
+      var cur = cpuNanos.get()
+      var spins = 0
+      while (cur != prev && spins < 40) {
+        Thread.sleep(25); prev = cur; cur = cpuNanos.get(); spins += 1
+      }
+      cur
+    }
+
+    // Cold-equivalent samples: operators internally persist shared
+    // subplans (Dataset.persist registers in the session CacheManager, so
+    // clearCache drops them) and ConnectedComponents localCheckpoints
+    // (RDD-level blocks, NOT in the CacheManager) — scrub both and report
+    // what was found, so no sample ever reads a predecessor's blocks and
+    // min-of-samples provably measures the same work each time.
+    def scrubCaches(): Int = {
+      spark.catalog.clearCache()
+      val leftovers = spark.sparkContext.getPersistentRDDs
+      leftovers.valuesIterator.foreach(_.unpersist(blocking = false))
+      leftovers.size
+    }
+
+    def time(thunk: () => Unit): (Double, Double, Option[String]) = {
+      val c0 = cpuSnapshot()
+      val t0 = System.nanoTime()
+      val err =
+        try { thunk(); None }
+        catch {
+          case e: Throwable =>
+            Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160))
+        }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (cpuSnapshot() - c0) / 1e9
+      (wall, cpu, err)
     }
 
     // untimed warmup: touch every input table once (OS page cache), then
@@ -81,6 +124,20 @@ object Bench {
         val assigned = PointSpace.assign(PointSpace.points(spark, sfDir), PointSpace.seeds)
         val m = graft.eval.Silhouette.sampled(assigned, fraction = 0.01)
         require(m.count() > 0, "no silhouette rows")
+      }),
+      // the 100 TB-regime cell-assignment fallback (K > MaxInlineCells):
+      // 300 coarse cells force Similarity.assignCellsJoin — broadcast
+      // cells + one min(struct) exchange — so the large-K path carries a
+      // round timing alongside its PlanSpec pin instead of existing only
+      // as a spec-equal branch
+      "ann_assign_largek" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val coarse = e.filter(col("vec_id") < 300)
+          .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+        val n = graft.llm.Similarity.assignCells(e, coarse).count()
+        require(n > 0, "no assignments from the large-K path")
       }),
       // streaming surface: file-stream click attribution over the events
       // table (views/clicks split to parquet, consumed as streams, the
@@ -133,11 +190,20 @@ object Bench {
       only.forall(_.findFirstIn(name).isDefined)
     }
 
+    val cacheLeaks = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def isolate(name: String): Unit = {
+      val n = scrubCaches()
+      if (n > 0) {
+        cacheLeaks(name) = cacheLeaks.getOrElse(name, 0) + n
+        System.err.println(s"[bench] scrubbed $n persisted RDD(s) left by $name")
+      }
+    }
+
     val firstPass = all.map { case (name, thunk) =>
-      val (sec, err) = time(thunk)
+      val (sec, cpu, err) = time(thunk)
       // operators persist shared intermediates; isolate the next query
-      spark.catalog.clearCache()
-      (name, thunk, sec, err)
+      isolate(name)
+      (name, thunk, sec, cpu, err)
     }
 
     // this box's load is bursty (firecracker VM, external contention):
@@ -157,32 +223,42 @@ object Bench {
     val RetimeFloorSec = 2.0
     val MaxSamples = 3
     val results = firstPass.map {
-      case (name, thunk, sec, None) if sec > RetimeFloorSec =>
-        var samples = List(sec)
+      case (name, thunk, sec, cpu, None) if sec > RetimeFloorSec =>
+        var samples = List((sec, cpu))
         var err: Option[String] = None
-        while (samples.length < MaxSamples && samples.min > RetimeFloorSec && err.isEmpty) {
-          val (s2, e2) = time(thunk)
-          spark.catalog.clearCache()
+        while (samples.length < MaxSamples && samples.map(_._1).min > RetimeFloorSec && err.isEmpty) {
+          val (s2, c2, e2) = time(thunk)
+          isolate(name)
           err = e2.map(e => s"retime_failed: $e")
           // a failed re-run's wall time is NOT a measurement of the
           // query: keep only successful samples so min() can never
           // report an errored run's duration as the query time
-          if (err.isEmpty) samples = samples :+ s2
+          if (err.isEmpty) samples = samples :+ ((s2, c2))
         }
-        (name, samples.min, err, Some(samples))
-      case (name, _, sec, err) => (name, sec, err, None)
+        // report the (wall, cpu) of the best-wall sample together: CPU is
+        // the load-invariant discriminator, so pairing it with another
+        // sample's wall time would break the noise-vs-regression read
+        val best = samples.minBy(_._1)
+        (name, best._1, best._2, err, Some(samples))
+      case (name, _, sec, cpu, err) => (name, sec, cpu, err, None)
     }
 
     def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (n, s, _, _) => jstr(n) + ":" + s }.mkString("{", ",", "}")
-    val errors = results.collect { case (n, _, Some(e), _) => jstr(n) + ":" + jstr(e) }
+    val qs = results.map { case (n, s, _, _, _) => jstr(n) + ":" + s }.mkString("{", ",", "}")
+    val cpuJson = results.map { case (n, _, c, _, _) => jstr(n) + ":" + c }.mkString("{", ",", "}")
+    val errors = results.collect { case (n, _, _, Some(e), _) => jstr(n) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val retimed = results.collect { case (n, _, _, Some(samples)) =>
-      jstr(n) + ":" + samples.mkString("[", ",", "]")
+    val retimed = results.collect { case (n, _, _, _, Some(samples)) =>
+      jstr(n) + ":" + samples.map(_._1).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val retimedCpu = results.collect { case (n, _, _, _, Some(samples)) =>
+      jstr(n) + ":" + samples.map(_._2).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val leaks = cacheLeaks.map { case (n, c) => jstr(n) + ":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalCpu = results.map(_._3).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"retimed":$retimed,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"cpu":$cpuJson,"errors":$errors,"retimed":$retimed,"retimed_cpu":$retimedCpu,"cache_leaks":$leaks,"sf":${jstr(sfDir)}}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: also drop the line in CWD
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")

@@ -24,6 +24,15 @@ object SparkEntry {
     * ~0.96; random word-salad pairs sit below 0.15). */
   private val JacThreshold = 0.5
 
+  /** Hot-shingle doc-frequency cap for dedup_jaccard (the 100x guard —
+    * Dedup.jaccardPairs scaladoc). 1000 is loss-free headroom on the
+    * contract corpora (measured df max: 46 at sf0.01, 338 at sf0.1;
+    * true pairs survive any cap >= 400 at sf0.1) while still bounding
+    * candidate volume to dfCap*(dfCap-1)/2 per shingle at larger
+    * corpora. Mirrored in the oracle, so the gate is part of the
+    * contract, not a Spark-side heuristic. */
+  private val JacDfCap = 1000L
+
   /** ANN contract parameters: query vectors + coarse IVF cells are
     * corpus vectors selected by id (deterministic, no literals). */
   private val AnnQueryIds = Seq(0L, 1L, 2L)
@@ -251,7 +260,8 @@ object SparkEntry {
 
     // near-dup pairs by word-bigram Jaccard (inverted-index join)
     "dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), JacThreshold).orderBy(col("da"), col("db"))),
+      Dedup.jaccardPairs(docs(s, dir), JacThreshold, JacDfCap)
+        .orderBy(col("da"), col("db"))),
 
     // near-dup pairs by MinHash+LSH banding, Jaccard-verified
     "dedup_minhash" -> ((s, dir) =>
@@ -472,9 +482,12 @@ object SparkEntry {
       val fact = eventsNanos(s, dir).select(col("user_id").as("key"), col("value"))
       val dim = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("key"), col("c_nationkey"))
+      // nation-level sums are the contract's largest float reductions:
+      // 2-decimal rounding (CLAUDE.md big-sum discipline) keeps
+      // cross-engine summation-order ulps off the grid boundary
       graft.ops.SaltedJoin.inner(fact, dim, "key", salts = 8)
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy(col("c_nationkey"))
     }),
 
@@ -1223,7 +1236,7 @@ object SparkEntry {
     "lang_id" -> TextSql.langIdSql,
     "fingerprint" -> TextSql.fingerprintSql,
     "dedup_exact" -> TextSql.dedupExactSql,
-    "dedup_jaccard" -> TextSql.dedupJaccardSql(JacThreshold),
+    "dedup_jaccard" -> TextSql.dedupJaccardSql(JacThreshold, JacDfCap),
     "dedup_minhash" -> TextSql.dedupMinhashSql(JacThreshold),
 
     "q_incr_minhash" -> TextSql.incrementalMinhashSql(JacThreshold, IncrementalMod),
@@ -1288,9 +1301,10 @@ object SparkEntry {
         "FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi " +
         "GROUP BY band ORDER BY band"),
 
-    // the salted join's contract IS the plain equi join
+    // the salted join's contract IS the plain equi join (2-decimal
+    // rounding: big-sum grid, matching the Spark side)
     "q_salted_join" ->
-      ("SELECT c_nationkey, count(*) AS n, round(sum(value), 4) AS total_value " +
+      ("SELECT c_nationkey, count(*) AS n, round(sum(value), 2) AS total_value " +
         "FROM events JOIN customer ON user_id = c_custkey " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
 

@@ -79,7 +79,14 @@ object Analytics {
     * left join never touch corpus-sized data. Integer `div` bucketing
     * (the retention argument).
     * Output: (event_type, hour, n, total_value) — zeros where no
-    * events landed. */
+    * events landed.
+    *
+    * NOTE: the returned frame is MATERIALIZED and persisted
+    * (MEMORY_AND_DISK) — the intermediate per-hour cache is released
+    * before return, but the caller owns the result's release: call
+    * `unpersist()` once done with it (the Dedup.materialized contract;
+    * repeated calls without release accumulate cached frames for the
+    * session lifetime). */
   def resampleHourly(events: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
     val ev = events.select(col("event_type"), expr(s"tus div $hourUs").as("hour"),

@@ -84,10 +84,25 @@ object TextSql {
       "ex AS (SELECT doc_id, unnest(sh) AS s FROM d), " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)"
 
-  def dedupJaccardSql(threshold: Double): String =
+  /** Mirror of Dedup.jaccardPairs WITH its df-cap candidate gate: the
+    * same shingle hash (polyHashSql == shingleHash), the same df <= cap
+    * keep-set, the same capped-intersection count bound
+    * ic >= t*(na+nb)/(1+t) (integer hash-row counts on both sides, so
+    * the gate agrees by construction), then exact string-shingle
+    * Jaccard for the survivors — the verification step Spark runs. */
+  def dedupJaccardSql(threshold: Double, dfCap: Long): String =
     s"WITH $shingleCtes, " +
+      s"hx AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM ex), " +
+      s"kx AS (SELECT doc_id, h FROM hx JOIN (SELECT h FROM hx GROUP BY h " +
+      s"HAVING count(*) <= $dfCap) kh USING (h)), " +
+      "ci AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic " +
+      "FROM kx a JOIN kx b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "cand AS (SELECT da, db FROM ci " +
+      "JOIN sizes cna ON da = cna.doc_id JOIN sizes cnb ON db = cnb.doc_id " +
+      s"WHERE ic >= $threshold * (CAST(cna.n AS DOUBLE) + CAST(cnb.n AS DOUBLE)) / (1.0 + $threshold)), " +
       "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
-      "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "JOIN cand c ON c.da = a.doc_id AND c.db = b.doc_id GROUP BY 1, 2) " +
       "SELECT da, db, i/(na.n + nb.n - i) AS jaccard " +
       "FROM inter JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id " +
       s"WHERE i/(na.n + nb.n - i) >= $threshold ORDER BY da, db"
@@ -569,11 +584,23 @@ object TextSql {
       "ORDER BY query_id, rn"
   }
 
+  /** The order-invariant per-(cell, dim) mean shared by the vkmeans
+    * mirrors: elements gridded onto VectorKMeans.GridScale (1e-6) and
+    * scaled to BIGINT before the sum, so the aggregate is exact integer
+    * arithmetic in BOTH engines regardless of summation order, and the
+    * only float op is the single trailing division — mirrors
+    * VectorKMeans.step's `sum(round(v*1e6).cast(long)) / (1e6 * n)`
+    * exactly (1e6 is a DOUBLE literal on both sides; the count is cast
+    * to DOUBLE before the multiply like Scala's Double*Long widening). */
+  private def gridMeanSql(valExpr: String): String =
+    s"CAST(sum(CAST(round($valExpr * 1e6) AS BIGINT)) AS DOUBLE) / (1e6 * CAST(count(*) AS DOUBLE))"
+
   /** Mirror of one VectorKMeans.step over the embeddings table: seeds
     * from the corpus by id ascending (cell = position), argmin
-    * assignment with ties to the lowest cell, per-(cell, dim) avg
-    * rounded to 4 (the a1_recenter margin). PqCodebook-style ids are
-    * passed ascending so position order == id order on both sides. */
+    * assignment with ties to the lowest cell, per-(cell, dim)
+    * fixed-grid mean (gridMeanSql) rounded once to 4 (the a1_recenter
+    * margin). PqCodebook-style ids are passed ascending so position
+    * order == id order on both sides. */
   def vkmeansStepSql(seedIds: Seq[Long]): String = {
     val cmValues = seedIds.sorted.zipWithIndex
       .map { case (id, c) => s"($c, $id)" }.mkString(", ")
@@ -583,8 +610,9 @@ object TextSql {
       "ad AS (SELECT e.vec_id, v, cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
       s"ORDER BY ${l2sqSql("v", "cv")}, cell) AS rn FROM e CROSS JOIN cents), " +
       "a AS (SELECT vec_id, v, cell FROM ad WHERE rn = 1), " +
-      "x AS (SELECT cell, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim, unnest(v) AS val FROM a) " +
-      "SELECT cell, dim, round(avg(val), 4) AS m FROM x GROUP BY 1, 2 ORDER BY cell, dim"
+      "x AS (SELECT cell, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim, unnest(v) AS val FROM a), " +
+      s"g AS (SELECT cell, dim, ${gridMeanSql("val")} AS m FROM x GROUP BY 1, 2) " +
+      "SELECT cell, dim, round(m, 4) AS m FROM g ORDER BY cell, dim"
   }
 
   /** The unrolled power-iteration step CTEs over matrix table `gTab`,
@@ -648,7 +676,8 @@ object TextSql {
     * applied `iters` times with per-iteration 4-decimal centroid
     * rounding — the c2_iterate3 contract lifted to arbitrary
     * dimension). Each iteration: argmin assignment against the previous
-    * (rounded) centroids, per-(cell, dim) avg, and the keep-previous-
+    * (rounded) centroids, per-(cell, dim) fixed-grid mean (gridMeanSql,
+    * order-invariant), and the keep-previous-
     * centroid branch for emptied cells as round(coalesce(new, prev), 4)
     * over a LEFT JOIN from the full (cell, dim) grid — exactly step's
     * `means.getOrElse(i, cents(i))` followed by the rounding both
@@ -675,7 +704,7 @@ object TextSql {
         s"s$i AS (SELECT vec_id, v, cell FROM a$i WHERE rn = 1), " +
         s"x$i AS (SELECT cell, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim, " +
         s"unnest(v) AS val FROM s$i), " +
-        s"m$i AS (SELECT cell, dim, avg(val) AS m FROM x$i GROUP BY 1, 2), " +
+        s"m$i AS (SELECT cell, dim, ${gridMeanSql("val")} AS m FROM x$i GROUP BY 1, 2), " +
         s"c$i AS (SELECT p.cell, p.dim, round(coalesce(n.m, p.m), 4) AS m " +
         s"FROM $prev p LEFT JOIN m$i n ON p.cell = n.cell AND p.dim = n.dim)"
     }

@@ -280,8 +280,26 @@ object Dedup {
     * which joins 36M narrow (hash, id) rows through one partial-agg
     * shuffle and verifies only the ~dozens of bound survivors. On a
     * natural-text corpus (large sparse vocabulary) prefix filtering wins;
-    * on this one the inverted-index count bound does. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * on this one the inverted-index count bound does.
+    *
+    * `dfCap` (default: uncapped) is the 100x-scale guard its siblings
+    * `substringPairs`/`tfidfCosinePairs` already carry: shingle hashes
+    * present in more than `dfCap` documents are dropped BEFORE the
+    * self-join — a hash with doc-frequency d contributes d*(d-1)/2
+    * candidate rows, so boilerplate shingles make candidate volume
+    * quadratic in corpus growth. The count bound then runs on the capped
+    * intersection (an UNDER-count, so the bound only prunes more);
+    * survivors are still exactly verified on full string shingle sets,
+    * so false positives remain impossible, and a true pair is lost only
+    * if every shared shingle is boilerplate (df > cap) — cap-on ≡
+    * cap-off is spec-pinned on the contract corpus (LlmSpec), and the
+    * cap is a contract parameter mirrored hash-for-hash in the oracle
+    * SQL so both engines agree by construction. For corpora where even
+    * the cap can't keep candidates linear, `minhashPairs` is the scale
+    * path (banded, candidate count independent of df). */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   dfCap: Long = Long.MaxValue): DataFrame = {
+    require(dfCap >= 2, s"need dfCap >= 2, got $dfCap")
     // persist: the hashed inverted index feeds both self-join sides and
     // the size aggregate — three evaluations of the shingle+hash subtree
     // without it (Spark only reuses identical *exchanges*, and AQE's
@@ -294,11 +312,19 @@ object Dedup {
     val sh = shingleRows(spread(docs)).select(col("doc_id"), shingleHash(col("s")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // hot-hash guard: only hashes in <= dfCap docs reach the self-join
+    // (df 2..dfCap; df=1 hashes can't pair and the join drops them free)
+    val kept =
+      if (dfCap == Long.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select(col("h")),
+        Seq("h"))
     // (a 64-bit packed pair key would shave ~15% off this aggregation,
     // but silently corrupts for doc_id >= 2^32 — ids at 100 TB scale —
     // so the pair key stays two columns)
-    val hashInter = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    val hashInter = kept.as("a")
+      .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("ic"))
     val cand = hashInter

@@ -85,6 +85,26 @@ class PlanSpec extends SparkSpec {
     assigned.count() shouldBe emb.count()
   }
 
+  test("large-K cell assignment (join fallback): broadcast cells, one corpus exchange") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    // K = 300 > MaxInlineCells(256) forces the broadcast-join path — the
+    // 100 TB-regime shape: cells broadcast, the SAME codegen'd L2² kernel
+    // scores each (vec, cell) pair, and the argmin is one min(struct)
+    // aggregation whose map-side partials shrink the single corpus-wide
+    // exchange to a row per vector.
+    val coarse = e.filter(col("vec_id") < 300)
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    val assigned = graft.llm.Similarity.assignCells(e, coarse)
+    val p = assigned.queryExecution.executedPlan.toString()
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("Window")
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    assigned.count() shouldBe emb.count()
+  }
+
   test("q_quantize: pure projection — the only exchange is the output sort") {
     val p = plan("q_quantize", "simple")
     (p should not).include("Join")

@@ -258,6 +258,32 @@ class LlmSpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 2L, 1.0))
   }
 
+  test("jaccardPairs: contract dfCap is result-identical to uncapped on the contract corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(cap: Long) = Dedup.jaccardPairs(docs, 0.5, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = run(Long.MaxValue)
+    uncapped should not be empty
+    // the dedup_jaccard contract value (SparkEntry.JacDfCap)
+    run(1000L) shouldBe uncapped
+  }
+
+  test("jaccardPairs: a biting dfCap prunes boilerplate shingles but keeps true pairs") {
+    // 8 docs all sharing the "shared boiler" bigram (df=8 > cap) plus a
+    // planted identical pair whose other shingles are rare (df=2 <= cap):
+    // the cap drops the boilerplate hash before the self-join, and the
+    // true pair must still surface through its rare shingles with the
+    // exact same jaccard as the uncapped run.
+    val docs = docsDF(
+      (1L to 6L).map(i => i -> s"shared boiler unique$i word$i tail$i") ++
+        Seq(7L -> "shared boiler same words here", 8L -> "shared boiler same words here"): _*)
+    def run(cap: Long) = Dedup.jaccardPairs(docs, 0.5, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = run(4L)
+    capped shouldBe run(Long.MaxValue)
+    capped shouldBe Set((7L, 8L, 1.0))
+  }
+
   test("minhashPairs agrees with jaccardPairs on the sf0.001 documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val viaJaccard = Dedup.jaccardPairs(docs, 0.5)

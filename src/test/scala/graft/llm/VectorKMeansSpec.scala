@@ -33,7 +33,7 @@ class VectorKMeansSpec extends SparkSpec {
     next(0) shouldBe Array(0.5, 0.5)
   }
 
-  test("stepAgg (typed (sum,count) partials) equals step to float merge order") {
+  test("stepAgg (typed (sum,count) partials) equals step bitwise (shared integer grid)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
     val seeds = emb.filter(col2("vec_id").isin(3L, 17L, 29L))
@@ -41,8 +41,29 @@ class VectorKMeansSpec extends SparkSpec {
     val viaExplode = VectorKMeans.step(emb, "v", seeds)
     val viaAgg = VectorKMeans.stepAgg(emb, "v", seeds)
     viaAgg.size shouldBe viaExplode.size
-    for ((a, b) <- viaAgg.zip(viaExplode); (x, y) <- a.zip(b))
-      math.abs(x - y) should be < 1e-9
+    // both paths sum exact gridded BIGINTs, so the means are identical
+    // doubles, not merely close
+    viaAgg.map(_.toSeq) shouldBe viaExplode.map(_.toSeq)
+  }
+
+  test("step is bitwise invariant to shuffle width and input partitioning") {
+    // the q_vkmeans_step/q_vkmeans_iterate2 regression class: a double
+    // avg flips its last ulp with partial-merge order, so a mean within
+    // an ulp of a .00005 boundary rounds differently run to run. The
+    // fixed-grid BIGINT sum must make the UNROUNDED means identical
+    // across 1/7/32 shuffle partitions and input repartitionings.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val seeds = emb.filter(col2("vec_id").isin(3L, 17L, 29L))
+      .orderBy(col2("vec_id")).collect().map(_.getSeq[Double](1).toArray).toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val runs = for (p <- Seq(1, 7, 32)) yield {
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        VectorKMeans.step(emb.repartition(p), "v", seeds).map(_.toSeq)
+      }
+      runs.distinct should have size 1
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   test("stepAgg: empty cells keep their previous centroid") {

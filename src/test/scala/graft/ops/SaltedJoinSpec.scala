@@ -26,4 +26,17 @@ class SaltedJoinSpec extends SparkSpec {
     val dim = Seq((1L, "x")).toDF("key", "dv")
     dim.withColumn("_salt", explode(sequence(lit(0), lit(7)))).count() shouldBe 8L
   }
+
+  test("a hot key confined to ONE input partition still fans out across salts") {
+    // the spark_partition_id() salt's failure mode: a single-partition
+    // fact gets a single salt and the skew mitigation silently no-ops.
+    // The row-local salt must spread the hot key regardless of layout.
+    val fact = Seq.tabulate(1024)(i => (1L, i.toLong)).toDF("key", "fv").coalesce(1)
+    val salted = fact.withColumn(
+      "_salt", pmod(hash(monotonically_increasing_id()), lit(8)))
+    salted.select("_salt").distinct().count() shouldBe 8L
+    // and the join remains row-identical to plain on that layout
+    val dim = Seq((1L, "hot")).toDF("key", "dv")
+    SaltedJoin.inner(fact, dim, "key", salts = 8).count() shouldBe 1024L
+  }
 }
