@@ -22,15 +22,14 @@ object Dedup {
   import TextAnalysis.FpMod
 
   /** Distinct word-bigram shingles; documents with < 2 tokens get an
-    * empty set (the sequence() guard avoids Spark's descending-sequence
-    * surprise when size-1 < 1). */
-  def shingles(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= 2,
-      array_distinct(transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * empty set. Native single-pass expression (graft.functions
+    * .WordNGrams — the HOF transform/array_distinct form it replaces is
+    * interpreted and re-evaluates the split() subtree per element, which
+    * dominated the dedup family's CPU at sf0.1); the coalesce keeps the
+    * old contract of null text -> empty set. */
+  def shingles(text: Column): Column =
+    coalesce(graft.functions.WordNGrams(text, 2, distinct = true),
+      array().cast("array<string>"))
 
   /** Rolling polynomial hash of one shingle string (exact BIGINT) — a
     * native codegen'd Expression, not a HOF (see graft.functions.PolyHash). */
@@ -77,14 +76,11 @@ object Dedup {
         col("n_batch_copies"))
 
   /** Distinct word `n`-grams of `text` (generalizes the bigram
-    * `shingles`; same <n-token guard). */
+    * `shingles`; same <n-token guard, same native expression). */
   def ngramShingles(text: Column, n: Int): Column = {
     require(n >= 1, s"need n >= 1, got $n")
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))))
-      .otherwise(array().cast("array<string>"))
+    coalesce(graft.functions.WordNGrams(text, n, distinct = true),
+      array().cast("array<string>"))
   }
 
   /** Benchmark decontamination — drop every corpus document that shares
@@ -496,11 +492,9 @@ object Dedup {
   def tfidfCosinePairs(docs: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
     require(dfCap >= 2, s"need dfCap >= 2, got $dfCap")
     val n = docs.count() // driver boundary: one count (the tfidf pattern)
-    val toks = TextAnalysis.tokens(col("text"))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // non-distinct bigram occurrences, native single-pass (see WordNGrams)
+    val bigrams = coalesce(graft.functions.WordNGrams(col("text"), 2, distinct = false),
+      array().cast("array<string>"))
     val tf = spread(docs)
       .select(col("doc_id"), explode(bigrams).as("tm"))
       .groupBy(col("doc_id"), col("tm"))

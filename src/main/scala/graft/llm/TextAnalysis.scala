@@ -171,15 +171,13 @@ object TextAnalysis {
   def winnow(docs: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
     import org.apache.spark.sql.expressions.Window
-    val toks = tokens(col("text"))
-    val n = size(toks)
-    val grams = transform(sequence(lit(1), n - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + lit(o))): _*))
+    // positional (non-distinct) k-grams: element i IS the gram at token
+    // position i — native single-pass expression (see WordNGrams)
+    val grams = coalesce(graft.functions.WordNGrams(col("text"), k, distinct = false),
+      array().cast("array<string>"))
     val g = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"),
-        posexplode(when(n >= k, grams).otherwise(array().cast("array<string>")))
-          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), fingerprint(col("gram")).as("h"))
     val perDoc = Window.partitionBy(col("doc_id"))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
@@ -253,10 +251,8 @@ object TextAnalysis {
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
     val toks = tokens(col("text"))
     // non-distinct bigram occurrences (shingles() would distinct them)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = coalesce(graft.functions.WordNGrams(col("text"), 2, distinct = false),
+      array().cast("array<string>"))
     val words = base
       .select(col("doc_id"), explode(toks).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
