@@ -57,11 +57,18 @@ for name, sql in sorted(oracle.items()):
                     ok = False
                     continue
                 aa, bb = a.astype(float).values, b.astype(float).values
-                both_nan = np.isnan(aa) & np.isnan(bb)
-                eq = (aa == bb) | both_nan
+                # BITWISE compare, like the driver's hash: -0.0 != +0.0
+                # here (Java BigDecimal rounding emits +0.0, DuckDB round()
+                # can emit -0.0 — that burned two rounds under a == gate).
+                # NaNs are normalized to one canonical payload first so
+                # NaN == NaN passes, matching a hash over canonical NaN.
+                na = np.where(np.isnan(aa), np.float64("nan"), aa)
+                nb = np.where(np.isnan(bb), np.float64("nan"), bb)
+                eq = na.view(np.int64) == nb.view(np.int64)
                 if not eq.all():
                     diffs = np.abs(aa - bb)
-                    print(f"FAIL {name}.{c}: {np.sum(~eq)} rows differ, maxAbsDiff={np.nanmax(diffs[~eq]):.3e}")
+                    print(f"FAIL {name}.{c}: {np.sum(~eq)} rows differ "
+                          f"(bitwise), maxAbsDiff={np.nanmax(np.where(eq, 0.0, diffs)):.3e}")
                     ok = False
             elif np.issubdtype(a.dtype, np.datetime64) and np.issubdtype(b.dtype, np.datetime64):
                 aa = a.astype("datetime64[ns]")

@@ -37,10 +37,15 @@ object Bench {
     // reports the CPU-seconds its tasks actually burned, which external
     // contention barely moves.
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    // task-attributed GC milliseconds: the discriminator for "CPU-s ~=
+    // wall-s on tiny data" anomalies (r7 kmeans_converge10) — if a slow
+    // sample's gc-s tracks its wall-s the JVM was collecting, not
+    // computing, and the fix is heap hygiene, not a plan change
+    val gcMillis = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) { cpuNanos.addAndGet(m.executorCpuTime); () }
+        if (m != null) { cpuNanos.addAndGet(m.executorCpuTime); gcMillis.addAndGet(m.jvmGCTime); () }
       }
     })
     // the listener bus is async: after a job returns, poll until the
@@ -69,8 +74,9 @@ object Bench {
       leftovers.size
     }
 
-    def time(thunk: () => Unit): (Double, Double, Option[String]) = {
+    def time(thunk: () => Unit): (Double, Double, Double, Option[String]) = {
       val c0 = cpuSnapshot()
+      val g0 = gcMillis.get()
       val t0 = System.nanoTime()
       val err =
         try { thunk(); None }
@@ -81,7 +87,8 @@ object Bench {
         }
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = (cpuSnapshot() - c0) / 1e9
-      (wall, cpu, err)
+      val gc = (gcMillis.get() - g0) / 1e3
+      (wall, cpu, gc, err)
     }
 
     // untimed warmup: touch every input table once (OS page cache), then
@@ -147,9 +154,11 @@ object Bench {
       "stream_click_attribution" -> (() => {
         import org.apache.spark.sql.functions._
         val s2 = spark.newSession()
-        s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = s2.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        s2.conf.set("spark.sql.session.timeZone", "UTC")
+        // schema-adaptive reader (NANOS or MICROS layout) → canonical
+        // micros → timestamp for the watermarked interval join
+        val ev = SparkEntry.events(spark, sfDir)
+          .withColumn("ts", expr("timestamp_micros(tus)"))
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         // shuffle width = state-store count for a streaming join (4 stores
         // per partition); size it to the stream, not the batch default —
@@ -191,19 +200,29 @@ object Bench {
     }
 
     val cacheLeaks = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // heap-used after a forced full GC, per query (off the measured
+    // clock — isolate() runs between timings): a monotone climb here
+    // names a leak; a flat line clears "late-suite slowness" as ambient
+    // GC/allocation pressure rather than retained garbage
+    val heapAfterGc = scala.collection.mutable.LinkedHashMap[String, Double]()
     def isolate(name: String): Unit = {
       val n = scrubCaches()
       if (n > 0) {
         cacheLeaks(name) = cacheLeaks.getOrElse(name, 0) + n
         System.err.println(s"[bench] scrubbed $n persisted RDD(s) left by $name")
       }
+      System.gc()
+      val rt = Runtime.getRuntime
+      val usedMb = (rt.totalMemory() - rt.freeMemory()) / 1e6
+      heapAfterGc(name) = usedMb
+      System.err.println(f"[bench] heap after $name + forced GC: $usedMb%.0f MB")
     }
 
     val firstPass = all.map { case (name, thunk) =>
-      val (sec, cpu, err) = time(thunk)
+      val (sec, cpu, gc, err) = time(thunk)
       // operators persist shared intermediates; isolate the next query
       isolate(name)
-      (name, thunk, sec, cpu, err)
+      (name, thunk, sec, cpu, gc, err)
     }
 
     // this box's load is bursty (firecracker VM, external contention):
@@ -223,42 +242,48 @@ object Bench {
     val RetimeFloorSec = 2.0
     val MaxSamples = 3
     val results = firstPass.map {
-      case (name, thunk, sec, cpu, None) if sec > RetimeFloorSec =>
-        var samples = List((sec, cpu))
+      case (name, thunk, sec, cpu, gc, None) if sec > RetimeFloorSec =>
+        var samples = List((sec, cpu, gc))
         var err: Option[String] = None
         while (samples.length < MaxSamples && samples.map(_._1).min > RetimeFloorSec && err.isEmpty) {
-          val (s2, c2, e2) = time(thunk)
+          val (s2, c2, g2, e2) = time(thunk)
           isolate(name)
           err = e2.map(e => s"retime_failed: $e")
           // a failed re-run's wall time is NOT a measurement of the
           // query: keep only successful samples so min() can never
           // report an errored run's duration as the query time
-          if (err.isEmpty) samples = samples :+ ((s2, c2))
+          if (err.isEmpty) samples = samples :+ ((s2, c2, g2))
         }
         // report the (wall, cpu) of the best-wall sample together: CPU is
         // the load-invariant discriminator, so pairing it with another
         // sample's wall time would break the noise-vs-regression read
         val best = samples.minBy(_._1)
-        (name, best._1, best._2, err, Some(samples))
-      case (name, _, sec, cpu, err) => (name, sec, cpu, err, None)
+        (name, best._1, best._2, best._3, err, Some(samples))
+      case (name, _, sec, cpu, gc, err) => (name, sec, cpu, gc, err, None)
     }
 
     def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (n, s, _, _, _) => jstr(n) + ":" + s }.mkString("{", ",", "}")
-    val cpuJson = results.map { case (n, _, c, _, _) => jstr(n) + ":" + c }.mkString("{", ",", "}")
-    val errors = results.collect { case (n, _, _, Some(e), _) => jstr(n) + ":" + jstr(e) }
+    val qs = results.map { case (n, s, _, _, _, _) => jstr(n) + ":" + s }.mkString("{", ",", "}")
+    val cpuJson = results.map { case (n, _, c, _, _, _) => jstr(n) + ":" + c }.mkString("{", ",", "}")
+    val gcJson = results.map { case (n, _, _, g, _, _) => jstr(n) + ":" + g }.mkString("{", ",", "}")
+    val errors = results.collect { case (n, _, _, _, Some(e), _) => jstr(n) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val retimed = results.collect { case (n, _, _, _, Some(samples)) =>
+    val retimed = results.collect { case (n, _, _, _, _, Some(samples)) =>
       jstr(n) + ":" + samples.map(_._1).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val retimedCpu = results.collect { case (n, _, _, _, Some(samples)) =>
+    val retimedCpu = results.collect { case (n, _, _, _, _, Some(samples)) =>
       jstr(n) + ":" + samples.map(_._2).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val retimedGc = results.collect { case (n, _, _, _, _, Some(samples)) =>
+      jstr(n) + ":" + samples.map(_._3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val leaks = cacheLeaks.map { case (n, c) => jstr(n) + ":" + c }.mkString("{", ",", "}")
+    val heapJson = heapAfterGc.map { case (n, mb) => jstr(n) + ":" + f"$mb%.0f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalCpu = results.map(_._3).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"cpu":$cpuJson,"errors":$errors,"retimed":$retimed,"retimed_cpu":$retimedCpu,"cache_leaks":$leaks,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"cpu":$cpuJson,"gc":$gcJson,"errors":$errors,"retimed":$retimed,"retimed_cpu":$retimedCpu,"retimed_gc":$retimedGc,"cache_leaks":$leaks,"heap_after_gc_mb":$heapJson,"sf":${jstr(sfDir)}}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: also drop the line in CWD
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")

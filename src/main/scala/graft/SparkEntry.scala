@@ -116,14 +116,30 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** events.parquet with its TIMESTAMP(NANOS) column read as long nanos.
+  /** Schema-adaptive events reader: every source column plus a canonical
+    * `tus` BIGINT epoch-microseconds column in place of the raw `ts`.
+    * The generator has shipped events.parquet as both TIMESTAMP(NANOS)
+    * and TIMESTAMP(MICROS); both layouts land on the same `tus`:
+    *   - NANOS  → read with nanosAsLong (vectorized reader rejects NANOS
+    *     otherwise), `ts` arrives as LongType nanos → `ts div 1000`;
+    *   - MICROS → `ts` arrives as timestamp/timestamp_ntz →
+    *     `unix_micros(cast)` under a UTC session, so the NTZ→TS cast is
+    *     the exact identity on the stored micros (matches the DuckDB
+    *     oracle's `epoch_us(ts)`, which treats naive timestamps as UTC).
     * Uses a cloned session (shared context, own conf) so the caller's
-    * session is NOT left with nanosAsLong=true as a side effect — that
-    * would silently change every later TIMESTAMP(NANOS) read. */
-  private def eventsNanos(s: SparkSession, dir: String): DataFrame = {
+    * session keeps its own nanosAsLong/timezone settings; the cast's
+    * timezone is baked in at analysis (Datasets analyze eagerly), so
+    * downstream composition under other sessions stays exact. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s2.read.parquet(s"$dir/events.parquet")
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = s2.read.parquet(s"$dir/events.parquet")
+    val tus = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+    raw.withColumn("tus", tus).drop("ts")
   }
 
   /** Flagship: converge-loop K-Means over sf0.001 lineitem, returns the
@@ -233,12 +249,12 @@ object SparkEntry {
     }),
 
     // Extra: streaming-shaped tumbling-window aggregation over events.
-    // events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read nanos as long and convert (micros precision is
-    // irrelevant after an hour-truncation).
+    // `tus` (canonical micros) round-trips to a timestamp for the hour
+    // truncation; the events() frame is UTC-session-bound, so the
+    // truncation is in naive/UTC time exactly like DuckDB's.
     "events_window" -> ((s, dir) => {
-      eventsNanos(s, dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      events(s, dir)
+        .withColumn("ts", expr("timestamp_micros(tus)"))
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
         .orderBy(col("window_start"), col("event_type"))
@@ -350,15 +366,15 @@ object SparkEntry {
 
     // gap-based sessionization (lag + running-sum windows)
     "events_sessionize" -> ((s, dir) => {
-      val ev = eventsNanos(s, dir)
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("tus"))
       graft.streaming.EventStream.sessionize(ev)
         .orderBy(col("user_id"), col("session_id"))
     }),
 
     // distinct aggregation: unique users + events per event type
     "q_distinct_users" -> ((s, dir) =>
-      eventsNanos(s, dir)
+      events(s, dir)
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))),
@@ -371,7 +387,7 @@ object SparkEntry {
 
     // JSON extraction over the events props column + aggregation
     "q_json_extract" -> ((s, dir) =>
-      eventsNanos(s, dir)
+      events(s, dir)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"))
@@ -410,8 +426,8 @@ object SparkEntry {
     // as-of join: each click gets the latest strictly-prior view time of
     // the same user (union-window formulation — no range join)
     "q_asof_join" -> ((s, dir) => {
-      val ev = eventsNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("tus"),
           col("event_type"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("tus"))
@@ -450,8 +466,8 @@ object SparkEntry {
     // sliding-frame window: 4-row moving average of event value per user
     "q_moving_avg" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = eventsNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("tus"), col("value"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
         .rowsBetween(-3, 0)
       ev.withColumn("mavg", round(avg(col("value")).over(w), 4))
@@ -479,7 +495,7 @@ object SparkEntry {
     // skew-resistant salted JOIN (fact salts, dim explodes; result =
     // the plain equi join, aggregated for a stable contract shape)
     "q_salted_join" -> ((s, dir) => {
-      val fact = eventsNanos(s, dir).select(col("user_id").as("key"), col("value"))
+      val fact = events(s, dir).select(col("user_id").as("key"), col("value"))
       val dim = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("key"), col("c_nationkey"))
       // nation-level sums are the contract's largest float reductions:
@@ -493,7 +509,7 @@ object SparkEntry {
 
     // skew-resistant salted aggregation (two-stage; result = plain groupBy)
     "q_salted_agg" -> ((s, dir) => {
-      val ev = eventsNanos(s, dir).select(col("user_id"), col("value"))
+      val ev = events(s, dir).select(col("user_id"), col("value"))
       graft.ops.SaltedAgg.sumCount(ev, col("user_id"), col("value"),
         salts = 8, keyName = "user_id")
         .select(col("user_id"), round(col("sum"), 4).as("total"), col("n"))
@@ -511,7 +527,7 @@ object SparkEntry {
     // TRUE — a sketch regression past tolerance flips the flag and the
     // hash check catches it (LlmSpec additionally pins the 5% bound)
     "q_approx_distinct" -> ((s, dir) =>
-      eventsNanos(s, dir)
+      events(s, dir)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
           countDistinct(col("user_id")).as("n_exact"))
@@ -741,24 +757,24 @@ object SparkEntry {
 
     // native session_window aggregation (streaming-capable sessionize twin)
     "q_session_window" -> ((s, dir) => {
-      val ev = eventsNanos(s, dir)
-        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      val ev = events(s, dir)
+        .select(col("user_id"), col("tus"))
       graft.streaming.EventStream.sessionWindowStats(ev)
         .orderBy(col("user_id"), col("start_us"))
     }),
 
     // ordered funnel: users reaching view -> click -> purchase in order
     "q_funnel" -> ((s, dir) => {
-      val ev = eventsNanos(s, dir)
-        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("tus"))
       graft.analytics.Analytics.funnel(ev, Seq("view", "click", "purchase"))
         .orderBy(col("stage"))
     }),
 
     // hour-cohort retention matrix (first-seen hour x comeback offset)
     "q_retention" -> ((s, dir) => {
-      val ev = eventsNanos(s, dir)
-        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      val ev = events(s, dir)
+        .select(col("user_id"), col("tus"))
       graft.analytics.Analytics.retention(ev)
         .orderBy(col("cohort_hour"), col("offset_hours"))
     }),
@@ -929,8 +945,8 @@ object SparkEntry {
     // and gaps are handled identically in both engines
     "q_range_frame" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = eventsNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("tus"), col("value"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
         .rangeBetween(-3600000000L, 0)
       ev.select(col("event_id"), col("user_id"),
@@ -944,7 +960,7 @@ object SparkEntry {
     // rows all survive (customer side restricted so both null regions
     // are non-empty at every SF)
     "q_full_outer" -> ((s, dir) => {
-      val ev = eventsNanos(s, dir)
+      val ev = events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
       val cust = s.read.parquet(s"$dir/customer.parquet")
@@ -1034,8 +1050,8 @@ object SparkEntry {
     // carried value is a raw data element, so no rounding is needed.
     "q_ffill" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = eventsNanos(s, dir)
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("tus"),
           col("event_type"), col("value"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -1047,8 +1063,8 @@ object SparkEntry {
 
     // hourly resample with explicit zero rows on the dense spine
     "q_resample" -> ((s, dir) => {
-      val ev = eventsNanos(s, dir)
-        .select(col("event_type"), expr("ts div 1000").as("tus"), col("value"))
+      val ev = events(s, dir)
+        .select(col("event_type"), col("tus"), col("value"))
       graft.analytics.Analytics.resampleHourly(ev)
         .orderBy(col("event_type"), col("hour"))
     }),

@@ -612,7 +612,10 @@ object TextSql {
       "a AS (SELECT vec_id, v, cell FROM ad WHERE rn = 1), " +
       "x AS (SELECT cell, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim, unnest(v) AS val FROM a), " +
       s"g AS (SELECT cell, dim, ${gridMeanSql("val")} AS m FROM x GROUP BY 1, 2) " +
-      "SELECT cell, dim, round(m, 4) AS m FROM g ORDER BY cell, dim"
+      // `+ 0.0` folds DuckDB's signed-zero round output (-0.0 for tiny
+      // negative means) onto +0.0 — Scala BigDecimal has no -0.0, and the
+      // driver hashes floats bitwise, so the zeros must match in SIGN too
+      "SELECT cell, dim, round(m, 4) + 0.0 AS m FROM g ORDER BY cell, dim"
   }
 
   /** The unrolled power-iteration step CTEs over matrix table `gTab`,
@@ -705,7 +708,8 @@ object TextSql {
         s"x$i AS (SELECT cell, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim, " +
         s"unnest(v) AS val FROM s$i), " +
         s"m$i AS (SELECT cell, dim, ${gridMeanSql("val")} AS m FROM x$i GROUP BY 1, 2), " +
-        s"c$i AS (SELECT p.cell, p.dim, round(coalesce(n.m, p.m), 4) AS m " +
+        // `+ 0.0`: signed-zero normalization, as in vkmeansStepSql
+        s"c$i AS (SELECT p.cell, p.dim, round(coalesce(n.m, p.m), 4) + 0.0 AS m " +
         s"FROM $prev p LEFT JOIN m$i n ON p.cell = n.cell AND p.dim = n.dim)"
     }
     (head +: steps).mkString(", ") +

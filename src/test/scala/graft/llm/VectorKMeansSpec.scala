@@ -66,6 +66,24 @@ class VectorKMeansSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("4-decimal rounding emits +0.0 in both engines for a tiny negative mean") {
+    // the r7 hash-red class: a raw per-(cell,dim) mean of -1.9608e-05
+    // rounds to zero at 4 decimals; Scala BigDecimal has no signed zero
+    // (emits +0.0) while DuckDB round() keeps the sign (-0.0), and the
+    // driver hashes floats BITWISE — the zeros must agree in sign.
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    java.lang.Double.doubleToRawLongBits(r4(-1.9608e-05)) shouldBe
+      java.lang.Double.doubleToRawLongBits(+0.0)
+    // the oracle mirrors normalize via IEEE `round(...) + 0.0`
+    // (-0.0 + 0.0 = +0.0): pin the normalization into BOTH generated
+    // SQL mirrors so neither can regress to signed-zero output
+    graft.contract.TextSql.vkmeansStepSql(Seq(1L, 2L)) should
+      include("round(m, 4) + 0.0")
+    graft.contract.TextSql.vkmeansIterateSql(Seq(1L, 2L), 2) should
+      include(", 4) + 0.0")
+  }
+
   test("stepAgg: empty cells keep their previous centroid") {
     val vecs = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 1.0)))
       .toDF("vec_id", "embedding")
