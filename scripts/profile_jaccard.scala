@@ -1,4 +1,4 @@
-// Per-stage CPU breakdown of dedup_jaccard at a given SF — profiling aid
+// Per-stage CPU breakdown of dedup_jaccard at a given SF - profiling aid
 // for the r7 "one query owns 26% of suite CPU" flag. Run with:
 //   spark-shell --master 'local[32]' --conf spark.sql.shuffle.partitions=64 \
 //     --conf spark.ui.enabled=false --jars target/scala-2.13/*.jar \

@@ -307,6 +307,17 @@ object Dedup {
     // 5k-row shuffle buys full-width parallelism (17s -> 10s at sf0.1).
     val sh = shingleRows(spread(docs)).select(col("doc_id"), shingleHash(col("s")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // FORCE the cache before the plan fans out (the self-join's two
+    // exchange sides, the df-cap broadcast build, and the two size
+    // broadcasts all start concurrently on eager driver threads, and
+    // concurrent first readers of a cold cache redo the shingle+hash
+    // pipeline instead of sharing one materialization). The same job
+    // returns the doc_id range for the packed-pair-key decision below
+    // at no extra pass.
+    val idStats = sh.agg(count(lit(1)).as("n"),
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val packable = !idStats.isNullAt(1) &&
+      idStats.getLong(1) >= 0L && idStats.getLong(2) < (1L << 31)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // hot-hash guard: only hashes in <= dfCap docs reach the self-join
     // (df 2..dfCap; df=1 hashes can't pair and the join drops them free)
@@ -316,13 +327,31 @@ object Dedup {
         sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= dfCap).select(col("h")),
         Seq("h"))
-    // (a 64-bit packed pair key would shave ~15% off this aggregation,
-    // but silently corrupts for doc_id >= 2^32 — ids at 100 TB scale —
-    // so the pair key stays two columns)
-    val hashInter = kept.as("a")
+    // The pair-count aggregation is the operator's cost center (the
+    // join emits ~10M candidate rows at sf0.1 and pairs never repeat
+    // within a map partition, so partial agg can't combine — every row
+    // shuffles). When every doc_id fits in 31 bits the pair key packs
+    // into ONE long (da<<32 | db): one 8-byte grouping key instead of
+    // two halves hashing, comparing, and shuffling at ~2/3 the cost
+    // (measured min-sample CPU 34.5 -> 30.0 s at sf0.1, and far less
+    // sensitive to load spikes). Counts are integers, so regrouping
+    // order can never perturb the result; corpora with larger or
+    // negative ids (100 TB id spaces) take the two-column path, whose
+    // output is bit-identical — the guard is computed from the same
+    // job that forces the `sh` cache.
+    val joined = kept.as("a")
       .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("ic"))
+    val hashInter =
+      if (packable)
+        joined
+          .select((shiftleft(col("a.doc_id"), 32) + col("b.doc_id")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("ic"))
+          .select(shiftright(col("pk"), 32).as("da"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("db"), col("ic"))
+      else
+        joined
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("ic"))
     val cand = hashInter
       .join(sizes.as("na"), col("da") === col("na.doc_id"))
       .join(sizes.as("nb"), col("db") === col("nb.doc_id"))

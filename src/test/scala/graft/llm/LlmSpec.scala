@@ -284,6 +284,21 @@ class LlmSpec extends SparkSpec {
     capped shouldBe Set((7L, 8L, 1.0))
   }
 
+  test("jaccardPairs: packed pair key and the big-id fallback agree") {
+    // doc_id < 2^31 takes the packed (da<<32 | db) aggregation; shifting
+    // every id by 2^31 forces the two-column fallback. Same texts, so
+    // the pair sets must correspond 1:1 under the shift — a packing or
+    // unpacking bug (sign, mask, shift) breaks the correspondence.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val big = base.withColumn("doc_id", col("doc_id") + (1L << 31))
+    val packed = Dedup.jaccardPairs(base, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fallback = Dedup.jaccardPairs(big, 0.5)
+      .collect().map(r => (r.getLong(0) - (1L << 31), r.getLong(1) - (1L << 31))).toSet
+    packed should not be empty
+    fallback shouldBe packed
+  }
+
   test("minhashPairs agrees with jaccardPairs on the sf0.001 documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val viaJaccard = Dedup.jaccardPairs(docs, 0.5)
