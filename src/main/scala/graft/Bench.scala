@@ -203,7 +203,16 @@ object Bench {
     // heap-used after a forced full GC, per query (off the measured
     // clock — isolate() runs between timings): a monotone climb here
     // names a leak; a flat line clears "late-suite slowness" as ambient
-    // GC/allocation pressure rather than retained garbage
+    // GC/allocation pressure rather than retained garbage.
+    // Measured (r8, full suite at sf0.1): heap stays flat at 130-410 MB
+    // in a 16 GB heap and kmeans_converge10's three samples land at
+    // 3.6-4.7 s wall / 2.6-2.7 CPU-s / ~0.03 gc-s — the r7 anomaly
+    // (90.6/48.8 CPU-s for the same work) does not reproduce and was
+    // host-level throttling, not a leak: thread-CPU accounting on this
+    // VM inflates with wall under frequency/steal pressure (identical
+    // warm jobs measured 0.76 vs 7.5 CPU-s ten minutes apart), so
+    // CPU ~= wall does NOT imply a spinning core here. The gc column
+    // is the discriminator the next time a sample goes slow.
     val heapAfterGc = scala.collection.mutable.LinkedHashMap[String, Double]()
     def isolate(name: String): Unit = {
       val n = scrubCaches()
