@@ -19,8 +19,11 @@ spark.sparkContext.addSparkListener(new SparkListener {
     val si = sc.stageInfo
     val m = si.taskMetrics
     val wall = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(-1L)
+    val graftSite = si.details.linesIterator
+      .find(l => l.contains("graft.") && !l.contains("Profile"))
+      .getOrElse(si.name.takeWhile(_ != '\n')).trim
     stages.synchronized {
-      stages += StageRow(si.stageId, si.name.takeWhile(_ != '\n'), wall,
+      stages += StageRow(si.stageId, graftSite, wall,
         m.executorCpuTime / 1000000L, m.inputMetrics.recordsRead,
         m.shuffleReadMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten)
     }
