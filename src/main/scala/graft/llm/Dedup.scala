@@ -292,7 +292,24 @@ object Dedup {
     * cap is a contract parameter mirrored hash-for-hash in the oracle
     * SQL so both engines agree by construction. For corpora where even
     * the cap can't keep candidates linear, `minhashPairs` is the scale
-    * path (banded, candidate count independent of df). */
+    * path (banded, candidate count independent of df).
+    *
+    * CPU profile (r8, sf0.1, UI node metrics): the self-join emits the
+    * full Sum(df*(df-1)/2) = 36.5M pair rows (931 hashes, max df 338),
+    * the map-side partial agg combines 3.5x to 10.3M distinct pairs,
+    * and that join+aggregate subtree is the operator's cost center
+    * (~25-30 of ~60-80 warm CPU-s; the packed key below cuts its
+    * constant). The remaining CPU is the df-count and size broadcast
+    * builds, which Spark materializes TWICE each (broadcast subtrees
+    * are not deduplicated by ReuseExchange) — pinning those tiny
+    * aggregates in forced caches was MEASURED AND REJECTED: the
+    * duplicates run in parallel off the warm shingle cache, so their
+    * CPU overlaps, while forcing adds sequential jobs on the critical
+    * path (paired A/B: 7.0-10.6 s wall unpinned vs 17.8-19.8 s
+    * pinned). For exact hash-intersection counting the 36.5M-row pair
+    * enumeration is irreducible on this corpus shape — every further
+    * reduction (prefix filter: rejected above; banding: minhashPairs)
+    * changes the candidate-generation contract, not the constant. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    dfCap: Long = Long.MaxValue): DataFrame = {
     require(dfCap >= 2, s"need dfCap >= 2, got $dfCap")
