@@ -272,19 +272,24 @@ object Bench {
     }
 
     def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (n, s, _, _, _, _) => jstr(n) + ":" + s }.mkString("{", ",", "}")
-    val cpuJson = results.map { case (n, _, c, _, _, _) => jstr(n) + ":" + c }.mkString("{", ",", "}")
-    val gcJson = results.map { case (n, _, _, g, _, _) => jstr(n) + ":" + g }.mkString("{", ",", "}")
+    // fixed 4-decimal, Locale.ROOT seconds: 0.1 ms resolution is ample,
+    // halves the size of the one-line artifact (the r7 driver-side parse
+    // failed on the full-precision line), and a comma-decimal locale can
+    // never corrupt the JSON
+    def jnum(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d: java.lang.Double)
+    val qs = results.map { case (n, s, _, _, _, _) => jstr(n) + ":" + jnum(s) }.mkString("{", ",", "}")
+    val cpuJson = results.map { case (n, _, c, _, _, _) => jstr(n) + ":" + jnum(c) }.mkString("{", ",", "}")
+    val gcJson = results.map { case (n, _, _, g, _, _) => jstr(n) + ":" + jnum(g) }.mkString("{", ",", "}")
     val errors = results.collect { case (n, _, _, _, Some(e), _) => jstr(n) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val retimed = results.collect { case (n, _, _, _, _, Some(samples)) =>
-      jstr(n) + ":" + samples.map(_._1).mkString("[", ",", "]")
+      jstr(n) + ":" + samples.map(s => jnum(s._1)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val retimedCpu = results.collect { case (n, _, _, _, _, Some(samples)) =>
-      jstr(n) + ":" + samples.map(_._2).mkString("[", ",", "]")
+      jstr(n) + ":" + samples.map(s => jnum(s._2)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val retimedGc = results.collect { case (n, _, _, _, _, Some(samples)) =>
-      jstr(n) + ":" + samples.map(_._3).mkString("[", ",", "]")
+      jstr(n) + ":" + samples.map(s => jnum(s._3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val leaks = cacheLeaks.map { case (n, c) => jstr(n) + ":" + c }.mkString("{", ",", "}")
     val heapJson = heapAfterGc.map { case (n, mb) => jstr(n) + ":" + f"$mb%.0f" }
@@ -292,7 +297,7 @@ object Bench {
     val total = results.map(_._2).sum
     val totalCpu = results.map(_._3).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"cpu":$cpuJson,"gc":$gcJson,"errors":$errors,"retimed":$retimed,"retimed_cpu":$retimedCpu,"retimed_gc":$retimedGc,"cache_leaks":$leaks,"heap_after_gc_mb":$heapJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","cpu_total":${jnum(totalCpu)},"queries":$qs,"cpu":$cpuJson,"gc":$gcJson,"errors":$errors,"retimed":$retimed,"retimed_cpu":$retimedCpu,"retimed_gc":$retimedGc,"cache_leaks":$leaks,"heap_after_gc_mb":$heapJson,"sf":${jstr(sfDir)}}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: also drop the line in CWD
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
