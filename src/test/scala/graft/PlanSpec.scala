@@ -51,6 +51,20 @@ class PlanSpec extends SparkSpec {
     plan("p3_assign", "codegen") should include("WholeStageCodegen")
   }
 
+  test("events windowed family: exactly one user-keyed exchange each") {
+    // sessionize, session_window, moving_avg, and ffill are all
+    // single-pass window pipelines over the adaptive events reader:
+    // ONE hashpartitioning exchange (by user) must feed the window
+    // operators — a second exchange means the reader's tus projection
+    // broke partitioning reuse and the pipeline re-shuffles at scale
+    for (q <- Seq("events_sessionize", "q_session_window", "q_moving_avg", "q_ffill")) {
+      val p = plan(q, "simple")
+      withClue(s"$q: ") {
+        p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+      }
+    }
+  }
+
   test("q_asof_join: event-type filters pushed to scan; no range join") {
     val p = plan("q_asof_join")
     p should include("EqualTo(event_type,click)")
