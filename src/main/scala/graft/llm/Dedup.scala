@@ -138,16 +138,23 @@ object Dedup {
     val g = spread(docs)
       .select(col("doc_id"), explode(ngramShingles(col("text"), n)).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // packed-key guard from a narrow one-column probe of the source —
+    // NOT forceAndCheckPackable(g): unlike jaccard, this pipeline has a
+    // single pre-join consumer (the df `keep` broadcast completes
+    // before the join probes start and materializes the cache for
+    // them), so there is no cold-cache race to prevent, and an eager
+    // forcing pass over the big exploded gram table is pure added cost
+    // (interleaved A/B at sf0.1: 2.4-3.8 s wall unforced vs 4.5-7.8 s
+    // forced).
+    val packable = idsPackable(docs)
     // only grams in 2..dfCap docs can produce (bounded) pairs
     val keep = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .select(col("g"))
     val kept = g.join(keep, Seq("g"))
-    val result = kept.as("a")
+    val joined = kept.as("a")
       .join(kept.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("n_shared"))
-    materialized(result, Seq(g))
+    materialized(pairCount(joined, "n_shared", packable), Seq(g))
   }
 
   /** Per-source corpus report — the per-domain duplication/volume table
@@ -178,6 +185,49 @@ object Dedup {
       .withColumn("dup_frac", round(col("n_dup_docs") / col("n_docs"), 4))
       .select(col("source"), col("n_docs"), col("n_dup_docs"), col("n_tokens"),
         col("min_id"), col("dup_frac"), (col("dup_frac") > maxDupFrac).as("blocked"))
+
+  /** Forces an inverted-index cache with ONE job and returns whether
+    * every doc_id fits the packed pair key (non-negative, < 2^31).
+    * Forcing before the plan fans out matters WHEN several consumers
+    * start concurrently (jaccard: the size broadcasts race the df-cap
+    * build on a cold cache and redo the explode/hash pipeline —
+    * measured 9.5 -> 7.9 s wall at sf0.1); for single-pre-join-consumer
+    * pipelines use [[idsPackable]] instead (substringPairs: forcing the
+    * big gram table was measured as a pure 2x wall regression). */
+  private def forceAndCheckPackable(indexRows: DataFrame): Boolean = {
+    val s = indexRows.agg(count(lit(1)).as("n"),
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    !s.isNullAt(1) && s.getLong(1) >= 0L && s.getLong(2) < (1L << 31)
+  }
+
+  /** Packed-pair-key guard from a narrow one-column scan of the source
+    * table (no forcing side effect). */
+  private def idsPackable(docs: DataFrame): Boolean = {
+    val s = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    !s.isNullAt(0) && s.getLong(0) >= 0L && s.getLong(1) < (1L << 31)
+  }
+
+  /** Count rows per (a.doc_id, b.doc_id) pair of a self-join output
+    * with a.doc_id < b.doc_id. When `packable`, groups by the single
+    * packed 64-bit key (da<<32 | db): one 8-byte grouping key instead
+    * of two halves hashing, comparing, and shuffling — measured
+    * min-sample CPU 34.5 -> 30.0 s on jaccard's 36M-row aggregation at
+    * sf0.1, and far less sensitive to load spikes. Counts are integers,
+    * so regrouping can never perturb the result; larger or negative id
+    * spaces (100 TB) take the two-column path, whose output is
+    * bit-identical (LlmSpec pins packed == fallback under an id
+    * shift). */
+  private def pairCount(joined: DataFrame, cntName: String, packable: Boolean): DataFrame =
+    if (packable)
+      joined
+        .select((shiftleft(col("a.doc_id"), 32) + col("b.doc_id")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as(cntName))
+        .select(shiftright(col("pk"), 32).as("da"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("db"), col(cntName))
+    else
+      joined
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as(cntName))
 
   // ---------- n-gram Jaccard (inverted-index join) ----------
 
@@ -324,17 +374,9 @@ object Dedup {
     // 5k-row shuffle buys full-width parallelism (17s -> 10s at sf0.1).
     val sh = shingleRows(spread(docs)).select(col("doc_id"), shingleHash(col("s")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // FORCE the cache before the plan fans out (the self-join's two
-    // exchange sides, the df-cap broadcast build, and the two size
-    // broadcasts all start concurrently on eager driver threads, and
-    // concurrent first readers of a cold cache redo the shingle+hash
-    // pipeline instead of sharing one materialization). The same job
-    // returns the doc_id range for the packed-pair-key decision below
-    // at no extra pass.
-    val idStats = sh.agg(count(lit(1)).as("n"),
-      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
-    val packable = !idStats.isNullAt(1) &&
-      idStats.getLong(1) >= 0L && idStats.getLong(2) < (1L << 31)
+    // one job: force the cache before the fan-out + packed-key guard
+    // (see forceAndCheckPackable)
+    val packable = forceAndCheckPackable(sh)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // hot-hash guard: only hashes in <= dfCap docs reach the self-join
     // (df 2..dfCap; df=1 hashes can't pair and the join drops them free)
@@ -345,30 +387,12 @@ object Dedup {
           .filter(col("df") <= dfCap).select(col("h")),
         Seq("h"))
     // The pair-count aggregation is the operator's cost center (the
-    // join emits ~10M candidate rows at sf0.1 and pairs never repeat
-    // within a map partition, so partial agg can't combine — every row
-    // shuffles). When every doc_id fits in 31 bits the pair key packs
-    // into ONE long (da<<32 | db): one 8-byte grouping key instead of
-    // two halves hashing, comparing, and shuffling at ~2/3 the cost
-    // (measured min-sample CPU 34.5 -> 30.0 s at sf0.1, and far less
-    // sensitive to load spikes). Counts are integers, so regrouping
-    // order can never perturb the result; corpora with larger or
-    // negative ids (100 TB id spaces) take the two-column path, whose
-    // output is bit-identical — the guard is computed from the same
-    // job that forces the `sh` cache.
+    // join emits ~36M candidate rows at sf0.1, combined 3.5x by the
+    // map-side partial agg to 10.3M shuffled pairs) — see pairCount
+    // for the packed-key rationale and measurements.
     val joined = kept.as("a")
       .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-    val hashInter =
-      if (packable)
-        joined
-          .select((shiftleft(col("a.doc_id"), 32) + col("b.doc_id")).as("pk"))
-          .groupBy(col("pk")).agg(count(lit(1)).as("ic"))
-          .select(shiftright(col("pk"), 32).as("da"),
-            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("db"), col("ic"))
-      else
-        joined
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("ic"))
+    val hashInter = pairCount(joined, "ic", packable)
     val cand = hashInter
       .join(sizes.as("na"), col("da") === col("na.doc_id"))
       .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
