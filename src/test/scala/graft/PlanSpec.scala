@@ -65,6 +65,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("events reader: ts is pruned from the scan when tus is unused") {
+    // the adaptive reader projects ts -> tus for every caller; queries
+    // that never touch tus must not pay for the timestamp column at
+    // the parquet scan (a 100 TB events table reads it for nothing if
+    // the withColumn blocks pruning)
+    val p = plan("q_distinct_users")
+    p should include("ReadSchema: struct<user_id:bigint,event_type:string>")
+  }
+
   test("q_asof_join: event-type filters pushed to scan; no range join") {
     val p = plan("q_asof_join")
     p should include("EqualTo(event_type,click)")
