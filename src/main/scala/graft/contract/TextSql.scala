@@ -835,16 +835,23 @@ object TextSql {
       "tf AS (SELECT doc_id, tm, count(*) AS tf FROM b GROUP BY 1, 2), " +
       s"dfq AS (SELECT tm, count(*) AS df FROM tf GROUP BY tm HAVING count(*) <= $dfCap), " +
       "nn AS (SELECT count(*) AS n FROM documents), " +
-      "w AS MATERIALIZED (SELECT doc_id, tm, df, round(tf * ln(n/df), 4) AS w " +
+      // wl: round-4 grid weight scaled EXACTLY to BIGINT (mirrors the
+      // Spark side); integer dot/norm sums are order-invariant, and the
+      // 1e4 scale cancels in the cosine so no decimal factor appears
+      "w AS MATERIALIZED (SELECT doc_id, tm, df, " +
+      "CAST(round(round(tf * ln(n/df), 4) * 10000) AS BIGINT) AS wl " +
       "FROM tf JOIN dfq USING (tm) CROSS JOIN nn), " +
-      "norms AS MATERIALIZED (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id), " +
-      "dots AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot " +
+      "norms AS MATERIALIZED (SELECT doc_id, sum(wl*wl) AS n2l FROM w GROUP BY doc_id), " +
+      "dots AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.wl * b.wl) AS dotl " +
       "FROM w a JOIN w b ON a.tm = b.tm AND a.doc_id < b.doc_id " +
       "WHERE a.df >= 2 AND b.df >= 2 GROUP BY 1, 2) " +
-      "SELECT da, db, round(dot/(na.nrm*nb.nrm), 4) AS sim " +
+      "SELECT da, db, round(CAST(dotl AS DOUBLE)/" +
+      "(sqrt(CAST(na.n2l AS DOUBLE))*sqrt(CAST(nb.n2l AS DOUBLE))), 4) AS sim " +
       "FROM dots JOIN norms na ON da = na.doc_id JOIN norms nb ON db = nb.doc_id " +
-      "WHERE na.nrm > 0 AND nb.nrm > 0 " +
-      s"AND round(dot/(na.nrm*nb.nrm), 4) >= $threshold ORDER BY da, db"
+      "WHERE na.n2l > 0 AND nb.n2l > 0 " +
+      "AND round(CAST(dotl AS DOUBLE)/" +
+      s"(sqrt(CAST(na.n2l AS DOUBLE))*sqrt(CAST(nb.n2l AS DOUBLE))), 4) >= $threshold " +
+      "ORDER BY da, db"
 
   /** Mirror of TextAnalysis.bm25TopDocs: identical formula text (the
     * constants interpolate from the SAME Scala doubles, which

@@ -572,27 +572,56 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("tm")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
+    // Weights land on the round-4 grid, so they scale EXACTLY to BIGINT
+    // (wl = w * 1e4): the dot products and squared norms become exact
+    // integer sums — order-invariant under any partitioning and
+    // identical across engines BY CONSTRUCTION, not by rounding margin
+    // (the vkmeans gridded-mean pattern; a testdata regeneration can
+    // never land a partial-sum ulp on a .00005 boundary again). The
+    // 1e4 scale cancels algebraically in the cosine — sim =
+    // dotl / (sqrt(na2l) * sqrt(nb2l)) with no decimal factor — and
+    // cast/sqrt/mult/div are all exactly rounded IEEE ops on integers
+    // < 2^53, so the double `sim` is bitwise cross-engine before its
+    // final rounding. Long overflow would need a per-doc
+    // sum((tf*idf*1e4)^2) >= 2^63 (~a 30k-token doc of high-idf
+    // repeats); ANSI mode throws loudly rather than corrupting.
     val w = tf.join(dfreq, Seq("tm"))
       .select(col("doc_id"), col("tm"), col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("w"))
+        round(round(col("tf") * log(lit(n.toDouble) / col("df")), 4) * 1e4)
+          .cast("long").as("wl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("wl") * col("wl")).as("n2l"))
     val pairTerms = w.filter(col("df") >= 2)
-    val dots = pairTerms.as("a")
+    // integer sums regroup safely: the packed pair key applies (see
+    // pairCount — here with a sum, so inlined)
+    val packable = idsPackable(docs)
+    val joined = pairTerms.as("a")
       .join(pairTerms.as("b"),
         col("a.tm") === col("b.tm") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    val dots =
+      if (packable)
+        joined
+          .select((shiftleft(col("a.doc_id"), 32) + col("b.doc_id")).as("pk"),
+            (col("a.wl") * col("b.wl")).as("p"))
+          .groupBy(col("pk")).agg(sum(col("p")).as("dotl"))
+          .select(shiftright(col("pk"), 32).as("da"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("db"), col("dotl"))
+      else
+        joined
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(sum(col("a.wl") * col("b.wl")).as("dotl"))
     // zero-norm guard, mirrored in SQL: an all-zero-weight document
     // (every bigram at df = n) would make sim = 0/0 = NaN, and Spark's
     // NaN-greater-than-everything comparison would PASS the threshold
     // filter while DuckDB's NaN semantics differ — drop such docs on
-    // both sides instead
+    // both sides instead (integer compare on the squared norm)
     val result = dots
-      .join(norms.select(col("doc_id").as("da"), col("nrm").as("na")), Seq("da"))
-      .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), Seq("db"))
-      .filter(col("na") > 0 && col("nb") > 0)
-      .select(col("da"), col("db"), round(col("dot") / (col("na") * col("nb")), 4).as("sim"))
+      .join(norms.select(col("doc_id").as("da"), col("n2l").as("na2")), Seq("da"))
+      .join(norms.select(col("doc_id").as("db"), col("n2l").as("nb2")), Seq("db"))
+      .filter(col("na2") > 0 && col("nb2") > 0)
+      .select(col("da"), col("db"),
+        round(col("dotl").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 4).as("sim"))
       .filter(col("sim") >= threshold)
     materialized(result, Seq(tf, w))
   }
