@@ -66,9 +66,18 @@ for name, sql in sorted(oracle.items()):
                 nb = np.where(np.isnan(bb), np.float64("nan"), bb)
                 eq = na.view(np.int64) == nb.view(np.int64)
                 if not eq.all():
-                    diffs = np.abs(aa - bb)
-                    print(f"FAIL {name}.{c}: {np.sum(~eq)} rows differ "
-                          f"(bitwise), maxAbsDiff={np.nanmax(np.where(eq, 0.0, diffs)):.3e}")
+                    # split mismatch kinds: a NaN-vs-number row has a NaN
+                    # diff, and folding it into nanmax reports a misleading
+                    # maxAbsDiff=0 when those are the only mismatches
+                    bad = ~eq
+                    nan_mismatch = bad & (np.isnan(aa) != np.isnan(bb))
+                    num_bad = bad & ~nan_mismatch & ~np.isnan(aa) & ~np.isnan(bb)
+                    parts = [f"FAIL {name}.{c}: {np.sum(bad)} rows differ (bitwise)"]
+                    if num_bad.any():
+                        parts.append(f"maxAbsDiff={np.max(np.abs(aa[num_bad] - bb[num_bad])):.3e}")
+                    if nan_mismatch.any():
+                        parts.append(f"nan-mismatch={np.sum(nan_mismatch)}")
+                    print(", ".join(parts))
                     ok = False
             elif np.issubdtype(a.dtype, np.datetime64) and np.issubdtype(b.dtype, np.datetime64):
                 aa = a.astype("datetime64[ns]")

@@ -299,8 +299,19 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","cpu_total":${jnum(totalCpu)},"queries":$qs,"cpu":$cpuJson,"gc":$gcJson,"errors":$errors,"retimed":$retimed,"retimed_cpu":$retimedCpu,"retimed_gc":$retimedGc,"cache_leaks":$leaks,"heap_after_gc_mb":$heapJson,"sf":${jstr(sfDir)}}"""
     println(json)
-    // belt-and-braces for log-wrapped stdout: also drop the line in CWD
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    // The driver's stdout capture keeps only a ~2 KB tail, which truncated
+    // the 11 KB full line in r7 AND r8 (parsed: null both rounds). Emit a
+    // second, tiny line AFTER the full one so any tail capture always ends
+    // with a complete JSON object carrying the headline numbers. It doubles
+    // as a driver-parseable metric line (metric/value/unit) in case the
+    // parser takes the last line rather than the first.
+    val nErrors = results.count(_._5.isDefined)
+    val summary =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","summary":{"total":${jnum(total)},"cpu_total":${jnum(totalCpu)},"n":${results.size},"n_errors":$nErrors},"sf":${jstr(sfDir)}}"""
+    println(summary)
+    // belt-and-braces for log-wrapped stdout: also drop both lines in CWD
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      json + "\n" + summary + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

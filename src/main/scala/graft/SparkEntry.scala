@@ -135,9 +135,23 @@ object SparkEntry {
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s2.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = s2.read.parquet(s"$dir/events.parquet")
+    // Only the two layouts the generator has actually shipped are accepted;
+    // anything else (INT96, DECIMAL seconds, STRING, DATE…) fails LOUDLY
+    // with the observed type rather than fall-through casting — a silent
+    // cast of a third layout would corrupt every event-time oracle at once
+    // and surface as 10 inscrutable hash mismatches instead of one error.
     val tus = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type ${other.sql} " +
+            "(expected TIMESTAMP(NANOS) read as LongType via nanosAsLong, " +
+            "or TIMESTAMP/TIMESTAMP_NTZ micros). The testdata generator has " +
+            "shipped a third layout; extend SparkEntry.events deliberately — " +
+            "do NOT fall through to a cast.")
     }
     raw.withColumn("tus", tus).drop("ts")
   }

@@ -841,8 +841,14 @@ object TextSql {
       "w AS MATERIALIZED (SELECT doc_id, tm, df, " +
       "CAST(round(round(tf * ln(n/df), 4) * 10000) AS BIGINT) AS wl " +
       "FROM tf JOIN dfq USING (tm) CROSS JOIN nn), " +
-      "norms AS MATERIALIZED (SELECT doc_id, sum(wl*wl) AS n2l FROM w GROUP BY doc_id), " +
-      "dots AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.wl * b.wl) AS dotl " +
+      // CAST(sum(..) AS BIGINT): DuckDB's sum(BIGINT) silently widens to
+      // HUGEINT while Spark's ANSI sum(LONG) throws at 2^63 — without the
+      // cast a near-boundary corpus fails only on the Spark side. The
+      // HUGEINT→BIGINT cast throws on overflow, so BOTH engines now fail
+      // loudly at the same threshold instead of the oracle "passing" on
+      // a sum the Spark side can't even compute.
+      "norms AS MATERIALIZED (SELECT doc_id, CAST(sum(wl*wl) AS BIGINT) AS n2l FROM w GROUP BY doc_id), " +
+      "dots AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(sum(a.wl * b.wl) AS BIGINT) AS dotl " +
       "FROM w a JOIN w b ON a.tm = b.tm AND a.doc_id < b.doc_id " +
       "WHERE a.df >= 2 AND b.df >= 2 GROUP BY 1, 2) " +
       "SELECT da, db, round(CAST(dotl AS DOUBLE)/" +

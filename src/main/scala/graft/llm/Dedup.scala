@@ -576,8 +576,14 @@ object Dedup {
     // (wl = w * 1e4): the dot products and squared norms become exact
     // integer sums — order-invariant under any partitioning and
     // identical across engines BY CONSTRUCTION, not by rounding margin
-    // (the vkmeans gridded-mean pattern; a testdata regeneration can
-    // never land a partial-sum ulp on a .00005 boundary again). The
+    // (the vkmeans gridded-mean pattern). The by-construction guarantee
+    // scopes to the SUMS: no accumulation order can ever land a
+    // partial-sum ulp on a .00005 boundary. The per-term grid
+    // assignment round(tf*ln(n/df), 4) still assumes DuckDB's ln +
+    // round pick the same decimal cell as the JVM's Math.log +
+    // BigDecimal HALF_UP when a raw weight sits within an ulp of a
+    // boundary — the same leaf-level assumption as the rest of the
+    // round-4 grid discipline, just no longer amplified by order. The
     // 1e4 scale cancels algebraically in the cosine — sim =
     // dotl / (sqrt(na2l) * sqrt(nb2l)) with no decimal factor — and
     // cast/sqrt/mult/div are all exactly rounded IEEE ops on integers

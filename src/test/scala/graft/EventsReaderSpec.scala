@@ -41,6 +41,18 @@ class EventsReaderSpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 3600L * 1000000L + 123456L), (2L, 0L))
   }
 
+  test("an unknown third ts layout fails loudly, not via a fall-through cast") {
+    val dir = writeDir()
+    // the generator has shipped NANOS and MICROS; a string layout stands
+    // in for "any third thing" — the reader must name the observed type
+    Seq((1L, "2024-01-01 00:00:00", 10L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] { SparkEntry.events(spark, dir) }
+    e.getMessage should include("unsupported type")
+    e.getMessage should include("STRING")
+  }
+
   test("reader drops ts, keeps every other column, and matches the real testdata") {
     val df = SparkEntry.events(spark, "/root/testdata/sf0.001")
     df.columns should contain("tus")

@@ -40,4 +40,50 @@ class MLlibCrossCheckSpec extends SparkSpec {
       ours should be <= theirs * 1.10
     }
   }
+
+  /** The stronger check the SURVEY §7 / BASELINE north star names: seeded
+    * identically and run to the exact fixed point (tol = 0), the
+    * hand-rolled converge loop and MLlib's Lloyd iteration must land on
+    * the SAME centroids. The `ml` API has no initial-model setter, so
+    * this uses the `mllib` RDD API (`setInitialModel`), whose center
+    * array preserves seed order — center i stays cluster i, matching our
+    * seed-index cluster ids. Not a contract query: an iterative
+    * fixed-point comparison isn't SQL-expressible (documented in
+    * COVERAGE.md); this spec is the check. */
+  test("same seeds + tol=0: MLlib lands on the converge-loop fixed point") {
+    import org.apache.spark.mllib.clustering.{KMeans => RddKMeans, KMeansModel}
+    import org.apache.spark.mllib.linalg.Vectors
+
+    val pts = Points.readCsv(spark, s"$ref/3d_points_dataset.csv").cache()
+    val seeds = Points.readSeeds(s"$ref/seed_points_K5.csv")
+
+    // threshold 0.0 can never satisfy d < 0, so the loop runs until the
+    // assignment partition stabilizes — at which point recomputed means
+    // are bitwise-identical doubles and displacement is exactly 0.0
+    val r = KMeansRunner.converge(pts, seeds, maxIter = 100, threshold = 0.0)
+    r.displacements.last shouldBe 0.0
+    r.centers should have size seeds.size.toLong
+
+    val data = pts.select("x", "y", "z").rdd
+      .map(row => Vectors.dense(row.getDouble(0), row.getDouble(1), row.getDouble(2)))
+      .cache()
+    val init = new KMeansModel(seeds.map(c => Vectors.dense(c.x, c.y, c.z)).toArray)
+    val model = new RddKMeans()
+      .setK(seeds.size).setMaxIterations(100).setEpsilon(0.0)
+      .setInitialModel(init)
+      .run(data)
+
+    // same fixed point: identical stabilized partitions mean the only
+    // residual is parallel-sum association order (~1e-12 relative), so
+    // compare per coordinate at 1e-6 relative-or-absolute
+    val theirs = model.clusterCenters
+    for ((id, p) <- r.centers) {
+      val m = theirs(id).toArray
+      val diffs = Seq(p.x - m(0), p.y - m(1), p.z - m(2))
+      for ((d, ours) <- diffs.zip(Seq(p.x, p.y, p.z)))
+        withClue(s"cluster $id ours=$p mllib=${m.toSeq}: ") {
+          math.abs(d) should be <= 1e-6 * math.max(1.0, math.abs(ours))
+        }
+    }
+  }
 }
