@@ -342,7 +342,11 @@ object Dedup {
     * cap is a contract parameter mirrored hash-for-hash in the oracle
     * SQL so both engines agree by construction. For corpora where even
     * the cap can't keep candidates linear, `minhashPairs` is the scale
-    * path (banded, candidate count independent of df).
+    * path (banded, candidate count independent of df). Measured
+    * (SCALING.md §2): on the contract corpus 10× docs grew exact
+    * candidates 99× (cap inactive below df 1000) while minhash banded
+    * candidates grew 12.6× — the quadratic regime this cap and the
+    * banded path exist for, quantified.
     *
     * CPU profile (r8, sf0.1, UI node metrics): the self-join emits the
     * full Sum(df*(df-1)/2) = 36.5M pair rows (931 hashes, max df 338),
@@ -350,16 +354,26 @@ object Dedup {
     * and that join+aggregate subtree is the operator's cost center
     * (~25-30 of ~60-80 warm CPU-s; the packed key below cuts its
     * constant). The remaining CPU is the df-count and size broadcast
-    * builds, which Spark materializes TWICE each (broadcast subtrees
-    * are not deduplicated by ReuseExchange) — pinning those tiny
+    * builds, which Spark materializes TWICE each — pinning those tiny
     * aggregates in forced caches was MEASURED AND REJECTED: the
     * duplicates run in parallel off the warm shingle cache, so their
     * CPU overlaps, while forcing adds sequential jobs on the critical
     * path (paired A/B: 7.0-10.6 s wall unpinned vs 17.8-19.8 s
-    * pinned). For exact hash-intersection counting the 36.5M-row pair
-    * enumeration is irreducible on this corpus shape — every further
-    * reduction (prefix filter: rejected above; banding: minhashPairs)
-    * changes the candidate-generation contract, not the constant. */
+    * pinned). Exchange reuse CANNOT close the duplication (probed on
+    * Spark 4.1.2, r9): self-join disambiguation clones the cached
+    * relation with fresh expression ids, and InMemoryRelation keeps
+    * its output attribute ids in its canonical form, so the twin
+    * broadcast subtrees never canonicalize equal and AQE's stage
+    * cache/ReuseExchange can never hit — a core limitation, not a
+    * config. Measured duplicate cost: 5-7 ms per broadcast build plus
+    * one extra linear agg pass over the warm 256k-row cache (sub-0.1
+    * CPU-s against the ~30 CPU-s pair agg); restructuring to carry n
+    * through the pair aggregation would widen the 36.5M-row cost
+    * center to save it — idea closed. For exact hash-intersection
+    * counting the 36.5M-row pair enumeration is irreducible on this
+    * corpus shape — every further reduction (prefix filter: rejected
+    * above; banding: minhashPairs) changes the candidate-generation
+    * contract, not the constant. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    dfCap: Long = Long.MaxValue): DataFrame = {
     require(dfCap >= 2, s"need dfCap >= 2, got $dfCap")
@@ -705,7 +719,17 @@ object Dedup {
     * chunk-bucket collisions (lossless for `maxHamming < SimhashChunks`),
     * then the exact 20-bit hamming distance filters. Everything is
     * integer/bit arithmetic, so the SQL oracle matches exactly.
-    * Output: (da, db, hamming) with da < db and hamming <= maxHamming. */
+    * Output: (da, db, hamming) with da < db and hamming <= maxHamming.
+    *
+    * Scale note (measured, SCALING.md §2): chunk-bucket candidates grow
+    * ~n²/2^SimhashChunkBits once the bucket space saturates — on the
+    * contract corpus, 500 → 5000 docs grew candidates 102× (the 2×10-bit
+    * layout has only 2048 buckets). The 20-bit signature is a contract
+    * choice (cheap to mirror bit-for-bit in the DuckDB oracle); a
+    * production 100 TB deployment of the SAME pipeline widens the
+    * signature (64-bit, 4×16-bit chunks: hamming <= 3 stays lossless and
+    * the bucket space grows 2^12-fold), which is a constant change here
+    * and in `simhash`, not a structural one. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimhashChunks,
       s"banding is only lossless for 0 <= maxHamming < $SimhashChunks, got $maxHamming")
