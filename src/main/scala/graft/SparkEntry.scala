@@ -804,6 +804,13 @@ object SparkEntry {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 1)
         .orderBy(col("da"), col("db"))),
 
+    // the 60-bit wide-signature scale twin (4x15-bit chunks): the
+    // saturation fix for the 20-bit layout's 128-bucket chunk space
+    // (SCALING.md §2); hamming <= 2 stays bucket-collision lossless
+    "q_simhash_wide" -> ((s, dir) =>
+      Dedup.simhashPairsWide(docs(s, dir), maxHamming = 2)
+        .orderBy(col("da"), col("db"))),
+
     // winnowing fingerprints (MOSS): token-3-gram hashes, window-4 minima
     "q_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(docs(s, dir), k = 3, w = 4)
@@ -1525,6 +1532,8 @@ object SparkEntry {
         "FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "dedup_simhash" -> TextSql.simhashPairsSql(maxHamming = 1),
+
+    "q_simhash_wide" -> TextSql.simhashPairsWideSql(maxHamming = 2),
 
     "dedup_tfidf_cosine" -> TextSql.tfidfCosineSql(TcosThreshold, TcosDfCap),
 

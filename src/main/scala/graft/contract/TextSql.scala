@@ -277,6 +277,39 @@ object TextSql {
       s"FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY da, db"
   }
 
+  /** Mirror of Dedup.simhashWide: 60 affine bit functions over the
+    * shared polyhash (the (a, c) constants interpolate from the SAME
+    * Scala formulas), majority-vote per bit, integer arithmetic
+    * throughout — so the signature matches bit-for-bit. */
+  val simhashWideSql: String = {
+    import graft.llm.TextAnalysis.FpMod
+    val terms = (0 until Dedup.SimhashWideBits).map { b =>
+      s"CASE WHEN 2*len(list_filter(hv, h -> 2*((h*${Dedup.wideA(b)} + ${Dedup.wideC(b)}) % $FpMod) >= $FpMod)) >= len(hv) " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"WITH t AS ($toksCte), d AS (SELECT doc_id, $shinglesExpr AS sh FROM t), " +
+      s"hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${polyHashSql("s")}) AS hv FROM d) " +
+      s"SELECT doc_id, CASE WHEN len(sh) = 0 THEN 0 ELSE $terms END AS simhash " +
+      "FROM hs ORDER BY doc_id"
+  }
+
+  /** Mirror of Dedup.simhashPairsWide: the wide-signature CTE, 4×15-bit
+    * chunk banding from the SAME constants, bucket-collision candidates,
+    * exact hamming filter. */
+  def simhashPairsWideSql(maxHamming: Int): String = {
+    val mask = (1L << Dedup.SimhashWideChunkBits) - 1
+    val bandVals = (0 until Dedup.SimhashWideChunks).map(c => s"($c)").mkString(", ")
+    s"WITH sig AS (SELECT doc_id, simhash FROM ($simhashWideSql) s0), " +
+      s"bands AS (SELECT doc_id, simhash, chunk, " +
+      s"(simhash >> (chunk*${Dedup.SimhashWideChunkBits})) & $mask AS key " +
+      s"FROM sig, (VALUES $bandVals) ch(chunk)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, " +
+      "a.simhash AS sa, b.simhash AS sb FROM bands a JOIN bands b " +
+      "ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id) " +
+      "SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+      s"FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY da, db"
+  }
+
   /** Mirror of TextAnalysis.winnow: k-gram hashes, w-window minima,
     * distinct. Only full windows (len(hv) >= w) emit, like the Spark
     * side. */

@@ -722,14 +722,13 @@ object Dedup {
     * Output: (da, db, hamming) with da < db and hamming <= maxHamming.
     *
     * Scale note (measured, SCALING.md §2): chunk-bucket candidates grow
-    * ~n²/2^SimhashChunkBits once the bucket space saturates — on the
-    * contract corpus, 500 → 5000 docs grew candidates 102× (the 2×10-bit
-    * layout has only 2048 buckets). The 20-bit signature is a contract
-    * choice (cheap to mirror bit-for-bit in the DuckDB oracle); a
-    * production 100 TB deployment of the SAME pipeline widens the
-    * signature (64-bit, 4×16-bit chunks: hamming <= 3 stays lossless and
-    * the bucket space grows 2^12-fold), which is a constant change here
-    * and in `simhash`, not a structural one. */
+    * ~n²/buckets once the bucket space saturates, and this layout has
+    * only 4 chunks × 32 values = 128 buckets — on the contract corpus,
+    * 10× docs grew candidates ~100×. The 20-bit signature is a contract
+    * choice (cheap to mirror bit-for-bit in the DuckDB oracle);
+    * [[simhashPairsWide]] is the scale twin — same structure, 60-bit
+    * signature, 4×15-bit chunks (2^10 more buckets per chunk), hamming
+    * <= 3 still lossless — with its own mirrored contract query. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimhashChunks,
       s"banding is only lossless for 0 <= maxHamming < $SimhashChunks, got $maxHamming")
@@ -743,6 +742,83 @@ object Dedup {
     // rides this one cache — persisting it separately would just add a
     // second full-width cache build)
     val bands = simhash(docs)
+      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.chunk").as("chunk"), col("b.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    val result = cand
+      .select(col("da"), col("db"), expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    materialized(result, Seq(bands))
+  }
+
+  // ---------- wide SimHash (the saturation fix, SCALING.md §2) ----------
+
+  /** Wide-signature layout: 60 bits as 4 chunks of 15. The 20-bit
+    * contract layout saturates its 4×32-bucket chunk space once the
+    * corpus outgrows ~10³ docs and candidates go ~n²/buckets (measured:
+    * 10× docs → ~100× candidates, SCALING.md §2); this twin multiplies
+    * the bucket space by 2^10 per chunk (4×32768), deferring saturation
+    * by three orders of magnitude while keeping hamming <= 3 lossless
+    * by the same pigeonhole argument. */
+  val SimhashWideBits = 60
+  val SimhashWideChunks = 4
+  val SimhashWideChunkBits = 15
+
+  /** Affine bit-function family for the wide signature: bit b of a
+    * shingle-hash h is set when ((a_b·h + c_b) mod FpMod)·2 >= FpMod —
+    * i.e. the b-th affine permutation of the SAME shared polyhash lands
+    * in the upper half of the field (the minhash-signature trick, one
+    * bit per permutation instead of a min). The (a, c) constants come
+    * from these formulas — part of the contract, mirrored textually in
+    * the oracle SQL — and stay well under FpMod so a_b·h < 2^41 never
+    * overflows a long under ANSI. */
+  def wideA(b: Int): Long = 4001L * b + 1007L
+  def wideC(b: Int): Long = 9173L * b + 3L
+
+  /** 60-bit SimHash: bit b is set when at least half the shingle hashes
+    * have affine bit-function b set. Same explode-once single-aggregate
+    * layout as [[simhash]] (60 conditional counts in one hash
+    * aggregate, everything codegen'd); shingle-less docs emit 0. */
+  def simhashWide(docs: DataFrame): DataFrame = {
+    import TextAnalysis.FpMod
+    val ex = spread(docs)
+      .select(col("doc_id"), explode_outer(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val bitCounts = (0 until SimhashWideBits).map { b =>
+      val hb = (col("h") * lit(wideA(b)) + lit(wideC(b))) % lit(FpMod)
+      count(when(hb * lit(2L) >= lit(FpMod), 1)).as(s"c$b")
+    }
+    val agg = ex.groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n"), bitCounts: _*)
+    val sig = (0 until SimhashWideBits).map { b =>
+      when(lit(2) * col(s"c$b") >= col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"),
+      when(col("n") > 0, sig).otherwise(lit(0L)).as("simhash"))
+  }
+
+  /** Near-duplicate pairs over the wide signature — structurally
+    * [[simhashPairs]] with the 4×15-bit banding, so candidates stay
+    * bucket-collision-only and lossless for maxHamming < 4, but the
+    * bucket space is 2^10 per chunk larger: the scale twin for corpora
+    * where the 20-bit layout's 128 buckets saturate.
+    * Output: (da, db, hamming) with da < db and hamming <= maxHamming. */
+  def simhashPairsWide(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimhashWideChunks,
+      s"banding is only lossless for 0 <= maxHamming < $SimhashWideChunks, got $maxHamming")
+    val mask = (1L << SimhashWideChunkBits) - 1
+    val chunkStructs = (0 until SimhashWideChunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * SimhashWideChunkBits).bitwiseAND(lit(mask)).as("key"))
+    }
+    val bands = simhashWide(docs)
       .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.chunk").as("chunk"), col("b.key").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -110,6 +110,36 @@ class LlmSpec extends SparkSpec {
     banded should not be empty // the planted near-dups are found
   }
 
+  test("simhashPairsWide equals its brute-force hamming join AND defeats 20-bit saturation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val banded = Dedup.simhashPairsWide(docs, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Dedup.simhashWide(docs)
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("h"))
+      .filter(col("h") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    banded shouldBe brute
+    // saturation check: the wide layout's candidate volume must stay far
+    // below the 20-bit layout's on the same corpus (its 128-bucket chunk
+    // space is what SCALING.md §2 measured going ~n²)
+    def candidates(bands: org.apache.spark.sql.DataFrame): Long =
+      bands.groupBy(col("cv")).agg(count(lit(1)).as("g"))
+        .select(sum(col("g") * (col("g") - 1)).as("p")).head().getLong(0) / 2
+    val narrowCand = candidates(Dedup.simhash(docs).select(col("doc_id"), explode(array(
+      (0 until Dedup.SimhashChunks).map(c => struct(lit(c),
+        shiftright(col("simhash"), c * Dedup.SimhashChunkBits)
+          .bitwiseAND(lit((1L << Dedup.SimhashChunkBits) - 1)))): _*)).as("cv")))
+    val wideCand = candidates(Dedup.simhashWide(docs).select(col("doc_id"), explode(array(
+      (0 until Dedup.SimhashWideChunks).map(c => struct(lit(c),
+        shiftright(col("simhash"), c * Dedup.SimhashWideChunkBits)
+          .bitwiseAND(lit((1L << Dedup.SimhashWideChunkBits) - 1)))): _*)).as("cv")))
+    withClue(s"wide=$wideCand narrow=$narrowCand: ") {
+      wideCand should be < narrowCand / 2
+    }
+  }
+
   test("winnow: edit-robust fingerprints — shared runs guarantee shared prints") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     // one token changed in the middle
