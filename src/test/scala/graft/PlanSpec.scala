@@ -38,7 +38,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup joins are equi-joins — never cartesian/nested-loop") {
-    for (q <- Seq("dedup_jaccard", "dedup_minhash")) {
+    for (q <- Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash", "q_simhash_wide")) {
       val p = plan(q)
       withClue(s"$q: ") {
         (p should not).include("CartesianProduct")
