@@ -108,7 +108,11 @@ object Bench {
     // always time the full suite). The warmup honors the filter too.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val warmDir = "/root/testdata/sf0.001"
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory
+    // the warm pass also runs when the TARGET is sf0.001 itself: skipping
+    // it there put JIT/codegen compilation on the timed sf0.001 numbers,
+    // which poisoned cross-SF comparisons (r9 scaling audit) — an untimed
+    // duplicate pass at the smallest SF costs seconds and buys clean fits
+    if (new java.io.File(warmDir).isDirectory
         && !sys.env.contains("SPARK_GRAFT_NO_WARMSUITE")) {
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
            if only.forall(_.findFirstIn(name).isDefined))
