@@ -80,6 +80,19 @@ class PropertySpec extends SparkSpec {
     p1 shouldBe p8
   }
 
+  test("wide simhash signatures are partition-count AND row-order invariant") {
+    // the per-bit majority votes are exact integer counts, so no
+    // partitioning or row order can flip a signature bit
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Dedup.simhashWide(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val base = sigs(docs.coalesce(1))
+    sigs(docs.repartition(8)) shouldBe base
+    sigs(docs.orderBy(col("doc_id").desc)) shouldBe base
+    base.values.toSet.size should be > 1
+  }
+
   test("deterministic sampling is partition-count AND row-order invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =
