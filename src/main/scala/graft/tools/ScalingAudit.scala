@@ -1,0 +1,242 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+/** Durable repro for SCALING.md's deterministic candidate-count
+  * evidence (§2a, §3). Candidate volume — the number of pair rows a
+  * generator's join emits before any verification — is what decides
+  * whether a dedup operator survives 100 TB, and unlike CPU timings it
+  * is an exact row count: immune to the host-throttling noise this
+  * box's measurement notes document. The counts are computed with the
+  * operators' OWN building blocks (`Dedup.shingles`/`signatures`/
+  * `simhash`/`simhashWide` and the contract caps from SparkEntry), so
+  * a refactor of the banding layout shows up here as a changed number.
+  *
+  * Modes:
+  *   candidates <sfDir> [<sfDir>...]   — SCALING.md §2a table per SF
+  *   sf1ish <sf0.1Dir>                 — §3: synthesize the 50k-doc
+  *     corpus (10 deterministic near-copies of sf0.1's 5000 docs) and
+  *     print candidate volumes + found-pair counts for the paths that
+  *     survive that decade
+  *
+  * Run: spark-submit --class graft.tools.ScalingAudit <jar> candidates \
+  *        /root/testdata/sf0.01 /root/testdata/sf0.1
+  */
+object ScalingAudit {
+
+  // Contract parameters, mirrored from SparkEntry's contract queries.
+  private val JacDfCap = 1000L
+  private val SubstrN = 12
+  private val SubstrDfCap = 16L
+  private val TcosDfCap = 64L
+
+  private def pairsOf(groupSizes: DataFrame): Long =
+    groupSizes.agg(coalesce(sum(col("g") * (col("g") - 1)), lit(0L)))
+      .head.getLong(0) / 2
+
+  /** Join rows Σ C(df, 2) the jaccard inverted index emits for hashes
+    * with df in [2, cap] (df = 1 rows can't pair; the cap is the
+    * hot-hash guard). */
+  private def jaccardCandidates(docs: DataFrame, cap: Long): Long =
+    pairsOf(docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+      .select(col("doc_id"), Dedup.shingleHash(col("s")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("g"))
+      .filter(col("g") <= cap))
+
+  /** Word n-gram occurrence rows with 2 <= df <= cap (substringPairs'
+    * keep set), paired per gram. */
+  private def substringCandidates(docs: DataFrame, n: Int, cap: Long): Long =
+    pairsOf(docs
+      .select(col("doc_id"), explode(Dedup.ngramShingles(col("text"), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("g"))
+      .filter(col("g") >= 2 && col("g") <= cap))
+
+  /** tfidfCosinePairs' pair terms: distinct (doc, bigram) rows whose
+    * term df is in [2, cap]. */
+  private def tfidfCandidates(docs: DataFrame, cap: Long): Long =
+    pairsOf(docs
+      .select(col("doc_id"),
+        explode(coalesce(graft.functions.WordNGrams(col("text"), 2, distinct = false),
+          array().cast("array<string>"))).as("tm"))
+      .groupBy(col("doc_id"), col("tm")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tm")).agg(count(lit(1)).as("g"))
+      .filter(col("g") >= 2 && col("g") <= cap)
+      .select(col("g")))
+
+  /** LSH band-bucket collision rows: Σ over (band, key) buckets of
+    * C(g, 2) — the join volume behind minhashPairs' candidates. */
+  private def minhashCandidates(docs: DataFrame): Long = {
+    val bandStructs = (0 until Dedup.Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until Dedup.RowsPerBand).map(r =>
+          col(s"m${b * Dedup.RowsPerBand + r}")): _*).as("key"))
+    }
+    pairsOf(Dedup.signatures(docs)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .groupBy(col("bk.band"), col("bk.key")).agg(count(lit(1)).as("g")))
+  }
+
+  /** Chunk-bucket collision rows for a simhash signature table. */
+  private def simhashCandidates(sigs: DataFrame, chunks: Int, chunkBits: Int): Long = {
+    val mask = (1L << chunkBits) - 1
+    val chunkStructs = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask)).as("key"))
+    }
+    pairsOf(sigs
+      .select(col("doc_id"), explode(array(chunkStructs: _*)).as("b"))
+      .groupBy(col("b.chunk"), col("b.key")).agg(count(lit(1)).as("g")))
+  }
+
+  private def candidateTable(spark: SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .persist()
+    val n = docs.count()
+    println(s"== $dir ($n docs) ==")
+    println(f"jaccard exact (df cap $JacDfCap):        ${jaccardCandidates(docs, JacDfCap)}%,d")
+    println(f"substring n=$SubstrN (df cap $SubstrDfCap):       ${substringCandidates(docs, SubstrN, SubstrDfCap)}%,d")
+    println(f"tfidf cosine (df cap $TcosDfCap):          ${tfidfCandidates(docs, TcosDfCap)}%,d")
+    println(f"minhash LSH (4x4 bands):          ${minhashCandidates(docs)}%,d")
+    println(f"simhash 20-bit (4x5-bit chunks):  ${simhashCandidates(Dedup.simhash(docs), 4, 5)}%,d")
+    println(f"simhash wide 60-bit (4x15-bit):   ${simhashCandidates(Dedup.simhashWide(docs), 4, 15)}%,d")
+    docs.unpersist()
+  }
+
+  /** §3 synthetic second decade: 10 copies of the given corpus, copy
+    * r > 0 perturbed at every token position p with
+    * (p + doc_id + r) mod 17 == 0 (replaced by a copy-specific token —
+    * no RNG), giving each doc ~9 true near-dups at bigram-Jaccard
+    * ≈ 0.75. Copy r's doc ids shift by r * 1_000_000 so ids stay
+    * unique and packable. */
+  def synthesize10x(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val copies = spark.range(0, 10).select(col("id").cast("int").as("r"))
+    docs.crossJoin(broadcast(copies))
+      .select(
+        (col("doc_id") + col("r") * lit(1000000L)).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(
+          concat_ws(" ",
+            zip_with(
+              split(col("text"), " "),
+              sequence(lit(0), size(split(col("text"), " ")) - 1),
+              (tok, p) => when((p + col("doc_id") + col("r")) % 17 === 0,
+                concat(lit("zq"), col("r").cast("string"), lit("x"), p.cast("string")))
+                .otherwise(tok)))).as("text"))
+  }
+
+  private def sf1ish(spark: SparkSession, dir: String): Unit = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val big = synthesize10x(base).persist()
+    val n = big.count()
+    println(s"== sf1ish: $n docs synthesized from $dir ==")
+    println(f"jaccard exact UNCAPPED:           ${jaccardCandidates(big, Long.MaxValue)}%,d")
+    println(f"jaccard exact (df cap $JacDfCap):        ${jaccardCandidates(big, JacDfCap)}%,d")
+    println(f"minhash LSH (4x4 bands):          ${minhashCandidates(big)}%,d")
+    println(f"simhash 20-bit (4x5-bit chunks):  ${simhashCandidates(Dedup.simhash(big), 4, 5)}%,d")
+    println(f"simhash wide 60-bit (4x15-bit):   ${simhashCandidates(Dedup.simhashWide(big), 4, 15)}%,d")
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$label: $rows%,d rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    timed("minhashPairs >= 0.5 end-to-end") {
+      Dedup.minhashPairs(big, 0.5).count()
+    }
+    timed("simhashPairsWide <= 2 end-to-end") {
+      Dedup.simhashPairsWide(big, 2).count()
+    }
+    timed("jaccardPairs cap 1000 end-to-end") {
+      Dedup.jaccardPairs(big, 0.5, JacDfCap).count()
+    }
+    big.unpersist()
+  }
+
+  /** §5 ANN probe: 10 deterministic near-copies of the SF's embeddings
+    * (copy r > 0 shifts element j by a small id-and-dimension-keyed
+    * offset — no RNG), 32 coarse cells seeded from the 32 lowest base
+    * ids, nprobe 4, k 10, 3 queries. Reports the probed corpus
+    * fraction per query, recall@10 vs brute force, and end-to-end
+    * wall for both paths. */
+  private def annprobe(spark: SparkSession, dir: String): Unit = {
+    import graft.llm.Similarity
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val copies = spark.range(0, 10).select(col("id").cast("int").as("r"))
+    val big = base.crossJoin(broadcast(copies))
+      .select(
+        (col("vec_id") + col("r") * lit(1000000L)).as("vec_id"),
+        zip_with(
+          col("embedding").cast("array<double>"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, j) => x + col("r") * ((j + col("vec_id")) % 7 - lit(3)) * lit(0.002))
+          .as("embedding"))
+      .persist()
+    val n = big.count()
+    println(s"== annprobe: $n vectors synthesized from $dir ==")
+    val coarseIds = base.select(col("vec_id")).orderBy(col("vec_id")).limit(32)
+      .collect().map(_.getLong(0)).toSeq
+    val queryIds = coarseIds.take(3).map(_ + 3000000L) // copy-3 twins, not seeds
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      out
+    }
+    val brute = timed("brute-force top-10 (3 queries) end-to-end") {
+      Similarity.bruteForceTopK(big, queryIds, 10)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val ivf = timed("IVF top-10 (32 cells, nprobe 4) end-to-end") {
+      Similarity.ivfTopK(big, coarseIds, queryIds, nprobe = 4, k = 10)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    println(s"recall@10: ${(brute intersect ivf).size}/${brute.size}")
+    // probed fraction: corpus share of each query's nprobe nearest cells
+    val e = big.select(col("vec_id"), col("embedding").as("vec"))
+    val coarse = e.filter(col("vec_id").isin(coarseIds: _*))
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    val assigned = Similarity.assignCells(e, coarse)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("csize"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cvecs = coarse.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qvecs = e.filter(col("vec_id").isin(queryIds: _*)).collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray))
+    qvecs.foreach { case (qid, qv) =>
+      val probed = cvecs.map { case (cid, cv) =>
+        val d2 = qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d2, cid)
+      }.sorted.take(4).map(_._2)
+      val frac = probed.map(assigned.getOrElse(_, 0L)).sum.toDouble / n
+      println(f"query $qid probed fraction: ${frac * 100}%.1f%%")
+    }
+    big.unpersist()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScalingAudit candidates|sf1ish <sfDir>...")
+    val spark = SparkSession.builder()
+      .appName("graft-scaling-audit")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args(0) match {
+      case "candidates" => args.drop(1).foreach(candidateTable(spark, _))
+      case "sf1ish"     => sf1ish(spark, args(1))
+      case "annprobe"   => annprobe(spark, args(1))
+      case other        => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}
