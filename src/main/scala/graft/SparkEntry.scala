@@ -576,6 +576,18 @@ object SparkEntry {
       TextAnalysis.chunk(docs(s, dir), chunkTokens = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // sub-document exact dedup: chunk-level first-occurrence keeper +
+    // document reassembly (line/paragraph dedup on a boundary-free corpus)
+    "q_chunk_dedup" -> ((s, dir) =>
+      TextAnalysis.chunkDedup(docs(s, dir), chunkTokens = 10)
+        .orderBy(col("doc_id"))),
+
+    // C4-style boilerplate removal: chunks seen in >= 2 distinct docs
+    // vanish everywhere (first occurrence included)
+    "q_boilerplate" -> ((s, dir) =>
+      TextAnalysis.dropBoilerplateChunks(docs(s, dir), chunkTokens = 10, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
     // pivot: order-status counts as columns per nation (null cells -> 0,
     // matching the oracle's count FILTER semantics)
     "q_pivot" -> ((s, dir) => {
@@ -1421,6 +1433,10 @@ object SparkEntry {
         "ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST"),
 
     "q_chunks" -> TextSql.chunksSql(32, 8),
+
+    "q_chunk_dedup" -> TextSql.chunkDedupSql(10),
+
+    "q_boilerplate" -> TextSql.boilerplateSql(10, 2),
 
     "q_pivot" ->
       ("SELECT n_name, " +

@@ -76,6 +76,49 @@ object TextSql {
       "FROM st ORDER BY doc_id, chunk_id"
   }
 
+  /** Shared chunk-table CTE for the sub-document dedup mirrors:
+    * ch(doc_id, chunk_id, chunk_text) — the disjoint k-token windows of
+    * TextAnalysis.chunkTable (chunk(…, overlap = 0)). */
+  private def chunkCtes(k: Int): String =
+    s"t AS ($toksCte), " +
+      s"st AS (SELECT doc_id, toks, unnest(range(0, len(toks), $k)) AS start FROM t), " +
+      s"ch AS (SELECT doc_id, start // $k AS chunk_id, " +
+      s"array_to_string(list_slice(toks, (start+1)::INT, (start+$k)::INT), ' ') AS chunk_text FROM st)"
+
+  /** Shared reassembly tail: kept(doc_id, chunk_id, chunk_text) rows
+    * regrouped per doc in chunk order, left-joined from the full chunk
+    * totals so fully-emptied documents survive with text = ''. Pure
+    * integer/string arithmetic — bitwise with no float discipline. */
+  private def reassembleSql: String =
+    "re AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text " +
+      "FROM kept GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id) " +
+      "SELECT tot.doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept, " +
+      "coalesce(re.text, '') AS text " +
+      "FROM tot LEFT JOIN re USING (doc_id) ORDER BY tot.doc_id"
+
+  /** Mirror of TextAnalysis.chunkDedup: the first global occurrence of
+    * each chunk — row_number over (doc_id, chunk_id) order ≡ Spark's
+    * min(struct(doc_id, chunk_id)) keeper — survives, then reassembly. */
+  def chunkDedupSql(k: Int): String =
+    s"WITH ${chunkCtes(k)}, " +
+      "rk AS (SELECT doc_id, chunk_id, chunk_text, " +
+      "row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn FROM ch), " +
+      "kept AS (SELECT doc_id, chunk_id, chunk_text FROM rk WHERE rn = 1), " +
+      reassembleSql
+
+  /** Mirror of TextAnalysis.dropBoilerplateChunks: chunks in >= minDocs
+    * distinct documents are removed everywhere (NOT EXISTS ≡ Spark's
+    * left-anti join), then reassembly. */
+  def boilerplateSql(k: Int, minDocs: Long): String =
+    s"WITH ${chunkCtes(k)}, " +
+      "bl AS (SELECT chunk_text FROM ch GROUP BY chunk_text " +
+      s"HAVING count(DISTINCT doc_id) >= $minDocs), " +
+      "kept AS (SELECT doc_id, chunk_id, chunk_text FROM ch " +
+      "WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.chunk_text = ch.chunk_text)), " +
+      reassembleSql
+
   /** shared CTE prefix for shingle-based queries:
     * d(doc_id, sh), ex(doc_id, s), sizes(doc_id, n) */
   private val shingleCtes: String =

@@ -374,6 +374,100 @@ object TextAnalysis {
         least(size(col("toks")) - col("start"), lit(chunkTokens)).cast("long").as("n_tokens"))
   }
 
+  /** Disjoint chunk table shared by the sub-document dedup operators:
+    * `chunk(docs, chunkTokens, overlap = 0)` minus the token-count
+    * column. (doc_id, chunk_id) is the primary key. */
+  private def chunkTable(docs: DataFrame, chunkTokens: Int): DataFrame =
+    chunk(docs, chunkTokens, overlap = 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+
+  /** Reassembles documents from surviving chunk rows: per doc, the kept
+    * chunks concatenated in chunk order, plus the pre/post counts. A
+    * document whose every chunk was dropped survives with text = '' —
+    * the left join from `totals` keeps it. Field extraction over the
+    * sorted struct array (`arr.chunk_text`) is a native
+    * GetArrayStructFields, not a HOF, so the reassembly stays in
+    * codegen. Output: (doc_id, n_chunks, n_kept, text). */
+  private def reassemble(all: DataFrame, kept: DataFrame): DataFrame = {
+    val totals = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val re = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))).as("arr"))
+      .select(col("doc_id"), col("k"), array_join(col("arr.chunk_text"), " ").as("t"))
+    totals.join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("k"), lit(0L)).as("n_kept"),
+        coalesce(col("t"), lit("")).as("text"))
+  }
+
+  /** Sub-document EXACT deduplication at fixed chunk granularity — the
+    * line/paragraph-level dedup pass of C4/RefinedWeb-style pipelines
+    * (Raffel et al. 2020 dedup three-sentence spans; this corpus has no
+    * sentence or line boundaries, so the deterministic chunkTokens-token
+    * window is the unit). A chunk survives only at its FIRST global
+    * occurrence — lowest (doc_id, chunk_id) — and every later
+    * occurrence, in other documents or later in the same document, is
+    * removed; each document is then reassembled from its surviving
+    * chunks in order.
+    *
+    * Scale shape: rows = tokens/chunkTokens after one explode; one
+    * chunk-keyed aggregate picks keepers (min struct — partial-agg
+    * friendly, no window over the full chunk table), one (doc_id,
+    * chunk_id) equi-join back (keeper set <= chunk table, hash join on
+    * the primary key), one doc-keyed aggregate reassembles. Nothing is
+    * quadratic and every shuffle key is evenly distributed (chunk texts
+    * repeat only as often as content repeats; a pathological corpus of
+    * one repeated chunk is exactly the boilerplate case, where the
+    * keeper aggregate's map-side partial collapses each partition to
+    * one row). All arithmetic is integer/string — the oracle mirrors
+    * bitwise with no float discipline needed.
+    *
+    * The returned frame is persisted + materialized (internal chunk
+    * cache released before returning); callers holding it long-term may
+    * `unpersist()` it themselves — same contract as tfidfTopTerms.
+    * Output: (doc_id, n_chunks, n_kept, text). */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"need chunkTokens >= 1, got $chunkTokens")
+    val ch = chunkTable(docs, chunkTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = ch.groupBy(col("chunk_text"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.chunk_id").as("chunk_id"))
+    val kept = ch.join(keepers, Seq("doc_id", "chunk_id"), "left_semi")
+    val out = reassemble(ch, kept)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ch.unpersist(false)
+    out
+  }
+
+  /** Boilerplate-chunk removal — the C4 "discard any line seen more
+    * than once" rule at chunk granularity: a chunk appearing in at
+    * least `minDocs` DISTINCT documents is boilerplate (header, footer,
+    * license block) and is removed from EVERY document, including its
+    * first occurrence — unlike [[chunkDedup]], which keeps one copy.
+    * Same chunk table, one countDistinct aggregate for the blocklist,
+    * one left-anti join, same reassembly; the blocklist is at most
+    * vocabulary-sized and usually tiny, so the anti join broadcasts.
+    * Persisted + materialized like [[chunkDedup]].
+    * Output: (doc_id, n_chunks, n_kept, text). */
+  def dropBoilerplateChunks(docs: DataFrame, chunkTokens: Int, minDocs: Long): DataFrame = {
+    require(chunkTokens >= 1, s"need chunkTokens >= 1, got $chunkTokens")
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    val ch = chunkTable(docs, chunkTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = ch.groupBy(col("chunk_text"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("chunk_text"))
+    val kept = ch.join(boiler, Seq("chunk_text"), "left_anti")
+    val out = reassemble(ch, kept)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ch.unpersist(false)
+    out
+  }
+
   /** Unigram language-model quality score: each document's average
     * token log-probability under the CORPUS unigram distribution,
     * avg_lp = (Σ_t ln(count(t)/N)) / n_tokens — the cheap stand-in for

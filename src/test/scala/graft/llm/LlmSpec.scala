@@ -513,6 +513,49 @@ class LlmSpec extends SparkSpec {
     disjoint shouldBe Array("a b", "c d", "e")
   }
 
+  test("chunkDedup: first global occurrence survives, docs reassemble in order") {
+    val docs = docsDF(
+      0L -> "a b c d e f",   // both chunks first occurrences
+      1L -> "a b c x y z",   // chunk 0 duplicates doc 0's
+      2L -> "a b c d e f",   // exact dup doc: every chunk dropped
+      3L -> "d e f a b c",   // both chunks seen (in either order)
+      4L -> "q r",           // short single chunk, unique
+      5L -> "m n o m n o")   // intra-doc repeat: keep first only
+    val out = TextAnalysis.chunkDedup(docs, chunkTokens = 3)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out shouldBe Array(
+      (0L, 2L, 2L, "a b c d e f"),
+      (1L, 2L, 1L, "x y z"),
+      (2L, 2L, 0L, ""),
+      (3L, 2L, 0L, ""),
+      (4L, 1L, 1L, "q r"),
+      (5L, 2L, 1L, "m n o"))
+  }
+
+  test("dropBoilerplateChunks: cross-doc chunks vanish everywhere, intra-doc repeats stay") {
+    val docs = docsDF(
+      0L -> "a b c d e f",
+      1L -> "a b c x y z",
+      2L -> "a b c d e f",
+      3L -> "d e f a b c",
+      4L -> "q r",
+      5L -> "m n o m n o")
+    val out = TextAnalysis.dropBoilerplateChunks(docs, chunkTokens = 3, minDocs = 2)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // "a b c" in docs {0,1,2,3}, "d e f" in {0,2,3}: boilerplate, removed
+    // everywhere incl. first occurrences; "m n o" repeats only within
+    // doc 5 (df = 1), so unlike chunkDedup BOTH copies survive
+    out shouldBe Array(
+      (0L, 2L, 0L, ""),
+      (1L, 2L, 1L, "x y z"),
+      (2L, 2L, 0L, ""),
+      (3L, 2L, 0L, ""),
+      (4L, 1L, 1L, "q r"),
+      (5L, 2L, 2L, "m n o m n o"))
+  }
+
   test("percentile_approx stays within 2% rank error of the exact percentile") {
     import org.apache.spark.sql.functions.{percentile, percentile_approx}
     val df = (1 to 20000).map(i => ((i * 7919) % 20011).toDouble).toDF("v")
