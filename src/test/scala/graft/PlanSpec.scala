@@ -47,6 +47,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup family: keeper/blocklist joins broadcast, never nested-loop") {
+    // chunkDedup: the (doc_id, chunk_id) keeper membership is a
+    // broadcast LEFT SEMI (keeper set <= chunk table); boilerplate: the
+    // blocklist is a broadcast LEFT ANTI; both reassemble through a
+    // LEFT OUTER from the totals so emptied docs survive
+    val cd = plan("q_chunk_dedup")
+    cd should include("BroadcastHashJoin LeftSemi")
+    cd should include("BroadcastHashJoin LeftOuter")
+    val bp = plan("q_boilerplate")
+    bp should include("BroadcastHashJoin LeftAnti")
+    bp should include("BroadcastHashJoin LeftOuter")
+    for ((q, p) <- Seq("q_chunk_dedup" -> cd, "q_boilerplate" -> bp))
+      withClue(s"$q: ") {
+        (p should not).include("CartesianProduct")
+        (p should not).include("BroadcastNestedLoopJoin")
+      }
+  }
+
   test("assignment expression stays inside whole-stage codegen") {
     plan("p3_assign", "codegen") should include("WholeStageCodegen")
   }
