@@ -46,6 +46,9 @@ object SparkEntry {
   /** doc_id % IncrementalMod == 0 plays the "new batch"; the rest is the
     * already-ingested corpus. */
   private val IncrementalMod = 5
+  /** Uniform per-source token budget for the mixture-sampling contract
+    * query (equal-token domain mixing). */
+  private val TokenBudget = 500L
   /** Decontamination: docs with doc_id % DecontamMod == 0 play the
     * "benchmark/eval set"; overlap key is a word DecontamN-gram. */
   private val DecontamN = 8
@@ -860,6 +863,19 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(docs(s, dir), StratPerGroup)
         .orderBy(col("lang"), col("doc_id"))),
 
+    // token-budget mixture sampling: greedy per-source prefix in
+    // content-hash order, uniform budget (equal-token domain mixing),
+    // reported per source
+    "q_token_budget" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetSample(docs(s, dir), Map.empty, TokenBudget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          sum(col("n_toks")).as("tok_total"),
+          coalesce(sum(when(col("kept"), col("n_toks"))), lit(0L)).as("tok_kept"),
+          min(when(col("kept"), col("doc_id"))).as("first_kept"))
+        .orderBy(col("source"))),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -1560,6 +1576,8 @@ object SparkEntry {
     "q_repetition" -> TextSql.repetitionSql,
 
     "q_stratified_sample" -> TextSql.stratifiedSampleSql(StratPerGroup),
+
+    "q_token_budget" -> TextSql.tokenBudgetSql(TokenBudget),
 
     "q_quantize" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

@@ -480,6 +480,26 @@ object TextSql {
       "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM f) " +
       s"SELECT lang, doc_id, rn FROM r WHERE rn <= $perGroup ORDER BY lang, doc_id"
 
+  /** Mirror of TextAnalysis.tokenBudgetSample (uniform budget) +
+    * per-source report: same fingerprint draw order, same running-sum
+    * prefix rule (ROWS UNBOUNDED PRECEDING ≡ Spark's rowsBetween), all
+    * integer arithmetic; sums cast back to BIGINT (DuckDB widens to
+    * HUGEINT, which pandas would surface as float64). */
+  def tokenBudgetSql(budget: Long): String =
+    "WITH t AS (SELECT doc_id, source, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+      s"(CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END) AS fp " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, source, n_toks, " +
+      "sum(n_toks) OVER (PARTITION BY source ORDER BY fp, doc_id " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+      "SELECT source, count(*) AS n_docs, " +
+      s"count(*) FILTER (WHERE cum <= $budget) AS n_kept, " +
+      "CAST(sum(n_toks) AS BIGINT) AS tok_total, " +
+      s"CAST(coalesce(sum(n_toks) FILTER (WHERE cum <= $budget), 0) AS BIGINT) AS tok_kept, " +
+      s"min(doc_id) FILTER (WHERE cum <= $budget) AS first_kept " +
+      "FROM c GROUP BY source ORDER BY source"
+
   // ---------- similarity search ----------
 
   private val cosSql =

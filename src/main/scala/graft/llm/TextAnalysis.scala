@@ -291,6 +291,47 @@ object TextAnalysis {
       .select(col("lang"), col("doc_id"), col("rn"))
   }
 
+  /** Token-budget mixture sampling — the "take N tokens from each
+    * source" step of corpus mixing (The Pile, DoReMi-style recipes
+    * express the training mixture as per-domain token budgets, not doc
+    * counts): per source, documents are drawn in deterministic
+    * (content fingerprint, doc_id) order and kept while the running
+    * token total stays within the source's budget — the greedy prefix
+    * rule, exact and RNG-free, so the same corpus always yields the
+    * same mixture and duplicate texts draw at the same position.
+    * `budgets` overrides per source; every other source gets
+    * `defaultBudget` (uniform budgets = equal-token domain mixing, the
+    * small-domain upweighting case).
+    *
+    * Scale shape: one scan computes (n_toks, fp) inline (codegen'd),
+    * one source-keyed exchange feeds the running-sum window — per
+    * source the prefix sum is a linear pass, and sources are the
+    * natural partition key of a crawl corpus (thousands of domains →
+    * even spread). A pathologically hot source serializes its own
+    * window pass only; if that matters, pre-trim with a coarse
+    * per-bucket bound before the exact prefix sum. The budgets map
+    * rides the closure as a literal map lookup — no join.
+    * Output: (doc_id, source, n_toks, cum_toks, kept) — kept is the
+    * budget decision; callers filter or report. */
+  def tokenBudgetSample(docs: DataFrame, budgets: Map[String, Long],
+                        defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0, s"need defaultBudget >= 0, got $defaultBudget")
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0, got $budgets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("fp").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetCol =
+      if (budgets.isEmpty) lit(defaultBudget)
+      else coalesce(element_at(typedLit(budgets), col("source")), lit(defaultBudget))
+    docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        fingerprint(col("text")).as("fp"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"),
+        (col("cum_toks") <= budgetCol).as("kept"))
+  }
+
   /** TF-IDF top-`k` terms per document: tf = term occurrences in the
     * doc, df = documents containing the term, score = tf · ln(N/df),
     * rounded to 4 decimals BEFORE ranking so both engines order the

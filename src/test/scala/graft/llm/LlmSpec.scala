@@ -513,6 +513,35 @@ class LlmSpec extends SparkSpec {
     disjoint shouldBe Array("a b", "c d", "e")
   }
 
+  test("tokenBudgetSample: greedy prefix per source, override budget applies") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
+      (4L, "x", "s2"), (5L, "y z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenBudgetSample(docs, Map("s2" -> 1L), defaultBudget = 5L)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    for (src <- Seq("s1", "s2")) {
+      val budget = if (src == "s2") 1L else 5L
+      val rows = out.filter(_._1 == src).sortBy(_._4) // by cum_toks
+      // running sum really is the prefix sum in draw order
+      rows.map(_._3).scanLeft(0L)(_ + _).tail shouldBe rows.map(_._4)
+      // kept == (cum <= budget): a prefix; once over budget, never kept
+      rows.foreach { case (_, _, _, cum, kept) => kept shouldBe (cum <= budget) }
+      // greedy prefix, not knapsack: everything after the first
+      // over-budget draw is dropped even if it would individually fit
+      val dropped = rows.dropWhile(_._5)
+      dropped.forall(!_._5) shouldBe true
+    }
+    // override map applies: s2 keeps at most 1 token, default keeps 5
+    out.filter(r => r._1 == "s2" && r._5).map(_._3).sum should be <= 1L
+    out.filter(r => r._1 == "s1" && r._5).map(_._3).sum should be <= 5L
+    // deterministic: same corpus, same mixture
+    val again = TextAnalysis.tokenBudgetSample(docs, Map("s2" -> 1L), 5L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getBoolean(4))).sortBy(_._2)
+    again shouldBe out.map(r => (r._1, r._2, r._5)).sortBy(_._2)
+  }
+
   test("chunkDedup: first global occurrence survives, docs reassemble in order") {
     val docs = docsDF(
       0L -> "a b c d e f",   // both chunks first occurrences
