@@ -49,6 +49,8 @@ object SparkEntry {
   /** Uniform per-source token budget for the mixture-sampling contract
     * query (equal-token domain mixing). */
   private val TokenBudget = 500L
+  /** Jelinek-Mercer interpolation weight of the bigram-LM score. */
+  private val BigramLambda = 0.9
   /** Decontamination: docs with doc_id % DecontamMod == 0 play the
     * "benchmark/eval set"; overlap key is a word DecontamN-gram. */
   private val DecontamN = 8
@@ -923,6 +925,12 @@ object SparkEntry {
     "q_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // interpolated bigram-LM score (Jelinek-Mercer λ=0.9): avg
+    // transition log-prob under corpus bigram/unigram statistics
+    "q_bigram_lp" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir), lambda = BigramLambda)
+        .orderBy(col("doc_id"))),
+
     // IVF-PQ: coarse cells prune to nprobe=2, PQ codes score the rest
     "q_ivf_pq" -> ((s, dir) =>
       Similarity.ivfPqSearch(emb(s, dir), IvfCoarseIds, PqCodebookIds,
@@ -1626,6 +1634,8 @@ object SparkEntry {
     "q_pq" -> TextSql.pqEncodeSql(PqCodebookIds, PqSubspaces),
     "q_pq_search" -> TextSql.pqSearchSql(PqCodebookIds, PqSubspaces, AnnQueryIds, PqSearchK),
     "q_unigram_lp" -> TextSql.unigramLogProbSql,
+
+    "q_bigram_lp" -> TextSql.bigramLogProbSql(BigramLambda),
     "q_ivf_pq" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
       AnnQueryIds, nprobe = 2, k = PqSearchK),
     "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),

@@ -822,6 +822,33 @@ object TextSql {
       "round(sum(ln(CAST(c AS DOUBLE) / total)) / count(*), 4) AS avg_logprob " +
       "FROM t JOIN vc USING (w) CROSS JOIN n GROUP BY doc_id ORDER BY doc_id"
 
+  /** Mirror of TextAnalysis.bigramLogProb: same bigram/unigram
+    * aggregates, per-transition double built with IDENTICAL literals
+    * and operation order (λ and 1−λ are interpolated from the same
+    * Scala doubles — shortest-repr toString round-trips through
+    * DuckDB's parser to the same IEEE value), per-doc average rounded
+    * to 4 (+ 0.0 normalizes a hypothetical −0.0; Spark's
+    * BigDecimal round can't emit one). */
+  def bigramLogProbSql(lambda: Double): String = {
+    val mu = 1.0 - lambda
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(toks) AS w FROM t), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok), " +
+      "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY w), " +
+      "bgp AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t), " +
+      "bg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM bgp), " +
+      "bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY prev, cur), " +
+      "sc AS (SELECT doc_id, " +
+      s"ln($lambda * (CAST(cb AS DOUBLE) / CAST(up.cu AS DOUBLE)) + " +
+      s"$mu * (CAST(uc.cu AS DOUBLE) / CAST(total AS DOUBLE))) AS lp " +
+      "FROM bg JOIN bc USING (prev, cur) " +
+      "JOIN uni up ON bg.prev = up.w JOIN uni uc ON bg.cur = uc.w CROSS JOIN n), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+      "round(sum(lp) / count(*), 4) + 0.0 AS avg_logprob FROM sc GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, avg_logprob " +
+      "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"
+  }
+
   def annIvfSql(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int, k: Int): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +

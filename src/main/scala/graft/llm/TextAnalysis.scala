@@ -554,6 +554,69 @@ object TextAnalysis {
     out
   }
 
+  /** Interpolated bigram language-model score — the next step up from
+    * [[unigramLogProb]] toward the CCNet perplexity filter (real
+    * pipelines use a KenLM n-gram model; the Spark shape — score every
+    * token transition against corpus-wide statistics — is the same,
+    * and Jelinek-Mercer interpolation is the standard smoothing):
+    * per transition, p = λ·c(prev,cur)/c(prev) + (1−λ)·c(cur)/N, score
+    * = Σ ln p / n_bigrams. Context counts c(prev) are plain unigram
+    * counts (the usual simplification; the engines agree because both
+    * use the same convention). Gibberish scores low under both terms;
+    * boilerplate scores high — threshold downstream.
+    *
+    * Shape: one token explode feeds the unigram aggregate; one
+    * zip-shifted explode (arrays_zip of the two slices — native, no
+    * HOF) feeds the bigram aggregate and the scoring rows; two
+    * vocabulary equi-joins (broadcast when small) and one per-doc
+    * aggregate. The per-term double is built with identical literals
+    * and operation order in the oracle, so both engines ln the same
+    * IEEE value; the per-doc sum is order-sensitive but round-4
+    * absorbs the ulp like unigramLogProb. Docs with < 2 tokens emit
+    * n_bigrams = 0 with NULL score via the final left join.
+    * Output: (doc_id, n_bigrams, avg_logprob). */
+  def bigramLogProb(docs: DataFrame, lambda: Double): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"need 0 < lambda < 1, got $lambda")
+    val spread = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val toks = spread
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = toks.count()
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bg = spread
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("prev"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("cur"))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    val scored = bg
+      .join(bc, Seq("prev", "cur"))
+      .join(uni.select(col("w").as("prev"), col("cu").as("cup")), Seq("prev"))
+      .join(uni.select(col("w").as("cur"), col("cu").as("cuc")), Seq("cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(
+          lit(lambda) * (col("cb").cast("double") / col("cup").cast("double")) +
+            lit(1.0 - lambda) * (col("cuc").cast("double") / lit(total.toDouble))))
+          .as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp") / col("n_bigrams"), 4).as("avg_logprob"))
+    val out = docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    toks.unpersist(false)
+    bg.unpersist(false)
+    out
+  }
+
   /** Normalization used before exact/near dedup in real pipelines:
     * lower-case, collapse every non-alphanumeric run to one space, trim.
     * Catches the trivial variants (case, punctuation, whitespace) that

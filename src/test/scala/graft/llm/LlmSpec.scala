@@ -513,6 +513,20 @@ class LlmSpec extends SparkSpec {
     disjoint shouldBe Array("a b", "c d", "e")
   }
 
+  test("bigramLogProb: hand-computed interpolation, short docs score NULL") {
+    // corpus: "a a b" + "a" -> N = 4, cu(a) = 3, cu(b) = 1
+    // doc 1 transitions: (a,a) cb=1, (a,b) cb=1; lambda = 0.5
+    //   p(a|a) = .5*(1/3) + .5*(3/4) = 13/24; p(b|a) = .5*(1/3) + .5*(1/4) = 7/24
+    //   avg = (ln(13/24) + ln(7/24)) / 2 = -0.92262... -> -0.9226
+    val out = TextAnalysis.bigramLogProb(
+      docsDF(1L -> "a a b", 2L -> "a"), lambda = 0.5)
+      .orderBy(col("doc_id")).collect()
+    out(0).getLong(1) shouldBe 2L
+    out(0).getDouble(2) shouldBe -0.9226
+    out(1).getLong(1) shouldBe 0L
+    out(1).isNullAt(2) shouldBe true
+  }
+
   test("tokenBudgetSample: greedy prefix per source, override budget applies") {
     val docs = Seq(
       (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
