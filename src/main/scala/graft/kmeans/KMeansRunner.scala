@@ -69,6 +69,130 @@ object KMeansRunner {
     cents
   }
 
+  /** k-means|| scalable seeding (Bahmani et al., VLDB 2012) — the
+    * parallel init MLlib's own KMeans uses, and the scale path next to
+    * [[farthestPointInit]]: the greedy k-center init runs K sequential
+    * corpus passes (a driver barrier per centroid — fine for K = 5,
+    * wrong for K = 10⁴), while k-means|| finishes in a FIXED number of
+    * rounds, each one distributed pass that samples ~oversample·k
+    * points with probability ∝ d²(p, C)/cost, then reclusters the
+    * small weighted candidate set to k on the driver.
+    *
+    * Derandomized the house way: the per-point coin is
+    * PolyHash("x,y,z#round") / FpMod — content-keyed, so the same
+    * corpus always seeds identically and duplicate points draw the
+    * same coin (their probabilities are identical anyway). Driver
+    * boundaries are the per-round candidate collect (expected
+    * oversample·k rows, guarded loudly) and the K-row weight
+    * aggregate — the corpus never leaves the executors.
+    *
+    * Recluster: weights = corpus points nearest each candidate (one
+    * distributed assign + count), then deterministic weighted greedy
+    * k-center over the candidates followed by weighted Lloyd to a
+    * fixed point (driver-side — the candidate set is tiny). Returns
+    * min(k, distinct candidates) seeds. */
+  def scalableInit(points: DataFrame, k: Int, rounds: Int = 5,
+                   oversample: Double = 2.0): Seq[Point] = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val managedCache = points.storageLevel == StorageLevel.NONE
+    if (managedCache) points.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      def d2(c: Point) =
+        (col("x") - c.x) * (col("x") - c.x) +
+          (col("y") - c.y) * (col("y") - c.y) +
+          (col("z") - c.z) * (col("z") - c.z)
+      val first = points.select(max(struct(col("x"), col("y"), col("z"))).as("s"))
+        .collect().head
+      require(!first.isNullAt(0), "scalableInit: no points")
+      val f = first.getStruct(0)
+      var cents = Vector(Point(f.getDouble(0), f.getDouble(1), f.getDouble(2)))
+      val coinBase = concat_ws(",", col("x"), col("y"), col("z"))
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val minD2 = cents.map(d2).reduce(least(_, _))
+        val cost = points.select(sum(minD2)).collect().head.getDouble(0)
+        if (cost == 0.0) done = true // every point IS a center already
+        else {
+          val coin = graft.functions.PolyHash(
+            concat(coinBase, lit(s"#$r")), graft.llm.TextAnalysis.FpMod)
+            .cast("double") / graft.llm.TextAnalysis.FpMod.toDouble
+          val cand = points
+            .select(col("x"), col("y"), col("z"), minD2.as("d"))
+            .filter(coin * cost < lit(oversample * k) * col("d"))
+            .select(col("x"), col("y"), col("z"))
+            .limit(64 * k + 64) // driver guard: expected oversample*k rows
+            .collect()
+          require(cand.length < 64 * k + 64,
+            s"scalableInit: round $r sampled >= ${64 * k + 64} candidates — " +
+              "oversample*k far above the corpus scale, lower it")
+          cents = (cents ++ cand.map(row =>
+            Point(row.getDouble(0), row.getDouble(1), row.getDouble(2)))).distinct
+        }
+        r += 1
+      }
+      if (cents.size <= k) cents
+      else {
+        // weights: corpus points nearest each candidate (K-row boundary)
+        val counts = Assign.assign(points, cents)
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+          .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+        val weighted = cents.zipWithIndex.map { case (p, i) =>
+          (p, counts.getOrElse(i, 0L).toDouble)
+        }
+        reclusterWeighted(weighted, k)
+      }
+    } finally if (managedCache) points.unpersist(false)
+  }
+
+  /** Driver-side recluster of the tiny weighted candidate set:
+    * deterministic weighted greedy k-center (heaviest candidate first,
+    * then argmax weight·min-d², ties to lexicographic point order),
+    * refined by weighted Lloyd iterations to a fixed point. */
+  private def reclusterWeighted(cand: Seq[(Point, Double)], k: Int): Seq[Point] = {
+    def d2(a: Point, b: Point): Double = {
+      val dx = a.x - b.x; val dy = a.y - b.y; val dz = a.z - b.z
+      dx * dx + dy * dy + dz * dz
+    }
+    val ord = Ordering.by[(Point, Double), (Double, Double, Double, Double)] {
+      case (p, w) => (w, p.x, p.y, p.z)
+    }
+    var chosen = Vector(cand.max(ord)._1)
+    while (chosen.size < k) {
+      val next = cand.maxBy { case (p, w) =>
+        (w * chosen.map(d2(p, _)).min, p.x, p.y, p.z)
+      }(Ordering.Tuple4(Ordering.Double.TotalOrdering,
+        Ordering.Double.TotalOrdering, Ordering.Double.TotalOrdering,
+        Ordering.Double.TotalOrdering))
+      if (chosen.map(d2(next._1, _)).min == 0.0) return chosen // exhausted
+      chosen :+= next._1
+    }
+    // weighted Lloyd to a fixed point (candidate set is tiny; always
+    // terminates: the weighted SSE strictly decreases per move)
+    var prev = Seq.empty[Point]
+    var curr: Seq[Point] = chosen
+    while (prev != curr) {
+      prev = curr
+      val groups = cand.groupBy { case (p, _) =>
+        curr.indices.minBy(i => (d2(p, curr(i)), i))
+      }
+      curr = curr.indices.map { i =>
+        groups.get(i) match {
+          case Some(g) =>
+            val w = g.map(_._2).sum
+            if (w == 0.0) curr(i)
+            else Point(g.map(c => c._1.x * c._2).sum / w,
+              g.map(c => c._1.y * c._2).sum / w,
+              g.map(c => c._1.z * c._2).sum / w)
+          case None => curr(i)
+        }
+      }
+    }
+    curr
+  }
+
   /** C1: one iteration — assign + re-center, collecting K rows to the driver. */
   def step(points: DataFrame, centroids: Seq[Point]): Seq[(Int, Point)] =
     Recenter.recenter(Assign.assign(points, centroids))

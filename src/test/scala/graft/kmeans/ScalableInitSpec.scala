@@ -1,0 +1,63 @@
+package graft.kmeans
+
+import graft.SparkSpec
+
+/** k-means|| seeding (KMeansRunner.scalableInit): determinism, seed
+  * count, degenerate corpora, and end-to-end seeding quality vs the
+  * greedy k-center init on a well-separated synthetic cloud. */
+class ScalableInitSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // 4 well-separated cluster centers, 40 points each on a deterministic
+  // sub-grid around the center (spread < 4, separation 100)
+  private lazy val cloud = {
+    val centers = Seq(Point(0, 0, 0), Point(100, 0, 0), Point(0, 100, 0), Point(0, 0, 100))
+    val pts = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 40
+    } yield (c.x + (i % 5) * 0.8, c.y + ((i / 5) % 4) * 0.7, c.z + (i / 20) * 0.9 + ci * 0.01)
+    pts.toDF("x", "y", "z")
+  }
+
+  private def sse(pts: org.apache.spark.sql.DataFrame, cents: Seq[Point]): Double =
+    Assign.assign(pts, cents)
+      .select(cents.zipWithIndex.map { case (c, i) =>
+        when(col("cluster") === i,
+          (col("x") - c.x) * (col("x") - c.x) +
+            (col("y") - c.y) * (col("y") - c.y) +
+            (col("z") - c.z) * (col("z") - c.z)).otherwise(lit(0.0))
+      }.reduce(_ + _).as("d"))
+      .agg(sum(col("d"))).collect().head.getDouble(0)
+
+  test("deterministic: the same corpus seeds identically twice") {
+    val a = KMeansRunner.scalableInit(cloud, k = 4)
+    val b = KMeansRunner.scalableInit(cloud, k = 4)
+    a shouldBe b
+  }
+
+  test("returns k seeds and converge lands within 5% of the k-center init's SSE") {
+    val seeds = KMeansRunner.scalableInit(cloud, k = 4)
+    seeds should have size 4
+    seeds.distinct should have size 4
+    val viaScalable = KMeansRunner.converge(cloud, seeds, maxIter = 20, threshold = 0.001)
+    val viaGreedy = KMeansRunner.converge(cloud,
+      KMeansRunner.farthestPointInit(cloud, 4), maxIter = 20, threshold = 0.001)
+    val s1 = sse(cloud, viaScalable.centers.map(_._2))
+    val s2 = sse(cloud, viaGreedy.centers.map(_._2))
+    // both inits must find the 4 separated clusters: near-identical SSE
+    s1 should be <= s2 * 1.05
+  }
+
+  test("degenerate corpus of one repeated point returns a single seed") {
+    val pts = Seq.fill(50)((3.0, 4.0, 5.0)).toDF("x", "y", "z")
+    KMeansRunner.scalableInit(pts, k = 5) shouldBe Seq(Point(3, 4, 5))
+  }
+
+  test("k larger than distinct points returns every distinct point") {
+    val pts = Seq((0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+      .toDF("x", "y", "z")
+    val seeds = KMeansRunner.scalableInit(pts, k = 10, rounds = 8, oversample = 50.0)
+    seeds.toSet shouldBe Set(Point(0, 0, 0), Point(1, 0, 0), Point(0, 1, 0))
+  }
+}
