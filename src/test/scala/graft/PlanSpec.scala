@@ -65,6 +65,26 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q_token_budget: join-free — one source-keyed exchange feeds the window") {
+    // the budgets map is a literal lookup, NOT a join; the running-sum
+    // window must ride a single hashpartitioning(source) exchange (the
+    // orderBy adds a rangepartitioning, the groupBy reuses the window's
+    // partitioning or adds one hash exchange at most)
+    val p = plan("q_token_budget", "simple")
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) should be <= 2
+    p should include("Window")
+  }
+
+  test("q_bigram_lp: vocabulary joins all broadcast, never nested-loop") {
+    val p = plan("q_bigram_lp")
+    p should include("BroadcastHashJoin")
+    p should include("BroadcastHashJoin LeftOuter") // short-doc left join
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("assignment expression stays inside whole-stage codegen") {
     plan("p3_assign", "codegen") should include("WholeStageCodegen")
   }
