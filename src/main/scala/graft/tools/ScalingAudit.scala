@@ -92,6 +92,17 @@ object ScalingAudit {
       .groupBy(col("b.chunk"), col("b.key")).agg(count(lit(1)).as("g")))
   }
 
+  /** Duplicate chunk occurrences (rows minus distinct chunk texts) —
+    * the work chunkDedup's keeper join removes; grows with content
+    * duplication, not n². */
+  private def dupChunks(docs: DataFrame, k: Int): Long = {
+    val ch = graft.llm.TextAnalysis.chunk(docs, k, overlap = 0)
+      .select(col("chunk_text"))
+    val row = ch.agg(count(lit(1)).as("n"),
+      countDistinct(col("chunk_text")).as("u")).head
+    row.getLong(0) - row.getLong(1)
+  }
+
   private def candidateTable(spark: SparkSession, dir: String): Unit = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -104,6 +115,7 @@ object ScalingAudit {
     println(f"minhash LSH (4x4 bands):          ${minhashCandidates(docs)}%,d")
     println(f"simhash 20-bit (4x5-bit chunks):  ${simhashCandidates(Dedup.simhash(docs), 4, 5)}%,d")
     println(f"simhash wide 60-bit (4x15-bit):   ${simhashCandidates(Dedup.simhashWide(docs), 4, 15)}%,d")
+    println(f"dup 10-token chunk occurrences:   ${dupChunks(docs, 10)}%,d")
     docs.unpersist()
   }
 
