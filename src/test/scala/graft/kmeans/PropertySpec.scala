@@ -93,6 +93,33 @@ class PropertySpec extends SparkSpec {
     base.values.toSet.size should be > 1
   }
 
+  test("chunk dedup family is partition-count AND row-order invariant") {
+    // keeper choice is min(struct(doc_id, chunk_id)) — a total order no
+    // partitioning can perturb; reassembly sorts by chunk_id
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def dd(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.chunkDedup(df, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val base = dd(docs.coalesce(1))
+    dd(docs.repartition(8)) shouldBe base
+    dd(docs.orderBy(col("doc_id").desc)) shouldBe base
+    def bp(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.dropBoilerplateChunks(df, 10, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    bp(docs.repartition(8)) shouldBe bp(docs.coalesce(1))
+  }
+
+  test("token-budget mixture is partition-count AND row-order invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.tokenBudgetSample(df, Map.empty, 500L)
+        .filter(col("kept")).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val base = kept(docs.coalesce(1))
+    kept(docs.repartition(8)) shouldBe base
+    kept(docs.orderBy(col("doc_id").desc)) shouldBe base
+    base should not be empty
+  }
+
   test("deterministic sampling is partition-count AND row-order invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =
