@@ -931,6 +931,11 @@ object SparkEntry {
       TextAnalysis.bigramLogProb(docs(s, dir), lambda = BigramLambda)
         .orderBy(col("doc_id"))),
 
+    // cross-doc novelty: fraction of a doc's distinct bigrams unique
+    // to it (the diversity signal; boilerplate scores 0)
+    "q_novelty" -> ((s, dir) =>
+      TextAnalysis.novelty(docs(s, dir)).orderBy(col("doc_id"))),
+
     // IVF-PQ: coarse cells prune to nprobe=2, PQ codes score the rest
     "q_ivf_pq" -> ((s, dir) =>
       Similarity.ivfPqSearch(emb(s, dir), IvfCoarseIds, PqCodebookIds,
@@ -1636,6 +1641,8 @@ object SparkEntry {
     "q_unigram_lp" -> TextSql.unigramLogProbSql,
 
     "q_bigram_lp" -> TextSql.bigramLogProbSql(BigramLambda),
+
+    "q_novelty" -> TextSql.noveltySql,
     "q_ivf_pq" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
       AnnQueryIds, nprobe = 2, k = PqSearchK),
     "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),

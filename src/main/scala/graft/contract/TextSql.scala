@@ -480,6 +480,21 @@ object TextSql {
       "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM f) " +
       s"SELECT lang, doc_id, rn FROM r WHERE rn <= $perGroup ORDER BY lang, doc_id"
 
+  /** Mirror of TextAnalysis.novelty: same distinct-shingle explode, df
+    * aggregate, and per-doc unique-fraction; integer counts + one
+    * rounded non-negative division — bitwise by construction. */
+  def noveltySql: String =
+    s"WITH $shingleCtes, " +
+      "dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY s), " +
+      "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+      "CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_unique " +
+      "FROM ex JOIN dfq USING (s) GROUP BY doc_id) " +
+      "SELECT d0.doc_id, coalesce(n_shingles, 0) AS n_shingles, " +
+      "coalesce(n_unique, 0) AS n_unique, " +
+      "round(CAST(n_unique AS DOUBLE) / n_shingles, 4) AS novelty " +
+      "FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id " +
+      "ORDER BY d0.doc_id"
+
   /** Mirror of TextAnalysis.tokenBudgetSample (uniform budget) +
     * per-source report: same fingerprint draw order, same running-sum
     * prefix rule (ROWS UNBOUNDED PRECEDING ≡ Spark's rowsBetween), all

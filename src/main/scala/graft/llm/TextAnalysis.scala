@@ -617,6 +617,42 @@ object TextAnalysis {
     out
   }
 
+  /** Cross-document novelty score — the diversity signal curation runs
+    * rank with (near-boilerplate documents share every n-gram with the
+    * rest of the corpus; genuinely new content doesn't): per document,
+    * the fraction of its DISTINCT word bigrams that appear in no other
+    * document. novelty = round(n_unique / n_shingles, 4); documents
+    * with < 2 tokens have no bigrams and score NULL via the left join.
+    *
+    * Shape: one shingle explode feeds the corpus df aggregate AND the
+    * per-doc count (persisted — two consumers); the df side joins back
+    * on the shingle string (equi, broadcast when the vocabulary is
+    * small). Integer counts + one rounded division: bitwise
+    * cross-engine. Output: (doc_id, n_shingles, n_unique, novelty). */
+  def novelty(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val per = sh.join(dfreq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, 1)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 4).as("novelty"))
+    val out = docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        col("novelty"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sh.unpersist(false)
+    out
+  }
+
   /** Normalization used before exact/near dedup in real pipelines:
     * lower-case, collapse every non-alphanumeric run to one space, trim.
     * Catches the trivial variants (case, punctuation, whitespace) that

@@ -513,6 +513,22 @@ class LlmSpec extends SparkSpec {
     disjoint shouldBe Array("a b", "c d", "e")
   }
 
+  test("novelty: unique bigram fraction; clones score 0, short docs NULL") {
+    val out = TextAnalysis.novelty(docsDF(
+      1L -> "a b c d",   // bigrams: ab, bc, cd — ab shared with doc 2
+      2L -> "a b x",     // bigrams: ab, bx — bx unique
+      3L -> "a b x",     // exact clone of 2: NOTHING unique in either
+      4L -> "z"))        // no bigrams
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    out(0) shouldBe ((1L, 3L, 2L, 0.6667)) // bc, cd unique; ab shared
+    out(1) shouldBe ((2L, 2L, 0L, 0.0))    // clone kills bx's uniqueness too
+    out(2) shouldBe ((3L, 2L, 0L, 0.0))
+    out(3)._2 shouldBe 0L
+    out(3)._4.isNaN shouldBe true
+  }
+
   test("bigramLogProb: hand-computed interpolation, short docs score NULL") {
     // corpus: "a a b" + "a" -> N = 4, cu(a) = 3, cu(b) = 1
     // doc 1 transitions: (a,a) cb=1, (a,b) cb=1; lambda = 0.5
