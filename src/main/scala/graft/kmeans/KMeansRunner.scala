@@ -109,6 +109,10 @@ object KMeansRunner {
       val f = first.getStruct(0)
       var cents = Vector(Point(f.getDouble(0), f.getDouble(1), f.getDouble(2)))
       val coinBase = concat_ws(",", col("x"), col("y"), col("z"))
+      val fpMod = graft.llm.TextAnalysis.FpMod
+      // driver guard: expected candidates per round is oversample*k
+      // (Bahmani Thm. 1) — allow an 8x margin before failing loudly
+      val candBound = math.max(64 * k + 64, (8 * oversample * k).toInt + 64)
       var r = 0
       var done = false
       while (r < rounds && !done) {
@@ -116,20 +120,32 @@ object KMeansRunner {
         val cost = points.select(sum(minD2)).collect().head.getDouble(0)
         if (cost == 0.0) done = true // every point IS a center already
         else {
-          val coin = graft.functions.PolyHash(
-            concat(coinBase, lit(s"#$r")), graft.llm.TextAnalysis.FpMod)
-            .cast("double") / graft.llm.TextAnalysis.FpMod.toDouble
+          // two independent affine transforms of the coordinate hash
+          // give ~1e-12 coin granularity; a single h/FpMod coin has a
+          // ~1e-6 probability FLOOR (h = 0 passes any threshold), which
+          // at 10^8+ points oversamples low-probability points by
+          // orders of magnitude and trips the candidate guard
+          val h = graft.functions.PolyHash(
+            concat(coinBase, lit(s"#$r")), fpMod)
+          val h2 = (h * lit(4001L) + lit(1007L)) % lit(fpMod)
+          val coin =
+            (h.cast("double") + (h2.cast("double") + 0.5) / fpMod.toDouble) /
+              fpMod.toDouble
           val cand = points
             .select(col("x"), col("y"), col("z"), minD2.as("d"))
             .filter(coin * cost < lit(oversample * k) * col("d"))
             .select(col("x"), col("y"), col("z"))
-            .limit(64 * k + 64) // driver guard: expected oversample*k rows
+            .limit(candBound)
             .collect()
-          require(cand.length < 64 * k + 64,
-            s"scalableInit: round $r sampled >= ${64 * k + 64} candidates — " +
-              "oversample*k far above the corpus scale, lower it")
+          require(cand.length < candBound,
+            s"scalableInit: round $r sampled >= $candBound candidates " +
+              s"(expected ~${oversample * k}/round) — lower oversample*k")
+          // sort the batch before appending: filter+collect order is
+          // partition-layout-dependent, and seed ORDER is part of the
+          // deterministic contract (cluster ids downstream)
           cents = (cents ++ cand.map(row =>
-            Point(row.getDouble(0), row.getDouble(1), row.getDouble(2)))).distinct
+            Point(row.getDouble(0), row.getDouble(1), row.getDouble(2)))
+            .sortBy(p => (p.x, p.y, p.z))).distinct
         }
         r += 1
       }

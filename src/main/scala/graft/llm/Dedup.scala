@@ -732,16 +732,26 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimhashChunks,
       s"banding is only lossless for 0 <= maxHamming < $SimhashChunks, got $maxHamming")
-    val mask = (1 << SimhashChunkBits) - 1
-    val chunkStructs = (0 until SimhashChunks).map { c =>
+    bandedHammingPairs(simhash(docs), SimhashChunks, SimhashChunkBits, maxHamming)
+  }
+
+  /** Shared banding/join/hamming pipeline of [[simhashPairs]] and
+    * [[simhashPairsWide]] — ONE definition of the chunk layout, so the
+    * two signature widths cannot drift apart. Callers guarantee
+    * maxHamming < chunks (the pigeonhole losslessness bound).
+    *
+    * persist: both self-join sides re-derive from the banded table (the
+    * signature aggregation upstream has a single reference here, so it
+    * rides this one cache — persisting it separately would just add a
+    * second full-width cache build). */
+  private def bandedHammingPairs(sigs: DataFrame, chunks: Int, chunkBits: Int,
+                                 maxHamming: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
+    val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * SimhashChunkBits).bitwiseAND(lit(mask)).as("key"))
+        shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask)).as("key"))
     }
-    // persist: both self-join sides re-derive from the banded table (the
-    // signature aggregation upstream has a single reference here, so it
-    // rides this one cache — persisting it separately would just add a
-    // second full-width cache build)
-    val bands = simhash(docs)
+    val bands = sigs
       .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.chunk").as("chunk"), col("b.key").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -813,25 +823,6 @@ object Dedup {
   def simhashPairsWide(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimhashWideChunks,
       s"banding is only lossless for 0 <= maxHamming < $SimhashWideChunks, got $maxHamming")
-    val mask = (1L << SimhashWideChunkBits) - 1
-    val chunkStructs = (0 until SimhashWideChunks).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * SimhashWideChunkBits).bitwiseAND(lit(mask)).as("key"))
-    }
-    val bands = simhashWide(docs)
-      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.chunk").as("chunk"), col("b.key").as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
-    val result = cand
-      .select(col("da"), col("db"), expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    materialized(result, Seq(bands))
+    bandedHammingPairs(simhashWide(docs), SimhashWideChunks, SimhashWideChunkBits, maxHamming)
   }
 }

@@ -21,6 +21,8 @@ import graft.llm.Dedup
   *     corpus (10 deterministic near-copies of sf0.1's 5000 docs) and
   *     print candidate volumes + found-pair counts for the paths that
   *     survive that decade
+  *   annprobe <sfDir>                  — §5: IVF probed-fraction /
+  *     recall / crossover probe on a 10x synthetic embedding corpus
   *
   * Run: spark-submit --class graft.tools.ScalingAudit <jar> candidates \
   *        /root/testdata/sf0.01 /root/testdata/sf0.1
@@ -235,7 +237,7 @@ object ScalingAudit {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScalingAudit candidates|sf1ish <sfDir>...")
+    require(args.length >= 2, "usage: ScalingAudit candidates|sf1ish|annprobe <sfDir>...")
     val spark = SparkSession.builder()
       .appName("graft-scaling-audit")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))

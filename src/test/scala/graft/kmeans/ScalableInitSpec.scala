@@ -36,6 +36,15 @@ class ScalableInitSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("seeding is partition-count AND row-order invariant, ORDER included") {
+    // seed order is part of the contract (it becomes the downstream
+    // cluster-id labeling): per-round candidate batches sort before
+    // appending, so the collect order of an unordered filter can't leak
+    val base = KMeansRunner.scalableInit(cloud.coalesce(1), k = 4)
+    KMeansRunner.scalableInit(cloud.repartition(8), k = 4) shouldBe base
+    KMeansRunner.scalableInit(cloud.orderBy(col("x").desc, col("y").desc), k = 4) shouldBe base
+  }
+
   test("returns k seeds and converge lands within 5% of the k-center init's SSE") {
     val seeds = KMeansRunner.scalableInit(cloud, k = 4)
     seeds should have size 4
