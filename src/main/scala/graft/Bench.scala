@@ -136,6 +136,15 @@ object Bench {
         val m = graft.eval.Silhouette.sampled(assigned, fraction = 0.01)
         require(m.count() > 0, "no silhouette rows")
       }),
+      // k-means|| seeding over the full point table: a fixed number of
+      // distributed rounds (vs K sequential passes of the greedy init) —
+      // the derandomized Bahmani sampler, timed end-to-end incl. the
+      // driver-side weighted recluster
+      "kmeans_scalable_init" -> (() => {
+        val pts = PointSpace.points(spark, sfDir)
+        val seeds = KMeansRunner.scalableInit(pts, k = 5)
+        require(seeds.nonEmpty, "no seeds")
+      }),
       // the 100 TB-regime cell-assignment fallback (K > MaxInlineCells):
       // 300 coarse cells force Similarity.assignCellsJoin — broadcast
       // cells + one min(struct) exchange — so the large-K path carries a
