@@ -86,17 +86,21 @@ object TextSql {
       s"array_to_string(list_slice(toks, (start+1)::INT, (start+$k)::INT), ' ') AS chunk_text FROM st)"
 
   /** Shared reassembly tail: kept(doc_id, chunk_id, chunk_text) rows
-    * regrouped per doc in chunk order, left-joined from the full chunk
-    * totals so fully-emptied documents survive with text = ''. Pure
-    * integer/string arithmetic — bitwise with no float discipline. */
+    * regrouped per doc in chunk order, left-joined FROM the documents
+    * table so fully-emptied documents — and null-text documents that
+    * produced no chunks at all — survive with counts 0 and text = ''.
+    * Pure integer/string arithmetic — bitwise with no float
+    * discipline. */
   private def reassembleSql: String =
     "re AS (SELECT doc_id, count(*) AS n_kept, " +
       "string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text " +
       "FROM kept GROUP BY doc_id), " +
       "tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id) " +
-      "SELECT tot.doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept, " +
+      "SELECT d0.doc_id, coalesce(n_chunks, 0) AS n_chunks, " +
+      "coalesce(n_kept, 0) AS n_kept, " +
       "coalesce(re.text, '') AS text " +
-      "FROM tot LEFT JOIN re USING (doc_id) ORDER BY tot.doc_id"
+      "FROM documents d0 LEFT JOIN tot ON d0.doc_id = tot.doc_id " +
+      "LEFT JOIN re ON d0.doc_id = re.doc_id ORDER BY d0.doc_id"
 
   /** Mirror of TextAnalysis.chunkDedup: the first global occurrence of
     * each chunk — row_number over (doc_id, chunk_id) order ≡ Spark's
@@ -502,8 +506,8 @@ object TextSql {
     * HUGEINT, which pandas would surface as float64). */
   def tokenBudgetSql(budget: Long): String =
     "WITH t AS (SELECT doc_id, source, " +
-      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
-      s"(CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END) AS fp " +
+      "CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks, " +
+      s"coalesce(CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END, 0) AS fp " +
       "FROM documents), " +
       "c AS (SELECT doc_id, source, n_toks, " +
       "sum(n_toks) OVER (PARTITION BY source ORDER BY fp, doc_id " +

@@ -324,9 +324,12 @@ object TextAnalysis {
     val budgetCol =
       if (budgets.isEmpty) lit(defaultBudget)
       else coalesce(element_at(typedLit(budgets), col("source")), lit(defaultBudget))
+    // null text draws as a zero-token doc with fp 0 rather than
+    // poisoning the running sum with NULL (a NULL cum would make every
+    // later doc in the source undecidable)
     docs.select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_toks"),
-        fingerprint(col("text")).as("fp"))
+        coalesce(size(tokens(col("text"))).cast("long"), lit(0L)).as("n_toks"),
+        coalesce(fingerprint(col("text")), lit(0L)).as("fp"))
       .withColumn("cum_toks", sum(col("n_toks")).over(w))
       .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"),
         (col("cum_toks") <= budgetCol).as("kept"))
@@ -432,20 +435,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
 
   /** Reassembles documents from surviving chunk rows: per doc, the kept
-    * chunks concatenated in chunk order, plus the pre/post counts. A
-    * document whose every chunk was dropped survives with text = '' —
-    * the left join from `totals` keeps it. Field extraction over the
-    * sorted struct array (`arr.chunk_text`) is a native
-    * GetArrayStructFields, not a HOF, so the reassembly stays in
-    * codegen. Output: (doc_id, n_chunks, n_kept, text). */
-  private def reassemble(all: DataFrame, kept: DataFrame): DataFrame = {
+    * chunks concatenated in chunk order, plus the pre/post counts. The
+    * left joins run FROM the source documents, so a document whose
+    * every chunk was dropped — or whose text is null and produced no
+    * chunks at all — survives with n_chunks/n_kept 0 and text = ''.
+    * Field extraction over the sorted struct array (`arr.chunk_text`)
+    * is a native GetArrayStructFields, not a HOF, so the reassembly
+    * stays in codegen. Output: (doc_id, n_chunks, n_kept, text). */
+  private def reassemble(docs: DataFrame, all: DataFrame, kept: DataFrame): DataFrame = {
     val totals = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
     val re = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("k"),
         sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))).as("arr"))
       .select(col("doc_id"), col("k"), array_join(col("arr.chunk_text"), " ").as("t"))
-    totals.join(re, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_chunks"),
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("k"), lit(0L)).as("n_kept"),
         coalesce(col("t"), lit("")).as("text"))
   }
@@ -484,7 +491,7 @@ object TextAnalysis {
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
       .select(col("m.doc_id").as("doc_id"), col("m.chunk_id").as("chunk_id"))
     val kept = ch.join(keepers, Seq("doc_id", "chunk_id"), "left_semi")
-    val out = reassemble(ch, kept)
+    val out = reassemble(docs, ch, kept)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     ch.unpersist(false)
@@ -511,7 +518,7 @@ object TextAnalysis {
       .filter(col("df") >= minDocs)
       .select(col("chunk_text"))
     val kept = ch.join(boiler, Seq("chunk_text"), "left_anti")
-    val out = reassemble(ch, kept)
+    val out = reassemble(docs, ch, kept)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     ch.unpersist(false)

@@ -513,6 +513,29 @@ class LlmSpec extends SparkSpec {
     disjoint shouldBe Array("a b", "c d", "e")
   }
 
+  test("round-9 operators survive hostile text (null / empty), docs never vanish") {
+    val hostile = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]), (3L, ""), (4L, "x"))
+      .toDF("doc_id", "text")
+    // chunk family: every input doc appears exactly once; null text =
+    // zero chunks, empty text = one empty chunk
+    val cd = TextAnalysis.chunkDedup(hostile, 3).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    cd shouldBe Array((1L, 2L), (2L, 0L), (3L, 1L), (4L, 1L))
+    // token budget: null text draws as a zero-token doc, never a NULL
+    // running sum (which would make every later draw undecidable)
+    val tb = TextAnalysis.tokenBudgetSample(
+      hostile.withColumn("source", lit("s")), Map.empty, 5L)
+      .orderBy(col("doc_id")).collect()
+    tb.foreach { r =>
+      r.isNullAt(3) shouldBe false // cum_toks
+      r.isNullAt(4) shouldBe false // kept
+    }
+    tb.map(_.getLong(2)).sum shouldBe 6L // 4 + 0 + 1 + 1 tokens
+    // scoring ops: null-text docs report zero units and NULL score
+    TextAnalysis.novelty(hostile).count() shouldBe 4
+    TextAnalysis.bigramLogProb(hostile, 0.5).count() shouldBe 4
+  }
+
   test("novelty: unique bigram fraction; clones score 0, short docs NULL") {
     val out = TextAnalysis.novelty(docsDF(
       1L -> "a b c d",   // bigrams: ab, bc, cd — ab shared with doc 2
