@@ -90,8 +90,13 @@ object KMeansRunner {
     * distributed assign + count), then deterministic weighted greedy
     * k-center over the candidates followed by weighted Lloyd to a
     * fixed point (driver-side — the candidate set is tiny). Returns
-    * min(k, distinct candidates) seeds. */
-  def scalableInit(points: DataFrame, k: Int, rounds: Int = 5,
+    * min(k, distinct candidates) seeds.
+    *
+    * rounds = 2 matches MLlib's own initSteps default (reduced from
+    * the paper's O(log n) since Spark 2.0 — two oversampled rounds
+    * are consistently enough in practice, and each extra round is two
+    * more full corpus passes). */
+  def scalableInit(points: DataFrame, k: Int, rounds: Int = 2,
                    oversample: Double = 2.0): Seq[Point] = {
     import org.apache.spark.sql.functions._
     require(k >= 1, "k must be >= 1")
