@@ -86,4 +86,40 @@ class MLlibCrossCheckSpec extends SparkSpec {
         }
     }
   }
+
+  /** Init-quality cross-check: seeds from the derandomized k-means||
+    * (`scalableInit`, MLlib's own init strategy with the repo's
+    * content-hash coin) converged through our loop should land in the
+    * same quality league as MLlib's randomized k-means|| — SSE within
+    * 10% — on the reference data. */
+  test("scalableInit seeds converge within 10% of MLlib's k-means|| SSE") {
+    import org.apache.spark.sql.functions._
+    val pts = Points.readCsv(spark, s"$ref/3d_points_dataset.csv").cache()
+    val seeds = KMeansRunner.scalableInit(pts, k = 5)
+    seeds should have size 5
+    val r = KMeansRunner.converge(pts, seeds, maxIter = 30, threshold = 5.0)
+
+    def sse(centers: Seq[Point]): Double = {
+      val assigned = Assign.assign(pts, centers)
+      val cx = array(centers.map(c => lit(c.x)): _*)(col("cluster"))
+      val cy = array(centers.map(c => lit(c.y)): _*)(col("cluster"))
+      val cz = array(centers.map(c => lit(c.z)): _*)(col("cluster"))
+      assigned.select(sum(
+        (col("x") - cx) * (col("x") - cx) +
+          (col("y") - cy) * (col("y") - cy) +
+          (col("z") - cz) * (col("z") - cz)).as("sse"))
+        .collect().head.getDouble(0)
+    }
+
+    val ours = sse(r.centers.map(_._2))
+    val features = new VectorAssembler()
+      .setInputCols(Array("x", "y", "z")).setOutputCol("features")
+      .transform(pts)
+    val mllib = new KMeans().setK(5).setSeed(42L).setMaxIter(30) // k-means|| init
+      .fit(features)
+    val theirs = mllib.summary.trainingCost
+    withClue(s"ours=$ours mllib=$theirs: ") {
+      ours should be <= theirs * 1.10
+    }
+  }
 }
