@@ -936,6 +936,23 @@ object SparkEntry {
     "q_novelty" -> ((s, dir) =>
       TextAnalysis.novelty(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // composed curation: chunk dedup -> drop emptied docs -> token
+    // budget over the CLEANED corpus, per-source report (three
+    // operators chained against one recursive oracle)
+    "q_curate_chunks" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cleaned = TextAnalysis.chunkDedup(d, chunkTokens = 10)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("text"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      TextAnalysis.tokenBudgetSample(cleaned, Map.empty, TokenBudget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          coalesce(sum(when(col("kept"), col("n_toks"))), lit(0L)).as("tok_kept"))
+        .orderBy(col("source"))
+    }),
+
     // IVF-PQ: coarse cells prune to nprobe=2, PQ codes score the rest
     "q_ivf_pq" -> ((s, dir) =>
       Similarity.ivfPqSearch(emb(s, dir), IvfCoarseIds, PqCodebookIds,
@@ -1643,6 +1660,8 @@ object SparkEntry {
     "q_bigram_lp" -> TextSql.bigramLogProbSql(BigramLambda),
 
     "q_novelty" -> TextSql.noveltySql,
+
+    "q_curate_chunks" -> TextSql.curateChunksSql(10, TokenBudget),
     "q_ivf_pq" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
       AnnQueryIds, nprobe = 2, k = PqSearchK),
     "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),

@@ -499,6 +499,34 @@ object TextSql {
       "FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id " +
       "ORDER BY d0.doc_id"
 
+  /** End-to-end composition mirror: chunk-level dedup → reassembled
+    * texts (docs emptied by dedup dropped) → token-budget mixture over
+    * the CLEANED corpus, reported per source. Reuses the chunk CTE and
+    * keeper/reassembly logic verbatim and re-derives the budget window
+    * over the cleaned text — the oracle proves three operators compose
+    * into one deterministic result, same as the Spark side chains the
+    * library calls. */
+  def curateChunksSql(k: Int, budget: Long): String =
+    s"WITH ${chunkCtes(k)}, " +
+      "rk AS (SELECT doc_id, chunk_id, chunk_text, " +
+      "row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn FROM ch), " +
+      "kept AS (SELECT doc_id, chunk_id, chunk_text FROM rk WHERE rn = 1), " +
+      "re AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text FROM kept GROUP BY doc_id), " +
+      "cleaned AS (SELECT d0.doc_id, d0.source, re.text " +
+      "FROM documents d0 JOIN re ON d0.doc_id = re.doc_id WHERE re.n_kept > 0), " +
+      "tb AS (SELECT doc_id, source, " +
+      "CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks, " +
+      s"coalesce(CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END, 0) AS fp " +
+      "FROM cleaned), " +
+      "c AS (SELECT doc_id, source, n_toks, " +
+      "sum(n_toks) OVER (PARTITION BY source ORDER BY fp, doc_id " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM tb) " +
+      "SELECT source, count(*) AS n_docs, " +
+      s"count(*) FILTER (WHERE cum <= $budget) AS n_kept, " +
+      s"CAST(coalesce(sum(n_toks) FILTER (WHERE cum <= $budget), 0) AS BIGINT) AS tok_kept " +
+      "FROM c GROUP BY source ORDER BY source"
+
   /** Mirror of TextAnalysis.tokenBudgetSample (uniform budget) +
     * per-source report: same fingerprint draw order, same running-sum
     * prefix rule (ROWS UNBOUNDED PRECEDING ≡ Spark's rowsBetween), all
