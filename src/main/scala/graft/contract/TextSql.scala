@@ -85,32 +85,42 @@ object TextSql {
       s"ch AS (SELECT doc_id, start // $k AS chunk_id, " +
       s"array_to_string(list_slice(toks, (start+1)::INT, (start+$k)::INT), ' ') AS chunk_text FROM st)"
 
-  /** Shared reassembly tail: kept(doc_id, chunk_id, chunk_text) rows
-    * regrouped per doc in chunk order, left-joined FROM the documents
+  /** Reassembled-text CTE over a kept(doc_id, chunk_id, chunk_text)
+    * relation: re(doc_id, n_kept, text) in chunk order. */
+  private def reCte: String =
+    "re AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text " +
+      "FROM kept GROUP BY doc_id)"
+
+  /** Shared reassembly tail over `re`: left-joined FROM the documents
     * table so fully-emptied documents — and null-text documents that
     * produced no chunks at all — survive with counts 0 and text = ''.
     * Pure integer/string arithmetic — bitwise with no float
     * discipline. */
-  private def reassembleSql: String =
-    "re AS (SELECT doc_id, count(*) AS n_kept, " +
-      "string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text " +
-      "FROM kept GROUP BY doc_id), " +
-      "tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id) " +
+  private def reassembleTail: String =
+    "tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id) " +
       "SELECT d0.doc_id, coalesce(n_chunks, 0) AS n_chunks, " +
       "coalesce(n_kept, 0) AS n_kept, " +
       "coalesce(re.text, '') AS text " +
       "FROM documents d0 LEFT JOIN tot ON d0.doc_id = tot.doc_id " +
       "LEFT JOIN re ON d0.doc_id = re.doc_id ORDER BY d0.doc_id"
 
-  /** Mirror of TextAnalysis.chunkDedup: the first global occurrence of
-    * each chunk — row_number over (doc_id, chunk_id) order ≡ Spark's
-    * min(struct(doc_id, chunk_id)) keeper — survives, then reassembly. */
-  def chunkDedupSql(k: Int): String =
-    s"WITH ${chunkCtes(k)}, " +
-      "rk AS (SELECT doc_id, chunk_id, chunk_text, " +
+  /** First-global-occurrence keeper + reassembled-text CTEs shared by
+    * the chunk-dedup mirror and the composed curation mirror — ONE
+    * definition of the keeper rule (row_number over (doc_id, chunk_id)
+    * order ≡ Spark's min(struct) keeper), so the single-operator and
+    * composed oracles cannot drift. Emits kept(doc_id, chunk_id,
+    * chunk_text) and re(doc_id, n_kept, text). */
+  private def dedupKeptCtes: String =
+    "rk AS (SELECT doc_id, chunk_id, chunk_text, " +
       "row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn FROM ch), " +
       "kept AS (SELECT doc_id, chunk_id, chunk_text FROM rk WHERE rn = 1), " +
-      reassembleSql
+      reCte
+
+  /** Mirror of TextAnalysis.chunkDedup: the first global occurrence of
+    * each chunk survives (see [[dedupKeptCtes]]), then reassembly. */
+  def chunkDedupSql(k: Int): String =
+    s"WITH ${chunkCtes(k)}, $dedupKeptCtes, $reassembleTail"
 
   /** Mirror of TextAnalysis.dropBoilerplateChunks: chunks in >= minDocs
     * distinct documents are removed everywhere (NOT EXISTS ≡ Spark's
@@ -121,7 +131,7 @@ object TextSql {
       s"HAVING count(DISTINCT doc_id) >= $minDocs), " +
       "kept AS (SELECT doc_id, chunk_id, chunk_text FROM ch " +
       "WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.chunk_text = ch.chunk_text)), " +
-      reassembleSql
+      s"$reCte, $reassembleTail"
 
   /** shared CTE prefix for shingle-based queries:
     * d(doc_id, sh), ex(doc_id, s), sizes(doc_id, n) */
@@ -507,12 +517,7 @@ object TextSql {
     * into one deterministic result, same as the Spark side chains the
     * library calls. */
   def curateChunksSql(k: Int, budget: Long): String =
-    s"WITH ${chunkCtes(k)}, " +
-      "rk AS (SELECT doc_id, chunk_id, chunk_text, " +
-      "row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn FROM ch), " +
-      "kept AS (SELECT doc_id, chunk_id, chunk_text FROM rk WHERE rn = 1), " +
-      "re AS (SELECT doc_id, count(*) AS n_kept, " +
-      "string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text FROM kept GROUP BY doc_id), " +
+    s"WITH ${chunkCtes(k)}, $dedupKeptCtes, " +
       "cleaned AS (SELECT d0.doc_id, d0.source, re.text " +
       "FROM documents d0 JOIN re ON d0.doc_id = re.doc_id WHERE re.n_kept > 0), " +
       "tb AS (SELECT doc_id, source, " +

@@ -127,17 +127,29 @@ object KMeansRunner {
       var done = false
       while (r < rounds && !done) {
         val minD2 = cents.map(d2).reduce(least(_, _))
-        val cost = points.select(sum(minD2)).collect().head.getDouble(0)
+        // integer-grid cost (the vkmeans pattern): per-row d² rounds to
+        // a 1e-4 grid and sums as BIGINT, so `cost` is identical under
+        // ANY partition layout or row order — a raw double sum differs
+        // in low-order bits across layouts, and a boundary coin could
+        // flip a candidate in or out, breaking the order-included
+        // determinism contract ScalableInitSpec pins. ANSI throws
+        // loudly if the scaled sum ever overflows LONG.
+        val costL = points.select(sum(round(minD2 * 1e4).cast("long")))
+          .collect().head.getLong(0)
+        val cost = costL / 1e4
         if (cost == 0.0) done = true // every point IS a center already
         else {
-          // two independent affine transforms of the coordinate hash
-          // give ~1e-12 coin granularity; a single h/FpMod coin has a
-          // ~1e-6 probability FLOOR (h = 0 passes any threshold), which
-          // at 10^8+ points oversamples low-probability points by
-          // orders of magnitude and trips the candidate guard
+          // TWO INDEPENDENT hashes build the coin: h quantizes to
+          // 1/FpMod (~1e-6) on its own — and h = 0 would pass ANY
+          // threshold, a probability floor that oversamples rare
+          // points ~1000x at 10^8+ rows. The second, independently
+          // keyed hash (xxhash64 over the raw coordinates + round)
+          // subdivides each h cell, for ~1e-12 true granularity with
+          // no zero floor. (An affine transform of h would NOT work:
+          // any function of h leaves only FpMod distinct coins.)
           val h = graft.functions.PolyHash(
             concat(coinBase, lit(s"#$r")), fpMod)
-          val h2 = (h * lit(4001L) + lit(1007L)) % lit(fpMod)
+          val h2 = pmod(xxhash64(col("x"), col("y"), col("z"), lit(r)), lit(fpMod))
           val coin =
             (h.cast("double") + (h2.cast("double") + 0.5) / fpMod.toDouble) /
               fpMod.toDouble

@@ -50,8 +50,9 @@ class PlanSpec extends SparkSpec {
   test("chunk dedup family: keeper/blocklist joins broadcast, never nested-loop") {
     // chunkDedup: the (doc_id, chunk_id) keeper membership is a
     // broadcast LEFT SEMI (keeper set <= chunk table); boilerplate: the
-    // blocklist is a broadcast LEFT ANTI; both reassemble through a
-    // LEFT OUTER from the totals so emptied docs survive
+    // blocklist is a broadcast LEFT ANTI; both reassemble through LEFT
+    // OUTER joins FROM the documents table so emptied AND null-text
+    // docs survive
     val cd = plan("q_chunk_dedup")
     cd should include("BroadcastHashJoin LeftSemi")
     cd should include("BroadcastHashJoin LeftOuter")

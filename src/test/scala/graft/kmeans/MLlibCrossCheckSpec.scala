@@ -11,31 +11,35 @@ import org.apache.spark.ml.feature.VectorAssembler
   * the engine's clustering quality is in the library's league. */
 class MLlibCrossCheckSpec extends SparkSpec {
 
+  private def sse(pts: org.apache.spark.sql.DataFrame, centers: Seq[Point]): Double = {
+    import org.apache.spark.sql.functions._
+    val assigned = Assign.assign(pts, centers)
+    val cx = array(centers.map(c => lit(c.x)): _*)(col("cluster"))
+    val cy = array(centers.map(c => lit(c.y)): _*)(col("cluster"))
+    val cz = array(centers.map(c => lit(c.z)): _*)(col("cluster"))
+    assigned.select(sum(
+      (col("x") - cx) * (col("x") - cx) +
+        (col("y") - cy) * (col("y") - cy) +
+        (col("z") - cz) * (col("z") - cz)).as("sse"))
+      .collect().head.getDouble(0)
+  }
+
+  /** MLlib's converged training cost at K=5 (k-means|| init, seed 42)
+    * — the shared baseline both SSE cross-checks compare against. */
+  private def mllibSse(pts: org.apache.spark.sql.DataFrame): Double = {
+    val features = new VectorAssembler()
+      .setInputCols(Array("x", "y", "z")).setOutputCol("features")
+      .transform(pts)
+    new KMeans().setK(5).setSeed(42L).setMaxIter(30)
+      .fit(features).summary.trainingCost
+  }
+
   test("converged SSE is within 10% of MLlib KMeans on the reference data") {
     val pts = Points.readCsv(spark, s"$ref/3d_points_dataset.csv").cache()
     val seeds = Points.readSeeds(s"$ref/seed_points_K5.csv")
     val r = KMeansRunner.converge(pts, seeds, maxIter = 30, threshold = 5.0)
-
-    def sse(centers: Seq[Point]): Double = {
-      import org.apache.spark.sql.functions._
-      val assigned = Assign.assign(pts, centers)
-      val cx = array(centers.map(c => lit(c.x)): _*)(col("cluster"))
-      val cy = array(centers.map(c => lit(c.y)): _*)(col("cluster"))
-      val cz = array(centers.map(c => lit(c.z)): _*)(col("cluster"))
-      assigned.select(sum(
-        (col("x") - cx) * (col("x") - cx) +
-          (col("y") - cy) * (col("y") - cy) +
-          (col("z") - cz) * (col("z") - cz)).as("sse"))
-        .collect().head.getDouble(0)
-    }
-
-    val ours = sse(r.centers.map(_._2))
-    val features = new VectorAssembler()
-      .setInputCols(Array("x", "y", "z")).setOutputCol("features")
-      .transform(pts)
-    val mllib = new KMeans().setK(5).setSeed(42L).setMaxIter(30)
-      .fit(features)
-    val theirs = mllib.summary.trainingCost
+    val ours = sse(pts, r.centers.map(_._2))
+    val theirs = mllibSse(pts)
     withClue(s"ours=$ours mllib=$theirs: ") {
       ours should be <= theirs * 1.10
     }
@@ -93,31 +97,12 @@ class MLlibCrossCheckSpec extends SparkSpec {
     * same quality league as MLlib's randomized k-means|| — SSE within
     * 10% — on the reference data. */
   test("scalableInit seeds converge within 10% of MLlib's k-means|| SSE") {
-    import org.apache.spark.sql.functions._
     val pts = Points.readCsv(spark, s"$ref/3d_points_dataset.csv").cache()
     val seeds = KMeansRunner.scalableInit(pts, k = 5)
     seeds should have size 5
     val r = KMeansRunner.converge(pts, seeds, maxIter = 30, threshold = 5.0)
-
-    def sse(centers: Seq[Point]): Double = {
-      val assigned = Assign.assign(pts, centers)
-      val cx = array(centers.map(c => lit(c.x)): _*)(col("cluster"))
-      val cy = array(centers.map(c => lit(c.y)): _*)(col("cluster"))
-      val cz = array(centers.map(c => lit(c.z)): _*)(col("cluster"))
-      assigned.select(sum(
-        (col("x") - cx) * (col("x") - cx) +
-          (col("y") - cy) * (col("y") - cy) +
-          (col("z") - cz) * (col("z") - cz)).as("sse"))
-        .collect().head.getDouble(0)
-    }
-
-    val ours = sse(r.centers.map(_._2))
-    val features = new VectorAssembler()
-      .setInputCols(Array("x", "y", "z")).setOutputCol("features")
-      .transform(pts)
-    val mllib = new KMeans().setK(5).setSeed(42L).setMaxIter(30) // k-means|| init
-      .fit(features)
-    val theirs = mllib.summary.trainingCost
+    val ours = sse(pts, r.centers.map(_._2))
+    val theirs = mllibSse(pts) // MLlib uses k-means|| init itself
     withClue(s"ours=$ours mllib=$theirs: ") {
       ours should be <= theirs * 1.10
     }
