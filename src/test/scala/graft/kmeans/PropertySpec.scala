@@ -120,6 +120,27 @@ class PropertySpec extends SparkSpec {
     base should not be empty
   }
 
+  test("novelty and bigram-LM scores are partition-count invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // novelty: integer counts + one division — nothing to drift
+    def nov(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.novelty(df)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    nov(docs.repartition(8)) shouldBe nov(docs.coalesce(1))
+    // bigram-LM: per-doc float sum order varies with partitioning but
+    // the round-4 grid must absorb it (the unigram/tfidf argument)
+    def lp(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.bigramLogProb(df, 0.9)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val a = lp(docs.coalesce(1)); val b = lp(docs.repartition(8))
+    a.keySet shouldBe b.keySet
+    for (k <- a.keySet)
+      withClue(s"doc $k: ") {
+        (a(k).isNaN && b(k).isNaN) || a(k) == b(k) shouldBe true
+      }
+  }
+
   test("deterministic sampling is partition-count AND row-order invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =
