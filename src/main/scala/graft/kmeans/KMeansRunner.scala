@@ -127,16 +127,19 @@ object KMeansRunner {
       var done = false
       while (r < rounds && !done) {
         val minD2 = cents.map(d2).reduce(least(_, _))
-        // integer-grid cost (the vkmeans pattern): per-row d² rounds to
-        // a 1e-4 grid and sums as BIGINT, so `cost` is identical under
-        // ANY partition layout or row order — a raw double sum differs
-        // in low-order bits across layouts, and a boundary coin could
+        // DECIMAL-grid cost: per-row d² rounds to 6 decimals and sums
+        // as DECIMAL — exact, so `cost` is identical under ANY
+        // partition layout or row order (a raw double sum differs in
+        // low-order bits across layouts, and a boundary coin could
         // flip a candidate in or out, breaking the order-included
-        // determinism contract ScalableInitSpec pins. ANSI throws
-        // loudly if the scaled sum ever overflows LONG.
-        val costL = points.select(sum(round(minD2 * 1e4).cast("long")))
-          .collect().head.getLong(0)
-        val cost = costL / 1e4
+        // determinism contract ScalableInitSpec pins). DECIMAL rather
+        // than a scaled BIGINT because d² magnitudes vary by corpus:
+        // the 1e4-scaled LONG form overflowed on lineitem-scale
+        // coordinates (d² ~ 1e10 × 6e5 rows), while decimal(30,6)
+        // carries 24 integer digits.
+        val costDec = points.select(sum(minD2.cast("decimal(30,6)")))
+          .collect().head.getDecimal(0)
+        val cost = if (costDec == null) 0.0 else costDec.doubleValue()
         if (cost == 0.0) done = true // every point IS a center already
         else {
           // TWO INDEPENDENT hashes build the coin: h quantizes to
