@@ -936,6 +936,12 @@ object SparkEntry {
     "q_novelty" -> ((s, dir) =>
       TextAnalysis.novelty(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // heavy hitters: exact top-10 tokens + count-min-sketch guarantee
+    // flags (the mergeable-sketch scale path, seeded deterministic)
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(docs(s, dir), k = 10, eps = 0.001,
+        confidence = 0.99, seed = 42)),
+
     // composed curation: chunk dedup -> drop emptied docs -> token
     // budget over the CLEANED corpus, per-source report (three
     // operators chained against one recursive oracle)
@@ -1662,6 +1668,15 @@ object SparkEntry {
     "q_novelty" -> TextSql.noveltySql,
 
     "q_curate_chunks" -> TextSql.curateChunksSql(10, TokenBudget),
+
+    // sketch pattern (q_approx_distinct precedent): the oracle checks
+    // the exact counts and expects the guarantee flags TRUE; the
+    // sketch value itself never crosses engines
+    "q_heavy_hitters" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY w) " +
+        "SELECT w, n_exact, TRUE AS overestimates, TRUE AS within_eps " +
+        "FROM cnt ORDER BY n_exact DESC, w LIMIT 10"),
     "q_ivf_pq" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
       AnnQueryIds, nprobe = 2, k = PqSearchK),
     "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),

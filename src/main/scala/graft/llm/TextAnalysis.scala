@@ -660,6 +660,39 @@ object TextAnalysis {
     out
   }
 
+  /** Heavy hitters by count-min sketch — completes the sketch triad
+    * (HLL distinct, KLL quantiles, CMS frequencies): the exact top-`k`
+    * tokens with their counts, each annotated with whether the
+    * MERGEABLE sketch honors its guarantees (estimate >= exact always;
+    * estimate <= exact + ceil(eps·N) with probability `confidence` —
+    * deterministic here because the seed is fixed). The sketch is what
+    * scales: partitions build local sketches and MERGE (Spark's
+    * stat.countMinSketch aggregates tree-wise), so corpus-wide token
+    * frequencies need constant memory per executor while the exact
+    * aggregate exists to verify it at contract scale. Driver traffic:
+    * one sketch + k rows.
+    * Output: (w, n_exact, overestimates, within_eps). */
+  def heavyHitters(docs: DataFrame, k: Int, eps: Double,
+                   confidence: Double, seed: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = toks.count()
+    val cms = toks.stat.countMinSketch("w", eps, confidence, seed)
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    toks.unpersist(false)
+    val bound = math.ceil(eps * n).toLong
+    top.toSeq.map { case (w, exact) =>
+      val est = cms.estimateCount(w)
+      (w, exact, est >= exact, est <= exact + bound)
+    }.toDF("w", "n_exact", "overestimates", "within_eps")
+  }
+
   /** Normalization used before exact/near dedup in real pipelines:
     * lower-case, collapse every non-alphanumeric run to one space, trim.
     * Catches the trivial variants (case, punctuation, whitespace) that

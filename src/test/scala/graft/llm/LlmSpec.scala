@@ -536,6 +536,19 @@ class LlmSpec extends SparkSpec {
     TextAnalysis.bigramLogProb(hostile, 0.5).count() shouldBe 4
   }
 
+  test("heavyHitters: exact top-k ordering, CMS guarantees hold") {
+    val docs = docsDF(
+      1L -> "a a a a b b c", 2L -> "a b b d", 3L -> "a c")
+    // counts: a=6, b=4, c=2, d=1
+    val out = TextAnalysis.heavyHitters(docs, k = 3, eps = 0.01,
+      confidence = 0.99, seed = 42)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    out.map(x => (x._1, x._2)) shouldBe Array(("a", 6L), ("b", 4L), ("c", 2L))
+    out.foreach { case (w, _, over, within) =>
+      withClue(s"$w: ") { over shouldBe true; within shouldBe true }
+    }
+  }
+
   test("novelty: unique bigram fraction; clones score 0, short docs NULL") {
     val out = TextAnalysis.novelty(docsDF(
       1L -> "a b c d",   // bigrams: ab, bc, cd — ab shared with doc 2
