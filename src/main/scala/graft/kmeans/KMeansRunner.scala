@@ -127,21 +127,33 @@ object KMeansRunner {
       var done = false
       while (r < rounds && !done) {
         val minD2 = cents.map(d2).reduce(least(_, _))
-        // DECIMAL-grid cost: per-row d² rounds to 6 decimals and sums
+        // DECIMAL-grid cost: per-row d² rounds to 18 decimals and sums
         // as DECIMAL — exact, so `cost` is identical under ANY
         // partition layout or row order (a raw double sum differs in
         // low-order bits across layouts, and a boundary coin could
         // flip a candidate in or out, breaking the order-included
         // determinism contract ScalableInitSpec pins). DECIMAL rather
-        // than a scaled BIGINT because d² magnitudes vary by corpus:
-        // the 1e4-scaled LONG form overflowed on lineitem-scale
-        // coordinates (d² ~ 1e10 × 6e5 rows), while decimal(30,6)
-        // carries 24 integer digits.
-        val costDec = points.select(sum(minD2.cast("decimal(30,6)")))
-          .collect().head.getDecimal(0)
-        val cost = if (costDec == null) 0.0 else costDec.doubleValue()
-        if (cost == 0.0) done = true // every point IS a center already
+        // than a scaled BIGINT because d² magnitudes vary by corpus
+        // (the 1e4-scaled LONG form overflowed on lineitem-scale
+        // coordinates); decimal(38,18) carries 20 integer digits of
+        // headroom above and 1e-18 resolution below. The DONE check
+        // uses max(minD2) — exact and layout-invariant — NOT the
+        // gridded sum: a sub-grid corpus (every d² < 5e-19) would
+        // underflow the sum to 0 and spuriously stop seeding. If the
+        // grid sum underflows while max > 0, n·max upper-bounds cost
+        // deterministically (under-sampling only — recluster handles
+        // short rounds).
+        val agg = points.select(
+          sum(minD2.cast("decimal(38,18)")).as("c"),
+          max(minD2).as("m"),
+          count(lit(1)).as("n")).collect().head
+        val maxD2 = agg.getDouble(1)
+        if (maxD2 == 0.0) done = true // every point IS a center already
         else {
+          val dec = agg.getDecimal(0)
+          val cost =
+            if (dec != null && dec.doubleValue() > 0.0) dec.doubleValue()
+            else maxD2 * agg.getLong(2)
           // TWO INDEPENDENT hashes build the coin: h quantizes to
           // 1/FpMod (~1e-6) on its own — and h = 0 would pass ANY
           // threshold, a probability floor that oversamples rare

@@ -122,11 +122,19 @@ class PropertySpec extends SparkSpec {
 
   test("novelty and bigram-LM scores are partition-count invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    // novelty: integer counts + one division — nothing to drift
+    // novelty: compare ALL columns — counts AND the rounded score
     def nov(df: org.apache.spark.sql.DataFrame) =
       graft.llm.TextAnalysis.novelty(df)
-        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
-    nov(docs.repartition(8)) shouldBe nov(docs.coalesce(1))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    val nBase = nov(docs.coalesce(1))
+    val nRep = nov(docs.repartition(8))
+    nRep.keySet shouldBe nBase.keySet
+    for (k <- nBase.keySet) withClue(s"doc $k: ") {
+      nRep(k)._1 shouldBe nBase(k)._1
+      nRep(k)._2 shouldBe nBase(k)._2
+      (nRep(k)._3.isNaN && nBase(k)._3.isNaN) || nRep(k)._3 == nBase(k)._3 shouldBe true
+    }
     // bigram-LM: per-doc float sum order varies with partitioning but
     // the round-4 grid must absorb it (the unigram/tfidf argument)
     def lp(df: org.apache.spark.sql.DataFrame) =

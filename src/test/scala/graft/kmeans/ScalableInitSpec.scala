@@ -58,6 +58,18 @@ class ScalableInitSpec extends SparkSpec {
     s1 should be <= s2 * 1.05
   }
 
+  test("sub-grid magnitudes: tiny-coordinate corpora still seed fully") {
+    // every d² here is < 5e-19 — below the decimal cost grid's
+    // resolution. The done-check must use the exact max, and the
+    // underflowed cost must fall back to n·max, or seeding would stop
+    // at round 0 with a single seed (the regression this pins)
+    val pts = Seq(
+      (0.0, 0.0, 0.0), (1e-10, 0.0, 0.0), (0.0, 1e-10, 0.0))
+      .toDF("x", "y", "z")
+    val seeds = KMeansRunner.scalableInit(pts, k = 3, rounds = 8, oversample = 50.0)
+    seeds.toSet shouldBe Set(Point(0, 0, 0), Point(1e-10, 0, 0), Point(0, 1e-10, 0))
+  }
+
   test("degenerate corpus of one repeated point returns a single seed") {
     val pts = Seq.fill(50)((3.0, 4.0, 5.0)).toDF("x", "y", "z")
     KMeansRunner.scalableInit(pts, k = 5) shouldBe Seq(Point(3, 4, 5))
