@@ -149,6 +149,16 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("heavy-hitter sketch flags are partition-count invariant (mergeable CMS)") {
+    // count-min cells are exact integer sums, so partition-wise build +
+    // merge equals the single-partition build — estimates can't drift
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def hh(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.heavyHitters(df, 5, 0.001, 0.99, 42)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    hh(docs.repartition(8)) shouldBe hh(docs.coalesce(1))
+  }
+
   test("deterministic sampling is partition-count AND row-order invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =
