@@ -1671,7 +1671,12 @@ object SparkEntry {
 
     // sketch pattern (q_approx_distinct precedent): the oracle checks
     // the exact counts and expects the guarantee flags TRUE; the
-    // sketch value itself never crosses engines
+    // sketch value itself never crosses engines. Regeneration hazard,
+    // for the record: within_eps is a confidence-0.99 guarantee that is
+    // deterministic for THIS seed+corpus — a testdata regeneration
+    // could legitimately flip it and surface as a bitwise hash mismatch
+    // here rather than a sketch-quality signal; if that ever fires,
+    // read it as "CMS estimate left the eps band", not a logic bug.
     "q_heavy_hitters" ->
       ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
         "cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY w) " +

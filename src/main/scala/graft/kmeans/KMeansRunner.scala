@@ -142,17 +142,28 @@ object KMeansRunner {
         // underflow the sum to 0 and spuriously stop seeding. If the
         // grid sum underflows while max > 0, n·max upper-bounds cost
         // deterministically (under-sampling only — recluster handles
-        // short rounds).
+        // short rounds). OVERFLOW is guarded symmetrically: d² values
+        // are capped at 8e19 before the cast (decimal(38,18) tops out
+        // just under 1e20, so an uncapped 1e10-scale coordinate corpus
+        // would throw CAST_OVERFLOW under ANSI), the sum is try_sum
+        // (NULL instead of ARITHMETIC_OVERFLOW when the capped total
+        // still exceeds the type), and ANY capped row routes to the
+        // n·max fallback — a cap-engaged sum would silently under-count
+        // cost and over-sample candidates into the candBound guard.
+        val capD2 = 8e19
         val agg = points.select(
-          sum(minD2.cast("decimal(38,18)")).as("c"),
+          try_sum(when(minD2 < capD2, minD2).otherwise(lit(capD2))
+            .cast("decimal(38,18)")).as("c"),
           max(minD2).as("m"),
-          count(lit(1)).as("n")).collect().head
+          count(lit(1)).as("n"),
+          count(when(minD2 >= capD2, 1)).as("ncap")).collect().head
         val maxD2 = agg.getDouble(1)
         if (maxD2 == 0.0) done = true // every point IS a center already
         else {
           val dec = agg.getDecimal(0)
           val cost =
-            if (dec != null && dec.doubleValue() > 0.0) dec.doubleValue()
+            if (agg.getLong(3) == 0L && dec != null && dec.doubleValue() > 0.0)
+              dec.doubleValue()
             else maxD2 * agg.getLong(2)
           // TWO INDEPENDENT hashes build the coin: h quantizes to
           // 1/FpMod (~1e-6) on its own — and h = 0 would pass ANY
@@ -204,7 +215,7 @@ object KMeansRunner {
     * deterministic weighted greedy k-center (heaviest candidate first,
     * then argmax weight·min-d², ties to lexicographic point order),
     * refined by weighted Lloyd iterations to a fixed point. */
-  private def reclusterWeighted(cand: Seq[(Point, Double)], k: Int): Seq[Point] = {
+  private[kmeans] def reclusterWeighted(cand: Seq[(Point, Double)], k: Int): Seq[Point] = {
     def d2(a: Point, b: Point): Double = {
       val dx = a.x - b.x; val dy = a.y - b.y; val dz = a.z - b.z
       dx * dx + dy * dy + dz * dz
@@ -212,21 +223,39 @@ object KMeansRunner {
     val ord = Ordering.by[(Point, Double), (Double, Double, Double, Double)] {
       case (p, w) => (w, p.x, p.y, p.z)
     }
+    val ord4 = Ordering.Tuple4(Ordering.Double.TotalOrdering,
+      Ordering.Double.TotalOrdering, Ordering.Double.TotalOrdering,
+      Ordering.Double.TotalOrdering)
     var chosen = Vector(cand.max(ord)._1)
-    while (chosen.size < k) {
-      val next = cand.maxBy { case (p, w) =>
-        (w * chosen.map(d2(p, _)).min, p.x, p.y, p.z)
-      }(Ordering.Tuple4(Ordering.Double.TotalOrdering,
-        Ordering.Double.TotalOrdering, Ordering.Double.TotalOrdering,
-        Ordering.Double.TotalOrdering))
-      if (chosen.map(d2(next._1, _)).min == 0.0) return chosen // exhausted
-      chosen :+= next._1
+    var exhausted = false
+    while (chosen.size < k && !exhausted) {
+      val scored = cand.map { case (p, w) => (p, w, chosen.map(d2(p, _)).min) }
+      val next = scored.maxBy { case (p, w, m) => (w * m, p.x, p.y, p.z) }(ord4)
+      if (next._2 * next._3 > 0.0) chosen :+= next._1
+      else {
+        // the weighted argmax scored 0 — every remaining candidate
+        // either duplicates a chosen center (min d² = 0) or carries
+        // weight 0. A zero-WEIGHT distinct candidate is still a valid
+        // seed (the scaladoc promises min(k, distinct candidates)), so
+        // fall back to the unweighted farthest distinct candidate
+        // before concluding the set is exhausted.
+        scored.filter(_._3 > 0.0) match {
+          case Seq() => exhausted = true
+          case distinct =>
+            chosen :+= distinct.maxBy { case (p, _, m) => (m, p.x, p.y, p.z) }(ord4)._1
+        }
+      }
     }
-    // weighted Lloyd to a fixed point (candidate set is tiny; always
-    // terminates: the weighted SSE strictly decreases per move)
+    // weighted Lloyd to a fixed point (candidate set is tiny; in exact
+    // arithmetic the weighted SSE strictly decreases per move, but
+    // floating-point recentering can in principle oscillate between two
+    // states without reaching bitwise equality — the iteration cap is
+    // the backstop that keeps the driver loop finite either way)
     var prev = Seq.empty[Point]
     var curr: Seq[Point] = chosen
-    while (prev != curr) {
+    var iters = 0
+    while (prev != curr && iters < 100) {
+      iters += 1
       prev = curr
       val groups = cand.groupBy { case (p, _) =>
         curr.indices.minBy(i => (d2(p, curr(i)), i))

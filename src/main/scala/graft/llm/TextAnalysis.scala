@@ -579,8 +579,12 @@ object TextAnalysis {
     * aggregate. The per-term double is built with identical literals
     * and operation order in the oracle, so both engines ln the same
     * IEEE value; the per-doc sum is order-sensitive but round-4
-    * absorbs the ulp like unigramLogProb. Docs with < 2 tokens emit
-    * n_bigrams = 0 with NULL score via the final left join.
+    * absorbs the ulp like unigramLogProb. (Accepted risk, shared with
+    * every round-4 float contract here: a per-doc sum landing within
+    * an ulp of a .00005 rounding boundary would break bitwise parity;
+    * if that ever surfaces, pin the order on both engines by summing
+    * sort_array(collect_list(lp)) left-to-right.) Docs with < 2 tokens
+    * emit n_bigrams = 0 with NULL score via the final left join.
     * Output: (doc_id, n_bigrams, avg_logprob). */
   def bigramLogProb(docs: DataFrame, lambda: Double): DataFrame = {
     require(lambda > 0 && lambda < 1, s"need 0 < lambda < 1, got $lambda")

@@ -70,6 +70,32 @@ class ScalableInitSpec extends SparkSpec {
     seeds.toSet shouldBe Set(Point(0, 0, 0), Point(1e-10, 0, 0), Point(0, 1e-10, 0))
   }
 
+  test("1e10-scale coordinates: cost grid caps + falls back, never overflows") {
+    // d² between these points is ~4e20–1.2e21 — above decimal(38,18)'s
+    // ~1e20 integer ceiling, so an uncapped cast would throw
+    // CAST_OVERFLOW under ANSI and crash seeding (the regression this
+    // pins); the capped rows route cost to the n·max fallback instead
+    val pts = Seq(
+      (0.0, 0.0, 0.0), (2e10, 0.0, 0.0), (0.0, 2e10, 0.0), (2e10, 2e10, 1e10))
+      .toDF("x", "y", "z")
+    val seeds = KMeansRunner.scalableInit(pts, k = 4, rounds = 8, oversample = 50.0)
+    seeds.toSet shouldBe Set(
+      Point(0, 0, 0), Point(2e10, 0, 0), Point(0, 2e10, 0), Point(2e10, 2e10, 1e10))
+  }
+
+  test("reclusterWeighted: zero-weight distinct candidates still fill to k") {
+    // the weighted argmax tie-breaks to the largest-coordinate point,
+    // which here IS the already-chosen heavy center (score 0 because
+    // min d² = 0) while two zero-weight DISTINCT candidates remain —
+    // the scaladoc contract (min(k, distinct candidates) seeds) demands
+    // they be used, not an early return with 1 seed
+    val cand = Seq(
+      (Point(5, 0, 0), 3.0), (Point(1, 0, 0), 0.0), (Point(2, 0, 0), 0.0))
+    val out = KMeansRunner.reclusterWeighted(cand, k = 3)
+    out should have size 3
+    out.toSet shouldBe Set(Point(5, 0, 0), Point(1, 0, 0), Point(2, 0, 0))
+  }
+
   test("degenerate corpus of one repeated point returns a single seed") {
     val pts = Seq.fill(50)((3.0, 4.0, 5.0)).toDF("x", "y", "z")
     KMeansRunner.scalableInit(pts, k = 5) shouldBe Seq(Point(3, 4, 5))
