@@ -145,6 +145,20 @@ object Bench {
         val seeds = KMeansRunner.scalableInit(pts, k = 5)
         require(seeds.nonEmpty, "no seeds")
       }),
+      // sketch-only heavy hitters: per-partition Misra-Gries candidates
+      // scored by the merged CMS — the 100 TB twin whose cost is bounded
+      // by partitions*capacity, never the vocabulary (q_heavy_hitters
+      // keeps the exact+flags contract form; this line tracks the twin
+      // that avoids the corpus-wide exact aggregate round-over-round)
+      "heavy_hitters_sketched" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val n = graft.llm.TextAnalysis.heavyHittersSketched(
+          docs, k = 10, capacity = 4096, eps = 0.001,
+          confidence = 0.99, seed = 42).count()
+        require(n == 10, s"expected 10 sketched heavy hitters, got $n")
+      }),
       // the 100 TB-regime cell-assignment fallback (K > MaxInlineCells):
       // 300 coarse cells force Similarity.assignCellsJoin — broadcast
       // cells + one min(struct) exchange — so the large-K path carries a

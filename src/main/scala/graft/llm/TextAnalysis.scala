@@ -697,6 +697,69 @@ object TextAnalysis {
     }.toDF("w", "n_exact", "overestimates", "within_eps")
   }
 
+  /** Sketch-only heavy hitters — the 100 TB twin of [[heavyHitters]],
+    * which VERIFIES its count-min sketch but still PRODUCES the answer
+    * from an exact corpus-wide `groupBy(w)` top-k: precisely the
+    * vocabulary-sized aggregate the sketch exists to avoid. This twin
+    * never aggregates the corpus exactly. Candidates come from a
+    * per-partition Misra-Gries summary (`capacity` bounded counters per
+    * partition; mapPartitions — genuine per-partition imperative state,
+    * the documented last-resort case), and the merged mergeable CMS
+    * scores them. Correctness of the candidate set is the pigeonhole
+    * argument: a token with global count > N/(capacity+1) must exceed
+    * N_p/(capacity+1) in at least one partition (else summing the
+    * per-partition bounds contradicts the global count), and Misra-
+    * Gries never evicts a key whose local count exceeds that bound —
+    * so candidates ⊇ every true heavy hitter at the eps level whenever
+    * capacity >= 1/eps. Driver traffic is the sketch plus at most
+    * partitions·capacity candidate rows — bounded by the cluster
+    * layout, never by the vocabulary. Selection is top-`k` by CMS
+    * estimate (ties to the lexicographically smaller token); estimates
+    * only OVERestimate, so a true heavy hitter above the eps·N band
+    * cannot be displaced by an absent candidate, only by another
+    * token's overestimate within the band — the same guarantee regime
+    * [[heavyHitters]] verifies. Output: (w, n_est), k rows.
+    *
+    * The candidate SET is partition-layout-dependent in the eviction
+    * regime (Misra-Gries keeps at most `capacity` keys per partition),
+    * which is why this operator is the bench/spec-verified scale twin
+    * rather than a hash-checked contract query: the exact+flags form
+    * (`q_heavy_hitters`) already pins the sketch semantics bitwise. */
+  def heavyHittersSketched(docs: DataFrame, k: Int, capacity: Int, eps: Double,
+                           confidence: Double, seed: Int): DataFrame = {
+    require(k >= 1 && capacity >= k,
+      s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cms = toks.stat.countMinSketch("w", eps, confidence, seed)
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        counts.get(w) match {
+          case Some(c) => counts(w) = c + 1
+          case None if counts.size < capacity => counts(w) = 1L
+          case None =>
+            // decrement-all step (the new token is implicitly charged
+            // too): every counter loses one, zeros evict — O(capacity)
+            // amortized once per capacity+1 unmatched arrivals
+            counts.mapValuesInPlace((_, c) => c - 1)
+            counts.filterInPlace((_, c) => c > 0)
+        }
+      }
+      counts.keysIterator
+    }.distinct().collect() // <= partitions * capacity rows by construction
+    toks.unpersist(false)
+    val top = candidates
+      .map(w => (w, cms.estimateCount(w)))
+      .sortBy { case (w, est) => (-est, w) }
+      .take(k)
+    top.toSeq.toDF("w", "n_est")
+  }
+
   /** Normalization used before exact/near dedup in real pipelines:
     * lower-case, collapse every non-alphanumeric run to one space, trim.
     * Catches the trivial variants (case, punctuation, whitespace) that

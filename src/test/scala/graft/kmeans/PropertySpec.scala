@@ -159,6 +159,18 @@ class PropertySpec extends SparkSpec {
     hh(docs.repartition(8)) shouldBe hh(docs.coalesce(1))
   }
 
+  test("sketched heavy hitters are partition-count invariant at ample capacity") {
+    // outside the eviction regime (capacity >= per-partition distinct
+    // tokens) the Misra-Gries candidate set is the full local vocabulary
+    // under ANY layout, and CMS estimates are layout-invariant integer
+    // sums — so the top-k must not move across partitionings
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def hhs(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.heavyHittersSketched(df, 5, 65536, 0.001, 0.99, 42)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    hhs(docs.repartition(8)) shouldBe hhs(docs.coalesce(1))
+  }
+
   test("deterministic sampling is partition-count AND row-order invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =

@@ -549,6 +549,52 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersSketched: matches exact top-k, estimates never underestimate") {
+    val docs = docsDF(
+      1L -> "a a a a a a b b b b c c c d", 2L -> "a a b b c d e f")
+    // exact: a=8, b=6, c=4, d=2, e=1, f=1
+    val out = TextAnalysis.heavyHittersSketched(docs, k = 3, capacity = 64,
+      eps = 0.01, confidence = 0.99, seed = 42)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.map(_._1) shouldBe Array("a", "b", "c")
+    out.map(_._2).zip(Seq(8L, 6L, 4L)).foreach { case (est, exact) =>
+      est should be >= exact
+    }
+  }
+
+  test("heavyHittersSketched: Misra-Gries eviction regime keeps the true heavy hitter") {
+    // one token at 200 occurrences among 800 singletons (N = 1000):
+    // 200 > N/(capacity+1) = 1000/9, so the pigeonhole guarantee says
+    // the heavy token MUST survive per-partition eviction at capacity 8
+    // even though every summary is thrashing (8 counters vs 400+ keys)
+    val filler1 = (1 to 400).map(i => s"u$i").mkString(" ")
+    val filler2 = (401 to 800).map(i => s"u$i").mkString(" ")
+    val docs = docsDF(
+      1L -> (Seq.fill(100)("hh").mkString(" ") + " " + filler1),
+      2L -> (filler2 + " " + Seq.fill(100)("hh").mkString(" ")))
+    val out = TextAnalysis.heavyHittersSketched(docs, k = 1, capacity = 8,
+      eps = 0.001, confidence = 0.99, seed = 42)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.map(_._1) shouldBe Array("hh")
+    out.head._2 should be >= 200L
+  }
+
+  test("heavyHittersSketched: contract corpus — sketched top-k equals the exact top-k") {
+    // the punch-list pin: the sketch-only path (per-partition candidates
+    // + CMS scoring, never an exact corpus-wide groupBy) reproduces the
+    // exact operator's answer on the contract corpus; CMS overestimates
+    // never drop a true heavy hitter above the eps·N band
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = TextAnalysis.heavyHitters(docs, 10, 0.001, 0.99, 42)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sketched = TextAnalysis.heavyHittersSketched(docs, 10, 4096, 0.001, 0.99, 42)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    sketched.keySet shouldBe exact.map(_._1).toSet
+    exact.foreach { case (w, n) =>
+      withClue(s"$w: ") { sketched(w) should be >= n }
+    }
+  }
+
   test("novelty: unique bigram fraction; clones score 0, short docs NULL") {
     val out = TextAnalysis.novelty(docsDF(
       1L -> "a b c d",   // bigrams: ab, bc, cd — ab shared with doc 2
