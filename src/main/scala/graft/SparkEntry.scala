@@ -878,6 +878,19 @@ object SparkEntry {
           min(when(col("kept"), col("doc_id"))).as("first_kept"))
         .orderBy(col("source"))),
 
+    // hot-source pre-trimmed token-budget twin: the coarse bucket bound
+    // discards only provably-over-budget rows, so the kept set — and
+    // this kept-only report — is IDENTICAL to q_token_budget's by
+    // construction (the oracle re-derives it from the exact window)
+    "q_token_budget_trim" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetSampleTrimmed(docs(s, dir), Map.empty, TokenBudget)
+        .filter(col("kept"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_toks")).as("tok_kept"),
+          min(col("doc_id")).as("first_kept"))
+        .orderBy(col("source"))),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -1614,6 +1627,8 @@ object SparkEntry {
     "q_stratified_sample" -> TextSql.stratifiedSampleSql(StratPerGroup),
 
     "q_token_budget" -> TextSql.tokenBudgetSql(TokenBudget),
+
+    "q_token_budget_trim" -> TextSql.tokenBudgetTrimSql(TokenBudget),
 
     "q_quantize" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

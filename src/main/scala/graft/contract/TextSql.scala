@@ -537,20 +537,37 @@ object TextSql {
     * prefix rule (ROWS UNBOUNDED PRECEDING ≡ Spark's rowsBetween), all
     * integer arithmetic; sums cast back to BIGINT (DuckDB widens to
     * HUGEINT, which pandas would surface as float64). */
-  def tokenBudgetSql(budget: Long): String =
-    "WITH t AS (SELECT doc_id, source, " +
+  /** Shared draw-order + running-sum CTEs of the token-budget mirrors. */
+  private val tokenBudgetCtes: String =
+    "t AS (SELECT doc_id, source, " +
       "CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks, " +
       s"coalesce(CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END, 0) AS fp " +
       "FROM documents), " +
       "c AS (SELECT doc_id, source, n_toks, " +
       "sum(n_toks) OVER (PARTITION BY source ORDER BY fp, doc_id " +
-      "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM t)"
+
+  def tokenBudgetSql(budget: Long): String =
+    s"WITH $tokenBudgetCtes " +
       "SELECT source, count(*) AS n_docs, " +
       s"count(*) FILTER (WHERE cum <= $budget) AS n_kept, " +
       "CAST(sum(n_toks) AS BIGINT) AS tok_total, " +
       s"CAST(coalesce(sum(n_toks) FILTER (WHERE cum <= $budget), 0) AS BIGINT) AS tok_kept, " +
       s"min(doc_id) FILTER (WHERE cum <= $budget) AS first_kept " +
       "FROM c GROUP BY source ORDER BY source"
+
+  /** Mirror of the kept-only report over tokenBudgetSampleTrimmed: the
+    * pre-trim discards only rows provably past budget, so the kept set
+    * equals the exact operator's — the oracle therefore re-derives it
+    * from the SAME exact window as tokenBudgetSql, restricted to kept
+    * rows. Sources with no kept document drop out on both sides (WHERE
+    * before GROUP BY, not FILTER). */
+  def tokenBudgetTrimSql(budget: Long): String =
+    s"WITH $tokenBudgetCtes " +
+      "SELECT source, count(*) AS n_kept, " +
+      "CAST(sum(n_toks) AS BIGINT) AS tok_kept, " +
+      "min(doc_id) AS first_kept " +
+      s"FROM c WHERE cum <= $budget GROUP BY source ORDER BY source"
 
   // ---------- similarity search ----------
 

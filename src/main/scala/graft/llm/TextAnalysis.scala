@@ -308,9 +308,10 @@ object TextAnalysis {
     * source the prefix sum is a linear pass, and sources are the
     * natural partition key of a crawl corpus (thousands of domains →
     * even spread). A pathologically hot source serializes its own
-    * window pass only; if that matters, pre-trim with a coarse
-    * per-bucket bound before the exact prefix sum. The budgets map
-    * rides the closure as a literal map lookup — no join.
+    * window pass only; [[tokenBudgetSampleTrimmed]] is the twin that
+    * pre-trims it with a coarse per-bucket bound before the exact
+    * prefix sum. The budgets map rides the closure as a literal map
+    * lookup — no join.
     * Output: (doc_id, source, n_toks, cum_toks, kept) — kept is the
     * budget decision; callers filter or report. */
   def tokenBudgetSample(docs: DataFrame, budgets: Map[String, Long],
@@ -321,18 +322,83 @@ object TextAnalysis {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("fp").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val budgetCol =
-      if (budgets.isEmpty) lit(defaultBudget)
-      else coalesce(element_at(typedLit(budgets), col("source")), lit(defaultBudget))
-    // null text draws as a zero-token doc with fp 0 rather than
-    // poisoning the running sum with NULL (a NULL cum would make every
-    // later doc in the source undecidable)
-    docs.select(col("doc_id"), col("source"),
-        coalesce(size(tokens(col("text"))).cast("long"), lit(0L)).as("n_toks"),
-        coalesce(fingerprint(col("text")), lit(0L)).as("fp"))
+    tokenBudgetBase(docs)
       .withColumn("cum_toks", sum(col("n_toks")).over(w))
       .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"),
-        (col("cum_toks") <= budgetCol).as("kept"))
+        (col("cum_toks") <= budgetColOf(budgets, defaultBudget)).as("kept"))
+  }
+
+  /** Shared draw-order base of the token-budget twins: (doc_id, source,
+    * n_toks, fp). Null text draws as a zero-token doc with fp 0 rather
+    * than poisoning the running sum with NULL (a NULL cum would make
+    * every later doc in the source undecidable). */
+  private def tokenBudgetBase(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      coalesce(size(tokens(col("text"))).cast("long"), lit(0L)).as("n_toks"),
+      coalesce(fingerprint(col("text")), lit(0L)).as("fp"))
+
+  /** Per-source budget as a literal-map column (no join). */
+  private def budgetColOf(budgets: Map[String, Long], defaultBudget: Long): Column =
+    if (budgets.isEmpty) lit(defaultBudget)
+    else coalesce(element_at(typedLit(budgets), col("source")), lit(defaultBudget))
+
+  /** Hot-source pre-trimmed twin of [[tokenBudgetSample]] — the escape
+    * hatch for a pathologically hot source (one domain owning most of a
+    * crawl), whose exact per-source prefix sum otherwise serializes on
+    * a single window partition: a coarse per-bucket cumulative bound
+    * discards every document PROVABLY past budget before the exact
+    * window runs, so the serial pass only ever sees ≈ budget worth of
+    * documents plus one partial bucket, independent of how hot the
+    * source is.
+    *
+    * Buckets are fp >> 12 (~245 of them over PolyHash's [0, FpMod)
+    * range) — a prefix of the (fp, doc_id) draw order, so the running
+    * bucket total is monotone along it. A bucket whose STRICTLY-PRIOR
+    * bucket total already exceeds the budget can hold no kept document
+    * (every doc's cum_toks ≥ that prior total), and since the prior
+    * total is monotone, surviving buckets are a per-source prefix —
+    * which makes the exact window over survivors equal the full
+    * window on every surviving row, not just approximately. The bound
+    * pass is a (source, bucket) aggregate (map-side partial, ≤
+    * sources·245 rows) plus a window over that tiny table; the
+    * survivor join broadcasts it. The input is scanned twice (bound
+    * pass + survivor pass) — at scale the extra aggregate-only scan is
+    * cheap next to serializing a hot source through one window
+    * partition. Measured (SCALING.md §7, interleaved A/B on a
+    * one-source corpus): the exact form grows linearly with source
+    * heat (0.25 → 1.10 → 4.23 s at 50k/500k/2M docs) while this twin
+    * stays flat (0.76 → 0.76 → 1.07 s); crossover on the bench box
+    * lands between 50k and 500k docs per source, so the exact form
+    * stays the default and this is the skewed-domain escape hatch.
+    *
+    * Output: exactly [[tokenBudgetSample]]'s rows RESTRICTED to
+    * surviving buckets — every kept row is present with identical
+    * cum_toks/kept, plus the unkept remainder of the first over-budget
+    * bucket; rows provably past budget are absent. The kept set is
+    * identical by construction (LlmSpec pins it row-for-row). */
+  def tokenBudgetSampleTrimmed(docs: DataFrame, budgets: Map[String, Long],
+                               defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0, s"need defaultBudget >= 0, got $defaultBudget")
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0, got $budgets")
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = tokenBudgetBase(docs)
+      .withColumn("bucket", shiftright(col("fp"), 12))
+    val priorW = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val surviving = bucketed
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_toks")).as("btoks"))
+      .withColumn("prior", coalesce(sum(col("btoks")).over(priorW), lit(0L)))
+      .filter(col("prior") <= budgetColOf(budgets, defaultBudget))
+      .select(col("source"), col("bucket"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("fp").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(surviving), Seq("source", "bucket"), "left_semi")
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"),
+        (col("cum_toks") <= budgetColOf(budgets, defaultBudget)).as("kept"))
   }
 
   /** TF-IDF top-`k` terms per document: tf = term occurrences in the

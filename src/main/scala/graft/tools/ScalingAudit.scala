@@ -127,10 +127,15 @@ object ScalingAudit {
     * no RNG), giving each doc ~9 true near-dups at bigram-Jaccard
     * ≈ 0.75. Copy r's doc ids shift by r * 1_000_000 so ids stay
     * unique and packable. */
-  def synthesize10x(docs: DataFrame): DataFrame = {
+  def synthesize10x(docs: DataFrame): DataFrame = synthesizeNx(docs, 10)
+
+  /** General form of [[synthesize10x]] — `n` deterministic perturbed
+    * copies (the hotsource probe uses larger factors to locate the
+    * trim crossover). */
+  def synthesizeNx(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val copies = spark.range(0, 10).select(col("id").cast("int").as("r"))
+    val copies = spark.range(0, n).select(col("id").cast("int").as("r"))
     docs.crossJoin(broadcast(copies))
       .select(
         (col("doc_id") + col("r") * lit(1000000L)).as("doc_id"),
@@ -170,6 +175,52 @@ object ScalingAudit {
       Dedup.jaccardPairs(big, 0.5, JacDfCap).count()
     }
     big.unpersist()
+  }
+
+  /** §7 hot-source probe: the tokenBudgetSample vs
+    * tokenBudgetSampleTrimmed interleaved A/B on the corpus shape the
+    * trim exists for — EVERY document in one source (a pathologically
+    * hot crawl domain), so the exact operator's per-source window
+    * serializes over the full corpus while the trimmed twin's coarse
+    * bucket bound discards all but ≈ budget worth of documents before
+    * the serial pass. Interleaved rounds (the box's only trustworthy
+    * timing method), kept-set identity checked every round. */
+  private def hotsource(spark: SparkSession, dir: String, factor: Int): Unit = {
+    import graft.llm.TextAnalysis
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // repartition BEFORE persist: the synthesized frame inherits the
+    // base table's few file partitions, which would serialize BOTH
+    // pipelines' scans and mask the thing this probe measures (the
+    // exact operator's single-partition window pass)
+    val hot = synthesizeNx(base, factor).withColumn("source", lit("hot"))
+      .repartition(64).persist()
+    val n = hot.count()
+    val budget = 100000L
+    println(s"== hotsource: $n docs (factor $factor), ONE source, budget $budget tokens ==")
+    def keptIds(df: org.apache.spark.sql.DataFrame): (Double, Set[Long]) = {
+      val t0 = System.nanoTime()
+      val ids = df.filter(col("kept")).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      ((System.nanoTime() - t0) / 1e9, ids)
+    }
+    var exactWalls = List.empty[Double]
+    var trimWalls = List.empty[Double]
+    var identical = true
+    for (r <- 1 to 3) {
+      val (we, ide) = keptIds(TextAnalysis.tokenBudgetSample(hot, Map.empty, budget))
+      val (wt, idt) = keptIds(TextAnalysis.tokenBudgetSampleTrimmed(hot, Map.empty, budget))
+      exactWalls :+= we; trimWalls :+= wt
+      identical &&= (ide == idt)
+      println(f"round $r: exact $we%.2f s, trimmed $wt%.2f s, kept ${idt.size}%,d, identical=${ide == idt}")
+    }
+    val rowsExact = hot.count()
+    val rowsTrim = TextAnalysis.tokenBudgetSampleTrimmed(hot, Map.empty, budget).count()
+    println(f"window rows: exact $rowsExact%,d vs trimmed $rowsTrim%,d " +
+      f"(${rowsExact.toDouble / rowsTrim}%.0fx fewer through the serial pass)")
+    println(f"min wall: exact ${exactWalls.min}%.2f s vs trimmed ${trimWalls.min}%.2f s; " +
+      s"kept sets identical every round: $identical")
+    hot.unpersist()
   }
 
   /** §5 ANN probe: 10 deterministic near-copies of the SF's embeddings
@@ -249,6 +300,9 @@ object ScalingAudit {
       case "candidates" => args.drop(1).foreach(candidateTable(spark, _))
       case "sf1ish"     => sf1ish(spark, args(1))
       case "annprobe"   => annprobe(spark, args(1))
+      case "hotsource"  =>
+        hotsource(spark, args(1),
+          if (args.length > 2) args(2).toInt else 10)
       case other        => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -118,6 +118,13 @@ class PropertySpec extends SparkSpec {
     kept(docs.repartition(8)) shouldBe base
     kept(docs.orderBy(col("doc_id").desc)) shouldBe base
     base should not be empty
+    // the pre-trimmed twin shares the invariance AND the kept set: the
+    // bucket bound is content-keyed (fp), so no layout can move it
+    def keptT(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.tokenBudgetSampleTrimmed(df, Map.empty, 500L)
+        .filter(col("kept")).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    keptT(docs.repartition(8)) shouldBe base
+    keptT(docs.orderBy(col("doc_id").desc)) shouldBe base
   }
 
   test("novelty and bigram-LM scores are partition-count invariant") {

@@ -654,6 +654,35 @@ class LlmSpec extends SparkSpec {
     again shouldBe out.map(r => (r._1, r._2, r._5)).sortBy(_._2)
   }
 
+  test("tokenBudgetSampleTrimmed: kept set identical to the exact operator, trim really trims") {
+    // contract corpus: every returned row must agree with the exact
+    // operator on ALL columns, and the kept sets must match row-for-row
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    val exact = rows(TextAnalysis.tokenBudgetSample(docs, Map.empty, 500L))
+    val trimmed = rows(TextAnalysis.tokenBudgetSampleTrimmed(docs, Map.empty, 500L))
+    trimmed.subsetOf(exact) shouldBe true // identical values on every surviving row
+    trimmed.filter(_._5) shouldBe exact.filter(_._5) // kept sets equal, all columns
+    // synthetic one-hot-source corpus (the case the trim exists for):
+    // 200 ten-token docs in ONE source, budget 50 — the bucket bound
+    // must discard most rows while preserving the kept set exactly
+    val hot = (1L to 200L)
+      .map(i => (i, (1 to 10).map(j => s"w${i}_$j").mkString(" "), "hot"))
+      .toDF("doc_id", "text", "source")
+    val he = rows(TextAnalysis.tokenBudgetSample(hot, Map.empty, 50L))
+    val ht = rows(TextAnalysis.tokenBudgetSampleTrimmed(hot, Map.empty, 50L))
+    ht.filter(_._5) shouldBe he.filter(_._5)
+    he.filter(_._5).size shouldBe 5 // 5 docs x 10 tokens fill the budget
+    ht.size should be < he.size / 4 // the trim discarded the hot tail
+    // per-source budget override flows through the trim bound too
+    val ov = rows(TextAnalysis.tokenBudgetSampleTrimmed(hot, Map("hot" -> 20L), 999L))
+    ov.filter(_._5) shouldBe
+      rows(TextAnalysis.tokenBudgetSample(hot, Map("hot" -> 20L), 999L)).filter(_._5)
+    ov.filter(_._5).size shouldBe 2
+  }
+
   test("chunkDedup: first global occurrence survives, docs reassemble in order") {
     val docs = docsDF(
       0L -> "a b c d e f",   // both chunks first occurrences
