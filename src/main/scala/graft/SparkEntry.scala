@@ -855,6 +855,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // learned quality classifier: DCLM/FineWeb-Edu-style linear scorer
+    // with fixed literal weights over cheap per-doc features — one
+    // codegen'd scan, keep threshold on the rounded score grid
+    "q_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(docs(s, dir)).orderBy(col("doc_id"))),
+
     // Gopher-style intra-document repetition quality signals
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir))
@@ -1623,6 +1629,8 @@ object SparkEntry {
     "q_decontaminate" -> TextSql.decontaminateSql(DecontamN, DecontamMod),
 
     "q_repetition" -> TextSql.repetitionSql,
+
+    "q_quality_classifier" -> TextSql.qualityClassifierSql,
 
     "q_stratified_sample" -> TextSql.stratifiedSampleSql(StratPerGroup),
 

@@ -954,6 +954,32 @@ object TextSql {
       "FROM s ORDER BY doc_id"
   }
 
+  /** Mirror of TextAnalysis.qualityClassifier — generated from the
+    * SAME tenth-quantized weight constants. All features are BIGINT
+    * counts and the score is the exact integer numerator over 12000·n,
+    * emitted as one division of two CAST-to-DOUBLE exact integers —
+    * bitwise cross-engine by construction, no round() anywhere (a
+    * float-chain + round formulation hit a real .00005 boundary where
+    * the engines' round semantics diverge; see the operator scaladoc). */
+  def qualityClassifierSql: String = {
+    import TextAnalysis._
+    val stop = strList(Stopwords)
+    s"WITH t AS ($toksCte), " +
+      "f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      s"CAST(len(list_filter(toks, w -> list_contains($stop, w))) AS BIGINT) AS a, " +
+      "CAST(len(list_filter(toks, w -> regexp_matches(w, '^[A-Za-z]+$'))) AS BIGINT) AS b, " +
+      "CAST(len(list_filter(toks, w -> regexp_matches(w, '[0-9]'))) AS BIGINT) AS c, " +
+      "CAST(len(list_distinct(toks)) AS BIGINT) AS d, " +
+      "CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS s FROM t), " +
+      s"sc AS (SELECT doc_id, n_tokens, CAST(${QcBiasT * 1200}*n_tokens " +
+      s"+ ${QcStopT * 1200}*a + ${QcAlphaT * 1200}*b - ${QcDigitT * 1200}*c " +
+      s"+ ${QcDistinctT * 1200}*d + ${QcLenT * 6}*n_tokens*least(200, n_tokens) " +
+      s"- ${QcAvgLenT * 100}*least(12*n_tokens, s) AS DOUBLE) " +
+      "/ CAST(12000*n_tokens AS DOUBLE) AS score FROM f) " +
+      s"SELECT doc_id, n_tokens, score, score >= $QcThreshold AS keep " +
+      "FROM sc ORDER BY doc_id"
+  }
+
   /** Mirror of Dedup.substringPairs: same n-gram expansion, the same
     * df-cap pruning (so candidate sets match by construction), pair
     * counts over the surviving inverted index. */

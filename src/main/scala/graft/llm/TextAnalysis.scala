@@ -763,6 +763,85 @@ object TextAnalysis {
     }.toDF("w", "n_exact", "overestimates", "within_eps")
   }
 
+  /** Fixed "learned" weights of [[qualityClassifier]], in TENTHS — the
+    * linear model a DCLM/FineWeb-Edu-style curation pass ships after
+    * training offline (fastText / logistic head distilled to a handful
+    * of features), quantized to 0.1 resolution so the whole score is
+    * exact integer arithmetic (see the operator scaladoc). Literals,
+    * not config: they're part of the contract and the oracle SQL is
+    * generated from these same constants. Model: score = (−1.2
+    * + 2.1·stop_ratio + 0.8·alpha_frac − 1.5·digit_frac
+    * + 0.9·distinct_ratio + 0.4·min(1, n/200) − 0.6·min(1, avglen/12)). */
+  val QcBiasT = -12L
+  val QcStopT = 21L
+  val QcAlphaT = 8L
+  val QcDigitT = 15L
+  val QcDistinctT = 9L
+  val QcLenT = 4L
+  val QcAvgLenT = 6L
+  /** Keep threshold — 0.0 splits the contract corpus near its median
+    * (measured: median 0.034, range −0.16 to 0.66 at sf0.01), so the
+    * contract query exercises both branches. */
+  val QcThreshold = 0.0
+
+  /** Learned quality-classifier scoring — the DCLM (Li et al. 2024) /
+    * FineWeb-Edu (Penedo et al. 2024) curation shape: a linear model
+    * with FIXED learned weights over cheap per-document features,
+    * applied as one inlined codegen'd expression (no UDF, no model
+    * server) so scoring 100 TB is exactly one scan. Features: stopword
+    * ratio (fluency), alphabetic-token fraction (prose vs markup),
+    * digit-token fraction (tables/logs score down), distinct-token
+    * ratio (repetition penalty), capped length and mean-word-length
+    * terms — the classic quality-classifier feature set, with weights
+    * standing in for the offline-trained coefficients.
+    *
+    * Cross-engine discipline — the exact-grid BIGINT pattern
+    * (tfidfCosinePairs precedent), taken further: every feature is an
+    * integer count, the weights are integer tenths, and the score is
+    * assembled as ONE exact BIGINT numerator over the common
+    * denominator 12000·n, emitted as a single IEEE division of two
+    * exact integers — bit-identical cross-engine with NO rounding
+    * discipline at all. (The float-chain form was tried first and a
+    * real corpus doc landed within an ulp of the .00005 round
+    * boundary, where Spark's BigDecimal HALF_UP and DuckDB's
+    * multiply-then-round disagree — and DuckDB's DOUBLE→DECIMAL cast
+    * resolves only ~15 significant digits, so no oracle-side rounding
+    * variant can mirror it either. Exact integers close the entire
+    * divergence class.) keep compares the score against
+    * [[QcThreshold]] — equivalent to sign(numerator) at 0.0.
+    * Output: (doc_id, n_tokens, score, keep). */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+    // \A..\z absolute anchors: Java-regex '$' also matches before a
+    // trailing newline; RE2's does not (the gopherRules precedent)
+    val alphaHits = size(filter(toks, t => t.rlike("\\A[A-Za-z]+\\z")))
+    val digitHits = size(filter(toks, t => t.rlike("[0-9]")))
+    docs.select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        hitCount(toks, Stopwords).cast("long").as("a"),
+        alphaHits.cast("long").as("b"),
+        digitHits.cast("long").as("c"),
+        size(array_distinct(toks)).cast("long").as("d"),
+        sumLen.cast("long").as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        // score·12000n = 1200·(bias·n + w·counts) + 6n·lenT·min(200,n)
+        //              − 100·avgLenT·min(12n, sumlen)
+        ((lit(QcBiasT * 1200) * col("n_tokens")
+          + lit(QcStopT * 1200) * col("a")
+          + lit(QcAlphaT * 1200) * col("b")
+          - lit(QcDigitT * 1200) * col("c")
+          + lit(QcDistinctT * 1200) * col("d")
+          + lit(QcLenT * 6) * col("n_tokens") * least(lit(200L), col("n_tokens"))
+          - lit(QcAvgLenT * 100) * least(lit(12L) * col("n_tokens"), col("s")))
+          .cast("double") / (lit(12000L) * col("n_tokens")).cast("double"))
+          .as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") >= QcThreshold).as("keep"))
+  }
+
   /** Sketch-only heavy hitters — the 100 TB twin of [[heavyHitters]],
     * which VERIFIES its count-min sketch but still PRODUCES the answer
     * from an exact corpus-wide `groupBy(w)` top-k: precisely the

@@ -315,6 +315,14 @@ class PlanSpec extends SparkSpec {
     plan("q_gopher") should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
 
+  test("q_quality_classifier: single-scan projection — the learned scorer never shuffles or joins") {
+    val p = plan("q_quality_classifier", "simple")
+    (p should not).include("Join")
+    (p should not).include("hashpartitioning") // no aggregation shuffle
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+    plan("q_quality_classifier") should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
   test("q_retrieval: tiny top-k side broadcasts — the documents scan never shuffles for the join") {
     val p = plan("q_retrieval")
     p should include("BroadcastHashJoin")

@@ -549,6 +549,19 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("qualityClassifier: hand-computed linear score, exact-integer grid") {
+    // doc 1: stop 2/5, alpha 4/5, digit 1/5, distinct 5/5, avg len 3
+    //   -1.2 + 2.1*.4 + .8*.8 - 1.5*.2 + .9*1 + .4*.025 - .6*.25
+    //   = 44400/60000 = 0.74 (one exact-integer division)
+    // doc 2: all digits -> -69984/36000 = -1.944
+    val out = TextAnalysis.qualityClassifier(docsDF(
+      1L -> "the cat and dog 123", 2L -> "111 222 333"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    out(0) shouldBe ((1L, 5L, 0.74, true))
+    out(1) shouldBe ((2L, 3L, -1.944, false))
+  }
+
   test("heavyHittersSketched: matches exact top-k, estimates never underestimate") {
     val docs = docsDF(
       1L -> "a a a a a a b b b b c c c d", 2L -> "a a b b c d e f")
