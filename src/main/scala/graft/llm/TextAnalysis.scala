@@ -651,8 +651,32 @@ object TextAnalysis {
     * if that ever surfaces, pin the order on both engines by summing
     * sort_array(collect_list(lp)) left-to-right.) Docs with < 2 tokens
     * emit n_bigrams = 0 with NULL score via the final left join.
-    * Output: (doc_id, n_bigrams, avg_logprob). */
-  def bigramLogProb(docs: DataFrame, lambda: Double): DataFrame = {
+    * Output: (doc_id, n_bigrams, avg_logprob).
+    *
+    * Persist decision, measured (ScalingAudit `bigram`, interleaved 3
+    * rounds at sf0.1, min-of-samples wall): bg persisted 2.06 s vs
+    * recomputed-by-both-consumers 2.24 s vs pre-aggregated (doc_id,
+    * prev, cur) counts before the vocab joins 2.46 s — the cache keeps
+    * its small edge (the tokens-sized write is cheaper than a second
+    * explode pass), and pre-agg LOSES on this corpus: documents repeat
+    * few bigrams internally, so the extra aggregate outweighs the join
+    * rows it saves (its output is round-4 grid-identical, so it stays
+    * available as `bigramLogProbImpl(preAgg = true)` for corpora where
+    * intra-doc repetition is heavy — adopting it would also be a
+    * contract change to the oracle's sum shape). */
+  def bigramLogProb(docs: DataFrame, lambda: Double): DataFrame =
+    bigramLogProbImpl(docs, lambda, persistBg = true, preAgg = false)
+
+  /** Measurement twin of [[bigramLogProb]] (ScalingAudit `bigram`
+    * mode): `persistBg` toggles the bigram-table cache (two consumers:
+    * the bigram-count aggregate and the scoring join); `preAgg`
+    * collapses the scoring rows to (doc_id, prev, cur, k) counts
+    * BEFORE the vocab joins and sums k·ln p — fewer join rows when
+    * documents repeat bigrams internally, but a DIFFERENT float-sum
+    * shape (k·lp in one multiply vs lp added k times), so adopting it
+    * would be a contract change, not a free swap. */
+  private[graft] def bigramLogProbImpl(docs: DataFrame, lambda: Double,
+                                       persistBg: Boolean, preAgg: Boolean): DataFrame = {
     require(lambda > 0 && lambda < 1, s"need 0 < lambda < 1, got $lambda")
     val spread = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
@@ -661,25 +685,33 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = toks.count()
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    val bg = spread
+    val bg0 = spread
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
         explode(arrays_zip(
           slice(col("t"), lit(1), size(col("t")) - 1).as("prev"),
           slice(col("t"), lit(2), size(col("t")) - 1).as("cur"))).as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bg =
+      if (persistBg) bg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bg0
     val bc = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
-    val scored = bg
+    val lp = log(
+      lit(lambda) * (col("cb").cast("double") / col("cup").cast("double")) +
+        lit(1.0 - lambda) * (col("cuc").cast("double") / lit(total.toDouble)))
+    def joined(base: DataFrame): DataFrame = base
       .join(bc, Seq("prev", "cur"))
       .join(uni.select(col("w").as("prev"), col("cu").as("cup")), Seq("prev"))
       .join(uni.select(col("w").as("cur"), col("cu").as("cuc")), Seq("cur"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(log(
-          lit(lambda) * (col("cb").cast("double") / col("cup").cast("double")) +
-            lit(1.0 - lambda) * (col("cuc").cast("double") / lit(total.toDouble))))
-          .as("lp"))
+    val scored = (if (preAgg)
+      joined(bg.groupBy(col("doc_id"), col("prev"), col("cur")).agg(count(lit(1)).as("k")))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(col("k").cast("double") * lp).as("lp"))
+    else
+      joined(bg)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("lp")))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("lp") / col("n_bigrams"), 4).as("avg_logprob"))
     val out = docs.select(col("doc_id"))
@@ -690,7 +722,7 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     toks.unpersist(false)
-    bg.unpersist(false)
+    if (persistBg) { bg.unpersist(false); () }
     out
   }
 

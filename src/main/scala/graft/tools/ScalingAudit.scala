@@ -223,6 +223,48 @@ object ScalingAudit {
     hot.unpersist()
   }
 
+  /** §8 bigram-LM persist/pre-agg A/B: the one persist decision in the
+    * codebase that shipped without a measured note (r9 verdict nit #2).
+    * Three variants of `bigramLogProbImpl`, interleaved 3 rounds:
+    * current (bg persisted), no-persist (bg recomputed by both
+    * consumers), pre-agg ((doc_id, prev, cur) counts collapse before
+    * the vocab joins; different float-sum shape — adopting it would be
+    * a contract change). Output equality is checked every round
+    * (rounded grid for pre-agg). */
+  private def bigram(spark: SparkSession, dir: String): Unit = {
+    import graft.llm.TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def run(persistBg: Boolean, preAgg: Boolean): (Double, Map[Long, (Long, Option[Double])]) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val out = TextAnalysis.bigramLogProbImpl(docs, 0.9, persistBg, preAgg)
+      val m = out.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      out.unpersist(false)
+      ((System.nanoTime() - t0) / 1e9, m)
+    }
+    var walls = Map("persist" -> List.empty[Double], "nopersist" -> List.empty[Double],
+      "preagg" -> List.empty[Double])
+    var equalNoPersist = true
+    var equalPreAgg = true
+    for (r <- 1 to 3) {
+      val (wP, mP) = run(persistBg = true, preAgg = false)
+      val (wN, mN) = run(persistBg = false, preAgg = false)
+      val (wA, mA) = run(persistBg = true, preAgg = true)
+      walls = walls.map { case (k, v) => k -> (v :+ (k match {
+        case "persist" => wP; case "nopersist" => wN; case _ => wA })) }
+      equalNoPersist &&= (mP == mN)
+      equalPreAgg &&= (mP == mA)
+      println(f"round $r: persist $wP%.2f s, no-persist $wN%.2f s, pre-agg $wA%.2f s " +
+        s"(no-persist identical=${mP == mN}, pre-agg grid-identical=${mP == mA})")
+    }
+    println(f"min wall: persist ${walls("persist").min}%.2f s, " +
+      f"no-persist ${walls("nopersist").min}%.2f s, pre-agg ${walls("preagg").min}%.2f s; " +
+      s"no-persist identical every round: $equalNoPersist, " +
+      s"pre-agg rounded-grid identical every round: $equalPreAgg")
+  }
+
   /** §5 ANN probe: 10 deterministic near-copies of the SF's embeddings
     * (copy r > 0 shifts element j by a small id-and-dimension-keyed
     * offset — no RNG), 32 coarse cells seeded from the 32 lowest base
@@ -303,6 +345,7 @@ object ScalingAudit {
       case "hotsource"  =>
         hotsource(spark, args(1),
           if (args.length > 2) args(2).toInt else 10)
+      case "bigram"     => bigram(spark, args(1))
       case other        => sys.error(s"unknown mode $other")
     }
     spark.stop()
