@@ -218,6 +218,83 @@ object Bench {
             p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
           } catch { case _: Throwable => () }
         }
+      }),
+      // streaming corpus ingestion with near-dup suppression: the full
+      // documents table fed as a 4-batch file stream, each micro-batch
+      // LSH-banded against the partitions ingested before it, survivors
+      // landed with the idempotent dynamic-overwrite sink. Equality
+      // with the sequential batch run is spec-pinned (StreamingSpec);
+      // here the guard is a non-trivial surviving corpus so a state or
+      // sink regression can't pass as fast
+      "stream_ingest_dedup" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val nDocs = docs.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_bench").toString
+        try {
+          docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val q = graft.streaming.IngestDedup.start(
+            src, s"$tmp/corpus", s"$tmp/ck", threshold = 0.5)
+          q.processAllAvailable()
+          q.stop()
+          val survived = s2.read.parquet(s"$tmp/corpus").count()
+          require(survived > 0 && survived <= nDocs,
+            s"ingest stream kept $survived of $nDocs docs")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
+      // streaming retention-matrix deltas (flatMapGroupsWithState with
+      // retraction on late cohort rebases): the events table fed as a
+      // 4-batch file stream of (user_id, hour); summed deltas must
+      // reproduce the batch matrix (spec-pinned; here the guard is
+      // non-empty positive cells). State shards by user — the shuffle
+      // width IS the state-store count, sized to the stream
+      "stream_retention" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.session.timeZone", "UTC")
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val ev = SparkEntry.events(spark, sfDir)
+          .select(col("user_id"), expr("tus div 3600000000").as("hour"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_retention_bench").toString
+        try {
+          ev.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          import s2.implicits._
+          val src = s2.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .as[graft.streaming.EventStream.HourEvent]
+          val cells = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+          val q = graft.streaming.EventStream.retentionCellUpdates(src)
+            .toDF()
+            .writeStream.outputMode("update")
+            .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           _: Long) => {
+              batch.collect().foreach { r =>
+                val k = (r.getLong(0), r.getLong(1))
+                cells(k) = cells.getOrElse(k, 0L) + r.getInt(2)
+              }
+              ()
+            })
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          require(cells.valuesIterator.exists(_ > 0L),
+            "no positive retention cells from the stream")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
       }))
 
     val all = (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
