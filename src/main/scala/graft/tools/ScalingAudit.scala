@@ -223,6 +223,54 @@ object ScalingAudit {
     hot.unpersist()
   }
 
+  /** Per-round scale artifact (SCALE_r{N}.json): the §3 second-decade
+    * evidence as ONE machine-readable JSON line, produced by this
+    * committed tool so every round can re-pin the scale paths above
+    * sf0.1 (r9 verdict: the one-shot §3 numbers had no tripwire — a
+    * regression in minhash/wide-simhash/chunk banding above contract
+    * scale would go unnoticed until a manual re-audit). Candidate and
+    * pair COUNTS are the durable signal (exact rows, immune to host
+    * throttling); walls ride along for context only. Diff the counts
+    * against the previous round's artifact — any drift means a banding
+    * or cap change and must be explained in SCALING.md. */
+  private def scaleJson(spark: SparkSession, dir: String, outFile: String): Unit = {
+    import graft.llm.TextAnalysis
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val big = synthesize10x(base).repartition(64).persist()
+    val n = big.count()
+    def timedCount(mk: => org.apache.spark.sql.DataFrame)(cnt: org.apache.spark.sql.DataFrame => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val df = mk
+      val c = cnt(df)
+      val w = (System.nanoTime() - t0) / 1e9
+      df.unpersist(false)
+      (c, w)
+    }
+    val candJac = jaccardCandidates(big, JacDfCap)
+    val candMh = minhashCandidates(big)
+    val candSw = simhashCandidates(Dedup.simhashWide(big), 4, 15)
+    val dup10 = dupChunks(big, 10)
+    val (mhPairs, mhW) = timedCount(Dedup.minhashPairs(big, 0.5))(_.count())
+    val (swPairs, swW) = timedCount(Dedup.simhashPairsWide(big, 2))(_.count())
+    val (jacPairs, jacW) = timedCount(Dedup.jaccardPairs(big, 0.5, JacDfCap))(_.count())
+    val (chunkKept, ckW) = timedCount(TextAnalysis.chunkDedup(big, 10))(
+      _.agg(coalesce(sum(col("n_kept")), lit(0L))).head.getLong(0))
+    big.unpersist()
+    def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
+    val json =
+      s"""{"artifact":"scale","docs":$n,"src":"$dir",""" +
+        s""""cand_jaccard_cap$JacDfCap":$candJac,"cand_minhash":$candMh,""" +
+        s""""cand_simhash_wide":$candSw,"dup_chunk10_occurrences":$dup10,""" +
+        s""""pairs_minhash":$mhPairs,"pairs_simhash_wide":$swPairs,""" +
+        s""""pairs_jaccard_capped":$jacPairs,"chunk10_kept":$chunkKept,""" +
+        s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
+        s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)}}}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    ()
+  }
+
   /** §8 bigram-LM persist/pre-agg A/B: the one persist decision in the
     * codebase that shipped without a measured note (r9 verdict nit #2).
     * Three variants of `bigramLogProbImpl`, interleaved 3 rounds:
@@ -346,6 +394,9 @@ object ScalingAudit {
         hotsource(spark, args(1),
           if (args.length > 2) args(2).toInt else 10)
       case "bigram"     => bigram(spark, args(1))
+      case "scalejson"  =>
+        require(args.length >= 3, "usage: ScalingAudit scalejson <sf0.1Dir> <outFile>")
+        scaleJson(spark, args(1), args(2))
       case other        => sys.error(s"unknown mode $other")
     }
     spark.stop()
