@@ -51,6 +51,10 @@ object SparkEntry {
   private val TokenBudget = 500L
   /** Jelinek-Mercer interpolation weight of the bigram-LM score. */
   private val BigramLambda = 0.9
+  /** Trigram stupid-backoff: even doc_ids play the reference model;
+    * theta is Brants et al.'s unnormalized backoff penalty. */
+  private val TrigramModelMod = 2
+  private val BackoffTheta = 0.4
   /** Decontamination: docs with doc_id % DecontamMod == 0 play the
     * "benchmark/eval set"; overlap key is a word DecontamN-gram. */
   private val DecontamN = 8
@@ -955,6 +959,16 @@ object SparkEntry {
     "q_novelty" -> ((s, dir) =>
       TextAnalysis.novelty(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // trigram stupid-backoff LM (Brants 2007): score ALL docs against
+    // the even-doc_id half as the reference model — the held-out split
+    // makes every backoff branch reachable
+    "q_trigram_lp" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.trigramBackoffScore(
+        d, d.filter(col("doc_id") % TrigramModelMod === 0), BackoffTheta)
+        .orderBy(col("doc_id"))
+    }),
+
     // heavy hitters: exact top-10 tokens + count-min-sketch guarantee
     // flags (the mergeable-sketch scale path, seeded deterministic)
     "q_heavy_hitters" -> ((s, dir) =>
@@ -1689,6 +1703,8 @@ object SparkEntry {
     "q_bigram_lp" -> TextSql.bigramLogProbSql(BigramLambda),
 
     "q_novelty" -> TextSql.noveltySql,
+
+    "q_trigram_lp" -> TextSql.trigramBackoffSql(TrigramModelMod, BackoffTheta),
 
     "q_curate_chunks" -> TextSql.curateChunksSql(10, TokenBudget),
 

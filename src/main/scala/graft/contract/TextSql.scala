@@ -918,6 +918,42 @@ object TextSql {
       "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"
   }
 
+  /** Mirror of TextAnalysis.trigramBackoffScore with the model = docs
+    * whose doc_id % `mod` = 0. The LEFT-join null pattern IS the
+    * backoff ladder; each branch's double is built with the same
+    * literals and nesting as the Spark side (θ·(θ·x), ln inside the
+    * branch), integer counts CAST to DOUBLE before dividing. */
+  def trigramBackoffSql(mod: Int, theta: Double): String =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"m AS (SELECT toks FROM t WHERE doc_id % $mod = 0), " +
+      "mtok AS (SELECT unnest(toks) AS w FROM m), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM mtok), " +
+      "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM mtok GROUP BY w), " +
+      "mbgp AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM m), " +
+      "mbc AS (SELECT toks[i] AS w1, toks[i+1] AS w2, CAST(count(*) AS BIGINT) AS cb " +
+      "FROM mbgp GROUP BY 1, 2), " +
+      "mtgp AS (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM m), " +
+      "mtc AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3, " +
+      "CAST(count(*) AS BIGINT) AS ct FROM mtgp GROUP BY 1, 2, 3), " +
+      "dtgp AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t), " +
+      "dtg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3 FROM dtgp), " +
+      "sc AS (SELECT doc_id, " +
+      "CASE WHEN ct IS NOT NULL THEN ln(CAST(ct AS DOUBLE) / CAST(b12.cb AS DOUBLE)) " +
+      s"WHEN b23.cb IS NOT NULL THEN ln($theta * (CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))) " +
+      s"WHEN u3.cu IS NOT NULL THEN ln($theta * ($theta * (CAST(u3.cu AS DOUBLE) / CAST(total AS DOUBLE)))) " +
+      s"ELSE ln($theta * ($theta * (1.0 / CAST(total AS DOUBLE)))) END AS lp " +
+      "FROM dtg " +
+      "LEFT JOIN mtc USING (w1, w2, w3) " +
+      "LEFT JOIN mbc b12 ON dtg.w1 = b12.w1 AND dtg.w2 = b12.w2 " +
+      "LEFT JOIN mbc b23 ON dtg.w2 = b23.w1 AND dtg.w3 = b23.w2 " +
+      "LEFT JOIN uni u2 ON dtg.w2 = u2.w " +
+      "LEFT JOIN uni u3 ON dtg.w3 = u3.w " +
+      "CROSS JOIN n), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, " +
+      "round(sum(lp) / count(*), 4) + 0.0 AS avg_logprob FROM sc GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(n_trigrams, 0) AS n_trigrams, avg_logprob " +
+      "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"
+
   def annIvfSql(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int, k: Int): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +

@@ -726,6 +726,91 @@ object TextAnalysis {
     out
   }
 
+  /** Trigram stupid-backoff LM score (Brants et al., EMNLP 2007 —
+    * "Large Language Models in Machine Translation", the smoothing
+    * designed FOR distributed MapReduce-era LMs: no discount mass to
+    * normalize across shards, just count ratios with a fixed backoff
+    * penalty) — the top of the scorer ladder above [[unigramLogProb]]
+    * and [[bigramLogProb]], and unlike them it scores against a
+    * SEPARATE reference corpus `model` (the CCNet shape: score the
+    * crawl against a trusted-domain LM), which is what makes backoff
+    * meaningful — a corpus scored against itself never sees an unseen
+    * trigram. Per transition (w1,w2,w3):
+    *   S = ct(w1w2w3)/cb(w1w2)            if the trigram is in the model
+    *     | θ·(cb(w2w3)/cu(w2))            else if the bigram is
+    *     | θ·(θ·(cu(w3)/N))               else if the unigram is
+    *     | θ·(θ·(1/N))                    else (out-of-vocabulary)
+    * score = round(Σ ln S / n_trigrams, 4); docs with < 3 tokens emit
+    * n_trigrams = 0 with NULL score.
+    *
+    * Shape: model-side token/bigram/trigram aggregates (vocab-sized,
+    * broadcast when small — the bigramLogProb caveat applies), the doc
+    * trigram stream built by one zip-shifted explode (native
+    * arrays_zip of three slices, no HOF), five LEFT equi-joins whose
+    * null pattern IS the backoff ladder (a model trigram implies its
+    * prefix bigram, a model bigram implies its unigrams — so each
+    * branch's denominator is non-null by construction), one per-doc
+    * aggregate. Float discipline: every branch builds its double with
+    * identical literals and nesting (θ·(θ·x), never (θ·θ)·x) in both
+    * engines, ln inside the branch; round-4 absorbs per-doc sum order
+    * (the bigramLogProb argument). Output: (doc_id, n_trigrams,
+    * avg_logprob). */
+  def trigramBackoffScore(docs: DataFrame, model: DataFrame,
+                          theta: Double = 0.4): DataFrame = {
+    require(theta > 0 && theta < 1, s"need 0 < theta < 1, got $theta")
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val mSpread = model.repartition(parts)
+    val mToks = mSpread
+      .select(explode(tokens(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = mToks.count()
+    val uni = mToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    def gramRows(src: DataFrame, keep: Seq[org.apache.spark.sql.Column], n: Int): DataFrame = {
+      val t = tokens(col("text"))
+      val len = greatest(size(t) - (n - 1), lit(0))
+      val zipped = arrays_zip(
+        (1 to n).map(i => slice(t, lit(i), len).as(s"w$i")): _*)
+      src.select((keep :+ explode(zipped).as("g")): _*)
+        .select((keep ++ (1 to n).map(i => col(s"g.w$i").as(s"w$i"))): _*)
+    }
+    val mBg = gramRows(mSpread, Seq.empty, 2)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val mTg = gramRows(mSpread, Seq.empty, 3)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("ct"))
+    val dTg = gramRows(
+      docs.repartition(parts), Seq(col("doc_id")), 3)
+    val lp =
+      when(col("ct").isNotNull,
+        log(col("ct").cast("double") / col("cb12").cast("double")))
+        .when(col("cb23").isNotNull,
+          log(lit(theta) * (col("cb23").cast("double") / col("cu2").cast("double"))))
+        .when(col("cu3").isNotNull,
+          log(lit(theta) * (lit(theta) * (col("cu3").cast("double") / lit(total.toDouble)))))
+        .otherwise(
+          log(lit(theta) * (lit(theta) * (lit(1.0) / lit(total.toDouble)))))
+    val scored = dTg
+      .join(mTg, Seq("w1", "w2", "w3"), "left")
+      .join(mBg.select(col("w1"), col("w2"), col("cb").as("cb12")),
+        Seq("w1", "w2"), "left")
+      .join(mBg.select(col("w1").as("w2"), col("w2").as("w3"), col("cb").as("cb23")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("cu3")), Seq("w3"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(lp).as("lp"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("lp") / col("n_trigrams"), 4).as("avg_logprob"))
+    val out = docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_logprob"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    mToks.unpersist(false)
+    out
+  }
+
   /** Cross-document novelty score — the diversity signal curation runs
     * rank with (near-boilerplate documents share every n-gram with the
     * rest of the corpus; genuinely new content doesn't): per document,

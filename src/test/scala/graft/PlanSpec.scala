@@ -86,6 +86,23 @@ class PlanSpec extends SparkSpec {
     (p should not).include("SortMergeJoin")
   }
 
+  test("q_trigram_lp: model count tables all broadcast LEFT joins, never sort-merge") {
+    // the backoff ladder is five LEFT equi-joins against vocab-sized
+    // model tables — broadcast at contract scale, shuffle joins (still
+    // correct) at real vocabulary sizes; never a cartesian
+    val p = plan("q_trigram_lp")
+    p should include("BroadcastHashJoin LeftOuter")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q_token_budget_trim: the bucket bound broadcasts into a LeftSemi, one serial window") {
+    val p = plan("q_token_budget_trim")
+    p should include("BroadcastHashJoin LeftSemi")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("assignment expression stays inside whole-stage codegen") {
     plan("p3_assign", "codegen") should include("WholeStageCodegen")
   }

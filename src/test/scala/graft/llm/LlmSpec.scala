@@ -667,6 +667,29 @@ class LlmSpec extends SparkSpec {
     again shouldBe out.map(r => (r._1, r._2, r._5)).sortBy(_._2)
   }
 
+  test("trigramBackoffScore: every backoff branch hand-computed, short docs NULL") {
+    // model "a b c a b d": N=6; cu a=2,b=2,c=1,d=1; cb (a,b)=2,(b,c)=1,
+    // (c,a)=1,(b,d)=1; ct (a,b,c)=1,(b,c,a)=1,(c,a,b)=1,(a,b,d)=1
+    val model = docsDF(100L -> "a b c a b d")
+    val scored = docsDF(
+      1L -> "a b c", // ct branch: S = 1/2 -> ln .5 = -0.6931
+      2L -> "x b c", // cb23 branch: S = .4*(1/2) -> ln .2 = -1.6094
+      3L -> "a b z", // cu3 unseen -> OOV branch: S = .4*(.4*(1/6)) -> -3.6243
+      4L -> "c a a", // cu3 branch: (c,a,a) and (a,a) unseen, cu(a)=2:
+                     // S = .4*(.4*(2/6)) -> ln(4/75) = -2.9312
+      5L -> "a b")   // < 3 tokens: no trigrams
+    val out = TextAnalysis.trigramBackoffScore(scored, model, theta = 0.4)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    out(0) shouldBe ((1L, 1L, -0.6931))
+    out(1) shouldBe ((2L, 1L, -1.6094))
+    out(2) shouldBe ((3L, 1L, -3.6243))
+    out(3) shouldBe ((4L, 1L, -2.9312))
+    out(4)._2 shouldBe 0L
+    out(4)._3.isNaN shouldBe true
+  }
+
   test("tokenBudgetSampleTrimmed: kept set identical to the exact operator, trim really trims") {
     // contract corpus: every returned row must agree with the exact
     // operator on ALL columns, and the kept sets must match row-for-row
