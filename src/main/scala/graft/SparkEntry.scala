@@ -865,6 +865,15 @@ object SparkEntry {
     "q_quality_classifier" -> ((s, dir) =>
       TextAnalysis.qualityClassifier(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // scored decontamination audit: per-doc eval-set n-gram hit counts
+    // + contaminated fraction (the view a pipeline inspects before
+    // choosing its drop policy; q_decontaminate applies n_hit > 0)
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationScore(d, d.filter(col("doc_id") % DecontamMod === 0), DecontamN)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style intra-document repetition quality signals
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir))
@@ -1641,6 +1650,8 @@ object SparkEntry {
     "q_winnow" -> TextSql.winnowSql(k = 3, w = 4),
 
     "q_decontaminate" -> TextSql.decontaminateSql(DecontamN, DecontamMod),
+
+    "q_contamination" -> TextSql.contaminationScoreSql(DecontamN, DecontamMod),
 
     "q_repetition" -> TextSql.repetitionSql,
 

@@ -1016,6 +1016,25 @@ object TextSql {
       "FROM sc ORDER BY doc_id"
   }
 
+  /** Mirror of Dedup.contaminationScore: distinct n-grams per doc, LEFT
+    * probe against the eval-doc gram set, per-doc hit counts + rounded
+    * fraction (BIGINT/BIGINT double division, the novelty precedent). */
+  def contaminationScoreSql(n: Int, benchMod: Int): String = {
+    val gram = (0 until n).map(o => s"toks[(i+$o)::INT]").mkString(" || ' ' || ")
+    s"WITH t AS ($toksCte), " +
+      s"g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= $n THEN " +
+      s"list_distinct(list_transform(range(1, len(toks)-${n - 1}+1), i -> $gram)) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS s FROM t), " +
+      s"bench AS (SELECT DISTINCT s FROM g WHERE doc_id % $benchMod = 0), " +
+      "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+      "CAST(count(bench.s) AS BIGINT) AS n_hit, " +
+      "round(CAST(count(bench.s) AS DOUBLE) / count(*), 4) AS contamination " +
+      "FROM g LEFT JOIN bench ON g.s = bench.s GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams, " +
+      "coalesce(n_hit, 0) AS n_hit, contamination " +
+      "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id ORDER BY d.doc_id"
+  }
+
   /** Mirror of Dedup.substringPairs: same n-gram expansion, the same
     * df-cap pruning (so candidate sets match by construction), pair
     * counts over the surviving inverted index. */

@@ -112,6 +112,37 @@ object Dedup {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Scored twin of [[decontaminate]] — the audit view a pipeline wants
+    * BEFORE committing to a drop policy: per corpus document, how many
+    * of its distinct word `n`-grams appear anywhere in the benchmark
+    * set, and the contaminated fraction. The drop rule `decontaminate`
+    * applies is `n_hit > 0`; thresholded variants (drop only if > x%
+    * contaminated — the lenient policy some pipelines use for short
+    * incidental overlaps) filter this frame instead of needing a new
+    * operator. Same shape as decontaminate: tiny benchmark gram set
+    * broadcasts, the corpus explodes once, one LEFT probe + per-doc
+    * aggregate; documents with fewer than `n` tokens have no grams and
+    * score NULL. Output: (doc_id, n_grams, n_hit, contamination). */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(ngramShingles(col("text"), n)).as("s"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val per = spread(corpus)
+      .select(col("doc_id"), explode(ngramShingles(col("text"), n)).as("s"))
+      .join(broadcast(benchGrams), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit") / col("n_grams"), 4).as("contamination"))
+    corpus.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("contamination"))
+  }
+
   /** Exact substring-match near-dup pairs — the signal of Lee et al.
     * 2022 ("Deduplicating Training Data Makes Language Models Better"),
     * at word granularity: document pairs sharing at least one exact word

@@ -667,6 +667,31 @@ class LlmSpec extends SparkSpec {
     again shouldBe out.map(r => (r._1, r._2, r._5)).sortBy(_._2)
   }
 
+  test("contaminationScore: per-doc hit fractions; short docs NULL; drop rule matches decontaminate") {
+    val docs = docsDF(
+      0L -> "q1 q2 q3 q4 x y z",     // the "benchmark" doc
+      1L -> "q1 q2 q3 q4 a b c d",   // shares the eval 4-gram: contaminated
+      2L -> "a b c d e f g",         // clean: 4 grams, 0 hits
+      3L -> "s t")                   // < 4 tokens: no grams
+    val bench = docs.filter(col("doc_id") === 0)
+    val out = Dedup.contaminationScore(docs, bench, n = 4)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    out(0) shouldBe ((0L, 4L, 4L, 1.0)) // the benchmark doc is 100% itself
+    out(1)._3 shouldBe 1L               // exactly the shared (q1..q4) gram
+    out(1)._4 shouldBe 0.2              // 1 of 5 distinct 4-grams
+    out(2) shouldBe ((2L, 4L, 0L, 0.0))
+    out(3)._2 shouldBe 0L
+    out(3)._3 shouldBe 0L
+    out(3)._4.isNaN shouldBe true
+    // the boolean operator's drop rule is exactly n_hit > 0
+    val dropped = docs.select(col("doc_id"))
+      .except(Dedup.decontaminate(docs, bench, 4).select(col("doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    out.filter(_._3 > 0).map(_._1).toSet shouldBe dropped
+  }
+
   test("trigramBackoffScore: every backoff branch hand-computed, short docs NULL") {
     // model "a b c a b d": N=6; cu a=2,b=2,c=1,d=1; cb (a,b)=2,(b,c)=1,
     // (c,a)=1,(b,d)=1; ct (a,b,c)=1,(b,c,a)=1,(c,a,b)=1,(a,b,d)=1
