@@ -114,6 +114,9 @@ object SparkEntry {
     * while pruning the dense tail at bench scale). */
   private val TcosThreshold = 0.5
   private val TcosDfCap = 64L
+  /** Winnow-pair contract: shared-fingerprint floor + hot-fp df cap. */
+  private val WinnowMinShared = 2L
+  private val WinnowDfCap = 64L
   /** Binned range join: band count / base / width and the bin width. */
   private val RangeBins = 40
   private val RangeBase = 800.0
@@ -836,6 +839,13 @@ object SparkEntry {
     "q_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(docs(s, dir), k = 3, w = 4)
         .orderBy(col("doc_id"), col("fp"))),
+
+    // winnowing near-dup pairs: the MOSS fingerprint sets joined on a
+    // df-capped inverted index — substringPairs' guarantee at ~2/(w+1)
+    // of the index volume
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(docs(s, dir), k = 3, w = 4, WinnowMinShared, WinnowDfCap)
+        .orderBy(col("da"), col("db"))),
 
     // per-vector symmetric int8 quantization — integer aggregates of the
     // codes match the oracle exactly (no float tolerance anywhere)
@@ -1648,6 +1658,8 @@ object SparkEntry {
     "dedup_tfidf_cosine" -> TextSql.tfidfCosineSql(TcosThreshold, TcosDfCap),
 
     "q_winnow" -> TextSql.winnowSql(k = 3, w = 4),
+
+    "q_winnow_pairs" -> TextSql.winnowPairsSql(3, 4, WinnowMinShared, WinnowDfCap),
 
     "q_decontaminate" -> TextSql.decontaminateSql(DecontamN, DecontamMod),
 

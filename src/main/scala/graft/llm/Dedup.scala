@@ -188,6 +188,39 @@ object Dedup {
     materialized(pairCount(joined, "n_shared", packable), Seq(g))
   }
 
+  /** Winnowing near-dup pairs — the MOSS pipeline COMPLETED (Schleimer
+    * et al., SIGMOD'03: `TextAnalysis.winnow` builds the fingerprint
+    * sets; this joins them): document pairs sharing at least
+    * `minShared` winnow fingerprints, with the shared count. Same
+    * guarantee as [[substringPairs]] — any shared token run of w+k−1
+    * tokens is caught — at ~2/(w+1) of the index size, which is the
+    * whole point of winnowing at 100 TB: the inverted index (the thing
+    * that shuffles) stores one row per selected window minimum, not
+    * one per gram. Same df-cap scale discipline as every pair
+    * generator here: fingerprints in more than `dfCap` documents are
+    * boilerplate (they'd pair everything containing them) and are
+    * dropped first, mirrored in the oracle so candidate sets match by
+    * construction. Output: (da, db, n_shared). */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int,
+                  minShared: Long, dfCap: Long): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    require(dfCap >= 2, s"need dfCap >= 2, got $dfCap")
+    // winnow() spreads + distincts internally; persist because the
+    // fingerprint table feeds the df aggregate AND both join sides
+    val f = graft.llm.TextAnalysis.winnow(docs, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val packable = idsPackable(docs)
+    val keep = f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("fp"))
+    val kept = f.join(keep, Seq("fp"))
+    val joined = kept.as("a")
+      .join(kept.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+    materialized(
+      pairCount(joined, "n_shared", packable).filter(col("n_shared") >= minShared),
+      Seq(f))
+  }
+
   /** Per-source corpus report — the per-domain duplication/volume table
     * a curation run builds source blocklists from (C4 dropped whole
     * domains this way; `source` stands in for the crawl domain). Takes

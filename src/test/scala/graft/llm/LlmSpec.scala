@@ -667,6 +667,30 @@ class LlmSpec extends SparkSpec {
     again shouldBe out.map(r => (r._1, r._2, r._5)).sortBy(_._2)
   }
 
+  test("winnowPairs: clones share every fingerprint, shared runs caught, df-cap prunes hot fps") {
+    val run = "p q r s t u v w" // an 8-token shared run >= w+k-1 = 6
+    val docs = docsDF(
+      1L -> s"a b c d $run",
+      2L -> s"$run x y z1 z2",
+      3L -> s"a b c d $run", // exact clone of doc 1
+      4L -> "m n o m n o m n o")
+    val out = Dedup.winnowPairs(docs, k = 3, w = 4, minShared = 1, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    pairs should contain((1L, 2L)) // the winnow guarantee on the shared run
+    pairs should contain((1L, 3L))
+    (pairs should not).contain((1L, 4L))
+    // clones share ALL fingerprints
+    val w1 = TextAnalysis.winnow(docs.filter(col("doc_id") === 1), 3, 4).count()
+    out.find(p => p._1 == 1L && p._2 == 3L).get._3 shouldBe w1
+    // cap 2 prunes the run fps (df 3 across docs 1/2/3) but the clone
+    // pair survives on its prefix fps (df exactly 2)
+    val capped = Dedup.winnowPairs(docs, 3, 4, minShared = 1, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped should contain((1L, 3L))
+    (capped should not).contain((1L, 2L))
+  }
+
   test("contaminationScore: per-doc hit fractions; short docs NULL; drop rule matches decontaminate") {
     val docs = docsDF(
       0L -> "q1 q2 q3 q4 x y z",     // the "benchmark" doc
