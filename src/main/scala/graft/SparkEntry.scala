@@ -935,6 +935,11 @@ object SparkEntry {
 
     // ---- round 5: normalization, corpus report, training order, RP, PQ ----
 
+    // per-source vocabulary report (Heaps/TTR diagnostic) with the HLL
+    // scale twin flag: exact distincts verify the mergeable sketch
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabStats(docs(s, dir)).orderBy(col("source"))),
+
     // pre-dedup text normalization: digest + sizes per document
     "q_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(docs(s, dir)).orderBy(col("doc_id"))),
@@ -1713,6 +1718,18 @@ object SparkEntry {
         "reach AS (SELECT a, b FROM sym " +
         "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a) " +
         "SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a ORDER BY doc_id"),
+
+    // sketch pattern: the oracle checks the exact counts and expects
+    // the HLL guarantee flag TRUE; the estimate never crosses engines
+    "q_vocab" ->
+      ("WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) " +
+        "SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT w) AS BIGINT) AS n_types, " +
+        "round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 4) AS type_token_ratio, " +
+        "TRUE AS hll_ok " +
+        "FROM tok GROUP BY source ORDER BY source"),
 
     // ---- round 5 ----
     "q_normalize" -> TextSql.normalizeSql,

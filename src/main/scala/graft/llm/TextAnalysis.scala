@@ -1022,6 +1022,34 @@ object TextAnalysis {
     top.toSeq.toDF("w", "n_est")
   }
 
+  /** Per-source vocabulary report — the Heaps-law / type-token-ratio
+    * diagnostic a corpus audit runs per domain (a source whose TTR
+    * collapses is template spam; one whose vocabulary never grows is
+    * boilerplate): per source, document/token/distinct-token counts
+    * and the rounded type-token ratio, PLUS the sketch twin — the
+    * HyperLogLog++ estimate (`approx_count_distinct`, mergeable,
+    * deterministic: hash-based, no RNG) with a guarantee flag that it
+    * landed within 3·rsd of the exact count. At 100 TB the HLL column
+    * IS the operator (constant memory per source vs a vocabulary-sized
+    * exact distinct); the exact column exists to verify it at contract
+    * scale — the q_heavy_hitters exact+flags pattern.
+    * Output: (source, n_docs, n_tokens, n_types, type_token_ratio,
+    * hll_ok). */
+  def vocabStats(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_types"),
+        approx_count_distinct(col("w"), rsd).as("hll"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens"), 4).as("type_token_ratio"),
+        (abs(col("hll") - col("n_types")).cast("double") <=
+          col("n_types").cast("double") * lit(3 * rsd)).as("hll_ok"))
+
   /** Normalization used before exact/near dedup in real pipelines:
     * lower-case, collapse every non-alphanumeric run to one space, trim.
     * Catches the trivial variants (case, punctuation, whitespace) that

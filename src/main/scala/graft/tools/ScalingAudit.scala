@@ -94,6 +94,13 @@ object ScalingAudit {
       .groupBy(col("b.chunk"), col("b.key")).agg(count(lit(1)).as("g")))
   }
 
+  /** Winnow-fingerprint collision rows with df in [2, cap] — the join
+    * volume behind winnowPairs (round 10). */
+  private def winnowCandidates(docs: DataFrame, cap: Long): Long =
+    pairsOf(graft.llm.TextAnalysis.winnow(docs, 3, 4)
+      .groupBy(col("fp")).agg(count(lit(1)).as("g"))
+      .filter(col("g") >= 2 && col("g") <= cap))
+
   /** Duplicate chunk occurrences (rows minus distinct chunk texts) —
     * the work chunkDedup's keeper join removes; grows with content
     * duplication, not n². */
@@ -118,6 +125,7 @@ object ScalingAudit {
     println(f"simhash 20-bit (4x5-bit chunks):  ${simhashCandidates(Dedup.simhash(docs), 4, 5)}%,d")
     println(f"simhash wide 60-bit (4x15-bit):   ${simhashCandidates(Dedup.simhashWide(docs), 4, 15)}%,d")
     println(f"dup 10-token chunk occurrences:   ${dupChunks(docs, 10)}%,d")
+    println(f"winnow k=3 w=4 (df cap 64):       ${winnowCandidates(docs, 64L)}%,d")
     docs.unpersist()
   }
 

@@ -667,6 +667,17 @@ class LlmSpec extends SparkSpec {
     again shouldBe out.map(r => (r._1, r._2, r._5)).sortBy(_._2)
   }
 
+  test("vocabStats: per-source type-token ratio, HLL twin within its band") {
+    val docs = Seq(
+      (1L, "a b a b c", "s1"), (2L, "a d", "s1"), (3L, "x x x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.vocabStats(docs).orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    out(0) shouldBe (("s1", 2L, 7L, 4L, 0.5714, true))
+    out(1) shouldBe (("s2", 1L, 3L, 1L, 0.3333, true))
+  }
+
   test("winnowPairs: clones share every fingerprint, shared runs caught, df-cap prunes hot fps") {
     val run = "p q r s t u v w" // an 8-token shared run >= w+k-1 = 6
     val docs = docsDF(
