@@ -920,6 +920,43 @@ object SparkEntry {
           min(col("doc_id")).as("first_kept"))
         .orderBy(col("source"))),
 
+    // curation funnel: the full pipeline composed END-TO-END — quality
+    // gate (Gopher rules) → exact dedup (keep lowest id per text) →
+    // benchmark decontamination → token-budget mixture — reported as
+    // per-stage survivor counts + token volumes against ONE oracle
+    // that re-derives every stage (the q_curate_chunks pattern, wider)
+    "q_curation_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def stage(df: DataFrame, id: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(size(TextAnalysis.tokens(col("text")))), lit(0L))
+              .cast("long").as("n_tokens"))
+          .select(lit(id.toLong).as("stage"), lit(name).as("name"),
+            col("n_docs"), col("n_tokens"))
+      val s1 = d.join(
+        TextAnalysis.gopherRules(d, GopherMinWords, GopherMaxWords,
+          GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac)
+          .filter(col("passes")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val s2 = s1.join(
+        s1.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val s3 = Dedup.decontaminate(
+        s2, d.filter(col("doc_id") % DecontamMod === 0), DecontamN)
+      val s4 = TextAnalysis.tokenBudgetSample(s3, Map.empty, TokenBudget)
+        .filter(col("kept"))
+        .select(col("doc_id"), col("n_toks"))
+      stage(d, 0, "all")
+        .unionAll(stage(s1, 1, "quality"))
+        .unionAll(stage(s2, 2, "dedup"))
+        .unionAll(stage(s3, 3, "decontaminated"))
+        .unionAll(s4.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+          .select(lit(4L).as("stage"), lit("budgeted").as("name"),
+            col("n_docs"), col("n_tokens")))
+        .orderBy(col("stage"))
+    }),
+
     // grouping sets: revenue rollup over (nation, order status)
     "q_rollup" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -1747,6 +1784,10 @@ object SparkEntry {
     "q_trigram_lp" -> TextSql.trigramBackoffSql(TrigramModelMod, BackoffTheta),
 
     "q_curate_chunks" -> TextSql.curateChunksSql(10, TokenBudget),
+
+    "q_curation_funnel" -> TextSql.funnelSql(GopherMinWords, GopherMaxWords,
+      GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac,
+      DecontamN, DecontamMod, TokenBudget),
 
     // sketch pattern (q_approx_distinct precedent): the oracle checks
     // the exact counts and expects the guarantee flags TRUE; the

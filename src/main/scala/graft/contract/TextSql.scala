@@ -1054,6 +1054,48 @@ object TextSql {
       "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id ORDER BY d.doc_id"
   }
 
+  /** Mirror of the q_funnel composition: gopher gate → exact-dedup
+    * keepers → decontamination (bench grams from the FULL corpus, as
+    * the Spark side passes them) → token-budget window over the
+    * survivors, each stage re-derived from the prior one, reported as
+    * per-stage survivor counts + token volumes. */
+  def funnelSql(minWords: Int, maxWords: Int, minAvgLen: Double, maxAvgLen: Double,
+                minStopHits: Int, minAlphaFrac: Double,
+                n: Int, benchMod: Int, budget: Long): String = {
+    val gram = (0 until n).map(o => s"toks[(i+$o)::INT]").mkString(" || ' ' || ")
+    val grams = s"unnest(CASE WHEN len(toks) >= $n THEN " +
+      s"list_distinct(list_transform(range(1, len(toks)-${n - 1}+1), i -> $gram)) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS s"
+    def toklen(rel: String) =
+      s"CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS n_tokens FROM $rel"
+    s"WITH gp AS (SELECT doc_id FROM (${gopherSql(minWords, maxWords, minAvgLen,
+      maxAvgLen, minStopHits, minAlphaFrac)}) g WHERE passes), " +
+      "s1 AS (SELECT d.* FROM documents d JOIN gp USING (doc_id)), " +
+      "k AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY text), " +
+      "s2 AS (SELECT s1.* FROM s1 JOIN k USING (doc_id)), " +
+      "t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM s2), " +
+      s"g2 AS (SELECT doc_id, $grams FROM t2), " +
+      s"tb0 AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % $benchMod = 0), " +
+      s"bg AS (SELECT DISTINCT s FROM (SELECT $grams FROM tb0)), " +
+      "bad AS (SELECT DISTINCT doc_id FROM g2 JOIN bg USING (s)), " +
+      "s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
+      "t3 AS (SELECT doc_id, source, " +
+      "CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks, " +
+      s"coalesce(CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END, 0) AS fp " +
+      "FROM s3), " +
+      "c3 AS (SELECT doc_id, n_toks, sum(n_toks) OVER (PARTITION BY source " +
+      "ORDER BY fp, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t3), " +
+      s"s4 AS (SELECT doc_id, n_toks FROM c3 WHERE cum <= $budget) " +
+      "SELECT * FROM (" +
+      s"SELECT CAST(0 AS BIGINT) AS stage, 'all' AS name, count(*) AS n_docs, ${toklen("documents")} " +
+      s"UNION ALL SELECT 1, 'quality', count(*), ${toklen("s1")} " +
+      s"UNION ALL SELECT 2, 'dedup', count(*), ${toklen("s2")} " +
+      s"UNION ALL SELECT 3, 'decontaminated', count(*), ${toklen("s3")} " +
+      "UNION ALL SELECT 4, 'budgeted', count(*), " +
+      "CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4" +
+      ") ORDER BY stage"
+  }
+
   /** Mirror of Dedup.substringPairs: same n-gram expansion, the same
     * df-cap pruning (so candidate sets match by construction), pair
     * counts over the surviving inverted index. */

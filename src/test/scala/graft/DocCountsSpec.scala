@@ -25,6 +25,25 @@ class DocCountsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("every contract key appears exactly twice in the SparkEntry source (query + oracle)") {
+    // Map literals collapse duplicate keys SILENTLY (last entry wins):
+    // round 10 nearly shipped a new "q_funnel" that shadowed the
+    // existing event-funnel query — both maps stayed consistent, the
+    // gate stayed green, and a contract query vanished without any
+    // signal. A key's source count != 2 (one queries entry + one
+    // oracleSql entry) is that bug.
+    val src = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val counts = "\"([A-Za-z0-9_]+)\" ->".r.findAllMatchIn(src)
+      .map(_.group(1)).toList.groupBy(identity).view.mapValues(_.size).toMap
+    for (k <- SparkEntry.queries.keySet)
+      withClue(s"$k occurs ${counts.getOrElse(k, 0)}x in SparkEntry.scala: ") {
+        counts.getOrElse(k, 0) shouldBe 2
+      }
+  }
+
   test("every contract query has an oracle mirror (or is documented in COVERAGE.md)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the driver records a weaker rows-only check for oracle-less
