@@ -94,6 +94,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS: batch-wise build + merge equals the one-shot batch sketch") {
+    implicit val ctx = spark.sqlContext
+    val b1 = Seq((1L, "a a a b c"), (2L, "a b d"))
+    val b2 = Seq((3L, "c c e a"), (4L, "b b b f"))
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val sk = new StreamingSketch(eps = 0.01, confidence = 0.99, seed = 42)
+    val q = sk.start(mem.toDF.toDF("doc_id", "text"), s"$dir/ck")
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the one-shot batch sketch over everything, same eps/conf/seed
+    val batch = (b1 ++ b2).toDF("doc_id", "text")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .stat.countMinSketch("w", 0.01, 0.99, 42)
+    val merged = sk.snapshot
+    merged.totalCount shouldBe batch.totalCount
+    for (w <- Seq("a", "b", "c", "d", "e", "f", "zz"))
+      withClue(s"$w: ") {
+        merged.estimateCount(w) shouldBe batch.estimateCount(w)
+      }
+    // and the estimates bound the true counts from above (a=5,b=5)
+    merged.estimateCount("a") should be >= 5L
+    merged.estimateCount("b") should be >= 5L
+  }
+
   test("stream-static join: a stream enriches against a static dimension") {
     // the standard enrichment shape: unbounded fact stream, bounded
     // dimension table — Spark broadcasts/probes the static side per
