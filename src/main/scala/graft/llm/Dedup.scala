@@ -200,7 +200,11 @@ object Dedup {
     * generator here: fingerprints in more than `dfCap` documents are
     * boilerplate (they'd pair everything containing them) and are
     * dropped first, mirrored in the oracle so candidate sets match by
-    * construction. Output: (da, db, n_shared). */
+    * construction. Measured (SCALING.md §2a, round 10): candidate
+    * growth is quadratic on a duplication-heavy corpus (89× for 10×
+    * docs at cap 64) at ~1/90 the jaccard index volume — an EXACT
+    * signal generator like substringPairs, guarded by its cap, with
+    * minhash remaining the 100 TB default. Output: (da, db, n_shared). */
   def winnowPairs(docs: DataFrame, k: Int, w: Int,
                   minShared: Long, dfCap: Long): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1, got $minShared")
