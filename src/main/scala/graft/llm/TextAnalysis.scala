@@ -756,7 +756,25 @@ object TextAnalysis {
     * (the bigramLogProb argument). Output: (doc_id, n_trigrams,
     * avg_logprob). */
   def trigramBackoffScore(docs: DataFrame, model: DataFrame,
-                          theta: Double = 0.4): DataFrame = {
+                          theta: Double = 0.4): DataFrame =
+    trigramBackoffScoreImpl(docs, model, theta, rateTables = true)
+
+  /** Measurement twin (ScalingAudit `trigram` mode): `rateTables`
+    * pre-divides each backoff branch's value on the VOCAB-side table —
+    * S1 = ct/cb12 per distinct model trigram, S2 = θ·cb/cu per model
+    * bigram, S3 = θ²·cu/N per unigram — so the doc trigram stream
+    * takes THREE left joins instead of five and the divisions run once
+    * per distinct n-gram instead of once per occurrence. Bit-identical
+    * by construction: each branch divides the SAME integer pair with
+    * the same nesting, so the per-row double (and its ln) is the same
+    * IEEE value either way — the oracle doesn't change. false = the
+    * direct five-join form, kept for the interleaved A/B. Measured
+    * (ScalingAudit `trigram`, 3 interleaved rounds at sf0.1,
+    * min-of-samples): rate-tables 19.7 CPU-s vs direct 23.9 CPU-s
+    * (wall noise-level on this box), outputs bitwise identical every
+    * round — rate-tables is the shipped default. */
+  private[graft] def trigramBackoffScoreImpl(docs: DataFrame, model: DataFrame,
+                                             theta: Double, rateTables: Boolean): DataFrame = {
     require(theta > 0 && theta < 1, s"need 0 < theta < 1, got $theta")
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val mSpread = model.repartition(parts)
@@ -779,25 +797,54 @@ object TextAnalysis {
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("ct"))
     val dTg = gramRows(
       docs.repartition(parts), Seq(col("doc_id")), 3)
-    val lp =
-      when(col("ct").isNotNull,
-        log(col("ct").cast("double") / col("cb12").cast("double")))
-        .when(col("cb23").isNotNull,
-          log(lit(theta) * (col("cb23").cast("double") / col("cu2").cast("double"))))
-        .when(col("cu3").isNotNull,
-          log(lit(theta) * (lit(theta) * (col("cu3").cast("double") / lit(total.toDouble)))))
-        .otherwise(
-          log(lit(theta) * (lit(theta) * (lit(1.0) / lit(total.toDouble)))))
-    val scored = dTg
-      .join(mTg, Seq("w1", "w2", "w3"), "left")
-      .join(mBg.select(col("w1"), col("w2"), col("cb").as("cb12")),
-        Seq("w1", "w2"), "left")
-      .join(mBg.select(col("w1").as("w2"), col("w2").as("w3"), col("cb").as("cb23")),
-        Seq("w2", "w3"), "left")
-      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
-      .join(uni.select(col("w").as("w3"), col("cu").as("cu3")), Seq("w3"), "left")
+    // OOV floor: same literals and nesting as every branch's SQL mirror
+    val defaultLp = log(lit(theta) * (lit(theta) * (lit(1.0) / lit(total.toDouble))))
+    val joined =
+      if (rateTables) {
+        // vocab-side rate tables: one double per distinct n-gram; a
+        // model trigram always finds its prefix bigram (same corpus),
+        // so the inner join on (w1, w2) loses nothing
+        val s1 = mTg
+          .join(mBg.select(col("w1"), col("w2"), col("cb")), Seq("w1", "w2"))
+          .select(col("w1"), col("w2"), col("w3"),
+            (col("ct").cast("double") / col("cb").cast("double")).as("s1"))
+        val s2 = mBg
+          .join(uni.select(col("w").as("w1"), col("cu")), Seq("w1"))
+          .select(col("w1").as("w2"), col("w2").as("w3"),
+            (lit(theta) * (col("cb").cast("double") / col("cu").cast("double"))).as("s2"))
+        val s3 = uni.select(col("w").as("w3"),
+          (lit(theta) * (lit(theta) * (col("cu").cast("double") / lit(total.toDouble))))
+            .as("s3"))
+        dTg
+          .join(s1, Seq("w1", "w2", "w3"), "left")
+          .join(s2, Seq("w2", "w3"), "left")
+          .join(s3, Seq("w3"), "left")
+          .withColumn("lp",
+            when(col("s1").isNotNull, log(col("s1")))
+              .when(col("s2").isNotNull, log(col("s2")))
+              .when(col("s3").isNotNull, log(col("s3")))
+              .otherwise(defaultLp))
+      } else {
+        dTg
+          .join(mTg, Seq("w1", "w2", "w3"), "left")
+          .join(mBg.select(col("w1"), col("w2"), col("cb").as("cb12")),
+            Seq("w1", "w2"), "left")
+          .join(mBg.select(col("w1").as("w2"), col("w2").as("w3"), col("cb").as("cb23")),
+            Seq("w2", "w3"), "left")
+          .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+          .join(uni.select(col("w").as("w3"), col("cu").as("cu3")), Seq("w3"), "left")
+          .withColumn("lp",
+            when(col("ct").isNotNull,
+              log(col("ct").cast("double") / col("cb12").cast("double")))
+              .when(col("cb23").isNotNull,
+                log(lit(theta) * (col("cb23").cast("double") / col("cu2").cast("double"))))
+              .when(col("cu3").isNotNull,
+                log(lit(theta) * (lit(theta) * (col("cu3").cast("double") / lit(total.toDouble)))))
+              .otherwise(defaultLp))
+      }
+    val scored = joined
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"), sum(lp).as("lp"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("lp"))
       .select(col("doc_id"), col("n_trigrams"),
         round(col("lp") / col("n_trigrams"), 4).as("avg_logprob"))
     val out = docs.select(col("doc_id"))

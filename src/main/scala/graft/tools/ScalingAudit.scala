@@ -321,6 +321,48 @@ object ScalingAudit {
       s"pre-agg rounded-grid identical every round: $equalPreAgg")
   }
 
+  /** §9 trigram-LM join-shape A/B: rate-tables (3 joins, vocab-side
+    * divisions) vs the direct 5-join form, interleaved 3 rounds,
+    * outputs compared bitwise every round. */
+  private def trigram(spark: SparkSession, dir: String): Unit = {
+    import graft.llm.TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val model = docs.filter(col("doc_id") % 2 === 0)
+    // task CPU is the load-invariant discriminator on this box (wall
+    // swings 3x; see Bench.scala's listener rationale)
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) { cpuNanos.addAndGet(m.executorCpuTime); () }
+      }
+    })
+    def cpuSnap(): Long = { Thread.sleep(300); cpuNanos.get() }
+    def run(rateTables: Boolean): (Double, Double, Map[Long, (Long, Option[Double])]) = {
+      spark.catalog.clearCache()
+      val c0 = cpuSnap()
+      val t0 = System.nanoTime()
+      val out = TextAnalysis.trigramBackoffScoreImpl(docs, model, 0.4, rateTables)
+      val m = out.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      out.unpersist(false)
+      ((System.nanoTime() - t0) / 1e9, (cpuSnap() - c0) / 1e9, m)
+    }
+    var rw = List.empty[(Double, Double)]; var dw = List.empty[(Double, Double)]
+    var same = true
+    for (r <- 1 to 3) {
+      val (wr, cr, mr) = run(rateTables = true)
+      val (wd, cd, md) = run(rateTables = false)
+      rw :+= ((wr, cr)); dw :+= ((wd, cd)); same &&= (mr == md)
+      println(f"round $r: rate-tables $wr%.2f s / $cr%.1f cpu-s, " +
+        f"direct $wd%.2f s / $cd%.1f cpu-s, identical=${mr == md}")
+    }
+    println(f"min: rate-tables ${rw.map(_._1).min}%.2f s / ${rw.map(_._2).min}%.1f cpu-s " +
+      f"vs direct ${dw.map(_._1).min}%.2f s / ${dw.map(_._2).min}%.1f cpu-s; " +
+      s"outputs identical every round: $same")
+  }
+
   /** §5 ANN probe: 10 deterministic near-copies of the SF's embeddings
     * (copy r > 0 shifts element j by a small id-and-dimension-keyed
     * offset — no RNG), 32 coarse cells seeded from the 32 lowest base
@@ -402,6 +444,7 @@ object ScalingAudit {
         hotsource(spark, args(1),
           if (args.length > 2) args(2).toInt else 10)
       case "bigram"     => bigram(spark, args(1))
+      case "trigram"    => trigram(spark, args(1))
       case "scalejson"  =>
         require(args.length >= 3, "usage: ScalingAudit scalejson <sf0.1Dir> <outFile>")
         scaleJson(spark, args(1), args(2))

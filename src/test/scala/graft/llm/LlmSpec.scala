@@ -748,6 +748,16 @@ class LlmSpec extends SparkSpec {
     out(3) shouldBe ((4L, 1L, -2.9312))
     out(4)._2 shouldBe 0L
     out(4)._3.isNaN shouldBe true
+    // the direct 5-join form is bit-identical to the rate-table form
+    // (same integer pairs divided with the same nesting)
+    val direct = TextAnalysis.trigramBackoffScoreImpl(scored, model, 0.4, rateTables = false)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    direct.map(t => (t._1, t._2)) shouldBe out.map(t => (t._1, t._2))
+    direct.zip(out).foreach { case (a, b) =>
+      ((a._3.isNaN && b._3.isNaN) || a._3 == b._3) shouldBe true
+    }
   }
 
   test("tokenBudgetSampleTrimmed: kept set identical to the exact operator, trim really trims") {
