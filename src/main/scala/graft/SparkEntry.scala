@@ -907,6 +907,19 @@ object SparkEntry {
           min(when(col("kept"), col("doc_id"))).as("first_kept"))
         .orderBy(col("source"))),
 
+    // temperature-flattened mixture sampling (mT5 alpha-sampling at
+    // alpha = 0.5, the sqrt-exact exponent): per-source keep rates
+    // from token shares, applied as the content-hash coin
+    "q_temperature_sample" -> ((s, dir) =>
+      TextAnalysis.temperatureSample(docs(s, dir))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          coalesce(sum(when(col("keep"),
+            coalesce(size(TextAnalysis.tokens(col("text"))), lit(0)))), lit(0))
+            .cast("long").as("tok_kept"))
+        .orderBy(col("source"))),
+
     // hot-source pre-trimmed token-budget twin: the coarse bucket bound
     // discards only provably-over-budget rows, so the kept set — and
     // this kept-only report — is IDENTICAL to q_token_budget's by
@@ -1716,6 +1729,8 @@ object SparkEntry {
     "q_token_budget" -> TextSql.tokenBudgetSql(TokenBudget),
 
     "q_token_budget_trim" -> TextSql.tokenBudgetTrimSql(TokenBudget),
+
+    "q_temperature_sample" -> TextSql.temperatureSampleSql,
 
     "q_quantize" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

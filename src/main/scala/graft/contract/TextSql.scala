@@ -575,6 +575,26 @@ object TextSql {
       s"min(doc_id) FILTER (WHERE cum <= $budget) AS first_kept " +
       "FROM c GROUP BY source ORDER BY source"
 
+  /** Mirror of the q_temperature_sample report: per-source token sums,
+    * thresholds floor(sqrt(min/toks)·FpMod) — double division and sqrt
+    * are IEEE-correctly-rounded in both engines on identical inputs,
+    * and floor has no half-boundary ambiguity (unlike round) — then
+    * the content-hash coin applied per row. */
+  def temperatureSampleSql: String =
+    "WITH t AS (SELECT doc_id, source, " +
+      "CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks, " +
+      s"coalesce(CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END, 0) AS fp " +
+      "FROM documents), " +
+      "ps AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS toks FROM t GROUP BY source), " +
+      "m AS (SELECT min(toks) AS mt FROM ps), " +
+      "th AS (SELECT source, CAST(floor(sqrt(CAST(mt AS DOUBLE) / CAST(toks AS DOUBLE)) " +
+      s"* ${TextAnalysis.FpMod}.0) AS BIGINT) AS thresh FROM ps CROSS JOIN m) " +
+      "SELECT t.source, count(*) AS n_docs, " +
+      "count(*) FILTER (WHERE fp < thresh) AS n_kept, " +
+      "CAST(coalesce(sum(n_toks) FILTER (WHERE fp < thresh), 0) AS BIGINT) AS tok_kept " +
+      "FROM t JOIN th ON t.source = th.source " +
+      "GROUP BY t.source ORDER BY t.source"
+
   /** Mirror of the kept-only report over tokenBudgetSampleTrimmed: the
     * pre-trim discards only rows provably past budget, so the kept set
     * equals the exact operator's — the oracle therefore re-derives it

@@ -1069,6 +1069,45 @@ object TextAnalysis {
     top.toSeq.toDF("w", "n_est")
   }
 
+  /** Temperature-flattened mixture sampling (the mT5 / multilingual
+    * recipe, Xue et al. 2021: sample source s with probability ∝
+    * share_s^α, α < 1, so hot sources flatten and rare ones survive)
+    * at α = 0.5 — the one exponent whose power function (sqrt) is
+    * IEEE-correctly-rounded in BOTH engines, which is what lets the
+    * per-source keep rates cross to the oracle bitwise; other α would
+    * ride pow(), which neither engine guarantees to the last ulp.
+    * Per-source keep rate r_s = sqrt(toks_min/toks_s) (the smallest
+    * source keeps everything; a source 100× hotter keeps 1/10 — token
+    * mass ∝ share^0.5 as the recipe wants), applied RNG-free as the
+    * content-hash coin: keep iff fingerprint(text) < floor(r_s·FpMod).
+    * Reproducible across runs/engines, duplicate-affine, and each row
+    * decides locally from its own bytes + a sources-sized literal map
+    * (no join) — the deterministicSample scale argument with
+    * per-source acceptance rates.
+    *
+    * Driver boundary: ONE sources-sized aggregate collect (crawl
+    * domains ≈ thousands of rows) to build the threshold map; the
+    * corpus itself never leaves the executors. Output: input rows +
+    * (keep BOOLEAN); callers filter or report. */
+  def temperatureSample(docs: DataFrame): DataFrame = {
+    val perSource = docs
+      .groupBy(col("source"))
+      .agg(sum(coalesce(size(tokens(col("text"))), lit(0))).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(perSource.nonEmpty, "temperatureSample: no sources")
+    require(perSource.values.forall(_ > 0),
+      s"temperatureSample: zero-token source(s) ${perSource.filter(_._2 == 0).keys} " +
+        "would zero every threshold — drop empty sources first")
+    val minToks = perSource.values.min
+    // same op order as the oracle: double division, sqrt, * FpMod, floor
+    val thresholds = perSource.map { case (s, t) =>
+      s -> math.floor(math.sqrt(minToks.toDouble / t.toDouble) * FpMod.toDouble).toLong
+    }
+    docs.withColumn("keep",
+      coalesce(fingerprint(col("text")), lit(0L)) <
+        element_at(typedLit(thresholds), col("source")))
+  }
+
   /** Per-source vocabulary report — the Heaps-law / type-token-ratio
     * diagnostic a corpus audit runs per domain (a source whose TTR
     * collapses is template spam; one whose vocabulary never grows is

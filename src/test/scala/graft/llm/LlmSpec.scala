@@ -667,6 +667,27 @@ class LlmSpec extends SparkSpec {
     again shouldBe out.map(r => (r._1, r._2, r._5)).sortBy(_._2)
   }
 
+  test("temperatureSample: sqrt-share keep rates, smallest source keeps all, coin = content hash") {
+    val docs = ((1L to 10L).map(i => (i, s"h$i w x y", "hot")) :+
+      ((100L, "c1 c2 c3 c4", "cold"))).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.temperatureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    // smallest source: rate sqrt(4/4) = 1 -> every doc kept
+    out.filter(_._2 == "cold").map(_._3) shouldBe Array(true)
+    // hot source (40 tokens): rate sqrt(4/40), and the decision is
+    // exactly fingerprint < floor(rate * FpMod) per document
+    val thHot = math.floor(math.sqrt(4.0 / 40.0) * TextAnalysis.FpMod.toDouble).toLong
+    val fps = TextAnalysis.fingerprints(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.filter(_._2 == "hot").foreach { case (id, _, keep) =>
+      withClue(s"doc $id: ") { keep shouldBe (fps(id) < thHot) }
+    }
+    // deterministic: same corpus, same sample
+    TextAnalysis.temperatureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).sortBy(_._1) shouldBe
+      out.map(t => (t._1, t._3)).sortBy(_._1)
+  }
+
   test("vocabStats: per-source type-token ratio, HLL twin within its band") {
     val docs = Seq(
       (1L, "a b a b c", "s1"), (2L, "a d", "s1"), (3L, "x x x", "s2"))
