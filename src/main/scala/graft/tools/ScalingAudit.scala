@@ -258,6 +258,7 @@ object ScalingAudit {
     val candJac = jaccardCandidates(big, JacDfCap)
     val candMh = minhashCandidates(big)
     val candSw = simhashCandidates(Dedup.simhashWide(big), 4, 15)
+    val candWn = winnowCandidates(big, 64L)
     val dup10 = dupChunks(big, 10)
     val (mhPairs, mhW) = timedCount(Dedup.minhashPairs(big, 0.5))(_.count())
     val (swPairs, swW) = timedCount(Dedup.simhashPairsWide(big, 2))(_.count())
@@ -269,7 +270,8 @@ object ScalingAudit {
     val json =
       s"""{"artifact":"scale","docs":$n,"src":"$dir",""" +
         s""""cand_jaccard_cap$JacDfCap":$candJac,"cand_minhash":$candMh,""" +
-        s""""cand_simhash_wide":$candSw,"dup_chunk10_occurrences":$dup10,""" +
+        s""""cand_simhash_wide":$candSw,"cand_winnow_cap64":$candWn,""" +
+        s""""dup_chunk10_occurrences":$dup10,""" +
         s""""pairs_minhash":$mhPairs,"pairs_simhash_wide":$swPairs,""" +
         s""""pairs_jaccard_capped":$jacPairs,"chunk10_kept":$chunkKept,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
