@@ -156,6 +156,32 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("round-10 scorers are partition-count invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // quality classifier: exact-integer grid — MUST be bitwise stable
+    def qc(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.qualityClassifier(df)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    qc(docs.repartition(8)) shouldBe qc(docs.coalesce(1))
+    // trigram backoff: per-doc float sum order varies with layout but
+    // the round-4 grid must absorb it (the bigram argument)
+    def tg(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.trigramBackoffScore(
+        df, df.filter(col("doc_id") % 2 === 0))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val a = tg(docs.coalesce(1)); val b = tg(docs.repartition(8))
+    a.keySet shouldBe b.keySet
+    for (k <- a.keySet) withClue(s"doc $k: ") {
+      (a(k).isNaN && b(k).isNaN) || a(k) == b(k) shouldBe true
+    }
+    // temperature sample: content-keyed thresholds — layout-free
+    def ts(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.temperatureSample(df)
+        .filter(col("keep")).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    ts(docs.repartition(8)) shouldBe ts(docs.coalesce(1))
+  }
+
   test("heavy-hitter sketch flags are partition-count invariant (mergeable CMS)") {
     // count-min cells are exact integer sums, so partition-wise build +
     // merge equals the single-partition build — estimates can't drift
