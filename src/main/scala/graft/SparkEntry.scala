@@ -117,6 +117,9 @@ object SparkEntry {
   /** Winnow-pair contract: shared-fingerprint floor + hot-fp df cap. */
   private val WinnowMinShared = 2L
   private val WinnowDfCap = 64L
+  /** TextRank contract: fixed iteration count + keyword top-k. */
+  private val TextrankIters = 3
+  private val TextrankK = 20
   /** Binned range join: band count / base / width and the bin width. */
   private val RangeBins = 40
   private val RangeBase = 800.0
@@ -834,6 +837,12 @@ object SparkEntry {
     "q_simhash_wide" -> ((s, dir) =>
       Dedup.simhashPairsWide(docs(s, dir), maxHamming = 2)
         .orderBy(col("da"), col("db"))),
+
+    // TextRank keyword extraction: integer-grid PageRank over the
+    // symmetrized word-adjacency graph, 3 fixed iterations, top-20
+    "q_textrank" -> ((s, dir) =>
+      TextAnalysis.textrank(docs(s, dir), TextrankIters, TextrankK)
+        .orderBy(col("rn"))),
 
     // winnowing fingerprints (MOSS): token-3-gram hashes, window-4 minima
     "q_winnow" -> ((s, dir) =>
@@ -1713,6 +1722,8 @@ object SparkEntry {
     "dedup_tfidf_cosine" -> TextSql.tfidfCosineSql(TcosThreshold, TcosDfCap),
 
     "q_winnow" -> TextSql.winnowSql(k = 3, w = 4),
+
+    "q_textrank" -> TextSql.textrankSql(TextrankIters, TextrankK),
 
     "q_winnow_pairs" -> TextSql.winnowPairsSql(3, 4, WinnowMinShared, WinnowDfCap),
 

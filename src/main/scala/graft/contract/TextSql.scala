@@ -401,6 +401,33 @@ object TextSql {
       s"GROUP BY 1, 2 HAVING count(*) >= $minShared ORDER BY da, db"
   }
 
+  /** Mirror of TextAnalysis.textrank: same symmetrized distinct edge
+    * list, the same `iterations` unrolled as CTEs — every rank is a
+    * scaled BIGINT and every operation integer (pr // deg shares,
+    * (85·Σ) // 100 update), so the lattice walk matches bitwise with
+    * no float discipline. */
+  def textrankSql(iterations: Int, k: Int): String = {
+    val s = TextAnalysis.TextrankScale
+    val base = 15L * s / 100
+    val iterCtes = (1 to iterations).map { i =>
+      val prev = if (i == 1) "pr0" else s"it${i - 1}"
+      s"it$i AS (SELECT e.dst AS w, $base + (85 * sum(p.pr // d.deg)) // 100 AS pr " +
+        s"FROM edges e JOIN $prev p ON e.src = p.w JOIN deg d ON e.src = d.src " +
+        "GROUP BY e.dst)"
+    }.mkString(", ")
+    s"WITH t AS ($toksCte), " +
+      "bgp AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t), " +
+      "bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM bgp WHERE toks[i] <> toks[i+1]), " +
+      "edges AS (SELECT DISTINCT src, dst FROM " +
+      "(SELECT w1 AS src, w2 AS dst FROM bg UNION ALL SELECT w2 AS src, w1 AS dst FROM bg)), " +
+      "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src), " +
+      s"pr0 AS (SELECT src AS w, CAST($s AS BIGINT) AS pr FROM deg), " +
+      s"$iterCtes " +
+      "SELECT w, pr, rn FROM (SELECT w, CAST(pr AS BIGINT) AS pr, " +
+      s"ROW_NUMBER() OVER (ORDER BY pr DESC, w) AS rn FROM it$iterations) " +
+      s"WHERE rn <= $k ORDER BY rn"
+  }
+
   val multimodalMetaSql: String =
     "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS digest " +
       "FROM documents ORDER BY doc_id"

@@ -1136,6 +1136,85 @@ object TextAnalysis {
         (abs(col("hll") - col("n_types")).cast("double") <=
           col("n_types").cast("double") * lit(3 * rsd)).as("hll_ok"))
 
+  /** Integer scale of the TextRank grid: ranks live on a 1e-9 lattice
+    * (S·N·85 must stay < 2^63 — headroom to ~10^8 graph nodes). */
+  val TextrankScale = 1000000000L
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+    * PageRank over the word co-occurrence graph: nodes are tokens
+    * appearing in at least one adjacency pair, edges the symmetrized
+    * DISTINCT adjacent-token pairs (self-loops dropped), damping 0.85,
+    * a FIXED `iterations` count (equality contracts need identical
+    * iteration counts, not convergence — the PCA-power precedent).
+    * The corpus-level keyword ranker of the TextRank family; the
+    * per-document variant is this operator over one document's rows.
+    *
+    * Numerics — the exact-grid BIGINT pattern taken to an ITERATIVE
+    * algorithm: ranks are scaled integers (pr₀ = S), each neighbor
+    * share is one integer division pr div deg, sums are exact BIGINT
+    * (order-free — no float-sum partition sensitivity anywhere), and
+    * the update is pr' = (15·S) div 100 + (85·Σshares) div 100. The
+    * ≤ deg−1 units a node's outflow loses to integer division are
+    * ~1e-9 relative and PART OF THE CONTRACT — both engines compute
+    * the identical lattice walk, so the oracle (the same three
+    * unrolled iterations in SQL) matches bitwise with no rounding
+    * discipline at all.
+    *
+    * Scale shape: one explode builds the edge list (distinct — bounded
+    * by the bigram vocabulary, not the corpus); each iteration is one
+    * vocab-sized join + hash aggregate (map-side partials; at cluster
+    * scale edges pre-partition by src so iterations reuse one
+    * exchange). Iterations persist+materialize so plan depth stays
+    * constant (the k-means loop discipline, kept distributed — no
+    * driver collect; the K-row boundary is only the final top-k).
+    * Output: (w, pr, rn) — top `k` by final rank, ties to the
+    * lexicographically smaller token. */
+  def textrank(docs: DataFrame, iterations: Int, k: Int): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val s = TextrankScale
+    val bg = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(explode(coalesce(
+        graft.functions.WordNGrams(col("text"), 2, distinct = false),
+        array().cast("array<string>"))).as("b"))
+      .select(split(col("b"), " ").as("p"))
+      .select(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val edges = bg.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(bg.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("src").as("w"), lit(s).as("pr"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val share = pr.join(deg.select(col("src").as("w"), col("deg")), Seq("w"))
+        .selectExpr("w AS src", "pr div deg AS sh")
+      val next = edges.join(share, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("sh")).as("sc"))
+        .selectExpr("dst AS w", s"${15L * s / 100} + (85 * sc) div 100 AS pr")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
+      pr = next
+    }
+    // TakeOrderedAndProject trims the vocab to k rows BEFORE the
+    // (k-row, single-partition) ranking window — never a global sort
+    val out = pr
+      .orderBy(col("pr").desc, col("w")).limit(k)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("pr").desc, col("w"))).cast("long"))
+      .select(col("w"), col("pr"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    edges.unpersist(false)
+    prev.foreach(_.unpersist(false))
+    out
+  }
+
   /** Normalization used before exact/near dedup in real pipelines:
     * lower-case, collapse every non-alphanumeric run to one space, trim.
     * Catches the trivial variants (case, punctuation, whitespace) that

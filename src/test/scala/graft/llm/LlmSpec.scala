@@ -667,6 +667,21 @@ class LlmSpec extends SparkSpec {
     again shouldBe out.map(r => (r._1, r._2, r._5)).sortBy(_._2)
   }
 
+  test("textrank: integer-grid PageRank hand-walked 3 iterations on a path graph") {
+    // path a-b-c: deg a=1 b=2 c=1; S=1e9, base=1.5e8, all-integer walk:
+    // it1 (575e6, 1850e6, 575e6), it2 (936.25e6, 1127.5e6, 936.25e6),
+    // it3 -> b 1,741,625,000; a=c 629,187,500 (tie -> lexicographic)
+    val out = TextAnalysis.textrank(docsDF(1L -> "a b c"), iterations = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array(
+      ("b", 1741625000L, 1L), ("a", 629187500L, 2L), ("c", 629187500L, 3L))
+    // edges are DISTINCT: repeated adjacency adds no weight, and a
+    // symmetric 2-node graph is a fixed point at exactly S
+    val two = TextAnalysis.textrank(docsDF(1L -> "a b a b"), 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    two shouldBe Array(("a", 1000000000L), ("b", 1000000000L))
+  }
+
   test("temperatureSample: sqrt-share keep rates, smallest source keeps all, coin = content hash") {
     val docs = ((1L to 10L).map(i => (i, s"h$i w x y", "hot")) :+
       ((100L, "c1 c2 c3 c4", "cold"))).toDF("doc_id", "text", "source")
