@@ -117,9 +117,11 @@ object SparkEntry {
   /** Winnow-pair contract: shared-fingerprint floor + hot-fp df cap. */
   private val WinnowMinShared = 2L
   private val WinnowDfCap = 64L
-  /** TextRank contract: fixed iteration count + keyword top-k. */
+  /** TextRank contract: fixed iteration count + keyword top-k
+    * (corpus-level and per-document). */
   private val TextrankIters = 3
   private val TextrankK = 20
+  private val TextrankDocK = 3
   /** Binned range join: band count / base / width and the bin width. */
   private val RangeBins = 40
   private val RangeBase = 800.0
@@ -843,6 +845,12 @@ object SparkEntry {
     "q_textrank" -> ((s, dir) =>
       TextAnalysis.textrank(docs(s, dir), TextrankIters, TextrankK)
         .orderBy(col("rn"))),
+
+    // per-document TextRank keywords: every key carries doc_id, so the
+    // walk shards by document end-to-end (the product form)
+    "q_textrank_doc" -> ((s, dir) =>
+      TextAnalysis.textrankPerDoc(docs(s, dir), TextrankIters, TextrankDocK)
+        .orderBy(col("doc_id"), col("rn"))),
 
     // winnowing fingerprints (MOSS): token-3-gram hashes, window-4 minima
     "q_winnow" -> ((s, dir) =>
@@ -1724,6 +1732,8 @@ object SparkEntry {
     "q_winnow" -> TextSql.winnowSql(k = 3, w = 4),
 
     "q_textrank" -> TextSql.textrankSql(TextrankIters, TextrankK),
+
+    "q_textrank_doc" -> TextSql.textrankPerDocSql(TextrankIters, TextrankDocK),
 
     "q_winnow_pairs" -> TextSql.winnowPairsSql(3, 4, WinnowMinShared, WinnowDfCap),
 

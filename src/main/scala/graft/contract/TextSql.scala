@@ -428,6 +428,32 @@ object TextSql {
       s"WHERE rn <= $k ORDER BY rn"
   }
 
+  /** Per-document mirror of textrankSql: identical integer walk with
+    * doc_id joining every key; top-k ranked per document. */
+  def textrankPerDocSql(iterations: Int, k: Int): String = {
+    val s = TextAnalysis.TextrankScale
+    val base = 15L * s / 100
+    val iterCtes = (1 to iterations).map { i =>
+      val prev = if (i == 1) "pr0" else s"it${i - 1}"
+      s"it$i AS (SELECT e.doc_id, e.dst AS w, $base + (85 * sum(p.pr // d.deg)) // 100 AS pr " +
+        s"FROM edges e JOIN $prev p ON e.doc_id = p.doc_id AND e.src = p.w " +
+        "JOIN deg d ON e.doc_id = d.doc_id AND e.src = d.src " +
+        "GROUP BY e.doc_id, e.dst)"
+    }.mkString(", ")
+    s"WITH t AS ($toksCte), " +
+      "bgp AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t), " +
+      "bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM bgp WHERE toks[i] <> toks[i+1]), " +
+      "edges AS (SELECT DISTINCT doc_id, src, dst FROM " +
+      "(SELECT doc_id, w1 AS src, w2 AS dst FROM bg " +
+      "UNION ALL SELECT doc_id, w2 AS src, w1 AS dst FROM bg)), " +
+      "deg AS (SELECT doc_id, src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1, 2), " +
+      s"pr0 AS (SELECT doc_id, src AS w, CAST($s AS BIGINT) AS pr FROM deg), " +
+      s"$iterCtes " +
+      "SELECT doc_id, w, pr, rn FROM (SELECT doc_id, w, CAST(pr AS BIGINT) AS pr, " +
+      "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pr DESC, w) AS rn " +
+      s"FROM it$iterations) WHERE rn <= $k ORDER BY doc_id, rn"
+  }
+
   val multimodalMetaSql: String =
     "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len, md5(text) AS digest " +
       "FROM documents ORDER BY doc_id"

@@ -1173,34 +1173,9 @@ object TextAnalysis {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(k >= 1, s"need k >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val s = TextrankScale
-    val bg = docs
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(explode(coalesce(
-        graft.functions.WordNGrams(col("text"), 2, distinct = false),
-        array().cast("array<string>"))).as("b"))
-      .select(split(col("b"), " ").as("p"))
-      .select(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
-      .filter(col("w1") =!= col("w2"))
-    val edges = bg.select(col("w1").as("src"), col("w2").as("dst"))
-      .unionAll(bg.select(col("w2").as("src"), col("w1").as("dst")))
-      .distinct()
+    val edges = textrankEdges(docs, Seq.empty)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var pr = deg.select(col("src").as("w"), lit(s).as("pr"))
-    var prev: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
-      val share = pr.join(deg.select(col("src").as("w"), col("deg")), Seq("w"))
-        .selectExpr("w AS src", "pr div deg AS sh")
-      val next = edges.join(share, Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("sh")).as("sc"))
-        .selectExpr("dst AS w", s"${15L * s / 100} + (85 * sc) div 100 AS pr")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      prev.foreach(_.unpersist(false))
-      prev = Some(next)
-      pr = next
-    }
+    val (pr, cache) = textrankWalk(edges, Seq.empty, iterations)
     // TakeOrderedAndProject trims the vocab to k rows BEFORE the
     // (k-row, single-partition) ranking window — never a global sort
     val out = pr
@@ -1211,8 +1186,80 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     edges.unpersist(false)
-    prev.foreach(_.unpersist(false))
+    cache.foreach(_.unpersist(false))
     out
+  }
+
+  /** Per-document TextRank keywords — the product form (each document
+    * gets its own co-occurrence graph and its own top-`k`): identical
+    * integer walk with `doc_id` joining every key, which makes the
+    * whole thing embarrassingly parallel at 100 TB — every join,
+    * aggregate, and the final ranking window shard by document, so no
+    * stage ever sees a corpus-wide key space and the per-doc window
+    * trims map-side (WindowGroupLimit). Output: (doc_id, w, pr, rn),
+    * top `k` per document (fewer when the graph is smaller). */
+  def textrankPerDoc(docs: DataFrame, iterations: Int, k: Int): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val edges = textrankEdges(docs, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (pr, cache) = textrankWalk(edges, Seq("doc_id"), iterations)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pr").desc, col("w"))
+    val out = pr
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("w"), col("pr"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    edges.unpersist(false)
+    cache.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Symmetrized DISTINCT word-adjacency edges, optionally keyed
+    * (keys ++ (src, dst)). Shared by the corpus and per-doc walks. */
+  private def textrankEdges(docs: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val bg = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select((kc :+ explode(coalesce(
+        graft.functions.WordNGrams(col("text"), 2, distinct = false),
+        array().cast("array<string>"))).as("b")): _*)
+      .select((kc :+ split(col("b"), " ").as("p")): _*)
+      .select((kc :+ col("p").getItem(0).as("w1") :+ col("p").getItem(1).as("w2")): _*)
+      .filter(col("w1") =!= col("w2"))
+    bg.select((kc :+ col("w1").as("src") :+ col("w2").as("dst")): _*)
+      .unionAll(bg.select((kc :+ col("w2").as("src") :+ col("w1").as("dst")): _*))
+      .distinct()
+  }
+
+  /** The shared integer PageRank walk over a (keys, src, dst) edge
+    * frame; returns the final rank frame (keys, w, pr) plus its cache
+    * handle for the caller to release after materializing output. */
+  private def textrankWalk(edges: DataFrame, keys: Seq[String],
+                           iterations: Int): (DataFrame, Option[DataFrame]) = {
+    val s = TextrankScale
+    val kc = keys.map(col)
+    val deg = edges.groupBy((kc :+ col("src")): _*).agg(count(lit(1)).as("deg"))
+    var pr = deg.select((kc :+ col("src").as("w") :+ lit(s).as("pr")): _*)
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val share = pr
+        .join(deg.withColumnRenamed("src", "w"), keys :+ "w")
+        .withColumn("sh", expr("pr div deg"))
+        .select((kc :+ col("w").as("src") :+ col("sh")): _*)
+      val next = edges.join(share, keys :+ "src")
+        .groupBy((kc :+ col("dst")): _*).agg(sum(col("sh")).as("sc"))
+        .withColumn("pr", expr(s"${15L * s / 100} + (85 * sc) div 100"))
+        .select((kc :+ col("dst").as("w") :+ col("pr")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
+      pr = next
+    }
+    (pr, prev)
   }
 
   /** Normalization used before exact/near dedup in real pipelines:

@@ -680,6 +680,16 @@ class LlmSpec extends SparkSpec {
     val two = TextAnalysis.textrank(docsDF(1L -> "a b a b"), 3, 10)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     two shouldBe Array(("a", 1000000000L), ("b", 1000000000L))
+    // per-doc form: each document walks its OWN graph — doc 1 repeats
+    // the corpus fixture's values, doc 2's 2-node fixed point at S is
+    // untouched by doc 1's graph (no cross-doc edges)
+    val per = TextAnalysis.textrankPerDoc(
+      docsDF(1L -> "a b c", 2L -> "x y x y"), iterations = 3, k = 2)
+      .orderBy(col("doc_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    per shouldBe Array(
+      (1L, "b", 1741625000L, 1L), (1L, "a", 629187500L, 2L),
+      (2L, "x", 1000000000L, 1L), (2L, "y", 1000000000L, 2L))
   }
 
   test("temperatureSample: sqrt-share keep rates, smallest source keeps all, coin = content hash") {
