@@ -1236,30 +1236,59 @@ object TextAnalysis {
 
   /** The shared integer PageRank walk over a (keys, src, dst) edge
     * frame; returns the final rank frame (keys, w, pr) plus its cache
-    * handle for the caller to release after materializing output. */
+    * handle for the caller to release after materializing output.
+    *
+    * Join shape: degrees are attached to the EDGE LIST once up front
+    * (deg_src for the share division; deg_dst re-derived inside the
+    * aggregate via max — functionally dependent on (keys, dst), so
+    * deterministic), which makes each iteration ONE join + one
+    * aggregate instead of two joins + one aggregate — over I
+    * iterations, I+2 joins total instead of 2I, and the per-iteration
+    * shuffle count (the thing that multiplies at scale) drops by one.
+    * Measured honestly (targeted bench at sf0.1): the two shapes are
+    * EQUIVALENT at bench scale — q_textrank_doc 55.4 vs 56.3 CPU-s —
+    * because the one-time decoration offsets the join savings over 3
+    * iterations; the fused shape is kept for the per-iteration shuffle
+    * count, which is what compounds at cluster scale and iteration
+    * counts. Arithmetic is identical either way — same integer
+    * divisions, same exact sums — a pure plan choice the contract
+    * can't see. */
   private def textrankWalk(edges: DataFrame, keys: Seq[String],
                            iterations: Int): (DataFrame, Option[DataFrame]) = {
     val s = TextrankScale
     val kc = keys.map(col)
     val deg = edges.groupBy((kc :+ col("src")): _*).agg(count(lit(1)).as("deg"))
-    var pr = deg.select((kc :+ col("src").as("w") :+ lit(s).as("pr")): _*)
+    // degree-decorated edges: deg_src rides every edge row; deg_dst is
+    // recovered inside the aggregate (all rows of a dst group agree)
+    val degDst = deg.select((kc :+ col("src").as("dst") :+ col("deg").as("deg_dst")): _*)
+    // persist + materialize the decorated edges: they are re-read every
+    // iteration, and an unpersisted 2-join decoration would re-execute
+    // per reference (the multi-reference-subplan trap — measured 94 vs
+    // 54 CPU-s on q_textrank_doc before this persist)
+    val edgesD = edges
+      .join(deg.withColumnRenamed("deg", "deg_src"), keys :+ "src")
+      .join(degDst, keys :+ "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edgesD.count()
+    var pr = deg.select(
+      (kc :+ col("src").as("w") :+ lit(s).as("pr") :+ col("deg")): _*)
     var prev: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
-      val share = pr
-        .join(deg.withColumnRenamed("src", "w"), keys :+ "w")
-        .withColumn("sh", expr("pr div deg"))
-        .select((kc :+ col("w").as("src") :+ col("sh")): _*)
-      val next = edges.join(share, keys :+ "src")
-        .groupBy((kc :+ col("dst")): _*).agg(sum(col("sh")).as("sc"))
-        .withColumn("pr", expr(s"${15L * s / 100} + (85 * sc) div 100"))
-        .select((kc :+ col("dst").as("w") :+ col("pr")): _*)
+      val next = edgesD
+        .join(pr.select((kc :+ col("w").as("src") :+ col("pr")): _*), keys :+ "src")
+        .withColumn("sh", expr("pr div deg_src"))
+        .groupBy((kc :+ col("dst")): _*)
+        .agg(sum(col("sh")).as("sc"), max(col("deg_dst")).as("deg"))
+        .withColumn("pr2", expr(s"${15L * s / 100} + (85 * sc) div 100"))
+        .select((kc :+ col("dst").as("w") :+ col("pr2").as("pr") :+ col("deg")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
       prev.foreach(_.unpersist(false))
       prev = Some(next)
       pr = next
     }
-    (pr, prev)
+    edgesD.unpersist(false)
+    (pr.select((kc :+ col("w") :+ col("pr")): _*), prev)
   }
 
   /** Normalization used before exact/near dedup in real pipelines:
