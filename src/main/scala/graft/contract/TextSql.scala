@@ -370,36 +370,35 @@ object TextSql {
   /** Mirror of TextAnalysis.winnow: k-gram hashes, w-window minima,
     * distinct. Only full windows (len(hv) >= w) emit, like the Spark
     * side. */
-  def winnowSql(k: Int, w: Int): String = {
+  /** Shared winnow-fingerprint CTEs (t/g1/g/win): gram construction,
+    * polyhash, window minima, full-window guard — single-sourced so
+    * the q_winnow and q_winnow_pairs mirrors can never desync (the
+    * tokenBudgetCtes pattern). */
+  private def winnowCtes(k: Int, w: Int): String = {
     val gram = (0 until k).map(o => s"toks[(i+$o)::INT]").mkString(" || ' ' || ")
-    s"WITH t AS ($toksCte), " +
+    s"t AS ($toksCte), " +
       s"g1 AS (SELECT doc_id, CASE WHEN len(toks) >= $k THEN " +
       s"list_transform(range(1, len(toks)-${k - 1}+1), i -> $gram) " +
       "ELSE CAST([] AS VARCHAR[]) END AS grams FROM t), " +
       s"g AS (SELECT doc_id, list_transform(grams, s -> ${polyHashSql("s")}) AS hv FROM g1), " +
       s"win AS (SELECT doc_id, unnest(list_transform(range(1, len(hv)-$w+2), " +
-      s"i -> list_min(hv[i:i+${w - 1}]))) AS fp FROM g WHERE len(hv) >= $w) " +
-      "SELECT DISTINCT doc_id, fp FROM win ORDER BY doc_id, fp"
+      s"i -> list_min(hv[i:i+${w - 1}]))) AS fp FROM g WHERE len(hv) >= $w)"
   }
+
+  def winnowSql(k: Int, w: Int): String =
+    s"WITH ${winnowCtes(k, w)} " +
+      "SELECT DISTINCT doc_id, fp FROM win ORDER BY doc_id, fp"
 
   /** Mirror of Dedup.winnowPairs: the winnowSql fingerprint CTEs, the
     * same df-cap pruning, pair counts with a HAVING floor. */
-  def winnowPairsSql(k: Int, w: Int, minShared: Long, dfCap: Long): String = {
-    val gram = (0 until k).map(o => s"toks[(i+$o)::INT]").mkString(" || ' ' || ")
-    s"WITH t AS ($toksCte), " +
-      s"g1 AS (SELECT doc_id, CASE WHEN len(toks) >= $k THEN " +
-      s"list_transform(range(1, len(toks)-${k - 1}+1), i -> $gram) " +
-      "ELSE CAST([] AS VARCHAR[]) END AS grams FROM t), " +
-      s"g AS (SELECT doc_id, list_transform(grams, s -> ${polyHashSql("s")}) AS hv FROM g1), " +
-      s"win AS (SELECT doc_id, unnest(list_transform(range(1, len(hv)-$w+2), " +
-      s"i -> list_min(hv[i:i+${w - 1}]))) AS fp FROM g WHERE len(hv) >= $w), " +
+  def winnowPairsSql(k: Int, w: Int, minShared: Long, dfCap: Long): String =
+    s"WITH ${winnowCtes(k, w)}, " +
       "f AS (SELECT DISTINCT doc_id, fp FROM win), " +
       s"keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2 AND count(*) <= $dfCap), " +
       "kf AS (SELECT doc_id, fp FROM f JOIN keep USING (fp)) " +
       "SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_shared " +
       "FROM kf a JOIN kf b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
       s"GROUP BY 1, 2 HAVING count(*) >= $minShared ORDER BY da, db"
-  }
 
   /** Mirror of TextAnalysis.textrank: same symmetrized distinct edge
     * list, the same `iterations` unrolled as CTEs — every rank is a

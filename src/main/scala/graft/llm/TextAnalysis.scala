@@ -977,7 +977,12 @@ object TextAnalysis {
   def qualityClassifier(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
-    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+    // LONG fold seed: an INT accumulator would throw ARITHMETIC_OVERFLOW
+    // under ANSI on a pathological multi-GB document while the DuckDB
+    // oracle's list_sum widens — the values are identical, only the
+    // failure mode differs, and a single-scan 100 TB scorer must not
+    // die on one outlier row
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x)
     // \A..\z absolute anchors: Java-regex '$' also matches before a
     // trailing newline; RE2's does not (the gopherRules precedent)
     val alphaHits = size(filter(toks, t => t.rlike("\\A[A-Za-z]+\\z")))
@@ -1095,6 +1100,12 @@ object TextAnalysis {
       .agg(sum(coalesce(size(tokens(col("text"))), lit(0))).as("toks"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(perSource.nonEmpty, "temperatureSample: no sources")
+    // fail LOUDLY on a null source (the events-reader precedent): the
+    // literal threshold map cannot carry a null key and the oracle's
+    // equi-join would silently drop those rows — an exception here
+    // surfaces as one clear error instead of a confusing hash mismatch
+    require(perSource.keys.forall(_ != null),
+      "temperatureSample: null source value — coalesce sources upstream")
     require(perSource.values.forall(_ > 0),
       s"temperatureSample: zero-token source(s) ${perSource.filter(_._2 == 0).keys} " +
         "would zero every threshold — drop empty sources first")
@@ -1221,13 +1232,17 @@ object TextAnalysis {
     * (keys ++ (src, dst)). Shared by the corpus and per-doc walks. */
   private def textrankEdges(docs: DataFrame, keys: Seq[String]): DataFrame = {
     val kc = keys.map(col)
+    // adjacency pairs straight from zip-shifted slices (the trigram
+    // gramRows shape) — no join-then-resplit string round-trip on the
+    // corpus-wide hot path
+    val t = tokens(col("text"))
+    val len = greatest(size(t) - 1, lit(0))
     val bg = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select((kc :+ explode(coalesce(
-        graft.functions.WordNGrams(col("text"), 2, distinct = false),
-        array().cast("array<string>"))).as("b")): _*)
-      .select((kc :+ split(col("b"), " ").as("p")): _*)
-      .select((kc :+ col("p").getItem(0).as("w1") :+ col("p").getItem(1).as("w2")): _*)
+      .select((kc :+ explode(arrays_zip(
+        slice(t, lit(1), len).as("w1"),
+        slice(t, lit(2), len).as("w2"))).as("g")): _*)
+      .select((kc :+ col("g.w1").as("w1") :+ col("g.w2").as("w2")): _*)
       .filter(col("w1") =!= col("w2"))
     bg.select((kc :+ col("w1").as("src") :+ col("w2").as("dst")): _*)
       .unionAll(bg.select((kc :+ col("w2").as("src") :+ col("w1").as("dst")): _*))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.llm.TextAnalysis
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -18,13 +19,20 @@ import org.apache.spark.util.sketch.CountMinSketch
   * memory and zero replay, and StreamingSketchSpec pins the equality
   * against the batch build.
   *
+  * Restart safety: the merged sketch is SNAPSHOTTED to the checkpoint
+  * directory after every batch (write-temp + rename) and restored by
+  * `start` — without this, a restarted query resumes PAST its
+  * committed batches (Structured Streaming does not replay them) on an
+  * empty sketch and silently UNDERcounts, inverting the CMS's
+  * one-sided error guarantee. With it, the failure mode is the native
+  * direction only: a batch that crashed between merge and commit is
+  * replayed and merged twice — an overestimate, which CMS consumers
+  * already tolerate (StreamingSpec pins the restart path).
+  *
   * Driver state is one sketch (eps/confidence-sized, corpus-
   * independent); `foreachBatch` runs batches sequentially so the
   * merge needs no lock — `snapshot` is volatile-published for readers
-  * on other threads. For exactly-once across restarts, pair with an
-  * idempotent downstream sink keyed by batch id (the IngestDedup
-  * pattern); the sketch itself tolerates replay only as an
-  * overestimate, which is the CMS's native error direction. */
+  * on other threads. */
 final class StreamingSketch(eps: Double, confidence: Double, seed: Int) {
 
   @volatile private var merged: CountMinSketch =
@@ -44,10 +52,32 @@ final class StreamingSketch(eps: Double, confidence: Double, seed: Int) {
     merged = m
   }
 
-  /** Starts consuming a streaming (doc_id, text) frame. */
-  def start(docsStream: DataFrame, checkpoint: String): StreamingQuery =
+  /** Starts consuming a streaming (doc_id, text) frame; restores the
+    * last committed sketch snapshot from `checkpoint` first. */
+  def start(docsStream: DataFrame, checkpoint: String): StreamingQuery = {
+    val conf = docsStream.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new Path(s"$checkpoint/graft-cms")
+    val fs = dir.getFileSystem(conf)
+    val latest = new Path(dir, "latest")
+    if (fs.exists(latest)) {
+      val in = fs.open(latest)
+      try merged = CountMinSketch.readFrom(in)
+      finally in.close()
+    }
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) => addBatch(batch.toDF()) }
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        addBatch(batch.toDF())
+        // write-temp + rename: the committed snapshot is always a
+        // complete serialized sketch, never a partial write
+        val tmp = new Path(dir, s"snapshot-$batchId.tmp")
+        val out = fs.create(tmp, true)
+        try merged.writeTo(out)
+        finally out.close()
+        fs.delete(latest, false)
+        fs.rename(tmp, latest)
+        ()
+      }
       .start()
+  }
 }

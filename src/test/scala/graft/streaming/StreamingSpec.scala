@@ -121,6 +121,35 @@ class StreamingSpec extends SparkSpec {
     merged.estimateCount("b") should be >= 5L
   }
 
+  test("streaming CMS survives a restart: committed batches are never lost") {
+    // a restarted query resumes PAST committed batches without replay;
+    // the snapshot/restore path must carry their counts or the sketch
+    // silently undercounts (inverting the one-sided CMS guarantee)
+    val dir = java.nio.file.Files.createTempDirectory("cms_restart").toString
+    val b1 = Seq((1L, "a a a b c"), (2L, "a b d"))
+    val b2 = Seq((3L, "c c e a"), (4L, "b b b f"))
+    val schema = b1.toDF("doc_id", "text").schema
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in")
+    val sk1 = new StreamingSketch(eps = 0.01, confidence = 0.99, seed = 42)
+    val q1 = sk1.start(
+      spark.readStream.schema(schema).parquet(s"$dir/in"), s"$dir/ck")
+    try { q1.processAllAvailable() } finally q1.stop()
+    // process crashes; a FRESH instance resumes from the same checkpoint
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val sk2 = new StreamingSketch(eps = 0.01, confidence = 0.99, seed = 42)
+    val q2 = sk2.start(
+      spark.readStream.schema(schema).parquet(s"$dir/in"), s"$dir/ck")
+    try { q2.processAllAvailable() } finally q2.stop()
+    val batch = (b1 ++ b2).toDF("doc_id", "text")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .stat.countMinSketch("w", 0.01, 0.99, 42)
+    sk2.snapshot.totalCount shouldBe batch.totalCount
+    for (w <- Seq("a", "b", "c", "d", "e", "f"))
+      withClue(s"$w: ") {
+        sk2.snapshot.estimateCount(w) shouldBe batch.estimateCount(w)
+      }
+  }
+
   test("stream-static join: a stream enriches against a static dimension") {
     // the standard enrichment shape: unbounded fact stream, bounded
     // dimension table — Spark broadcasts/probes the static side per
