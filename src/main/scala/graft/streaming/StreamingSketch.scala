@@ -53,14 +53,28 @@ final class StreamingSketch(eps: Double, confidence: Double, seed: Int) {
   }
 
   /** Starts consuming a streaming (doc_id, text) frame; restores the
-    * last committed sketch snapshot from `checkpoint` first. */
+    * last committed sketch snapshot from `checkpoint` first.
+    *
+    * Snapshot protocol: per-batch VERSIONED files (`snapshot-<id>`,
+    * written as .tmp then renamed), restore = highest id, older ids
+    * deleted only AFTER the new one is committed — so from the first
+    * committed batch onward at least one complete snapshot always
+    * exists on disk, with no window where a crash between a delete and
+    * a rename could lose the whole state (the single-`latest` design
+    * had exactly that window). */
   def start(docsStream: DataFrame, checkpoint: String): StreamingQuery = {
     val conf = docsStream.sparkSession.sparkContext.hadoopConfiguration
     val dir = new Path(s"$checkpoint/graft-cms")
     val fs = dir.getFileSystem(conf)
-    val latest = new Path(dir, "latest")
-    if (fs.exists(latest)) {
-      val in = fs.open(latest)
+    def committed(): Seq[(Long, Path)] = {
+      val st = fs.globStatus(new Path(dir, "snapshot-*"))
+      if (st == null) Seq.empty
+      else st.toSeq
+        .filterNot(_.getPath.getName.endsWith(".tmp"))
+        .map(s => s.getPath.getName.stripPrefix("snapshot-").toLong -> s.getPath)
+    }
+    committed().sortBy(_._1).lastOption.foreach { case (_, p) =>
+      val in = fs.open(p)
       try merged = CountMinSketch.readFrom(in)
       finally in.close()
     }
@@ -68,14 +82,13 @@ final class StreamingSketch(eps: Double, confidence: Double, seed: Int) {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         addBatch(batch.toDF())
-        // write-temp + rename: the committed snapshot is always a
-        // complete serialized sketch, never a partial write
         val tmp = new Path(dir, s"snapshot-$batchId.tmp")
         val out = fs.create(tmp, true)
         try merged.writeTo(out)
         finally out.close()
-        fs.delete(latest, false)
-        fs.rename(tmp, latest)
+        fs.rename(tmp, new Path(dir, s"snapshot-$batchId"))
+        committed().filter(_._1 < batchId)
+          .foreach { case (_, p) => fs.delete(p, false); () }
         ()
       }
       .start()
