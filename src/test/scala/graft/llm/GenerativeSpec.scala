@@ -77,6 +77,87 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("generative: trigram backoff matches a driver-side ladder on the round-4 grid") {
+    // the reference sums per-doc ln S in ITS order while Spark sums in
+    // partition order, so equality is asserted on the round-4 grid
+    // with one grid-step tolerance (the documented absorption margin)
+    def ref(docTexts: Seq[(Long, String)], modelTexts: Seq[String],
+            theta: Double): Map[Long, (Long, Option[Double])] = {
+      def toks(t: String) = t.split(" ", -1).toSeq
+      val mToks = modelTexts.flatMap(toks)
+      val total = mToks.length.toLong
+      val cu = mToks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cb = modelTexts.flatMap { t => val w = toks(t); w.zip(w.drop(1)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      def trigrams(w: Seq[String]): Seq[(String, String, String)] =
+        w.indices.dropRight(2).map(i => (w(i), w(i + 1), w(i + 2)))
+      val ct = modelTexts.flatMap(t => trigrams(toks(t)))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      docTexts.map { case (id, t) =>
+        val w = toks(t)
+        val tris = trigrams(w)
+        if (tris.isEmpty) id -> ((0L, None))
+        else {
+          val lps = tris.map { case (w1, w2, w3) =>
+            if (ct.contains((w1, w2, w3)))
+              math.log(ct((w1, w2, w3)).toDouble / cb((w1, w2)).toDouble)
+            else if (cb.contains((w2, w3)))
+              math.log(theta * (cb((w2, w3)).toDouble / cu(w2).toDouble))
+            else if (cu.contains(w3))
+              math.log(theta * (theta * (cu(w3).toDouble / total.toDouble)))
+            else
+              math.log(theta * (theta * (1.0 / total.toDouble)))
+          }
+          id -> ((tris.length.toLong, Some(lps.sum / tris.length)))
+        }
+      }.toMap
+    }
+    for (seed <- Seq(13, 14)) {
+      val data = corpus(seed, 40)
+      val docs = data.toDF("doc_id", "text", "source")
+      val model = docs.filter(col("doc_id") % 2 === 0)
+      val expected = ref(data.map(d => (d._1, d._2)),
+        data.filter(_._1 % 2 == 0).map(_._2), theta = 0.4)
+      val out = TextAnalysis.trigramBackoffScore(docs, model, theta = 0.4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+      for ((id, (nExp, sExp)) <- expected) withClue(s"seed $seed doc $id: ") {
+        out(id)._1 shouldBe nExp
+        (out(id)._2, sExp) match {
+          case (None, None) => succeed
+          case (Some(got), Some(exp)) =>
+            math.abs(got - BigDecimal(exp).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble) should be <= 0.0001
+          case other => fail(s"score mismatch: $other")
+        }
+      }
+    }
+  }
+
+  test("generative: sketched heavy hitters cover every true count above N/(capacity+1)") {
+    for (seed <- Seq(17, 18)) {
+      val rnd = new scala.util.Random(seed)
+      // skewed corpus: a few hot tokens + a long unique tail
+      val hot = (1 to 3).map(i => s"hot$i")
+      val body = (1 to 400).map { j =>
+        if (rnd.nextInt(3) == 0) hot(rnd.nextInt(hot.size)) else s"u${seed}_$j"
+      }
+      val docs = body.grouped(40).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val n = body.length.toLong
+      val capacity = 16
+      val exact = body.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val mustFind = exact.filter(_._2 > n / (capacity + 1)).keySet
+      val got = TextAnalysis.heavyHittersSketched(docs, k = mustFind.size.max(1),
+        capacity = capacity, eps = 0.01, confidence = 0.99, seed = 42)
+        .collect().map(_.getString(0)).toSet
+      withClue(s"seed $seed (n=$n, must=$mustFind): ") {
+        mustFind.subsetOf(got) shouldBe true
+      }
+    }
+  }
+
   test("generative: textrank matches a driver-side integer walk bitwise") {
     import TextAnalysis.TextrankScale
     def refRank(texts: Seq[String], iters: Int): Map[String, Long] = {
