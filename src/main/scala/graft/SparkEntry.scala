@@ -1800,7 +1800,7 @@ object SparkEntry {
         "SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
         "CAST(count(*) AS BIGINT) AS n_tokens, " +
         "CAST(count(DISTINCT w) AS BIGINT) AS n_types, " +
-        "round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 4) AS type_token_ratio, " +
+        "CAST(count(DISTINCT w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS type_token_ratio, " +
         "TRUE AS hll_ok " +
         "FROM tok GROUP BY source ORDER BY source"),
 

@@ -1108,8 +1108,9 @@ object TextSql {
   }
 
   /** Mirror of Dedup.contaminationScore: distinct n-grams per doc, LEFT
-    * probe against the eval-doc gram set, per-doc hit counts + rounded
-    * fraction (BIGINT/BIGINT double division, the novelty precedent). */
+    * probe against the eval-doc gram set, per-doc hit counts + the
+    * unrounded fraction (ONE division of two CAST-to-DOUBLE exact
+    * BIGINTs — bitwise cross-engine, the qualityClassifier pattern). */
   def contaminationScoreSql(n: Int, benchMod: Int): String = {
     val gram = (0 until n).map(o => s"toks[(i+$o)::INT]").mkString(" || ' ' || ")
     s"WITH t AS ($toksCte), " +
@@ -1119,7 +1120,7 @@ object TextSql {
       s"bench AS (SELECT DISTINCT s FROM g WHERE doc_id % $benchMod = 0), " +
       "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
       "CAST(count(bench.s) AS BIGINT) AS n_hit, " +
-      "round(CAST(count(bench.s) AS DOUBLE) / count(*), 4) AS contamination " +
+      "CAST(count(bench.s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination " +
       "FROM g LEFT JOIN bench ON g.s = bench.s GROUP BY doc_id) " +
       "SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams, " +
       "coalesce(n_hit, 0) AS n_hit, contamination " +

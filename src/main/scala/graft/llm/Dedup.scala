@@ -134,7 +134,11 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        round(col("n_hit") / col("n_grams"), 4).as("contamination"))
+        // exact-grid: one division of two CAST-to-DOUBLE exact BIGINTs
+        // is bitwise cross-engine unrounded; round(x, 4) would only add
+        // DuckDB multiply-then-round boundary flake risk
+        (col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .as("contamination"))
     corpus.select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),

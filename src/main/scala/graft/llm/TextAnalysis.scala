@@ -1023,9 +1023,17 @@ object TextAnalysis {
     * argument: a token with global count > N/(capacity+1) must exceed
     * N_p/(capacity+1) in at least one partition (else summing the
     * per-partition bounds contradicts the global count), and Misra-
-    * Gries never evicts a key whose local count exceeds that bound —
-    * so candidates ⊇ every true heavy hitter at the eps level whenever
-    * capacity >= 1/eps. Driver traffic is the sketch plus at most
+    * Gries never evicts a key whose local count exceeds that bound.
+    * The INTRINSIC coverage level is therefore N/(capacity+1) —
+    * candidates ⊇ every token with global count above it, for ANY
+    * capacity. Coverage at the CMS's eps level (count > eps·N) follows
+    * only when capacity+1 >= 1/eps, and that precondition is the
+    * CALLER's responsibility — deliberately NOT a require(), because
+    * the sub-1/eps regime is legitimate (a memory-capped caller gets
+    * the honest weaker N/(capacity+1) guarantee, and the eviction-
+    * thrash specs exercise exactly that regime). Contract-facing
+    * callers (Bench, LlmSpec contract pin) all run capacity >= 1/eps.
+    * Driver traffic is the sketch plus at most
     * partitions·capacity candidate rows — bounded by the cluster
     * layout, never by the vocabulary. Selection is top-`k` by CMS
     * estimate (ties to the lexicographically smaller token); estimates
@@ -1123,7 +1131,8 @@ object TextAnalysis {
     * diagnostic a corpus audit runs per domain (a source whose TTR
     * collapses is template spam; one whose vocabulary never grows is
     * boilerplate): per source, document/token/distinct-token counts
-    * and the rounded type-token ratio, PLUS the sketch twin — the
+    * and the type-token ratio (one exact-integer division — bitwise
+    * cross-engine, unrounded), PLUS the sketch twin — the
     * HyperLogLog++ estimate (`approx_count_distinct`, mergeable,
     * deterministic: hash-based, no RNG) with a guarantee flag that it
     * landed within 3·rsd of the exact count. At 100 TB the HLL column
@@ -1143,7 +1152,12 @@ object TextAnalysis {
         countDistinct(col("w")).as("n_types"),
         approx_count_distinct(col("w"), rsd).as("hll"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
-        round(col("n_types") / col("n_tokens"), 4).as("type_token_ratio"),
+        // exact-grid: ONE division of two CAST-to-DOUBLE exact integers
+        // is bitwise cross-engine with no rounding discipline at all —
+        // round(x, 4) here would only add DuckDB multiply-then-round
+        // half-boundary flake risk (the qualityClassifier pattern)
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
         (abs(col("hll") - col("n_types")).cast("double") <=
           col("n_types").cast("double") * lit(3 * rsd)).as("hll_ok"))
 

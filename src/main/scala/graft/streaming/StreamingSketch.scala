@@ -86,7 +86,25 @@ final class StreamingSketch(eps: Double, confidence: Double, seed: Int) {
         val out = fs.create(tmp, true)
         try merged.writeTo(out)
         finally out.close()
-        fs.rename(tmp, new Path(dir, s"snapshot-$batchId"))
+        val dst = new Path(dir, s"snapshot-$batchId")
+        // HDFS rename onto an existing destination returns FALSE (it is
+        // not POSIX rename): a replay of a batch that crashed between
+        // rename and stream-commit finds its own dst already there —
+        // delete it first (the replayed sketch supersedes it; older
+        // snapshots still exist, so there is no loss window even if we
+        // crash between this delete and the rename). Any rename that
+        // still fails (quota, transient FS error) must FAIL THE BATCH
+        // loudly: a silently dropped snapshot followed by the deletes
+        // below would reopen exactly the state-loss window this
+        // versioned protocol exists to close.
+        if (fs.exists(dst) && !fs.delete(dst, false))
+          throw new java.io.IOException(
+            s"graft-cms: cannot replace stale snapshot $dst")
+        if (!fs.rename(tmp, dst) || !fs.exists(dst))
+          throw new java.io.IOException(
+            s"graft-cms: snapshot commit rename $tmp -> $dst failed")
+        // older snapshots are deleted only now, AFTER the new snapshot
+        // is verified on disk
         committed().filter(_._1 < batchId)
           .foreach { case (_, p) => fs.delete(p, false); () }
         ()

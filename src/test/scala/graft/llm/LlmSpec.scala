@@ -720,8 +720,8 @@ class LlmSpec extends SparkSpec {
     val out = TextAnalysis.vocabStats(docs).orderBy(col("source")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getBoolean(5)))
-    out(0) shouldBe (("s1", 2L, 7L, 4L, 0.5714, true))
-    out(1) shouldBe (("s2", 1L, 3L, 1L, 0.3333, true))
+    out(0) shouldBe (("s1", 2L, 7L, 4L, 4.0 / 7.0, true))
+    out(1) shouldBe (("s2", 1L, 3L, 1L, 1.0 / 3.0, true))
   }
 
   test("winnowPairs: clones share every fingerprint, shared runs caught, df-cap prunes hot fps") {
