@@ -892,6 +892,13 @@ object SparkEntry {
     "q_quality_classifier" -> ((s, dir) =>
       TextAnalysis.qualityClassifier(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // per-source quality-quantile gate: keep the top QqKeep fraction of
+    // each source by classifier score (the budgeted FineWeb-style form
+    // of the fixed-threshold q_quality_classifier)
+    "q_quality_quantile" -> ((s, dir) =>
+      TextAnalysis.qualityQuantileFilter(docs(s, dir), TextAnalysis.QqKeep)
+        .orderBy(col("doc_id"))),
+
     // scored decontamination audit: per-doc eval-set n-gram hit counts
     // + contaminated fraction (the view a pipeline inspects before
     // choosing its drop policy; q_decontaminate applies n_hit > 0)
@@ -1744,6 +1751,8 @@ object SparkEntry {
     "q_repetition" -> TextSql.repetitionSql,
 
     "q_quality_classifier" -> TextSql.qualityClassifierSql,
+
+    "q_quality_quantile" -> TextSql.qualityQuantileSql(TextAnalysis.QqKeep),
 
     "q_stratified_sample" -> TextSql.stratifiedSampleSql(StratPerGroup),
 

@@ -1107,6 +1107,32 @@ object TextSql {
       "FROM sc ORDER BY doc_id"
   }
 
+  /** Mirror of TextAnalysis.qualityQuantileFilter: the same exact-grid
+    * classifier score with `source` carried, ranked per source by
+    * (score DESC, doc_id) — a total order, so percent_rank is a single
+    * small-integer IEEE division (q_percent_rank precedent) and the
+    * keep bit compares identical doubles against CAST(q AS DOUBLE). */
+  def qualityQuantileSql(q: Double): String = {
+    import TextAnalysis._
+    val stop = strList(Stopwords)
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+      "f AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      s"CAST(len(list_filter(toks, w -> list_contains($stop, w))) AS BIGINT) AS a, " +
+      "CAST(len(list_filter(toks, w -> regexp_matches(w, '^[A-Za-z]+$'))) AS BIGINT) AS b, " +
+      "CAST(len(list_filter(toks, w -> regexp_matches(w, '[0-9]'))) AS BIGINT) AS c, " +
+      "CAST(len(list_distinct(toks)) AS BIGINT) AS d, " +
+      "CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS s FROM t), " +
+      s"sc AS (SELECT doc_id, source, CAST(${QcBiasT * 1200}*n_tokens " +
+      s"+ ${QcStopT * 1200}*a + ${QcAlphaT * 1200}*b - ${QcDigitT * 1200}*c " +
+      s"+ ${QcDistinctT * 1200}*d + ${QcLenT * 6}*n_tokens*least(200, n_tokens) " +
+      s"- ${QcAvgLenT * 100}*least(12*n_tokens, s) AS DOUBLE) " +
+      "/ CAST(12000*n_tokens AS DOUBLE) AS score FROM f), " +
+      "pr AS (SELECT doc_id, source, score, percent_rank() OVER " +
+      "(PARTITION BY source ORDER BY score DESC, doc_id) AS pr FROM sc) " +
+      s"SELECT doc_id, source, score, pr, pr <= CAST($q AS DOUBLE) AS keep " +
+      "FROM pr ORDER BY doc_id"
+  }
+
   /** Mirror of Dedup.contaminationScore: distinct n-grams per doc, LEFT
     * probe against the eval-doc gram set, per-doc hit counts + the
     * unrounded fraction (ONE division of two CAST-to-DOUBLE exact

@@ -948,6 +948,13 @@ object TextAnalysis {
     * contract query exercises both branches. */
   val QcThreshold = 0.0
 
+  /** Contract keep-fraction of the per-source quality-quantile gate:
+    * keep the top 20% of each source by classifier score (the
+    * FineWeb-Edu-style per-dump budget). 0.2 is not exact binary, but
+    * both engines parse the same literal to the same IEEE double and
+    * pr <= q compares identical doubles — no grid needed. */
+  val QqKeep = 0.2
+
   /** Learned quality-classifier scoring — the DCLM (Li et al. 2024) /
     * FineWeb-Edu (Penedo et al. 2024) curation shape: a linear model
     * with FIXED learned weights over cheap per-document features,
@@ -974,7 +981,16 @@ object TextAnalysis {
     * divergence class.) keep compares the score against
     * [[QcThreshold]] — equivalent to sign(numerator) at 0.0.
     * Output: (doc_id, n_tokens, score, keep). */
-  def qualityClassifier(docs: DataFrame): DataFrame = {
+  def qualityClassifier(docs: DataFrame): DataFrame =
+    qualityScored(docs, Seq.empty)
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") >= QcThreshold).as("keep"))
+
+  /** Shared single-scan scorer behind [[qualityClassifier]] and
+    * [[qualityQuantileFilter]]: (doc_id, carry..., n_tokens, score).
+    * `carry` columns ride the same scan so the quantile gate never
+    * needs a doc_id self-join to recover `source`. */
+  private def qualityScored(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     // LONG fold seed: an INT accumulator would throw ARITHMETIC_OVERFLOW
@@ -987,15 +1003,16 @@ object TextAnalysis {
     // trailing newline; RE2's does not (the gopherRules precedent)
     val alphaHits = size(filter(toks, t => t.rlike("\\A[A-Za-z]+\\z")))
     val digitHits = size(filter(toks, t => t.rlike("[0-9]")))
+    val carryCols = carry.map(col)
     docs.select(
-        col("doc_id"),
+        Seq(col("doc_id")) ++ carryCols ++ Seq(
         nTok.as("n_tokens"),
         hitCount(toks, Stopwords).cast("long").as("a"),
         alphaHits.cast("long").as("b"),
         digitHits.cast("long").as("c"),
         size(array_distinct(toks)).cast("long").as("d"),
-        sumLen.cast("long").as("s"))
-      .select(col("doc_id"), col("n_tokens"),
+        sumLen.cast("long").as("s")): _*)
+      .select(Seq(col("doc_id")) ++ carryCols ++ Seq(col("n_tokens"),
         // score·12000n = 1200·(bias·n + w·counts) + 6n·lenT·min(200,n)
         //              − 100·avgLenT·min(12n, sumlen)
         ((lit(QcBiasT * 1200) * col("n_tokens")
@@ -1006,9 +1023,39 @@ object TextAnalysis {
           + lit(QcLenT * 6) * col("n_tokens") * least(lit(200L), col("n_tokens"))
           - lit(QcAvgLenT * 100) * least(lit(12L) * col("n_tokens"), col("s")))
           .cast("double") / (lit(12000L) * col("n_tokens")).cast("double"))
-          .as("score"))
-      .select(col("doc_id"), col("n_tokens"), col("score"),
-        (col("score") >= QcThreshold).as("keep"))
+          .as("score")): _*)
+  }
+
+  /** Per-source quality-quantile gate — the FineWeb-style budgeted form
+    * of [[qualityClassifier]]: instead of one global score threshold,
+    * keep the top `q` fraction of each source's documents by classifier
+    * score (a fixed threshold keeps wildly different fractions of a
+    * clean encyclopedia dump vs a noisy crawl; the quantile form spends
+    * a per-source quality budget, which is how published pipelines
+    * actually gate heterogeneous sources).
+    *
+    * Determinism/cross-engine: the score is the exact-grid division of
+    * [[qualityClassifier]] (bitwise cross-engine); ordering is (score
+    * DESC, doc_id) — total, so every rank is distinct and percent_rank
+    * = (rank-1)/(n-1) is a single small-integer IEEE division (the
+    * q_percent_rank precedent); n = 1 sources get pr = 0 in both
+    * engines. keep = pr <= q compares identical doubles.
+    *
+    * Scale shape: ONE scan (the scorer carries `source` through — no
+    * doc_id self-join to recover it) + one source-keyed exchange for
+    * the window; a window per source is exactly the 100 TB layout
+    * (sources partition the corpus), and a skewed source AQE-splits
+    * like any hot window key. Output: (doc_id, source, score, pr,
+    * keep). */
+  def qualityQuantileFilter(docs: DataFrame, q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"need 0 <= q <= 1, got $q")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    qualityScored(docs, Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"),
+        percent_rank().over(w).as("pr"))
+      .withColumn("keep", col("pr") <= q)
   }
 
   /** Sketch-only heavy hitters — the 100 TB twin of [[heavyHitters]],

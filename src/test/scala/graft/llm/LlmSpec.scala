@@ -562,6 +562,36 @@ class LlmSpec extends SparkSpec {
     out(1) shouldBe ((2L, 3L, -1.944, false))
   }
 
+  test("qualityQuantileFilter: per-source top-q kept, ranks total, singleton source pr=0") {
+    val docs = Seq(
+      (1L, "the cat and dog ran home today", "s1"), // fluent: high score
+      (2L, "111 222 333 444", "s1"),                // digit spam: low
+      (3L, "the dog sat on the mat", "s1"),         // fluent: high
+      (4L, "zz zz zz zz", "s1"),                    // repetitive: low
+      (5L, "anything at all", "s2"))                // singleton source
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.qualityQuantileFilter(docs, q = 0.5)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // consistency with the classifier's scores: rank s1 docs by
+    // (score desc, doc_id); pr = (rank-1)/(n-1); keep = pr <= 0.5
+    val scores = TextAnalysis.qualityClassifier(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val s1 = out.filter(_._2 == "s1")
+    val ranked = s1.sortBy(t => (-scores(t._1), t._1)).zipWithIndex
+    for (((id, _, score, pr, keep), i) <- ranked) {
+      score shouldBe scores(id)
+      pr shouldBe i.toDouble / (s1.length - 1)
+      keep shouldBe (pr <= 0.5)
+    }
+    // pr values are 0, 1/3, 2/3, 1 -> kept pr 0 and 1/3 only
+    s1.count(_._5) shouldBe 2
+    // singleton source: pr = 0, kept at any q
+    val s2 = out.filter(_._2 == "s2")
+    s2.map(t => (t._4, t._5)).toSeq shouldBe Seq((0.0, true))
+  }
+
   test("heavyHittersSketched: matches exact top-k, estimates never underestimate") {
     val docs = docsDF(
       1L -> "a a a a a a b b b b c c c d", 2L -> "a a b b c d e f")
