@@ -46,6 +46,12 @@ object SparkEntry {
   /** doc_id % IncrementalMod == 0 plays the "new batch"; the rest is the
     * already-ingested corpus. */
   private val IncrementalMod = 5
+  /** Bloom sizing of the triaged membership contract query — generous
+    * for the contract corpus (sub-1% fpp); the OUTPUT is provably
+    * independent of these (bloomDedup verifies exactly), so they are
+    * not mirrored anywhere in the oracle. */
+  private val BloomExpectedItems = 100000L
+  private val BloomNumBits = 800000L
   /** Uniform per-source token budget for the mixture-sampling contract
     * query (equal-token domain mixing). */
   private val TokenBudget = 500L
@@ -762,6 +768,18 @@ object SparkEntry {
       Dedup.incremental(
         d.filter(col("doc_id") % IncrementalMod === 0),
         d.filter(col("doc_id") % IncrementalMod =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // bloom-triaged corpus-membership verdict per batch doc: the bloom
+    // prunes, the by-text verification join makes the answer EXACT, so
+    // the oracle is a plain EXISTS with no sketch mirroring at all
+    "q_bloom_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomDedup(
+        d.filter(col("doc_id") % IncrementalMod === 0),
+        d.filter(col("doc_id") % IncrementalMod =!= 0),
+        BloomExpectedItems, BloomNumBits)
         .orderBy(col("doc_id"))
     }),
 
@@ -1778,6 +1796,11 @@ object SparkEntry {
         s"FROM documents d WHERE doc_id % $IncrementalMod = 0 AND NOT EXISTS " +
         s"(SELECT 1 FROM documents c WHERE c.doc_id % $IncrementalMod <> 0 AND c.text = d.text) " +
         "GROUP BY text ORDER BY doc_id"),
+
+    "q_bloom_dedup" ->
+      (s"SELECT doc_id, EXISTS (SELECT 1 FROM documents c " +
+        s"WHERE c.doc_id % $IncrementalMod <> 0 AND c.text = d.text) AS is_dup " +
+        s"FROM documents d WHERE doc_id % $IncrementalMod = 0 ORDER BY doc_id"),
 
     // same recursive-CTE closure as dedup_components, then the dedup
     // policy applied: drop every doc that is not its cluster's keeper

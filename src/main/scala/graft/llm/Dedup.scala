@@ -75,6 +75,64 @@ object Dedup {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
         col("n_batch_copies"))
 
+  /** Bloom-filter-triaged incremental exact dedup — the 100 TB
+    * membership path of [[incremental]]: "is this batch document
+    * already in the corpus?" answered WITHOUT ever shuffling the
+    * corpus. The corpus folds once into a bloom filter (Spark's own
+    * `bloom_filter_agg` — the runtime-join-filter machinery, wired
+    * explicitly: partials are fixed-size bit arrays that OR-merge on
+    * the executors, so the aggregate is one corpus scan with a
+    * bounded exchange of numBits-sized buffers, never a row
+    * shuffle); the batch probes it via `might_contain` behind a
+    * scalar subquery (exactly how Catalyst's InjectRuntimeFilter
+    * plants it — the filter evaluates inside the batch scan's
+    * codegen stage). Bloom hits are the only candidates: they
+    * semi-probe the corpus BY TEXT with the candidate set broadcast
+    * (the second corpus scan — again no corpus shuffle), and the
+    * verified duplicate texts broadcast back against the batch.
+    *
+    * Correctness is exact, not approximate: a bloom has NO false
+    * negatives (same text, same xxhash64, same cells — a corpus
+    * member always hits), so pruned batch rows are definitively new;
+    * false positives only cost membership in the (tiny) candidate set
+    * and are eliminated by the by-text verification join. The output
+    * therefore equals the plain exact semi-join and the DuckDB oracle
+    * mirrors it with EXISTS — the bloom parameters cannot affect the
+    * answer, only the candidate volume (LlmSpec pins both; the fpp
+    * knob is expectedItems/numBits, sized generously in the contract).
+    *
+    * Unlike [[incremental]] this does NOT collapse duplicates within
+    * the batch — it is the membership verdict per batch row (the
+    * filter a crawl-frontier runs before admitting a page; batch-
+    * internal dedup is [[exact]]'s job downstream). An EMPTY corpus
+    * yields a null bloom, might_contain(null) = null, zero candidates
+    * — every row verdicts false, mirrored trivially by EXISTS.
+    * Output: (doc_id, is_dup), one row per batch doc. */
+  def bloomDedup(newDocs: DataFrame, corpus: DataFrame,
+                 expectedItems: Long, numBits: Long): DataFrame = {
+    require(expectedItems >= 1 && numBits >= 1,
+      s"need positive bloom sizing, got items=$expectedItems bits=$numBits")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("text"))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bloom = corpus.agg(bloomAgg.as("bf"))
+    val mightHit = ColumnBridge.column(
+      new BloomFilterMightContain(
+        ScalarSubquery(bloom.queryExecution.analyzed),
+        ColumnBridge.expression(xxhash64(col("text")))))
+    val cand = newDocs.filter(mightHit)
+    val dupTexts = corpus.select(col("text"))
+      .join(broadcast(cand.select(col("text")).distinct()), Seq("text"), "left_semi")
+      .distinct()
+    newDocs
+      .join(broadcast(dupTexts.withColumn("hit", lit(true))), Seq("text"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+  }
+
   /** Distinct word `n`-grams of `text` (generalizes the bigram
     * `shingles`; same <n-token guard, same native expression). */
   def ngramShingles(text: Column, n: Int): Column = {

@@ -47,6 +47,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bloom_dedup: might_contain probes the batch scan; verification joins broadcast, no corpus shuffle join") {
+    // the membership path's whole point: the corpus folds into one
+    // bloom aggregate (scalar subquery), the batch is pruned by
+    // might_contain BEFORE any join, and both verification joins ride
+    // broadcasts — a SortMergeJoin anywhere means the corpus shuffled
+    val p = plan("q_bloom_dedup")
+    p should include("might_contain")
+    p should include("bloom_filter_agg")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("chunk dedup family: keeper/blocklist joins broadcast, never nested-loop") {
     // chunkDedup: the (doc_id, chunk_id) keeper membership is a
     // broadcast LEFT SEMI (keeper set <= chunk table); boilerplate: the

@@ -778,6 +778,28 @@ class LlmSpec extends SparkSpec {
     (capped should not).contain((1L, 2L))
   }
 
+  test("bloomDedup: exact verdicts at any bloom sizing; batch-internal dups unflagged; empty corpus all false") {
+    val corpus = docsDF(10L -> "alpha beta", 11L -> "gamma delta", 12L -> "alpha beta")
+    val batch = docsDF(
+      1L -> "alpha beta",    // in corpus: dup
+      2L -> "new text one",  // new
+      3L -> "new text one",  // batch-internal copy, NOT in corpus: not flagged
+      4L -> "gamma delta")   // in corpus: dup
+    val expect = Array((1L, true), (2L, false), (3L, false), (4L, true))
+    val out = Dedup.bloomDedup(batch, corpus, 1000L, 8000L)
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    out shouldBe expect
+    // a pathologically tiny bloom (8 bits - everything collides) only
+    // inflates the candidate set; verification keeps the answer exact
+    val tiny = Dedup.bloomDedup(batch, corpus, 1L, 8L)
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    tiny shouldBe expect
+    // empty corpus: null bloom, zero candidates, every verdict false
+    val none = Dedup.bloomDedup(batch, corpus.filter(col("doc_id") < 0L), 1000L, 8000L)
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    none shouldBe expect.map { case (id, _) => (id, false) }
+  }
+
   test("contaminationScore: per-doc hit fractions; short docs NULL; drop rule matches decontaminate") {
     val docs = docsDF(
       0L -> "q1 q2 q3 q4 x y z",     // the "benchmark" doc
