@@ -105,6 +105,8 @@ object SparkEntry {
   private val FullOuterCustMin = 100
   private val NtileBuckets = 4
   private val BpeTopK = 8
+  /** Merge rounds of the iterated BPE trainer contract queries. */
+  private val BpeTrainMerges = 6
   /** BM25 contract: query term set (corpus vocabulary words) + top-k. */
   private val Bm25Terms = Seq("spark", "window", "customer", "filter")
   private val Bm25K = 10
@@ -1245,6 +1247,19 @@ object SparkEntry {
       TextAnalysis.bpeMergeStep(docs(s, dir), BpeTopK)
         .orderBy(col("rn"))),
 
+    // iterated BPE trainer: BpeTrainMerges rounds of count -> argmax ->
+    // merge-everywhere over the vocab's symbol strings; oracle = the
+    // same chain unrolled as MATERIALIZED CTEs
+    "q_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir), BpeTrainMerges)
+        .orderBy(col("rn"))),
+
+    // the trained tokenizer applied: per-doc subword counts under the
+    // BpeTrainMerges merge table
+    "q_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(docs(s, dir), BpeTrainMerges)
+        .orderBy(col("doc_id"))),
+
     // end-to-end curation composition: Gopher rule gate -> exact dedup
     // (keep lowest id) -> per-language corpus report. The operator
     // chain a curation run actually executes, oracle-checked as ONE
@@ -1913,6 +1928,10 @@ object SparkEntry {
         "FROM qt GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q_bpe_merge" -> TextSql.bpeMergeSql(BpeTopK),
+
+    "q_bpe_train" -> TextSql.bpeTrainSql(BpeTrainMerges),
+
+    "q_bpe_encode" -> TextSql.bpeEncodeSql(BpeTrainMerges),
 
     "q_bm25" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
 

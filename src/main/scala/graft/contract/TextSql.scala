@@ -1107,6 +1107,54 @@ object TextSql {
       "FROM sc ORDER BY doc_id"
   }
 
+  /** Shared CTE chain of the BPE trainer mirrors: stages s0..sN of the
+    * vocabulary's symbol strings, pair tables p1..pN, best-pair rows
+    * b1..bN. Every s{i} is referenced twice (by p{i+1} and s{i+1}), so
+    * the stages are MATERIALIZED — inlining would expand the chain
+    * exponentially (the PCA-deflation precedent). The best pair rides
+    * ONE string "lhs rhs"; symbols never contain spaces and ' ' (0x20)
+    * sorts below every symbol character, so ORDER BY (n DESC, pr) is
+    * exactly the Spark side's (n DESC, lhs, rhs). The merge apply is
+    * the operator's single literal replace of " lhs  rhs " over the
+    * TWO-space-separated symbol string (see bpeTrain's scaladoc for
+    * why the doubled separator makes literal replace exactly greedy). */
+  private def bpeChain(nMerges: Int): String = {
+    val stages = (1 to nMerges).map { i =>
+      s"p$i AS MATERIALIZED (SELECT pr, CAST(sum(wc) AS BIGINT) AS n FROM (" +
+        s"SELECT wc, unnest(list_transform(range(1, len(syms)), " +
+        s"j -> syms[j::INT] || ' ' || syms[(j+1)::INT])) AS pr " +
+        s"FROM (SELECT wc, string_split(trim(s), '  ') AS syms FROM s${i - 1})) GROUP BY pr), " +
+        s"b$i AS MATERIALIZED (SELECT pr, n FROM p$i ORDER BY n DESC, pr LIMIT 1), " +
+        s"s$i AS MATERIALIZED (SELECT w, wc, replace(s, b.pat, b.rep) AS s " +
+        s"FROM s${i - 1}, (SELECT ' ' || replace(pr, ' ', '  ') || ' ' AS pat, " +
+        s"' ' || replace(pr, ' ', '') || ' ' AS rep FROM b$i) b)"
+    }.mkString(", ")
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM tok GROUP BY w), " +
+      "s0 AS MATERIALIZED (SELECT w, wc, " +
+      "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s FROM wc), " +
+      stages
+  }
+
+  /** Mirror of TextAnalysis.bpeTrain: the ranked merge table. */
+  def bpeTrainSql(nMerges: Int): String = {
+    val rows = (1 to nMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS rn, string_split(pr, ' ')[1] AS lhs, " +
+        s"string_split(pr, ' ')[2] AS rhs, n FROM b$i"
+    }.mkString(" UNION ALL ")
+    s"${bpeChain(nMerges)} SELECT * FROM ($rows) ORDER BY rn"
+  }
+
+  /** Mirror of TextAnalysis.bpeEncode: per-doc subword token counts
+    * under the trained merges. */
+  def bpeEncodeSql(nMerges: Int): String =
+    s"${bpeChain(nMerges)}, " +
+      s"sub AS (SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sub FROM s$nMerges), " +
+      "tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(n_sub) AS BIGINT) AS n_subtokens " +
+      "FROM tok2 JOIN sub USING (w) GROUP BY doc_id ORDER BY doc_id"
+
   /** Mirror of TextAnalysis.qualityQuantileFilter: the same exact-grid
     * classifier score with `source` carried, ranked per source by
     * (score DESC, doc_id) — a total order, so percent_rank is a single

@@ -1553,6 +1553,122 @@ object TextAnalysis {
       .select(col("pair"), col("n"), col("rn"))
   }
 
+  /** Multi-merge BPE trainer (Sennrich et al. 2016) — the iterated form
+    * of [[bpeMergeStep]]: `nMerges` rounds of (count adjacent symbol
+    * pairs, corpus-weighted) → (pick the max) → (merge that pair
+    * everywhere), producing the ranked merge table a tokenizer ships.
+    * Selection is (count DESC, then lexicographic (lhs, rhs)) — a total
+    * order, so the trained table is deterministic.
+    *
+    * Why this is feasible at 100 TB — Sennrich's own observation: after
+    * ONE corpus-sized aggregation (word → count), every round runs on
+    * the VOCABULARY (distinct words with counts), which is millions of
+    * rows when the corpus is billions. The vocab table persists once;
+    * each round is a vocab-sized explode + hash aggregate + a 1-row
+    * driver collect (the K-row boundary — merges are literals in the
+    * next round's plan, the k-means centroid discipline). Pair counts
+    * follow Sennrich's get_stats: every adjacent position counts, so
+    * "a a a" contributes (a,a) twice (overlap counted at COUNTING
+    * time; merging is non-overlapping).
+    *
+    * The merge application is where cross-engine bitwise equality is
+    * won: symbols live in ONE string with TWO-space separators (and
+    * two-space sentinels), and a merge round is a single literal
+    * `replace` of " lhs  rhs " → " lhsrhs ". The doubled separator is
+    * load-bearing: each match consumes exactly one space of each
+    * boundary and the replacement restores it, so consuming a match
+    * can never starve the immediately-following occurrence of its
+    * leading space — literal replace's left-to-right non-overlapping
+    * scan then IS greedy BPE application, including same-symbol runs
+    * ("a a a a a" → left-aligned "aa aa a"; a single-space encoding
+    * provably gets runs ≥ 5 wrong — it pairs positions 1-2 then 4-5).
+    * Both engines' replace scans the original string and never
+    * rescans replacement text, and symbols never contain spaces, so
+    * the apply is bitwise identical with no regex semantics in play
+    * (GenerativeSpec pins train AND encode against an independent
+    * driver-side symbol-list greedy reference on random dense-run
+    * corpora). Rounds after the vocabulary exhausts its pairs (every
+    * word one symbol) emit nothing.
+    * Output: (rn, lhs, rhs, n) — one row per merge, rn 1-based. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val (merges, _, cache) = bpeState(docs, nMerges)
+    cache.unpersist(false)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toDF("rn", "lhs", "rhs", "n")
+  }
+
+  /** BPE segmentation applied to the corpus — trains [[bpeTrain]]'s
+    * `nMerges` merges, then reports per document how many subword
+    * tokens the trained tokenizer produces (the token-count a context-
+    * window budget planner runs before committing to a tokenizer).
+    * Scale shape: the corpus aggregates to the vocab once for
+    * training; the per-doc count is then ONE corpus-sized explode
+    * equi-joined to the vocab's word → n_subtokens map (broadcast
+    * while the vocab is small; a plain shuffle join at real vocabulary
+    * scale, which is still the right plan) + a per-doc aggregate.
+    * Counts are exact integers — nothing floats cross-engine.
+    * Output: (doc_id, n_words, n_subtokens). */
+  def bpeEncode(docs: DataFrame, nMerges: Int): DataFrame = {
+    val (_, words, cache) = bpeState(docs, nMerges)
+    val sub = words.select(col("w"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n_sub"))
+    val out = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(sub, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subtokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before the vocab cache under it unpersists
+    cache.unpersist(false)
+    out
+  }
+
+  /** Shared trainer state: (ranked merges, final vocab table (w, wc, s)
+    * with `s` the fully-merged symbol string, persisted base cache the
+    * caller unpersists). */
+  private def bpeState(docs: DataFrame, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame, DataFrame) = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    val base = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      // seed segmentation with the two-space separator invariant:
+      // "hello" -> "  h  e  l  l  o  " (sentinels included, so merges
+      // apply with no per-round re-wrapping); (.) char-at-a-time
+      // replacement agrees between Java regex and RE2 on non-astral
+      // text, and corpus symbols never contain spaces
+      .withColumn("s", concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    var words = base
+    val merges = Vector.newBuilder[(Long, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to nMerges if !exhausted) {
+      val syms = split(trim(col("s")), "  ")
+      val best = words
+        .select(col("wc"), explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1).as("l"),
+          slice(syms, lit(2), size(syms) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((i.toLong, l, r, n))
+        // single pass: the two-space boundaries make literal replace
+        // exactly greedy (see scaladoc)
+        words = words.withColumn("s",
+          replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+      }
+    }
+    (merges.result(), words, base)
+  }
+
   /** Parameters of the deterministic training-order shuffle: doc_id is
     * first folded mod `ShuffleFold` so the Lehmer multiply stays well
     * under 2^63 for ANY BIGINT doc_id (no overflow in either engine);

@@ -184,4 +184,67 @@ class GenerativeSpec extends SparkSpec {
       withClue(s"seed $seed: ") { out shouldBe expected }
     }
   }
+
+  test("generative: bpeTrain/bpeEncode match a driver-side greedy-merge reference") {
+    // independent reference: true symbol-LIST greedy left-to-right
+    // merging (no string replace anywhere), so the operator's two-pass
+    // literal-replace application is pinned against the real semantics
+    // on corpora it never hand-picked
+    def refBpe(wc: Map[String, Long], nMerges: Int)
+        : (Seq[(Long, String, String, Long)], Map[String, Int]) = {
+      var segs: Map[String, Vector[String]] =
+        wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val merges = Vector.newBuilder[(Long, String, String, Long)]
+      var done = false
+      for (i <- 1 to nMerges if !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, syms) <- segs; j <- 0 until syms.length - 1)
+          counts((syms(j), syms(j + 1))) =
+            counts.getOrElse((syms(j), syms(j + 1)), 0L) + wc(w)
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+          merges += ((i.toLong, l, r, n))
+          segs = segs.map { case (w, syms) =>
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+                out += (l + r); j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            w -> out.result()
+          }
+        }
+      }
+      (merges.result(), segs.view.mapValues(_.length).toMap)
+    }
+    for (seed <- Seq(101, 202, 303)) {
+      val rnd = new scala.util.Random(seed)
+      // small alphabet forces dense overlapping runs ("aaba", "bbb") —
+      // exactly the regime where a replace-trick slip would diverge
+      val docs = (1L to 40L).map { i =>
+        val nw = 1 + rnd.nextInt(8)
+        val text = (0 until nw).map { _ =>
+          val len = 1 + rnd.nextInt(6)
+          (0 until len).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+        }.mkString(" ")
+        (i, text)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val wc = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map { case (w, v) => w -> v.size.toLong }
+      val (expMerges, expSegs) = refBpe(wc, 5)
+      val gotMerges = TextAnalysis.bpeTrain(df, 5).orderBy(col("rn")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      withClue(s"seed $seed merges: ") { gotMerges shouldBe expMerges }
+      val expEnc = docs.map { case (id, text) =>
+        val ws = text.split(" ", -1)
+        (id, ws.length.toLong, ws.map(w => expSegs(w).toLong).sum)
+      }
+      val gotEnc = TextAnalysis.bpeEncode(df, 5).orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      withClue(s"seed $seed encode: ") { gotEnc shouldBe expEnc }
+    }
+  }
 }

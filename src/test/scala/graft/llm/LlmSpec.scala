@@ -778,6 +778,28 @@ class LlmSpec extends SparkSpec {
     (capped should not).contain((1L, 2L))
   }
 
+  test("bpeTrain/bpeEncode: hand-walked merges, overlap counting, tie-break, early exhaustion") {
+    // words: aaab wc=2, ab wc=3
+    // r1: (a,a)=4 (overlap counted: 2 per aaab), (a,b)=2+3=5 -> merge (a,b,5)
+    //     aaab -> "a a ab", ab -> "ab"
+    // r2: (a,a)=2, (a,ab)=2 -> tie, lexicographic r: "a" < "ab" -> (a,a,2)
+    //     aaab -> "aa ab"
+    // r3: (aa,ab)=2 -> merge (aa,ab,2); aaab -> "aaab"
+    // r4: no pairs anywhere -> exhausted at 3 of 6 requested merges
+    val docs = docsDF(1L -> "aaab aaab ab", 2L -> "ab ab")
+    val merges = TextAnalysis.bpeTrain(docs, 6).orderBy(col("rn")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    merges shouldBe Array((1L, "a", "b", 5L), (2L, "a", "a", 2L), (3L, "aa", "ab", 2L))
+    // full merges: every word one symbol
+    val enc = TextAnalysis.bpeEncode(docs, 6).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    enc shouldBe Array((1L, 3L, 3L), (2L, 2L, 2L))
+    // two merges only: aaab = "aa ab" (2 subtokens), ab = "ab" (1)
+    val enc2 = TextAnalysis.bpeEncode(docs, 2).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    enc2 shouldBe Array((1L, 3L, 5L), (2L, 2L, 2L))
+  }
+
   test("bloomDedup: exact verdicts at any bloom sizing; batch-internal dups unflagged; empty corpus all false") {
     val corpus = docsDF(10L -> "alpha beta", 11L -> "gamma delta", 12L -> "alpha beta")
     val batch = docsDF(
