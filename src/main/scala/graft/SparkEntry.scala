@@ -1159,6 +1159,15 @@ object SparkEntry {
       Dedup.sourceStats(d, ids, SourceMaxDupFrac).orderBy(col("source"))
     }),
 
+    // which sources duplicate which: the MinHash pair signal rolled up
+    // into an unordered source-pair matrix (mirror-dump / crawl-overlap
+    // audit)
+    "q_dup_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossSourceDupMatrix(Dedup.minhashPairs(d, JacThreshold), d)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // correlated scalar subqueries (SELECT-clause, one per column):
     // Catalyst decorrelates both into aggregated left joins — including
     // the COUNT-over-empty-group case ("count bug"), which must yield 0,
@@ -1901,6 +1910,8 @@ object SparkEntry {
     "q_semdedup" -> TextSql.semDedupSql(IvfCoarseIds, SemDedupThreshold),
     "q_retrieval" -> TextSql.retrievalSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),
     "q_source_stats" -> TextSql.sourceStatsSql(JacThreshold, SourceMaxDupFrac),
+
+    "q_dup_matrix" -> TextSql.dupMatrixSql(JacThreshold),
 
     "q_full_outer" ->
       (s"WITH ev AS (SELECT user_id, count(*) AS n_events, round(sum(value),4) AS total_value " +

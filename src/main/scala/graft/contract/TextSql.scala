@@ -1371,6 +1371,18 @@ object TextSql {
   /** Mirror of Dedup.sourceStats fed by the MinHash near-dup pair set
     * (dedupMinhashSql, identical parameters): per-source duplication
     * report + blocklist bit. */
+  /** Mirror of Dedup.crossSourceDupMatrix over the MinHash pair signal:
+    * the dedup_minhash subquery, each pair joined to its endpoints'
+    * sources, least/greatest-normalized, counted. */
+  def dupMatrixSql(threshold: Double): String =
+    s"WITH pairs AS (SELECT da, db FROM (${dedupMinhashSql(threshold)}) mp), " +
+      "j AS (SELECT least(x.source, y.source) AS src_a, " +
+      "greatest(x.source, y.source) AS src_b " +
+      "FROM pairs JOIN documents x ON pairs.da = x.doc_id " +
+      "JOIN documents y ON pairs.db = y.doc_id) " +
+      "SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs " +
+      "FROM j GROUP BY src_a, src_b ORDER BY src_a, src_b"
+
   def sourceStatsSql(threshold: Double, maxDupFrac: Double): String =
     s"WITH pairs AS (SELECT da, db FROM (${dedupMinhashSql(threshold)}) mp), " +
       "ids AS (SELECT DISTINCT doc_id FROM " +

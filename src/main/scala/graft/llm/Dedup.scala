@@ -303,6 +303,29 @@ object Dedup {
     * cross-engine.
     * Output: (source, n_docs, n_dup_docs, n_tokens, min_id, dup_frac,
     * blocked). */
+  /** Cross-source duplication matrix — the audit that tells a pipeline
+    * WHICH sources duplicate WHICH (mirror dumps, crawl overlap,
+    * plagiarized aggregators): near-dup pairs from ANY dedup signal
+    * ([[sourceStats]]' composability — the contract feeds MinHash
+    * pairs) joined to each side's source, normalized so (src_a,
+    * src_b) is unordered (least/greatest — lexicographic on both
+    * engines), counted. Only observed combinations emit rows.
+    *
+    * Scale shape: two doc_id equi-joins sized by the PAIR table (the
+    * dedup signal already bounded it — banded candidates, never n²)
+    * + one aggregate whose key space is sources², a constant. Sources
+    * ride the pair rows, so nothing corpus-sized shuffles beyond what
+    * the signal itself did. Output: (src_a, src_b, n_pairs). */
+  def crossSourceDupMatrix(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs.select(col("da"), col("db"))
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def sourceStats(docs: DataFrame, dupIds: DataFrame, maxDupFrac: Double): DataFrame =
     docs
       .join(dupIds.select(col("doc_id")).distinct().withColumn("isdup", lit(1L)),

@@ -182,6 +182,33 @@ class PropertySpec extends SparkSpec {
     ts(docs.repartition(8)) shouldBe ts(docs.coalesce(1))
   }
 
+  test("round-11 operators are partition-count invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // quantile gate: exact-grid scores + total (score, doc_id) order ->
+    // identical ranks under any layout
+    def qq(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.qualityQuantileFilter(df, 0.3)
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    qq(docs.repartition(8)) shouldBe qq(docs.coalesce(1))
+    // bloom dedup: integer hashes + exact verification — layout-free
+    def bd(df: org.apache.spark.sql.DataFrame) = {
+      val batch = df.filter(col("doc_id") % 5 === 0)
+      val corpus = df.filter(col("doc_id") % 5 =!= 0)
+      graft.llm.Dedup.bloomDedup(batch, corpus, 1000L, 8000L)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    }
+    bd(docs.repartition(8)) shouldBe bd(docs.coalesce(1))
+    // BPE trainer: integer pair counts under a total argmax order; the
+    // merge table and the per-doc segmentation must not move
+    def bpe(df: org.apache.spark.sql.DataFrame) = (
+      graft.llm.TextAnalysis.bpeTrain(df, 4)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq,
+      graft.llm.TextAnalysis.bpeEncode(df, 4)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap)
+    bpe(docs.repartition(8)) shouldBe bpe(docs.coalesce(1))
+  }
+
   test("heavy-hitter sketch flags are partition-count invariant (mergeable CMS)") {
     // count-min cells are exact integer sums, so partition-wise build +
     // merge equals the single-partition build — estimates can't drift

@@ -778,6 +778,18 @@ class LlmSpec extends SparkSpec {
     (capped should not).contain((1L, 2L))
   }
 
+  test("crossSourceDupMatrix: unordered source pairs, within-source counted, orientation normalized") {
+    val docs = Seq((1L, "x", "s1"), (2L, "x", "s1"), (3L, "x", "s2"), (4L, "x", "s3"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("da", "db") // (4,1) arrives source-reversed: s3 vs s1
+    val out = Dedup.crossSourceDupMatrix(pairs, docs)
+      .orderBy(col("src_a"), col("src_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    out shouldBe Array(
+      ("s1", "s1", 1L), ("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L))
+  }
+
   test("bpeTrain/bpeEncode: hand-walked merges, overlap counting, tie-break, early exhaustion") {
     // words: aaab wc=2, ab wc=3
     // r1: (a,a)=4 (overlap counted: 2 per aaab), (a,b)=2+3=5 -> merge (a,b,5)
