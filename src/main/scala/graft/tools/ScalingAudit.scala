@@ -265,6 +265,19 @@ object ScalingAudit {
     val (jacPairs, jacW) = timedCount(Dedup.jaccardPairs(big, 0.5, JacDfCap))(_.count())
     val (chunkKept, ckW) = timedCount(TextAnalysis.chunkDedup(big, 10))(
       _.agg(coalesce(sum(col("n_kept")), lit(0L))).head.getLong(0))
+    // round-11 scale paths. BPE trainer: vocab-bounded rounds at the
+    // second decade; the MERGE TABLE is the durable signal — any drift
+    // means the pair counting or the greedy apply changed semantics.
+    val bpeT0 = System.nanoTime()
+    val bpeSig = TextAnalysis.bpeTrain(big, 6).orderBy(col("rn")).collect()
+      .map(r => s"${r.getString(1)}+${r.getString(2)}=${r.getLong(3)}").mkString(",")
+    val bpeW = (System.nanoTime() - bpeT0) / 1e9
+    // bloom membership: exact dup-verdict count is layout/sizing-free
+    val blT0 = System.nanoTime()
+    val bloomDups = Dedup.bloomDedup(
+      big.filter(col("doc_id") % 5 === 0), big.filter(col("doc_id") % 5 =!= 0),
+      200000L, 1600000L).filter(col("is_dup")).count()
+    val bloomW = (System.nanoTime() - blT0) / 1e9
     big.unpersist()
     def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
     val json =
@@ -274,8 +287,10 @@ object ScalingAudit {
         s""""dup_chunk10_occurrences":$dup10,""" +
         s""""pairs_minhash":$mhPairs,"pairs_simhash_wide":$swPairs,""" +
         s""""pairs_jaccard_capped":$jacPairs,"chunk10_kept":$chunkKept,""" +
+        s""""bpe_merges6":"$bpeSig","bloom_dup_verdicts":$bloomDups,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
-        s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)}}}"""
+        s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
+        s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()
