@@ -818,6 +818,20 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // the keep-BEST policy applied to the same clusters: keep the
+    // longest doc per near-dup cluster (ties to lowest id) instead of
+    // keep-first — integer token counts keep the keeper argmax exact
+    "q_dedup_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = graft.ops.ConnectedComponents.dedupClusters(
+        Dedup.minhashPairs(d, JacThreshold).select(col("da"), col("db")))
+      Dedup.keepLongest(d, clusters)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // native session_window aggregation (streaming-capable sessionize twin)
     "q_session_window" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1836,6 +1850,22 @@ object SparkEntry {
         "comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a) " +
         "SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keep_id) " +
+        "GROUP BY lang ORDER BY lang"),
+
+    "q_dedup_best" ->
+      (s"WITH RECURSIVE pairs AS (SELECT da, db FROM (${TextSql.dedupMinhashSql(JacThreshold)}) mp), " +
+        "sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs), " +
+        "reach AS (SELECT a, b FROM sym " +
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a), " +
+        "tokc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
+        "best AS (SELECT doc_id FROM (SELECT c.doc_id, " +
+        "row_number() OVER (PARTITION BY c.keep_id ORDER BY t.nt DESC, c.doc_id) AS rn " +
+        "FROM comp c JOIN tokc t ON c.doc_id = t.doc_id) WHERE rn = 1) " +
+        "SELECT lang, count(*) AS n_docs, min(d.doc_id) AS min_id, " +
+        "CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents d WHERE d.doc_id NOT IN " +
+        "(SELECT c.doc_id FROM comp c WHERE c.doc_id NOT IN (SELECT doc_id FROM best)) " +
         "GROUP BY lang ORDER BY lang"),
 
     // transitive closure over the SAME minhash pair set (recursive CTE);

@@ -326,6 +326,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Keep-best dedup policy — the alternative to the keep-lowest-id
+    * rule `dedupClusters` bakes into its labels: per near-dup cluster,
+    * keep the doc with the MOST tokens (ties to the lowest id) and
+    * drop the rest. "Keep the longest/most complete representative" is
+    * the policy published pipelines actually prefer over keep-first
+    * (a truncated mirror of a page should lose to the full page).
+    * Token count is the deliberate quality proxy here: it is an exact
+    * integer, so the keeper argmax is a total integer order — using
+    * the float classifier score would put a double inside the ranking
+    * key (the −0.0/NaN cross-engine class CLAUDE.md bans from new
+    * contract outputs).
+    *
+    * Shape: clusters ⋈ per-doc token counts (cluster-membership-sized,
+    * pairs-bounded — never the corpus), one per-cluster window whose
+    * per-key top-1 trims map-side (WindowGroupLimit), losers anti-join
+    * back. Output: the surviving rows of `docs`. */
+  def keepLongest(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nt = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+    val w = Window.partitionBy(col("keep_id")).orderBy(col("nt").desc, col("doc_id"))
+    val best = clusters.join(nt, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), lit(1L).as("b"))
+    val losers = clusters.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .filter(col("b").isNull).select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   def sourceStats(docs: DataFrame, dupIds: DataFrame, maxDupFrac: Double): DataFrame =
     docs
       .join(dupIds.select(col("doc_id")).distinct().withColumn("isdup", lit(1L)),

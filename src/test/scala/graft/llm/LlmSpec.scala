@@ -778,6 +778,21 @@ class LlmSpec extends SparkSpec {
     (capped should not).contain((1L, 2L))
   }
 
+  test("keepLongest: longest doc survives its cluster, ties to lowest id, non-members untouched") {
+    val docs = docsDF(
+      1L -> "a b",        // cluster A, shorter: dropped
+      2L -> "a b c d",    // cluster A, longest: kept despite higher id
+      3L -> "x",          // singleton cluster: kept
+      4L -> "y z w",      // not clustered: kept
+      5L -> "p q",        // cluster B, tie with 6
+      6L -> "r s")        // cluster B, tie -> lowest id (5) wins
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "keep_id")
+    val kept = Dedup.keepLongest(docs, clusters)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(2L, 3L, 4L, 5L)
+  }
+
   test("crossSourceDupMatrix: unordered source pairs, within-source counted, orientation normalized") {
     val docs = Seq((1L, "x", "s1"), (2L, "x", "s1"), (3L, "x", "s2"), (4L, "x", "s3"))
       .toDF("doc_id", "text", "source")
