@@ -159,6 +159,17 @@ object Bench {
           confidence = 0.99, seed = 42).count()
         require(n == 10, s"expected 10 sketched heavy hitters, got $n")
       }),
+      // sketched quantile gate: per-source approx_percentile threshold
+      // + scan-side compare — zero sorts (q_quality_quantile keeps the
+      // exact percent_rank contract form; this twin is the 100 TB path)
+      "quality_quantile_sketched" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val n = graft.llm.TextAnalysis
+          .qualityQuantileFilterSketched(docs, 0.2)
+          .filter(col("keep")).count()
+        require(n > 0, "expected a non-empty sketched-quantile keep set")
+      }),
       // the 100 TB-regime cell-assignment fallback (K > MaxInlineCells):
       // 300 coarse cells force Similarity.assignCellsJoin — broadcast
       // cells + one min(struct) exchange — so the large-K path carries a

@@ -1058,6 +1058,38 @@ object TextAnalysis {
       .withColumn("keep", col("pr") <= q)
   }
 
+  /** 100 TB scale twin of [[qualityQuantileFilter]]: the exact gate
+    * ranks every source's documents (a per-source SORT — at real scale
+    * the whole corpus flows through source-keyed sort exchanges just
+    * to learn each doc's rank). This twin never sorts: one aggregate
+    * derives a per-source score THRESHOLD from a mergeable quantile
+    * sketch (`approx_percentile`, Greenwald-Khanna summaries — partial
+    * summaries merge on executors like every sketch in this repo), the
+    * sources-sized threshold table broadcasts back, and keep is a
+    * scan-side comparison. Two corpus scans, zero sorts, state = one
+    * summary per source.
+    *
+    * Kept fraction lands within the sketch's rank error (≤ 1/accuracy
+    * relative) of `q`, and kept docs are exactly the top scorers of
+    * their source above the threshold — but the summary's merge order
+    * is partition-layout-dependent, so the threshold (and boundary
+    * docs inside the error band) can move across layouts: this is the
+    * bench/spec-verified scale twin, NOT a contract query — the
+    * established heavyHittersSketched split: `q_quality_quantile`
+    * pins the exact semantics bitwise. Output: (doc_id, source,
+    * score, keep). */
+  def qualityQuantileFilterSketched(docs: DataFrame, q: Double,
+                                    accuracy: Int = 10000): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"need 0 <= q <= 1, got $q")
+    require(accuracy >= 1, s"need accuracy >= 1, got $accuracy")
+    val scored = qualityScored(docs, Seq("source"))
+    val thr = scored.groupBy(col("source"))
+      .agg(percentile_approx(col("score"), lit(1.0 - q), lit(accuracy)).as("t"))
+    scored.join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"),
+        (col("score") >= col("t")).as("keep"))
+  }
+
   /** Sketch-only heavy hitters — the 100 TB twin of [[heavyHitters]],
     * which VERIFIES its count-min sketch but still PRODUCES the answer
     * from an exact corpus-wide `groupBy(w)` top-k: precisely the

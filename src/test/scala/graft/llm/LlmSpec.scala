@@ -778,6 +778,28 @@ class LlmSpec extends SparkSpec {
     (capped should not).contain((1L, 2L))
   }
 
+  test("qualityQuantileFilterSketched: threshold gate tracks the exact quantile gate within rank error") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = 0.3
+    val exact = TextAnalysis.qualityQuantileFilter(docs, q).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getBoolean(4)))
+    val sk = TextAnalysis.qualityQuantileFilterSketched(docs, q).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(3)))
+    val prOf = exact.map(t => t._1 -> t._3).toMap
+    sk.length shouldBe exact.length
+    for (src <- exact.map(_._2).distinct) {
+      val e = exact.filter(_._2 == src).filter(_._4).map(_._1).toSet
+      val s = sk.filter(_._2 == src).filter(_._3).map(_._1).toSet
+      val diff = (e -- s) ++ (s -- e)
+      withClue(s"source $src (exact ${e.size}, sketched ${s.size}): ") {
+        // boundary docs may flip inside the sketch's rank-error band;
+        // docs clearly above/below the quantile must agree
+        diff.size should be <= 2
+        for (id <- diff) prOf(id) shouldBe q +- 0.12
+      }
+    }
+  }
+
   test("keepLongest: longest doc survives its cluster, ties to lowest id, non-members untouched") {
     val docs = docsDF(
       1L -> "a b",        // cluster A, shorter: dropped
