@@ -263,6 +263,36 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming EXACT ingest dedup with constant driver state: the
+      // bloom twin of stream_ingest_dedup — misses admit with no store
+      // read, only bloom hits verify against already-written partitions
+      "stream_bloom_ingest" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val nDocs = docs.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_bench").toString
+        try {
+          docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val bi = new graft.streaming.BloomIngest(
+            expectedItems = 1000000L, numBits = 8000000L)
+          val q = bi.start(src, s"$tmp/corpus", s"$tmp/ck")
+          q.processAllAvailable()
+          q.stop()
+          val survived = s2.read.parquet(s"$tmp/corpus").count()
+          require(survived > 0 && survived <= nDocs,
+            s"bloom ingest kept $survived of $nDocs docs")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming retention-matrix deltas (flatMapGroupsWithState with
       // retraction on late cohort rebases): the events table fed as a
       // 4-batch file stream of (user_id, hour); summed deltas must

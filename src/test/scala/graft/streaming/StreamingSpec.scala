@@ -94,6 +94,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom ingest: exact streaming dedup, replay idempotent, restart restores the bloom") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bloomingest").toString
+    val corpusPath = s"$dir/corpus"
+    val ck = s"$dir/ck"
+    val mem = MemoryStream[(Long, String)]
+    val bi = new BloomIngest(expectedItems = 1000L, numBits = 8000L)
+    val q = bi.start(mem.toDF.toDF("doc_id", "text"), corpusPath, ck)
+    val b2 = Seq((10L, "alpha one"), (12L, "gamma three"), (11L, "gamma three"), (13L, "delta four"))
+    try {
+      mem.addData((1L, "alpha one"), (2L, "beta two"))
+      q.processAllAvailable()
+      // batch 1: 10 dups batch 0's "alpha one"; 11/12 duplicate each
+      // other within the batch (lowest id kept); 13 is new
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      corpus shouldBe Set(1L, 2L, 11L, 13L)
+      // replay batch 1 directly: partition overwrite + bloom bit-OR are
+      // both idempotent — the store must not change
+      bi.ingestBatch(b2.toDF("doc_id", "text"), corpusPath, batchId = 1L)
+      spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 11L, 13L)
+    } finally q.stop()
+    // restart: a FRESH driver restores the committed bloom and still
+    // catches a duplicate of the pre-restart corpus (without restore it
+    // would re-admit "alpha one" as a bloom miss)
+    val bi2 = new BloomIngest(expectedItems = 1000L, numBits = 8000L)
+    bi2.restore(ck, spark.sparkContext.hadoopConfiguration)
+    bi2.ingestBatch(Seq((20L, "alpha one"), (21L, "zeta six")).toDF("doc_id", "text"),
+      corpusPath, batchId = 2L)
+    spark.read.parquet(corpusPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 11L, 13L, 21L)
+  }
+
   test("streaming CMS: batch-wise build + merge equals the one-shot batch sketch") {
     implicit val ctx = spark.sqlContext
     val b1 = Seq((1L, "a a a b c"), (2L, "a b d"))
