@@ -84,6 +84,11 @@ object SparkEntry {
   private val PqCodebookIds = Seq(11L, 57L, 201L, 401L)
   private val PqSubspaces = 4
   private val PqSearchK = 5
+  /** RRF fusion contract: candidate pool per retriever, the standard
+    * kRrf = 60 (Cormack et al. 2009), fused top-k. */
+  private val RrfPoolK = 10
+  private val RrfConst = 60
+  private val RrfTopK = 5
   /** Signature-agreement floor for the estimate-only pairs (8/16 = 0.5). */
   private val MinhashEstMatch = 8
   /** Round-6 constants: Gopher rule thresholds (word count, mean word
@@ -1076,6 +1081,19 @@ object SparkEntry {
       Similarity.pqSearch(emb(s, dir), PqCodebookIds, PqSubspaces, AnnQueryIds, PqSearchK)
         .orderBy(col("query_id"), col("rn"))),
 
+    // reciprocal-rank fusion of the exact-cosine and PQ-ADC rankings:
+    // the hybrid-search ensemble combiner (rank-only, no score
+    // calibration between retrievers)
+    "q_rrf_fusion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.rrfFuse(
+        Similarity.bruteForceTopKRanked(e, AnnQueryIds, RrfPoolK),
+        Similarity.pqSearch(e, PqCodebookIds, PqSubspaces, AnnQueryIds, RrfPoolK)
+          .select(col("query_id"), col("neighbor_id"), col("rn")),
+        RrfConst, RrfTopK)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // unigram-LM quality score: avg token log-prob under the corpus
     "q_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir)).orderBy(col("doc_id"))),
@@ -1897,6 +1915,9 @@ object SparkEntry {
     "q_rp" -> TextSql.rpProjectSql(RpDim),
     "q_pq" -> TextSql.pqEncodeSql(PqCodebookIds, PqSubspaces),
     "q_pq_search" -> TextSql.pqSearchSql(PqCodebookIds, PqSubspaces, AnnQueryIds, PqSearchK),
+
+    "q_rrf_fusion" -> TextSql.rrfFusionSql(
+      PqCodebookIds, PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),
     "q_unigram_lp" -> TextSql.unigramLogProbSql,
 
     "q_bigram_lp" -> TextSql.bigramLogProbSql(BigramLambda),

@@ -799,6 +799,33 @@ object TextSql {
       "ORDER BY query_id, rn"
   }
 
+  /** Mirror of Similarity.rrfFuse over the exact-cosine and PQ-ADC
+    * rankings: both input rankings re-derived by their own contract
+    * CTEs (the brute-force rank uses the UNROUNDED sim, exactly like
+    * the operator), full-outer joined on (query, neighbor), each RRF
+    * term one CAST-to-DOUBLE integer division, summed in fixed written
+    * order — bitwise with no rounding. */
+  def rrfFusionSql(codebookIds: Seq[Long], m: Int, queryIds: Seq[Long],
+                   poolK: Int, kRrf: Int, topK: Int): String = {
+    val bf =
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+        s"scored AS (SELECT query_id, e.vec_id AS neighbor_id, $cosSql AS sim " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored) " +
+        s"SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $poolK"
+    s"WITH bf AS (SELECT * FROM ($bf) b), " +
+      s"pq AS (SELECT query_id, neighbor_id, rn FROM (${pqSearchSql(codebookIds, m, queryIds, poolK)}) p), " +
+      "f AS (SELECT coalesce(bf.query_id, pq.query_id) AS query_id, " +
+      "coalesce(bf.neighbor_id, pq.neighbor_id) AS neighbor_id, " +
+      s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + bf.rn AS DOUBLE), CAST(0 AS DOUBLE)) + " +
+      s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + pq.rn AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf " +
+      "FROM bf FULL OUTER JOIN pq ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rn2 FROM f) " +
+      s"SELECT query_id, neighbor_id, rrf, CAST(rn2 AS BIGINT) AS rn FROM rk WHERE rn2 <= $topK " +
+      "ORDER BY query_id, rn"
+  }
+
   /** Mirror of Similarity.ivfPqSearch: coarse assignment + probe lists
     * via the annIvfSql ROW_NUMBER argmin (ties to lowest cell id), PQ
     * codes + distance tables via the pqSearchSql CTEs, candidates

@@ -37,7 +37,20 @@ object Similarity {
 
   /** Exact top-k neighbors (cosine) of each query vector, excluding self.
     * Output: (query_id, neighbor_id, sim). */
-  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    bruteRanked(emb, queryIds, k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+
+  /** Ranked form of [[bruteForceTopK]] for rank-fusion consumers:
+    * (query_id, neighbor_id, rn) — ranks come from the same unrounded
+    * (sim DESC, neighbor_id) window, so they are exactly the contract
+    * query's ordering. */
+  def bruteForceTopKRanked(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    bruteRanked(emb, queryIds, k)
+      .select(col("query_id"), col("neighbor_id"), col("rn").cast("long").as("rn"))
+
+  private def bruteRanked(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
@@ -46,8 +59,39 @@ object Similarity {
         cosine(col("qvec"), col("vec")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
-      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * retrieval-ensemble combiner: two ranked candidate lists per query
+    * merge on rank alone, score = Σ 1/(kRrf + rank), absent-from-one-
+    * list contributes 0. Rank fusion needs NO score calibration
+    * between the input retrievers (the reason RRF is the default
+    * hybrid-search combiner), so any two (query_id, neighbor_id, rn)
+    * frames compose — the contract fuses the exact-cosine ranking with
+    * the PQ-ADC ranking, i.e. an exact/compressed ensemble.
+    *
+    * Float discipline: each term is one IEEE division of CAST-to-
+    * DOUBLE exact integers and the score is the SUM OF EXACTLY TWO
+    * such terms in fixed written order — a row expression, not an
+    * aggregate, so there is no partition-order float-sum hazard and
+    * the oracle crosses bitwise unrounded. Ordering (rrf DESC,
+    * neighbor_id) is total.
+    *
+    * Scale shape: one equi full-outer join on (query, neighbor) sized
+    * by the input top-k pools (queries·k rows, never the corpus) + the
+    * per-query ranking window. Output: (query_id, neighbor_id, rrf,
+    * rn), top `k` per query. */
+  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int, k: Int): DataFrame = {
+    require(kRrf >= 1 && k >= 1, s"need kRrf >= 1 and k >= 1, got $kRrf, $k")
+    val fa = a.select(col("query_id"), col("neighbor_id"), col("rn").as("ra"))
+    val fb = b.select(col("query_id"), col("neighbor_id"), col("rn").as("rb"))
+    val fused = fa.join(fb, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(lit(1.0) / (lit(kRrf.toLong) + col("ra")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toLong) + col("rb")).cast("double"), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs, cell-pruned: vectors are

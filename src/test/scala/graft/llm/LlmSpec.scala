@@ -778,6 +778,22 @@ class LlmSpec extends SparkSpec {
     (capped should not).contain((1L, 2L))
   }
 
+  test("rrfFuse: hand-computed scores, absent-list zero, tie to lowest neighbor") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 40L, 1L)).toDF("query_id", "neighbor_id", "rn")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L), (2L, 50L, 1L)).toDF("query_id", "neighbor_id", "rn")
+    val out = Similarity.rrfFuse(a, b, kRrf = 60, k = 10)
+      .orderBy(col("query_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // q1: n20 = 1/62 + 1/61 (both lists), n10 = 1/61, n30 = 1/62
+    out.filter(_._1 == 1L) shouldBe Array(
+      (1L, 20L, 1.0 / 62 + 1.0 / 61, 1L),
+      (1L, 10L, 1.0 / 61, 2L),
+      (1L, 30L, 1.0 / 62, 3L))
+    // q2: n40 and n50 tie at 1/61 -> lowest neighbor first
+    out.filter(_._1 == 2L) shouldBe Array(
+      (2L, 40L, 1.0 / 61, 1L), (2L, 50L, 1.0 / 61, 2L))
+  }
+
   test("qualityQuantileFilterSketched: threshold gate tracks the exact quantile gate within rank error") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = 0.3
