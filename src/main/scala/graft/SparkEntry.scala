@@ -1301,6 +1301,22 @@ object SparkEntry {
       TextAnalysis.bpeEncode(docs(s, dir), BpeTrainMerges)
         .orderBy(col("doc_id"))),
 
+    // tokenizer fertility per source (subtokens per word — the metric
+    // a tokenizer choice is judged by per domain/language); one
+    // exact-integer division, the qualityClassifier pattern
+    "q_bpe_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.bpeEncode(d, BpeTrainMerges)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_subtokens")).as("n_subtokens"))
+        .select(col("source"), col("n_words"), col("n_subtokens"),
+          (col("n_subtokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"))
+        .orderBy(col("source"))
+    }),
+
     // end-to-end curation composition: Gopher rule gate -> exact dedup
     // (keep lowest id) -> per-language corpus report. The operator
     // chain a curation run actually executes, oracle-checked as ONE
@@ -1994,6 +2010,14 @@ object SparkEntry {
     "q_bpe_train" -> TextSql.bpeTrainSql(BpeTrainMerges),
 
     "q_bpe_encode" -> TextSql.bpeEncodeSql(BpeTrainMerges),
+
+    "q_bpe_fertility" ->
+      (s"SELECT d.source, CAST(sum(e.n_words) AS BIGINT) AS n_words, " +
+        "CAST(sum(e.n_subtokens) AS BIGINT) AS n_subtokens, " +
+        "CAST(sum(e.n_subtokens) AS DOUBLE) / CAST(sum(e.n_words) AS DOUBLE) AS fertility " +
+        s"FROM (${TextSql.bpeEncodeSql(BpeTrainMerges)}) e " +
+        "JOIN documents d ON e.doc_id = d.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"),
 
     "q_bm25" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
 

@@ -47,6 +47,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_quality_quantile: one scan, one source-keyed window exchange, no self-join") {
+    // the scorer carries `source` through its single scan (shared
+    // qualityScored helper) — a doc_id self-join to recover it would
+    // show up as a second documents scan + an extra join
+    val p = plan("q_quality_quantile")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("BroadcastHashJoin")
+    p.sliding("documents.parquet".length).count(_ == "documents.parquet") shouldBe 1
+  }
+
   test("q_bloom_dedup: might_contain probes the batch scan; verification joins broadcast, no corpus shuffle join") {
     // the membership path's whole point: the corpus folds into one
     // bloom aggregate (scalar subquery), the batch is pruned by
