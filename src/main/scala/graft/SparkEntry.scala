@@ -323,6 +323,27 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, dir), JacThreshold, JacDfCap)
         .orderBy(col("da"), col("db"))),
 
+    // honest LSH recall audit as a first-class query: the banded path's
+    // verified pairs are a SUBSET of the exact-Jaccard pairs (same
+    // threshold, same verification), so recall = n_banded/n_exact is
+    // the banding's true miss rate — measured per round at contract
+    // scale, not just argued in SCALING.md. One exact-grid division.
+    "q_lsh_recall" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Dedup.jaccardPairs(d, JacThreshold, JacDfCap)
+        .select(col("da"), col("db"))
+      val banded = Dedup.minhashPairs(d, JacThreshold)
+        .select(col("da"), col("db"))
+      exact.withColumn("x", lit(1L))
+        .join(banded.withColumn("b", lit(1L)), Seq("da", "db"), "full_outer")
+        .agg(sum(coalesce(col("x"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("b"), lit(0L))).as("n_banded"),
+          sum(when(col("b").isNull, 1L).otherwise(0L)).as("n_missed"))
+        .select(col("n_exact"), col("n_banded"), col("n_missed"),
+          (col("n_banded").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }),
+
     // near-dup pairs by MinHash+LSH banding, Jaccard-verified
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), JacThreshold).orderBy(col("da"), col("db"))),
@@ -1560,6 +1581,17 @@ object SparkEntry {
     "dedup_exact" -> TextSql.dedupExactSql,
     "dedup_jaccard" -> TextSql.dedupJaccardSql(JacThreshold, JacDfCap),
     "dedup_minhash" -> TextSql.dedupMinhashSql(JacThreshold),
+
+    "q_lsh_recall" ->
+      (s"WITH ex AS (SELECT da, db FROM (${TextSql.dedupJaccardSql(JacThreshold, JacDfCap)}) e), " +
+        s"bd AS (SELECT da, db FROM (${TextSql.dedupMinhashSql(JacThreshold)}) b), " +
+        "j AS (SELECT ex.da AS xa, bd.da AS ba FROM ex FULL OUTER JOIN bd " +
+        "ON ex.da = bd.da AND ex.db = bd.db) " +
+        "SELECT CAST(count(xa) AS BIGINT) AS n_exact, " +
+        "CAST(count(ba) AS BIGINT) AS n_banded, " +
+        "CAST(sum(CASE WHEN ba IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed, " +
+        "CAST(count(ba) AS DOUBLE) / CAST(count(xa) AS DOUBLE) AS recall " +
+        "FROM j"),
 
     "q_incr_minhash" -> TextSql.incrementalMinhashSql(JacThreshold, IncrementalMod),
 
