@@ -84,6 +84,10 @@ object SparkEntry {
   private val PqCodebookIds = Seq(11L, 57L, 201L, 401L)
   private val PqSubspaces = 4
   private val PqSearchK = 5
+  /** Char-trigram LID contract: profile size per language, per-doc
+    * profile size. */
+  private val LidProfileK = 64
+  private val LidDocK = 32
   /** RRF fusion contract: candidate pool per retriever, the standard
     * kRrf = 60 (Cormack et al. 2009), fused top-k. */
   private val RrfPoolK = 10
@@ -311,6 +315,12 @@ object SparkEntry {
 
     // n-gram/stopword-heuristic language ID
     "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // corpus-trained char-trigram rank-order LID (Cavnar-Trenkle) with
+    // per-doc verdicts against the labeled lang column — all integers
+    "q_lang_trigram" -> ((s, dir) =>
+      TextAnalysis.langIdTrigram(docs(s, dir), LidProfileK, LidDocK)
+        .orderBy(col("doc_id"))),
 
     // rolling polynomial document fingerprint
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir)).orderBy(col("doc_id"))),
@@ -1577,6 +1587,7 @@ object SparkEntry {
 
     "text_stats" -> TextSql.textStatsSql,
     "lang_id" -> TextSql.langIdSql,
+    "q_lang_trigram" -> TextSql.langIdTrigramSql(LidProfileK, LidDocK),
     "fingerprint" -> TextSql.fingerprintSql,
     "dedup_exact" -> TextSql.dedupExactSql,
     "dedup_jaccard" -> TextSql.dedupJaccardSql(JacThreshold, JacDfCap),

@@ -1182,6 +1182,31 @@ object TextSql {
       "CAST(sum(n_sub) AS BIGINT) AS n_subtokens " +
       "FROM tok2 JOIN sub USING (w) GROUP BY doc_id ORDER BY doc_id"
 
+  /** Mirror of TextAnalysis.langIdTrigram: one char-trigram CTE feeding
+    * both the per-language and per-document rank profiles (MATERIALIZED
+    * — two consumers), out-of-place distances with the max penalty for
+    * absent grams, argmin via a (dist, lang) window. All integers. */
+  def langIdTrigramSql(profileK: Int, docK: Int): String =
+    "WITH g AS MATERIALIZED (SELECT doc_id, lang, unnest(CASE WHEN len(text) >= 3 THEN " +
+      "list_transform(range(1, len(text)-1), i -> substr(text, i::INT, 3)) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS g FROM documents), " +
+      "lc AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY lang, g), " +
+      "lp AS MATERIALIZED (SELECT lang AS plang, g, rl FROM (SELECT lang, g, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, g) AS BIGINT) AS rl FROM lc) " +
+      s"WHERE rl <= $profileK), " +
+      "dc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id, g), " +
+      "dp AS MATERIALIZED (SELECT doc_id, g, rd FROM (SELECT doc_id, g, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, g) AS BIGINT) AS rd FROM dc) " +
+      s"WHERE rd <= $docK), " +
+      "langs AS (SELECT DISTINCT plang FROM lp), " +
+      s"pen AS (SELECT dp.doc_id, l.plang, coalesce(abs(dp.rd - lp.rl), $profileK) AS p " +
+      "FROM dp CROSS JOIN langs l LEFT JOIN lp ON lp.plang = l.plang AND lp.g = dp.g), " +
+      "ds AS (SELECT doc_id, plang, CAST(sum(p) AS BIGINT) AS dist FROM pen GROUP BY doc_id, plang), " +
+      "best AS (SELECT doc_id, plang AS pred_lang, dist FROM (SELECT *, " +
+      "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, plang) AS rn FROM ds) WHERE rn = 1) " +
+      "SELECT d.doc_id, d.lang, b.pred_lang, b.dist, b.pred_lang = d.lang AS correct " +
+      "FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id ORDER BY d.doc_id"
+
   /** Mirror of TextAnalysis.qualityQuantileFilter: the same exact-grid
     * classifier score with `source` carried, ranked per source by
     * (score DESC, doc_id) — a total order, so percent_rank is a single

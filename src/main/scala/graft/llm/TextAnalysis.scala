@@ -73,6 +73,70 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), langPred(col("text")).as("lang_pred"))
 
+  /** Char-trigram rank-order language ID (Cavnar & Trenkle 1994 — the
+    * n-gram-profile classifier fastText-style LID descends from), the
+    * corpus-trained upgrade of the fixed-stopword [[langId]]: per-
+    * language profiles are the top `profileK` character trigrams of
+    * that language's labeled text ranked by frequency; a document is
+    * scored against every profile by OUT-OF-PLACE distance (Σ over the
+    * doc's own top-`docK` trigrams of |doc rank − profile rank|, with
+    * trigrams absent from a profile paying the max penalty
+    * `profileK`); predicted language = argmin distance, ties to the
+    * lexicographically smaller language. Everything is an integer
+    * (counts, ranks, penalties) over total (count DESC, trigram)
+    * orders — bitwise cross-engine with no float discipline.
+    *
+    * Scale shape: ONE char-trigram explode (persisted — it feeds both
+    * the profile and the document aggregates) → two hash aggregates +
+    * two rank windows whose per-key top-k trims map-side; scoring is
+    * docs·docK·|langs| rows — the language set is a constant, so the
+    * join fans out by a constant factor and the profile side
+    * broadcasts. Training and inference ride the same corpus pass
+    * here; a production run would persist `langProfiles` and score new
+    * corpora against the frozen table. Documents shorter than 3 chars
+    * have no trigrams and predict NULL. Output: (doc_id, lang,
+    * pred_lang, dist, correct). */
+  def langIdTrigram(docs: DataFrame, profileK: Int, docK: Int): DataFrame = {
+    require(profileK >= 1 && docK >= 1,
+      s"need profileK, docK >= 1, got $profileK, $docK")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val grams = docs
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("lang"),
+        explode(when(length(col("text")) >= 3,
+          transform(sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wl = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
+    val langProf = grams.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("rl", row_number().over(wl).cast("long"))
+      .filter(col("rl") <= profileK)
+      .select(col("lang").as("plang"), col("g"), col("rl"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("g"))
+    val docProf = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("rd", row_number().over(wd).cast("long"))
+      .filter(col("rd") <= docK)
+      .select(col("doc_id"), col("g"), col("rd"))
+    val langs = langProf.select(col("plang")).distinct()
+    val dist = docProf.crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("plang", "g"), "left")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(coalesce(abs(col("rd") - col("rl")), lit(profileK.toLong))).as("dist"))
+    val best = dist.groupBy(col("doc_id"))
+      .agg(min(struct(col("dist"), col("plang"))).as("m"))
+      .select(col("doc_id"), col("m.plang").as("pred_lang"), col("m.dist").as("dist"))
+    val out = docs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("dist"),
+        (col("pred_lang") === col("lang")).as("correct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before releasing the shared gram cache
+    grams.unpersist(false)
+    out
+  }
+
   /** BPE-ish tokenization regex (letters / digits / punctuation runs,
     * optionally space-prefixed, GPT-2-style shape). Kept to constructs
     * with identical semantics in Java regex and RE2 so the DuckDB oracle

@@ -778,6 +778,29 @@ class LlmSpec extends SparkSpec {
     (capped should not).contain((1L, 2L))
   }
 
+  test("langIdTrigram: self-scoring zero distance, absent-gram penalty, short docs NULL") {
+    val docs = Seq(
+      (1L, "abcabc", "A"), // trigrams abc(2) bca cab -> own profile, dist 0
+      (2L, "xyzxyz", "B"), // disjoint trigram space
+      (3L, "ab", "A"))     // < 3 chars: no trigrams, pred NULL
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdTrigram(docs, profileK = 64, docK = 32)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) null else java.lang.Boolean.valueOf(r.getBoolean(4))))
+    out(0) shouldBe ((1L, "A", "A", 0L, true))
+    out(1) shouldBe ((2L, "B", "B", 0L, true))
+    out(2) shouldBe ((3L, "A", null, -1L, null))
+    // and on the contract corpus the mechanism runs end-to-end
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val preds = TextAnalysis.langIdTrigram(corpus, 64, 32)
+    preds.count() shouldBe corpus.count()
+    preds.filter(col("pred_lang").isNull).count() shouldBe
+      corpus.filter(org.apache.spark.sql.functions.length(col("text")) < 3).count()
+  }
+
   test("rrfFuse: hand-computed scores, absent-list zero, tie to lowest neighbor") {
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 40L, 1L)).toDF("query_id", "neighbor_id", "rn")
     val b = Seq((1L, 20L, 1L), (1L, 30L, 2L), (2L, 50L, 1L)).toDF("query_id", "neighbor_id", "rn")
