@@ -868,6 +868,18 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Morton (Z-order) clustering key over (user, hour) — the data-
+    // skipping sort key; signed BIGINT order IS Morton order because
+    // 31-bit operands keep the top occupied bit at position 62
+    "q_zorder" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("tus div 3600000000").as("hour"))
+        .distinct()
+      ev.select(col("user_id"), col("hour"),
+          graft.ops.ZOrder.key(col("user_id"), col("hour")).as("zkey"))
+        .orderBy(col("zkey"), col("user_id"))
+    }),
+
     // native session_window aggregation (streaming-capable sessionize twin)
     "q_session_window" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1592,6 +1604,11 @@ object SparkEntry {
     "dedup_exact" -> TextSql.dedupExactSql,
     "dedup_jaccard" -> TextSql.dedupJaccardSql(JacThreshold, JacDfCap),
     "dedup_minhash" -> TextSql.dedupMinhashSql(JacThreshold),
+
+    "q_zorder" ->
+      ("WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour FROM events) " +
+        s"SELECT user_id, hour, ${graft.ops.ZOrder.keySql("user_id", "hour")} AS zkey " +
+        "FROM ev ORDER BY zkey, user_id"),
 
     "q_lsh_recall" ->
       (s"WITH ex AS (SELECT da, db FROM (${TextSql.dedupJaccardSql(JacThreshold, JacDfCap)}) e), " +

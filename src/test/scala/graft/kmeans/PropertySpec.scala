@@ -207,6 +207,13 @@ class PropertySpec extends SparkSpec {
       graft.llm.TextAnalysis.bpeEncode(df, 4)
         .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap)
     bpe(docs.repartition(8)) shouldBe bpe(docs.coalesce(1))
+    // trigram LID: integer counts/ranks/penalties over total orders
+    def lid(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.langIdTrigram(df, 64, 32)
+        .collect().map(r => (r.getLong(0),
+          (if (r.isNullAt(2)) null else r.getString(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    lid(docs.repartition(8)) shouldBe lid(docs.coalesce(1))
   }
 
   test("heavy-hitter sketch flags are partition-count invariant (mergeable CMS)") {
