@@ -131,6 +131,9 @@ object SparkEntry {
     * while pruning the dense tail at bench scale). */
   private val TcosThreshold = 0.5
   private val TcosDfCap = 64L
+  /** Contrastive mining: the hard-negative band's lower cosine bound
+    * (pairs above it that are NOT near-dups are the hard negatives). */
+  private val CtrNegThreshold = 0.2
   /** Winnow-pair contract: shared-fingerprint floor + hot-fp df cap. */
   private val WinnowMinShared = 2L
   private val WinnowDfCap = 64L
@@ -909,6 +912,17 @@ object SparkEntry {
     "dedup_tfidf_cosine" -> ((s, dir) =>
       Dedup.tfidfCosinePairs(docs(s, dir), TcosThreshold, TcosDfCap)
         .orderBy(col("da"), col("db"))),
+
+    // contrastive training pairs: MinHash near-dups as positives, the
+    // lower-threshold tf-idf cosine band minus positives as hard
+    // negatives (the embedding-model data-mining recipe)
+    "q_contrastive" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contrastivePairs(
+        Dedup.minhashPairs(d, JacThreshold),
+        Dedup.tfidfCosinePairs(d, CtrNegThreshold, TcosDfCap))
+        .orderBy(col("label").desc, col("da"), col("db"))
+    }),
 
     // near-dup pairs by SimHash hamming distance (chunk-banded, lossless)
     "dedup_simhash" -> ((s, dir) =>
@@ -1885,6 +1899,15 @@ object SparkEntry {
     "q_simhash_wide" -> TextSql.simhashPairsWideSql(maxHamming = 2),
 
     "dedup_tfidf_cosine" -> TextSql.tfidfCosineSql(TcosThreshold, TcosDfCap),
+
+    "q_contrastive" ->
+      (s"WITH pos AS (SELECT da, db FROM (${TextSql.dedupMinhashSql(JacThreshold)}) m), " +
+        s"cand AS (SELECT da, db FROM (${TextSql.tfidfCosineSql(CtrNegThreshold, TcosDfCap)}) t), " +
+        "neg AS (SELECT da, db FROM cand WHERE NOT EXISTS " +
+        "(SELECT 1 FROM pos WHERE pos.da = cand.da AND pos.db = cand.db)) " +
+        "SELECT * FROM (SELECT da, db, CAST(1 AS BIGINT) AS label FROM pos " +
+        "UNION ALL SELECT da, db, CAST(0 AS BIGINT) AS label FROM neg) " +
+        "ORDER BY label DESC, da, db"),
 
     "q_winnow" -> TextSql.winnowSql(k = 3, w = 4),
 

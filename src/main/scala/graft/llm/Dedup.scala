@@ -326,6 +326,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Contrastive training-pair mining — the data an embedding model
+    * (SimCSE/E5-style) trains on, assembled from the dedup signals
+    * already in this engine: POSITIVES are near-duplicate pairs (the
+    * contract feeds MinHash-verified pairs — same content, different
+    * surface), HARD NEGATIVES are candidate pairs from a weaker
+    * similarity signal (a lower-threshold TF-IDF cosine band: lexically
+    * overlapping but NOT near-dups) that the positive set anti-joins
+    * away. Random negatives are free at training time; the hard band
+    * is the part worth mining — Karpukhin et al. 2020's observation.
+    * Both inputs are banded/capped pair generators, so the mining cost
+    * is candidate-bounded, never n². Output: (da, db, label 1|0). */
+  def contrastivePairs(positives: DataFrame, candidates: DataFrame): DataFrame = {
+    val pos = positives.select(col("da"), col("db"))
+    pos.withColumn("label", lit(1L))
+      .unionByName(candidates.select(col("da"), col("db"))
+        .join(pos, Seq("da", "db"), "left_anti")
+        .withColumn("label", lit(0L)))
+  }
+
   /** Keep-best dedup policy — the alternative to the keep-lowest-id
     * rule `dedupClusters` bakes into its labels: per near-dup cluster,
     * keep the doc with the MOST tokens (ties to the lowest id) and

@@ -839,6 +839,17 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("contrastivePairs: positives labeled 1, candidate overlap anti-joined into hard negatives") {
+    val pos = Seq((1L, 2L), (3L, 4L)).toDF("da", "db")
+    val cand = Seq((1L, 2L), (5L, 6L), (3L, 7L)).toDF("da", "db")
+    val out = Dedup.contrastivePairs(pos, cand)
+      .orderBy(col("label").desc, col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array(
+      (1L, 2L, 1L), (3L, 4L, 1L), // positives
+      (3L, 7L, 0L), (5L, 6L, 0L)) // candidates minus the (1,2) overlap
+  }
+
   test("keepLongest: longest doc survives its cluster, ties to lowest id, non-members untouched") {
     val docs = docsDF(
       1L -> "a b",        // cluster A, shorter: dropped
