@@ -33,6 +33,14 @@ object SparkEntry {
     * contract, not a Spark-side heuristic. */
   private val JacDfCap = 1000L
 
+  /** Edit-distance budget of the edit-verified near-dup contract query.
+    * Band candidates at sf0.01 sit at distances {4 x24, 8, 285}: 20
+    * keeps every planted near-dup (a few character edits) while
+    * rejecting the one coincidental band collision — exercising the
+    * thresholded DP's -1 branch in the shipped contract, not just in a
+    * spec fixture. */
+  private val EditMaxDist = 20
+
   /** ANN contract parameters: query vectors + coarse IVF cells are
     * corpus vectors selected by id (deterministic, no literals). */
   private val AnnQueryIds = Seq(0L, 1L, 2L)
@@ -360,6 +368,13 @@ object SparkEntry {
     // near-dup pairs by MinHash+LSH banding, Jaccard-verified
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), JacThreshold).orderBy(col("da"), col("db"))),
+
+    // edit-distance-verified near-dup pairs: same LSH band candidates,
+    // verified by the thresholded banded levenshtein DP instead of
+    // Jaccard — "near duplicate" as "few character edits" (OCR noise,
+    // typo farms), order-sensitive where Jaccard is not
+    "q_edit_pairs" -> ((s, dir) =>
+      Dedup.editPairs(docs(s, dir), EditMaxDist).orderBy(col("da"), col("db"))),
 
     // 20-bit SimHash signature per document
     "simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir)).orderBy(col("doc_id"))),
@@ -1618,6 +1633,7 @@ object SparkEntry {
     "dedup_exact" -> TextSql.dedupExactSql,
     "dedup_jaccard" -> TextSql.dedupJaccardSql(JacThreshold, JacDfCap),
     "dedup_minhash" -> TextSql.dedupMinhashSql(JacThreshold),
+    "q_edit_pairs" -> TextSql.editPairsSql(EditMaxDist),
 
     "q_zorder" ->
       ("WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour FROM events) " +

@@ -781,8 +781,11 @@ object Dedup {
     *
     * Cross-engine: the distance is an integer DP (no floats anywhere);
     * DuckDB's `levenshtein` agrees exactly on ASCII text (it counts
-    * bytes, Spark counts chars — identical on the contract corpus; on
-    * non-ASCII corpora the Spark side is the character-correct one).
+    * bytes, Spark counts chars — verified empirically r12: every doc at
+    * sf0.01 has strlen(text) = len(text), i.e. pure ASCII, and the
+    * per-round hash compare of `q_edit_pairs` re-checks the agreement
+    * on every regeneration of the corpus; on non-ASCII corpora the
+    * Spark side is the character-correct one).
     * edit_sim = (maxlen - dist)/maxlen is ONE division of two exact
     * BIGINTs (the qualityClassifier exact-grid pattern) — bitwise with
     * no rounding discipline. Output: (da, db, dist, edit_sim) with
@@ -815,9 +818,15 @@ object Dedup {
       .select(col("da"), col("db"), d.cast("long").as("dist"),
         greatest(length(col("ta")), length(col("tb"))).cast("long").as("maxlen"))
       .filter(col("dist") >= 0) // thresholded DP returns -1 past maxDist
+      // maxlen = 0 means two EMPTY texts (dist 0, similarity 1 — identical,
+      // not NaN). Today unreachable — empty docs produce no shingles and
+      // never enter the band table, an invariant enforced far away in
+      // signatures() — but the guard keeps a future candidate-source
+      // change from silently feeding 0/0 into a bitwise-hashed column.
       .select(col("da"), col("db"), col("dist"),
-        ((col("maxlen") - col("dist")).cast("double") /
-          col("maxlen").cast("double")).as("edit_sim"))
+        when(col("maxlen") === 0, lit(1.0))
+          .otherwise((col("maxlen") - col("dist")).cast("double") /
+            col("maxlen").cast("double")).as("edit_sim"))
     materialized(out, release = Seq(cand, txt))
   }
 

@@ -355,6 +355,81 @@ class LlmSpec extends SparkSpec {
     incr should not be empty // planted near-dups straddle the split
   }
 
+  /** Reference Levenshtein for the editPairs checks: the classic full
+    * O(n*m) DP, character-counted — deliberately NOT the banded
+    * algorithm under test. */
+  private def refLev(a: String, b: String): Long = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var diag = prev(0); prev(0) = i
+      for (j <- 1 to b.length) {
+        val tmp = prev(j)
+        prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+          diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        diag = tmp
+      }
+    }
+    prev(b.length).toLong
+  }
+
+  test("editPairs: distances equal the full DP on every banded candidate (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val texts = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // maxDist large enough that no candidate is thresholded: the result
+    // IS the band-candidate set with true distances
+    val all = Dedup.editPairs(docs, maxDist = 1 << 20).collect()
+    all should not be empty // planted near-dups band-collide
+    for (r <- all) {
+      val (da, db, dist) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      da should be < db
+      dist shouldBe refLev(texts(da), texts(db))
+      val maxlen = math.max(texts(da).length, texts(db).length).toLong
+      r.getDouble(3) shouldBe (maxlen - dist).toDouble / maxlen.toDouble
+    }
+    // the thresholded run is exactly the unthresholded run filtered:
+    // the -1-past-threshold branch drops candidates, never distorts them
+    val cut = all.map(_.getLong(2)).sorted.apply(all.length / 2)
+    val thr = Dedup.editPairs(docs, maxDist = cut.toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    thr shouldBe all.filter(_.getLong(2) <= cut)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("editPairs: -1 branch, maxDist=0 degenerate, ties, char-counted unicode") {
+    // 30 distinct tokens; editing the LAST token changes exactly one of
+    // 29 bigram shingles (Jaccard 28/30 ~ 0.93 — inside the banding's
+    // reliable-detection regime, unlike a mid-text edit at ~0.7)
+    val toks = (0 until 30).map(i => s"tok$i")
+    val base = toks.mkString(" ")
+    val edited = (toks.init :+ "tok29x").mkString(" ") // 1-char insertion
+    val d = docsDF(
+      1L -> base,
+      2L -> base,     // clone of 1: dist 0
+      3L -> edited,   // 1 char edit at the tail
+      4L -> "completely different words about gardens and rivers flowing north")
+    // maxDist=0 degenerate: only exact clones survive verification
+    val exact = Dedup.editPairs(d, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    exact.toSeq shouldBe Seq((1L, 2L, 0L, 1.0))
+    // a 1-edit near-dup passes at maxDist=1 (ties: both (1,3) and (2,3)
+    // verify identically — clone endpoints never diverge)
+    val one = Dedup.editPairs(d, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    one shouldBe Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L))
+    // unicode: Spark counts CHARS, not bytes — a multi-byte substitution
+    // is one edit (the oracle corpus is ASCII-gated; this pins the Spark
+    // side as the character-correct one on non-ASCII input)
+    // ö→o is ONE char substitution (two edits under byte counting —
+    // DuckDB would say 2, which is why the oracle corpus is ASCII-gated)
+    val u = docsDF(
+      10L -> (toks.init :+ "ömega").mkString(" "),
+      11L -> (toks.init :+ "omega").mkString(" "))
+    val up = Dedup.editPairs(u, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    up.toSeq shouldBe Seq((10L, 11L, 1L))
+  }
+
   test("qualityWeightedSample: kept set is exactly the hash-below-quality predicate") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val kept = TextAnalysis.qualityWeightedSample(docs, buckets = 1000)
