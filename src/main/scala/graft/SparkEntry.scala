@@ -849,6 +849,17 @@ object SparkEntry {
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
+    // incremental edit-verified dedup: batch bands broadcast against the
+    // corpus (never self-joined), candidates verified by the thresholded
+    // levenshtein DP — the OCR-noise/typo-farm ingest path
+    "q_incr_edit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalEditPairs(
+        d.filter(col("doc_id") % IncrementalMod === 0),
+        d.filter(col("doc_id") % IncrementalMod =!= 0), EditMaxDist)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // quality-weighted (importance) sampling: keep probability = quality,
     // content-hash coin; integer aggregates per lang verify the survivors
     "q_quality_sample" -> ((s, dir) =>
@@ -1652,6 +1663,7 @@ object SparkEntry {
         "FROM j"),
 
     "q_incr_minhash" -> TextSql.incrementalMinhashSql(JacThreshold, IncrementalMod),
+    "q_incr_edit" -> TextSql.incrementalEditPairsSql(EditMaxDist, IncrementalMod),
 
     "q_quality_sample" -> TextSql.qualityWeightedSampleSql(QualityBuckets),
     "simhash" -> TextSql.simhashSql,

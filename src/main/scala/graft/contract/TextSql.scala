@@ -244,6 +244,37 @@ object TextSql {
       s"WHERE i/(na.n + nb.n - i) >= $threshold ORDER BY batch_id, corpus_id"
   }
 
+  /** Mirror of Dedup.incrementalEditPairs with batch = documents whose
+    * doc_id % `batchMod` = 0 and corpus = the rest: the
+    * incrementalMinhashSql candidate form (batch-band x corpus-band
+    * bucket collisions), verified by levenshtein like editPairsSql.
+    * Same cross-engine notes as editPairsSql (ASCII corpus, exact
+    * single-division edit_sim). */
+  def incrementalEditPairsSql(maxDist: Int, batchMod: Int): String = {
+    val sigEntries = Dedup.HashAB.map { case (a, b) =>
+      s"list_min(list_transform(hv, h -> ($a*h + $b) % ${TextAnalysis.FpMod}))"
+    }.mkString("[", ", ", "]")
+    val bandVals = (0 until Dedup.Bands).map(b => s"($b)").mkString(", ")
+    val keyExpr = (0 until Dedup.RowsPerBand).map { r =>
+      s"CAST(sig[(band*${Dedup.RowsPerBand} + ${r + 1})::INT] AS VARCHAR)"
+    }.mkString(" || ',' || ")
+    s"WITH $shingleCtes, " +
+      s"hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${polyHashSql("s")}) AS hv " +
+      "FROM d WHERE len(sh) > 0), " +
+      s"sig AS (SELECT doc_id, $sigEntries AS sig FROM hs), " +
+      s"bands AS (SELECT doc_id, band, $keyExpr AS key FROM sig, (VALUES $bandVals) bn(band)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.key = b.key " +
+      s"AND a.doc_id % $batchMod = 0 AND b.doc_id % $batchMod <> 0), " +
+      "lv AS (SELECT da, db, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist, " +
+      "CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT) AS maxlen " +
+      "FROM cand JOIN documents ta ON ta.doc_id = da JOIN documents tb ON tb.doc_id = db) " +
+      "SELECT da AS batch_id, db AS corpus_id, dist, " +
+      "CASE WHEN maxlen = 0 THEN 1.0 " +
+      "ELSE CAST(maxlen - dist AS DOUBLE) / CAST(maxlen AS DOUBLE) END AS edit_sim " +
+      s"FROM lv WHERE dist <= $maxDist ORDER BY batch_id, corpus_id"
+  }
+
   /** Mirror of Dedup.editPairs: the SAME band-collision candidates as
     * dedupMinhashSql, verified by levenshtein distance over the raw
     * texts instead of shingle Jaccard. DuckDB's `levenshtein` is

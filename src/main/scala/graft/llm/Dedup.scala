@@ -749,15 +749,24 @@ object Dedup {
     * contract-verified one. */
   private def corpusProbePairs(batchBands: DataFrame, newDocs: DataFrame,
                                corpus: DataFrame, threshold: Double): DataFrame = {
-    val cand = bandTable(corpus).as("c")
+    val both = newDocs.select(col("doc_id"), col("text"))
+      .unionByName(corpus.select(col("doc_id"), col("text")))
+    verifyJaccard(both, probeCandidates(batchBands, corpus), threshold, release = Nil)
+  }
+
+  /** (da = batch doc, db = corpus doc) band-collision candidates of a
+    * PREBUILT batch band table probed against a corpus: the batch side
+    * broadcasts (small next to the corpus BY DEFINITION of incremental
+    * ingest), so the corpus bands once and is probed in place — no
+    * corpus self-join, no corpus shuffle. The single candidate
+    * definition under every incremental verifier (Jaccard, edit
+    * distance, streaming ingest). */
+  private def probeCandidates(batchBands: DataFrame, corpus: DataFrame): DataFrame =
+    bandTable(corpus).as("c")
       .join(broadcast(batchBands).as("b"),
         col("c.band") === col("b.band") && col("c.key") === col("b.key"))
       .select(col("b.doc_id").as("da"), col("c.doc_id").as("db"))
       .distinct()
-    val both = newDocs.select(col("doc_id"), col("text"))
-      .unionByName(corpus.select(col("doc_id"), col("text")))
-    verifyJaccard(both, cand, threshold, release = Nil)
-  }
 
   // ---------- edit-distance-verified near-dup ----------
 
@@ -794,10 +803,40 @@ object Dedup {
     require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
     val bands = bandTable(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bandCandidates(bands)
+    verifyEdit(docs, bandCandidates(bands), maxDist, release = Seq(bands))
+  }
+
+  /** Incremental edit-verified near-dup: (batch_id, corpus_id, dist,
+    * edit_sim) pairs between a NEW snapshot and the existing corpus —
+    * the edit-distance twin of [[incrementalMinhash]], for the ingest
+    * where "duplicate" must mean "few character edits" (OCR re-scans of
+    * already-ingested pages, typo-farm resubmissions). Same probe shape
+    * (the ONE [[probeCandidates]] definition: batch bands broadcast, the
+    * corpus scanned once and never self-joined), same thresholded-DP
+    * verification as [[editPairs]] — cost tracks the batch size times
+    * the distance budget. doc_ids must be unique ACROSS both frames. */
+  def incrementalEditPairs(newDocs: DataFrame, corpus: DataFrame,
+                           maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    val both = newDocs.select(col("doc_id"), col("text"))
+      .unionByName(corpus.select(col("doc_id"), col("text")))
+    verifyEdit(both, probeCandidates(bandTable(newDocs), corpus),
+      maxDist, release = Nil)
+      .select(col("da").as("batch_id"), col("db").as("corpus_id"),
+        col("dist"), col("edit_sim"))
+  }
+
+  /** Thresholded-levenshtein verification of candidate (da, db) pairs —
+    * the edit-distance sibling of [[verifyJaccard]]: texts fetched for
+    * candidate endpoints only, banded O(len*d) DP, -1-past-budget rows
+    * dropped. Shared by [[editPairs]] and [[incrementalEditPairs]] so
+    * the self-join and incremental paths cannot drift. */
+  private def verifyEdit(docs: DataFrame, candidates: DataFrame, maxDist: Int,
+                         release: Seq[DataFrame]): DataFrame = {
+    val cand = candidates
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCand = cand.count()
-    bands.unpersist(false)
+    release.foreach(_.unpersist(false))
     val candIds = cand.select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
     val candIdsSized =
       if (nCand <= BroadcastVerifyLimit) broadcast(candIds) else candIds

@@ -308,6 +308,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_incr_edit: the probe stays broadcast — the edit twin inherits the incremental shape") {
+    val p = plan("q_incr_edit", "simple")
+    p should include("BroadcastHashJoin [band")
+    (p should not).include("CartesianProduct")
+  }
+
   test("q_quality_sample: single-scan filter + aggregate, no join") {
     val p = plan("q_quality_sample", "simple")
     (p should not).include("Join")

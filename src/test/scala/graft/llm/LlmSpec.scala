@@ -396,6 +396,23 @@ class LlmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
+  test("incrementalEditPairs equals the cross-membership slice of editPairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incr = Dedup.incrementalEditPairs(batch, corpus, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // same band layout, same thresholded verification: the incremental
+    // result must be exactly the full self-join's pairs that straddle
+    // the batch boundary — distances and similarities included
+    val cross = Dedup.editPairs(docs, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter { case (a, b, _, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, d, s) => if (a % 5 == 0) (a, b, d, s) else (b, a, d, s) }.toSet
+    incr shouldBe cross
+    incr should not be empty // planted near-dups straddle the split
+  }
+
   test("editPairs: -1 branch, maxDist=0 degenerate, ties, char-counted unicode") {
     // 30 distinct tokens; editing the LAST token changes exactly one of
     // 29 bigram shingles (Jaccard 28/30 ~ 0.93 — inside the banding's
