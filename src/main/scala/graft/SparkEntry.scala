@@ -909,6 +909,23 @@ object SparkEntry {
         .orderBy(col("zkey"), col("user_id"))
     }),
 
+    // 4-dim Morton key over (user, hour-of-day, event-type code, value
+    // bucket) — the realistic layout shape (identity + time + categorical
+    // + metric); every dim fits inputBits(4)=15 so the key is a bijection
+    // and zkey alone is a total order
+    "q_zorder4" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("(tus div 3600000000) % 24").as("hod"),
+          expr("CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
+            "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS BIGINT)").as("etype"),
+          expr("floor(value) div 10").as("vbucket"))
+        .distinct()
+      ev.select(col("user_id"), col("hod"), col("etype"), col("vbucket"),
+          graft.ops.ZOrder.keyN(Seq(col("user_id"), col("hod"), col("etype"),
+            col("vbucket"))).as("zkey"))
+        .orderBy(col("zkey"))
+    }),
+
     // native session_window aggregation (streaming-capable sessionize twin)
     "q_session_window" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1650,6 +1667,15 @@ object SparkEntry {
       ("WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour FROM events) " +
         s"SELECT user_id, hour, ${graft.ops.ZOrder.keySql("user_id", "hour")} AS zkey " +
         "FROM ev ORDER BY zkey, user_id"),
+
+    "q_zorder4" ->
+      ("WITH ev AS (SELECT DISTINCT user_id, (epoch_us(ts) // 3600000000) % 24 AS hod, " +
+        "CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
+        "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS BIGINT) AS etype, " +
+        "CAST(floor(value) AS BIGINT) // 10 AS vbucket FROM events) " +
+        "SELECT user_id, hod, etype, vbucket, " +
+        s"${graft.ops.ZOrder.keyNSql(Seq("user_id", "hod", "etype", "vbucket"))} AS zkey " +
+        "FROM ev ORDER BY zkey"),
 
     "q_lsh_recall" ->
       (s"WITH ex AS (SELECT da, db FROM (${TextSql.dedupJaccardSql(JacThreshold, JacDfCap)}) e), " +

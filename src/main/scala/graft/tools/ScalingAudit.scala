@@ -278,6 +278,21 @@ object ScalingAudit {
       big.filter(col("doc_id") % 5 === 0), big.filter(col("doc_id") % 5 =!= 0),
       200000L, 1600000L).filter(col("is_dup")).count()
     val bloomW = (System.nanoTime() - blT0) / 1e9
+    // round-12 edit family: candidates are the SAME band collisions as
+    // cand_minhash (tripwired above); the edit-specific durable signal
+    // is the verified-pair count at a fixed distance budget — drift
+    // means the thresholded-DP verification or the probe changed. The
+    // budget 100 bounds the banded DP's per-candidate cost at the
+    // second decade (the cost claim under audit), and the synthetic
+    // perturbation (~1/17 tokens swapped for ~6-char markers) puts the
+    // planted copies' distances astride it, so BOTH the accept and the
+    // -1-reject branch carry weight in the count.
+    val (edPairs, edW) = timedCount(Dedup.editPairs(big, 100))(_.count())
+    val incrT0 = System.nanoTime()
+    val incrEdPairs = Dedup.incrementalEditPairs(
+      big.filter(col("doc_id") % 5 === 0), big.filter(col("doc_id") % 5 =!= 0),
+      100).count()
+    val incrEdW = (System.nanoTime() - incrT0) / 1e9
     big.unpersist()
     def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
     val json =
@@ -288,9 +303,11 @@ object ScalingAudit {
         s""""pairs_minhash":$mhPairs,"pairs_simhash_wide":$swPairs,""" +
         s""""pairs_jaccard_capped":$jacPairs,"chunk10_kept":$chunkKept,""" +
         s""""bpe_merges6":"$bpeSig","bloom_dup_verdicts":$bloomDups,""" +
+        s""""pairs_edit100":$edPairs,"pairs_incr_edit100":$incrEdPairs,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
-        s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)}}}"""
+        s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
+        s""""edit_pairs":${d2(edW)},"incr_edit":${d2(incrEdW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()
