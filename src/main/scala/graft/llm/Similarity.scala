@@ -434,7 +434,27 @@ object Similarity {
     * e.g. centroids fitted by VectorKMeans, the production quantizer.
     * EAGER in `coarse` (see `ivfTopK`). */
   def ivfTopKWith(emb: DataFrame, coarse: DataFrame, queryIds: Seq[Long],
-                  nprobe: Int, k: Int): DataFrame = {
+                  nprobe: Int, k: Int): DataFrame =
+    ivfRanked(emb, coarse, queryIds, nprobe, k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+
+  /** Ranked form of [[ivfTopK]] for rank-fusion consumers: (query_id,
+    * neighbor_id, rn). Ranks come from the same unrounded
+    * (sim DESC, neighbor_id) window as the contract query, so they are
+    * exactly ann_ivf's ordering. EAGER in the coarse table (see
+    * [[ivfTopK]]). */
+  def ivfTopKRanked(emb: DataFrame, coarseIds: Seq[Long], queryIds: Seq[Long],
+                    nprobe: Int, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val coarse = e.filter(col("vec_id").isin(coarseIds: _*))
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    ivfRanked(emb, coarse, queryIds, nprobe, k)
+      .select(col("query_id"), col("neighbor_id"), col("rn").cast("long").as("rn"))
+  }
+
+  private def ivfRanked(emb: DataFrame, coarse: DataFrame, queryIds: Seq[Long],
+                        nprobe: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
 
     // cell assignment: argmin_{cell} L2^2, ties -> lowest cell_id
@@ -457,8 +477,6 @@ object Similarity {
         cosine(col("qvec"), col("vec")).as("sim"))
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
-      .orderBy(col("query_id"), col("neighbor_id"))
   }
 
   /** Deterministic ±1 sign for projection cell (i, j), 0-based: two
