@@ -1194,6 +1194,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // three-retriever RRF ensemble: exact cosine + IVF + PQ-ADC fused by
+    // the n-ary fold (rrfFuseN) — the realistic hybrid-search shape;
+    // score is a fixed-order three-term sum of exact-integer divisions
+    "q_rrf3" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.rrfFuseN(Seq(
+        Similarity.bruteForceTopKRanked(e, AnnQueryIds, RrfPoolK),
+        Similarity.ivfTopKRanked(e, IvfCoarseIds, AnnQueryIds, nprobe = 2, RrfPoolK),
+        Similarity.pqSearch(e, PqCodebookIds, PqSubspaces, AnnQueryIds, RrfPoolK)
+          .select(col("query_id"), col("neighbor_id"), col("rn"))),
+        RrfConst, RrfTopK)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // unigram-LM quality score: avg token log-prob under the corpus
     "q_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir)).orderBy(col("doc_id"))),
@@ -2071,6 +2085,9 @@ object SparkEntry {
 
     "q_rrf_fusion" -> TextSql.rrfFusionSql(
       PqCodebookIds, PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),
+
+    "q_rrf3" -> TextSql.rrfFusion3Sql(IvfCoarseIds, 2, PqCodebookIds,
+      PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),
     "q_unigram_lp" -> TextSql.unigramLogProbSql,
 
     "q_bigram_lp" -> TextSql.bigramLogProbSql(BigramLambda),

@@ -893,6 +893,40 @@ object TextSql {
       "ORDER BY query_id, rn"
   }
 
+  /** Mirror of Similarity.rrfFuseN over THREE rankings (exact-cosine,
+    * IVF, PQ-ADC) — each re-derived by its own contract CTEs. The join
+    * chain is left-folded exactly like the operator's `reduce` (bf⟗ivf,
+    * then ⟗pq, keys coalesced at each step) and the score is the
+    * left-associated three-term sum of coalesced CAST-to-DOUBLE integer
+    * divisions in list order — bitwise with no rounding. */
+  def rrfFusion3Sql(coarseIds: Seq[Long], nprobe: Int, codebookIds: Seq[Long],
+                    m: Int, queryIds: Seq[Long], poolK: Int, kRrf: Int,
+                    topK: Int): String = {
+    val bf =
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+        s"scored AS (SELECT query_id, e.vec_id AS neighbor_id, $cosSql AS sim " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored) " +
+        s"SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $poolK"
+    s"WITH bf AS (SELECT * FROM ($bf) b), " +
+      s"iv AS (SELECT query_id, neighbor_id, rn FROM (${annIvfRankedSql(coarseIds, queryIds, nprobe, poolK)}) i), " +
+      s"pq AS (SELECT query_id, neighbor_id, rn FROM (${pqSearchSql(codebookIds, m, queryIds, poolK)}) p), " +
+      "f0 AS (SELECT coalesce(bf.query_id, iv.query_id) AS query_id, " +
+      "coalesce(bf.neighbor_id, iv.neighbor_id) AS neighbor_id, " +
+      "bf.rn AS r0, iv.rn AS r1 " +
+      "FROM bf FULL OUTER JOIN iv ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id), " +
+      "f AS (SELECT coalesce(f0.query_id, pq.query_id) AS query_id, " +
+      "coalesce(f0.neighbor_id, pq.neighbor_id) AS neighbor_id, " +
+      s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + f0.r0 AS DOUBLE), CAST(0 AS DOUBLE)) + " +
+      s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + f0.r1 AS DOUBLE), CAST(0 AS DOUBLE)) + " +
+      s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + pq.rn AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf " +
+      "FROM f0 FULL OUTER JOIN pq ON f0.query_id = pq.query_id AND f0.neighbor_id = pq.neighbor_id), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rn2 FROM f) " +
+      s"SELECT query_id, neighbor_id, rrf, CAST(rn2 AS BIGINT) AS rn FROM rk WHERE rn2 <= $topK " +
+      "ORDER BY query_id, rn"
+  }
+
   /** Mirror of Similarity.ivfPqSearch: coarse assignment + probe lists
     * via the annIvfSql ROW_NUMBER argmin (ties to lowest cell id), PQ
     * codes + distance tables via the pqSearchSql CTEs, candidates
@@ -1140,6 +1174,18 @@ object TextSql {
       "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"
 
   def annIvfSql(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int, k: Int): String =
+    annIvfCore(coarseIds, queryIds, nprobe) +
+      s"SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM r WHERE rn <= $k " +
+      "ORDER BY query_id, neighbor_id"
+
+  /** Ranked form of [[annIvfSql]] for rank-fusion consumers — mirror of
+    * Similarity.ivfTopKRanked: same CTEs, rank from the same unrounded
+    * (sim DESC, neighbor_id) window. */
+  def annIvfRankedSql(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int, k: Int): String =
+    annIvfCore(coarseIds, queryIds, nprobe) +
+      s"SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $k"
+
+  private def annIvfCore(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +
       "ad AS (SELECT vec_id, v, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id " +
@@ -1151,9 +1197,7 @@ object TextSql {
       s"probes AS (SELECT query_id, qv, cell_id FROM pd WHERE rn <= $nprobe), " +
       s"scored AS (SELECT query_id, vec_id AS neighbor_id, $cosSql AS sim " +
       "FROM assigned JOIN probes USING (cell_id) WHERE vec_id <> query_id), " +
-      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored) " +
-      s"SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM r WHERE rn <= $k " +
-      "ORDER BY query_id, neighbor_id"
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored) "
 
   /** Mirror of TextAnalysis.gopherRules: same rule thresholds, same
     * single int/int divisions (bitwise-equal across engines), anchored

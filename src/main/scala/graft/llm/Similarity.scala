@@ -81,15 +81,34 @@ object Similarity {
     * by the input top-k pools (queries·k rows, never the corpus) + the
     * per-query ranking window. Output: (query_id, neighbor_id, rrf,
     * rn), top `k` per query. */
-  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int, k: Int): DataFrame = {
+  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int, k: Int): DataFrame =
+    rrfFuseN(Seq(a, b), kRrf, k)
+
+  /** n-ary reciprocal-rank fusion — [[rrfFuse]] generalized to any
+    * number of retrievers (a three-way exact/IVF/PQ ensemble is the
+    * realistic hybrid-search shape; Cormack et al. fuse dozens).
+    *
+    * Float-order discipline for n terms: the score is a ROW EXPRESSION
+    * summing one coalesced CAST-to-DOUBLE integer division per list in
+    * the Seq's written order, left-associated — both engines evaluate
+    * `t0 + t1 + ... + t(n-1)` as `((t0 + t1) + t2) ...`, so the IEEE
+    * sum is order-pinned by construction and crosses bitwise unrounded
+    * exactly like the binary form (which is now the n = 2 instance).
+    *
+    * Scale shape: n−1 equi full-outer joins on (query, neighbor), each
+    * sized by the top-k pools (queries·k rows, never the corpus), then
+    * one per-query ranking window. */
+  def rrfFuseN(lists: Seq[DataFrame], kRrf: Int, k: Int): DataFrame = {
     require(kRrf >= 1 && k >= 1, s"need kRrf >= 1 and k >= 1, got $kRrf, $k")
-    val fa = a.select(col("query_id"), col("neighbor_id"), col("rn").as("ra"))
-    val fb = b.select(col("query_id"), col("neighbor_id"), col("rn").as("rb"))
-    val fused = fa.join(fb, Seq("query_id", "neighbor_id"), "full_outer")
-      .select(col("query_id"), col("neighbor_id"),
-        (coalesce(lit(1.0) / (lit(kRrf.toLong) + col("ra")).cast("double"), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kRrf.toLong) + col("rb")).cast("double"), lit(0.0)))
-          .as("rrf"))
+    require(lists.size >= 2, s"need at least 2 rankings to fuse, got ${lists.size}")
+    val ranked = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("query_id"), col("neighbor_id"), col("rn").as(s"r$i"))
+    }
+    val joined = ranked.reduce(_.join(_, Seq("query_id", "neighbor_id"), "full_outer"))
+    val score = ranked.indices.map { i =>
+      coalesce(lit(1.0) / (lit(kRrf.toLong) + col(s"r$i")).cast("double"), lit(0.0))
+    }.reduce(_ + _)
+    val fused = joined.select(col("query_id"), col("neighbor_id"), score.as("rrf"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("neighbor_id"))
     fused.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }

@@ -909,6 +909,55 @@ class LlmSpec extends SparkSpec {
       (2L, 40L, 1.0 / 61, 1L), (2L, 50L, 1.0 / 61, 2L))
   }
 
+  test("rrfFuseN: three lists hand-computed; membership in any subset contributes exactly its terms") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "neighbor_id", "rn")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "neighbor_id", "rn")
+    val c = Seq((1L, 20L, 3L), (1L, 40L, 1L)).toDF("query_id", "neighbor_id", "rn")
+    val out = Similarity.rrfFuseN(Seq(a, b, c), kRrf = 60, k = 10)
+      .orderBy(col("rn")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // n20 in all three: ((1/62 + 1/61) + 1/63) in list order, left-assoc
+    out(0) shouldBe ((20L, 1.0 / 62 + 1.0 / 61 + 1.0 / 63, 1L))
+    // n10 (only list a) and n40 (only list c) tie at 1/61 -> lowest id
+    // first; n30 only in list b at rank 2
+    out(1) shouldBe ((10L, 1.0 / 61, 2L))
+    out(2) shouldBe ((40L, 1.0 / 61, 3L))
+    out(3) shouldBe ((30L, 1.0 / 62, 4L))
+  }
+
+  test("rrfFuseN(2 lists) is bitwise rrfFuse — the binary form is the n=2 instance") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    val a = Similarity.bruteForceTopKRanked(e, qids, 10)
+    val b = Similarity.ivfTopKRanked(e, Seq(7L, 13L, 21L), qids, nprobe = 2, k = 10)
+    val two = Similarity.rrfFuse(a, b, 60, 5).orderBy(col("query_id"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val n = Similarity.rrfFuseN(Seq(a, b), 60, 5).orderBy(col("query_id"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    n shouldBe two
+  }
+
+  test("ivfTopKRanked: same neighbor set as ivfTopK, ranks dense 1..k, order tracks sim") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    val cells = Seq(7L, 13L, 21L)
+    val ranked = Similarity.ivfTopKRanked(e, cells, qids, nprobe = 2, k = 5)
+      .orderBy(col("query_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val topk = Similarity.ivfTopK(e, cells, qids, nprobe = 2, k = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // identical (query, neighbor) sets
+    ranked.map(t => (t._1, t._2)).toSet shouldBe topk.keySet
+    // per query: ranks are exactly 1..n and rounded sims are non-increasing
+    // along the rank order (the rank comes from the unrounded window)
+    for ((q, rows) <- ranked.groupBy(_._1)) withClue(s"query $q: ") {
+      val byRank = rows.sortBy(_._3)
+      byRank.map(_._3) shouldBe (1L to rows.length).toArray
+      val sims = byRank.map(t => topk((t._1, t._2)))
+      sims.zip(sims.tail).foreach { case (hi, lo) => hi should be >= lo }
+    }
+  }
+
   test("qualityQuantileFilterSketched: threshold gate tracks the exact quantile gate within rank error") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = 0.3
