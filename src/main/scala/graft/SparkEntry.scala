@@ -510,6 +510,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("split"))),
 
+    // leakage-safe split: the content split lifted to near-dup clusters
+    // (split by the cluster keeper's fingerprint) — cross_pairs counts
+    // minhash pairs straddling the boundary and must be 0 by construction
+    "q_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, JacThreshold).select(col("da"), col("db"))
+      val clusters = graft.ops.ConnectedComponents.dedupClusters(pairs)
+      val split = Dedup.leakageSafeSplit(d, clusters, trainBuckets = 8, buckets = 10)
+      val sa = split.select(col("doc_id").as("da"), col("split").as("split_a"))
+      val sb = split.select(col("doc_id").as("db"), col("split").as("split_b"))
+      val cross = pairs.join(sa, Seq("da")).join(sb, Seq("db"))
+        .filter(col("split_a") =!= col("split_b"))
+        .agg(count(lit(1)).as("cross_pairs"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("keep_id")).as("n_clusters"))
+        .crossJoin(cross)
+        .orderBy(col("split"))
+    }),
+
     // vocabulary extraction: top-5 bigrams per language by doc frequency
     "q_ngram_topk" -> ((s, dir) =>
       TextAnalysis.topNgrams(docs(s, dir), 5)
@@ -1809,6 +1829,8 @@ object SparkEntry {
 
     "pipeline_filter" -> TextSql.pipelineFilterSql(minQuality = 0.5, lang = "en"),
     "q_train_split" -> TextSql.trainSplitSql(trainBuckets = 8, buckets = 10),
+
+    "q_safe_split" -> TextSql.safeSplitSql(JacThreshold, trainBuckets = 8, buckets = 10),
     "q_ngram_topk" -> TextSql.ngramTopKSql(5),
 
     "q_asof_join" ->

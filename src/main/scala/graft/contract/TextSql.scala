@@ -374,6 +374,29 @@ object TextSql {
       "THEN 'train' ELSE 'test' END AS split FROM documents) " +
       "SELECT lang, split, count(*) AS n_docs FROM f GROUP BY lang, split ORDER BY lang, split"
 
+  /** Mirror of Dedup.leakageSafeSplit over the minhash pair set: the
+    * dedup_components recursive-CTE closure gives each doc its cluster
+    * keeper (absent = itself), the split hashes the KEEPER's text with
+    * the contentSplit fingerprint, and cross_pairs re-counts straddling
+    * minhash pairs (0 by construction — but counted, not asserted, so
+    * the property crosses the bitwise hash). */
+  def safeSplitSql(threshold: Double, trainBuckets: Int, buckets: Int): String =
+    s"WITH RECURSIVE pairs AS (SELECT da, db FROM (${dedupMinhashSql(threshold)}) mp), " +
+      "sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs), " +
+      "reach AS (SELECT a, b FROM sym " +
+      "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a), " +
+      "comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a), " +
+      "k AS (SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id " +
+      "FROM documents d LEFT JOIN comp c USING (doc_id)), " +
+      "sp AS (SELECT k.doc_id, k.keep_id, CASE WHEN " +
+      s"(CASE WHEN len(t.text) = 0 THEN 0 ELSE ${polyHashSql("t.text")} END) % $buckets < $trainBuckets " +
+      "THEN 'train' ELSE 'test' END AS split FROM k JOIN documents t ON t.doc_id = k.keep_id), " +
+      "x AS (SELECT count(*) AS cross_pairs FROM pairs p " +
+      "JOIN sp a ON p.da = a.doc_id JOIN sp b ON p.db = b.doc_id WHERE a.split <> b.split) " +
+      "SELECT split, count(*) AS n_docs, count(DISTINCT keep_id) AS n_clusters, " +
+      "(SELECT cross_pairs FROM x) AS cross_pairs " +
+      "FROM sp GROUP BY split ORDER BY split"
+
   /** Mirror of TextAnalysis.topNgrams: per-lang top-k word bigrams by
     * document frequency, ties to the lexicographically-smaller bigram. */
   def ngramTopKSql(k: Int): String =

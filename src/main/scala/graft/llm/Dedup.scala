@@ -375,6 +375,36 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Leakage-safe train/test split — `TextAnalysis.contentSplit` lifted
+    * from documents to near-dup CLUSTERS. A per-document content-hash
+    * split leaks: two near-duplicates hash differently (the perturbed
+    * copy has different bytes), so one lands in train and its twin in
+    * test — the eval set then contains soft copies of training data,
+    * the exact contamination eval decks exist to prevent. The fix is to
+    * make the split a function of the cluster, not the document: every
+    * doc splits by the fingerprint of its cluster KEEPER's text
+    * (`clusters` = (doc_id, keep_id) from [[graft.ops.ConnectedComponents
+    * .dedupClusters]]; docs absent from the pair graph are their own
+    * keeper), so cluster members agree on the split by construction —
+    * zero near-dup pairs straddle the boundary.
+    *
+    * Shape: one left join corpus ⋈ clusters (cluster table is
+    * pairs-bounded, tiny next to the corpus) + one equi-join to fetch
+    * the keeper's text for hashing — no window, no extra shuffle
+    * beyond the two joins. Output: (doc_id, keep_id, split) for every
+    * document. */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+                       trainBuckets: Int = 8, buckets: Int = 10): DataFrame = {
+    val withKeep = docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("keep_id")), Seq("doc_id"), "left")
+      .withColumn("keep_id", coalesce(col("keep_id"), col("doc_id")))
+    val keeperSplit = docs.select(col("doc_id").as("keep_id"),
+      when(TextAnalysis.fingerprint(col("text")) % buckets < trainBuckets, "train")
+        .otherwise("test").as("split"))
+    withKeep.join(keeperSplit, Seq("keep_id"))
+      .select(col("doc_id"), col("keep_id"), col("split"))
+  }
+
   def sourceStats(docs: DataFrame, dupIds: DataFrame, maxDupFrac: Double): DataFrame =
     docs
       .join(dupIds.select(col("doc_id")).distinct().withColumn("isdup", lit(1L)),

@@ -909,6 +909,35 @@ class LlmSpec extends SparkSpec {
       (2L, 40L, 1.0 / 61, 1L), (2L, 50L, 1.0 / 61, 2L))
   }
 
+  test("leakageSafeSplit: near-dup twins the naive split separates land together; singletons keep the content split") {
+    // deterministically find a text pair the NAIVE per-doc content split
+    // separates (the leak this operator exists to close)
+    val cands = (0 until 200).map(i => (s"base text number $i", s"base text number $i extra"))
+    val naive = TextAnalysis.contentSplit(
+        cands.zipWithIndex.flatMap { case ((a, b), i) =>
+          Seq((2L * i, a), (2L * i + 1, b)) }.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val leakIdx = (0 until 200).find(i => naive(2L * i) != naive(2L * i + 1))
+    leakIdx.isDefined shouldBe true
+    val i = leakIdx.get
+    val (ta, tb) = cands(i)
+    // corpus: the leaking twins (0, 1) + an unrelated singleton (2)
+    val docs = Seq((0L, ta), (1L, tb), (2L, "completely unrelated content"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((0L, 0L), (1L, 0L)).toDF("doc_id", "keep_id")
+    val out = Dedup.leakageSafeSplit(docs, clusters).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // twins agree (both take the keeper doc 0's split); naive disagreed
+    out(0)._3 shouldBe out(1)._3
+    naive(2L * i) should not be naive(2L * i + 1)
+    out(0)._2 shouldBe 0L
+    out(1)._2 shouldBe 0L
+    // the singleton is its own keeper and keeps the plain content split
+    val single = TextAnalysis.contentSplit(docs.filter(col("doc_id") === 2L))
+      .collect().head.getString(2)
+    out(2) shouldBe ((2L, 2L, single))
+  }
+
   test("rrfFuseN: three lists hand-computed; membership in any subset contributes exactly its terms") {
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "neighbor_id", "rn")
     val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "neighbor_id", "rn")
