@@ -101,6 +101,9 @@ object SparkEntry {
   private val RrfPoolK = 10
   private val RrfConst = 60
   private val RrfTopK = 5
+  // non-uniform target mix for the waterfilling planner (1x/2x/3x bands)
+  private val MixWeights: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", 1L + i % 3))
   /** Signature-agreement floor for the estimate-only pairs (8/16 = 0.5). */
   private val MinhashEstMatch = 8
   /** Round-6 constants: Gopher rule thresholds (word count, mean word
@@ -509,6 +512,20 @@ object SparkEntry {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("split"))),
+
+    // waterfilled mixture weights: largest total honoring the target mix
+    // is set by the bottleneck source; accept_frac is one exact-grid
+    // division, expected_tokens exact integer
+    "q_mixture" -> ((s, dir) =>
+      TextAnalysis.mixtureWeights(docs(s, dir), MixWeights)
+        .orderBy(col("source"))),
+
+    // cell-balanced diversity sampling: at most `quota` vectors per
+    // IVF cell survive, drawn by a deterministic multiplicative hash —
+    // the topic-balancing companion of SemDeDup
+    "q_cell_sample" -> ((s, dir) =>
+      Similarity.cellBalancedSample(emb(s, dir), IvfCoarseIds, quota = 10)
+        .orderBy(col("cell_id"), col("rn"))),
 
     // leakage-safe split: the content split lifted to near-dup clusters
     // (split by the cluster keeper's fingerprint) — cross_pairs counts
@@ -1831,6 +1848,10 @@ object SparkEntry {
     "q_train_split" -> TextSql.trainSplitSql(trainBuckets = 8, buckets = 10),
 
     "q_safe_split" -> TextSql.safeSplitSql(JacThreshold, trainBuckets = 8, buckets = 10),
+
+    "q_mixture" -> TextSql.mixtureSql(MixWeights),
+
+    "q_cell_sample" -> TextSql.cellSampleSql(IvfCoarseIds, quota = 10),
     "q_ngram_topk" -> TextSql.ngramTopKSql(5),
 
     "q_asof_join" ->

@@ -1208,6 +1208,42 @@ object TextSql {
     annIvfCore(coarseIds, queryIds, nprobe) +
       s"SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $k"
 
+  /** Mirror of Similarity.cellBalancedSample: the annIvfSql argmin cell
+    * assignment (ties to lowest cell_id), then the per-cell top-quota by
+    * the SAME multiplicative draw hash — all-integer, no rounding. */
+  def cellSampleSql(coarseIds: Seq[Long], quota: Int): String = {
+    val m = graft.llm.Similarity.DrawMod
+    val mult = graft.llm.Similarity.DrawMult
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +
+      "ad AS (SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id " +
+      s"ORDER BY ${l2sqSql("v", "cv")}, cell_id) AS rn FROM e CROSS JOIN coarse), " +
+      "assigned AS (SELECT vec_id, cell_id FROM ad WHERE rn = 1), " +
+      s"d AS (SELECT cell_id, vec_id, (vec_id % $m) * $mult % $m AS draw FROM assigned), " +
+      "r AS (SELECT cell_id, vec_id, ROW_NUMBER() OVER (PARTITION BY cell_id " +
+      "ORDER BY draw, vec_id) AS rn FROM d) " +
+      s"SELECT cell_id, vec_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $quota " +
+      "ORDER BY cell_id, rn"
+  }
+
+  /** Mirror of TextAnalysis.mixtureWeights: same bottleneck argmin (one
+    * IEEE division of exact BIGINTs, ties to smallest source), same
+    * exact-integer expected_tokens, accept_frac as ONE division of two
+    * CAST-to-DOUBLE exact-integer products — bitwise with no rounding. */
+  def mixtureSql(weights: Seq[(String, Long)]): String = {
+    val values = weights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    s"WITH w (source, weight) AS (VALUES $values), " +
+      "a AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens " +
+      "FROM documents GROUP BY source), " +
+      "j AS (SELECT a.source, avail_tokens, CAST(w.weight AS BIGINT) AS weight " +
+      "FROM a JOIN w USING (source)), " +
+      "b AS (SELECT avail_tokens AS ab, weight AS wb FROM j " +
+      "ORDER BY CAST(avail_tokens AS DOUBLE) / CAST(weight AS DOUBLE), source LIMIT 1) " +
+      "SELECT source, avail_tokens, weight, (weight * ab) // wb AS expected_tokens, " +
+      "CAST(weight * ab AS DOUBLE) / CAST(wb * avail_tokens AS DOUBLE) AS accept_frac " +
+      "FROM j CROSS JOIN b ORDER BY source"
+  }
+
   private def annIvfCore(coarseIds: Seq[Long], queryIds: Seq[Long], nprobe: Int): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +

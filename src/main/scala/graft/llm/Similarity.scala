@@ -255,6 +255,43 @@ object Similarity {
     emb.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  /** Multiplicative draw hash for id-keyed deterministic sampling:
+    * (id % DrawMod) · DrawMult % DrawMod. Both factors < 2^32 so the
+    * product stays far inside BIGINT on any engine — no overflow, no
+    * wrap-semantics divergence. (Text-keyed samplers hash CONTENT; an
+    * embedding row has no text, so the stable key is its id.) */
+  private[graft] val DrawMod = 1000003L
+  private[graft] val DrawMult = 2654435761L
+
+  /** Cell-balanced (diversity) sampling — the topic-balancing step of
+    * embedding-driven curation (the SemDeDup/DataComp recipe's
+    * companion: after near-dup pruning, cap how much any one semantic
+    * cluster contributes to the training mix). Every vector is
+    * coarse-quantized by the same shuffle-free literal-centroid argmin
+    * as IVF, then at most `quota` vectors per cell survive, drawn by a
+    * deterministic multiplicative hash of vec_id (ties impossible: the
+    * draw is injective mod DrawMod and vec_id breaks any residue
+    * collision).
+    *
+    * Shape: one projection (cell assignment) + one cell-keyed window
+    * whose per-key top-`quota` trims map-side (WindowGroupLimit) — a
+    * single shuffle keyed by cell, output K·quota rows regardless of
+    * corpus size. All-integer: the draw and rank cross engines with no
+    * float discipline. Output: (cell_id, vec_id, rn), rn = 1..quota
+    * within cell. */
+  def cellBalancedSample(emb: DataFrame, coarseIds: Seq[Long], quota: Int): DataFrame = {
+    require(quota >= 1, s"need quota >= 1, got $quota")
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val coarse = e.filter(col("vec_id").isin(coarseIds: _*))
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    val draw = (col("vec_id") % lit(DrawMod)) * lit(DrawMult) % lit(DrawMod)
+    val w = Window.partitionBy(col("cell_id")).orderBy(draw, col("vec_id"))
+    assignCells(e, coarse)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= quota)
+      .select(col("cell_id"), col("vec_id"), col("rn"))
+  }
+
   /** Gram (second-moment) matrix of the embedding corpus: G[i][j] =
     * Σ_vec vec(i)·vec(j) — the building block for covariance/whitening/
     * PCA over a training-data embedding table. Join formulation (the

@@ -378,6 +378,51 @@ object TextAnalysis {
     * lookup — no join.
     * Output: (doc_id, source, n_toks, cum_toks, kept) — kept is the
     * budget decision; callers filter or report. */
+  /** Waterfilled mixture weights — the source-composition planner of a
+    * training run (The Pile / DoReMi shape: "we WANT the mix w, we HAVE
+    * avail_i tokens per source; how much of each source can a single
+    * epoch use?"). The largest total T respecting the target ratios is
+    * set by the BOTTLENECK source b = argmin(avail_i / w_i) (the first
+    * source to run dry if the mix is honored; ratio is one IEEE
+    * division of exact BIGINTs — identical in any engine — with ties
+    * to the lexicographically-smallest source). Then per source:
+    *
+    *   expected_tokens_i = w_i · avail_b div w_b     (exact integer)
+    *   accept_frac_i     = (w_i · avail_b) / (w_b · avail_i)
+    *
+    * accept_frac is ONE division of two exact-integer products — the
+    * exact-grid pattern, no rounding discipline; the bottleneck's own
+    * fraction is exactly 1.0. Products stay in BIGINT while
+    * avail · weight < 2^63 (a 10^13-token corpus with 10^5 weights is
+    * still 10^5 away from the edge).
+    *
+    * Shape: one scan + one |sources|-row aggregate; the bottleneck is a
+    * 1-row agg cross-joined back — no window, no second scan. Sources
+    * without a weight are excluded (weight 0 means "not in the mix").
+    * Output: (source, avail_tokens, weight, expected_tokens,
+    * accept_frac) per weighted source. */
+  def mixtureWeights(docs: DataFrame, weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"need positive weights, got $weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("source", "weight")
+    val avail = docs.groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("avail_tokens"))
+      .join(broadcast(w), Seq("source"))
+    val bottleneck = avail
+      .agg(min(struct(
+        (col("avail_tokens").cast("double") / col("weight").cast("double")).as("ratio"),
+        col("source").as("bsource"), col("avail_tokens").as("ab"),
+        col("weight").as("wb"))).as("b"))
+      .select(col("b.ab").as("ab"), col("b.wb").as("wb"))
+    avail.crossJoin(bottleneck)
+      .select(col("source"), col("avail_tokens"), col("weight"),
+        expr("(weight * ab) div wb").as("expected_tokens"),
+        ((col("weight") * col("ab")).cast("double") /
+          (col("wb") * col("avail_tokens")).cast("double")).as("accept_frac"))
+  }
+
   def tokenBudgetSample(docs: DataFrame, budgets: Map[String, Long],
                         defaultBudget: Long): DataFrame = {
     require(defaultBudget >= 0, s"need defaultBudget >= 0, got $defaultBudget")

@@ -909,6 +909,53 @@ class LlmSpec extends SparkSpec {
       (2L, 40L, 1.0 / 61, 1L), (2L, 50L, 1.0 / 61, 2L))
   }
 
+  test("mixtureWeights: bottleneck waterfilling hand fixture") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // source A: 100 tokens across 2 docs, weight 1 (ratio 100)
+    // source B: 50 tokens in 1 doc, weight 2 (ratio 25 -> bottleneck)
+    val docs = Seq((0L, "A", txt(60)), (1L, "A", txt(40)), (2L, "B", txt(50)))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.mixtureWeights(docs, Seq("A" -> 1L, "B" -> 2L))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // A: expected = 1*50 div 2 = 25 of 100 avail, accept = 50/200
+    out(0) shouldBe (("A", 100L, 1L, 25L, 0.25))
+    // B is the bottleneck: all 50 tokens used, accept exactly 1.0
+    out(1) shouldBe (("B", 50L, 2L, 50L, 1.0))
+  }
+
+  test("mixtureWeights: uniform weights reduce to min-avail per source; unweighted sources drop") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((0L, "A", txt(30)), (1L, "B", txt(10)), (2L, "C", txt(20)))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.mixtureWeights(docs, Seq("A" -> 1L, "B" -> 1L))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+    out shouldBe Array(("A", 10L, 10.0 / 30), ("B", 10L, 1.0))
+  }
+
+  test("cellBalancedSample: per-cell counts = min(cell size, quota), ranks dense, draw deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = Seq(7L, 13L, 21L)
+    val full = Similarity.cellBalancedSample(e, cells, quota = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = full.groupBy(_._1).view.mapValues(_.length).toMap
+    sizes.values.sum shouldBe e.count()
+    val out = Similarity.cellBalancedSample(e, cells, quota = 3)
+      .orderBy(col("cell_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((cell, rows) <- out.groupBy(_._1)) withClue(s"cell $cell: ") {
+      rows.length shouldBe math.min(3, sizes(cell))
+      rows.sortBy(_._3).map(_._3) shouldBe (1L to rows.length).toArray
+    }
+    // kept set is a subset of the full assignment and repeatable
+    out.map(t => (t._1, t._2)).toSet.subsetOf(full.toSet) shouldBe true
+    val again = Similarity.cellBalancedSample(e, cells, quota = 3)
+      .orderBy(col("cell_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    again shouldBe out
+  }
+
   test("leakageSafeSplit: near-dup twins the naive split separates land together; singletons keep the content split") {
     // deterministically find a text pair the NAIVE per-doc content split
     // separates (the leak this operator exists to close)
