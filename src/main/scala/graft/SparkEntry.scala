@@ -513,6 +513,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("split"))),
 
+    // interleaved length-curriculum order: easy-first within source,
+    // sources round-robin — all-integer ordering keys
+    "q_curriculum" -> ((s, dir) =>
+      TextAnalysis.curriculumOrder(docs(s, dir)).orderBy(col("position"))),
+
     // waterfilled mixture weights: largest total honoring the target mix
     // is set by the bottleneck source; accept_frac is one exact-grid
     // division, expected_tokens exact integer
@@ -1850,6 +1855,15 @@ object SparkEntry {
     "q_safe_split" -> TextSql.safeSplitSql(JacThreshold, trainBuckets = 8, buckets = 10),
 
     "q_mixture" -> TextSql.mixtureSql(MixWeights),
+
+    "q_curriculum" ->
+      ("WITH nt AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents), " +
+        "r AS (SELECT doc_id, source, n_toks, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY n_toks, doc_id) AS BIGINT) AS src_rank FROM nt) " +
+        "SELECT doc_id, source, n_toks, src_rank, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY src_rank, source, doc_id) AS BIGINT) AS position " +
+        "FROM r ORDER BY position"),
 
     "q_cell_sample" -> TextSql.cellSampleSql(IvfCoarseIds, quota = 10),
     "q_ngram_topk" -> TextSql.ngramTopKSql(5),

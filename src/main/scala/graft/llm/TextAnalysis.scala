@@ -378,6 +378,31 @@ object TextAnalysis {
     * lookup — no join.
     * Output: (doc_id, source, n_toks, cum_toks, kept) — kept is the
     * budget decision; callers filter or report. */
+  /** Interleaved curriculum order — the deterministic sequencing step
+    * between curation and tokenization: docs are ranked easy-first
+    * WITHIN each source (fewer tokens = easier, the classic length
+    * curriculum; ties to doc_id) and sources are interleaved
+    * round-robin (global order = (src_rank, source)), so early
+    * training sees every source instead of a run of one. All-integer
+    * ordering keys — no float discipline.
+    *
+    * Scale note: the total ORDER is the deliverable — at 100 TB you
+    * materialize it by writing range-partition-sorted on
+    * (src_rank, source, doc_id) and never assign explicit sequence
+    * numbers; the contract's `position` column (one global
+    * row_number, a single-partition sort of the already-tiny rank
+    * tuple projection) exists so the order itself crosses the oracle
+    * hash. Output: (doc_id, source, n_toks, src_rank, position). */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nt = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("n_toks"), col("doc_id"))
+    val ranked = nt.withColumn("src_rank", row_number().over(wSrc).cast("long"))
+    val wAll = Window.orderBy(col("src_rank"), col("source"), col("doc_id"))
+    ranked.withColumn("position", row_number().over(wAll).cast("long"))
+  }
+
   /** Waterfilled mixture weights — the source-composition planner of a
     * training run (The Pile / DoReMi shape: "we WANT the mix w, we HAVE
     * avail_i tokens per source; how much of each source can a single

@@ -909,6 +909,21 @@ class LlmSpec extends SparkSpec {
       (2L, 40L, 1.0 / 61, 1L), (2L, 50L, 1.0 / 61, 2L))
   }
 
+  test("curriculumOrder: easy-first within source, sources interleaved round-robin") {
+    val docs = Seq(
+      (1L, "A", "x y z"), // A, 3 tokens -> src_rank 2
+      (2L, "A", "x"), // A, 1 token  -> src_rank 1
+      (3L, "B", "x y"), // B, 2 tokens -> src_rank 1
+      (4L, "B", "x y z w")) // B, 4 tokens -> src_rank 2
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.curriculumOrder(docs).orderBy(col("position"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    // round 1: every source's easiest, A before B; round 2 likewise
+    out shouldBe Array(
+      (2L, "A", 1L, 1L), (3L, "B", 1L, 2L),
+      (1L, "A", 2L, 3L), (4L, "B", 2L, 4L))
+  }
+
   test("mixtureWeights: bottleneck waterfilling hand fixture") {
     def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
     // source A: 100 tokens across 2 docs, weight 1 (ratio 100)
