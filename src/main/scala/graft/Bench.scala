@@ -293,6 +293,45 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming per-source token-budget gate: the documents table fed
+      // as a 4-batch file stream; per-source running totals live in
+      // flatMapGroupsWithState state (ONE long per source). Guard: every
+      // source admits at least one doc and no source exceeds its budget
+      // among kept rows (single-batch equality with the batch sampler is
+      // spec-pinned in StreamingSpec)
+      "stream_budget_gate" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("source"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_budget_bench").toString
+        try {
+          docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .select(col("doc_id"), col("source"),
+              expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks"),
+              graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"))
+          import s2.implicits._
+          val budget = 2000L
+          val q = graft.streaming.BudgetIngest.tokenBudgetUpdates(
+              src.as[graft.streaming.BudgetIngest.BudgetDoc], Map.empty, budget)
+            .writeStream.format("memory").queryName("budget_bench")
+            .outputMode("update").option("checkpointLocation", s"$tmp/ck").start()
+          q.processAllAvailable()
+          q.stop()
+          val kept = s2.sql("SELECT source, count(*) AS n, max(cum_toks) AS mx " +
+            "FROM budget_bench WHERE kept GROUP BY source").collect()
+          require(kept.nonEmpty && kept.forall(_.getLong(2) <= budget),
+            s"budget gate: ${kept.length} sources, max cum ${kept.map(_.getLong(2)).maxOption}")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming retention-matrix deltas (flatMapGroupsWithState with
       // retraction on late cohort rebases): the events table fed as a
       // 4-batch file stream of (user_id, hour); summed deltas must

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, sum}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -463,6 +464,67 @@ class StreamingSpec extends SparkSpec {
       got(("2024-01-01 10:00:00.0", "click")) shouldBe ((3L, 7.0)) // 1+2+4 once each
       got(("2024-01-01 11:00:00.0", "view")) shouldBe ((1L, 8.0))
     } finally q2.stop()
+  }
+
+  test("tokenBudgetUpdates: a single-batch stream reproduces the batch token-budget sampler") {
+    implicit val ctx = spark.sqlContext
+    val docsSeq = (0 until 12).map(i =>
+      (i.toLong, s"s${i % 2}", Seq.fill(i % 5 + 1)("w").mkString(" ")))
+    val docsDf = docsSeq.toDF("doc_id", "source", "text")
+    val budgets = Map("s0" -> 8L)
+    val default = 6L
+    val batch = graft.llm.TextAnalysis.tokenBudgetSample(docsDf, budgets, default)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val mem = MemoryStream[(Long, String, String)]
+    val in = mem.toDF.toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks"),
+        graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[BudgetIngest.BudgetDoc]
+    val q = BudgetIngest.tokenBudgetUpdates(in, budgets, default)
+      .writeStream.format("memory").queryName("budg1").outputMode("update").start()
+    try {
+      mem.addData(docsSeq: _*)
+      q.processAllAvailable()
+      val stream = spark.sql("SELECT * FROM budg1").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      stream shouldBe batch
+    } finally q.stop()
+  }
+
+  test("tokenBudgetUpdates: decisions are immutable across triggers (first-come-first-kept)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[BudgetIngest.BudgetDoc]
+    val q = BudgetIngest.tokenBudgetUpdates(mem.toDS(), Map.empty, defaultBudget = 5L)
+      .writeStream.format("memory").queryName("budg2").outputMode("update").start()
+    try {
+      // trigger 1: doc 10 (3 tokens, HIGH draw) admits under budget 5
+      mem.addData(BudgetIngest.BudgetDoc(10L, "s", 3L, fp = 999L))
+      q.processAllAvailable()
+      // trigger 2: doc 1 (3 tokens, LOW draw) would OUTRANK doc 10 in a
+      // batch recompute — the gate instead keeps doc 10's verdict and
+      // rejects the newcomer (budget already 3/5)
+      mem.addData(BudgetIngest.BudgetDoc(1L, "s", 3L, fp = 1L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM budg2").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+      got shouldBe Array((1L, 6L, false), (10L, 3L, true))
+      // each doc decided exactly once — no revision rows in the sink
+      spark.sql("SELECT count(*) FROM budg2").collect().head.getLong(0) shouldBe 2L
+      // the batch twin on the union WOULD flip the keeps — the contrast
+      val union = Seq((10L, "s", 3L, 999L), (1L, "s", 3L, 1L))
+        .toDF("doc_id", "source", "n_toks", "fp")
+      // (tokenBudgetSample takes raw text; emulate its window directly)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("fp"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val rebatch = union.withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), (col("cum") <= 5L).as("kept"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      rebatch(1L) shouldBe true
+      rebatch(10L) shouldBe false
+    } finally q.stop()
   }
 
   test("runningUserTotals: state accumulates across triggers") {
