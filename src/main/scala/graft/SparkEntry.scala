@@ -525,6 +525,11 @@ object SparkEntry {
       TextAnalysis.mixtureWeights(docs(s, dir), MixWeights)
         .orderBy(col("source"))),
 
+    // per-label embedding drift: each label's int8 centroid direction vs
+    // the corpus mean — integer sums, cosine a fixed 5-IEEE-op sequence
+    "q_label_drift" -> ((s, dir) =>
+      Similarity.labelDrift(emb(s, dir)).orderBy(col("label"))),
+
     // cell-balanced diversity sampling: at most `quota` vectors per
     // IVF cell survive, drawn by a deterministic multiplicative hash —
     // the topic-balancing companion of SemDeDup
@@ -1866,6 +1871,27 @@ object SparkEntry {
         "FROM r ORDER BY position"),
 
     "q_cell_sample" -> TextSql.cellSampleSql(IvfCoarseIds, quota = 10),
+
+    // int8 grid (q_quantize CTEs) -> integer centroid sums -> cosine as
+    // cast/sqrt/sqrt/mul/div over exact integers, bitwise unrounded
+    "q_label_drift" ->
+      ("WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e), " +
+        "s AS (SELECT vec_id, label, v, CASE WHEN ma > 0 THEN 127.0/ma ELSE 0.0 END AS sc FROM m), " +
+        "c AS (SELECT vec_id, label, list_transform(v, x -> CAST(round(x*sc) AS BIGINT)) AS codes FROM s), " +
+        "x AS (SELECT label, CAST(generate_subscripts(codes, 1) AS BIGINT) AS pos, " +
+        "unnest(codes) AS code FROM c), " +
+        "pl AS (SELECT label, pos, CAST(sum(code) AS BIGINT) AS ls FROM x GROUP BY label, pos), " +
+        "g AS (SELECT pos, CAST(sum(ls) AS BIGINT) AS gs FROM pl GROUP BY pos), " +
+        "nv AS (SELECT label, count(*) AS n_vecs FROM c GROUP BY label), " +
+        "d AS (SELECT label, CAST(sum(ls*gs) AS BIGINT) AS dot, " +
+        "CAST(sum(ls*ls) AS BIGINT) AS na2, CAST(sum(gs*gs) AS BIGINT) AS nb2 " +
+        "FROM pl JOIN g USING (pos) GROUP BY label) " +
+        "SELECT d.label, n_vecs, dot, na2, nb2, " +
+        "CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL ELSE " +
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) END AS cos_drift " +
+        "FROM d JOIN nv USING (label) ORDER BY label"),
     "q_ngram_topk" -> TextSql.ngramTopKSql(5),
 
     "q_asof_join" ->

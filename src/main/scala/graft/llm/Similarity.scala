@@ -467,6 +467,52 @@ object Similarity {
         transform(col("vec"), x => round(x * col("scale")).cast("long")).as("codes"))
   }
 
+  /** Per-label embedding drift monitor — the shard-health check of an
+    * embedding pipeline: how far does each label's (shard's/source's)
+    * mean embedding DIRECTION deviate from the corpus mean? A corrupted
+    * batch, a domain shift, or an encoder version skew shows up as one
+    * label's cosine dropping away from the rest.
+    *
+    * Exactness discipline: vectors are int8-quantized first (the
+    * [[quantizeInt8]] grid, already oracle-proven), so every centroid
+    * sum is an INTEGER aggregate — commutative, partition-order-
+    * invariant, bitwise cross-engine with no rounding. The cosine is
+    * then a fixed sequence of five IEEE ops over exact integers
+    * (cast, sqrt, sqrt, mul, div; sqrt is correctly rounded by IEEE
+    * 754 in both engines). Sum bounds: per-dim label sums < 127·n_label,
+    * global < 127·n, cross products < 2^63 until ~10^8 vectors per
+    * label at 64 dims — past that, shard the label key.
+    *
+    * Shape: one explode + one (label, pos) integer aggregate; the
+    * global centroid derives from the per-label sums (no second corpus
+    * pass); the final join is (labels × dims)-sized. Output: (label,
+    * n_vecs, dot, na2, nb2, cos_drift), NULL cosine for a degenerate
+    * all-zero side. */
+  def labelDrift(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      v(col("embedding")).as("vec"))
+    val maxAbs = array_max(transform(col("vec"), x => abs(x)))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    val codes = e.withColumn("sc", scale)
+      .select(col("label"),
+        transform(col("vec"), x => round(x * col("sc")).cast("long")).as("codes"))
+    val x = codes.select(col("label"), posexplode(col("codes")).as(Seq("pos", "code")))
+    val perLabel = x.groupBy(col("label"), col("pos")).agg(sum(col("code")).as("ls"))
+    val global = perLabel.groupBy(col("pos")).agg(sum(col("ls")).as("gs"))
+    val nv = codes.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    perLabel.join(global, Seq("pos"))
+      .groupBy(col("label"))
+      .agg(sum(col("ls") * col("gs")).as("dot"),
+        sum(col("ls") * col("ls")).as("na2"),
+        sum(col("gs") * col("gs")).as("nb2"))
+      .join(nv, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("dot"), col("na2"), col("nb2"),
+        when(col("na2") === 0 || col("nb2") === 0, lit(null).cast("double"))
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("cos_drift"))
+  }
+
   /** IVF top-k: quantize every vector to its nearest coarse cell (L2,
     * ties to lowest cell id), probe the nprobe nearest cells per query,
     * score only those candidates. Coarse centroids are corpus vectors

@@ -949,6 +949,30 @@ class LlmSpec extends SparkSpec {
     out shouldBe Array(("A", 10L, 10.0 / 30), ("B", 10L, 1.0))
   }
 
+  test("labelDrift: hand fixture — aligned label cos 1.0, orthogonal label measurably lower") {
+    // int8 grid maps each vector to codes = round(127 * v / maxabs):
+    // label 0 vectors point at +x, label 1 at +y; the corpus mean is
+    // the (1,1) diagonal, so both labels sit at cos = 1/sqrt(2)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.0f, 3.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelDrift(emb).orderBy(col("label")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // codes: every vector quantizes to (127, 0) or (0, 127)
+    // label sums: l0 = (254, 0), l1 = (0, 254); global = (254, 254)
+    val s = 254L
+    out(0) shouldBe ((0L, 2L, s * s, s * s, 2 * s * s, (s * s).toDouble /
+      (math.sqrt((s * s).toDouble) * math.sqrt((2 * s * s).toDouble))))
+    out(1) shouldBe ((1L, 2L, s * s, s * s, 2 * s * s, out(0)._6))
+    out(0)._6 shouldBe (1.0 / math.sqrt(2.0) +- 1e-12)
+    // a label aligned WITH the corpus mean scores exactly 1.0
+    val aligned = Seq((0L, Array(1.0f, 1.0f), 0), (1L, Array(2.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.labelDrift(aligned).collect().head.getDouble(5) shouldBe 1.0
+  }
+
   test("cellBalancedSample: per-cell counts = min(cell size, quota), ranks dense, draw deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cells = Seq(7L, 13L, 21L)
