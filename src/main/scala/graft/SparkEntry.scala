@@ -525,6 +525,12 @@ object SparkEntry {
       TextAnalysis.mixtureWeights(docs(s, dir), MixWeights)
         .orderBy(col("source"))),
 
+    // per-source length-distribution drift: total-variation distance on
+    // an exact integer grid — l1 BIGINT, tv one exact-grid division
+    "q_source_drift" -> ((s, dir) =>
+      TextAnalysis.sourceLengthDrift(docs(s, dir), binWidth = 20L, nbins = 10)
+        .orderBy(col("source"))),
+
     // per-label embedding drift: each label's int8 centroid direction vs
     // the corpus mean — integer sums, cosine a fixed 5-IEEE-op sequence
     "q_label_drift" -> ((s, dir) =>
@@ -1871,6 +1877,20 @@ object SparkEntry {
         "FROM r ORDER BY position"),
 
     "q_cell_sample" -> TextSql.cellSampleSql(IvfCoarseIds, quota = 10),
+
+    "q_source_drift" ->
+      ("WITH b AS (SELECT source, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 20, " +
+        "CAST(9 AS BIGINT)) AS bin FROM documents), " +
+        "ps AS (SELECT source, bin, count(*) AS c FROM b GROUP BY source, bin), " +
+        "co AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM ps GROUP BY bin), " +
+        "ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM ps GROUP BY source), " +
+        "na AS (SELECT CAST(sum(cb) AS BIGINT) AS nn FROM co), " +
+        "dense AS (SELECT ns.source, ns.n_docs, co.bin, co.cb, coalesce(ps.c, 0) AS c " +
+        "FROM ns CROSS JOIN co LEFT JOIN ps ON ps.source = ns.source AND ps.bin = co.bin), " +
+        "l AS (SELECT source, n_docs, nn, CAST(sum(abs(c*nn - cb*n_docs)) AS BIGINT) AS l1 " +
+        "FROM dense CROSS JOIN na GROUP BY source, n_docs, nn) " +
+        "SELECT source, n_docs, l1, CAST(l1 AS DOUBLE) / CAST(2*n_docs*nn AS DOUBLE) AS tv " +
+        "FROM l ORDER BY source"),
 
     // int8 grid (q_quantize CTEs) -> integer centroid sums -> cosine as
     // cast/sqrt/sqrt/mul/div over exact integers, bitwise unrounded

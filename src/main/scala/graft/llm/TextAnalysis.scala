@@ -378,6 +378,48 @@ object TextAnalysis {
     * lookup — no join.
     * Output: (doc_id, source, n_toks, cum_toks, kept) — kept is the
     * budget decision; callers filter or report. */
+  /** Per-source length-distribution drift — the distribution-shift
+    * monitor of a crawl pipeline: a source whose document-length
+    * histogram diverges from the corpus (truncation bug, boilerplate
+    * flood, template change) surfaces as a large total-variation
+    * distance. TV is computed on an EXACT INTEGER grid: with c_b the
+    * source's count in length-bin b (bin = min(n_toks div binWidth,
+    * nbins−1)), C_b the corpus count, n the source total and N the
+    * corpus total,
+    *
+    *   l1 = Σ_b |c_b·N − C_b·n|          (exact BIGINT)
+    *   tv = l1 / (2·n·N)                 (ONE division of exact ints)
+    *
+    * so the only float is a single exact-grid division — no rounding
+    * discipline. The reference distribution is the whole corpus
+    * (including the source itself — the PSI convention; a
+    * leave-one-out reference just rescales the comparison).
+    *
+    * Shape: one scan + one (source, bin) integer aggregate; the corpus
+    * histogram derives from the per-source one; the dense
+    * (source × corpus-bin) frame (zero-count bins still contribute
+    * C_b·n) is a tiny cross of two aggregate outputs. Output:
+    * (source, n_docs, l1, tv). */
+  def sourceLengthDrift(docs: DataFrame, binWidth: Long, nbins: Int): DataFrame = {
+    require(binWidth >= 1 && nbins >= 1, s"need binWidth/nbins >= 1, got $binWidth/$nbins")
+    val binned = docs.select(col("source"),
+      expr(s"least(CAST(size(split(text, ' ')) AS BIGINT) div $binWidth, " +
+        s"CAST(${nbins - 1} AS BIGINT))").as("bin"))
+    val perSrc = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+    val corpus = perSrc.groupBy(col("bin")).agg(sum(col("c")).as("cb"))
+    val nSrc = perSrc.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
+    val nAll = corpus.agg(sum(col("cb")).as("nn"))
+    nSrc.crossJoin(corpus) // dense source x corpus-bin frame
+      .join(perSrc, Seq("source", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(nAll)
+      .groupBy(col("source"), col("n_docs"), col("nn"))
+      .agg(sum(abs(col("c") * col("nn") - col("cb") * col("n_docs"))).as("l1"))
+      .select(col("source"), col("n_docs"), col("l1"),
+        (col("l1").cast("double") /
+          (lit(2L) * col("n_docs") * col("nn")).cast("double")).as("tv"))
+  }
+
   /** Interleaved curriculum order — the deterministic sequencing step
     * between curation and tokenization: docs are ranked easy-first
     * WITHIN each source (fewer tokens = easier, the classic length

@@ -949,6 +949,23 @@ class LlmSpec extends SparkSpec {
     out shouldBe Array(("A", 10L, 10.0 / 30), ("B", 10L, 1.0))
   }
 
+  test("sourceLengthDrift: hand TV fixture — skewed sources 0.5, corpus-shaped source exactly 0") {
+    val long25 = Seq.fill(25)("w").mkString(" ") // bin 1 at width 20
+    val docs = Seq(
+      (0L, "A", "w"), (1L, "A", "w"), // all bin 0
+      (2L, "B", long25), (3L, "B", long25), // all bin 1
+      (4L, "C", "w"), (5L, "C", long25)) // exactly the corpus shape
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceLengthDrift(docs, binWidth = 20L, nbins = 10)
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // corpus bins: b0 = 3, b1 = 3, N = 6
+    // A: |2*6-3*2| + |0*6-3*2| = 12 -> tv = 12/(2*2*6) = 0.5; B same
+    // C matches the corpus distribution exactly -> l1 = 0, tv = 0
+    out shouldBe Array(
+      ("A", 2L, 12L, 0.5), ("B", 2L, 12L, 0.5), ("C", 2L, 0L, 0.0))
+  }
+
   test("labelDrift: hand fixture — aligned label cos 1.0, orthogonal label measurably lower") {
     // int8 grid maps each vector to codes = round(127 * v / maxabs):
     // label 0 vectors point at +x, label 1 at +y; the corpus mean is
