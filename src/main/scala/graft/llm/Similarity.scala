@@ -497,15 +497,21 @@ object Similarity {
       .select(col("label"),
         transform(col("vec"), x => round(x * col("sc")).cast("long")).as("codes"))
     val x = codes.select(col("label"), posexplode(col("codes")).as(Seq("pos", "code")))
-    val perLabel = x.groupBy(col("label"), col("pos")).agg(sum(col("code")).as("ls"))
-    val global = perLabel.groupBy(col("pos")).agg(sum(col("ls")).as("gs"))
-    val nv = codes.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
-    perLabel.join(global, Seq("pos"))
+    // cnt rides the same aggregate (= n_vecs at every pos) and the global
+    // centroid is a pos-keyed WINDOW over the per-label sums — a join
+    // back to a re-aggregation would duplicate the corpus scan in the
+    // plan tree (Spark reuses no DataFrame subplans); the window runs on
+    // the labels × dims aggregate output, not the corpus
+    val perLabel = x.groupBy(col("label"), col("pos"))
+      .agg(sum(col("code")).as("ls"), count(lit(1)).as("cnt"))
+    val withGlobal = perLabel.withColumn("gs",
+      sum(col("ls")).over(Window.partitionBy(col("pos"))))
+    withGlobal
       .groupBy(col("label"))
       .agg(sum(col("ls") * col("gs")).as("dot"),
         sum(col("ls") * col("ls")).as("na2"),
-        sum(col("gs") * col("gs")).as("nb2"))
-      .join(nv, Seq("label"))
+        sum(col("gs") * col("gs")).as("nb2"),
+        max(col("cnt")).as("n_vecs"))
       .select(col("label"), col("n_vecs"), col("dot"), col("na2"), col("nb2"),
         when(col("na2") === 0 || col("nb2") === 0, lit(null).cast("double"))
           .otherwise(col("dot").cast("double") /

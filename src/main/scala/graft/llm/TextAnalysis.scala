@@ -405,18 +405,26 @@ object TextAnalysis {
     val binned = docs.select(col("source"),
       expr(s"least(CAST(size(split(text, ' ')) AS BIGINT) div $binWidth, " +
         s"CAST(${nbins - 1} AS BIGINT))").as("bin"))
+    // cb / n / N all derive from perSrc via windows (a join back to
+    // re-aggregations would triple the corpus scan in the plan tree);
+    // zero-count bins never materialize — algebraically, an absent bin
+    // contributes C_b·n, so l1 = Σ_present(|c·N − C_b·n| − C_b·n) + n·N.
+    // The windows run on the sources × bins aggregate, not the corpus;
+    // the empty-partition window is |sources·bins| rows by construction.
+    import org.apache.spark.sql.expressions.Window
     val perSrc = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
-    val corpus = perSrc.groupBy(col("bin")).agg(sum(col("c")).as("cb"))
-    val nSrc = perSrc.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
-    val nAll = corpus.agg(sum(col("cb")).as("nn"))
-    nSrc.crossJoin(corpus) // dense source x corpus-bin frame
-      .join(perSrc, Seq("source", "bin"), "left")
-      .withColumn("c", coalesce(col("c"), lit(0L)))
-      .crossJoin(nAll)
-      .groupBy(col("source"), col("n_docs"), col("nn"))
-      .agg(sum(abs(col("c") * col("nn") - col("cb") * col("n_docs"))).as("l1"))
-      .select(col("source"), col("n_docs"), col("l1"),
-        (col("l1").cast("double") /
+    val t = perSrc
+      .withColumn("cb", sum(col("c")).over(Window.partitionBy(col("bin"))))
+      .withColumn("n_docs", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("term",
+        abs(col("c") * col("nn") - col("cb") * col("n_docs")) - col("cb") * col("n_docs"))
+    t.groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("nn")).as("nn"),
+        sum(col("term")).as("s"))
+      .select(col("source"), col("n_docs"),
+        (col("s") + col("n_docs") * col("nn")).as("l1"),
+        ((col("s") + col("n_docs") * col("nn")).cast("double") /
           (lit(2L) * col("n_docs") * col("nn")).cast("double")).as("tv"))
   }
 

@@ -433,4 +433,34 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Join")
     "Exchange hashpartitioning".r.findAllIn(plan("q_ivf_pq", "simple")).size shouldBe 1
   }
+
+  test("q_label_drift: ONE embeddings scan — the vector count rides the centroid aggregate") {
+    val p = plan("q_label_drift", "simple")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_cell_sample: assignment is a pure projection; per-cell trim runs map-side") {
+    val p = plan("q_cell_sample")
+    (p should not).include("Join") // literal-centroid argmin, no cell join
+    p should include("WindowGroupLimit") // quota trims before the shuffle
+    // one window exchange + the output-sort range exchange, nothing else
+    "Exchange hashpartitioning".r.findAllIn(plan("q_cell_sample", "simple")).size shouldBe 1
+  }
+
+  test("q_rrf3: fusion joins are equi full-outer — never cartesian/nested-loop") {
+    val p = plan("q_rrf3")
+    (p should not).include("CartesianProduct")
+    // the scorers' broadcast-tiny-query-vs-corpus NL joins are the
+    // designed ANN shape (same as ann_topk); the FUSION folds must
+    // stay equi joins
+    (p should not).include("BroadcastNestedLoopJoin FullOuter")
+    p should include("FullOuter")
+  }
+
+  test("q_source_drift: single documents scan feeds every histogram aggregate") {
+    val p = plan("q_source_drift", "simple")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+    (p should not).include("CartesianProduct")
+  }
 }
