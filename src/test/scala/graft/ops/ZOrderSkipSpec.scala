@@ -63,6 +63,28 @@ class ZOrderSkipSpec extends SparkSpec {
     }
   }
 
+  test("writeClustered: the helper-written layout prunes on BOTH dims and drops the key column") {
+    val ev = graft.SparkEntry.events(spark, "/root/testdata/sf0.01")
+      .select(col("user_id"), expr("(tus div 3600000000) % 24").as("hod"))
+    val dir = tmp("wc")
+    ZOrder.writeClustered(ev, Seq(col("user_id"), col("hod")), dir,
+      numFiles = 3, rowGroupBytes = 8192)
+    val g = LayoutStats.rowGroupStats(spark, dir, dims)
+    g.size should be >= 4
+    withClue(s"${g.size} groups: ") {
+      // 3 output files coarsen row-group granularity vs the single-file
+      // fixture above (fewer, larger groups), so the second-dim bound is
+      // looser here — the claim is skipping EXISTS on the non-leading
+      // dim (a linear sort reads 100%), pinned tighter above
+      LayoutStats.survivors(g, Map("hod" -> (6L, 7L))).size.toDouble should be < 0.85 * g.size
+      LayoutStats.survivors(g, Map("user_id" -> (40L, 49L))).size.toDouble should be < 0.7 * g.size
+    }
+    g.map(_.file).distinct.size should be >= 2 // range exchange really split files
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe ev.count()
+    back.columns should not contain "__zkey"
+  }
+
   test("engine agrees: the scan's numOutputRows under the hod predicate is smaller on the Z layout") {
     def scanRows(dir: String): Long = {
       val q = spark.read.parquet(dir).filter(col("hod").between(6, 7))
