@@ -466,6 +466,47 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("sourceDriftUpdates: streamed TV matches the direct computation; a flooded source's TV climbs") {
+    implicit val ctx = spark.sqlContext
+    // reference: a balanced 2-bin corpus (10 short, 10 long)
+    val ref = Seq(10L, 10L)
+    val mem = MemoryStream[DriftMonitor.BinnedDoc]
+    val q = DriftMonitor.sourceDriftUpdates(mem.toDS(), ref)
+      .writeStream.format("memory").queryName("drift").outputMode("update").start()
+    def lastTv(): Map[String, (Long, Long, Double)] =
+      spark.sql("SELECT * FROM drift").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    try {
+      // trigger 1: source A balanced (matches the reference), B all-short
+      mem.addData(
+        DriftMonitor.BinnedDoc(0L, "A", 0), DriftMonitor.BinnedDoc(1L, "A", 1),
+        DriftMonitor.BinnedDoc(2L, "B", 0), DriftMonitor.BinnedDoc(3L, "B", 0))
+      q.processAllAvailable()
+      val t1 = lastTv()
+      t1("A") shouldBe ((2L, 0L, 0.0)) // |1*20-10*2| = 0 in both bins
+      // B: |2*20-10*2| + |0*20-10*2| = 40 -> 40/(2*2*20) = 0.5
+      t1("B") shouldBe ((2L, 40L, 0.5))
+      // trigger 2: B floods with more short docs — cumulative TV stays
+      // pinned at the all-short maximum; A rebalances to zero again
+      mem.addData(
+        DriftMonitor.BinnedDoc(4L, "B", 0), DriftMonitor.BinnedDoc(5L, "B", 0),
+        DriftMonitor.BinnedDoc(6L, "A", 0), DriftMonitor.BinnedDoc(7L, "A", 1))
+      q.processAllAvailable()
+      val t2 = lastTv()
+      t2("A") shouldBe ((4L, 0L, 0.0))
+      // B: 4 short: |4*20-10*4| + |0-10*4| = 80 -> 80/(2*4*20) = 0.5
+      t2("B") shouldBe ((4L, 80L, 0.5))
+      // direct recomputation of the same cumulative histograms agrees
+      val counts = Map("A" -> Seq(2L, 2L), "B" -> Seq(4L, 0L))
+      for ((s, c) <- counts) {
+        val n = c.sum
+        val l1 = c.indices.map(b => math.abs(c(b) * 20L - ref(b) * n)).sum
+        t2(s) shouldBe ((n, l1, l1.toDouble / (2.0 * n * 20L)))
+      }
+    } finally q.stop()
+  }
+
   test("tokenBudgetUpdates: a single-batch stream reproduces the batch token-budget sampler") {
     implicit val ctx = spark.sqlContext
     val docsSeq = (0 until 12).map(i =>
