@@ -104,6 +104,8 @@ object SparkEntry {
   // non-uniform target mix for the waterfilling planner (1x/2x/3x bands)
   private val MixWeights: Seq[(String, Long)] =
     (0 until 20).map(i => (s"src$i", 1L + i % 3))
+  // deletion-request slice for the forget cascade (10 requests at sf0.01)
+  private val ForgetMod = 50
   /** Signature-agreement floor for the estimate-only pairs (8/16 = 0.5). */
   private val MinhashEstMatch = 8
   /** Round-6 constants: Gopher rule thresholds (word count, mean word
@@ -900,6 +902,16 @@ object SparkEntry {
         d.filter(col("doc_id") % IncrementalMod === 0),
         d.filter(col("doc_id") % IncrementalMod =!= 0), JacThreshold)
         .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
+    // right-to-be-forgotten cascade: requested ids + every near-dup of
+    // requested content (requests broadcast, corpus probed in place)
+    "q_forget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.deleteCascade(d,
+        d.filter(col("doc_id") % ForgetMod === 0).select(col("doc_id")),
+        JacThreshold)
+        .orderBy(col("doc_id"))
     }),
 
     // incremental edit-verified dedup: batch bands broadcast against the
@@ -1756,6 +1768,14 @@ object SparkEntry {
         "FROM j"),
 
     "q_incr_minhash" -> TextSql.incrementalMinhashSql(JacThreshold, IncrementalMod),
+
+    // the cascade's dup discovery IS the incremental probe with batch =
+    // the requested slice; requested docs can't be near_dup (disjoint)
+    "q_forget" ->
+      (s"WITH dup AS (SELECT DISTINCT corpus_id AS doc_id " +
+        s"FROM (${TextSql.incrementalMinhashSql(JacThreshold, ForgetMod)}) p) " +
+        s"SELECT doc_id, 'requested' AS reason FROM documents WHERE doc_id % $ForgetMod = 0 " +
+        "UNION ALL SELECT doc_id, 'near_dup' AS reason FROM dup ORDER BY doc_id"),
     "q_incr_edit" -> TextSql.incrementalEditPairsSql(EditMaxDist, IncrementalMod),
 
     "q_quality_sample" -> TextSql.qualityWeightedSampleSql(QualityBuckets),

@@ -772,6 +772,33 @@ object Dedup {
     corpusProbePairs(bandTable(newDocs), newDocs, corpus, threshold)
       .select(col("da").as("batch_id"), col("db").as("corpus_id"), col("jaccard"))
 
+  /** Right-to-be-forgotten cascade — the deletion sweep a training-data
+    * pipeline owes a removal request: dropping ONLY the requested
+    * doc_ids leaves their near-duplicates (mirrors, re-crawls, light
+    * edits of the same content) in the corpus, so the content survives
+    * its own deletion. The sweep returns the requested ids PLUS every
+    * corpus document that near-duplicates one of them, each labeled
+    * with why it goes.
+    *
+    * Shape: the request list is small by definition, so it broadcasts
+    * twice (select the requested texts; anti-select the rest) and the
+    * dup discovery is exactly [[incrementalMinhash]] with batch = the
+    * requested docs — batch bands broadcast, the corpus is scanned once
+    * and probed in place, cost tracks the REQUEST size, never
+    * corpus². Output: (doc_id, reason ∈ requested | near_dup); a doc
+    * appears once (near-dups of several requests dedup; requested docs
+    * are excluded from the probe corpus so the labels are disjoint). */
+  def deleteCascade(corpus: DataFrame, requestIds: DataFrame,
+                    threshold: Double): DataFrame = {
+    val req = requestIds.select(col("doc_id")).distinct()
+    val requested = corpus.join(broadcast(req), Seq("doc_id"))
+    val rest = corpus.join(broadcast(req), Seq("doc_id"), "left_anti")
+    val dups = incrementalMinhash(requested, rest, threshold)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    req.select(col("doc_id"), lit("requested").as("reason"))
+      .unionByName(dups.select(col("doc_id"), lit("near_dup").as("reason")))
+  }
+
   /** Verified (da = batch doc, db = corpus doc) near-dup pairs of a
     * PREBUILT batch band table probed against a corpus — the ONE
     * definition of the incremental probe, shared by `incrementalMinhash`

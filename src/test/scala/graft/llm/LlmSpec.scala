@@ -909,6 +909,19 @@ class LlmSpec extends SparkSpec {
       (2L, 40L, 1.0 / 61, 1L), (2L, 50L, 1.0 / 61, 2L))
   }
 
+  test("deleteCascade: requested ids plus their near-dups labeled; unrelated content untouched") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, a), // requested
+      (2L, a + " lambda"), // near-dup of 1 (bigram jaccard 0.9)
+      (3L, "one two three four five six seven eight"), // unrelated
+      (4L, "red green blue cyan magenta yellow")) // requested, no dups
+      .toDF("doc_id", "text")
+    val out = Dedup.deleteCascade(docs, Seq(1L, 4L).map(Tuple1(_)).toDF("doc_id"), 0.5)
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getString(1)))
+    out shouldBe Array((1L, "requested"), (2L, "near_dup"), (4L, "requested"))
+  }
+
   test("curriculumOrder: easy-first within source, sources interleaved round-robin") {
     val docs = Seq(
       (1L, "A", "x y z"), // A, 3 tokens -> src_rank 2
