@@ -772,6 +772,48 @@ object Dedup {
     corpusProbePairs(bandTable(newDocs), newDocs, corpus, threshold)
       .select(col("da").as("batch_id"), col("db").as("corpus_id"), col("jaccard"))
 
+  /** Persisted LSH band index — the amortization that makes incremental
+    * dedup an O(batch) operation in practice: [[incrementalMinhash]]
+    * re-shingles, re-hashes and re-bands the ENTIRE corpus on every
+    * batch (correct, but the corpus side dominates once batches are
+    * small), while a saved band index pays that cost ONCE at corpus
+    * build and lets every future batch probe the stored (doc_id, band,
+    * key) rows — a columnar scan of three narrow columns instead of the
+    * full text pipeline. This is the production shape of streaming
+    * ingest at 100 TB: the index appends with the corpus (band rows of
+    * admitted docs — [[bandTable]] of the survivors), so no rebuild.
+    *
+    * The layout is the shared [[bandTableOf]] definition, so an index
+    * written today is probe-compatible with every banded operator. */
+  def writeBandIndex(corpus: DataFrame, path: String): Unit =
+    bandTable(corpus).write.mode("overwrite").parquet(path)
+
+  /** Band rows of `docs` in the index layout — what an ingest loop
+    * appends to the index for the documents it admits. */
+  def bandIndexRows(docs: DataFrame): DataFrame = bandTable(docs)
+
+  /** [[incrementalMinhash]] probing a PERSISTED band index instead of
+    * re-banding the corpus: identical output (spec-pinned), corpus text
+    * is touched only to verify candidates (the semi-join pushdown
+    * inside verification). `corpus` must be the same document set the
+    * index was built from. */
+  def incrementalMinhashIndexed(newDocs: DataFrame, corpus: DataFrame,
+                                indexPath: String, threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = spark.read.parquet(indexPath)
+      .select(col("doc_id"), col("band"), col("key"))
+    val batchBands = bandTable(newDocs)
+    val cands = idx.as("c")
+      .join(broadcast(batchBands).as("b"),
+        col("c.band") === col("b.band") && col("c.key") === col("b.key"))
+      .select(col("b.doc_id").as("da"), col("c.doc_id").as("db"))
+      .distinct()
+    val both = newDocs.select(col("doc_id"), col("text"))
+      .unionByName(corpus.select(col("doc_id"), col("text")))
+    verifyJaccard(both, cands, threshold, release = Nil)
+      .select(col("da").as("batch_id"), col("db").as("corpus_id"), col("jaccard"))
+  }
+
   /** Right-to-be-forgotten cascade — the deletion sweep a training-data
     * pipeline owes a removal request: dropping ONLY the requested
     * doc_ids leaves their near-duplicates (mirrors, re-crawls, light

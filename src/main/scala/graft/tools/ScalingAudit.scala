@@ -293,6 +293,32 @@ object ScalingAudit {
       big.filter(col("doc_id") % 5 === 0), big.filter(col("doc_id") % 5 =!= 0),
       100).count()
     val incrEdW = (System.nanoTime() - incrT0) / 1e9
+    // round-12 tripwires. Forget cascade: the sweep size for a fixed
+    // 10-request slice — drift means the probe or the verify moved.
+    val fgT0 = System.nanoTime()
+    val forgetRows = Dedup.deleteCascade(big,
+      big.filter(col("doc_id") % (n / 10) === 0).select(col("doc_id")), 0.5).count()
+    val fgW = (System.nanoTime() - fgT0) / 1e9
+    // Leakage-safe split: straddling minhash pairs MUST be 0 at every
+    // scale — counted, not asserted, so the invariant is a bit in the
+    // artifact diff rather than an exception.
+    val ssT0 = System.nanoTime()
+    val ssPairs = Dedup.minhashPairs(big, 0.5).select(col("da"), col("db")).persist()
+    val ssSplit = Dedup.leakageSafeSplit(big,
+      graft.ops.ConnectedComponents.dedupClusters(ssPairs))
+    val ssA = ssSplit.select(col("doc_id").as("da"), col("split").as("sa"))
+    val ssB = ssSplit.select(col("doc_id").as("db"), col("split").as("sb"))
+    val ssCross = ssPairs.join(ssA, Seq("da")).join(ssB, Seq("db"))
+      .filter(col("sa") =!= col("sb")).count()
+    ssPairs.unpersist()
+    val ssW = (System.nanoTime() - ssT0) / 1e9
+    // Length-TV fingerprint: Σ per-source l1 is an exact BIGINT summary
+    // of the synthesized corpus's per-source length distributions.
+    val tvT0 = System.nanoTime()
+    val bigSrc = big.withColumn("source", concat(lit("s"), col("doc_id") % 16))
+    val tvL1 = TextAnalysis.sourceLengthDrift(bigSrc, 20L, 10)
+      .agg(coalesce(sum(col("l1")), lit(0L))).head.getLong(0)
+    val tvW = (System.nanoTime() - tvT0) / 1e9
     big.unpersist()
     def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
     val json =
@@ -304,10 +330,13 @@ object ScalingAudit {
         s""""pairs_jaccard_capped":$jacPairs,"chunk10_kept":$chunkKept,""" +
         s""""bpe_merges6":"$bpeSig","bloom_dup_verdicts":$bloomDups,""" +
         s""""pairs_edit100":$edPairs,"pairs_incr_edit100":$incrEdPairs,""" +
+        s""""forget_rows10":$forgetRows,"safe_split_cross":$ssCross,""" +
+        s""""tv_l1_s16":$tvL1,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
-        s""""edit_pairs":${d2(edW)},"incr_edit":${d2(incrEdW)}}}"""
+        s""""edit_pairs":${d2(edW)},"incr_edit":${d2(incrEdW)},""" +
+        s""""forget":${d2(fgW)},"safe_split":${d2(ssW)},"tv_drift":${d2(tvW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()

@@ -909,6 +909,25 @@ class LlmSpec extends SparkSpec {
       (2L, 40L, 1.0 / 61, 1L), (2L, 50L, 1.0 / 61, 2L))
   }
 
+  test("incrementalMinhashIndexed: probing the persisted index is bitwise incrementalMinhash") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_bandidx").toString + "/idx"
+    Dedup.writeBandIndex(corpus, idxPath)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("batch_id"), col("corpus_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val direct = norm(Dedup.incrementalMinhash(batch, corpus, 0.5))
+    val indexed = norm(Dedup.incrementalMinhashIndexed(batch, corpus, idxPath, 0.5))
+    direct should not be empty
+    indexed shouldBe direct
+    // the append path: index rows of a new batch use the same layout
+    val appended = Dedup.bandIndexRows(batch)
+    appended.columns.toSeq shouldBe Seq("doc_id", "band", "key")
+  }
+
   test("deleteCascade: requested ids plus their near-dups labeled; unrelated content untouched") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
