@@ -527,6 +527,22 @@ object SparkEntry {
       TextAnalysis.mixtureWeights(docs(s, dir), MixWeights)
         .orderBy(col("source"))),
 
+    // per-source OOV rate under the corpus top-K word vocabulary —
+    // tokenizer-coverage metric; rate is one exact-BIGINT division
+    "q_oov" -> ((s, dir) =>
+      TextAnalysis.oovRate(docs(s, dir), vocabK = 200).orderBy(col("source"))),
+
+    // PII scrub: deterministic planted PII (email/IP/phone derived from
+    // doc_id) redacted by the shared regex chain — the oracle plants and
+    // scrubs with the same strings, so the whole text crosses the hash
+    "q_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 call +1555"), lpad(col("doc_id").cast("string"), 7, "0")).as("ptext"))
+        .select(col("doc_id"), TextAnalysis.redactPii(col("ptext")).as("redacted"))
+        .orderBy(col("doc_id"))),
+
     // per-source length-distribution drift: total-variation distance on
     // an exact integer grid — l1 BIGINT, tv one exact-grid division
     "q_source_drift" -> ((s, dir) =>
@@ -1897,6 +1913,26 @@ object SparkEntry {
         "FROM r ORDER BY position"),
 
     "q_cell_sample" -> TextSql.cellSampleSql(IvfCoarseIds, quota = 10),
+
+    "q_oov" ->
+      ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "vc AS (SELECT w, count(*) AS n FROM tok GROUP BY w), " +
+        "vocab AS (SELECT w FROM vc ORDER BY n DESC, w LIMIT 200) " +
+        "SELECT source, count(*) AS n_tokens, " +
+        "CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS oov_rate " +
+        "FROM tok LEFT JOIN vocab ON tok.w = vocab.w GROUP BY source ORDER BY source"),
+
+    "q_redact" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1555' || " +
+        "lpad(CAST(doc_id AS VARCHAR), 7, '0') AS ptext FROM documents) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(ptext, " +
+        s"'${TextAnalysis.EmailRe}', '[EMAIL]', 'g'), " +
+        s"'${TextAnalysis.Ipv4Re}', '[IP]', 'g'), " +
+        s"'${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS redacted " +
+        "FROM p ORDER BY doc_id"),
 
     "q_source_drift" ->
       ("WITH b AS (SELECT source, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 20, " +

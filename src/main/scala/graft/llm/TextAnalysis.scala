@@ -378,6 +378,58 @@ object TextAnalysis {
     * lookup — no join.
     * Output: (doc_id, source, n_toks, cum_toks, kept) — kept is the
     * budget decision; callers filter or report. */
+  /** PII redaction patterns — shared verbatim by the DuckDB oracle
+    * (Java regex vs RE2: these are alternation-free greedy patterns
+    * over explicit ASCII classes, where leftmost-first and
+    * leftmost-longest matching coincide; `\b` is the ASCII word
+    * boundary in both engines). Conservative by design: high-precision
+    * shapes (explicit user@domain.tld, dotted-quad, international
+    * +digits), not a PII sweep — recall belongs to a dedicated NER
+    * pass, THIS is the cheap scrub every crawl pipeline runs first. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** Redacts emails, dotted-quad IPs and international phone numbers
+    * (FIXED replace order: email first — an address contains dots and
+    * digits that the later patterns could bite into — then IP, then
+    * phone). Pure codegen'd `regexp_replace` chain: one projection, no
+    * shuffle, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Per-source out-of-vocabulary rate — the tokenizer-coverage metric
+    * of a data mix: which sources will fragment into byte-fallback
+    * garbage under a top-`vocabK` word vocabulary? The vocabulary is
+    * the corpus's `vocabK` most frequent words (ties to the
+    * lexicographically-smaller word — a total order); each source then
+    * reports how many of its token OCCURRENCES fall outside it.
+    * oov_rate is ONE division of two exact BIGINTs — no rounding.
+    *
+    * Shape: two passes over the exploded tokens — one corpus-wide
+    * aggregate to build the vocabulary (a TakeOrdered of the
+    * vocab-sized count table, then BROADCAST — the production shape:
+    * the vocab is an artifact computed once and shipped to every
+    * scorer), one per-source membership aggregate. Output: (source,
+    * n_tokens, n_oov, oov_rate). */
+  def oovRate(docs: DataFrame, vocabK: Int): DataFrame = {
+    require(vocabK >= 1, s"need vocabK >= 1, got $vocabK")
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(vocabK)
+      .select(col("w"), lit(1L).as("iv"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** Per-source length-distribution drift — the distribution-shift
     * monitor of a crawl pipeline: a source whose document-length
     * histogram diverges from the corpus (truncation bug, boilerplate

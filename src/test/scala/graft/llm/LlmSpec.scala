@@ -909,6 +909,42 @@ class LlmSpec extends SparkSpec {
       (2L, 40L, 1.0 / 61, 1L), (2L, 50L, 1.0 / 61, 2L))
   }
 
+  test("oovRate: hand vocabulary fixture — ties break lexicographic, rate is exact") {
+    val docs = Seq(
+      (0L, "A", "x x y z"), // x2 y1 z1
+      (1L, "B", "x q q q")) // x1 q3
+      .toDF("doc_id", "source", "text")
+    // corpus counts: q=3, x=3, y=1, z=1; K=2 -> vocab {q, x} (tie 3/3
+    // breaks to lexicographically-smaller first but both fit)
+    val out = TextAnalysis.oovRate(docs, vocabK = 2).orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out shouldBe Array(("A", 4L, 2L, 0.5), ("B", 4L, 0L, 0.0))
+    // K=1: the q/x tie at 3 breaks to 'q' alone
+    val k1 = TextAnalysis.oovRate(docs, vocabK = 1).orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    k1 shouldBe Array(("A", 4L), ("B", 1L))
+  }
+
+  test("redactPii: email/IP/phone scrubbed, fixed order, surrounding text untouched") {
+    val in = Seq(
+      (1L, "mail a.user+tag@sub.example.org now"),
+      (2L, "host 192.168.0.1 and 10.1.2.3 up"),
+      (3L, "call +15551234567 today"),
+      (4L, "all: bob@x.io at 8.8.8.8 or +4912345678"),
+      (5L, "clean text with no pii at all"),
+      (6L, "v1.2.3 is not an ip word")) // only 3 dotted groups -> untouched
+      .toDF("doc_id", "text")
+    val out = in.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getString(1)))
+    out shouldBe Array(
+      (1L, "mail [EMAIL] now"),
+      (2L, "host [IP] and [IP] up"),
+      (3L, "call [PHONE] today"),
+      (4L, "all: [EMAIL] at [IP] or [PHONE]"),
+      (5L, "clean text with no pii at all"),
+      (6L, "v1.2.3 is not an ip word"))
+  }
+
   test("incrementalMinhashIndexed: probing the persisted index is bitwise incrementalMinhash") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
