@@ -463,4 +463,33 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
     (p should not).include("CartesianProduct")
   }
+
+  test("q_forget: the cascade probe inherits the incremental broadcast shape") {
+    val p = plan("q_forget")
+    // request selection + band probe broadcast; the corpus never
+    // shuffles for the candidate join
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin [band")
+  }
+
+  test("q_oov: the vocabulary broadcasts — token stream never shuffles for membership") {
+    val p = plan("q_oov")
+    p should include("TakeOrderedAndProject") // vocab = top-K artifact
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q_redact: pure single-scan projection — the scrub never shuffles or joins") {
+    val p = plan("q_redact", "simple")
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
+  test("q_curriculum and q_mixture: join-free / broadcast-weights shapes hold") {
+    (plan("q_curriculum", "simple") should not).include("Join")
+    val m = plan("q_mixture")
+    (m should not).include("CartesianProduct") // 1-row bottleneck broadcast-NL is fine
+    m should include("BroadcastHashJoin") // weights join
+  }
 }
