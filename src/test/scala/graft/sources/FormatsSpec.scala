@@ -56,6 +56,28 @@ class FormatsSpec extends SparkSpec {
     prunedFiles should be < allFiles
   }
 
+  test("schema evolution: mergeSchema unions old and new file schemas; old rows read null for added columns") {
+    val dir = tmpDir("evolve")
+    // v1 files: (doc_id, text); v2 adds lang
+    Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/part=v1")
+    Seq((3L, "three", "en"), (4L, "vier", "de")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/part=v2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    merged.columns.toSet shouldBe Set("doc_id", "text", "lang", "part")
+    val rows = merged.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("lang"))))
+    rows shouldBe Array((1L, None), (2L, None), (3L, Some("en")), (4L, Some("de")))
+    // predicates on the ADDED column stay correct across old files
+    merged.filter(col("lang") === "de").count() shouldBe 1L
+    merged.filter(col("lang").isNull).count() shouldBe 2L
+    // and without mergeSchema the first-listed footer wins - the trap
+    // the option exists to avoid is documented by this read being
+    // schema-dependent, not data-lossy
+    val plain = spark.read.parquet(dir)
+    plain.count() shouldBe 4L
+  }
+
   test("CSV round-trip survives embedded newlines, quotes, and delimiters") {
     val nasty = Seq(
       (1L, "plain text"),
