@@ -395,6 +395,12 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
 
+    // exact media dedup by content digest (content-addressable storage):
+    // identical payloads collapse, keeper = lowest id
+    "q_media_dedup" -> ((s, dir) =>
+      Multimodal.mediaDedup(docs(s, dir), "doc_id", "text")
+        .orderBy(col("keep_id"))),
+
     // multimodal frame sampling (stub codec): every FrameStride-th 8-byte
     // window of the binary payload digested — the mapPartitions batching
     // and (media_id, frame_idx, digest) shape are the real contract; the
@@ -1799,6 +1805,12 @@ object SparkEntry {
     "ann_topk" -> TextSql.annTopKSql(AnnQueryIds, 10),
     "ann_ivf" -> TextSql.annIvfSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),
     "multimodal_meta" -> TextSql.multimodalMetaSql,
+
+    "q_media_dedup" ->
+      ("WITH m AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, " +
+        "md5(text) AS digest FROM documents) " +
+        "SELECT digest, byte_len, min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM m GROUP BY digest, byte_len ORDER BY keep_id"),
     "q_frames" -> TextSql.frameSampleSql(FrameStride),
     "q_pack" -> TextSql.packSequencesSql(PackBudget, PackShards),
     "q_decode" -> TextSql.decodeSql(DecodeMaxDim),

@@ -36,6 +36,19 @@ object Multimodal {
       length(col(payloadCol).cast("binary")).cast("long").as("byte_len"),
       md5(col(payloadCol).cast("binary")).as("digest"))
 
+  /** Exact media dedup by content digest — the content-addressable-
+    * storage move every media lake makes: identical payloads (the same
+    * image re-crawled under ten URLs) collapse to one stored copy keyed
+    * by digest. One hash aggregate over (digest, byte_len) — byte_len
+    * rides along as a free collision tripwire and sizing stat — with
+    * the keeper = lowest id. Payloads never leave the executors; the
+    * aggregate carries 16-byte digests, not media bytes. Output:
+    * (digest, byte_len, keep_id, n_copies). */
+  def mediaDedup(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    binaryMeta(df, idCol, payloadCol)
+      .groupBy(col("digest"), col("byte_len"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Output schema of the decode step: fixed-shape media metadata plus a
     * small feature vector, the shape a real image decoder would emit. */
   val decodedSchema: StructType = StructType(Seq(

@@ -1411,6 +1411,15 @@ class LlmSpec extends SparkSpec {
     out.getString(2) shouldBe "5d41402abc4b2a76b9719d911017c592"
   }
 
+  test("mediaDedup: identical payloads collapse to the lowest-id keeper") {
+    val out = Multimodal.mediaDedup(
+        docsDF(3L -> "same bytes", 1L -> "same bytes", 2L -> "different"),
+        "doc_id", "text")
+      .orderBy(col("keep_id")).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(1)))
+    out shouldBe Array((1L, 2L, 10L), (2L, 1L, 9L)) // (keeper, copies, bytes)
+  }
+
   test("bpeTokenCount: letters/digits/punct runs, space-prefixed") {
     val out = docsDF(1L -> "hello world 42 x!").select(TextAnalysis.bpeTokenCount(col("text")))
       .collect().head.getLong(0)
