@@ -802,16 +802,37 @@ object Dedup {
     val spark = newDocs.sparkSession
     val idx = spark.read.parquet(indexPath)
       .select(col("doc_id"), col("band"), col("key"))
-    val batchBands = bandTable(newDocs)
-    val cands = idx.as("c")
-      .join(broadcast(batchBands).as("b"),
-        col("c.band") === col("b.band") && col("c.key") === col("b.key"))
-      .select(col("b.doc_id").as("da"), col("c.doc_id").as("db"))
-      .distinct()
     val both = newDocs.select(col("doc_id"), col("text"))
       .unionByName(corpus.select(col("doc_id"), col("text")))
-    verifyJaccard(both, cands, threshold, release = Nil)
+    verifyJaccard(both, probeCandidatesOf(bandTable(newDocs), idx),
+      threshold, release = Nil)
       .select(col("da").as("batch_id"), col("db").as("corpus_id"), col("jaccard"))
+  }
+
+  /** [[ingestDupIds]] against a PREBUILT corpus band-index frame plus
+    * the corpus texts (candidate verification only) — the batch kernel
+    * of index-maintaining streaming ingest: the corpus is never
+    * re-banded, its text is read only for candidate endpoints. */
+  def ingestDupIdsIndexed(newDocs: DataFrame,
+                          corpus: Option[(DataFrame, DataFrame)],
+                          threshold: Double): DataFrame = {
+    val batchBands = bandTable(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withinPairs = verifyJaccard(newDocs, bandCandidates(batchBands),
+      threshold, release = Nil)
+    val vsCorpusPairs = corpus.map { case (ctexts, cbands) =>
+      val both = newDocs.select(col("doc_id"), col("text"))
+        .unionByName(ctexts.select(col("doc_id"), col("text")))
+      verifyJaccard(both, probeCandidatesOf(batchBands, cbands),
+        threshold, release = Nil)
+    }
+    val ids = vsCorpusPairs
+      .map(vc => withinPairs.select(col("db").as("doc_id"))
+        .unionByName(vc.select(col("da").as("doc_id"))))
+      .getOrElse(withinPairs.select(col("db").as("doc_id")))
+      .distinct()
+    materialized(ids,
+      release = Seq(batchBands, withinPairs) ++ vsCorpusPairs.toSeq)
   }
 
   /** Right-to-be-forgotten cascade — the deletion sweep a training-data
@@ -861,7 +882,13 @@ object Dedup {
     * definition under every incremental verifier (Jaccard, edit
     * distance, streaming ingest). */
   private def probeCandidates(batchBands: DataFrame, corpus: DataFrame): DataFrame =
-    bandTable(corpus).as("c")
+    probeCandidatesOf(batchBands, bandTable(corpus))
+
+  /** The same probe against PREBUILT corpus band rows (a persisted band
+    * index, or bands carried forward by an ingest loop) — one join
+    * definition under every probe consumer. */
+  private def probeCandidatesOf(batchBands: DataFrame, corpusBands: DataFrame): DataFrame =
+    corpusBands.as("c")
       .join(broadcast(batchBands).as("b"),
         col("c.band") === col("b.band") && col("c.key") === col("b.key"))
       .select(col("b.doc_id").as("da"), col("c.doc_id").as("db"))

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.llm.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Index-maintaining streaming ingest — [[IngestDedup]] upgraded to the
+  * amortized production shape: instead of re-banding the ingested
+  * corpus's TEXT on every micro-batch, the loop maintains a band INDEX
+  * alongside the corpus (per-batch `ingest_batch=` partitions of
+  * (doc_id, band, key) — `Dedup.bandIndexRows` of the survivors) and
+  * probes the stored rows. Per batch, corpus cost drops from the full
+  * shingle→hash→minhash→band text pipeline to a three-narrow-column
+  * scan; corpus TEXT is read only to verify candidate endpoints.
+  *
+  * Exactly-once inherits [[IngestDedup]]'s idempotent-sink design on
+  * BOTH stores: survivors and their index rows land in partitions
+  * keyed by batch id with dynamic overwrite, and a batch compares only
+  * against partitions written before it — replay overwrites its own
+  * output (corpus AND index) and sees exactly its original corpus
+  * view. Policy and output are identical to IngestDedup (spec-pinned). */
+object IndexedIngest {
+
+  def ingestBatch(batch: DataFrame, corpusPath: String, indexPath: String,
+                  batchId: Long, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDocs = batch.select(col("doc_id"), col("text"))
+    if (batchDocs.isEmpty) return
+    val partDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$corpusPath/ingest_batch=*"))
+    val prior =
+      if (partDirs != null && partDirs.nonEmpty)
+        Some((
+          spark.read.parquet(corpusPath)
+            .filter(col("ingest_batch") < batchId)
+            .select(col("doc_id"), col("text")),
+          spark.read.parquet(indexPath)
+            .filter(col("ingest_batch") < batchId)
+            .select(col("doc_id"), col("band"), col("key"))))
+      else None
+    val dropIds = Dedup.ingestDupIdsIndexed(batchDocs, prior, threshold)
+    val survivors = batchDocs
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .withColumn("ingest_batch", lit(batchId))
+      .persist()
+    survivors.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(corpusPath)
+    Dedup.bandIndexRows(survivors.select(col("doc_id"), col("text")))
+      .withColumn("ingest_batch", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(indexPath)
+    survivors.unpersist(false)
+    dropIds.unpersist(false)
+    ()
+  }
+
+  def start(docsStream: DataFrame, corpusPath: String, indexPath: String,
+            checkpoint: String, threshold: Double): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), corpusPath, indexPath, batchId, threshold)
+      }
+      .start()
+}

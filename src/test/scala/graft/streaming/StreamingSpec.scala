@@ -95,6 +95,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexed ingest: same corpus as the re-banding loop, index maintained, replay idempotent") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("idxingest").toString
+    val corpusPath = s"$dir/corpus"; val indexPath = s"$dir/index"
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b2 = Seq((10L, a),
+      (11L, "red green blue cyan magenta yellow black white"),
+      (12L, "red green blue cyan magenta yellow black white"))
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexedIngest.start(mem.toDF.toDF("doc_id", "text"),
+      corpusPath, indexPath, s"$dir/ck", threshold = 0.5)
+    try {
+      mem.addData((1L, a), (2L, "one two three four five six seven"))
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // identical POLICY outcome to IngestDedup's fixture: 10 dups the
+      // corpus, 12 dups 11 within the batch
+      spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 11L)
+      // the index holds band rows for exactly the survivors, per batch
+      val idx = spark.read.parquet(indexPath)
+      idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet shouldBe
+        Set(1L, 2L, 11L)
+      idx.filter(col("ingest_batch") === 1L)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet shouldBe Set(11L)
+      // replay batch 1: both stores overwrite their own partitions
+      val before = idx.orderBy("doc_id", "band").collect().toSeq
+      IndexedIngest.ingestBatch(b2.toDF("doc_id", "text"),
+        corpusPath, indexPath, batchId = 1L, threshold = 0.5)
+      spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 11L)
+      spark.read.parquet(indexPath).orderBy("doc_id", "band").collect().toSeq shouldBe before
+    } finally q.stop()
+  }
+
   test("bloom ingest: exact streaming dedup, replay idempotent, restart restores the bloom") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("bloomingest").toString
