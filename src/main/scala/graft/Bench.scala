@@ -293,6 +293,40 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // index-maintaining streaming ingest: the amortized twin of
+      // stream_ingest_dedup — the corpus is probed through its stored
+      // band index, never re-banded. Guard: non-trivial surviving corpus
+      // AND the index's doc set equals the corpus's (the maintenance
+      // invariant; policy equality with IngestDedup is spec-pinned)
+      "stream_indexed_ingest" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val nDocs = docs.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_idxingest_bench").toString
+        try {
+          docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val q = graft.streaming.IndexedIngest.start(
+            src, s"$tmp/corpus", s"$tmp/index", s"$tmp/ck", threshold = 0.5)
+          q.processAllAvailable()
+          q.stop()
+          val survived = s2.read.parquet(s"$tmp/corpus")
+            .select("doc_id").distinct().count()
+          val indexed = s2.read.parquet(s"$tmp/index")
+            .select("doc_id").distinct().count()
+          require(survived > 0 && survived <= nDocs && indexed == survived,
+            s"indexed ingest kept $survived of $nDocs docs, index covers $indexed")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming per-source token-budget gate: the documents table fed
       // as a 4-batch file stream; per-source running totals live in
       // flatMapGroupsWithState state (ONE long per source). Guard: every
