@@ -297,7 +297,11 @@ object Bench {
       // stream_ingest_dedup — the corpus is probed through its stored
       // band index, never re-banded. Guard: non-trivial surviving corpus
       // AND the index's doc set equals the corpus's (the maintenance
-      // invariant; policy equality with IngestDedup is spec-pinned)
+      // invariant; policy equality with IngestDedup is spec-pinned).
+      // EXPECTED SLOWER THAN stream_ingest_dedup AT THIS SF (~2x): the
+      // extra per-batch index WRITE pays this box's ~2s/job floor four
+      // times, while the corpus whose re-banding it saves is only 5k
+      // docs — the trade inverts where corpus >> batch (SCALING.md §12)
       "stream_indexed_ingest" -> (() => {
         import org.apache.spark.sql.functions._
         val s2 = spark.newSession()
