@@ -77,6 +77,11 @@ object SparkEntry {
   private val StratPerGroup = 20
   /** Frame-sampling stride (every stride-th 8-byte window is a "frame"). */
   private val FrameStride = 2
+  /** Media near-dup: stop-frame df cap (a digest in more media is
+    * boilerplate — dropped from index AND similarity space) and the
+    * shared-frame floor for a pair to surface. */
+  private val MediaDfCap = 16L
+  private val MediaMinShared = 2L
   /** Sequence-packing token budget + shard count. */
   private val PackBudget = 256L
   private val PackShards = 8
@@ -401,6 +406,13 @@ object SparkEntry {
       Multimodal.mediaDedup(docs(s, dir), "doc_id", "text")
         .orderBy(col("keep_id"))),
 
+    // media NEAR-dup by shared sampled frames: digest inverted index with
+    // a df-capped stop-frame guard, containment = exact-BIGINT division
+    "q_media_neardup" -> ((s, dir) =>
+      Multimodal.frameNearDup(docs(s, dir), "doc_id", "text",
+        FrameStride, MediaDfCap, MediaMinShared)
+        .orderBy(col("ma"), col("mb"))),
+
     // multimodal frame sampling (stub codec): every FrameStride-th 8-byte
     // window of the binary payload digested — the mapPartitions batching
     // and (media_id, frame_idx, digest) shape are the real contract; the
@@ -467,6 +479,18 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       graft.llm.Similarity.cosineNearDupPairs(emb(s, dir), IvfCoarseIds, 0.4)
         .orderBy(col("va"), col("vb"))),
+
+    // incremental semantic dedup: new embedding batch vs the ingested
+    // corpus — same-cell candidates only (cell-pruned, corpus never
+    // self-joined), batch side broadcast; the paraphrase-ingest path
+    "q_incr_sem" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.llm.Similarity.incrementalCosinePairs(
+        e.filter(col("vec_id") % IncrementalMod === 0),
+        e.filter(col("vec_id") % IncrementalMod =!= 0),
+        IvfCoarseIds, SemDedupThreshold)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
 
     // gap-based sessionization (lag + running-sum windows)
     "events_sessionize" -> ((s, dir) => {
@@ -1812,6 +1836,8 @@ object SparkEntry {
         "SELECT digest, byte_len, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM m GROUP BY digest, byte_len ORDER BY keep_id"),
     "q_frames" -> TextSql.frameSampleSql(FrameStride),
+    "q_media_neardup" ->
+      TextSql.frameNearDupSql(FrameStride, MediaDfCap, MediaMinShared),
     "q_pack" -> TextSql.packSequencesSql(PackBudget, PackShards),
     "q_decode" -> TextSql.decodeSql(DecodeMaxDim),
 
@@ -1831,6 +1857,8 @@ object SparkEntry {
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
 
     "dedup_embedding" -> TextSql.dedupEmbeddingSql(IvfCoarseIds, 0.4),
+    "q_incr_sem" ->
+      TextSql.incrementalSemSql(IvfCoarseIds, SemDedupThreshold, IncrementalMod),
     "events_sessionize" -> TextSql.eventsSessionizeSql,
 
     "q_distinct_users" ->

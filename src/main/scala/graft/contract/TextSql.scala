@@ -598,15 +598,44 @@ object TextSql {
     * Byte access is via character substr/ascii, which equals byte access
     * because the corpus is pure ASCII (verified: octet_length = length
     * on every SF) — a non-ASCII corpus would need a BLOB byte accessor. */
-  def frameSampleSql(stride: Int): String = {
+  /** The frame-window CTE + digest expression shared by frameSampleSql
+    * and frameNearDupSql (one definition — the two oracles cannot
+    * drift). */
+  private def frameCte(stride: Int): (String, String) = {
     val win = 8 * stride
     val digest = (0 until 8).foldLeft("0") { (acc, k) =>
       s"(($acc)*31 + ascii(substr(text, CAST(f*$win+$k+1 AS BIGINT), 1))) % ${TextAnalysis.FpMod}"
     }
-    s"WITH fr AS (SELECT doc_id, text, " +
-      s"unnest(range(0, CAST(length(text) // $win AS BIGINT))) AS f FROM documents) " +
+    (s"fr AS (SELECT doc_id, text, " +
+      s"unnest(range(0, CAST(length(text) // $win AS BIGINT))) AS f FROM documents)",
+      digest)
+  }
+
+  def frameSampleSql(stride: Int): String = {
+    val (cte, digest) = frameCte(stride)
+    s"WITH $cte " +
       s"SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx, " +
       s"CAST($digest AS BIGINT) AS frame_digest FROM fr ORDER BY media_id, frame_idx"
+  }
+
+  /** Mirror of Multimodal.frameNearDup over the documents payload: the
+    * SAME frame digests (frameCte), distinct per media, df-capped
+    * stop-frame guard, shared-digest pair counts, containment one
+    * division of two exact BIGINTs (no rounding discipline needed). */
+  def frameNearDupSql(stride: Int, dfCap: Long, minShared: Long): String = {
+    val (cte, digest) = frameCte(stride)
+    s"WITH $cte, " +
+      s"fd AS (SELECT DISTINCT doc_id AS media_id, CAST($digest AS BIGINT) AS frame_digest FROM fr), " +
+      s"keep AS (SELECT frame_digest FROM fd GROUP BY 1 HAVING count(*) <= $dfCap), " +
+      "capped AS (SELECT fd.media_id, fd.frame_digest FROM fd JOIN keep USING (frame_digest)), " +
+      "sizes AS (SELECT media_id, CAST(count(*) AS BIGINT) AS nset FROM capped GROUP BY 1), " +
+      "p AS (SELECT a.media_id AS ma, b.media_id AS mb, CAST(count(*) AS BIGINT) AS n_shared " +
+      "FROM capped a JOIN capped b ON a.frame_digest = b.frame_digest AND a.media_id < b.media_id " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $minShared) " +
+      "SELECT ma, mb, n_shared, " +
+      "CAST(n_shared AS DOUBLE) / CAST(least(sa.nset, sb.nset) AS DOUBLE) AS containment " +
+      "FROM p JOIN sizes sa ON sa.media_id = p.ma JOIN sizes sb ON sb.media_id = p.mb " +
+      "ORDER BY ma, mb"
   }
 
   /** Mirror of Dedup.decontaminate with benchmark = documents whose
@@ -784,6 +813,25 @@ object TextSql {
       s"SELECT a.vec_id AS va, b.vec_id AS vb, round($cos, 4) AS sim " +
       "FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id " +
       s"WHERE $cos >= $threshold ORDER BY va, vb"
+  }
+
+  /** Mirror of Similarity.incrementalCosinePairs: batch = vec_id %
+    * `batchMod` == 0, corpus = the rest; every vector assigns to its
+    * nearest coarse cell (ties to lowest cell id — same argmin as
+    * dedupEmbeddingSql, membership-independent), pairs are same-cell
+    * batch×corpus only. Cosine is the identical IEEE expression, so
+    * round(…, 4) lands on the same grid. */
+  def incrementalSemSql(coarseIds: Seq[Long], threshold: Double, batchMod: Int): String = {
+    val cos = "list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v)))"
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"coarse AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id IN (${coarseIds.mkString(", ")})), " +
+      "ad AS (SELECT vec_id, v, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id " +
+      s"ORDER BY ${l2sqSql("v", "cv")}, cell_id) AS rn FROM e CROSS JOIN coarse), " +
+      "assigned AS (SELECT vec_id, v, cell_id FROM ad WHERE rn = 1) " +
+      s"SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id, round($cos, 4) AS sim " +
+      "FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id " +
+      s"AND a.vec_id % $batchMod = 0 AND b.vec_id % $batchMod <> 0 " +
+      s"WHERE $cos >= $threshold ORDER BY batch_id, corpus_id"
   }
 
   val eventsSessionizeSql: String =

@@ -127,4 +127,62 @@ object Multimodal {
     }
     spark.createDataFrame(rows, decodedSchema)
   }
+
+  /** Media NEAR-dup by shared sampled frames — the video/animation twin
+    * of text chunk-dedup: two clips that share most of their frames
+    * (re-encodes with a new intro, trimmed exports, re-uploads with a
+    * watermark overlay on a few frames) never collapse under the exact
+    * [[mediaDedup]] digest, but their sampled-frame digest SETS overlap
+    * heavily. Candidates come from an inverted index on frame_digest —
+    * only media sharing at least one frame ever pair, never n² — with a
+    * `dfCap` stop-frame guard: a digest present in more than `dfCap`
+    * media (black frames, standard intro cards — the boilerplate of
+    * video) is dropped from the index AND from the similarity space, so
+    * ubiquitous frames neither blow up the candidate volume nor inflate
+    * scores. Containment = n_shared / min(|A|, |B|) over the capped
+    * digest space (sub-clip detection: a trimmed export scores 1.0), one
+    * division of two exact BIGINTs — bitwise cross-engine, no rounding.
+    *
+    * Scale shape: distinct (media, digest) rows → digest-keyed
+    * df-capped index → pair aggregate sized by candidate collisions;
+    * set sizes ride a media-keyed aggregate of the SAME distinct frame
+    * table. The codec stub caveat is [[frameSampleStub]]'s: a real
+    * demuxer swaps in without touching anything downstream.
+    * Output: (ma, mb, n_shared, containment), ma < mb,
+    * n_shared >= minShared. */
+  def frameNearDup(media: DataFrame, idCol: String, payloadCol: String,
+                   stride: Int, dfCap: Long, minShared: Long): DataFrame = {
+    require(dfCap >= 1 && minShared >= 1,
+      s"need dfCap >= 1 and minShared >= 1, got $dfCap, $minShared")
+    val fr = frameSampleStub(media, idCol, payloadCol, stride)
+      .select(col("media_id"), col("frame_digest")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fr.count()
+    // stop-frame guard: digests in more than dfCap media leave the space
+    val keep = fr.groupBy(col("frame_digest"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+      .select(col("frame_digest"))
+    val capped = fr.join(keep, Seq("frame_digest"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    capped.count()
+    fr.unpersist(false)
+    val sizes = capped.groupBy(col("media_id")).agg(count(lit(1)).as("nset"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.frame_digest") === col("b.frame_digest") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val out = pairs
+      .join(sizes.select(col("media_id").as("ma"), col("nset").as("na")), Seq("ma"))
+      .join(sizes.select(col("media_id").as("mb"), col("nset").as("nb")), Seq("mb"))
+      .select(col("ma"), col("mb"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+    val mat = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mat.count()
+    capped.unpersist(false)
+    mat
+  }
 }

@@ -255,6 +255,45 @@ object Similarity {
     emb.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  /** Incremental semantic dedup: (batch_id, corpus_id, sim) cosine
+    * near-dup pairs between a NEW embedding batch and the existing
+    * corpus — the embedding-space twin of `Dedup.incrementalMinhash`,
+    * completing the incremental family (exact, bloom-triaged, MinHash,
+    * edit-distance, and now semantic). The ingest question it answers:
+    * which new documents PARAPHRASE something already ingested — the
+    * near-dups text-level MinHash scores near zero.
+    *
+    * Shape: both sides coarse-quantize with the SAME literal-centroid
+    * argmin projection IVF uses (`assignCells` — shuffle-free below
+    * `MaxInlineCells`, tie-identical broadcast join above), so the
+    * corpus is scanned once and NEVER self-joined; the assigned batch
+    * (small next to the corpus) broadcasts into a same-cell equi-join
+    * against the corpus scan. Candidates = same-cell cross pairs only —
+    * the cell pruning that keeps this off the n·m cliff; at cluster
+    * scale cell_id is the corpus partition key and a batch probes only
+    * the cells it lands in. Centroids come from CORPUS vectors (the
+    * fitted quantizer artifact, exactly how a production index ships).
+    *
+    * Norms are precomputed per VECTOR with the same sqrt(dot(v,v))
+    * expression as `cosineNearDupPairs`, so sim values are
+    * bit-identical to the batch operator's. vec_ids must be unique
+    * ACROSS both frames. EAGER (inherits the coarse-cell collect). */
+  def incrementalCosinePairs(newEmb: DataFrame, corpus: DataFrame,
+                             coarseIds: Seq[Long], threshold: Double): DataFrame = {
+    val cn = corpus.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val bn = newEmb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val coarse = cn.filter(col("vec_id").isin(coarseIds: _*))
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    def withNorm(df: DataFrame) =
+      assignCells(df, coarse).withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+    broadcast(withNorm(bn)).as("a")
+      .join(withNorm(cn).as("b"), col("a.cell_id") === col("b.cell_id"))
+      .select(col("a.vec_id").as("batch_id"), col("b.vec_id").as("corpus_id"),
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Multiplicative draw hash for id-keyed deterministic sampling:
     * (id % DrawMod) · DrawMult % DrawMod. Both factors < 2^32 so the
     * product stays far inside BIGINT on any engine — no overflow, no

@@ -314,6 +314,15 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_incr_sem: assigned batch broadcasts on cell_id — corpus assignment never shuffles") {
+    val p = plan("q_incr_sem", "simple")
+    p should include("BroadcastHashJoin [cell_id")
+    (p should not).include("CartesianProduct")
+    // both sides assign via the literal-centroid argmin projection: the
+    // only exchange tolerated is the broadcast itself
+    (p should not).include("Exchange hashpartitioning")
+  }
+
   test("q_quality_sample: single-scan filter + aggregate, no join") {
     val p = plan("q_quality_sample", "simple")
     (p should not).include("Join")

@@ -565,6 +565,24 @@ class LlmSpec extends SparkSpec {
     out shouldBe Set((0L, 2L), (1L, 3L)) // (0,3)/(1,2)/(2,3) are cross-cell or dissimilar
   }
 
+  test("incrementalCosinePairs equals the cross-membership slice of cosineNearDupPairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = Seq(7L, 123L, 247L, 331L, 433L)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val incr = Similarity.incrementalCosinePairs(batch, corpus, coarse, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // same centroid set, same assignment argmin, same cosine expression:
+    // the incremental result must be exactly the full self-join's pairs
+    // that straddle the batch boundary — sims included
+    val cross = Similarity.cosineNearDupPairs(emb, coarse, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, s) => if (a % 5 == 0) (a, b, s) else (b, a, s) }.toSet
+    incr shouldBe cross
+    incr should not be empty // planted near-parallel vectors straddle the split
+  }
+
   // ---------- multimodal ----------
 
   test("gramMatrixAgg (mapPartitions scale path) equals the join formulation") {
@@ -1445,6 +1463,28 @@ class LlmSpec extends SparkSpec {
     val again = Multimodal.frameSampleStub(media, "doc_id", "text", stride = 1)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     again.toSet shouldBe out.toSet
+  }
+
+  test("frameNearDup: shared-frame pairs, sub-clip containment 1.0, stop-frame cap prunes") {
+    // stride=2 -> 16-byte frames; 16-char blocks align exactly on frames
+    def blk(c: Char) = c.toString * 16
+    val (b1, b2, b3, b4) = (blk('a'), blk('b'), blk('c'), blk('d'))
+    val media = docsDF(
+      1L -> (b1 + b2 + b3),  // clip A
+      2L -> (b1 + b2 + b4),  // re-encode: 2 of 3 frames shared with A
+      3L -> (b1 + b2),       // trimmed export: sub-clip of both
+      4L -> (blk('p') + blk('q') + blk('r')), // unrelated
+      // 4 media sharing one boilerplate intro frame (df 4 > cap 3):
+      // the frame leaves the index AND the similarity space
+      5L -> (blk('z') + blk('e')), 6L -> (blk('z') + blk('f')),
+      7L -> (blk('z') + blk('g')), 8L -> (blk('z') + blk('h')))
+    val out = Multimodal.frameNearDup(media, "doc_id", "text",
+      stride = 2, dfCap = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    out.keySet shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+    out((1L, 2L)) shouldBe ((2L, 2.0 / 3.0)) // 2 shared / min(3,3)
+    out((1L, 3L)) shouldBe ((2L, 1.0))       // trimmed clip contained
+    out((2L, 3L)) shouldBe ((2L, 1.0))
   }
 
   test("decodeStub: deterministic fixed-shape output per payload") {
