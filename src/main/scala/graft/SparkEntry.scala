@@ -1382,6 +1382,14 @@ object SparkEntry {
         GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac)
         .orderBy(col("doc_id"))),
 
+    // per-source dataset datasheet: volume, language makeup, Gopher pass
+    // rate (same thresholds as the gate), corpus-wide exact-dup exposure
+    // — one scan, one text-keyed window, two tiny aggregates
+    "q_datasheet" -> ((s, dir) =>
+      TextAnalysis.datasheet(docs(s, dir), GopherMinWords, GopherMaxWords,
+        GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac)
+        .orderBy(col("source"))),
+
     // exact substring-match pairs: shared word 12-grams, df-capped index
     "q_substring_pairs" -> ((s, dir) =>
       Dedup.substringPairs(docs(s, dir), SubstrN, SubstrDfCap)
@@ -2325,6 +2333,8 @@ object SparkEntry {
 
     // ---- round 6 ----
     "q_gopher" -> TextSql.gopherSql(GopherMinWords, GopherMaxWords,
+      GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac),
+    "q_datasheet" -> TextSql.datasheetSql(GopherMinWords, GopherMaxWords,
       GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac),
     "q_substring_pairs" -> TextSql.substringPairsSql(SubstrN, SubstrDfCap),
     "q_semdedup" -> TextSql.semDedupSql(IvfCoarseIds, SemDedupThreshold),

@@ -1326,6 +1326,44 @@ object TextSql {
       "FROM s ORDER BY doc_id"
   }
 
+  /** Mirror of TextAnalysis.datasheet: the gopherSql per-doc flags with
+    * source/lang/text carried, a text-partition window for corpus-wide
+    * dup status, (source, lang) aggregate re-agged to sources; dominant
+    * language via ROW_NUMBER (nd DESC, lang) = the min(struct(-nd,
+    * lang)) argmax; every fraction ONE division of two CAST-to-DOUBLE
+    * exact BIGINTs. */
+  def datasheetSql(minWords: Int, maxWords: Int, minAvgLen: Double, maxAvgLen: Double,
+                   minStopHits: Int, minAlphaFrac: Double): String = {
+    val stop = strList(TextAnalysis.Stopwords)
+    "WITH t AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS toks FROM documents), " +
+      "s AS (SELECT source, lang, text, len(toks) AS n_words, " +
+      "list_sum(list_transform(toks, t -> len(t)))/len(toks) AS mean_word_len, " +
+      s"len(list_filter($stop, w -> list_contains(toks, w))) AS n_stop_distinct, " +
+      "len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))/len(toks) AS alpha_frac " +
+      "FROM t), " +
+      "f AS (SELECT source, lang, n_words, " +
+      s"(n_words >= $minWords AND n_words <= $maxWords AND " +
+      s"mean_word_len >= $minAvgLen AND mean_word_len <= $maxAvgLen AND " +
+      s"n_stop_distinct >= $minStopHits AND alpha_frac >= $minAlphaFrac) AS passes, " +
+      "(count(*) OVER (PARTITION BY text) > 1) AS dup FROM s), " +
+      "pl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS nd, " +
+      "CAST(sum(n_words) AS BIGINT) AS nt, " +
+      "CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
+      "CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS ndup " +
+      "FROM f GROUP BY 1, 2), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY nd DESC, lang) AS rn FROM pl), " +
+      "a AS (SELECT source, CAST(sum(nd) AS BIGINT) AS n_docs, " +
+      "CAST(count(*) AS BIGINT) AS n_langs, CAST(sum(nt) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(np) AS BIGINT) AS n_gopher_pass, CAST(sum(ndup) AS BIGINT) AS n_dup_docs " +
+      "FROM r GROUP BY 1), " +
+      "tl AS (SELECT source, lang AS top_lang FROM r WHERE rn = 1) " +
+      "SELECT source, n_docs, n_langs, top_lang, n_tokens, " +
+      "CAST(n_tokens AS DOUBLE)/CAST(n_docs AS DOUBLE) AS avg_doc_tokens, " +
+      "n_gopher_pass, CAST(n_gopher_pass AS DOUBLE)/CAST(n_docs AS DOUBLE) AS pass_frac, " +
+      "n_dup_docs, CAST(n_dup_docs AS DOUBLE)/CAST(n_docs AS DOUBLE) AS dup_frac " +
+      "FROM a JOIN tl USING (source) ORDER BY source"
+  }
+
   /** Mirror of TextAnalysis.qualityClassifier — generated from the
     * SAME tenth-quantized weight constants. All features are BIGINT
     * counts and the score is the exact integer numerator over 12000·n,

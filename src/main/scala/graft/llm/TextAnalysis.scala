@@ -1680,7 +1680,8 @@ object TextAnalysis {
   def gopherRules(docs: DataFrame,
                   minWords: Int, maxWords: Int,
                   minAvgLen: Double, maxAvgLen: Double,
-                  minStopHits: Int, minAlphaFrac: Double): DataFrame = {
+                  minStopHits: Int, minAlphaFrac: Double,
+                  carry: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
     val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
@@ -1694,18 +1695,71 @@ object TextAnalysis {
     // each alias is referenced twice (output + rule), which stops
     // CollapseProject from inlining — so every HOF runs once per row,
     // not once per reference
-    docs.select(
+    val carried = carry.map(col)
+    docs.select(Seq(
       col("doc_id"),
       nTok.cast("long").as("n_words"),
       (sumLen / nTok).as("mean_word_len"),
       stopDistinct.cast("long").as("n_stop_distinct"),
-      (alphaHits / nTok).as("alpha_frac"))
-      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+      (alphaHits / nTok).as("alpha_frac")) ++ carried: _*)
+      .select(Seq(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("n_stop_distinct"), col("alpha_frac"),
         (col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= minAvgLen && col("mean_word_len") <= maxAvgLen &&
           col("n_stop_distinct") >= minStopHits &&
-          col("alpha_frac") >= minAlphaFrac).as("passes"))
+          col("alpha_frac") >= minAlphaFrac).as("passes")) ++ carried: _*)
+  }
+
+  /** Per-source dataset DATASHEET — the one-query corpus report a
+    * "datasheets for datasets" card is filled from (and the first thing
+    * a data-buying or mixture-planning discussion asks for): per source,
+    * volume (docs, tokens, mean doc length), language makeup (distinct
+    * languages + dominant language), quality (Gopher-rule pass rate on
+    * the SAME thresholds as the gate itself — reused via `gopherRules`,
+    * not re-derived), and exact-duplication exposure (fraction of docs
+    * whose text occurs ≥2 times CORPUS-wide, so cross-source mirrors
+    * count against both sources).
+    *
+    * Shape: ONE corpus scan. The per-doc flags project on the scan; the
+    * dup flag is one text-keyed window (the exact-dedup shuffle — the
+    * only corpus-sized exchange, unavoidable for corpus-wide dup
+    * status); everything after is a (source, lang) aggregate re-agged
+    * to sources — key spaces sources·langs then sources, trivia at any
+    * scale. Dominant language = min(struct(-count, lang)): doc-count
+    * argmax, ties to the lexicographically smaller language.
+    *
+    * Cross-engine: every output is an exact BIGINT or ONE division of
+    * two CAST-to-DOUBLE exact integers (the qualityClassifier pattern)
+    * — no rounding discipline anywhere. */
+  def datasheet(docs: DataFrame,
+                minWords: Int, maxWords: Int,
+                minAvgLen: Double, maxAvgLen: Double,
+                minStopHits: Int, minAlphaFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = gopherRules(docs, minWords, maxWords, minAvgLen, maxAvgLen,
+      minStopHits, minAlphaFrac, carry = Seq("source", "lang", "text"))
+    val flagged = g.withColumn("dup",
+      (count(lit(1)).over(Window.partitionBy(col("text"))) > 1).cast("long"))
+    val perLang = flagged.groupBy(col("source"), col("lang")).agg(
+      count(lit(1)).as("nd"),
+      sum(col("n_words")).as("nt"),
+      sum(col("passes").cast("long")).as("np"),
+      sum(col("dup")).as("ndup"))
+    def frac(num: Column, den: Column) = num.cast("double") / den.cast("double")
+    perLang.groupBy(col("source")).agg(
+      sum(col("nd")).as("n_docs"),
+      count(lit(1)).as("n_langs"),
+      min(struct((-col("nd")).as("neg"), col("lang").as("lang"))).as("tl"),
+      sum(col("nt")).as("n_tokens"),
+      sum(col("np")).as("n_gopher_pass"),
+      sum(col("ndup")).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("tl.lang").as("top_lang"), col("n_tokens"),
+        frac(col("n_tokens"), col("n_docs")).as("avg_doc_tokens"),
+        col("n_gopher_pass"),
+        frac(col("n_gopher_pass"), col("n_docs")).as("pass_frac"),
+        col("n_dup_docs"),
+        frac(col("n_dup_docs"), col("n_docs")).as("dup_frac"))
   }
 
   /** BM25 document ranking for one query term set (Robertson et al.;

@@ -314,6 +314,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_datasheet: one corpus scan feeds the whole per-source report — no self-join") {
+    val p = plan("q_datasheet", "simple")
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
   test("q_incr_sem: assigned batch broadcasts on cell_id — corpus assignment never shuffles") {
     val p = plan("q_incr_sem", "simple")
     p should include("BroadcastHashJoin [cell_id")

@@ -1465,6 +1465,25 @@ class LlmSpec extends SparkSpec {
     again.toSet shouldBe out.toSet
   }
 
+  test("datasheet: per-source volume/lang/quality/dup report, argmax ties to smaller lang") {
+    val d = Seq(
+      (1L, "a b", "en", "A"),   // passes (2 words); text dups with 3 and 4
+      (2L, "x", "de", "A"),     // fails minWords=2
+      (3L, "a b", "de", "A"),   // dup, different lang: A's top_lang = de (2 docs)
+      (4L, "a b", "en", "B"),   // CROSS-source dup: counts against B too
+      (5L, "c d e", "en", "B"),
+      (6L, "p q", "en", "C"),   // C: en 1 doc, de 1 doc - tie, top_lang = de
+      (7L, "r s", "de", "C")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.datasheet(d, 2, 10, 0.5, 10.0, 0, 0.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getDouble(5), r.getLong(6), r.getLong(8))).toMap
+    out("A") shouldBe ((3L, 2L, "de", 5L, 5.0 / 3.0, 2L, 2L))
+    out("B") shouldBe ((2L, 1L, "en", 5L, 5.0 / 2.0, 2L, 1L))
+    out("C") shouldBe ((2L, 2L, "de", 4L, 2.0, 2L, 0L))
+  }
+
   test("frameNearDup: shared-frame pairs, sub-clip containment 1.0, stop-frame cap prunes") {
     // stride=2 -> 16-byte frames; 16-char blocks align exactly on frames
     def blk(c: Char) = c.toString * 16
