@@ -573,6 +573,22 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.redactPii(col("ptext")).as("redacted"))
         .orderBy(col("doc_id"))),
 
+    // per-source PII exposure audit: planted PII is SPARSE (email on
+    // doc_id%2, IP on %3, phone on %5) so the per-source counts differ
+    // per class; same shared regexes as the scrubber
+    "q_pii_stats" -> ((s, dir) => {
+      val plant = concat(col("text"),
+        when(col("doc_id") % 2 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(lit(" from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" call +1555"),
+          lpad(col("doc_id").cast("string"), 7, "0"))).otherwise(lit("")))
+      TextAnalysis.piiStats(docs(s, dir)
+        .select(col("doc_id"), col("source"), plant.as("text")))
+        .orderBy(col("source"))
+    }),
+
     // per-source length-distribution drift: total-variation distance on
     // an exact integer grid — l1 BIGINT, tv one exact-grid division
     "q_source_drift" -> ((s, dir) =>
@@ -1981,6 +1997,21 @@ object SparkEntry {
         s"'${TextAnalysis.Ipv4Re}', '[IP]', 'g'), " +
         s"'${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS redacted " +
         "FROM p ORDER BY doc_id"),
+
+    "q_pii_stats" ->
+      ("WITH p AS (SELECT doc_id, source, text || " +
+        "CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0') ELSE '' END " +
+        "AS ptext FROM documents), " +
+        "c AS (SELECT source, " +
+        s"CAST(len(regexp_extract_all(ptext, '${TextAnalysis.EmailRe}')) AS BIGINT) AS e, " +
+        s"CAST(len(regexp_extract_all(ptext, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS i, " +
+        s"CAST(len(regexp_extract_all(ptext, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS ph FROM p) " +
+        "SELECT source, CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(i) AS BIGINT) AS n_ipv4, " +
+        "CAST(sum(ph) AS BIGINT) AS n_phones, " +
+        "CAST(sum(CASE WHEN e + i + ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii, " +
+        "count(*) AS n_docs FROM c GROUP BY source ORDER BY source"),
 
     "q_source_drift" ->
       ("WITH b AS (SELECT source, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 20, " +

@@ -402,6 +402,29 @@ object TextAnalysis {
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
 
+  /** Per-source PII exposure report — the audit that runs BEFORE
+    * [[redactPii]] is trusted: match counts per PII class per source
+    * plus how many documents carry any PII at all. The compliance
+    * question it answers ("which crawl sources leak contact data, and
+    * how much") decides whether a source gets scrubbed, dropped, or
+    * renegotiated. Same three regexes as the scrubber (one shared
+    * constant each — the counter and the scrubber cannot drift), pure
+    * codegen'd `regexp_count` projection + one sources-sized aggregate:
+    * one scan, one tiny exchange, counts are exact integers with no
+    * float discipline. Output: (source, n_emails, n_ipv4, n_phones,
+    * n_docs_pii, n_docs). */
+  def piiStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("e"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("i"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("p"))
+      .select(col("source"), col("e"), col("i"), col("p"),
+        ((col("e") + col("i") + col("p")) > 0).cast("long").as("f"))
+      .groupBy(col("source"))
+      .agg(sum(col("e")).as("n_emails"), sum(col("i")).as("n_ipv4"),
+        sum(col("p")).as("n_phones"), sum(col("f")).as("n_docs_pii"),
+        count(lit(1)).as("n_docs"))
+
   /** Per-source out-of-vocabulary rate — the tokenizer-coverage metric
     * of a data mix: which sources will fragment into byte-fallback
     * garbage under a top-`vocabK` word vocabulary? The vocabulary is

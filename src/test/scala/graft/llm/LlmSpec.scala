@@ -1465,6 +1465,20 @@ class LlmSpec extends SparkSpec {
     again.toSet shouldBe out.toSet
   }
 
+  test("piiStats: per-source match counts by class, any-PII doc flag, clean docs counted") {
+    val d = Seq(
+      (1L, "mail a@b.com and c@d.org", "A"), // 2 emails
+      (2L, "ip 1.2.3.4 here", "A"),          // 1 dotted quad
+      (3L, "call +12345678 now", "B"),       // 1 phone
+      (4L, "clean text", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.piiStats(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    out("A") shouldBe ((2L, 1L, 0L, 2L, 2L))
+    out("B") shouldBe ((0L, 0L, 1L, 1L, 2L))
+  }
+
   test("datasheet: per-source volume/lang/quality/dup report, argmax ties to smaller lang") {
     val d = Seq(
       (1L, "a b", "en", "A"),   // passes (2 words); text dups with 3 and 4
