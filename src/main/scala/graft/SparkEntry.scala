@@ -767,6 +767,18 @@ object SparkEntry {
         Dedup.minhashPairs(docs(s, dir), JacThreshold).select(col("da"), col("db")))
         .orderBy(col("doc_id"))),
 
+    // near-dup cluster-size histogram: the shape report dedup policy
+    // tuning reads (how much is pairwise mirrors vs big boilerplate
+    // families); aggregates are cluster-table-sized, trivia at any scale
+    "q_neardup_sizes" -> ((s, dir) =>
+      graft.ops.ConnectedComponents.dedupClusters(
+        Dedup.minhashPairs(docs(s, dir), JacThreshold).select(col("da"), col("db")))
+        .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("cluster_size"))),
+
     // fixed-window token chunking with overlap (context-window prep)
     "q_chunks" -> ((s, dir) =>
       TextAnalysis.chunk(docs(s, dir), chunkTokens = 32, overlap = 8)
@@ -2300,6 +2312,16 @@ object SparkEntry {
         "reach AS (SELECT a, b FROM sym " +
         "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a) " +
         "SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a ORDER BY doc_id"),
+
+    "q_neardup_sizes" ->
+      (s"WITH RECURSIVE pairs AS (SELECT da, db FROM (${TextSql.dedupMinhashSql(JacThreshold)}) mp), " +
+        "sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs), " +
+        "reach AS (SELECT a, b FROM sym " +
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a), " +
+        "sz AS (SELECT keep_id, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1) " +
+        "SELECT cluster_size, count(*) AS n_clusters, cluster_size * count(*) AS n_docs " +
+        "FROM sz GROUP BY 1 ORDER BY 1"),
 
     // sketch pattern: the oracle checks the exact counts and expects
     // the HLL guarantee flag TRUE; the estimate never crosses engines

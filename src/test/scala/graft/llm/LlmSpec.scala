@@ -1465,6 +1465,17 @@ class LlmSpec extends SparkSpec {
     again.toSet shouldBe out.toSet
   }
 
+  test("cluster-size histogram composition: chain + pair shape from hand components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val hist = graft.ops.ConnectedComponents.dedupClusters(pairs)
+      .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    hist shouldBe Set((3L, 1L, 3L), (2L, 1L, 2L))
+  }
+
   test("piiStats: per-source match counts by class, any-PII doc flag, clean docs counted") {
     val d = Seq(
       (1L, "mail a@b.com and c@d.org", "A"), // 2 emails
