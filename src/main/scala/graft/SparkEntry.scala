@@ -113,6 +113,8 @@ object SparkEntry {
   private val ForgetMod = 50
   /** Signature-agreement floor for the estimate-only pairs (8/16 = 0.5). */
   private val MinhashEstMatch = 8
+  /** Robust length-outlier gate: flag |len − median| > MadK · MAD. */
+  private val MadK = 3
   /** Round-6 constants: Gopher rule thresholds (word count, mean word
     * length, distinct-stopword floor, alphabetic-word fraction), the
     * substring-match gram length + stop-gram df cap, the SemDeDup cosine
@@ -594,6 +596,12 @@ object SparkEntry {
     "q_source_drift" -> ((s, dir) =>
       TextAnalysis.sourceLengthDrift(docs(s, dir), binWidth = 20L, nbins = 10)
         .orderBy(col("source"))),
+
+    // per-source robust length outliers (median/MAD, all exact integers
+    // via the doubled-order-statistic trick — no floats anywhere)
+    "q_mad_outliers" -> ((s, dir) =>
+      TextAnalysis.madOutliers(docs(s, dir), MadK)
+        .orderBy(col("doc_id"))),
 
     // per-label embedding drift: each label's int8 centroid direction vs
     // the corpus mean — integer sums, cosine a fixed 5-IEEE-op sequence
@@ -2024,6 +2032,8 @@ object SparkEntry {
         "CAST(sum(ph) AS BIGINT) AS n_phones, " +
         "CAST(sum(CASE WHEN e + i + ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii, " +
         "count(*) AS n_docs FROM c GROUP BY source ORDER BY source"),
+
+    "q_mad_outliers" -> TextSql.madOutliersSql(MadK),
 
     "q_source_drift" ->
       ("WITH b AS (SELECT source, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 20, " +

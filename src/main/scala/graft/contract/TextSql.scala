@@ -1326,6 +1326,26 @@ object TextSql {
       "FROM s ORDER BY doc_id"
   }
 
+  /** Mirror of TextAnalysis.madOutliers: doubled order statistics keep
+    * median and MAD in exact BIGINT space (med2 = x_lo + x_hi, dev2 =
+    * 2|len − med|, mad2 = 4·MAD); the gate 2·dev2 > k·mad2 is exactly
+    * |len − med| > k·MAD with no float anywhere. */
+  def madOutliersSql(k: Int): String =
+    "WITH w AS (SELECT doc_id, source, n_chars, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY source) AS n FROM documents), " +
+      "m AS (SELECT *, " +
+      "sum(CASE WHEN rn = (n + 1) // 2 THEN n_chars ELSE 0 END) OVER (PARTITION BY source) + " +
+      "sum(CASE WHEN rn = (n + 2) // 2 THEN n_chars ELSE 0 END) OVER (PARTITION BY source) AS med2 FROM w), " +
+      "v AS (SELECT *, abs(2 * n_chars - med2) AS dev2 FROM m), " +
+      "w2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev2, doc_id) AS rn2 FROM v), " +
+      "m2 AS (SELECT *, " +
+      "sum(CASE WHEN rn2 = (n + 1) // 2 THEN dev2 ELSE 0 END) OVER (PARTITION BY source) + " +
+      "sum(CASE WHEN rn2 = (n + 2) // 2 THEN dev2 ELSE 0 END) OVER (PARTITION BY source) AS mad2 FROM w2) " +
+      "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, CAST(med2 AS BIGINT) AS med2, " +
+      "CAST(dev2 AS BIGINT) AS dev2, CAST(mad2 AS BIGINT) AS mad2 " +
+      s"FROM m2 WHERE 2 * dev2 > $k * mad2 ORDER BY doc_id"
+
   /** Mirror of TextAnalysis.datasheet: the gopherSql per-doc flags with
     * source/lang/text carried, a text-partition window for corpus-wide
     * dup status, (source, lang) aggregate re-agged to sources; dominant

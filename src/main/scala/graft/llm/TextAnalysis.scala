@@ -402,6 +402,45 @@ object TextAnalysis {
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
 
+  /** Per-source robust length-outlier gate — median/MAD instead of
+    * mean/stddev, because crawl length distributions are exactly where
+    * mean/stddev breaks: one 10 MB concatenation dump inflates the mean
+    * AND the stddev enough to hide itself (masking), while the median
+    * and the median-absolute-deviation ignore it. Flags every doc with
+    * |len − median_src| > k · MAD_src.
+    *
+    * The whole operator lives in EXACT INTEGER space — the classic
+    * median/MAD float hazards (even-count midpoint = x.5, the 1.4826
+    * normal-consistency factor) are sidestepped by DOUBLING instead of
+    * halving: med2 = x_lo + x_hi (the two middle order statistics; equal
+    * for odd n), dev2 = |2·len − med2| = 2|len − med|, mad2 = dev2_lo +
+    * dev2_hi = 4·MAD, and the gate 2·dev2 > k·mad2 is algebraically
+    * exactly |len − med| > k·MAD. No division, no rounding, no float
+    * anywhere — bitwise cross-engine by type.
+    *
+    * Shape: one scan; all four windows share the source partition key,
+    * so ONE exchange with re-sorts (rank by length, rank by deviation) —
+    * PlanSpec pins scan and exchange counts. Output: the OUTLIER rows
+    * (doc_id, source, n_chars, med2, dev2, mad2). */
+  def madOutliers(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val bySrc = Window.partitionBy(col("source"))
+    def med2Of(valueCol: Column, rnCol: Column) =
+      sum(when(rnCol === expr("(n + 1) div 2"), valueCol).otherwise(lit(0L))).over(bySrc) +
+        sum(when(rnCol === expr("(n + 2) div 2"), valueCol).otherwise(lit(0L))).over(bySrc)
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(bySrc.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .withColumn("med2", med2Of(col("n_chars"), col("rn")))
+      .withColumn("dev2", abs(lit(2L) * col("n_chars") - col("med2")))
+      .withColumn("rn2", row_number().over(bySrc.orderBy(col("dev2"), col("doc_id"))))
+      .withColumn("mad2", med2Of(col("dev2"), col("rn2")))
+      .filter(lit(2L) * col("dev2") > lit(k.toLong) * col("mad2"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med2"), col("dev2"), col("mad2"))
+  }
+
   /** Per-source PII exposure report — the audit that runs BEFORE
     * [[redactPii]] is trusted: match counts per PII class per source
     * plus how many documents carry any PII at all. The compliance

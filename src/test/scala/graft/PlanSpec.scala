@@ -314,6 +314,13 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_mad_outliers: four windows share one source-keyed exchange, single scan, no join") {
+    val p = plan("q_mad_outliers", "simple")
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
   test("q_datasheet: one corpus scan feeds the whole per-source report — no self-join") {
     val p = plan("q_datasheet", "simple")
     (p should not).include("Join")

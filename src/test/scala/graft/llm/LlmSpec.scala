@@ -1476,6 +1476,23 @@ class LlmSpec extends SparkSpec {
     hist shouldBe Set((3L, 1L, 3L), (2L, 1L, 2L))
   }
 
+  test("madOutliers: doubled order statistics give exact median/MAD, odd and even n") {
+    // A (n=5, odd): lens 10,12,13,14,100 -> med=13 (med2=26), devs2 |2l-26| =
+    // 6,2,0,2,174 -> mad2 = 2+2 = 4; gate 2*dev2 > 3*mad2=12 flags only 174.
+    // B (n=4, even): lens 10,20,30,1000 -> med2 = 20+30 = 50 (median 25,
+    // non-integer, handled exactly); devs2 30,10,10,1950 -> mad2 = 10+30 = 40;
+    // gate flags only 1950.
+    val d = Seq(
+      (1L, 10L, "A"), (2L, 12L, "A"), (3L, 13L, "A"), (4L, 14L, "A"), (5L, 100L, "A"),
+      (6L, 10L, "B"), (7L, 20L, "B"), (8L, 30L, "B"), (9L, 1000L, "B")
+    ).toDF("doc_id", "n_chars", "source")
+    val out = TextAnalysis.madOutliers(d, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    out.toSet shouldBe Set((5L, "A", 26L, 174L, 4L), (9L, "B", 50L, 1950L, 40L))
+    // without the 100-length doc the tight lengths flag nothing
+    TextAnalysis.madOutliers(d.filter(col("doc_id") <= 4), 3).collect() shouldBe empty
+  }
+
   test("piiStats: per-source match counts by class, any-PII doc flag, clean docs counted") {
     val d = Seq(
       (1L, "mail a@b.com and c@d.org", "A"), // 2 emails
