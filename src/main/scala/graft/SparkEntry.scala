@@ -1501,6 +1501,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // column profile: nulls + exact cardinality per column, one pass
+    // (Expand carries the N distinct aggregates); the pre-publish
+    // data-observability report
+    "q_profile_orders" -> ((s, dir) =>
+      graft.analytics.DataQuality.profile(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+        .orderBy(col("col_name"))),
+
+    // declarative constraint suite: per-row domain rules fold into ONE
+    // aggregate on one scan; PK uniqueness = count - countDistinct;
+    // FK integrity = one broadcast anti-join count. The publish gate.
+    "q_dq_checks" -> ((s, dir) => {
+      val dq = graft.analytics.DataQuality
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      dq.suite(Seq(
+        dq.ruleViolations(orders, Seq(
+          "nonneg_totalprice" -> (col("o_totalprice") < 0),
+          "status_domain" -> !col("o_orderstatus").isin("F", "O", "P"),
+          "not_null_orderdate" -> col("o_orderdate").isNull,
+          "not_null_custkey" -> col("o_custkey").isNull)),
+        dq.uniqueViolations(orders, "o_orderkey", "pk_unique_o_orderkey"),
+        dq.fkViolations(orders, "o_custkey", cust, "c_custkey",
+          "fk_orders_customer")))
+        .orderBy(col("check_name"))
+    }),
+
     // full outer join: per-user event activity reconciled against the
     // customer dimension — matched, activity-only, and customer-only
     // rows all survive (customer side restricted so both null regions
@@ -2405,6 +2434,37 @@ object SparkEntry {
     "q_source_stats" -> TextSql.sourceStatsSql(JacThreshold, SourceMaxDupFrac),
 
     "q_dup_matrix" -> TextSql.dupMatrixSql(JacThreshold),
+
+    "q_profile_orders" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = cols.zipWithIndex.map { case (c, i) =>
+        s"count($c) AS nn$i, count(DISTINCT $c) AS nd$i"
+      }.mkString(", ")
+      val rows = cols.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$c' AS col_name, n_rows, n_rows - nn$i AS n_nulls, nd$i AS n_distinct FROM a"
+      }.mkString(" UNION ALL ")
+      s"WITH a AS (SELECT count(*) AS n_rows, $aggs FROM orders) " +
+        s"SELECT * FROM ($rows) ORDER BY col_name"
+    },
+
+    "q_dq_checks" ->
+      ("WITH r AS (SELECT " +
+        "CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_neg, " +
+        "CAST(sum(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 1 ELSE 0 END) AS BIGINT) AS v_status, " +
+        "CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ndate, " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ncust, " +
+        "count(*) - count(DISTINCT o_orderkey) AS v_pk FROM orders), " +
+        "fk AS (SELECT count(*) AS v_fk FROM orders o WHERE NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)), " +
+        "u AS (SELECT 'nonneg_totalprice' AS check_name, v_neg AS n_violations FROM r " +
+        "UNION ALL SELECT 'status_domain', v_status FROM r " +
+        "UNION ALL SELECT 'not_null_orderdate', v_ndate FROM r " +
+        "UNION ALL SELECT 'not_null_custkey', v_ncust FROM r " +
+        "UNION ALL SELECT 'pk_unique_o_orderkey', v_pk FROM r " +
+        "UNION ALL SELECT 'fk_orders_customer', v_fk FROM fk) " +
+        "SELECT check_name, n_violations, n_violations = 0 AS passed " +
+        "FROM u ORDER BY check_name"),
 
     "q_full_outer" ->
       (s"WITH ev AS (SELECT user_id, count(*) AS n_events, round(sum(value),4) AS total_value " +

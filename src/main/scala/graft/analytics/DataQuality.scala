@@ -1,0 +1,88 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality observability over any table — the Deequ/Great-
+  * Expectations capability a 100 TB ingest pipeline runs BEFORE
+  * publishing a snapshot: column profiling (nulls, cardinality) and a
+  * declarative constraint suite (domain rules, key uniqueness,
+  * referential integrity) whose output is a small pass/fail frame a
+  * publish gate can assert on.
+  *
+  * Scale shape: every rule that can be a per-row predicate folds into
+  * ONE aggregate over ONE scan of the table (violation counts are
+  * conditional sums — map-side partials, no shuffle beyond the 1-row
+  * aggregate); uniqueness and profiling ride exact count(DISTINCT)
+  * aggregates (Spark plans N distinct aggregates via one Expand — an
+  * N× row blowup bounded by the column list, the standard price of
+  * exact profiling; a production pipeline that profiles EVERY column
+  * of a wide table swaps in approx_count_distinct per the q_vocab HLL
+  * pattern); referential integrity is one anti-join COUNT against the
+  * parent key set (broadcast when the parent is dimension-sized).
+  * Everything emitted is an exact BIGINT or a boolean — no float
+  * discipline anywhere.
+  */
+object DataQuality {
+
+  /** Per-column profile: (col_name, n_rows, n_nulls, n_distinct) for
+    * each requested column, from ONE aggregate pass (plus the Expand
+    * for the exact distinct counts). n_distinct counts DISTINCT
+    * NON-NULL values (both engines' count(DISTINCT) semantics). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("n_rows"),
+      (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+      col(s"nd_$c").as("n_distinct")))
+    row.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Declarative per-row rules: each (name, violationPredicate) becomes
+    * one conditional sum in a single aggregate over a single scan.
+    * Predicates state what a VIOLATION is (e.g. `col < 0`). */
+  def ruleViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "ruleViolations: need at least one rule")
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(pred, lit(1L)).otherwise(lit(0L))).as(s"v_$name")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map { case (name, _) =>
+      struct(lit(name).as("check_name"), col(s"v_$name").as("n_violations"))
+    }
+    row.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.check_name").as("check_name"), col("p.n_violations").as("n_violations"))
+  }
+
+  /** Key-uniqueness violations: rows beyond one per key value =
+    * n_rows − n_distinct (null keys each count as a violation too,
+    * via the non-null count). 1-row output. */
+  def uniqueViolations(df: DataFrame, key: String, name: String): DataFrame =
+    df.agg((count(lit(1)) - countDistinct(col(key))).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"))
+
+  /** Referential-integrity violations: child rows whose key has no
+    * parent — one anti join (broadcast for a dimension-sized parent)
+    * + COUNT. 1-row output. */
+  def fkViolations(child: DataFrame, key: String,
+                   parent: DataFrame, parentKey: String,
+                   name: String): DataFrame =
+    child.join(broadcast(parent.select(col(parentKey).as(key)).distinct()),
+        Seq(key), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"))
+
+  /** Assemble a suite: union the pieces, derive the pass bit. */
+  def suite(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "suite: need at least one part")
+    parts.reduce(_.unionByName(_))
+      .select(col("check_name"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+}
