@@ -603,6 +603,19 @@ object SparkEntry {
       TextAnalysis.madOutliers(docs(s, dir), MadK)
         .orderBy(col("doc_id"))),
 
+    // event-rate anomaly monitor: hourly counts per event type gated by
+    // the SAME generic exact-integer median/MAD operator — flags traffic
+    // spikes/outages robustly (a spike can't inflate the median that
+    // judges it)
+    "q_event_anomaly" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .select(col("event_type"), expr("tus div 3600000000").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      TextAnalysis.madOutliersOn(hourly, "hour", "event_type", "n_events", MadK)
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // per-label embedding drift: each label's int8 centroid direction vs
     // the corpus mean — integer sums, cosine a fixed 5-IEEE-op sequence
     "q_label_drift" -> ((s, dir) =>
@@ -2063,6 +2076,7 @@ object SparkEntry {
         "count(*) AS n_docs FROM c GROUP BY source ORDER BY source"),
 
     "q_mad_outliers" -> TextSql.madOutliersSql(MadK),
+    "q_event_anomaly" -> TextSql.eventAnomalySql(MadK),
 
     "q_source_drift" ->
       ("WITH b AS (SELECT source, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 20, " +

@@ -1326,25 +1326,38 @@ object TextSql {
       "FROM s ORDER BY doc_id"
   }
 
-  /** Mirror of TextAnalysis.madOutliers: doubled order statistics keep
-    * median and MAD in exact BIGINT space (med2 = x_lo + x_hi, dev2 =
-    * 2|len − med|, mad2 = 4·MAD); the gate 2·dev2 > k·mad2 is exactly
-    * |len − med| > k·MAD with no float anywhere. */
-  def madOutliersSql(k: Int): String =
-    "WITH w AS (SELECT doc_id, source, n_chars, " +
-      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn, " +
-      "count(*) OVER (PARTITION BY source) AS n FROM documents), " +
+  /** Generic mirror of TextAnalysis.madOutliersOn: doubled order
+    * statistics keep median and MAD in exact BIGINT space (med2 = x_lo
+    * + x_hi, dev2 = 2|x − med|, mad2 = 4·MAD); the gate 2·dev2 >
+    * k·mad2 is exactly |x − med| > k·MAD with no float anywhere. */
+  def madGateSql(from: String, id: String, grp: String, value: String,
+                 k: Int, orderBy: String): String =
+    s"WITH base AS ($from), " +
+      s"w AS (SELECT $id, $grp, $value, " +
+      s"ROW_NUMBER() OVER (PARTITION BY $grp ORDER BY $value, $id) AS rn, " +
+      s"count(*) OVER (PARTITION BY $grp) AS n FROM base), " +
       "m AS (SELECT *, " +
-      "sum(CASE WHEN rn = (n + 1) // 2 THEN n_chars ELSE 0 END) OVER (PARTITION BY source) + " +
-      "sum(CASE WHEN rn = (n + 2) // 2 THEN n_chars ELSE 0 END) OVER (PARTITION BY source) AS med2 FROM w), " +
-      "v AS (SELECT *, abs(2 * n_chars - med2) AS dev2 FROM m), " +
-      "w2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev2, doc_id) AS rn2 FROM v), " +
+      s"sum(CASE WHEN rn = (n + 1) // 2 THEN $value ELSE 0 END) OVER (PARTITION BY $grp) + " +
+      s"sum(CASE WHEN rn = (n + 2) // 2 THEN $value ELSE 0 END) OVER (PARTITION BY $grp) AS med2 FROM w), " +
+      s"v AS (SELECT *, abs(2 * $value - med2) AS dev2 FROM m), " +
+      s"w2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY $grp ORDER BY dev2, $id) AS rn2 FROM v), " +
       "m2 AS (SELECT *, " +
-      "sum(CASE WHEN rn2 = (n + 1) // 2 THEN dev2 ELSE 0 END) OVER (PARTITION BY source) + " +
-      "sum(CASE WHEN rn2 = (n + 2) // 2 THEN dev2 ELSE 0 END) OVER (PARTITION BY source) AS mad2 FROM w2) " +
-      "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, CAST(med2 AS BIGINT) AS med2, " +
+      s"sum(CASE WHEN rn2 = (n + 1) // 2 THEN dev2 ELSE 0 END) OVER (PARTITION BY $grp) + " +
+      s"sum(CASE WHEN rn2 = (n + 2) // 2 THEN dev2 ELSE 0 END) OVER (PARTITION BY $grp) AS mad2 FROM w2) " +
+      s"SELECT $id, $grp, CAST($value AS BIGINT) AS $value, CAST(med2 AS BIGINT) AS med2, " +
       "CAST(dev2 AS BIGINT) AS dev2, CAST(mad2 AS BIGINT) AS mad2 " +
-      s"FROM m2 WHERE 2 * dev2 > $k * mad2 ORDER BY doc_id"
+      s"FROM m2 WHERE 2 * dev2 > $k * mad2 ORDER BY $orderBy"
+
+  def madOutliersSql(k: Int): String =
+    madGateSql("SELECT doc_id, source, n_chars FROM documents",
+      "doc_id", "source", "n_chars", k, "doc_id")
+
+  /** Mirror of q_event_anomaly: hourly counts per event type through
+    * the same exact-integer MAD gate. */
+  def eventAnomalySql(k: Int): String =
+    madGateSql("SELECT event_type, epoch_us(ts) // 3600000000 AS hour, " +
+      "count(*) AS n_events FROM events GROUP BY 1, 2",
+      "hour", "event_type", "n_events", k, "event_type, hour")
 
   /** Mirror of TextAnalysis.datasheet: the gopherSql per-doc flags with
     * source/lang/text carried, a text-partition window for corpus-wide

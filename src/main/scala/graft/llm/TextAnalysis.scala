@@ -422,22 +422,33 @@ object TextAnalysis {
     * so ONE exchange with re-sorts (rank by length, rank by deviation) —
     * PlanSpec pins scan and exchange counts. Output: the OUTLIER rows
     * (doc_id, source, n_chars, med2, dev2, mad2). */
-  def madOutliers(docs: DataFrame, k: Int): DataFrame = {
+  def madOutliers(docs: DataFrame, k: Int): DataFrame =
+    madOutliersOn(docs, "doc_id", "source", "n_chars", k)
+
+  /** The generic median/MAD gate behind [[madOutliers]]: flag rows of
+    * `df` whose BIGINT `valueCol` deviates from its `groupCol`-median
+    * by more than k·MAD. `idCol` must be unique within a group (it
+    * breaks ranking ties deterministically). Same exact-integer
+    * doubled-order-statistic construction; reused by the event-rate
+    * anomaly monitor (hourly counts per event type) and any other
+    * robust-threshold consumer. */
+  def madOutliersOn(df: DataFrame, idCol: String, groupCol: String,
+                    valueCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"need k >= 1, got $k")
-    val bySrc = Window.partitionBy(col("source"))
-    def med2Of(valueCol: Column, rnCol: Column) =
-      sum(when(rnCol === expr("(n + 1) div 2"), valueCol).otherwise(lit(0L))).over(bySrc) +
-        sum(when(rnCol === expr("(n + 2) div 2"), valueCol).otherwise(lit(0L))).over(bySrc)
-    docs.select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("rn", row_number().over(bySrc.orderBy(col("n_chars"), col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(bySrc))
-      .withColumn("med2", med2Of(col("n_chars"), col("rn")))
-      .withColumn("dev2", abs(lit(2L) * col("n_chars") - col("med2")))
-      .withColumn("rn2", row_number().over(bySrc.orderBy(col("dev2"), col("doc_id"))))
+    val byGrp = Window.partitionBy(col(groupCol))
+    def med2Of(valueC: Column, rnCol: Column) =
+      sum(when(rnCol === expr("(n + 1) div 2"), valueC).otherwise(lit(0L))).over(byGrp) +
+        sum(when(rnCol === expr("(n + 2) div 2"), valueC).otherwise(lit(0L))).over(byGrp)
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .withColumn("rn", row_number().over(byGrp.orderBy(col(valueCol), col(idCol))))
+      .withColumn("n", count(lit(1)).over(byGrp))
+      .withColumn("med2", med2Of(col(valueCol), col("rn")))
+      .withColumn("dev2", abs(lit(2L) * col(valueCol) - col("med2")))
+      .withColumn("rn2", row_number().over(byGrp.orderBy(col("dev2"), col(idCol))))
       .withColumn("mad2", med2Of(col("dev2"), col("rn2")))
       .filter(lit(2L) * col("dev2") > lit(k.toLong) * col("mad2"))
-      .select(col("doc_id"), col("source"), col("n_chars"),
+      .select(col(idCol), col(groupCol), col(valueCol),
         col("med2"), col("dev2"), col("mad2"))
   }
 

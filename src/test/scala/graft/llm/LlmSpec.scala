@@ -1491,6 +1491,12 @@ class LlmSpec extends SparkSpec {
     out.toSet shouldBe Set((5L, "A", 26L, 174L, 4L), (9L, "B", 50L, 1950L, 40L))
     // without the 100-length doc the tight lengths flag nothing
     TextAnalysis.madOutliers(d.filter(col("doc_id") <= 4), 3).collect() shouldBe empty
+    // the generic gate is the same operator under any column names
+    val g = TextAnalysis.madOutliersOn(
+      d.toDF("hour", "n_events", "event_type"), "hour", "event_type", "n_events", 3)
+    g.columns.take(3) shouldBe Array("hour", "event_type", "n_events")
+    g.collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      Set((5L, "A"), (9L, "B"))
   }
 
   test("piiStats: per-source match counts by class, any-PII doc flag, clean docs counted") {
