@@ -1524,6 +1524,22 @@ object SparkEntry {
           "o_orderdate", "o_orderpriority"))
         .orderBy(col("col_name"))),
 
+    // snapshot diff: per-source added/removed/changed/unchanged counts
+    // between two corpus versions — the "old" snapshot is derived
+    // deterministically (drop doc_id%11 ids → added; suffix text on
+    // %13 → changed; shifted extra ids from %17 → removed)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val old = d.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"), col("source"))
+        .unionByName(d.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
+      graft.analytics.DataQuality.snapshotDiff(old, d)
+        .orderBy(col("source"), col("status"))
+    }),
+
     // declarative constraint suite: per-row domain rules fold into ONE
     // aggregate on one scan; PK uniqueness = count - countDistinct;
     // FK integrity = one broadcast anti-join count. The publish gate.
@@ -2461,6 +2477,19 @@ object SparkEntry {
       s"WITH a AS (SELECT count(*) AS n_rows, $aggs FROM orders) " +
         s"SELECT * FROM ($rows) ORDER BY col_name"
     },
+
+    "q_snapshot_diff" ->
+      ("WITH old AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v1' ELSE text END AS text, source " +
+        "FROM documents WHERE doc_id % 11 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 17 = 0), " +
+        "o AS (SELECT doc_id, md5(text) AS oh, source AS osrc FROM old), " +
+        "n AS (SELECT doc_id, md5(text) AS nh, source AS nsrc FROM documents), " +
+        "j AS (SELECT coalesce(nsrc, osrc) AS source, " +
+        "CASE WHEN oh IS NULL THEN 'added' WHEN nh IS NULL THEN 'removed' " +
+        "WHEN oh <> nh THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM o FULL OUTER JOIN n USING (doc_id)) " +
+        "SELECT source, status, count(*) AS n_docs FROM j " +
+        "GROUP BY 1, 2 ORDER BY source, status"),
 
     "q_dq_checks" ->
       ("WITH r AS (SELECT " +

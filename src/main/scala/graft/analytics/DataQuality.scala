@@ -85,4 +85,32 @@ object DataQuality {
       .select(col("check_name"), col("n_violations"),
         (col("n_violations") === 0L).as("passed"))
   }
+
+  /** Snapshot diff — the change report between two published corpus
+    * versions (what a ManifestSink-style versioned pipeline reviews
+    * before promoting v(N+1)): per source, how many documents were
+    * added, removed, changed (same id, different content) or unchanged.
+    * An unexpectedly large `removed` or `changed` band is the classic
+    * sign of an upstream crawl regression — caught at the diff, not in
+    * training.
+    *
+    * Shape: contents compare by md5 so the join carries 32-char digests
+    * instead of document bodies; ONE id-keyed full-outer sort-merge
+    * join (both sides shuffle by doc_id once — the minimal plan for a
+    * keyed diff), then a sources×4-sized aggregate. Counts are exact
+    * BIGINTs. Output: (source, status, n_docs). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("oh"),
+      col("source").as("osrc"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("nh"),
+      col("source").as("nsrc"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("nsrc"), col("osrc")).as("source"),
+        when(col("oh").isNull, lit("added"))
+          .when(col("nh").isNull, lit("removed"))
+          .when(col("oh") =!= col("nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

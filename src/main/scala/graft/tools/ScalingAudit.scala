@@ -319,6 +319,28 @@ object ScalingAudit {
     val tvL1 = TextAnalysis.sourceLengthDrift(bigSrc, 20L, 10)
       .agg(coalesce(sum(col("l1")), lit(0L))).head.getLong(0)
     val tvW = (System.nanoTime() - tvT0) / 1e9
+    // Media frame near-dup: shared-frame verified pairs under the
+    // df-capped digest index (payload = text, the contract's stub
+    // world). Drift means the frame digesting, the stop-frame cap, or
+    // the pair aggregation changed; the candidate space is bounded by
+    // the cap, the cost claim under audit.
+    val (fnPairs, fnW) = timedCount(
+      graft.llm.Multimodal.frameNearDup(big, "doc_id", "text", 2, 16L, 2L))(_.count())
+    // Incremental semantic dedup at the synthesized embedding decade:
+    // batch (vec_id % 5 == 0) vs corpus, 32 corpus-seeded coarse cells.
+    // The pair count tripwires the cell assignment + same-cell pruning.
+    val embBase = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val embBig = synthesizeEmb10x(embBase).persist()
+    embBig.count()
+    val semCoarse = embBase.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0)).filter(_ % 5 != 0).take(32).toSeq
+    val isT0 = System.nanoTime()
+    val semPairs = graft.llm.Similarity.incrementalCosinePairs(
+      embBig.filter(col("vec_id") % 5 === 0), embBig.filter(col("vec_id") % 5 =!= 0),
+      semCoarse, 0.4).count()
+    val isW = (System.nanoTime() - isT0) / 1e9
+    embBig.unpersist()
     big.unpersist()
     def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
     val json =
@@ -332,11 +354,13 @@ object ScalingAudit {
         s""""pairs_edit100":$edPairs,"pairs_incr_edit100":$incrEdPairs,""" +
         s""""forget_rows10":$forgetRows,"safe_split_cross":$ssCross,""" +
         s""""tv_l1_s16":$tvL1,""" +
+        s""""pairs_frame_neardup":$fnPairs,"pairs_incr_sem":$semPairs,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
         s""""edit_pairs":${d2(edW)},"incr_edit":${d2(incrEdW)},""" +
-        s""""forget":${d2(fgW)},"safe_split":${d2(ssW)},"tv_drift":${d2(tvW)}}}"""
+        s""""forget":${d2(fgW)},"safe_split":${d2(ssW)},"tv_drift":${d2(tvW)},""" +
+        s""""frame_neardup":${d2(fnW)},"incr_sem":${d2(isW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()
@@ -432,12 +456,13 @@ object ScalingAudit {
     * ids, nprobe 4, k 10, 3 queries. Reports the probed corpus
     * fraction per query, recall@10 vs brute force, and end-to-end
     * wall for both paths. */
-  private def annprobe(spark: SparkSession, dir: String): Unit = {
-    import graft.llm.Similarity
-    val base = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+  /** 10 deterministic near-copies of an embeddings frame (copy r > 0
+    * shifts element j by a small id-and-dimension-keyed offset — no
+    * RNG). Shared by annprobe and the scaleJson semantic tripwire. */
+  private def synthesizeEmb10x(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
     val copies = spark.range(0, 10).select(col("id").cast("int").as("r"))
-    val big = base.crossJoin(broadcast(copies))
+    base.crossJoin(broadcast(copies))
       .select(
         (col("vec_id") + col("r") * lit(1000000L)).as("vec_id"),
         zip_with(
@@ -445,7 +470,13 @@ object ScalingAudit {
           sequence(lit(0), size(col("embedding")) - 1),
           (x, j) => x + col("r") * ((j + col("vec_id")) % 7 - lit(3)) * lit(0.002))
           .as("embedding"))
-      .persist()
+  }
+
+  private def annprobe(spark: SparkSession, dir: String): Unit = {
+    import graft.llm.Similarity
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val big = synthesizeEmb10x(base).persist()
     val n = big.count()
     println(s"== annprobe: $n vectors synthesized from $dir ==")
     val coarseIds = base.select(col("vec_id")).orderBy(col("vec_id")).limit(32)

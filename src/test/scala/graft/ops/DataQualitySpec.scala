@@ -41,6 +41,20 @@ class DataQualitySpec extends SparkSpec {
     all(ok) shouldBe ((0L, true))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged per source, hand fixture") {
+    val old = Seq(
+      (1L, "same", "A"), (2L, "old text", "A"), (3L, "gone", "B")
+    ).toDF("doc_id", "text", "source")
+    val neu = Seq(
+      (1L, "same", "A"), (2L, "new text", "A"), (4L, "fresh", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = DataQuality.snapshotDiff(old, neu).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out shouldBe Map(
+      ("A", "unchanged") -> 1L, ("A", "changed") -> 1L,
+      ("B", "removed") -> 1L, ("B", "added") -> 1L)
+  }
+
   test("null rule predicates count as non-violations (three-valued logic pinned)") {
     val df = Seq(Some("F"), Some("X"), None).toDF("st")
     val out = DataQuality.ruleViolations(df,
