@@ -115,6 +115,8 @@ object SparkEntry {
   private val MinhashEstMatch = 8
   /** Robust length-outlier gate: flag |len − median| > MadK · MAD. */
   private val MadK = 3
+  /** Feature-hashing vector dimensionality (hashing-trick embedding). */
+  private val HashDim = 8
   /** Round-6 constants: Gopher rule thresholds (word count, mean word
     * length, distinct-stopword floor, alphabetic-word fraction), the
     * substring-match gram length + stop-gram df cap, the SemDeDup cosine
@@ -601,6 +603,13 @@ object SparkEntry {
     // via the doubled-order-statistic trick — no floats anywhere)
     "q_mad_outliers" -> ((s, dir) =>
       TextAnalysis.madOutliers(docs(s, dir), MadK)
+        .orderBy(col("doc_id"))),
+
+    // feature-hashing document vectors (hashing trick): fixed-dim
+    // bucketed token counts — the model-free embedding bridge into the
+    // dense-vector stack; all integers
+    "q_hash_embed" -> ((s, dir) =>
+      TextAnalysis.hashedTf(docs(s, dir), HashDim)
         .orderBy(col("doc_id"))),
 
     // event-rate anomaly monitor: hourly counts per event type gated by
@@ -2093,6 +2102,7 @@ object SparkEntry {
 
     "q_mad_outliers" -> TextSql.madOutliersSql(MadK),
     "q_event_anomaly" -> TextSql.eventAnomalySql(MadK),
+    "q_hash_embed" -> TextSql.hashedTfSql(HashDim),
 
     "q_source_drift" ->
       ("WITH b AS (SELECT source, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 20, " +

@@ -1326,6 +1326,18 @@ object TextSql {
       "FROM s ORDER BY doc_id"
   }
 
+  /** Mirror of TextAnalysis.hashedTf: every token through the shared
+    * polynomial fingerprint mod `dim`, bucketed counts as BIGINT
+    * columns — all integers, no float discipline. */
+  def hashedTfSql(dim: Int): String = {
+    val dims = (0 until dim).map(j =>
+      s"CAST(sum(CASE WHEN h = $j THEN 1 ELSE 0 END) AS BIGINT) AS d$j").mkString(", ")
+    s"WITH t AS ($toksCte), " +
+      "e AS (SELECT doc_id, unnest(toks) AS w FROM t), " +
+      s"h AS (SELECT doc_id, ${polyHashSql("w")} % $dim AS h FROM e) " +
+      s"SELECT doc_id, $dims FROM h GROUP BY doc_id ORDER BY doc_id"
+  }
+
   /** Generic mirror of TextAnalysis.madOutliersOn: doubled order
     * statistics keep median and MAD in exact BIGINT space (med2 = x_lo
     * + x_hi, dev2 = 2|x − med|, mad2 = 4·MAD); the gate 2·dev2 >

@@ -402,6 +402,41 @@ object TextAnalysis {
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
 
+  /** Feature-hashing (hashing-trick, Weinberger et al. 2009) document
+    * vectors — an EMBEDDING for corpora that have no model: every token
+    * hashes to one of `dim` buckets with the shared polynomial
+    * fingerprint, and the bucketed term counts ARE the vector. The
+    * bridge between the text tables and the dense-vector stack: hashed
+    * vectors feed the existing cosine/ANN/quantizer operators unchanged
+    * (a spec drives bruteForceTopK over them), at a memory cost that is
+    * FIXED per document regardless of vocabulary — the property that
+    * makes the trick the classic 100 TB-scale featurizer (no vocabulary
+    * table, no fit pass, no OOV).
+    *
+    * Shape: one explode + one doc-keyed aggregate of `dim` conditional
+    * sums. ALL integers (deliberately the unsigned-count variant — the
+    * sign-hash debiasing of the paper trades exactness for an unbiased
+    * inner product; counts keep the cross-engine contract float-free).
+    * Output: (doc_id, d0..d{dim-1}) BIGINT columns. */
+  def hashedTf(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= 64, s"need 2 <= dim <= 64, got $dim")
+    val h = graft.functions.PolyHash(col("w"), FpMod) % dim
+    val dims = (0 until dim).map(j =>
+      sum(when(col("h") === j, lit(1L)).otherwise(lit(0L))).as(s"d$j"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), h.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(dims.head, dims.tail: _*)
+  }
+
+  /** [[hashedTf]] as an `array<double>` embedding column — the exact
+    * integer counts cast for the dense-vector operators' input shape. */
+  def hashedTfVectors(docs: DataFrame, dim: Int): DataFrame = {
+    val v = hashedTf(docs, dim)
+    v.select(col("doc_id").as("vec_id"),
+      array((0 until dim).map(j => col(s"d$j").cast("double")): _*).as("embedding"))
+  }
+
   /** Per-source robust length-outlier gate — median/MAD instead of
     * mean/stddev, because crawl length distributions are exactly where
     * mean/stddev breaks: one 10 MB concatenation dump inflates the mean

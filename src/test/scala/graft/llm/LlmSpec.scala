@@ -1476,6 +1476,23 @@ class LlmSpec extends SparkSpec {
     hist shouldBe Set((3L, 1L, 3L), (2L, 1L, 2L))
   }
 
+  test("hashedTf: bucket counts from the shared polyhash; vectors drive the ANN stack") {
+    // hash("ab") = 3105 (pinned by the fingerprint test) -> bucket 3105 % 8 = 1;
+    // hash("b") = 98 -> bucket 2
+    val out = TextAnalysis.hashedTf(docsDF(1L -> "ab ab b"), 8).collect().head
+    (0 until 8).map(j => out.getLong(1 + j)) shouldBe
+      Seq(0L, 2L, 1L, 0L, 0L, 0L, 0L, 0L)
+    // the bridge: hashed vectors feed bruteForceTopK unchanged — an exact
+    // text duplicate is its twin's cosine-1.0 nearest neighbor
+    val vecs = TextAnalysis.hashedTfVectors(docsDF(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      3L -> "completely different words entirely"), 8)
+    val nn = Similarity.bruteForceTopK(vecs, Seq(1L), k = 1).collect().head
+    nn.getLong(1) shouldBe 2L
+    nn.getDouble(2) shouldBe 1.0
+  }
+
   test("madOutliers: doubled order statistics give exact median/MAD, odd and even n") {
     // A (n=5, odd): lens 10,12,13,14,100 -> med=13 (med2=26), devs2 |2l-26| =
     // 6,2,0,2,174 -> mad2 = 2+2 = 4; gate 2*dev2 > 3*mad2=12 flags only 174.

@@ -41,6 +41,20 @@ class DataQualitySpec extends SparkSpec {
     all(ok) shouldBe ((0L, true))
   }
 
+  test("publishGated: failing suite publishes nothing, passing suite commits a version") {
+    val dir = java.nio.file.Files.createTempDirectory("gated").toString
+    val bad = Seq((1L, -5.0), (2L, 3.0)).toDF("k", "price")
+    val badSuite = DataQuality.suite(Seq(
+      DataQuality.ruleViolations(bad, Seq("nonneg" -> (col("price") < 0)))))
+    DataQuality.publishGated(bad, badSuite, dir) shouldBe None
+    graft.ops.ManifestSink.currentVersion(spark, dir) shouldBe None // no trace
+    val good = Seq((1L, 5.0), (2L, 3.0)).toDF("k", "price")
+    val goodSuite = DataQuality.suite(Seq(
+      DataQuality.ruleViolations(good, Seq("nonneg" -> (col("price") < 0)))))
+    DataQuality.publishGated(good, goodSuite, dir) shouldBe Some(0L)
+    graft.ops.ManifestSink.read(spark, dir).count() shouldBe 2L
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged per source, hand fixture") {
     val old = Seq(
       (1L, "same", "A"), (2L, "old text", "A"), (3L, "gone", "B")
