@@ -358,6 +358,34 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, dir), JacThreshold, JacDfCap)
         .orderBy(col("da"), col("db"))),
 
+    // LSH banding S-curve: the (bands, rows) tuning table — single-band
+    // and detection probabilities per Jaccard grid point; left-folded
+    // multiplications only (never pow), bitwise by construction
+    "q_lsh_curve" -> ((s, dir) =>
+      Dedup.lshCurve(s, Dedup.Bands, Dedup.RowsPerBand, 20)
+        .orderBy(col("i"))),
+
+    // dedup-signal agreement matrix: which near-dup pairs each signal
+    // family finds (MinHash-Jaccard vs wide-SimHash-hamming vs TF-IDF
+    // cosine) and how the sets overlap — the evidence for choosing a
+    // signal per corpus; joins are pair-table-sized
+    "q_signal_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def tag(df: DataFrame, name: String) =
+        df.select(col("da"), col("db")).withColumn(name, lit(1L))
+      tag(Dedup.minhashPairs(d, JacThreshold), "mh")
+        .join(tag(Dedup.simhashPairsWide(d, maxHamming = 2), "sh"),
+          Seq("da", "db"), "full_outer")
+        .join(tag(Dedup.tfidfCosinePairs(d, TcosThreshold, TcosDfCap), "tc"),
+          Seq("da", "db"), "full_outer")
+        .select((coalesce(col("mh"), lit(0L)) === 1L).as("in_minhash"),
+          (coalesce(col("sh"), lit(0L)) === 1L).as("in_simhash"),
+          (coalesce(col("tc"), lit(0L)) === 1L).as("in_tfidf"))
+        .groupBy(col("in_minhash"), col("in_simhash"), col("in_tfidf"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("in_minhash"), col("in_simhash"), col("in_tfidf"))
+    }),
+
     // honest LSH recall audit as a first-class query: the banded path's
     // verified pairs are a SUBSET of the exact-Jaccard pairs (same
     // threshold, same verification), so recall = n_banded/n_exact is
@@ -1912,6 +1940,19 @@ object SparkEntry {
         "SELECT user_id, hod, etype, vbucket, " +
         s"${graft.ops.ZOrder.keyNSql(Seq("user_id", "hod", "etype", "vbucket"))} AS zkey " +
         "FROM ev ORDER BY zkey"),
+
+    "q_lsh_curve" ->
+      TextSql.lshCurveSql(Dedup.Bands, Dedup.RowsPerBand, 20),
+
+    "q_signal_overlap" ->
+      (s"WITH mh AS (SELECT da, db, 1 AS m FROM (${TextSql.dedupMinhashSql(JacThreshold)}) a), " +
+        s"sh AS (SELECT da, db, 1 AS s FROM (${TextSql.simhashPairsWideSql(2)}) b), " +
+        s"tc AS (SELECT da, db, 1 AS t FROM (${TextSql.tfidfCosineSql(TcosThreshold, TcosDfCap)}) c), " +
+        "j AS (SELECT coalesce(m, 0) = 1 AS in_minhash, coalesce(s, 0) = 1 AS in_simhash, " +
+        "coalesce(t, 0) = 1 AS in_tfidf " +
+        "FROM mh FULL OUTER JOIN sh USING (da, db) FULL OUTER JOIN tc USING (da, db)) " +
+        "SELECT in_minhash, in_simhash, in_tfidf, count(*) AS n_pairs FROM j " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
 
     "q_lsh_recall" ->
       (s"WITH ex AS (SELECT da, db FROM (${TextSql.dedupJaccardSql(JacThreshold, JacDfCap)}) e), " +

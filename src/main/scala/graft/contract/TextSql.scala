@@ -1326,6 +1326,19 @@ object TextSql {
       "FROM s ORDER BY doc_id"
   }
 
+  /** Mirror of Dedup.lshCurve — generated from the SAME left-folded
+    * multiplication structure, so the IEEE op sequence is identical
+    * and the curve is bitwise with no rounding. */
+  def lshCurveSql(bands: Int, rows: Int, gridN: Int): String = {
+    def powN(e: String, n: Int): String =
+      (2 to n).foldLeft(e)((acc, _) => s"($acc * $e)")
+    val s = s"(CAST(i AS DOUBLE) / $gridN.0)"
+    val pBand = powN(s, rows)
+    val pDetect = s"1.0 - ${powN(s"(1.0 - $pBand)", bands)}"
+    s"SELECT i, $s AS s, $pBand AS p_band, $pDetect AS p_detect " +
+      s"FROM range(1, $gridN) t(i) ORDER BY i"
+  }
+
   /** Mirror of TextAnalysis.hashedTf: every token through the shared
     * polynomial fingerprint mod `dim`, bucketed counts as BIGINT
     * columns — all integers, no float discipline. */

@@ -667,6 +667,31 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 4
 
+  /** The LSH banding S-curve as a frame — the tuning table behind the
+    * 4×4 choice above, made queryable: for each Jaccard similarity s on
+    * a 1/gridN grid, the single-band collision probability s^rows and
+    * the detection probability 1 − (1 − s^rows)^bands. This is what an
+    * engineer reads to pick (bands, rows) for a target threshold, and
+    * what `q_lsh_recall`'s measured 1.0 is checked against.
+    *
+    * Cross-engine: powers are LEFT-FOLDED multiplications (never pow —
+    * libm pow is not bitwise across engines) and the oracle SQL is
+    * generated from the same fold, so every IEEE op sequence is
+    * identical by construction: bitwise with no rounding. Driver-free:
+    * one `spark.range` projection. */
+  def lshCurve(spark: org.apache.spark.sql.SparkSession,
+               bands: Int, rows: Int, gridN: Int): DataFrame = {
+    require(bands >= 1 && rows >= 1 && gridN >= 2,
+      s"need bands, rows >= 1 and gridN >= 2, got $bands, $rows, $gridN")
+    def powN(c: Column, n: Int): Column = (2 to n).foldLeft(c)((acc, _) => acc * c)
+    val s = col("id").cast("double") / lit(gridN.toDouble)
+    val pBand = powN(s, rows)
+    val pDetect = lit(1.0) - powN(lit(1.0) - pBand, bands)
+    spark.range(1, gridN.toLong)
+      .select(col("id").as("i"), s.as("s"),
+        pBand.as("p_band"), pDetect.as("p_detect"))
+  }
+
   /** Per-document 16-element min-hash signature as columns m0..m15.
     * Spark-first formulation: explode shingles, hash each ONCE, derive
     * the 16 affine permutations as cheap scalar columns, reduce with one

@@ -1476,6 +1476,32 @@ class LlmSpec extends SparkSpec {
     hist shouldBe Set((3L, 1L, 3L), (2L, 1L, 2L))
   }
 
+  test("lshCurve: exact binary grid point s=0.5 gives hand-computed probabilities") {
+    val row = Dedup.lshCurve(spark, 4, 4, 20).filter(col("i") === 10).collect().head
+    row.getDouble(1) shouldBe 0.5
+    row.getDouble(2) shouldBe 0.0625 // 0.5^4, exact
+    // 1 - 0.9375^4, every operand exact binary
+    row.getDouble(3) shouldBe 0.2275238037109375
+    // the curve is monotone in s — the property the tuning table is read by
+    val ps = Dedup.lshCurve(spark, 4, 4, 20).orderBy(col("i"))
+      .collect().map(_.getDouble(3))
+    ps.zip(ps.tail).foreach { case (a, b) => a should be <= b }
+  }
+
+  test("signal-overlap matrix: cells sum to the union of the three pair sets (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_signal_overlap")(spark, dir).collect()
+    val total = out.map(_.getLong(3)).sum
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("da"), col("db")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val union = pairs(Dedup.minhashPairs(d, 0.5)) ++
+      pairs(Dedup.simhashPairsWide(d, 2)) ++ pairs(Dedup.tfidfCosinePairs(d, 0.5, 64L))
+    total shouldBe union.size.toLong
+    // no cell may claim a pair in no signal at all
+    out.foreach(r => (r.getBoolean(0) || r.getBoolean(1) || r.getBoolean(2)) shouldBe true)
+  }
+
   test("hashedTf: bucket counts from the shared polyhash; vectors drive the ANN stack") {
     // hash("ab") = 3105 (pinned by the fingerprint test) -> bucket 3105 % 8 = 1;
     // hash("b") = 98 -> bucket 2
