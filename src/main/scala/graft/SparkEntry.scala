@@ -627,6 +627,13 @@ object SparkEntry {
       TextAnalysis.sourceLengthDrift(docs(s, dir), binWidth = 20L, nbins = 10)
         .orderBy(col("source"))),
 
+    // per-source KS drift: max CDF gap vs the corpus — the localized-
+    // shift detector beside the TV monitor; ks_num exact BIGINT via
+    // cross-multiplication, ks one exact-grid division
+    "q_ks_drift" -> ((s, dir) =>
+      TextAnalysis.sourceLengthKs(docs(s, dir), binWidth = 20L, nbins = 10)
+        .orderBy(col("source"))),
+
     // per-source robust length outliers (median/MAD, all exact integers
     // via the doubled-order-statistic trick — no floats anywhere)
     "q_mad_outliers" -> ((s, dir) =>
@@ -2144,6 +2151,22 @@ object SparkEntry {
     "q_mad_outliers" -> TextSql.madOutliersSql(MadK),
     "q_event_anomaly" -> TextSql.eventAnomalySql(MadK),
     "q_hash_embed" -> TextSql.hashedTfSql(HashDim),
+
+    "q_ks_drift" ->
+      ("WITH b AS (SELECT source, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 20, " +
+        "CAST(9 AS BIGINT)) AS bin FROM documents), " +
+        "ps AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2), " +
+        "bins AS (SELECT DISTINCT bin FROM ps), " +
+        "sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM ps GROUP BY 1), " +
+        "dense AS (SELECT sn.source, sn.n_docs, bins.bin, CAST(coalesce(ps.c, 0) AS BIGINT) AS cc " +
+        "FROM sn CROSS JOIN bins LEFT JOIN ps ON ps.source = sn.source AND ps.bin = bins.bin), " +
+        "t AS (SELECT *, CAST(sum(cc) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum_src, " +
+        "CAST(sum(cc) OVER (ORDER BY bin RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_corp, " +
+        "CAST(sum(cc) OVER () AS BIGINT) AS nn FROM dense), " +
+        "g AS (SELECT source, n_docs, nn, abs(cum_src * nn - cum_corp * n_docs) AS gap FROM t) " +
+        "SELECT source, max(n_docs) AS n_docs, CAST(max(gap) AS BIGINT) AS ks_num, " +
+        "CAST(max(gap) AS DOUBLE) / CAST(max(n_docs) * max(nn) AS DOUBLE) AS ks " +
+        "FROM g GROUP BY source ORDER BY source"),
 
     "q_source_drift" ->
       ("WITH b AS (SELECT source, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 20, " +

@@ -588,6 +588,64 @@ object TextAnalysis {
           (lit(2L) * col("n_docs") * col("nn")).cast("double")).as("tv"))
   }
 
+  /** Per-source Kolmogorov–Smirnov drift — the max-CDF-gap companion to
+    * [[sourceLengthDrift]]'s total variation: TV sums per-bin
+    * disagreement (sensitive to everywhere-a-little drift), KS takes
+    * the worst single CDF gap (sensitive to a localized shift — the
+    * truncation bug that clips every long doc moves KS hard while
+    * diluting TV across bins). Same length-bin histogram, same
+    * source-vs-corpus comparison.
+    *
+    * Cross-engine: ks_num = max_b |CumSrc(b)·N − CumCorp(b)·n| is an
+    * exact BIGINT via cross-multiplication; ks = ks_num/(n·N) is ONE
+    * division of two CAST-to-DOUBLE exact integers — no rounding
+    * anywhere (the sourceLengthDrift discipline).
+    *
+    * Shape: one corpus scan into the (source, bin) aggregate; the gap
+    * must be evaluated at EVERY corpus bin (a source's CDF is flat
+    * where it has no mass, but the corpus CDF keeps moving — the max
+    * can sit at a bin the source never hits), so the tiny aggregate is
+    * densified against its own bin set (sources × bins rows by
+    * construction). The aggregate is persisted across its three uses —
+    * without it each reference replans the corpus scan. */
+  def sourceLengthKs(docs: DataFrame, binWidth: Long, nbins: Int): DataFrame = {
+    require(binWidth >= 1 && nbins >= 1, s"need binWidth/nbins >= 1, got $binWidth/$nbins")
+    import org.apache.spark.sql.expressions.Window
+    val binned = docs.select(col("source"),
+      expr(s"least(CAST(size(split(text, ' ')) AS BIGINT) div $binWidth, " +
+        s"CAST(${nbins - 1} AS BIGINT))").as("bin"))
+    val perSrc = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perSrc.count()
+    val bins = perSrc.select(col("bin")).distinct()
+    val srcN = perSrc.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
+    val dense = srcN.crossJoin(bins)
+      .join(perSrc, Seq("source", "bin"), "left")
+      .withColumn("cc", coalesce(col("c"), lit(0L)))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("bin"))
+    // RANGE frame over the global bin order: all rows with bin' <= bin
+    // sum to the CORPUS cumulative at this bin (every source's rows
+    // exist at every bin in the dense frame)
+    val wCorp = Window.orderBy(col("bin"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = dense
+      .withColumn("cum_src", sum(col("cc")).over(wSrc))
+      .withColumn("cum_corp", sum(col("cc")).over(wCorp))
+      .withColumn("nn", sum(col("cc")).over(Window.partitionBy()))
+      .withColumn("gap",
+        abs(col("cum_src") * col("nn") - col("cum_corp") * col("n_docs")))
+    val out = t.groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("nn")).as("nn"),
+        max(col("gap")).as("ks_num"))
+      .select(col("source"), col("n_docs"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_docs") * col("nn")).cast("double")).as("ks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    perSrc.unpersist(false)
+    out
+  }
+
   /** Interleaved curriculum order — the deterministic sequencing step
     * between curation and tokenization: docs are ranked easy-first
     * WITHIN each source (fewer tokens = easier, the classic length

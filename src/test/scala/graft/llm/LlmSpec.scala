@@ -1476,6 +1476,25 @@ class LlmSpec extends SparkSpec {
     hist shouldBe Set((3L, 1L, 3L), (2L, 1L, 2L))
   }
 
+  test("sourceLengthKs: max CDF gap, corpus-shaped source exactly 0, absent-bin evaluated") {
+    // binWidth 1 -> bin = token count. A all-short, B all-long, C corpus-shaped.
+    val d = Seq(
+      (1L, "x", "A"), (2L, "y", "A"),             // bin 1, n_A = 2
+      (3L, "a b c", "B"), (4L, "d e f", "B"),     // bin 3, n_B = 2
+      (5L, "z", "C"), (6L, "p q r", "C")          // one of each, n_C = 2
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceLengthKs(d, 1L, 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // N = 6; CumCorp(1) = 3, CumCorp(3) = 6
+    // A at bin 1: |2*6 - 3*2| = 6 -> ks = 6/12 = 0.5
+    out("A") shouldBe ((6L, 0.5))
+    // B's max gap sits at bin 1 — a bin B has NO mass in (flat CDF vs
+    // moving corpus CDF); the dense evaluation exists for exactly this
+    out("B") shouldBe ((6L, 0.5))
+    // corpus-shaped source: every gap exactly 0
+    out("C") shouldBe ((0L, 0.0))
+  }
+
   test("lshCurve: exact binary grid point s=0.5 gives hand-computed probabilities") {
     val row = Dedup.lshCurve(spark, 4, 4, 20).filter(col("i") === 10).collect().head
     row.getDouble(1) shouldBe 0.5
