@@ -95,6 +95,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality gate: failing batch quarantined whole, passing accepted, replay idempotent") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("qgate").toString
+    val (acc, quar, ver) = (s"$dir/accepted", s"$dir/quarantine", s"$dir/verdicts")
+    val rules = Seq[(String, org.apache.spark.sql.Column)](
+      "nonneg_value" -> (col("value") < 0))
+    val mem = MemoryStream[(Long, Double)]
+    val q = QualityGate.start(mem.toDF.toDF("doc_id", "value"),
+      rules, acc, quar, ver, s"$dir/ck")
+    try {
+      mem.addData((1L, 5.0), (2L, 3.0))   // clean batch -> accepted
+      q.processAllAvailable()
+      mem.addData((3L, 7.0), (4L, -1.0))  // one bad row -> batch quarantined WHOLE
+      q.processAllAvailable()
+      spark.read.parquet(acc).select("doc_id").collect()
+        .map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+      spark.read.parquet(quar).select("doc_id").collect()
+        .map(_.getLong(0)).toSet shouldBe Set(3L, 4L) // clean row 3 NOT admitted
+      // verdict log carries both batches' check results
+      // gate_batch comes back from the partition directory as an int
+      val v = spark.read.parquet(ver)
+        .select(col("gate_batch").cast("long"), col("n_violations"), col("passed"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      v(0L) shouldBe ((0L, true))
+      v(1L) shouldBe ((1L, false))
+      // replay of the failing batch overwrites its own partitions: same verdict,
+      // same quarantine rows, nothing lands in accepted
+      QualityGate.gateBatch(Seq((3L, 7.0), (4L, -1.0)).toDF("doc_id", "value"),
+        rules, acc, quar, ver, batchId = 1L)
+      spark.read.parquet(quar).select("doc_id").collect()
+        .map(_.getLong(0)).toSeq.sorted shouldBe Seq(3L, 4L)
+      spark.read.parquet(acc).select("doc_id").collect()
+        .map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    } finally q.stop()
+  }
+
   test("indexed ingest: same corpus as the re-banding loop, index maintained, replay idempotent") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("idxingest").toString
