@@ -453,6 +453,21 @@ object SparkEntry {
       Multimodal.frameSampleStub(docs(s, dir), "doc_id", "text", FrameStride)
         .orderBy(col("media_id"), col("frame_idx"))),
 
+    // packing-efficiency report: per shard, packs/docs/tokens plus the
+    // padding waste (capacity − tokens) and fill fraction — the metric
+    // that prices padding into training cost; aggregates are pack-
+    // table-sized, fill_frac one exact-BIGINT division
+    "q_pack_stats" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), PackBudget, PackShards)
+        .groupBy(col("shard"))
+        .agg(countDistinct(col("pack_id")).as("n_packs"),
+          count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(col("shard"), col("n_packs"), col("n_docs"), col("n_tokens"),
+          (col("n_packs") * PackBudget - col("n_tokens")).as("waste"),
+          (col("n_tokens").cast("double") /
+            (col("n_packs") * PackBudget).cast("double")).as("fill_frac"))
+        .orderBy(col("shard"))),
+
     // sequence packing: greedy token-budget bin packing into training
     // sequences, sharded for parallelism (per-shard sequential fold)
     "q_pack" -> ((s, dir) =>
@@ -626,6 +641,11 @@ object SparkEntry {
     "q_source_drift" -> ((s, dir) =>
       TextAnalysis.sourceLengthDrift(docs(s, dir), binWidth = 20L, nbins = 10)
         .orderBy(col("source"))),
+
+    // vocabulary coverage curve: ranks covering 50/90/99% of token
+    // occurrences — Zipf planning numbers, exact-integer comparisons
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(docs(s, dir))),
 
     // per-source KS drift: max CDF gap vs the corpus — the localized-
     // shift detector beside the TV monitor; ks_num exact BIGINT via
@@ -1998,6 +2018,13 @@ object SparkEntry {
     "q_media_neardup" ->
       TextSql.frameNearDupSql(FrameStride, MediaDfCap, MediaMinShared),
     "q_pack" -> TextSql.packSequencesSql(PackBudget, PackShards),
+    "q_pack_stats" ->
+      (s"WITH p AS (SELECT * FROM (${TextSql.packSequencesSql(PackBudget, PackShards)}) q) " +
+        "SELECT shard, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs, " +
+        "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        s"CAST(count(DISTINCT pack_id) * $PackBudget - sum(n_tokens) AS BIGINT) AS waste, " +
+        s"CAST(sum(n_tokens) AS DOUBLE) / CAST(count(DISTINCT pack_id) * $PackBudget AS DOUBLE) AS fill_frac " +
+        "FROM p GROUP BY shard ORDER BY shard"),
     "q_decode" -> TextSql.decodeSql(DecodeMaxDim),
 
     "q_join_agg" ->
@@ -2151,6 +2178,17 @@ object SparkEntry {
     "q_mad_outliers" -> TextSql.madOutliersSql(MadK),
     "q_event_anomaly" -> TextSql.eventAnomalySql(MadK),
     "q_hash_embed" -> TextSql.hashedTfSql(HashDim),
+
+    "q_vocab_coverage" ->
+      ("WITH v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) t GROUP BY w), " +
+        "r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rn, " +
+        "CAST(sum(c) OVER (ORDER BY c DESC, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(c) OVER () AS BIGINT) AS total FROM v) " +
+        "SELECT min(CASE WHEN cum * 100 >= 50 * total THEN rn END) AS k50, " +
+        "min(CASE WHEN cum * 100 >= 90 * total THEN rn END) AS k90, " +
+        "min(CASE WHEN cum * 100 >= 99 * total THEN rn END) AS k99, " +
+        "max(rn) AS vocab_size, max(total) AS n_tokens FROM r"),
 
     "q_ks_drift" ->
       ("WITH b AS (SELECT source, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 20, " +

@@ -588,6 +588,36 @@ object TextAnalysis {
           (lit(2L) * col("n_docs") * col("nn")).cast("double")).as("tv"))
   }
 
+  /** Vocabulary coverage curve — the Zipf planning numbers behind every
+    * vocab-size decision: how many distinct words (ranked by corpus
+    * frequency) cover 50% / 90% / 99% of all token occurrences. A
+    * corpus where k99 ≈ vocab_size is word-salad; one where k90 is a
+    * few thousand tokenizes cheaply. All comparisons are exact-integer
+    * cross-multiplications (cum·100 ≥ p·total — no percentage floats);
+    * ranking ties break to the lexicographically smaller word.
+    *
+    * Shape: one explode + one vocab-sized count aggregate; the ranked
+    * cumulative runs on the VOCAB table (a global ordered window over
+    * |vocab| rows — at 100 TB this is the classic two-stage: the corpus
+    * aggregates down to the vocabulary first, and only that aggregate
+    * is globally sorted). Output: ONE row (k50, k90, k99, vocab_size,
+    * n_tokens). */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col("c").desc, col("w"))
+    val ranked = vocab
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy()))
+    def kAt(p: Int) =
+      min(when(col("cum") * 100 >= lit(p.toLong) * col("total"), col("rn")))
+    ranked.agg(kAt(50).as("k50"), kAt(90).as("k90"), kAt(99).as("k99"),
+      max(col("rn")).as("vocab_size"), max(col("total")).as("n_tokens"))
+  }
+
   /** Per-source Kolmogorov–Smirnov drift — the max-CDF-gap companion to
     * [[sourceLengthDrift]]'s total variation: TV sums per-bin
     * disagreement (sensitive to everywhere-a-little drift), KS takes

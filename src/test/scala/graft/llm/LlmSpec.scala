@@ -1476,6 +1476,16 @@ class LlmSpec extends SparkSpec {
     hist shouldBe Set((3L, 1L, 3L), (2L, 1L, 2L))
   }
 
+  test("vocabCoverage: Zipf ranks by hand, integer-exact percentage boundaries") {
+    // counts a:4 b:2 c:1 d:1, total 8; cum 4,6,7,8
+    val out = TextAnalysis.vocabCoverage(docsDF(1L -> "a a a a b b c d")).collect().head
+    out.getLong(0) shouldBe 1L // k50: cum 4 covers 50% of 8 exactly
+    out.getLong(1) shouldBe 4L // k90: cum 7 is 87.5% < 90, needs rank 4
+    out.getLong(2) shouldBe 4L
+    out.getLong(3) shouldBe 4L // vocab_size
+    out.getLong(4) shouldBe 8L // n_tokens
+  }
+
   test("sourceLengthKs: max CDF gap, corpus-shaped source exactly 0, absent-bin evaluated") {
     // binWidth 1 -> bin = token count. A all-short, B all-long, C corpus-shaped.
     val d = Seq(
