@@ -266,6 +266,40 @@ object Bench {
       // streaming EXACT ingest dedup with constant driver state: the
       // bloom twin of stream_ingest_dedup — misses admit with no store
       // read, only bloom hits verify against already-written partitions
+      // streaming quality gate: per-batch constraint-suite admission —
+      // rules fold into one aggregate per batch, no state store. Guard:
+      // every input row lands in exactly one of accepted/quarantine.
+      "stream_quality_gate" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val nDocs = docs.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_qgate_bench").toString
+        try {
+          docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          // a length-cap rule some batches violate: partitions carrying a
+          // long doc quarantine whole, the rest are admitted
+          val rules = Seq[(String, org.apache.spark.sql.Column)](
+            "len_cap" -> (col("n_chars") > 400L))
+          val q = graft.streaming.QualityGate.start(src, rules,
+            s"$tmp/acc", s"$tmp/quar", s"$tmp/ver", s"$tmp/ck")
+          q.processAllAvailable()
+          q.stop()
+          def cnt(p: String) =
+            try s2.read.parquet(p).count() catch { case _: Throwable => 0L }
+          require(cnt(s"$tmp/acc") + cnt(s"$tmp/quar") == nDocs,
+            "gate lost or duplicated rows")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       "stream_bloom_ingest" -> (() => {
         import org.apache.spark.sql.functions._
         val s2 = spark.newSession()

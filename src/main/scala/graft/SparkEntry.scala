@@ -445,6 +445,18 @@ object SparkEntry {
         FrameStride, MediaDfCap, MediaMinShared)
         .orderBy(col("ma"), col("mb"))),
 
+    // incremental media near-dup: new uploads vs the ingested library —
+    // batch frame set broadcasts into batch×corpus digest collisions,
+    // corpus never self-joined; union-wide stop-frame cap
+    "q_incr_media" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Multimodal.incrementalFrameNearDup(
+        d.filter(col("doc_id") % IncrementalMod === 0),
+        d.filter(col("doc_id") % IncrementalMod =!= 0),
+        "doc_id", "text", FrameStride, MediaDfCap, MediaMinShared)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // multimodal frame sampling (stub codec): every FrameStride-th 8-byte
     // window of the binary payload digested — the mapPartitions batching
     // and (media_id, frame_idx, digest) shape are the real contract; the
@@ -646,6 +658,11 @@ object SparkEntry {
     // occurrences — Zipf planning numbers, exact-integer comparisons
     "q_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(docs(s, dir))),
+
+    // token-share Gini across sources: the mixture-domination number;
+    // numerator and denominator exact BIGINTs, ONE division
+    "q_token_gini" -> ((s, dir) =>
+      TextAnalysis.tokenGini(docs(s, dir))),
 
     // per-source KS drift: max CDF gap vs the corpus — the localized-
     // shift detector beside the TV monitor; ks_num exact BIGINT via
@@ -2017,6 +2034,8 @@ object SparkEntry {
     "q_frames" -> TextSql.frameSampleSql(FrameStride),
     "q_media_neardup" ->
       TextSql.frameNearDupSql(FrameStride, MediaDfCap, MediaMinShared),
+    "q_incr_media" -> TextSql.incrFrameNearDupSql(
+      FrameStride, MediaDfCap, MediaMinShared, IncrementalMod),
     "q_pack" -> TextSql.packSequencesSql(PackBudget, PackShards),
     "q_pack_stats" ->
       (s"WITH p AS (SELECT * FROM (${TextSql.packSequencesSql(PackBudget, PackShards)}) q) " +
@@ -2178,6 +2197,15 @@ object SparkEntry {
     "q_mad_outliers" -> TextSql.madOutliersSql(MadK),
     "q_event_anomaly" -> TextSql.eventAnomalySql(MadK),
     "q_hash_embed" -> TextSql.hashedTfSql(HashDim),
+
+    "q_token_gini" ->
+      ("WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x " +
+        "FROM documents GROUP BY 1), " +
+        "c AS (SELECT a.source AS s1, a.x AS xa, b.x AS xb FROM per a CROSS JOIN per b) " +
+        "SELECT CAST(count(DISTINCT s1) AS BIGINT) AS n_sources, " +
+        "CAST(sum(xa) // count(DISTINCT s1) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(abs(xa - xb)) AS BIGINT) AS gini_num, " +
+        "CAST(sum(abs(xa - xb)) AS DOUBLE) / CAST(2 * sum(xa) AS DOUBLE) AS gini FROM c"),
 
     "q_vocab_coverage" ->
       ("WITH v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM " +

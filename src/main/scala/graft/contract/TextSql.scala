@@ -638,6 +638,28 @@ object TextSql {
       "ORDER BY ma, mb"
   }
 
+  /** Mirror of Multimodal.incrementalFrameNearDup on the contract split
+    * (batch = doc_id % batchMod == 0): on a split of one table the
+    * union-wide stop-frame cap equals the global cap, and the pairs are
+    * the batch×corpus digest collisions. */
+  def incrFrameNearDupSql(stride: Int, dfCap: Long, minShared: Long,
+                          batchMod: Int): String = {
+    val (cte, digest) = frameCte(stride)
+    s"WITH $cte, " +
+      s"fd AS (SELECT DISTINCT doc_id AS media_id, CAST($digest AS BIGINT) AS frame_digest FROM fr), " +
+      s"keep AS (SELECT frame_digest FROM fd GROUP BY 1 HAVING count(*) <= $dfCap), " +
+      "capped AS (SELECT fd.media_id, fd.frame_digest FROM fd JOIN keep USING (frame_digest)), " +
+      "sizes AS (SELECT media_id, CAST(count(*) AS BIGINT) AS nset FROM capped GROUP BY 1), " +
+      "p AS (SELECT a.media_id AS batch_id, b.media_id AS corpus_id, CAST(count(*) AS BIGINT) AS n_shared " +
+      "FROM capped a JOIN capped b ON a.frame_digest = b.frame_digest " +
+      s"AND a.media_id % $batchMod = 0 AND b.media_id % $batchMod <> 0 " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $minShared) " +
+      "SELECT batch_id, corpus_id, n_shared, " +
+      "CAST(n_shared AS DOUBLE) / CAST(least(sa.nset, sb.nset) AS DOUBLE) AS containment " +
+      "FROM p JOIN sizes sa ON sa.media_id = p.batch_id JOIN sizes sb ON sb.media_id = p.corpus_id " +
+      "ORDER BY batch_id, corpus_id"
+  }
+
   /** Mirror of Dedup.decontaminate with benchmark = documents whose
     * doc_id % `benchMod` = 0: drop every document sharing a word
     * `n`-gram STRING with any benchmark document (string match on both

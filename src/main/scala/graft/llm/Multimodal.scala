@@ -185,4 +185,55 @@ object Multimodal {
     capped.unpersist(false)
     mat
   }
+
+  /** Incremental media near-dup: (batch_id, corpus_id, n_shared,
+    * containment) between NEW media and the ingested library — the
+    * media twin of the incremental text/semantic operators, for the
+    * ingest question "is this upload a re-encode/trim of something we
+    * already store". Same df-capped digest space as [[frameNearDup]]
+    * (the cap is computed over batch+corpus TOGETHER, so a frame that
+    * is boilerplate across the union is boilerplate for scoring too),
+    * but candidates come only from batch×corpus digest collisions —
+    * the corpus is never self-joined, and the batch frame set (small
+    * next to the library) broadcasts into the collision join.
+    * media ids must be unique ACROSS both frames. */
+  def incrementalFrameNearDup(newMedia: DataFrame, corpus: DataFrame,
+                              idCol: String, payloadCol: String,
+                              stride: Int, dfCap: Long, minShared: Long): DataFrame = {
+    require(dfCap >= 1 && minShared >= 1,
+      s"need dfCap >= 1 and minShared >= 1, got $dfCap, $minShared")
+    def frames(df: DataFrame) =
+      frameSampleStub(df, idCol, payloadCol, stride)
+        .select(col("media_id"), col("frame_digest")).distinct()
+    val bf = frames(newMedia).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cf = frames(corpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bf.count(); cf.count()
+    // union-wide stop-frame guard (one aggregate over both frame sets)
+    val keep = bf.unionByName(cf).groupBy(col("frame_digest"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+      .select(col("frame_digest"))
+    val bk = bf.join(keep, Seq("frame_digest"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ck = cf.join(keep, Seq("frame_digest"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bk.count(); ck.count()
+    bf.unpersist(false); cf.unpersist(false)
+    val bSizes = bk.groupBy(col("media_id")).agg(count(lit(1)).as("nb"))
+    val cSizes = ck.groupBy(col("media_id")).agg(count(lit(1)).as("nc"))
+    val pairs = broadcast(bk.withColumnRenamed("media_id", "batch_id"))
+      .join(ck.withColumnRenamed("media_id", "corpus_id"), Seq("frame_digest"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val out = pairs
+      .join(bSizes.withColumnRenamed("media_id", "batch_id"), Seq("batch_id"))
+      .join(cSizes.withColumnRenamed("media_id", "corpus_id"), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("nb"), col("nc")).cast("double")).as("containment"))
+    val mat = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mat.count()
+    bk.unpersist(false); ck.unpersist(false)
+    mat
+  }
 }

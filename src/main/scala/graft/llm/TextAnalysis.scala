@@ -588,6 +588,40 @@ object TextAnalysis {
           (lit(2L) * col("n_docs") * col("nn")).cast("double")).as("tv"))
   }
 
+  /** Token-share Gini across sources — the one-number answer to "is my
+    * training mixture dominated by a single source": 0 = every source
+    * contributes equal tokens, →1 = one source is the corpus. The
+    * mixture-planning red flag read BEFORE reaching for
+    * [[mixtureWeights]].
+    *
+    * Exact construction: Gini = Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx) over the
+    * per-source token totals. The pairwise sum runs on the SOURCES-sized
+    * aggregate (n² rows for n sources — trivia; the corpus scan happens
+    * once, persisted across the cross join's two references), and the
+    * denominator needs no separate n·total pass: Σᵢⱼ xᵢ over the cross
+    * join IS n·total. gini_num and 2·n·total are exact BIGINTs; gini is
+    * ONE division. Output: one row (n_sources, total_tokens, gini_num,
+    * gini). */
+  def tokenGini(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    per.count()
+    val out = per.as("a").crossJoin(per.as("b"))
+      .agg(countDistinct(col("a.source")).as("n_sources"),
+        sum(abs(col("a.x") - col("b.x"))).as("gini_num"),
+        sum(col("a.x")).as("nt_total")) // = n · Σx
+      .select(col("n_sources"),
+        expr("nt_total div n_sources").as("total_tokens"),
+        col("gini_num"),
+        (col("gini_num").cast("double") /
+          (lit(2L) * col("nt_total")).cast("double")).as("gini"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    per.unpersist(false)
+    out
+  }
+
   /** Vocabulary coverage curve — the Zipf planning numbers behind every
     * vocab-size decision: how many distinct words (ranked by corpus
     * frequency) cover 50% / 90% / 99% of all token occurrences. A

@@ -1626,6 +1626,36 @@ class LlmSpec extends SparkSpec {
     out((2L, 3L)) shouldBe ((2L, 1.0))
   }
 
+  test("incrementalFrameNearDup equals the cross-membership slice of frameNearDup") {
+    def blk(c: Char) = c.toString * 16
+    val (b1, b2, b3, b4) = (blk('a'), blk('b'), blk('c'), blk('d'))
+    val media = docsDF(
+      1L -> (b1 + b2 + b3), 2L -> (b1 + b2 + b4), 3L -> (b1 + b2),
+      4L -> (blk('p') + blk('q') + blk('r')))
+    val batch = media.filter(col("doc_id").isin(1L, 3L))
+    val corpus = media.filter(!col("doc_id").isin(1L, 3L))
+    val out = Multimodal.incrementalFrameNearDup(batch, corpus, "doc_id", "text",
+      stride = 2, dfCap = 16L, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // full matrix pairs {(1,2),(1,3),(2,3)}: only the cross-membership ones
+    // survive, with identical shared counts and containments
+    out.keySet shouldBe Set((1L, 2L), (3L, 2L))
+    out((1L, 2L)) shouldBe ((2L, 2.0 / 3.0))
+    out((3L, 2L)) shouldBe ((2L, 1.0)) // the trimmed clip is contained
+  }
+
+  test("tokenGini: dominated mixture vs equal shares, exact numerator") {
+    val skew = Seq((1L, "a b c d e f", "A"), (2L, "x y", "B"))
+      .toDF("doc_id", "text", "source")
+    val g1 = TextAnalysis.tokenGini(skew).collect().head
+    // x = (6, 2): sum|xi-xj| = 8, denom 2*n*total = 32 -> 0.25
+    (g1.getLong(0), g1.getLong(1), g1.getLong(2), g1.getDouble(3)) shouldBe
+      ((2L, 8L, 8L, 0.25))
+    val even = Seq((1L, "a b c d", "A"), (2L, "x y z w", "B"))
+      .toDF("doc_id", "text", "source")
+    TextAnalysis.tokenGini(even).collect().head.getDouble(3) shouldBe 0.0
+  }
+
   test("decodeStub: deterministic fixed-shape output per payload") {
     val media = docsDF(1L -> "payload-bytes-one", 2L -> "payload-two")
     val out1 = Multimodal.decodeStub(media, "doc_id", "text").collect()
