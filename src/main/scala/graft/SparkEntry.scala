@@ -664,6 +664,14 @@ object SparkEntry {
     "q_token_gini" -> ((s, dir) =>
       TextAnalysis.tokenGini(docs(s, dir))),
 
+    // classifier calibration: score deciles vs Gopher pass rate — the
+    // check before trusting a learned filter with a token budget
+    "q_quality_calibration" -> ((s, dir) =>
+      TextAnalysis.qualityCalibration(docs(s, dir), NtileBuckets,
+        GopherMinWords, GopherMaxWords, GopherMinAvgLen, GopherMaxAvgLen,
+        GopherMinStop, GopherMinAlphaFrac)
+        .orderBy(col("decile"))),
+
     // per-source KS drift: max CDF gap vs the corpus — the localized-
     // shift detector beside the TV monitor; ks_num exact BIGINT via
     // cross-multiplication, ks one exact-grid division
@@ -2197,6 +2205,17 @@ object SparkEntry {
     "q_mad_outliers" -> TextSql.madOutliersSql(MadK),
     "q_event_anomaly" -> TextSql.eventAnomalySql(MadK),
     "q_hash_embed" -> TextSql.hashedTfSql(HashDim),
+
+    "q_quality_calibration" ->
+      (s"WITH qc AS (SELECT doc_id, score FROM (${TextSql.qualityClassifierSql}) q), " +
+        s"gp AS (SELECT doc_id, passes FROM (${TextSql.gopherSql(GopherMinWords, GopherMaxWords,
+          GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac)}) g), " +
+        "j AS (SELECT qc.doc_id, score, passes FROM qc JOIN gp USING (doc_id)), " +
+        s"n AS (SELECT *, CAST(NTILE($NtileBuckets) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile FROM j) " +
+        "SELECT decile, count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score, " +
+        "CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, " +
+        "CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pass_frac " +
+        "FROM n GROUP BY decile ORDER BY decile"),
 
     "q_token_gini" ->
       ("WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x " +

@@ -588,6 +588,45 @@ object TextAnalysis {
           (lit(2L) * col("n_docs") * col("nn")).cast("double")).as("tv"))
   }
 
+  /** Quality-classifier calibration curve — "does the learned score
+    * agree with the rule gate": documents bucket into score deciles
+    * (NTILE over the total (score DESC, doc_id) order) and each decile
+    * reports its Gopher-rule pass rate. A well-calibrated scorer shows
+    * pass_frac falling monotonically across deciles; a flat curve says
+    * the score ranks noise — the check run before trusting a learned
+    * filter with a token budget.
+    *
+    * One scan: the shared classifier scorer carries `text` through, and
+    * `gopherRules(carry = score)` stacks its flags on the same
+    * projection chain — no doc_id self-join. The global NTILE is a
+    * sort of the (doc_id, score) projection (the q_ntile/curriculum
+    * precedent: the contract-scale convenience; at 100 TB the decile
+    * boundary comes from approx_percentile and the bucket is a scan-side
+    * compare, the qualityQuantileFilterSketched shape). min/max score
+    * are order-insensitive picks of exact-grid values; pass_frac ONE
+    * exact-BIGINT division. */
+  def qualityCalibration(docs: DataFrame, buckets: Int,
+                         minWords: Int, maxWords: Int,
+                         minAvgLen: Double, maxAvgLen: Double,
+                         minStopHits: Int, minAlphaFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val scored = qualityScored(docs, carry = Seq("text"))
+      .select(col("doc_id"), col("text"), col("score"))
+    val flagged = gopherRules(scored, minWords, maxWords, minAvgLen, maxAvgLen,
+      minStopHits, minAlphaFrac, carry = Seq("score"))
+    flagged
+      .withColumn("decile",
+        ntile(buckets).over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+        sum(col("passes").cast("long")).as("n_pass"))
+      .select(col("decile"), col("n_docs"), col("min_score"), col("max_score"),
+        col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double")).as("pass_frac"))
+  }
+
   /** Token-share Gini across sources — the one-number answer to "is my
     * training mixture dominated by a single source": 0 = every source
     * contributes equal tokens, →1 = one source is the corpus. The
@@ -1456,7 +1495,7 @@ object TextAnalysis {
     * [[qualityQuantileFilter]]: (doc_id, carry..., n_tokens, score).
     * `carry` columns ride the same scan so the quantile gate never
     * needs a doc_id self-join to recover `source`. */
-  private def qualityScored(docs: DataFrame, carry: Seq[String]): DataFrame = {
+  private[llm] def qualityScored(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     // LONG fold seed: an INT accumulator would throw ARITHMETIC_OVERFLOW

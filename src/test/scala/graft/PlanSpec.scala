@@ -321,6 +321,12 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
   }
 
+  test("q_quality_calibration: score and rule flags fuse on ONE scan — no doc_id self-join") {
+    val p = plan("q_quality_calibration", "simple")
+    (p should not).include("Join")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
   test("q_datasheet: one corpus scan feeds the whole per-source report — no self-join") {
     val p = plan("q_datasheet", "simple")
     (p should not).include("Join")

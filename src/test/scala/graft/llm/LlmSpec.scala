@@ -1644,6 +1644,19 @@ class LlmSpec extends SparkSpec {
     out((3L, 2L)) shouldBe ((2L, 1.0)) // the trimmed clip is contained
   }
 
+  test("qualityCalibration: deciles partition the corpus in score order (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.qualityCalibration(docs, 4, 30, 100000, 4.0, 10.0, 2, 0.8)
+      .orderBy(col("decile")).collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    out.map(_.getLong(1)).sum shouldBe docs.count()
+    // deciles are a descending score partition: each decile's floor is at
+    // least the next decile's ceiling
+    out.sliding(2).foreach { w =>
+      w(0).getDouble(2) should be >= w(1).getDouble(3)
+    }
+  }
+
   test("tokenGini: dominated mixture vs equal shares, exact numerator") {
     val skew = Seq((1L, "a b c d e f", "A"), (2L, "x y", "B"))
       .toDF("doc_id", "text", "source")
