@@ -664,6 +664,13 @@ object SparkEntry {
     "q_token_gini" -> ((s, dir) =>
       TextAnalysis.tokenGini(docs(s, dir))),
 
+    // per-source TOPIC drift on hashing-trick profiles: cosine of each
+    // source's bucketed term profile vs the corpus — integer sums,
+    // window-derived global, fixed 5-op cosine (labelDrift discipline)
+    "q_hash_drift" -> ((s, dir) =>
+      TextAnalysis.hashedSourceDrift(docs(s, dir), HashDim)
+        .orderBy(col("source"))),
+
     // classifier calibration: score deciles vs Gopher pass rate — the
     // check before trusting a learned filter with a token budget
     "q_quality_calibration" -> ((s, dir) =>
@@ -2205,6 +2212,18 @@ object SparkEntry {
     "q_mad_outliers" -> TextSql.madOutliersSql(MadK),
     "q_event_anomaly" -> TextSql.eventAnomalySql(MadK),
     "q_hash_embed" -> TextSql.hashedTfSql(HashDim),
+
+    "q_hash_drift" ->
+      (s"WITH e AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        s"pb AS (SELECT source, ${TextSql.polyHashSql("w")} % $HashDim AS b, " +
+        "CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2), " +
+        "wg AS (SELECT *, CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS g FROM pb), " +
+        "wg2 AS (SELECT *, CAST(sum(c * g) OVER () AS BIGINT) AS nb2g FROM wg) " +
+        "SELECT source, CAST(sum(c * g) AS BIGINT) AS dot, " +
+        "CAST(sum(c * c) AS BIGINT) AS na2, CAST(max(nb2g) AS BIGINT) AS nb2, " +
+        "CASE WHEN sum(c * c) = 0 OR max(nb2g) = 0 THEN NULL " +
+        "ELSE CAST(sum(c * g) AS DOUBLE) / (sqrt(CAST(sum(c * c) AS DOUBLE)) * sqrt(CAST(max(nb2g) AS DOUBLE))) END AS cos_drift " +
+        "FROM wg2 GROUP BY source ORDER BY source"),
 
     "q_quality_calibration" ->
       (s"WITH qc AS (SELECT doc_id, score FROM (${TextSql.qualityClassifierSql}) q), " +

@@ -588,6 +588,49 @@ object TextAnalysis {
           (lit(2L) * col("n_docs") * col("nn")).cast("double")).as("tv"))
   }
 
+  /** Per-source TOPIC drift over hashed-tf vectors — the labelDrift
+    * monitor for corpora with NO embedding model: each source's summed
+    * [[hashedTf]] vector (its bucketed term-frequency profile) is
+    * compared by cosine against the corpus-wide profile. A source whose
+    * vocabulary distribution wanders (a crawl domain drifting into spam,
+    * a wiki dump switching language) drops its cosine long before any
+    * length-based monitor moves — and the whole thing runs on hashing-
+    * trick integers, no model, no vocabulary table.
+    *
+    * Cross-engine (the labelDrift discipline): bucket sums are exact
+    * BIGINTs (commutative integer aggregation — partition-order
+    * invariant), the corpus profile is a bucket-keyed WINDOW over the
+    * per-source sums (no join back, no second scan), and the cosine is
+    * the fixed cast/sqrt/sqrt/mul/div sequence over exact integers —
+    * bitwise unrounded. Output: (source, dot, na2, nb2, cos_drift). */
+  def hashedSourceDrift(docs: DataFrame, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim >= 2 && dim <= 64, s"need 2 <= dim <= 64, got $dim")
+    val h = graft.functions.PolyHash(col("w"), FpMod) % dim
+    val perBucket = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .select(col("source"), h.as("b"))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    // the bucket frame is SPARSE (a source has no row for a bucket it
+    // never hits), so the corpus norm cannot be summed per source —
+    // Σ_b g² instead rides a whole-frame window via the identity
+    // Σ_rows c·g = Σ_b g·Σ_s c = Σ_b g² (each row contributes its
+    // bucket's share exactly once)
+    val withGlobal = perBucket
+      .withColumn("g", sum(col("c")).over(Window.partitionBy(col("b"))))
+      .withColumn("nb2g", sum(col("c") * col("g")).over(Window.partitionBy()))
+    withGlobal.groupBy(col("source"))
+      .agg(sum(col("c") * col("g")).as("dot"),
+        sum(col("c") * col("c")).as("na2"),
+        max(col("nb2g")).as("nb2"))
+      .select(col("source"), col("dot"), col("na2"), col("nb2"),
+        when(col("na2") === 0 || col("nb2") === 0, lit(null).cast("double"))
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("cos_drift"))
+  }
+
   /** Quality-classifier calibration curve — "does the learned score
     * agree with the rule gate": documents bucket into score deciles
     * (NTILE over the total (score DESC, doc_id) order) and each decile

@@ -1644,6 +1644,27 @@ class LlmSpec extends SparkSpec {
     out((3L, 2L)) shouldBe ((2L, 1.0)) // the trimmed clip is contained
   }
 
+  test("hashedSourceDrift: identical profiles cosine 1.0, disjoint profiles lower") {
+    // A and B share an identical token profile; C is a different vocabulary
+    val d = Seq(
+      (1L, "a a b", "A"), (2L, "a a b", "B"),
+      (3L, "zq zq zq yx", "C")
+    ).toDF("doc_id", "text", "source")
+    // dim 64: the four tokens land in distinct buckets (33, 34, 55, 31)
+    val out = TextAnalysis.hashedSourceDrift(d, 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    out("A") shouldBe out("B") // same profile, same drift vs corpus
+    out("C") should be < out("A") // off-topic source scores lower
+    // hand dot/norms in the operator's own op order: dot/(sqrt(na2)*sqrt(nb2))
+    out("A") shouldBe 10.0 / (math.sqrt(5.0) * math.sqrt(30.0))
+    out("C") shouldBe 10.0 / (math.sqrt(10.0) * math.sqrt(30.0))
+    // a single-source corpus IS the corpus: cosine 1 up to the sqrt ulp
+    // (x/(sqrt(x)*sqrt(x)) — sqrt(x)^2 is one ulp off for non-squares)
+    val solo = TextAnalysis.hashedSourceDrift(
+      Seq((1L, "a b c", "A")).toDF("doc_id", "text", "source"), 64).collect().head
+    solo.getDouble(4) shouldBe 1.0 +- 1e-12
+  }
+
   test("qualityCalibration: deciles partition the corpus in score order (sf0.001)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextAnalysis.qualityCalibration(docs, 4, 30, 100000, 4.0, 10.0, 2, 0.8)
