@@ -117,6 +117,11 @@ object SparkEntry {
   private val MadK = 3
   /** Feature-hashing vector dimensionality (hashing-trick embedding). */
   private val HashDim = 8
+  /** Source priority tiers for the tiered dedup policy: src index % 3
+    * (0 = curated, 1 = crawl, 2 = scrape) — distinct tiers collide
+    * inside near-dup clusters at every SF. */
+  private val SourceTiers: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", i % 3))
   /** Round-6 constants: Gopher rule thresholds (word count, mean word
     * length, distinct-stopword floor, alphabetic-word fraction), the
     * substring-match gram length + stop-gram df cap, the SemDeDup cosine
@@ -1151,6 +1156,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"),
           sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    // source-tiered keep-best: survivor = highest-priority source in
+    // the cluster (licensed beats crawl), length tiebreaks within a
+    // tier; tiers are a literal lookup chain, ranking all-integer
+    "q_dedup_priority" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = graft.ops.ConnectedComponents.dedupClusters(
+        Dedup.minhashPairs(d, JacThreshold).select(col("da"), col("db")))
+      Dedup.keepByPriority(d, clusters, SourceTiers, defaultTier = 2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+        .orderBy(col("source"))
     }),
 
     // Morton (Z-order) clustering key over (user, hour) — the data-
@@ -2549,6 +2567,26 @@ object SparkEntry {
         "FROM documents d WHERE d.doc_id NOT IN " +
         "(SELECT c.doc_id FROM comp c WHERE c.doc_id NOT IN (SELECT doc_id FROM best)) " +
         "GROUP BY lang ORDER BY lang"),
+
+    "q_dedup_priority" -> {
+      val tierCase = "CASE source " +
+        SourceTiers.map { case (s, t) => s"WHEN '$s' THEN $t" }.mkString(" ") +
+        " ELSE 2 END"
+      s"WITH RECURSIVE pairs AS (SELECT da, db FROM (${TextSql.dedupMinhashSql(JacThreshold)}) mp), " +
+        "sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs), " +
+        "reach AS (SELECT a, b FROM sym " +
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a), " +
+        s"tokc AS (SELECT doc_id, CAST($tierCase AS BIGINT) AS tier, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
+        "best AS (SELECT doc_id FROM (SELECT c.doc_id, " +
+        "row_number() OVER (PARTITION BY c.keep_id ORDER BY t.tier, t.nt DESC, c.doc_id) AS rn " +
+        "FROM comp c JOIN tokc t ON c.doc_id = t.doc_id) WHERE rn = 1) " +
+        "SELECT source, count(*) AS n_docs, min(d.doc_id) AS min_id " +
+        "FROM documents d WHERE d.doc_id NOT IN " +
+        "(SELECT c.doc_id FROM comp c WHERE c.doc_id NOT IN (SELECT doc_id FROM best)) " +
+        "GROUP BY source ORDER BY source"
+    },
 
     // transitive closure over the SAME minhash pair set (recursive CTE);
     // component = least reachable id — integer arithmetic only, so the

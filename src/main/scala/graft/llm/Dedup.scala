@@ -375,6 +375,41 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Keep-best dedup policy, SOURCE-TIERED: within each near-dup
+    * cluster the survivor comes from the highest-priority source
+    * (lowest tier number — licensed/curated beats crawl beats
+    * scrape), with (n_tokens DESC, doc_id) breaking ties inside a
+    * tier. The policy a mixed-provenance corpus actually wants: when
+    * a curated copy and a crawl mirror collide, keeping "the longest"
+    * can keep the crawl's banner-wrapped version — tiering fixes the
+    * provenance, length still tiebreaks within it.
+    *
+    * `tiers` maps source → tier; unmapped sources get `defaultTier`.
+    * The tier is a LITERAL lookup chain (a handful of sources — no
+    * join for the lookup), the ranking key is the exact integer triple
+    * (tier, −n_tokens, doc_id) — deliberately no float scores (the
+    * −0.0/NaN ranking-key class) — and the shape is [[keepLongest]]'s:
+    * one cluster-membership-sized window with a map-side top-1 trim,
+    * losers anti-join back. Docs outside `clusters` survive untouched. */
+  def keepByPriority(docs: DataFrame, clusters: DataFrame,
+                     tiers: Seq[(String, Int)], defaultTier: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tierCol = tiers.foldLeft(lit(defaultTier).cast("long")) {
+      case (acc, (src, t)) => when(col("source") === src, lit(t.toLong)).otherwise(acc)
+    }
+    val keyed = docs.select(col("doc_id"), tierCol.as("tier"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+    val w = Window.partitionBy(col("keep_id"))
+      .orderBy(col("tier"), col("nt").desc, col("doc_id"))
+    val best = clusters.join(keyed, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), lit(1L).as("b"))
+    val losers = clusters.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .filter(col("b").isNull).select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Leakage-safe train/test split — `TextAnalysis.contentSplit` lifted
     * from documents to near-dup CLUSTERS. A per-document content-hash
     * split leaks: two near-duplicates hash differently (the perturbed

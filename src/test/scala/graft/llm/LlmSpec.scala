@@ -1644,6 +1644,23 @@ class LlmSpec extends SparkSpec {
     out((3L, 2L)) shouldBe ((2L, 1.0)) // the trimmed clip is contained
   }
 
+  test("keepByPriority: tier beats length, length tiebreaks within tier, outsiders survive") {
+    val docs = Seq(
+      (1L, "w x y z a b c d e", "scrape"),  // cluster A, tier 2, longest
+      (2L, "k", "curated"),                 // cluster A, tier 0 -> keeper despite length
+      (3L, "m n o p q", "crawl"),           // cluster A, tier 1
+      (4L, "solo doc", "scrape"),           // outside clusters: survives
+      (5L, "a a a", "curated"),             // cluster B, tier 0, 3 tokens
+      (6L, "b b b b", "curated")            // cluster B, tier 0, 4 tokens -> keeper
+    ).toDF("doc_id", "text", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "keep_id")
+    val tiers = Seq("curated" -> 0, "crawl" -> 1)
+    val kept = Dedup.keepByPriority(docs, clusters, tiers, defaultTier = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(2L, 4L, 6L)
+  }
+
   test("hashedSourceDrift: identical profiles cosine 1.0, disjoint profiles lower") {
     // A and B share an identical token profile; C is a different vocabulary
     val d = Seq(
