@@ -1224,6 +1224,15 @@ object SparkEntry {
         .orderBy(col("cohort_hour"), col("offset_hours"))
     }),
 
+    // event-type transition matrix: first-order Markov journey counts +
+    // per-prev probabilities (one lag window + types²-sized aggregate)
+    "q_transitions" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("tus"))
+      graft.analytics.Analytics.transitionMatrix(ev)
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // sparse TF-IDF cosine near-dup pairs (weighted lexical overlap;
     // df-capped inverted index, weights on the round-4 grid)
     "dedup_tfidf_cosine" -> ((s, dir) =>
@@ -2476,6 +2485,17 @@ object SparkEntry {
         "SELECT cohort_hour, hour - cohort_hour AS offset_hours, " +
         "count(DISTINCT a.user_id) AS n_users " +
         "FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_transitions" ->
+      ("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events), " +
+        "l AS (SELECT event_type AS next_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type FROM ev), " +
+        "p AS (SELECT prev_type, next_type, count(*) AS n_transitions FROM l " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT *, CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS pt FROM p) " +
+        "SELECT prev_type, next_type, n_transitions, " +
+        "CAST(n_transitions AS DOUBLE) / CAST(pt AS DOUBLE) AS prob " +
+        "FROM t ORDER BY prev_type, next_type"),
 
     "dedup_simhash" -> TextSql.simhashPairsSql(maxHamming = 1),
 

@@ -46,6 +46,36 @@ object Analytics {
       .toDF("stage", "event_type", "n_users")
   }
 
+  /** Event-type transition matrix — the first-order Markov view of user
+    * journeys (the input to any "what do users do after X" question and
+    * to journey-sankey rendering): for each ordered (prev, next) pair of
+    * consecutive events WITHIN a user's stream, the transition count and
+    * its probability among all transitions leaving `prev`.
+    *
+    * Shape: one user-keyed ordered window (lag) — the same exchange
+    * sessionization pays — then a types²-bounded aggregate; the
+    * per-prev total rides a window over that aggregate (no join back).
+    * Counts are exact; prob is ONE division of two CAST-to-DOUBLE exact
+    * integers. The first event of each user has no predecessor and
+    * drops out. Input needs (user_id, event_id, event_type, tus);
+    * (tus, event_id) is the deterministic intra-user order.
+    * Output: (prev_type, next_type, n_transitions, prob). */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val pairs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    pairs
+      .withColumn("prev_total",
+        sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") /
+          col("prev_total").cast("double")).as("prob"))
+  }
+
   /** Hour-cohort retention: users grouped by their FIRST-seen hour
     * (cohort), counted by how many distinct later hours they came back
     * in. The standard growth-analytics matrix, shaped for scale: first

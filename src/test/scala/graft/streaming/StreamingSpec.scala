@@ -444,6 +444,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionMatrix: per-user consecutive pairs, per-prev probabilities, firsts drop") {
+    val ev = Seq(
+      (1L, 1L, "A", 10L), (1L, 2L, "B", 20L), (1L, 3L, "A", 30L), // A->B, B->A
+      (2L, 4L, "A", 5L), (2L, 5L, "B", 6L),                       // A->B
+      (3L, 6L, "A", 1L), (3L, 7L, "C", 2L),                       // A->C
+      (4L, 8L, "Z", 9L)                                           // single event: no pair
+    ).toDF("user_id", "event_id", "event_type", "tus")
+    val out = graft.analytics.Analytics.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    out.keySet shouldBe Set(("A", "B"), ("A", "C"), ("B", "A"))
+    out(("A", "B")) shouldBe ((2L, 2.0 / 3.0))
+    out(("A", "C")) shouldBe ((1L, 1.0 / 3.0))
+    out(("B", "A")) shouldBe ((1L, 1.0))
+  }
+
   test("funnel: ordered stages — out-of-order or missing stages stop the user") {
     val ev = Seq(
       // u1 completes the funnel in order
