@@ -669,6 +669,19 @@ object SparkEntry {
     "q_token_gini" -> ((s, dir) =>
       TextAnalysis.tokenGini(docs(s, dir))),
 
+    // vocabulary-growth (Heaps) curve over ingestion batches: new-word
+    // contribution per batch + cumulative vocabulary — all integers
+    "q_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(docs(s, dir), batchSize = 50L)
+        .orderBy(col("batch"))),
+
+    // top-k collocations by PMI (Church & Hanks): most frequent bigrams
+    // scored ln(one exact-BIGINT-product division) — the bigram-LM ln
+    // discipline; k-row side broadcasts into the vocab joins
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(docs(s, dir), TextrankK)
+        .orderBy(col("n_pairs").desc, col("pair"))),
+
     // per-source TOPIC drift on hashing-trick profiles: cosine of each
     // source's bucketed term profile vs the corpus — integer sums,
     // window-derived global, fixed 5-op cosine (labelDrift discipline)
@@ -2262,6 +2275,35 @@ object SparkEntry {
         "CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, " +
         "CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pass_frac " +
         "FROM n GROUP BY decile ORDER BY decile"),
+
+    "q_collocations" ->
+      (s"WITH uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) e GROUP BY 1), " +
+        "ut AS (SELECT *, CAST(sum(c) OVER () AS BIGINT) AS t FROM uni), " +
+        "bi AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_pairs FROM " +
+        "(SELECT unnest(CASE WHEN len(toks) >= 2 THEN " +
+        "list_transform(range(1, len(toks)), i -> toks[i::INT] || ' ' || toks[(i+1)::INT]) " +
+        "ELSE CAST([] AS VARCHAR[]) END) AS pair FROM " +
+        "(SELECT string_split(text, ' ') AS toks FROM documents) tt) bb GROUP BY 1), " +
+        "bt AS (SELECT *, CAST(sum(n_pairs) OVER () AS BIGINT) AS b FROM bi), " +
+        s"top AS (SELECT * FROM bt ORDER BY n_pairs DESC, pair LIMIT $TextrankK), " +
+        "j AS (SELECT top.pair, top.n_pairs, top.b, ua.c AS ca, ub.c AS cb, ua.t " +
+        "FROM top JOIN ut ua ON ua.w = string_split(top.pair, ' ')[1] " +
+        "JOIN ut ub ON ub.w = string_split(top.pair, ' ')[2]) " +
+        "SELECT pair, n_pairs, " +
+        "ln(CAST(n_pairs * t * t AS DOUBLE) / CAST(b * ca * cb AS DOUBLE)) AS pmi " +
+        "FROM j ORDER BY n_pairs DESC, pair"),
+
+    "q_vocab_growth" ->
+      ("WITH bw AS (SELECT doc_id // 50 AS batch, w, CAST(count(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) e GROUP BY 1, 2), " +
+        "f AS (SELECT *, CAST(min(batch) OVER (PARTITION BY w) AS BIGINT) AS first_batch FROM bw), " +
+        "pb AS (SELECT batch, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new_words " +
+        "FROM f GROUP BY 1) " +
+        "SELECT batch, n_tokens, n_new_words, " +
+        "CAST(sum(n_new_words) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab " +
+        "FROM pb ORDER BY batch"),
 
     "q_token_gini" ->
       ("WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x " +

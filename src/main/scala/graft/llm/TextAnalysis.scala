@@ -670,6 +670,82 @@ object TextAnalysis {
         (col("n_pass").cast("double") / col("n_docs").cast("double")).as("pass_frac"))
   }
 
+  /** Top-k collocations by PMI — the corpus-analysis staple (Church &
+    * Hanks 1990): the k most frequent word bigrams, each scored by
+    * pointwise mutual information ln(p(ab) / (p(a)·p(b))) — how much
+    * more often the pair co-occurs than its words' frequencies predict.
+    * High-count/high-PMI pairs are multiword expressions ("new york");
+    * high-count/low-PMI pairs are stopword noise. Candidates restrict
+    * to the top-k by count BEFORE the unigram joins, so the join side
+    * is k rows broadcast against the vocab table.
+    *
+    * Cross-engine: counts are exact; pmi = ln(ONE division of two exact
+    * BIGINT products) — the bigramLogProb ln discipline (identical IEEE
+    * input ⇒ identical ln). The integer products bound: c_ab·T² and
+    * B·c_a·c_b stay under 2^63 through bench scale; a 100 TB run
+    * reorders into two divisions before the ln (a one-line change,
+    * different grid — deliberately NOT done here to keep the exact
+    * product form). Output: (pair, n_pairs, pmi), ordered by
+    * (n_pairs DESC, pair). */
+  def collocations(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("t", sum(col("c")).over(Window.partitionBy()))
+    val bi = docs.select(explode(coalesce(
+        graft.functions.WordNGrams(col("text"), 2, distinct = false),
+        array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("bt", sum(col("n_pairs")).over(Window.partitionBy()))
+    val top = bi.orderBy(col("n_pairs").desc, col("pair")).limit(k)
+      .withColumn("wa", split(col("pair"), " ").getItem(0))
+      .withColumn("wb", split(col("pair"), " ").getItem(1))
+    // the K-row side broadcasts; the vocab table is scanned, never shipped
+    val j1 = uni.select(col("w").as("wa"), col("c").as("ca"), col("t"))
+      .join(broadcast(top), Seq("wa"))
+    uni.select(col("w").as("wb"), col("c").as("cb"))
+      .join(broadcast(j1), Seq("wb"))
+      .select(col("pair"), col("n_pairs"),
+        log((col("n_pairs") * col("t") * col("t")).cast("double") /
+          (col("bt") * col("ca") * col("cb")).cast("double")).as("pmi"))
+  }
+
+  /** Vocabulary-growth (Heaps) curve over ingestion order — the
+    * saturation diagnostic behind "do we need more of this source":
+    * documents bucket into fixed-size ingestion batches (doc_id ranges —
+    * the deterministic stand-in for arrival order), and each batch
+    * reports how many NEVER-SEEN-BEFORE words it contributes. A healthy
+    * diverse corpus keeps adding vocabulary (Heaps' law); a saturated or
+    * templated source flatlines.
+    *
+    * Shape: one explode → per-word min-batch aggregate (a word's first
+    * appearance — vocab-sized) → batch aggregate; tokens-per-batch rides
+    * a SECOND aggregate of the same explode... which would double the
+    * scan, so instead the token counts aggregate per (batch, word) first
+    * and both facts derive from that one table. Cumulative vocabulary is
+    * a window over the batches-sized output. ALL integers. Output:
+    * (batch, n_tokens, n_new_words, cum_vocab). */
+  def vocabGrowth(docs: DataFrame, batchSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
+    val bw = docs
+      .select(expr(s"doc_id div $batchSize").as("batch"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy(col("batch"), col("w")).agg(count(lit(1)).as("c"))
+    // first appearance batch per word, via a window over the (batch,
+    // word) aggregate — no second scan
+    val withFirst = bw.withColumn("first_batch",
+      min(col("batch")).over(Window.partitionBy(col("w"))))
+    val perBatch = withFirst.groupBy(col("batch"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("first_batch") === col("batch"), lit(1L)).otherwise(lit(0L)))
+          .as("n_new_words"))
+    perBatch.withColumn("cum_vocab",
+      sum(col("n_new_words")).over(Window.orderBy(col("batch"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Token-share Gini across sources — the one-number answer to "is my
     * training mixture dominated by a single source": 0 = every source
     * contributes equal tokens, →1 = one source is the corpus. The

@@ -1695,6 +1695,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("vocabGrowth: per-batch new words and cumulative vocabulary by hand") {
+    val d = docsDF(0L -> "a b", 1L -> "a c", 2L -> "a b", 3L -> "d")
+    val out = TextAnalysis.vocabGrowth(d, 2L).orderBy(col("batch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((0L, 4L, 3L, 3L), (1L, 3L, 1L, 4L))
+  }
+
+  test("collocations: counts and PMI by hand on the exact product grid") {
+    val out = TextAnalysis.collocations(docsDF(1L -> "x y x y"), 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // bigrams: (x y):2, (y x):1; T=4 tokens, B=3 bigrams, c_x=c_y=2
+    out("x y") shouldBe ((2L, math.log(32.0 / 12.0)))
+    out("y x") shouldBe ((1L, math.log(16.0 / 12.0)))
+  }
+
   test("tokenGini: dominated mixture vs equal shares, exact numerator") {
     val skew = Seq((1L, "a b c d e f", "A"), (2L, "x y", "B"))
       .toDF("doc_id", "text", "source")
