@@ -65,6 +65,10 @@ object SparkEntry {
   private val TokenBudget = 500L
   /** Jelinek-Mercer interpolation weight of the bigram-LM score. */
   private val BigramLambda = 0.9
+  /** DSIR selection contract: the 'en' slice plays the trusted target
+    * corpus; top-N docs by importance score are kept. */
+  private val DsirTargetLang = "en"
+  private val DsirTopN = 100
   /** Trigram stupid-backoff: even doc_ids play the reference model;
     * theta is Brants et al.'s unnormalized backoff penalty. */
   private val TrigramModelMod = 2
@@ -1508,6 +1512,12 @@ object SparkEntry {
     "q_unigram_lp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // DSIR importance resampling (Xie et al. 2023): per-doc target-vs-
+    // raw log-likelihood ratio on the unigram table, top-N selection
+    "q_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirScores(docs(s, dir), DsirTargetLang, DsirTopN)
+        .orderBy(col("doc_id"))),
+
     // interpolated bigram-LM score (Jelinek-Mercer λ=0.9): avg
     // transition log-prob under corpus bigram/unigram statistics
     "q_bigram_lp" -> ((s, dir) =>
@@ -2696,6 +2706,8 @@ object SparkEntry {
     "q_rrf3" -> TextSql.rrfFusion3Sql(IvfCoarseIds, 2, PqCodebookIds,
       PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),
     "q_unigram_lp" -> TextSql.unigramLogProbSql,
+
+    "q_dsir" -> TextSql.dsirSql(DsirTargetLang, DsirTopN),
 
     "q_bigram_lp" -> TextSql.bigramLogProbSql(BigramLambda),
 

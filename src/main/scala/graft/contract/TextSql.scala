@@ -1203,6 +1203,27 @@ object TextSql {
       "round(sum(ln(CAST(c AS DOUBLE) / total)) / count(*), 4) AS avg_logprob " +
       "FROM t JOIN vc USING (w) CROSS JOIN n GROUP BY doc_id ORDER BY doc_id"
 
+  /** Mirror of TextAnalysis.dsirScores: one vocab aggregate carrying
+    * both counts, totals from a scalar CTE over it, each token's
+    * log-ratio = ln(ONE division of two exact BIGINT products) — both
+    * engines ln the same IEEE value — per-doc sum rounded to 4 (+ 0.0
+    * normalizes a hypothetical −0.0), selection rank on the rounded
+    * score (bitwise cross-engine, so the rank is total). */
+  def dsirSql(targetLang: String, topN: Int): String =
+    s"WITH t AS (SELECT doc_id, lang = '$targetLang' AS tgt, " +
+      "unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "vc AS (SELECT w, CAST(count(*) AS BIGINT) AS cr, " +
+      "CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM t GROUP BY w), " +
+      "n AS (SELECT CAST(sum(cr) AS BIGINT) AS nraw, CAST(sum(ct) AS BIGINT) AS ntgt, " +
+      "CAST(count(*) AS BIGINT) AS v FROM vc), " +
+      "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "round(sum(ln(CAST((ct + 1) * (nraw + v) AS DOUBLE) / " +
+      "CAST((cr + 1) * (ntgt + v) AS DOUBLE))), 4) + 0.0 AS dsir_score " +
+      "FROM t JOIN vc USING (w) CROSS JOIN n GROUP BY doc_id) " +
+      "SELECT doc_id, n_tokens, dsir_score, " +
+      s"row_number() OVER (ORDER BY dsir_score DESC, doc_id) <= $topN AS selected " +
+      "FROM sc ORDER BY doc_id"
+
   /** Mirror of TextAnalysis.bigramLogProb: same bigram/unigram
     * aggregates, per-transition double built with IDENTICAL literals
     * and operation order (λ and 1−λ are interpolated from the same

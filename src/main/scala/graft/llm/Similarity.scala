@@ -113,6 +113,35 @@ object Similarity {
     fused.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
+  /** IVF recall audit — the q_lsh_recall counterpart for the ANN
+    * family: recall@k of [[ivfTopK]] against the exact
+    * [[bruteForceTopK]] neighbor sets, swept over `nprobes`. The probe
+    * budget is THE quality/cost knob of an IVF index; this makes its
+    * miss rate a per-round hash-checked fact instead of a one-time
+    * argument. Like the LSH audit it intentionally pays the exact
+    * brute-force cost — an sf-scale audit, never a production path
+    * (the production path is the ivfTopK it grades).
+    *
+    * Counting joins are exact-pool-sized (queries·k rows); recall is
+    * one CAST-to-DOUBLE division of two exact BIGINTs — no rounding
+    * discipline needed. Output: (nprobe, n_exact, n_found, recall). */
+  def ivfRecall(emb: DataFrame, coarseIds: Seq[Long], queryIds: Seq[Long],
+                nprobes: Seq[Int], k: Int): DataFrame = {
+    require(nprobes.nonEmpty, "need at least one nprobe")
+    val exact = bruteForceTopK(emb, queryIds, k)
+      .select(col("query_id"), col("neighbor_id"))
+    nprobes.map { np =>
+      val approx = ivfTopK(emb, coarseIds, queryIds, np, k)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .select(lit(np.toLong).as("nprobe"), col("n_exact"), col("n_found"),
+          (col("n_found").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_ union _)
+  }
+
   /** Embedding-cosine near-duplicate pairs, cell-pruned: vectors are
     * coarse-quantized (same assignment as IVF) and only SAME-CELL pairs
     * are scored — the pair space shrinks by ~K and the quantization is

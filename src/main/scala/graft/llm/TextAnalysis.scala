@@ -2448,4 +2448,68 @@ object TextAnalysis {
       }
       .toDF("doc_id", "shard", "pack_id", "n_tokens")
   }
+
+  /** DSIR-style importance scoring + top-N resampling (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much more likely its tokens are under
+    * the TARGET distribution (here: the `targetLang` slice — in
+    * production, a trusted high-quality seed corpus) than under the RAW
+    * corpus distribution, then keep the top N. The classic
+    * cross-entropy-difference selection (Moore & Lewis 2010) is the
+    * same statistic with the unigram table standing in for the two LMs:
+    * score(doc) = Σ_t ln( p_tgt(t) / p_raw(t) ), add-one smoothed.
+    *
+    * Shape: ONE token explode persisted, feeding (a) a single vocab
+    * aggregate carrying BOTH counts — c_raw = count, c_tgt = conditional
+    * sum, no second corpus pass — and (b) the scoring join; the three
+    * corpus totals (N_raw, N_tgt, V) are one driver aggregate on the
+    * vocab table (vocab-sized, the unigramLogProb `total` precedent) and
+    * inline as literals. The vocab side broadcasts when small, shuffles
+    * when not — the tfidf cost profile.
+    *
+    * Cross-engine float discipline: each token's log-ratio is
+    * ln(ONE division of two exact BIGINT products) —
+    * (c_tgt+1)·(N_raw+V) / ((c_raw+1)·(N_tgt+V)) — so both engines ln
+    * the same IEEE value (the collocations pattern); the per-doc sum is
+    * order-sensitive but round-4 absorbs the ulp (the unigramLogProb
+    * margin argument). Product bound: (c_tgt+1)·(N_raw+V) < 2^63 up to
+    * ~3·10^9 tokens; past that, reorder into two divisions before the
+    * ln — a one-line change, different grid, deliberately NOT done here.
+    *
+    * The `selected` flag ranks by (rounded score DESC, doc_id) ≤ topN —
+    * rounded values are bitwise cross-engine, so the rank is total and
+    * deterministic. The global rank window sorts the DOCS-sized
+    * aggregate on one partition — fine for a per-corpus selection
+    * report; at 100 TB swap the rank for a score threshold from
+    * `approx_percentile` (the qualityQuantileGate sketched-twin shape)
+    * so selection stays scan-parallel. Output: (doc_id, n_tokens,
+    * dsir_score, selected). */
+  def dsirScores(docs: DataFrame, targetLang: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 1, s"need topN >= 1, got $topN")
+    val toks = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), (col("lang") === targetLang).as("tgt"),
+        explode(tokens(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = vocab.agg(sum(col("cr")), sum(col("ct")), count(lit(1))).head()
+    val (nRaw, nTgt, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val lp = log(((col("ct") + lit(1L)) * lit(nRaw + v)).cast("double") /
+      ((col("cr") + lit(1L)) * lit(nTgt + v)).cast("double"))
+    val perDoc = toks.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(sum(lp), 4).as("dsir_score"))
+    val out = perDoc
+      .withColumn("selected",
+        row_number().over(Window.orderBy(col("dsir_score").desc, col("doc_id"))) <= topN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    toks.unpersist(false)
+    vocab.unpersist(false)
+    out
+  }
 }

@@ -778,6 +778,22 @@ class LlmSpec extends SparkSpec {
     out(1).isNullAt(2) shouldBe true
   }
 
+  test("dsirScores: hand-computed log-ratios, add-one smoothing, top-N selection") {
+    // corpus: doc1 "a a b" (en), doc2 "a c" (de), doc3 "b b" (en)
+    // vocab: a cr=3 ct=2; b cr=3 ct=3; c cr=1 ct=0; N_raw=7 N_tgt=5 V=3
+    // lp(a) = ln(3·10/(4·8)) = ln(.9375); lp(b) = ln(4·10/(4·8)) = ln(1.25)
+    // lp(c) = ln(1·10/(2·8)) = ln(.625)
+    // doc1 = 2·lp(a)+lp(b) = 0.0941; doc2 = lp(a)+lp(c) = -0.5345
+    // doc3 = 2·lp(b) = 0.4463; topN=1 selects doc3 only
+    val docs = Seq((1L, "a a b", "en"), (2L, "a c", "de"), (3L, "b b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirScores(docs, "en", topN = 1)
+      .orderBy(col("doc_id")).collect()
+    out.map(_.getLong(1)) shouldBe Array(3L, 2L, 2L)
+    out.map(_.getDouble(2)) shouldBe Array(0.0941, -0.5345, 0.4463)
+    out.map(_.getBoolean(3)) shouldBe Array(false, false, true)
+  }
+
   test("tokenBudgetSample: greedy prefix per source, override budget applies") {
     val docs = Seq(
       (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
