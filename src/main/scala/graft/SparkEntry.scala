@@ -45,6 +45,10 @@ object SparkEntry {
     * corpus vectors selected by id (deterministic, no literals). */
   private val AnnQueryIds = Seq(0L, 1L, 2L)
   private val IvfCoarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+  // recall-audit sweep: 1, 2, all-cells (the last pins recall = 1.0 for
+  // IVF — probing every cell IS the exact scan)
+  private val RecallProbes = Seq(1, 2, IvfCoarseIds.length)
+  private val RecallK = 5
 
   /** Shared constants of the round-4 pipeline queries (mirrored into the
     * oracle SQL from the same values so the two sides cannot drift). */
@@ -436,6 +440,24 @@ object SparkEntry {
     // IVF approximate top-k: coarse quantize + probe 2 cells
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5)),
+
+    // IVF recall audit: recall@k vs the exact cosine top-k over the
+    // nprobe sweep — the probe budget's measured miss rate as a
+    // per-round hash-checked fact (q_lsh_recall's ANN counterpart);
+    // the all-cells point pins recall = 1.0 by construction
+    "q_ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecall(emb(s, dir), IvfCoarseIds, AnnQueryIds,
+        RecallProbes, RecallK)
+        .orderBy(col("nprobe"))),
+
+    // PQ / IVF-PQ recall audit vs the exact L2² top-k (PQ ranks by
+    // distance, so the distance ranking is the honest reference): the
+    // pure-PQ arm isolates quantization error, the nprobe sweep adds
+    // cell pruning on top
+    "q_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(emb(s, dir), IvfCoarseIds, PqCodebookIds,
+        PqSubspaces, AnnQueryIds, RecallProbes, RecallK)
+        .orderBy(col("method"), col("nprobe"))),
 
     // multimodal: binary payload metadata (no decode needed)
     "multimodal_meta" -> ((s, dir) =>
@@ -2089,6 +2111,9 @@ object SparkEntry {
     "simhash" -> TextSql.simhashSql,
     "ann_topk" -> TextSql.annTopKSql(AnnQueryIds, 10),
     "ann_ivf" -> TextSql.annIvfSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),
+    "q_ivf_recall" -> TextSql.ivfRecallSql(IvfCoarseIds, AnnQueryIds, RecallProbes, RecallK),
+    "q_pq_recall" -> TextSql.pqRecallSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
+      AnnQueryIds, RecallProbes, RecallK),
     "multimodal_meta" -> TextSql.multimodalMetaSql,
 
     "q_media_dedup" ->

@@ -1061,6 +1061,56 @@ object TextSql {
       "ORDER BY query_id, rn"
   }
 
+  /** Mirror of Similarity.ivfRecall: for each swept nprobe, the exact
+    * cosine top-k pool (annTopKSql's CTEs, unrounded rank) left-joined
+    * with the IVF result (annIvfSql — the ann_ivf contract CTEs), hit
+    * counts as exact BIGINTs, recall one CAST-to-DOUBLE division —
+    * bitwise with no rounding. */
+  def ivfRecallSql(coarseIds: Seq[Long], queryIds: Seq[Long],
+                   nprobes: Seq[Int], k: Int): String = {
+    val arms = nprobes.map { np =>
+      s"SELECT CAST($np AS BIGINT) AS nprobe, n_exact, n_found, " +
+        "CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall FROM (" +
+        "SELECT CAST(count(*) AS BIGINT) AS n_exact, " +
+        "CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_found " +
+        s"FROM (SELECT query_id, neighbor_id FROM (${annTopKSql(queryIds, k)}) x) ex " +
+        "LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit " +
+        s"FROM (${annIvfSql(coarseIds, queryIds, np, k)}) a) ap " +
+        "USING (query_id, neighbor_id))"
+    }
+    s"SELECT * FROM (${arms.mkString(" UNION ALL ")}) ORDER BY nprobe"
+  }
+
+  /** Mirror of Similarity.pqRecall: the exact reference is the
+    * brute-force L2² top-k (PQ ranks by distance — grading against the
+    * cosine ranking would conflate metric mismatch with quantization
+    * error); one arm for pure PQ (nprobe = 0), one per swept nprobe for
+    * IVF-PQ, each re-derived by its own contract CTEs (pqSearchSql /
+    * ivfPqSearchSql). Counts exact BIGINTs, recall one CAST-to-DOUBLE
+    * division — bitwise with no rounding. */
+  def pqRecallSql(coarseIds: Seq[Long], codebookIds: Seq[Long], m: Int,
+                  queryIds: Seq[Long], nprobes: Seq[Int], k: Int): String = {
+    val exactL2 =
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+        s"sc AS (SELECT query_id, e.vec_id AS neighbor_id, ${l2sqSql("qv", "v")} AS d2 " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn FROM sc) " +
+        s"SELECT query_id, neighbor_id FROM r WHERE rn <= $k"
+    def arm(method: String, np: Int, approxSql: String): String =
+      s"SELECT '$method' AS method, CAST($np AS BIGINT) AS nprobe, n_exact, n_found, " +
+        "CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall FROM (" +
+        "SELECT CAST(count(*) AS BIGINT) AS n_exact, " +
+        "CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_found " +
+        s"FROM (SELECT query_id, neighbor_id FROM ($exactL2) x) ex " +
+        "LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit " +
+        s"FROM ($approxSql) a) ap USING (query_id, neighbor_id))"
+    val arms = arm("pq", 0, pqSearchSql(codebookIds, m, queryIds, k)) +:
+      nprobes.map(np => arm("ivf_pq", np,
+        ivfPqSearchSql(coarseIds, codebookIds, m, queryIds, np, k)))
+    s"SELECT * FROM (${arms.mkString(" UNION ALL ")}) ORDER BY method, nprobe"
+  }
+
   /** The order-invariant per-(cell, dim) mean shared by the vkmeans
     * mirrors: elements gridded onto VectorKMeans.GridScale (1e-6) and
     * scaled to BIGINT before the sum, so the aggregate is exact integer

@@ -128,9 +128,13 @@ object Similarity {
   def ivfRecall(emb: DataFrame, coarseIds: Seq[Long], queryIds: Seq[Long],
                 nprobes: Seq[Int], k: Int): DataFrame = {
     require(nprobes.nonEmpty, "need at least one nprobe")
+    // persist: the exact top-k pool is the shared reference for EVERY
+    // sweep point — unpersisted, each union arm re-plans bruteForceTopK
+    // and therefore re-scans the corpus per nprobe. queries·k rows.
     val exact = bruteForceTopK(emb, queryIds, k)
       .select(col("query_id"), col("neighbor_id"))
-    nprobes.map { np =>
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = nprobes.map { np =>
       val approx = ivfTopK(emb, coarseIds, queryIds, np, k)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
@@ -140,6 +144,68 @@ object Similarity {
           (col("n_found").cast("double") / col("n_exact").cast("double"))
             .as("recall"))
     }.reduce(_ union _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the nprobes-row result, release the cached pool
+    out.count()
+    exact.unpersist(false)
+    out
+  }
+
+  /** Recall audit for the COMPRESSED-domain ANN paths — [[ivfRecall]]'s
+    * counterpart for [[pqSearch]] and [[ivfPqSearch]], the paths whose
+    * ADC approximation is most likely to degrade silently (quantization
+    * error never surfaces as an error, only as misses). The exact
+    * reference is the brute-force L2² top-k — PQ ranks by (approximate)
+    * L2 distance, so grading it against the cosine ranking would
+    * conflate metric mismatch with quantization error.
+    *
+    * One row for the pure-PQ scan (`nprobe` = 0: no coarse pruning —
+    * every miss is quantization error) plus one per swept nprobe for
+    * IVF-PQ (misses = quantization + cell pruning). The exact pool
+    * persists across arms (queries·k rows); counting joins are
+    * pool-sized; recall is one CAST-to-DOUBLE division of exact
+    * BIGINTs. Like the other audits this intentionally pays the exact
+    * brute-force cost — an sf-scale audit, never a production path.
+    * EAGER (inherits the codebook collects; materializes the
+    * arms-row result to release the cached pool).
+    * Output: (method, nprobe, n_exact, n_found, recall). */
+  def pqRecall(emb: DataFrame, coarseIds: Seq[Long], codebookIds: Seq[Long],
+               m: Int, queryIds: Seq[Long], nprobes: Seq[Int], k: Int): DataFrame = {
+    require(nprobes.nonEmpty, "need at least one nprobe")
+    val exact = l2Ranked(emb, queryIds, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def arm(method: String, np: Long, approx: DataFrame): DataFrame =
+      exact.join(approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .select(lit(method).as("method"), lit(np).as("nprobe"),
+          col("n_exact"), col("n_found"),
+          (col("n_found").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    val out = (arm("pq", 0L, pqSearch(emb, codebookIds, m, queryIds, k)) +:
+      nprobes.map(np => arm("ivf_pq", np.toLong,
+        ivfPqSearch(emb, coarseIds, codebookIds, m, queryIds, np, k))))
+      .reduce(_ union _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    exact.unpersist(false)
+    out
+  }
+
+  /** Exact L2² top-k per query (ascending distance, ties to lowest
+    * neighbor id) — the reference ranking for the distance-metric ANN
+    * audits. Same broadcast-queries/one-scan shape as [[bruteRanked]]. */
+  private def l2Ranked(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        distSq(col("qvec"), col("vec")).as("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs, cell-pruned: vectors are

@@ -1881,6 +1881,49 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ivfRecall: all-cells probe pins recall 1.0, monotone in nprobe, n_found = pool intersection") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = Seq(3L, 17L, 29L)
+    val qids = Seq(0L, 1L)
+    val out = Similarity.ivfRecall(e, cells, qids, Seq(1, 2, 3), k = 5)
+      .orderBy(col("nprobe")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L)
+    // every arm audits the same exact pool: 2 queries x k=5
+    out.foreach(_._2 shouldBe 10L)
+    // any exact-top-k member that survives pruning is in the approx
+    // top-k (fewer than k candidates can beat it), so growing the
+    // candidate set can only add hits -> recall monotone in nprobe
+    out.map(_._4).toSeq.sliding(2).foreach { case Seq(a, b) => a should be <= b }
+    // probing every cell IS the exact scan
+    out.last._3 shouldBe 10L
+    out.last._4 shouldBe 1.0
+    // n_found at nprobe=1 equals a direct pool intersection
+    val exact = Similarity.bruteForceTopK(e, qids, 5).select("query_id", "neighbor_id")
+    val ap1 = Similarity.ivfTopK(e, cells, qids, nprobe = 1, k = 5)
+      .select("query_id", "neighbor_id")
+    out.head._3 shouldBe exact.intersect(ap1).count()
+  }
+
+  test("pqRecall: pq arm equals all-cells ivf_pq arm; ivf_pq recall monotone, bounded by pq") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = Seq(7L, 23L, 41L)
+    val cb = Seq(3L, 11L, 29L, 37L)
+    val out = Similarity.pqRecall(e, cells, cb, 4, Seq(0L, 1L), Seq(1, 2, 3), k = 5)
+      .orderBy(col("method"), col("nprobe")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    out.map(t => (t._1, t._2)).toSeq shouldBe
+      Seq(("ivf_pq", 1L), ("ivf_pq", 2L), ("ivf_pq", 3L), ("pq", 0L))
+    out.foreach(_._3 shouldBe 10L) // 2 queries x k=5 exact L2 pool
+    // probing all cells makes IVF-PQ exactly the flat PQ scan
+    out(2)._4 shouldBe out(3)._4
+    // cell pruning can only remove candidates -> ivf_pq hits grow with
+    // nprobe and never exceed the flat-PQ arm's
+    out(0)._4 should be <= out(1)._4
+    out(1)._4 should be <= out(2)._4
+    out.foreach { t => t._5 should (be >= 0.0 and be <= 1.0) }
+  }
+
   // ---------- round 6 ----------
 
   test("gopherRules: each rule fails independently, clean doc passes") {
