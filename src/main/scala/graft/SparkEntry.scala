@@ -1225,13 +1225,17 @@ object SparkEntry {
     // 4-dim Morton key over (user, hour-of-day, event-type code, value
     // bucket) — the realistic layout shape (identity + time + categorical
     // + metric); every dim fits inputBits(4)=15 so the key is a bijection
-    // and zkey alone is a total order
+    // and zkey alone is a total order. vbucket clamps at 0 BEFORE the
+    // divide: a negative value would otherwise split the engines (Spark
+    // `div` truncates toward zero, DuckDB `//` floors) and wrap through
+    // the 15-bit mask, breaking the bijection — the clamp makes the
+    // non-negative assumption explicit instead of data-dependent
     "q_zorder4" -> ((s, dir) => {
       val ev = events(s, dir)
         .select(col("user_id"), expr("(tus div 3600000000) % 24").as("hod"),
           expr("CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
             "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS BIGINT)").as("etype"),
-          expr("floor(value) div 10").as("vbucket"))
+          expr("greatest(floor(value), 0L) div 10").as("vbucket"))
         .distinct()
       ev.select(col("user_id"), col("hod"), col("etype"), col("vbucket"),
           graft.ops.ZOrder.keyN(Seq(col("user_id"), col("hod"), col("etype"),
@@ -2067,7 +2071,7 @@ object SparkEntry {
       ("WITH ev AS (SELECT DISTINCT user_id, (epoch_us(ts) // 3600000000) % 24 AS hod, " +
         "CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
         "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS BIGINT) AS etype, " +
-        "CAST(floor(value) AS BIGINT) // 10 AS vbucket FROM events) " +
+        "greatest(CAST(floor(value) AS BIGINT), 0) // 10 AS vbucket FROM events) " +
         "SELECT user_id, hod, etype, vbucket, " +
         s"${graft.ops.ZOrder.keyNSql(Seq("user_id", "hod", "etype", "vbucket"))} AS zkey " +
         "FROM ev ORDER BY zkey"),

@@ -31,15 +31,25 @@ object IndexedIngest {
     if (batchDocs.isEmpty) return
     val partDirs = fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$corpusPath/ingest_batch=*"))
+    val indexDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$indexPath/ingest_batch=*"))
     val prior =
       if (partDirs != null && partDirs.nonEmpty)
         Some((
           spark.read.parquet(corpusPath)
             .filter(col("ingest_batch") < batchId)
             .select(col("doc_id"), col("text")),
-          spark.read.parquet(indexPath)
-            .filter(col("ingest_batch") < batchId)
-            .select(col("doc_id"), col("band"), col("key"))))
+          // torn first batch: a crash between the corpus write and the
+          // index write leaves corpus partitions with NO index directory
+          // — reading indexPath would then throw on every replay and
+          // wedge the stream. A missing index is an EMPTY index (the
+          // replay filter `< batchId` would exclude its rows anyway);
+          // schema comes from the same builder so the shapes can't drift
+          if (indexDirs != null && indexDirs.nonEmpty)
+            spark.read.parquet(indexPath)
+              .filter(col("ingest_batch") < batchId)
+              .select(col("doc_id"), col("band"), col("key"))
+          else Dedup.bandIndexRows(batchDocs.limit(0))))
       else None
     val dropIds = Dedup.ingestDupIdsIndexed(batchDocs, prior, threshold)
     val survivors = batchDocs

@@ -168,6 +168,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexed ingest: torn first batch (corpus written, index missing) replays instead of wedging") {
+    // crash window between the two sinks: ingest_batch=0 exists under
+    // corpusPath but indexPath was never created — the prior branch used
+    // to read indexPath unconditionally and throw PATH_NOT_FOUND on
+    // every replay, wedging the stream permanently
+    val dir = java.nio.file.Files.createTempDirectory("tornidx").toString
+    val corpusPath = s"$dir/corpus"; val indexPath = s"$dir/index"
+    val b0 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    IndexedIngest.ingestBatch(b0, corpusPath, indexPath, batchId = 0L, threshold = 0.5)
+    // simulate the torn state: corpus partition present, index gone
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true) shouldBe true
+    // replay of batch 0 must succeed and rebuild both stores
+    noException should be thrownBy
+      IndexedIngest.ingestBatch(b0, corpusPath, indexPath, batchId = 0L, threshold = 0.5)
+    spark.read.parquet(corpusPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    spark.read.parquet(indexPath)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    // and the stream continues normally afterwards
+    IndexedIngest.ingestBatch(
+      Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+        .toDF("doc_id", "text"),
+      corpusPath, indexPath, batchId = 1L, threshold = 0.5)
+    spark.read.parquet(corpusPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 11L)
+  }
+
   test("bloom ingest: exact streaming dedup, replay idempotent, restart restores the bloom") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("bloomingest").toString
