@@ -170,6 +170,17 @@ object Bench {
           .filter(col("keep")).count()
         require(n > 0, "expected a non-empty sketched-quantile keep set")
       }),
+      // sketched DSIR selection: approx_percentile threshold + scan-side
+      // compare — no global rank sort (q_dsir keeps the exact top-N
+      // contract form; this twin is the 100 TB selection path)
+      "dsir_sketched" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val n = graft.llm.TextAnalysis
+          .dsirScoresSketched(docs, "en", keepFrac = 0.2)
+          .filter(col("selected")).count()
+        require(n > 0, "expected a non-empty sketched DSIR selection")
+      }),
       // the 100 TB-regime cell-assignment fallback (K > MaxInlineCells):
       // 300 coarse cells force Similarity.assignCellsJoin — broadcast
       // cells + one min(struct) exchange — so the large-K path carries a

@@ -90,6 +90,8 @@ object SparkEntry {
     * shared-frame floor for a pair to surface. */
   private val MediaDfCap = 16L
   private val MediaMinShared = 2L
+  // pHash banding is lossless only for hamming < SimhashWideChunks (4)
+  private val PhashMaxHamming = 3
   /** Sequence-packing token budget + shard count. */
   private val PackBudget = 256L
   private val PackShards = 8
@@ -495,6 +497,14 @@ object SparkEntry {
     "q_frames" -> ((s, dir) =>
       Multimodal.frameSampleStub(docs(s, dir), "doc_id", "text", FrameStride)
         .orderBy(col("media_id"), col("frame_idx"))),
+
+    // perceptual-hash media near-dup: 60-bit frame-majority signature
+    // per media, 4×15-bit chunk-banded hamming pairs — catches copies
+    // with a few perturbed frames that break digest-set containment
+    "q_phash_pairs" -> ((s, dir) =>
+      Multimodal.phashPairs(docs(s, dir), "doc_id", "text",
+        FrameStride, PhashMaxHamming)
+        .orderBy(col("ma"), col("mb"))),
 
     // packing-efficiency report: per shard, packs/docs/tokens plus the
     // padding waste (capacity − tokens) and fill fraction — the metric
@@ -2128,6 +2138,7 @@ object SparkEntry {
     "q_frames" -> TextSql.frameSampleSql(FrameStride),
     "q_media_neardup" ->
       TextSql.frameNearDupSql(FrameStride, MediaDfCap, MediaMinShared),
+    "q_phash_pairs" -> TextSql.phashPairsSql(FrameStride, PhashMaxHamming),
     "q_incr_media" -> TextSql.incrFrameNearDupSql(
       FrameStride, MediaDfCap, MediaMinShared, IncrementalMod),
     "q_pack" -> TextSql.packSequencesSql(PackBudget, PackShards),

@@ -638,6 +638,35 @@ object TextSql {
       "ORDER BY ma, mb"
   }
 
+  /** Mirror of Multimodal.phashPairs over the documents payload: the
+    * SAME frame digests (frameCte) fold into the wide SimHash's 60-bit
+    * affine majority vote (identical (a, c) constants from the Scala
+    * formulas — all-integer, bit-for-bit), then the 4×15-bit chunk
+    * banding and exact hamming filter of simhashPairsWideSql. Media
+    * with zero frames emit no signature on either side. */
+  def phashPairsSql(stride: Int, maxHamming: Int): String = {
+    import graft.llm.TextAnalysis.FpMod
+    val (cte, digest) = frameCte(stride)
+    val terms = (0 until Dedup.SimhashWideBits).map { b =>
+      s"CASE WHEN 2*len(list_filter(hv, h -> 2*((h*${Dedup.wideA(b)} + ${Dedup.wideC(b)}) % $FpMod) >= $FpMod)) >= len(hv) " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    val mask = (1L << Dedup.SimhashWideChunkBits) - 1
+    val bandVals = (0 until Dedup.SimhashWideChunks).map(c => s"($c)").mkString(", ")
+    s"WITH $cte, " +
+      s"ph AS (SELECT doc_id AS media_id, CAST($digest AS BIGINT) AS hd FROM fr), " +
+      "hs AS (SELECT media_id, list(hd) AS hv FROM ph GROUP BY media_id), " +
+      s"sig AS (SELECT media_id, $terms AS phash FROM hs), " +
+      s"bands AS (SELECT media_id, phash, chunk, " +
+      s"(phash >> (chunk*${Dedup.SimhashWideChunkBits})) & $mask AS key " +
+      s"FROM sig, (VALUES $bandVals) ch(chunk)), " +
+      "cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb, " +
+      "a.phash AS sa, b.phash AS sb FROM bands a JOIN bands b " +
+      "ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id) " +
+      "SELECT ma, mb, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+      s"FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY ma, mb"
+  }
+
   /** Mirror of Multimodal.incrementalFrameNearDup on the contract split
     * (batch = doc_id % batchMod == 0): on a split of one table the
     * union-wide stop-frame cap equals the global cap, and the pairs are

@@ -1242,8 +1242,8 @@ object Dedup {
     * signature aggregation upstream has a single reference here, so it
     * rides this one cache — persisting it separately would just add a
     * second full-width cache build). */
-  private def bandedHammingPairs(sigs: DataFrame, chunks: Int, chunkBits: Int,
-                                 maxHamming: Int): DataFrame = {
+  private[llm] def bandedHammingPairs(sigs: DataFrame, chunks: Int, chunkBits: Int,
+                                      maxHamming: Int): DataFrame = {
     val mask = (1L << chunkBits) - 1
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
@@ -1295,10 +1295,20 @@ object Dedup {
     * layout as [[simhash]] (60 conditional counts in one hash
     * aggregate, everything codegen'd); shingle-less docs emit 0. */
   def simhashWide(docs: DataFrame): DataFrame = {
-    import TextAnalysis.FpMod
     val ex = spread(docs)
       .select(col("doc_id"), explode_outer(shingles(col("text"))).as("s"))
       .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    wideSignature(ex)
+  }
+
+  /** The wide-signature aggregate over arbitrary (doc_id, h) hash rows —
+    * shared by [[simhashWide]] (shingle hashes) and
+    * `Multimodal.phashStub` (frame digests), ONE definition of the
+    * 60-bit majority vote so the two signature producers cannot drift.
+    * Null h rows count toward the doc's existence but no bit (the
+    * explode_outer empty-doc convention: n = 0 emits signature 0). */
+  private[llm] def wideSignature(ex: DataFrame): DataFrame = {
+    import TextAnalysis.FpMod
     val bitCounts = (0 until SimhashWideBits).map { b =>
       val hb = (col("h") * lit(wideA(b)) + lit(wideC(b))) % lit(FpMod)
       count(when(hb * lit(2L) >= lit(FpMod), 1)).as(s"c$b")

@@ -186,6 +186,53 @@ object Multimodal {
     mat
   }
 
+  /** Perceptual-hash signature per media — the banded-pHash layer of the
+    * media dedup family. A real pHash thresholds a DCT low-frequency
+    * block of the DECODED pixels against its median, which is what makes
+    * it survive re-encodes; here the per-frame "perceptual word" is the
+    * [[frameSampleStub]] digest (STUB — the documented codec boundary:
+    * a real decoder swaps in per-frame pooled features without touching
+    * anything downstream), and the media signature is the same 60-bit
+    * affine majority vote the wide SimHash uses (`Dedup.wideSignature` —
+    * ONE definition, the two signature producers cannot drift). The
+    * majority vote is the real robustness the composition adds today:
+    * a copy with a FEW altered frames (watermark overlays, spliced
+    * intro cards) keeps the majority on every bit, so its signature
+    * lands within small hamming distance of the original even when the
+    * altered frames break digest-set containment.
+    *
+    * Media with zero sampled frames (payload shorter than one window)
+    * emit no signature — nothing to vote with. Output: (media_id,
+    * phash), all-integer, mirrored bit-for-bit by the oracle. */
+  def phashStub(media: DataFrame, idCol: String, payloadCol: String,
+                stride: Int): DataFrame =
+    Dedup.wideSignature(
+      frameSampleStub(media, idCol, payloadCol, stride)
+        .select(col("media_id").as("doc_id"), col("frame_digest").as("h")))
+      .select(col("doc_id").as("media_id"), col("simhash").as("phash"))
+
+  /** Media near-dup by perceptual-hash hamming distance: [[phashStub]]
+    * signatures band into the wide layout's 4×15-bit chunks and
+    * candidate pairs come ONLY from chunk-bucket collisions (lossless
+    * for maxHamming < 4 by the pigeonhole argument), then the exact
+    * 60-bit hamming distance filters — `Dedup.bandedHammingPairs`, the
+    * SAME banding pipeline as the wide SimHash, so the media family
+    * inherits its measured saturation behavior (SCALING.md §2). This
+    * catches the copies [[frameNearDup]]'s digest-set containment
+    * misses once enough individual frames are perturbed, at the cost of
+    * frame-level sub-clip detection — the two are complements, not
+    * substitutes. Output: (ma, mb, hamming), ma < mb. */
+  def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
+                 stride: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < Dedup.SimhashWideChunks,
+      s"banding is only lossless for 0 <= maxHamming < ${Dedup.SimhashWideChunks}, got $maxHamming")
+    Dedup.bandedHammingPairs(
+      phashStub(media, idCol, payloadCol, stride)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      Dedup.SimhashWideChunks, Dedup.SimhashWideChunkBits, maxHamming)
+      .select(col("da").as("ma"), col("db").as("mb"), col("hamming"))
+  }
+
   /** Incremental media near-dup: (batch_id, corpus_id, n_shared,
     * containment) between NEW media and the ingested library — the
     * media twin of the incremental text/semantic operators, for the

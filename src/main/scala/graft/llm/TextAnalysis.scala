@@ -2487,6 +2487,56 @@ object TextAnalysis {
   def dsirScores(docs: DataFrame, targetLang: String, topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topN >= 1, s"need topN >= 1, got $topN")
+    val perDoc = dsirPerDoc(docs, targetLang)
+    val out = perDoc
+      .withColumn("selected",
+        row_number().over(Window.orderBy(col("dsir_score").desc, col("doc_id"))) <= topN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    perDoc.unpersist(false)
+    out
+  }
+
+  /** 100 TB scale twin of [[dsirScores]]: the exact form ranks the
+    * docs-sized score table through ONE global sort partition just to
+    * find the top-N cut — the only single-partition stage in its plan.
+    * This twin never ranks: one tiny aggregate derives the score
+    * THRESHOLD at quantile (1 − keepFrac) from a mergeable
+    * Greenwald-Khanna summary (`approx_percentile` — partial summaries
+    * merge on executors like every sketch in this repo), the 1-row
+    * threshold broadcasts back, and `selected` is a scan-side compare.
+    * Selection stays scan-parallel at any corpus size.
+    *
+    * Kept fraction lands within the sketch's rank error of `keepFrac`,
+    * and selected docs are exactly those scoring >= the threshold — but
+    * the summary's merge order is partition-layout-dependent, so
+    * boundary docs inside the error band can move across layouts: this
+    * is the bench/spec-verified scale twin, NOT a contract query — the
+    * established qualityQuantileFilterSketched split (`q_dsir` pins the
+    * exact semantics bitwise). Scores are bit-identical to
+    * [[dsirScores]]' (same builder). EAGER like the exact form.
+    * Output: (doc_id, n_tokens, dsir_score, selected). */
+  def dsirScoresSketched(docs: DataFrame, targetLang: String, keepFrac: Double,
+                         accuracy: Int = 10000): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0,
+      s"need 0 <= keepFrac <= 1, got $keepFrac")
+    require(accuracy >= 1, s"need accuracy >= 1, got $accuracy")
+    val perDoc = dsirPerDoc(docs, targetLang)
+    val thr = perDoc.agg(
+      percentile_approx(col("dsir_score"), lit(1.0 - keepFrac), lit(accuracy)).as("t"))
+    val out = perDoc.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_score"),
+        (col("dsir_score") >= col("t")).as("selected"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    perDoc.unpersist(false)
+    out
+  }
+
+  /** The shared DSIR scoring pipeline: (doc_id, n_tokens, dsir_score),
+    * returned PERSISTED and materialized (token/vocab caches already
+    * released) — callers overlay their selection policy and unpersist. */
+  private def dsirPerDoc(docs: DataFrame, targetLang: String): DataFrame = {
     val toks = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), (col("lang") === targetLang).as("tgt"),
@@ -2503,13 +2553,10 @@ object TextAnalysis {
     val perDoc = toks.join(vocab, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), round(sum(lp), 4).as("dsir_score"))
-    val out = perDoc
-      .withColumn("selected",
-        row_number().over(Window.orderBy(col("dsir_score").desc, col("doc_id"))) <= topN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    perDoc.count()
     toks.unpersist(false)
     vocab.unpersist(false)
-    out
+    perDoc
   }
 }

@@ -794,6 +794,36 @@ class LlmSpec extends SparkSpec {
     out.map(_.getBoolean(3)) shouldBe Array(false, false, true)
   }
 
+  test("dsirScoresSketched: bit-identical scores, threshold upper-set, boundary-band-only divergence from exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val topN = 100
+    val exact = TextAnalysis.dsirScores(docs, "en", topN)
+    val nDocs = exact.count()
+    val sk = TextAnalysis.dsirScoresSketched(docs, "en", topN.toDouble / nDocs)
+    // scores come from the same builder: bit-identical per doc
+    val ex = exact.collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val sm = sk.collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    sm.keySet shouldBe ex.keySet
+    sm.foreach { case (id, (s, _)) => s shouldBe ex(id)._1 }
+    // threshold selection is an upper set: every selected score beats
+    // every unselected score
+    val selScores = sm.values.collect { case (s, true) => s }
+    val unselScores = sm.values.collect { case (s, false) => s }
+    selScores should not be empty
+    if (unselScores.nonEmpty) selScores.min should be >= unselScores.max
+    // divergence from the exact top-N is confined to the boundary band:
+    // any doc the two selections disagree on scores between the exact
+    // cut score and the sketched threshold (inclusive)
+    val cut = ex.values.collect { case (s, true) => s }.min
+    val thr = selScores.min
+    val lo = math.min(cut, thr); val hi = math.max(cut, thr)
+    val divergent = sm.collect { case (id, (s, k)) if k != ex(id)._2 => s }
+    divergent.foreach { s => s should (be >= lo and be <= hi) }
+    // and with the default accuracy the sketch keeps within a small
+    // band of the requested fraction
+    math.abs(selScores.size - topN) should be <= (nDocs / 20).toInt
+  }
+
   test("tokenBudgetSample: greedy prefix per source, override budget applies") {
     val docs = Seq(
       (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
@@ -1922,6 +1952,40 @@ class LlmSpec extends SparkSpec {
     out(0)._4 should be <= out(1)._4
     out(1)._4 should be <= out(2)._4
     out.foreach { t => t._5 should (be >= 0.0 and be <= 1.0) }
+  }
+
+  test("phashPairs: exact copy at hamming 0, perturbed copy within band, banding lossless vs brute force") {
+    // 1600 "frames" of 8 bytes each; B perturbs ONE frame (a watermark
+    // overlay), which breaks that frame's digest but moves each 60-bit
+    // majority count by at most one vote — only counts sitting exactly
+    // on the threshold can flip, so the signature stays within a small
+    // hamming band. The margin argument needs MANY frames: measured on
+    // this fixture family, 20 frames land at hamming 6+ (a sixth of the
+    // counts sit on the boundary), 800 at 4, 1600 at 0
+    val a = (0 until 1600).map(f => f"frame$f%04d".take(8)).mkString
+    val b = a.substring(0, 8 * 7) + "WATERMRK" + a.substring(8 * 8)
+    val c = (0 until 1600).map(f => f"OTHER$f%04d".take(8)).mkString
+    val m = Seq((1L, a), (2L, b), (3L, a), (4L, c)).toDF("doc_id", "text")
+    val out = Multimodal.phashPairs(m, "doc_id", "text", stride = 1, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out((1L, 3L)) shouldBe 0L          // byte-identical copy
+    out.keySet should contain((1L, 2L)) // one perturbed frame stays in band
+    out((1L, 2L)) shouldBe out((2L, 3L))
+    out.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
+    // losslessness of the chunk banding on the real corpus: banded
+    // pairs == brute-force all-pairs hamming filter (pigeonhole:
+    // hamming <= 3 < 4 chunks forces one intact shared chunk)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = Multimodal.phashStub(docs, "doc_id", "text", stride = 2)
+    val banded = Multimodal.phashPairs(docs, "doc_id", "text", stride = 2, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = sig.as("a").join(sig.as("b"), col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id"), col("b.media_id"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    banded shouldBe brute
+    banded should not be empty
   }
 
   // ---------- round 6 ----------
