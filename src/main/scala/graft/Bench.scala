@@ -415,6 +415,48 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming drift monitor: TV + KS emitted per trigger from ONE
+      // per-source histogram state, documents fed as a 4-batch file
+      // stream against a corpus-derived reference histogram. Streamed
+      // values ≡ direct recomputation is spec-pinned (StreamingSpec);
+      // the guard here is non-empty output with every tv/ks in [0, 1]
+      "stream_drift_monitor" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val nbins = 20
+        val width = 10L
+        val binned = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("source"),
+            expr(s"CAST(least(CAST(size(split(text, ' ')) AS BIGINT) div $width, " +
+              s"CAST(${nbins - 1} AS BIGINT)) AS INT)").as("bin"))
+        val ref = Array.fill(nbins)(0L)
+        binned.groupBy(col("bin")).count().collect()
+          .foreach(r => ref(r.getInt(0)) = r.getLong(1))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_drift_bench").toString
+        try {
+          binned.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          import s2.implicits._
+          val src = s2.readStream.schema(binned.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .as[graft.streaming.DriftMonitor.BinnedDoc]
+          val q = graft.streaming.DriftMonitor.sourceDriftUpdates(src, ref.toSeq)
+            .writeStream.format("memory").queryName("drift_bench")
+            .outputMode("update").option("checkpointLocation", s"$tmp/ck").start()
+          q.processAllAvailable()
+          q.stop()
+          val rows = s2.sql("SELECT tv, ks FROM drift_bench").collect()
+          require(rows.nonEmpty && rows.forall(r =>
+            r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0 &&
+              r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0),
+            s"drift monitor emitted ${rows.length} rows with out-of-range stats")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming retention-matrix deltas (flatMapGroupsWithState with
       // retraction on late cohort rebases): the events table fed as a
       // 4-batch file stream of (user_id, hour); summed deltas must

@@ -4,19 +4,24 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming per-source distribution-drift monitor — the live twin of
-  * `TextAnalysis.sourceLengthDrift`: as documents arrive, each source
-  * accumulates a length-bin histogram in state and every trigger emits
-  * its updated total-variation distance against a FIXED reference
+  * `TextAnalysis.sourceLengthDrift` AND `sourceLengthKs`: as documents
+  * arrive, each source accumulates a length-bin histogram in state and
+  * every trigger emits BOTH drift statistics against a FIXED reference
   * histogram (the deployment reality: the reference is the last
-  * known-good corpus, recomputed offline by the batch operator; the
-  * stream watches for a source drifting away from it). A truncation
-  * bug or boilerplate flood in an upstream feed shows up as one
-  * source's `tv` climbing trigger over trigger.
+  * known-good corpus, recomputed offline by the batch operators; the
+  * stream watches for a source drifting away from it). The two
+  * statistics are complements over the SAME state — TV sums per-bin
+  * disagreement (everywhere-a-little drift: a boilerplate flood), KS
+  * takes the worst single CDF gap (a localized shift: the truncation
+  * bug that clips every long doc moves KS hard while diluting TV
+  * across bins) — so one histogram buys both alarms per trigger.
   *
-  * Exactness: identical discipline to the batch twin — bin counts are
-  * integers, l1 is the cross-multiplied BIGINT
-  * Σ_b |c_b·R − ref_b·n| (R = reference total, n = source total), and
-  * the only float is the final l1 / (2·n·R) division.
+  * Exactness: identical discipline to the batch twins — bin counts are
+  * integers; l1 is the cross-multiplied BIGINT Σ_b |c_b·R − ref_b·n|
+  * (R = reference total, n = source total) with tv = l1 / (2·n·R);
+  * ks_num is the cross-multiplied BIGINT max_b |Cum_b·R − CumRef_b·n|
+  * with ks = ks_num / (n·R) — each one float division, no rounding
+  * (the sourceLengthKs discipline).
   *
   * Scale: state is `reference.size` longs per source — constant
   * regardless of stream length, sharded by source. Documents are
@@ -28,9 +33,11 @@ object DriftMonitor {
   /** One arriving document, already length-binned by the caller. */
   case class BinnedDoc(doc_id: Long, source: String, bin: Int)
 
-  /** The source's drift after this trigger: `l1` and `tv` vs the
-    * reference, over everything the source has streamed so far. */
-  case class SourceDrift(source: String, n_docs: Long, l1: Long, tv: Double)
+  /** The source's drift after this trigger: TV (`l1`, `tv`) and KS
+    * (`ks_num`, `ks`) vs the reference, over everything the source has
+    * streamed so far. */
+  case class SourceDrift(source: String, n_docs: Long, l1: Long, tv: Double,
+                         ks_num: Long, ks: Double)
 
   case class BinCounts(counts: Seq[Long])
 
@@ -58,7 +65,19 @@ object DriftMonitor {
           val l1 = counts.indices
             .map(b => math.abs(counts(b) * refN - reference(b) * n)).sum
           val tv = if (n == 0) 0.0 else l1.toDouble / (2.0 * n * refN)
-          Iterator(SourceDrift(source, n, l1, tv))
+          // KS over the same histogram: running cumulatives in bin
+          // order, worst cross-multiplied CDF gap
+          var cumSrc = 0L
+          var cumRef = 0L
+          var ksNum = 0L
+          counts.indices.foreach { b =>
+            cumSrc += counts(b)
+            cumRef += reference(b)
+            val gap = math.abs(cumSrc * refN - cumRef * n)
+            if (gap > ksNum) ksNum = gap
+          }
+          val ks = if (n == 0) 0.0 else ksNum.toDouble / (n.toDouble * refN)
+          Iterator(SourceDrift(source, n, l1, tv, ksNum, ks))
       }
   }
 }

@@ -585,16 +585,17 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("sourceDriftUpdates: streamed TV matches the direct computation; a flooded source's TV climbs") {
+  test("sourceDriftUpdates: streamed TV and KS match the direct computation; a flooded source's drift climbs") {
     implicit val ctx = spark.sqlContext
     // reference: a balanced 2-bin corpus (10 short, 10 long)
     val ref = Seq(10L, 10L)
     val mem = MemoryStream[DriftMonitor.BinnedDoc]
     val q = DriftMonitor.sourceDriftUpdates(mem.toDS(), ref)
       .writeStream.format("memory").queryName("drift").outputMode("update").start()
-    def lastTv(): Map[String, (Long, Long, Double)] =
+    def lastTv(): Map[String, (Long, Long, Double, Long, Double)] =
       spark.sql("SELECT * FROM drift").collect()
-        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
     try {
       // trigger 1: source A balanced (matches the reference), B all-short
@@ -603,25 +604,32 @@ class StreamingSpec extends SparkSpec {
         DriftMonitor.BinnedDoc(2L, "B", 0), DriftMonitor.BinnedDoc(3L, "B", 0))
       q.processAllAvailable()
       val t1 = lastTv()
-      t1("A") shouldBe ((2L, 0L, 0.0)) // |1*20-10*2| = 0 in both bins
-      // B: |2*20-10*2| + |0*20-10*2| = 40 -> 40/(2*2*20) = 0.5
-      t1("B") shouldBe ((2L, 40L, 0.5))
-      // trigger 2: B floods with more short docs — cumulative TV stays
+      t1("A") shouldBe ((2L, 0L, 0.0, 0L, 0.0)) // |1*20-10*2| = 0 in both bins
+      // B: TV |2*20-10*2| + |0*20-10*2| = 40 -> 40/(2*2*20) = 0.5;
+      // KS gaps |2*20-10*2| = 20, |2*20-20*2| = 0 -> 20/(2*20) = 0.5
+      t1("B") shouldBe ((2L, 40L, 0.5, 20L, 0.5))
+      // trigger 2: B floods with more short docs — cumulative TV/KS stay
       // pinned at the all-short maximum; A rebalances to zero again
       mem.addData(
         DriftMonitor.BinnedDoc(4L, "B", 0), DriftMonitor.BinnedDoc(5L, "B", 0),
         DriftMonitor.BinnedDoc(6L, "A", 0), DriftMonitor.BinnedDoc(7L, "A", 1))
       q.processAllAvailable()
       val t2 = lastTv()
-      t2("A") shouldBe ((4L, 0L, 0.0))
-      // B: 4 short: |4*20-10*4| + |0-10*4| = 80 -> 80/(2*4*20) = 0.5
-      t2("B") shouldBe ((4L, 80L, 0.5))
-      // direct recomputation of the same cumulative histograms agrees
+      t2("A") shouldBe ((4L, 0L, 0.0, 0L, 0.0))
+      // B: 4 short: TV |4*20-10*4| + |0-10*4| = 80 -> 80/(2*4*20) = 0.5;
+      // KS gaps |4*20-10*4| = 40, |80-80| = 0 -> 40/(4*20) = 0.5
+      t2("B") shouldBe ((4L, 80L, 0.5, 40L, 0.5))
+      // direct recomputation of BOTH statistics from the same cumulative
+      // histograms agrees exactly (the streamed-KS ≡ direct pin)
       val counts = Map("A" -> Seq(2L, 2L), "B" -> Seq(4L, 0L))
       for ((s, c) <- counts) {
         val n = c.sum
         val l1 = c.indices.map(b => math.abs(c(b) * 20L - ref(b) * n)).sum
-        t2(s) shouldBe ((n, l1, l1.toDouble / (2.0 * n * 20L)))
+        val ksNum = c.indices.map { b =>
+          math.abs(c.take(b + 1).sum * 20L - ref.take(b + 1).sum * n)
+        }.max
+        t2(s) shouldBe ((n, l1, l1.toDouble / (2.0 * n * 20L),
+          ksNum, ksNum.toDouble / (n.toDouble * 20L)))
       }
     } finally q.stop()
   }
