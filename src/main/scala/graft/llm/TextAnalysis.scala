@@ -2515,11 +2515,19 @@ object TextAnalysis {
     * established qualityQuantileFilterSketched split (`q_dsir` pins the
     * exact semantics bitwise). Scores are bit-identical to
     * [[dsirScores]]' (same builder). EAGER like the exact form.
-    * Output: (doc_id, n_tokens, dsir_score, selected). */
+    * Output: (doc_id, n_tokens, dsir_score, selected).
+    *
+    * `keepFrac` must be > 0: selection is the INCLUSIVE upper set at
+    * the sketched threshold (`score >= t`), so keepFrac = 0 could never
+    * select zero docs — quantile 1.0 returns the max score and every
+    * argmax doc passes `>=`, biasing the kept fraction high at the
+    * boundary on top of sketch error. Rejected rather than documented
+    * as a quirk. */
   def dsirScoresSketched(docs: DataFrame, targetLang: String, keepFrac: Double,
                          accuracy: Int = 10000): DataFrame = {
-    require(keepFrac >= 0.0 && keepFrac <= 1.0,
-      s"need 0 <= keepFrac <= 1, got $keepFrac")
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"need 0 < keepFrac <= 1 (selection is inclusive at the sketched " +
+        s"threshold, so 0 can never keep zero docs), got $keepFrac")
     require(accuracy >= 1, s"need accuracy >= 1, got $accuracy")
     val perDoc = dsirPerDoc(docs, targetLang)
     val thr = perDoc.agg(

@@ -64,7 +64,7 @@ object DriftMonitor {
           val n = counts.sum
           val l1 = counts.indices
             .map(b => math.abs(counts(b) * refN - reference(b) * n)).sum
-          val tv = if (n == 0) 0.0 else l1.toDouble / (2.0 * n * refN)
+          val tv = if (n == 0) 0.0 else l1.toDouble / (2L * n * refN).toDouble
           // KS over the same histogram: running cumulatives in bin
           // order, worst cross-multiplied CDF gap
           var cumSrc = 0L
@@ -76,7 +76,7 @@ object DriftMonitor {
             val gap = math.abs(cumSrc * refN - cumRef * n)
             if (gap > ksNum) ksNum = gap
           }
-          val ks = if (n == 0) 0.0 else ksNum.toDouble / (n.toDouble * refN)
+          val ks = if (n == 0) 0.0 else ksNum.toDouble / (n * refN).toDouble
           Iterator(SourceDrift(source, n, l1, tv, ksNum, ks))
       }
   }

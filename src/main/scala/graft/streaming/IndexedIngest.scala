@@ -42,14 +42,30 @@ object IndexedIngest {
           // torn first batch: a crash between the corpus write and the
           // index write leaves corpus partitions with NO index directory
           // — reading indexPath would then throw on every replay and
-          // wedge the stream. A missing index is an EMPTY index (the
-          // replay filter `< batchId` would exclude its rows anyway);
+          // wedge the stream. The empty-index substitute is scoped to
+          // EXACTLY that case: every corpus partition carries
+          // ingest_batch >= batchId (only this batch's own torn write,
+          // which the `< batchId` replay filter excludes anyway). A
+          // missing index beside genuinely PRIOR corpus batches is loss
+          // (external deletion, partial restore) — raise rather than
+          // silently degrade cross-batch near-dup to within-batch-only;
           // schema comes from the same builder so the shapes can't drift
           if (indexDirs != null && indexDirs.nonEmpty)
             spark.read.parquet(indexPath)
               .filter(col("ingest_batch") < batchId)
               .select(col("doc_id"), col("band"), col("key"))
-          else Dedup.bandIndexRows(batchDocs.limit(0))))
+          else {
+            val priorCorpusBatches = partDirs.toSeq
+              .map(_.getPath.getName.stripPrefix("ingest_batch="))
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+              .filter(_ < batchId)
+            require(priorCorpusBatches.isEmpty,
+              s"band index missing at $indexPath but corpus has prior " +
+                s"batches ${priorCorpusBatches.sorted.mkString(",")} — " +
+                "index was lost (not a torn-first-batch replay); rebuild " +
+                "it with Dedup.writeBandIndex before resuming")
+            Dedup.bandIndexRows(batchDocs.limit(0))
+          }))
       else None
     val dropIds = Dedup.ingestDupIdsIndexed(batchDocs, prior, threshold)
     val survivors = batchDocs

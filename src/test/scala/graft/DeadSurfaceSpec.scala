@@ -13,8 +13,10 @@ import scala.jdk.CollectionConverters._
   * `llm/ops/analytics/streaming` must be referenced at least once
   * outside its own definition — from SparkEntry, a spec, another
   * operator, Bench, or COVERAGE.md (the documented-exemption channel).
-  * The defining file's COMMENTS are stripped before counting so a def
-  * mentioned only by its own scaladoc still reads as dead. */
+  * COMMENTS are stripped from EVERY scala file before counting, so a
+  * def mentioned only in scaladoc — its own or a sibling file's — still
+  * reads as dead; COVERAGE.md stays raw as the sole documented-exemption
+  * text. */
 class DeadSurfaceSpec extends AnyFunSuite with Matchers {
 
   private def read(p: Path): String =
@@ -33,11 +35,15 @@ class DeadSurfaceSpec extends AnyFunSuite with Matchers {
     val defPat = "(?m)^  (?:final )?def ([A-Za-z][A-Za-z0-9_]*)".r
     val allScala = Files.walk(Paths.get("src")).iterator().asScala
       .filter(_.toString.endsWith(".scala")).toSeq
+    // comment-stripped code corpus (every scala file) + raw COVERAGE.md:
+    // a name surviving only inside any comment anywhere is still dead
     val corpus: Map[String, String] =
-      (allScala.map(p => p.toString -> read(p)) :+
+      (allScala.map(p => p.toString -> stripComments(read(p))) :+
         ("COVERAGE.md" -> read(Paths.get("COVERAGE.md")))).toMap
+    val rawByFile: Map[String, String] =
+      opFiles.map(f => f.toString -> read(f)).toMap
     val orphans = opFiles.flatMap { f =>
-      val raw = corpus(f.toString)
+      val raw = rawByFile(f.toString)
       val names = defPat.findAllMatchIn(raw).map(_.group(1)).toList
         .filterNot(_ == "this").distinct
       names.filter { name =>
@@ -45,7 +51,8 @@ class DeadSurfaceSpec extends AnyFunSuite with Matchers {
         val selfDefs = ("(?m)^  (?:final )?def " +
           java.util.regex.Pattern.quote(name) + "\\b").r
           .findAllMatchIn(raw).size
-        val selfRefs = word.findAllMatchIn(stripComments(raw)).size - selfDefs
+        val selfRefs =
+          word.findAllMatchIn(corpus(f.toString)).size - selfDefs
         val otherRefs = corpus.iterator.collect {
           case (p, t) if p != f.toString => word.findAllMatchIn(t).size
         }.sum

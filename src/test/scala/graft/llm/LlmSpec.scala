@@ -822,6 +822,12 @@ class LlmSpec extends SparkSpec {
     // and with the default accuracy the sketch keeps within a small
     // band of the requested fraction
     math.abs(selScores.size - topN) should be <= (nDocs / 20).toInt
+    // keepFrac = 0 is rejected: selection is inclusive at the sketched
+    // threshold (score >= max), so 0 could never keep zero docs — the
+    // argmax docs would always pass and bias the kept fraction high
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirScoresSketched(docs, "en", keepFrac = 0.0)
+    }.getMessage should include("inclusive")
   }
 
   test("tokenBudgetSample: greedy prefix per source, override budget applies") {

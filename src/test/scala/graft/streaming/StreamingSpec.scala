@@ -199,6 +199,29 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 11L)
   }
 
+  test("indexed ingest: index lost beside PRIOR corpus batches raises instead of degrading") {
+    // the empty-index substitute is scoped to the torn-first-batch
+    // replay; if real prior batches exist and the index vanished
+    // (external deletion, partial restore), silently proceeding would
+    // degrade cross-batch near-dup to within-batch-only — must raise
+    val dir = java.nio.file.Files.createTempDirectory("lostidx").toString
+    val corpusPath = s"$dir/corpus"; val indexPath = s"$dir/index"
+    val b0 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    IndexedIngest.ingestBatch(b0, corpusPath, indexPath, batchId = 0L, threshold = 0.5)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true) shouldBe true
+    val ex = intercept[IllegalArgumentException] {
+      IndexedIngest.ingestBatch(
+        Seq((10L, "nine ten eleven twelve thirteen fourteen"))
+          .toDF("doc_id", "text"),
+        corpusPath, indexPath, batchId = 1L, threshold = 0.5)
+    }
+    ex.getMessage should include("band index missing")
+    ex.getMessage should include("prior batches 0")
+  }
+
   test("bloom ingest: exact streaming dedup, replay idempotent, restart restores the bloom") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("bloomingest").toString
