@@ -821,6 +821,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // SCD2 dimension merge (the MERGE INTO pattern engine-side): history
+    // derived from customer — a closed 'OLD_' row for every key%10==0
+    // plus an open row per key — merged with a change batch split into
+    // no-op / changed-segment / brand-new thirds by key%3, at version 10
+    "q_scd2" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"))
+      val closed = c.filter(col("key") % 10 === 0)
+        .select(col("key"), concat(lit("OLD_"), col("seg")).as("seg"),
+          col("nat"), lit(0L).as("valid_from"), lit(5L).as("valid_to"),
+          lit(false).as("is_current"))
+      val open = c.select(col("key"), col("seg"), col("nat"),
+        when(col("key") % 10 === 0, lit(5L)).otherwise(lit(0L)).as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+      val changes = c.select(
+        when(col("key") % 3 === 2, col("key") + 1000000L)
+          .otherwise(col("key")).as("key"),
+        when(col("key") % 3 === 1, concat(col("seg"), lit("_X")))
+          .when(col("key") % 3 === 2, lit("NEW"))
+          .otherwise(col("seg")).as("seg"),
+        col("nat"))
+      graft.ops.ScdMerge.merge(closed.unionByName(open), changes,
+        "key", Seq("seg", "nat"), version = 10L)
+        .orderBy(col("key"), col("valid_from"))
+    }),
+
     // exact interpolated percentiles per group (no approx — contract)
     "q_percentiles" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -2433,6 +2460,33 @@ object SparkEntry {
         "(SELECT max(v.tus) FROM ev v WHERE v.user_id = c.user_id " +
         "AND v.event_type = 'view' AND v.tus < c.tus) AS prior_view_us " +
         "FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id"),
+
+    "q_scd2" ->
+      ("WITH c AS (SELECT c_custkey AS key, c_mktsegment AS seg, " +
+        "CAST(c_nationkey AS BIGINT) AS nat FROM customer), " +
+        "hist AS (SELECT key, 'OLD_' || seg AS seg, nat, " +
+        "CAST(0 AS BIGINT) AS valid_from, CAST(5 AS BIGINT) AS valid_to, " +
+        "false AS is_current FROM c WHERE key % 10 = 0 " +
+        "UNION ALL SELECT key, seg, nat, " +
+        "CAST(CASE WHEN key % 10 = 0 THEN 5 ELSE 0 END AS BIGINT), " +
+        "CAST(NULL AS BIGINT), true FROM c), " +
+        "chg AS (SELECT CASE WHEN key % 3 = 2 THEN key + 1000000 ELSE key END AS key, " +
+        "CASE WHEN key % 3 = 1 THEN seg || '_X' WHEN key % 3 = 2 THEN 'NEW' " +
+        "ELSE seg END AS seg, nat FROM c), " +
+        "o AS (SELECT * FROM hist WHERE is_current), " +
+        "j AS (SELECT o.key AS okey, o.seg AS oseg, o.nat AS onat, " +
+        "o.valid_from AS ofrom, g.key AS gkey, g.seg AS gseg, g.nat AS gnat, " +
+        "(o.seg IS NOT DISTINCT FROM g.seg AND o.nat IS NOT DISTINCT FROM g.nat) AS same " +
+        "FROM o FULL OUTER JOIN chg g ON o.key = g.key) " +
+        "SELECT key, seg, nat, valid_from, valid_to, is_current FROM (" +
+        "SELECT key, seg, nat, valid_from, valid_to, is_current FROM hist WHERE NOT is_current " +
+        "UNION ALL SELECT okey, oseg, onat, ofrom, CAST(NULL AS BIGINT), true " +
+        "FROM j WHERE okey IS NOT NULL AND (gkey IS NULL OR same) " +
+        "UNION ALL SELECT okey, oseg, onat, ofrom, CAST(10 AS BIGINT), false " +
+        "FROM j WHERE okey IS NOT NULL AND gkey IS NOT NULL AND NOT same " +
+        "UNION ALL SELECT gkey, gseg, gnat, CAST(10 AS BIGINT), CAST(NULL AS BIGINT), true " +
+        "FROM j WHERE gkey IS NOT NULL AND (okey IS NULL OR NOT same)" +
+        ") ORDER BY key, valid_from"),
 
     "q_percentiles" ->
       ("SELECT l_returnflag, count(*) AS n, " +

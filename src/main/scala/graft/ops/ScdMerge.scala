@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD type 2) merge: apply a snapshot of
+  * changed attribute values to a versioned dimension history, closing
+  * the superseded open rows and appending new open rows — the
+  * `MERGE INTO` pattern Delta/Iceberg ship as a table-format feature,
+  * expressed engine-side over plain DataFrames. The reference engine
+  * has no mutation operator at all (its pipelines are pure batch
+  * reruns); this is the piece a production dimension pipeline needs the
+  * moment history must be preserved across reruns.
+  *
+  * Semantics per change row (key, attrs):
+  *   - key has an open history row with IDENTICAL attrs (null-safe) —
+  *     no-op, the open row passes through;
+  *   - key has an open history row with DIFFERENT attrs — the open row
+  *     closes (`valid_to = version`, `is_current = false`) and a new
+  *     open row (attrs from the change, `valid_from = version`) appends;
+  *   - key has no history row — a new open row appends.
+  * History rows already closed pass through untouched; open rows for
+  * keys absent from the change set pass through untouched. Versions are
+  * caller-supplied BIGINTs (ingestion batch ids / epoch micros), so the
+  * whole output is exact integers + the attr values — nothing float.
+  *
+  * Scale shape: ONE key-keyed FULL OUTER equi-join (the Delta/Iceberg
+  * `MERGE` plan shape — full outer because brand-new keys must surface
+  * from the change side; Spark plans it sort-merge, full outer is the
+  * one join type with no broadcast variant) + a factor-≤2 generator.
+  * History is scanned exactly once: closed rows ride THROUGH the join
+  * rather than around it (a separate `filter(!is_current)` union arm
+  * would re-scan the table — Spark reuses no DataFrame subplans), and
+  * each joined row emits its output rows from one `explode(array(...))`
+  * with null placeholders filtered after the generator
+  * (`when`+`array`+`explode` stay codegen'd; a `filter()` higher-order
+  * function would not). At 100 TB the stored history is bucketed/
+  * range-partitioned by key (the `ops/Bucketing` layout), which removes
+  * the history-side exchange — the merge then shuffles only the change
+  * batch, and the rewrite touches only partitions holding changed keys.
+  */
+object ScdMerge {
+
+  /** @param history  SCD2 table: `key`, `attrs*`, `valid_from: BIGINT`,
+    *                 `valid_to: BIGINT` (null = open), `is_current:
+    *                 BOOLEAN`. At most one open row per key (the SCD2
+    *                 invariant — outputs of this operator preserve it).
+    * @param changes  one row per key: `key`, `attrs*`. Must be unique
+    *                 per key (a change batch with conflicting rows for
+    *                 one key has no well-defined SCD outcome — dedupe
+    *                 upstream, e.g. `Dedup.keepByPriority`).
+    * @param key      equi-join key column name.
+    * @param attrs    tracked attribute columns, present on both sides.
+    * @param version  the version stamp for this merge: closes get
+    *                 `valid_to = version`, inserts get `valid_from =
+    *                 version`.
+    */
+  def merge(history: DataFrame, changes: DataFrame, key: String,
+            attrs: Seq[String], version: Long): DataFrame = {
+    require(attrs.nonEmpty, "SCD merge needs at least one tracked attribute")
+    val outCols = (key +: attrs) ++ Seq("valid_from", "valid_to", "is_current")
+    val chg = changes.select(
+      (col(key).as(key) +: attrs.map(a => col(a).as(s"_chg_$a"))) :+
+        lit(true).as("_chg"): _*)
+    val j = history.join(chg, Seq(key), "full_outer")
+    val hasHist = col("is_current").isNotNull
+    val sameAttrs = attrs.map(a => col(a) <=> col(s"_chg_$a")).reduce(_ && _)
+    val superseded = hasHist && col("is_current") && col("_chg") && !sameAttrs
+    def outStruct(attrCols: Seq[org.apache.spark.sql.Column],
+                  from: org.apache.spark.sql.Column,
+                  to: org.apache.spark.sql.Column,
+                  current: org.apache.spark.sql.Column) =
+      struct((col(key).as(key) +: attrCols.zip(attrs).map { case (c, a) => c.as(a) }) ++
+        Seq(from.cast("long").as("valid_from"), to.cast("long").as("valid_to"),
+          current.as("is_current")): _*)
+    // row 1: the history row, closed out when superseded; or the brand-new
+    // open row when the key never existed. row 2: the replacement open row
+    // for a superseded key (null and filtered otherwise).
+    val passOrClose = outStruct(attrs.map(col),
+      col("valid_from"),
+      when(superseded, lit(version)).otherwise(col("valid_to")),
+      when(superseded, lit(false)).otherwise(col("is_current")))
+    val insertNew = outStruct(attrs.map(a => col(s"_chg_$a")),
+      lit(version), lit(null).cast("long"), lit(true))
+    // `when` without `otherwise` is null of the branch type — the slot
+    // the post-generator filter drops
+    val rows = array(
+      when(hasHist, passOrClose).otherwise(insertNew),
+      when(superseded, insertNew))
+    j.select(explode(rows).as("_r"))
+      .filter(col("_r").isNotNull)
+      .select(outCols.map(c => col(s"_r.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScdMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hist(rows: (Long, String, Long, Long, Option[Long], Boolean)*) =
+    rows.toDF("key", "seg", "nat", "valid_from", "valid_to", "is_current")
+
+  test("SCD2 merge: close+insert on change, pass-through on match, insert on new key, closed history untouched") {
+    val history = hist(
+      // key 1: one closed + one open row; the change matches the OPEN attrs
+      (1L, "A_old", 7L, 0L, Some(5L), false),
+      (1L, "A", 7L, 5L, None, true),
+      // key 2: open row, change differs -> close + insert
+      (2L, "B", 8L, 0L, None, true),
+      // key 3: open row, key absent from the change set -> untouched
+      (3L, "C", 9L, 0L, None, true))
+    val changes = Seq(
+      (1L, "A", 7L),      // identical attrs: no-op
+      (2L, "B2", 8L),     // changed attr
+      (4L, "D", 10L))     // brand-new key
+      .toDF("key", "seg", "nat")
+    val out = ScdMerge.merge(history, changes, "key", Seq("seg", "nat"), version = 10L)
+      .orderBy("key", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    out shouldBe Array(
+      (1L, "A_old", 7L, 0L, Some(5L), false),
+      (1L, "A", 7L, 5L, None, true),
+      (2L, "B", 8L, 0L, Some(10L), false),
+      (2L, "B2", 8L, 10L, None, true),
+      (3L, "C", 9L, 0L, None, true),
+      (4L, "D", 10L, 10L, None, true))
+  }
+
+  test("attr comparison is null-safe: null == null is a no-op, null vs value is a change") {
+    val history = Seq(
+      (1L, Option.empty[String], 0L, Option.empty[Long], true),
+      (2L, Option("X"), 0L, Option.empty[Long], true))
+      .toDF("key", "seg", "valid_from", "valid_to", "is_current")
+    val changes = Seq(
+      (1L, Option.empty[String]),  // null == null: pass through
+      (2L, Option.empty[String]))  // X -> null: a real change
+      .toDF("key", "seg")
+    val out = ScdMerge.merge(history, changes, "key", Seq("seg"), version = 3L)
+      .orderBy("key", "valid_from").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    out shouldBe Array(
+      (1L, None, 0L, None, true),
+      (2L, Some("X"), 0L, Some(3L), false),
+      (2L, None, 3L, None, true))
+  }
+
+  test("SCD2 invariant preserved: at most one open row per key after iterated merges") {
+    val v0 = Seq((1L, "a", 0L, Option.empty[Long], true))
+      .toDF("key", "seg", "valid_from", "valid_to", "is_current")
+    val m1 = ScdMerge.merge(v0, Seq((1L, "b"), (2L, "x")).toDF("key", "seg"),
+      "key", Seq("seg"), version = 1L)
+    val m2 = ScdMerge.merge(m1, Seq((1L, "c"), (2L, "x")).toDF("key", "seg"),
+      "key", Seq("seg"), version = 2L)
+    val open = m2.filter(col("is_current")).groupBy("key").count().collect()
+    open.foreach(_.getLong(1) shouldBe 1L)
+    m2.count() shouldBe 4L // key1: a(closed) b(closed) c(open); key2: x(open)
+    // every closed row's valid_to equals the successor's valid_from
+    val k1 = m2.filter(col("key") === 1L).orderBy("valid_from").collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    k1 shouldBe Array(("a", 0L, 1L), ("b", 1L, 2L), ("c", 2L, -1L))
+  }
+
+  test("history is scanned once through a single full-outer merge join") {
+    val history = spark.range(0, 1000)
+      .select(col("id").as("key"), concat(lit("s"), col("id") % 5).as("seg"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    val changes = Seq((1L, "zz"), (5000L, "new")).toDF("key", "seg")
+    val plan = ScdMerge.merge(history, changes, "key", Seq("seg"), 7L)
+      .queryExecution.executedPlan.toString
+    // the MERGE shape: one full-outer sort-merge join (full outer has no
+    // broadcast variant), history's Range appearing exactly once — closed
+    // rows ride through the join, not around it via a second scan
+    plan should include("SortMergeJoin")
+    plan should include("FullOuter")
+    plan.sliding("Range (0".length).count(_ == "Range (0") shouldBe 1
+  }
+}
