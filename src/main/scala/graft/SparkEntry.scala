@@ -778,6 +778,27 @@ object SparkEntry {
       Similarity.cellBalancedSample(emb(s, dir), IvfCoarseIds, quota = 10)
         .orderBy(col("cell_id"), col("rn"))),
 
+    // per-cell medoid over FITTED centroids (one vkmeans step on the
+    // round-4 grid — with corpus-vector seeds the seed itself is
+    // trivially the medoid): each cell's single most central member,
+    // argmin d2 ties to lowest id; d2 is ordering-only so the output
+    // is all-integer
+    "q_cell_medoids" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val cents = e.filter(col("vec_id").isin(PqCodebookIds: _*))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2).toSeq
+      val coarse = graft.llm.VectorKMeans.step(e, "vec", cents).zipWithIndex
+        .map { case (c, cell) => (cell.toLong, c.map(x =>
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble).toSeq)
+        }.toDF("cell_id", "cvec")
+      Similarity.cellMedoids(emb(s, dir), coarse).orderBy(col("cell_id"))
+    }),
+
     // leakage-safe split: the content split lifted to near-dup clusters
     // (split by the cluster keeper's fingerprint) — cross_pairs counts
     // minhash pairs straddling the boundary and must be 0 by construction
@@ -2290,6 +2311,7 @@ object SparkEntry {
         "FROM r ORDER BY position"),
 
     "q_cell_sample" -> TextSql.cellSampleSql(IvfCoarseIds, quota = 10),
+    "q_cell_medoids" -> TextSql.cellMedoidSql(PqCodebookIds),
 
     "q_oov" ->
       ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents), " +

@@ -1157,7 +1157,10 @@ object TextSql {
     * fixed-grid mean (gridMeanSql) rounded once to 4 (the a1_recenter
     * margin). PqCodebook-style ids are passed ascending so position
     * order == id order on both sides. */
-  def vkmeansStepSql(seedIds: Seq[Long]): String = {
+  /** The vkmeans-step CTE chain through `g` (cell, dim, m on the exact
+    * 1e-6 mean grid) — shared by the step mirror and the fitted-centroid
+    * medoid mirror. */
+  private def vkmeansStepCtes(seedIds: Seq[Long]): String = {
     val cmValues = seedIds.sorted.zipWithIndex
       .map { case (id, c) => s"($c, $id)" }.mkString(", ")
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
@@ -1167,12 +1170,15 @@ object TextSql {
       s"ORDER BY ${l2sqSql("v", "cv")}, cell) AS rn FROM e CROSS JOIN cents), " +
       "a AS (SELECT vec_id, v, cell FROM ad WHERE rn = 1), " +
       "x AS (SELECT cell, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim, unnest(v) AS val FROM a), " +
-      s"g AS (SELECT cell, dim, ${gridMeanSql("val")} AS m FROM x GROUP BY 1, 2) " +
+      s"g AS (SELECT cell, dim, ${gridMeanSql("val")} AS m FROM x GROUP BY 1, 2)"
+  }
+
+  def vkmeansStepSql(seedIds: Seq[Long]): String =
+    vkmeansStepCtes(seedIds) +
       // `+ 0.0` folds DuckDB's signed-zero round output (-0.0 for tiny
       // negative means) onto +0.0 — Scala BigDecimal has no -0.0, and the
       // driver hashes floats bitwise, so the zeros must match in SIGN too
-      "SELECT cell, dim, round(m, 4) + 0.0 AS m FROM g ORDER BY cell, dim"
-  }
+      " SELECT cell, dim, round(m, 4) + 0.0 AS m FROM g ORDER BY cell, dim"
 
   /** The unrolled power-iteration step CTEs over matrix table `gTab`,
     * producing `$p1 .. $p$iters` direction CTEs (step t reads
@@ -1395,6 +1401,27 @@ object TextSql {
       s"SELECT cell_id, vec_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $quota " +
       "ORDER BY cell_id, rn"
   }
+
+  /** Mirror of Similarity.cellMedoids over centroids fitted by one
+    * VectorKMeans step: the vkmeansStepSql CTE chain produces the
+    * round-4-grid (cell, dim, m) means bitwise; each cell's centroid
+    * array reassembles via `list(... ORDER BY dim)`, corpus vectors
+    * re-assign to the fitted cells (argmin, ties to lowest cell), and
+    * the medoid is the member with the smallest (d2, vec_id) — d2 is
+    * ordering-only; the emitted columns are all integers. */
+  def cellMedoidSql(seedIds: Seq[Long]): String =
+    vkmeansStepCtes(seedIds) + ", " +
+      "cf AS (SELECT cell AS cell_id, list(round(m, 4) + 0.0 ORDER BY dim) AS cv " +
+      "FROM g GROUP BY cell), " +
+      s"ad2 AS (SELECT e.vec_id, cell_id, ${l2sqSql("v", "cv")} AS d2, " +
+      "ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY ${l2sqSql("v", "cv")}, cell_id) AS rn FROM e CROSS JOIN cf), " +
+      "asg AS (SELECT vec_id, cell_id, d2 FROM ad2 WHERE rn = 1), " +
+      "med AS (SELECT cell_id, vec_id, ROW_NUMBER() OVER (PARTITION BY cell_id " +
+      "ORDER BY d2, vec_id) AS mrn, COUNT(*) OVER (PARTITION BY cell_id) AS n " +
+      "FROM asg) " +
+      "SELECT cell_id, vec_id AS medoid_id, CAST(n AS BIGINT) AS n_members " +
+      "FROM med WHERE mrn = 1 ORDER BY cell_id"
 
   /** Mirror of TextAnalysis.mixtureWeights: same bottleneck argmin (one
     * IEEE division of exact BIGINTs, ties to smallest source), same

@@ -426,6 +426,42 @@ object Similarity {
       .select(col("cell_id"), col("vec_id"), col("rn"))
   }
 
+  /** Per-cell medoid: the corpus vector closest to its cell's FITTED
+    * centroid — the canonical exemplar a corpus card / cluster browser
+    * shows per topic, and the diversity-sampling companion to
+    * [[cellBalancedSample]] (that operator draws a balanced SAMPLE per
+    * cell; this one names each cell's single most central member).
+    * Takes an explicit (cell_id, cvec) table — the fitted-quantizer
+    * artifact, the [[ivfTopKWith]] convention — because with
+    * corpus-vector seeds the medoid is trivially the seed itself
+    * (its own distance is 0): the operator is only informative once
+    * centroids are means, i.e. after at least one K-Means step.
+    *
+    * Shape: the shuffle-free literal-centroid assignment shared with
+    * IVF, one broadcast join to re-attach the K centroid vectors, then
+    * ONE cell-keyed aggregate — `min(struct(d2, vec_id))` compares d2
+    * then vec_id, so the argmin ties to the lowest id with map-side
+    * partials doing the heavy lifting (a per-cell window would sort
+    * whole cells; the min-struct aggregate keeps one candidate per
+    * partition per cell). d2 is ordering-only and never emitted — the
+    * output is all-integer (cell_id, medoid_id, n_members), nothing for
+    * cross-engine float discipline to even guard. A cell emptied by the
+    * assignment is simply absent. EAGER in the coarse table (see
+    * [[ivfTopK]]). */
+  def cellMedoids(emb: DataFrame, coarse: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val cells = coarse.select(col("cell_id").cast("long").as("cell_id"),
+      col("cvec").cast("array<double>").as("cvec"))
+    assignCells(e, cells)
+      .join(broadcast(cells), Seq("cell_id"))
+      .select(col("cell_id"), col("vec_id"),
+        distSq(col("vec"), col("cvec")).as("d2"))
+      .groupBy(col("cell_id"))
+      .agg(min(struct(col("d2"), col("vec_id"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cell_id"), col("m.vec_id").as("medoid_id"), col("n_members"))
+  }
+
   /** Gram (second-moment) matrix of the embedding corpus: G[i][j] =
     * Σ_vec vec(i)·vec(j) — the building block for covariance/whitening/
     * PCA over a training-data embedding table. Join formulation (the

@@ -1150,6 +1150,29 @@ class LlmSpec extends SparkSpec {
     again shouldBe out
   }
 
+  test("cellMedoids: closest member wins with tie to lowest id, counts per cell, empty cell absent, seed-centroid triviality") {
+    val coarse = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), (2L, Seq(-100.0, -100.0)))
+      .toDF("cell_id", "cvec")
+    val e = Seq(
+      (1L, Seq(1.0, 0.0)),   // cell 0, d2 = 1
+      (3L, Seq(-1.0, 0.0)),  // cell 0, d2 = 1 — ties to lower id 1
+      (5L, Seq(0.0, 2.0)),   // cell 0, d2 = 4
+      (7L, Seq(9.0, 10.0)),  // cell 1, d2 = 1 — the medoid
+      (9L, Seq(13.0, 13.0))) // cell 1, d2 = 18
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cellMedoids(e, coarse).orderBy(col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // cell 2 catches no member and is absent, not a null row
+    out shouldBe Array((0L, 1L, 3L), (1L, 7L, 2L))
+    // with corpus-vector seeds every seed is trivially its own medoid
+    // (d2 = 0) — the documented reason the operator takes FITTED cells
+    val seeded = e.filter(col("vec_id").isin(1L, 7L))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    Similarity.cellMedoids(e, seeded).collect()
+      .foreach(r => r.getLong(1) shouldBe r.getLong(0))
+  }
+
   test("leakageSafeSplit: near-dup twins the naive split separates land together; singletons keep the content split") {
     // deterministically find a text pair the NAIVE per-doc content split
     // separates (the leak this operator exists to close)
