@@ -711,6 +711,15 @@ object SparkEntry {
       TextAnalysis.vocabGrowth(docs(s, dir), batchSize = 50L)
         .orderBy(col("batch"))),
 
+    // bursting terms per ingestion batch: in-batch rate beats the
+    // rest-of-corpus rate by factor× with min support — decided by an
+    // exact cross-multiplied BIGINT compare; the ratio is one division
+    // of two CAST-to-DOUBLE exact products, null for brand-new terms
+    "q_bursts" -> ((s, dir) =>
+      TextAnalysis.burstTerms(docs(s, dir), batchSize = 50L,
+        minCount = 4L, factor = 1L)
+        .orderBy(col("batch"), col("w"))),
+
     // top-k collocations by PMI (Church & Hanks): most frequent bigrams
     // scored ln(one exact-BIGINT-product division) — the bigram-LM ln
     // discipline; k-row side broadcasts into the vocab joins
@@ -2403,6 +2412,19 @@ object SparkEntry {
         "SELECT batch, n_tokens, n_new_words, " +
         "CAST(sum(n_new_words) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab " +
         "FROM pb ORDER BY batch"),
+
+    "q_bursts" ->
+      ("WITH bw AS (SELECT doc_id // 50 AS batch, w, CAST(count(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) e GROUP BY 1, 2), " +
+        "ww AS (SELECT batch, w, c, CAST(sum(c) OVER (PARTITION BY w) AS BIGINT) AS cw FROM bw), " +
+        "nb AS (SELECT batch, CAST(sum(c) AS BIGINT) AS n_batch FROM bw GROUP BY 1), " +
+        "nn AS (SELECT batch, n_batch, CAST(sum(n_batch) OVER () AS BIGINT) AS nt FROM nb) " +
+        "SELECT ww.batch, w, c, cw - c AS c_rest, n_batch, nt - n_batch AS n_rest, " +
+        "CASE WHEN (cw - c) * n_batch > 0 THEN " +
+        "CAST(c * (nt - n_batch) AS DOUBLE) / CAST((cw - c) * n_batch AS DOUBLE) END AS burst_ratio " +
+        "FROM ww JOIN nn ON ww.batch = nn.batch " +
+        "WHERE c >= 4 AND c * (nt - n_batch) > 1 * (cw - c) * n_batch " +
+        "ORDER BY ww.batch, w"),
 
     "q_token_gini" ->
       ("WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x " +

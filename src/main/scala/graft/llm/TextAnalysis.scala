@@ -746,6 +746,54 @@ object TextAnalysis {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Bursting terms per ingestion batch — the freshness/contamination
+    * alarm beside [[vocabGrowth]]'s saturation curve: a term whose
+    * in-batch occurrence RATE beats its rate in the rest of the corpus
+    * by `factor`× (with `minCount` support) marks a topical spike — a
+    * news event entering the crawl, or a template/spam flood localized
+    * to one ingestion window (the dup monitors catch verbatim floods;
+    * this catches VOCABULARY floods that never repeat a document).
+    *
+    * Exact construction: the [[vocabGrowth]] (batch, word) count spine;
+    * per-word corpus totals ride a word-keyed WINDOW over that
+    * aggregate (parallel — partitioned by w), per-batch token totals a
+    * batches-sized second aggregate whose corpus total rides an
+    * unpartitioned window over THAT tiny table (never over the vocab
+    * table), broadcast back. The burst test is the cross-multiplied
+    * integer compare c·n_rest > factor·c_rest·n_batch — no division
+    * decides anything; burst_ratio is ONE division of the same two
+    * CAST-to-DOUBLE exact BIGINT products (the qualityClassifier
+    * pattern, no rounding), null when the term never occurs outside
+    * the batch (a genuinely NEW term — infinite ratio). Product bound:
+    * c·n_rest < 2^63 holds to ~3·10^9 corpus tokens (the collocations
+    * bound); past that, divide before comparing — different grid,
+    * deliberately not done here. Output: (batch, w, c, c_rest,
+    * n_batch, n_rest, burst_ratio), burst rows only. */
+  def burstTerms(docs: DataFrame, batchSize: Long, minCount: Long,
+                 factor: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    require(factor >= 1, s"need factor >= 1, got $factor")
+    val bw = docs
+      .select(expr(s"doc_id div $batchSize").as("batch"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy(col("batch"), col("w")).agg(count(lit(1)).as("c"))
+    val ww = bw.withColumn("cw", sum(col("c")).over(Window.partitionBy(col("w"))))
+    val nb = bw.groupBy(col("batch")).agg(sum(col("c")).as("n_batch"))
+      .withColumn("nt", sum(col("n_batch")).over(Window.partitionBy()))
+    ww.join(broadcast(nb), Seq("batch"))
+      .select(col("batch"), col("w"), col("c"),
+        (col("cw") - col("c")).as("c_rest"),
+        col("n_batch"), (col("nt") - col("n_batch")).as("n_rest"))
+      .filter(col("c") >= minCount &&
+        col("c") * col("n_rest") > lit(factor) * col("c_rest") * col("n_batch"))
+      .withColumn("burst_ratio",
+        when(col("c_rest") * col("n_batch") > 0,
+          (col("c") * col("n_rest")).cast("double") /
+            (col("c_rest") * col("n_batch")).cast("double")))
+  }
+
   /** Token-share Gini across sources — the one-number answer to "is my
     * training mixture dominated by a single source": 0 = every source
     * contributes equal tokens, →1 = one source is the corpus. The

@@ -1777,6 +1777,27 @@ class LlmSpec extends SparkSpec {
     out.toSeq shouldBe Seq((0L, 4L, 3L, 3L), (1L, 3L, 1L, 4L))
   }
 
+  test("burstTerms: cross-multiplied rate test by hand, new-term null ratio, min support gates") {
+    // batch 0: a3 b3 c1 (n=7); batch 1: x4 a1 b1 (n=6); batch 2: a6 b1
+    // (n=7); N=20; corpus a10 b5 c1 x4
+    val d = docsDF(0L -> "a b a b", 1L -> "a b c", 2L -> "x x x x",
+      3L -> "a b", 4L -> "a a a a a a", 5L -> "b")
+    val out = TextAnalysis.burstTerms(d, batchSize = 2L, minCount = 3L, factor = 2L)
+      .orderBy(col("batch"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    out.toSeq shouldBe Seq(
+      // b in batch 0: 3·13 = 39 > 2·(2·7) = 28; ratio = 39/14 unfactored
+      (0L, "b", 3L, 2L, 7L, 13L, Some(39.0 / 14.0)),
+      // x never occurs elsewhere: c_rest = 0, bursts with a NULL ratio
+      (1L, "x", 4L, 0L, 6L, 14L, None),
+      // a in batch 2: 6·13 = 78 > 2·(4·7) = 56; ratio = 78/28
+      (2L, "a", 6L, 4L, 7L, 13L, Some(78.0 / 28.0)))
+    // below min support nothing bursts, whatever the rate skew
+    TextAnalysis.burstTerms(d, 2L, minCount = 7L, factor = 1L).count() shouldBe 0L
+  }
+
   test("collocations: counts and PMI by hand on the exact product grid") {
     val out = TextAnalysis.collocations(docsDF(1L -> "x y x y"), 2)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
