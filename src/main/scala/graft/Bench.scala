@@ -457,6 +457,48 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming per-label embedding drift: int8 code sums per label in
+      // flatMapGroupsWithState state (dim+1 longs per label, constant),
+      // the embeddings table fed as a 4-batch file stream against the
+      // corpus-global reference sums. Streamed ≡ batch labelDrift
+      // bitwise is spec-pinned; the guard here is full label coverage
+      // with every cosine in [-1, 1]
+      "stream_label_drift" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val coded = graft.llm.Similarity.int8CodeRows(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"))
+        val reference = coded
+          .select(posexplode(col("codes")).as(Seq("pos", "code")))
+          .groupBy(col("pos")).agg(sum(col("code")).as("s"))
+          .orderBy(col("pos")).collect().map(_.getLong(1)).toSeq
+        val nLabels = coded.select(col("label")).distinct().count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ldrift_bench").toString
+        try {
+          coded.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          import s2.implicits._
+          val src = s2.readStream.schema(coded.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .as[graft.streaming.LabelDriftMonitor.CodedVec]
+          val q = graft.streaming.LabelDriftMonitor.labelDriftUpdates(src, reference)
+            .writeStream.format("memory").queryName("ldrift_bench")
+            .outputMode("update").option("checkpointLocation", s"$tmp/ck").start()
+          q.processAllAvailable()
+          q.stop()
+          val rows = s2.sql("SELECT DISTINCT label FROM ldrift_bench").collect()
+          val cos = s2.sql("SELECT cos_drift FROM ldrift_bench WHERE cos_drift IS NOT NULL")
+            .collect().map(_.getDouble(0))
+          require(rows.length == nLabels && cos.nonEmpty &&
+            cos.forall(c => c >= -1.0 && c <= 1.0),
+            s"label drift covered ${rows.length}/$nLabels labels")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming retention-matrix deltas (flatMapGroupsWithState with
       // retraction on late cohort rebases): the events table fed as a
       // 4-batch file stream of (user_id, hour); summed deltas must

@@ -637,6 +637,21 @@ object Similarity {
         transform(col("vec"), x => round(x * col("scale")).cast("long")).as("codes"))
   }
 
+  /** Shared int8 code rows for the drift monitors: (vec_id, label,
+    * codes) on the [[quantizeInt8]] grid (same per-vector maxAbs scale,
+    * same round-half-up). ONE definition feeds both [[labelDrift]] and
+    * the streaming `LabelDriftMonitor`'s input projection, so the batch
+    * twin and the live monitor can never quantize differently. */
+  def int8CodeRows(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      v(col("embedding")).as("vec"))
+    val maxAbs = array_max(transform(col("vec"), x => abs(x)))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    e.withColumn("sc", scale)
+      .select(col("vec_id"), col("label"),
+        transform(col("vec"), x => round(x * col("sc")).cast("long")).as("codes"))
+  }
+
   /** Per-label embedding drift monitor — the shard-health check of an
     * embedding pipeline: how far does each label's (shard's/source's)
     * mean embedding DIRECTION deviate from the corpus mean? A corrupted
@@ -659,13 +674,7 @@ object Similarity {
     * n_vecs, dot, na2, nb2, cos_drift), NULL cosine for a degenerate
     * all-zero side. */
   def labelDrift(emb: DataFrame): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label").cast("long").as("label"),
-      v(col("embedding")).as("vec"))
-    val maxAbs = array_max(transform(col("vec"), x => abs(x)))
-    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
-    val codes = e.withColumn("sc", scale)
-      .select(col("label"),
-        transform(col("vec"), x => round(x * col("sc")).cast("long")).as("codes"))
+    val codes = int8CodeRows(emb).select(col("label"), col("codes"))
     val x = codes.select(col("label"), posexplode(col("codes")).as(Seq("pos", "code")))
     // cnt rides the same aggregate (= n_vecs at every pos) and the global
     // centroid is a pos-keyed WINDOW over the per-label sums — a join

@@ -657,6 +657,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("labelDriftUpdates: streamed centroids equal the batch labelDrift bitwise with the batch global as reference") {
+    implicit val ctx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the shared quantization projection — ONE definition with the batch
+    val coded = graft.llm.Similarity.int8CodeRows(emb)
+      .collect()
+      .map(r => LabelDriftMonitor.CodedVec(
+        r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    val dim = coded.head.codes.size
+    // reference = the batch run's GLOBAL centroid sums (what labelDrift
+    // compares each label against), derived from the same codes
+    val reference = (0 until dim)
+      .map(i => coded.map(_.codes(i)).sum).toSeq
+    val batch = graft.llm.Similarity.labelDrift(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      .toMap
+    val mem = MemoryStream[LabelDriftMonitor.CodedVec]
+    val q = LabelDriftMonitor.labelDriftUpdates(mem.toDS(), reference)
+      .writeStream.format("memory").queryName("ldrift").outputMode("update").start()
+    try {
+      // two triggers — the state must accumulate across them
+      val (b1, b2) = coded.splitAt(coded.length / 2)
+      mem.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM ldrift").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      streamed.keySet shouldBe batch.keySet
+      // bitwise: integer sums are arrival-order-invariant and the cosine
+      // is the batch twin's exact five-op sequence
+      for ((label, row) <- streamed) withClue(s"label $label: ") {
+        row shouldBe batch(label)
+      }
+    } finally q.stop()
+  }
+
+  test("labelDriftUpdates: an off-reference flood drops one label's cosine within its trigger") {
+    implicit val ctx = spark.sqlContext
+    // reference centroid points along (+1, 0)
+    val reference = Seq(100L, 0L)
+    val mem = MemoryStream[LabelDriftMonitor.CodedVec]
+    val q = LabelDriftMonitor.labelDriftUpdates(mem.toDS(), reference)
+      .writeStream.format("memory").queryName("ldrift2").outputMode("update").start()
+    def last(): Map[Long, (Long, Option[Double])] =
+      spark.sql("SELECT label, n_vecs, cos_drift FROM ldrift2").collect()
+        .map(r => (r.getLong(0), (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    try {
+      mem.addData(
+        LabelDriftMonitor.CodedVec(0L, 1L, Seq(50L, 0L)),
+        LabelDriftMonitor.CodedVec(1L, 2L, Seq(40L, 0L)))
+      q.processAllAvailable()
+      last()(1L)._2.get shouldBe 1.0
+      last()(2L)._2.get shouldBe 1.0
+      // label 2 floods orthogonal to the reference: its cosine drops,
+      // label 1 untouched; an all-zero state stays NULL, not NaN
+      mem.addData(
+        LabelDriftMonitor.CodedVec(2L, 2L, Seq(-40L, 80L)),
+        LabelDriftMonitor.CodedVec(3L, 3L, Seq(0L, 0L)))
+      q.processAllAvailable()
+      val t2 = last()
+      t2(1L) shouldBe ((1L, Some(1.0)))
+      t2(2L)._1 shouldBe 2L
+      t2(2L)._2.get shouldBe 0.0 // sums (0, 80) ⊥ (100, 0)
+      t2(3L) shouldBe ((1L, None))
+    } finally q.stop()
+  }
+
   test("tokenBudgetUpdates: a single-batch stream reproduces the batch token-budget sampler") {
     implicit val ctx = spark.sqlContext
     val docsSeq = (0 until 12).map(i =>
