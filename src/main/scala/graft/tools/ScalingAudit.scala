@@ -341,6 +341,52 @@ object ScalingAudit {
       semCoarse, 0.4).count()
     val isW = (System.nanoTime() - isT0) / 1e9
     embBig.unpersist()
+    // Round-13 families. Perceptual-hash media near-dup: banded pHash
+    // verified-pair count at the decade (payload = text, the contract's
+    // stub world) — drift means the majority-vote signature, the
+    // 4×15-bit chunk banding, or the hamming verification changed.
+    val (phPairs, phW) = timedCount(
+      graft.llm.Multimodal.phashPairs(big, "doc_id", "text", 2, 3))(_.count())
+    // Hashed-profile topic drift: Σ dot and Σ na2 across the 16
+    // synthetic sources are exact partition-order-invariant BIGINTs
+    // (the cosine is derived from them) — the drift-profile tripwire.
+    val hdT0 = System.nanoTime()
+    val hd = TextAnalysis.hashedSourceDrift(bigSrc, 8)
+      .agg(coalesce(sum(col("dot")), lit(0L)).as("d"),
+        coalesce(sum(col("na2")), lit(0L)).as("a")).head
+    val (hdDot, hdNa2) = (hd.getLong(0), hd.getLong(1))
+    val hdW = (System.nanoTime() - hdT0) / 1e9
+    // KS beside TV from the same histograms: Σ per-source ks_num, the
+    // exact cross-multiplied worst-CDF-gap summary.
+    val ksT0 = System.nanoTime()
+    val ksNumSum = TextAnalysis.sourceLengthKs(bigSrc, 20L, 10)
+      .agg(coalesce(sum(col("ks_num")), lit(0L))).head.getLong(0)
+    val ksW = (System.nanoTime() - ksT0) / 1e9
+    // Round-14 families. Bursting terms with the batch spine scaled to
+    // the decade (10 batches of 5000 docs): burst-row count fingerprints
+    // the cross-multiplied rate test end-to-end.
+    val (burstRows, buW) = timedCount(
+      TextAnalysis.burstTerms(big, 5000L, 4L, 1L))(_.count())
+    // SCD2 merge over a synthesized decade-sized dimension (key = doc,
+    // change batch = no-op/changed/new thirds): the output row count
+    // fingerprints the close/insert/pass arithmetic at scale.
+    val scT0 = System.nanoTime()
+    val dim0 = big.select(col("doc_id").as("key"),
+      substring(col("text"), 1, 8).as("seg"),
+      (col("doc_id") % 97).cast("long").as("nat"))
+    val scHist = dim0.select(col("key"), col("seg"), col("nat"),
+      lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+      lit(true).as("is_current"))
+    val scChg = dim0.select(
+      when(col("key") % 3 === 2, col("key") + 10000000L)
+        .otherwise(col("key")).as("key"),
+      when(col("key") % 3 === 1, concat(col("seg"), lit("_X")))
+        .when(col("key") % 3 === 2, lit("NEW"))
+        .otherwise(col("seg")).as("seg"),
+      col("nat"))
+    val scdRows = graft.ops.ScdMerge.merge(
+      scHist, scChg, "key", Seq("seg", "nat"), 1L).count()
+    val scW = (System.nanoTime() - scT0) / 1e9
     big.unpersist()
     def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
     val json =
@@ -355,12 +401,17 @@ object ScalingAudit {
         s""""forget_rows10":$forgetRows,"safe_split_cross":$ssCross,""" +
         s""""tv_l1_s16":$tvL1,""" +
         s""""pairs_frame_neardup":$fnPairs,"pairs_incr_sem":$semPairs,""" +
+        s""""pairs_phash":$phPairs,"hash_drift_dot":$hdDot,""" +
+        s""""hash_drift_na2":$hdNa2,"ks_num_s16":$ksNumSum,""" +
+        s""""burst_rows":$burstRows,"scd2_rows":$scdRows,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
         s""""edit_pairs":${d2(edW)},"incr_edit":${d2(incrEdW)},""" +
         s""""forget":${d2(fgW)},"safe_split":${d2(ssW)},"tv_drift":${d2(tvW)},""" +
-        s""""frame_neardup":${d2(fnW)},"incr_sem":${d2(isW)}}}"""
+        s""""frame_neardup":${d2(fnW)},"incr_sem":${d2(isW)},""" +
+        s""""phash":${d2(phW)},"hash_drift":${d2(hdW)},"ks_drift":${d2(ksW)},""" +
+        s""""bursts":${d2(buW)},"scd2":${d2(scW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()
