@@ -376,6 +376,44 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming SCD2 dimension maintenance: a 4-batch change stream
+      // derived from customer (each batch re-segments a disjoint key
+      // quarter) merges into a manifest-versioned history. Guard: 4
+      // committed versions, final history covers every key with exactly
+      // one open row (replay/torn semantics are spec-pinned)
+      "stream_scd_ingest" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val changes = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey").as("key"),
+            concat(col("c_mktsegment"), lit("_"), col("c_custkey") % 4).as("seg"),
+            (col("c_custkey") % 4).as("part"))
+        val nKeys = changes.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_scd_bench").toString
+        try {
+          // one file per key quarter => exactly 4 micro-batches
+          changes.repartition(1).write.partitionBy("part")
+            .mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .select(col("key"), col("seg"))
+          val q = graft.streaming.ScdIngest.start(
+            src, s"$tmp/hist", "key", Seq("seg"), s"$tmp/ck")
+          q.processAllAvailable()
+          q.stop()
+          val vs = graft.ops.ManifestSink.committedVersions(s2, s"$tmp/hist")
+          val hist = graft.streaming.ScdIngest.currentHistory(s2, s"$tmp/hist")
+          val open = hist.filter(col("is_current")).count()
+          require(vs.length == 4 && open == nKeys,
+            s"scd ingest committed ${vs.length} versions, $open/$nKeys open rows")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming per-source token-budget gate: the documents table fed
       // as a 4-batch file stream; per-source running totals live in
       // flatMapGroupsWithState state (ONE long per source). Guard: every

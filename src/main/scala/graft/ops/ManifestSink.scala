@@ -51,12 +51,40 @@ object ManifestSink {
   def currentVersion(spark: SparkSession, dir: String): Option[Long] =
     committed(spark, dir).lastOption.map(_._1)
 
+  /** Committed versions in ascending order — the explicit-version
+    * surface the streaming exactly-once consumers resolve against. */
+  def committedVersions(spark: SparkSession, dir: String): Seq[Long] =
+    committed(spark, dir).map(_._1)
+
   /** Publishes `df` as the next version of `dir`; returns the version. */
   def publish(df: DataFrame, dir: String): Long = {
+    val v = currentVersion(df.sparkSession, dir).map(_ + 1).getOrElse(0L)
+    writeAndCommit(df, dir, v, tornOverwrite = false)
+    v
+  }
+
+  /** Publishes `df` at an EXPLICIT version — the streaming exactly-once
+    * surface: with version = the micro-batch id, a replayed batch
+    * rewrites ITS OWN version instead of minting a new one. A leftover
+    * UNCOMMITTED `data-v<version>` directory (a torn prior attempt:
+    * data written, manifest never renamed — invisible to every reader)
+    * is deleted and rewritten; publishing over an already-COMMITTED
+    * version is refused — the caller decides replay-skip semantics via
+    * [[committedVersions]] first. */
+  def publishAt(df: DataFrame, dir: String, version: Long): Unit = {
+    require(!committedVersions(df.sparkSession, dir).contains(version),
+      s"version $version is already committed under $dir — a replayed " +
+        "batch should skip, not republish")
+    writeAndCommit(df, dir, version, tornOverwrite = true)
+  }
+
+  private def writeAndCommit(df: DataFrame, dir: String, v: Long,
+                             tornOverwrite: Boolean): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
-    val v = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
     val dataDir = s"$dir/data-v$v"
+    if (tornOverwrite && fs.exists(new Path(dataDir)))
+      fs.delete(new Path(dataDir), true)
     df.write.mode("errorifexists").parquet(dataDir)
     val files = fs.listStatus(new Path(dataDir)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -70,12 +98,14 @@ object ManifestSink {
     val dst = new Path(dir, s"manifest-$v")
     if (!fs.rename(tmp, dst) || !fs.exists(dst))
       throw new java.io.IOException(s"manifest commit $tmp -> $dst failed")
-    v
   }
 
-  private def manifestFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val (_, p) = committed(spark, dir).lastOption
-      .getOrElse(throw new java.io.FileNotFoundException(s"no committed manifest under $dir"))
+  private def manifestFiles(spark: SparkSession, dir: String,
+                            version: Option[Long]): Seq[String] = {
+    val all = committed(spark, dir)
+    val (_, p) = version.fold(all.lastOption)(v => all.find(_._1 == v))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed manifest${version.fold("")(v => s" at version $v")} under $dir"))
     val fs = fsOf(spark, dir)
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -85,7 +115,11 @@ object ManifestSink {
 
   /** Reads the latest committed version — exactly its manifest's files. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(manifestFiles(spark, dir): _*)
+    spark.read.parquet(manifestFiles(spark, dir, None): _*)
+
+  /** Reads a SPECIFIC committed version — the time-travel/replay read. */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+    spark.read.parquet(manifestFiles(spark, dir, Some(version)): _*)
 
   /** Deletes data directories not referenced by the LATEST manifest
     * (older versions and uncommitted/failed publishes). Returns the

@@ -53,4 +53,22 @@ class ManifestSinkSpec extends SparkSpec {
     ManifestSink.currentVersion(spark, dir) shouldBe Some(1L)
     ManifestSink.read(spark, dir).collect().map(_.getLong(0)) shouldBe Array(2L)
   }
+
+  test("explicit-version surface: publishAt rewrites torn attempts, refuses committed versions, readAt time-travels") {
+    val dir = tmp()
+    ManifestSink.publishAt(Seq((1L, "a")).toDF("id", "s"), dir, version = 5L)
+    ManifestSink.committedVersions(spark, dir) shouldBe Seq(5L)
+    // a torn LATER attempt (data written, manifest never renamed) is
+    // invisible, then deleted and rewritten by a publishAt at its version
+    Seq((66L, "torn")).toDF("id", "s").write.parquet(s"$dir/data-v9")
+    ManifestSink.read(spark, dir).collect().map(_.getLong(0)) shouldBe Array(1L)
+    ManifestSink.publishAt(Seq((2L, "b")).toDF("id", "s"), dir, version = 9L)
+    ManifestSink.read(spark, dir).collect().map(_.getLong(0)) shouldBe Array(2L)
+    // time travel reads a specific committed version
+    ManifestSink.readAt(spark, dir, 5L).collect().map(_.getLong(0)) shouldBe Array(1L)
+    // a committed version refuses a republish — replay must skip instead
+    intercept[IllegalArgumentException] {
+      ManifestSink.publishAt(Seq((3L, "c")).toDF("id", "s"), dir, version = 9L)
+    }.getMessage should include("already committed")
+  }
 }

@@ -222,6 +222,45 @@ class StreamingSpec extends SparkSpec {
     ex.getMessage should include("prior batches 0")
   }
 
+  test("scd ingest: versioned SCD2 history per micro-batch; completed replay skips, torn replay rewrites identically") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scdingest").toString
+    val hist = s"$dir/hist"
+    val mem = MemoryStream[(Long, String)]
+    val q = ScdIngest.start(mem.toDF.toDF("key", "seg"), hist, "key", Seq("seg"), s"$dir/ck")
+    def snapshot(): Array[(Long, String, Long, Long, Boolean)] =
+      ScdIngest.currentHistory(spark, hist).orderBy("key", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    try {
+      mem.addData((1L, "a"), (2L, "x"))
+      q.processAllAvailable()
+      mem.addData((1L, "b"), (3L, "n"))
+      q.processAllAvailable()
+      val cur = snapshot()
+      cur shouldBe Array(
+        (1L, "a", 0L, 1L, false), (1L, "b", 1L, -1L, true),
+        (2L, "x", 0L, -1L, true), (3L, "n", 1L, -1L, true))
+      graft.ops.ManifestSink.committedVersions(spark, hist) shouldBe Seq(0L, 1L)
+      // time travel: version 0 is the pre-merge snapshot, still readable
+      graft.ops.ManifestSink.readAt(spark, hist, 0L).count() shouldBe 2L
+      // completed replay: manifest-1 is durable, the batch skips whole
+      ScdIngest.ingestBatch(Seq((1L, "b"), (3L, "n")).toDF("key", "seg"),
+        hist, "key", Seq("seg"), batchId = 1L)
+      graft.ops.ManifestSink.committedVersions(spark, hist) shouldBe Seq(0L, 1L)
+      snapshot() shouldBe cur
+      // torn replay: manifest-1 gone, data-v1 still on disk — the batch
+      // re-merges against version 0 and rewrites an identical snapshot
+      val fs = new org.apache.hadoop.fs.Path(hist)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$hist/manifest-1"), false) shouldBe true
+      ScdIngest.ingestBatch(Seq((1L, "b"), (3L, "n")).toDF("key", "seg"),
+        hist, "key", Seq("seg"), batchId = 1L)
+      graft.ops.ManifestSink.committedVersions(spark, hist) shouldBe Seq(0L, 1L)
+      snapshot() shouldBe cur
+    } finally q.stop()
+  }
+
   test("bloom ingest: exact streaming dedup, replay idempotent, restart restores the bloom") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("bloomingest").toString
