@@ -185,6 +185,60 @@ object SparkEntry {
   private val RangeW = 5.0
   private val RangeBinWidth = 7.0
 
+  /** DuckDB mirror of [[scd2Merged]] as a CTE chain ending in `merged`
+    * — shared by the merge oracle and the point-in-time oracle. */
+  private val ScdMergedCtes: String =
+    "WITH c AS (SELECT c_custkey AS key, c_mktsegment AS seg, " +
+      "CAST(c_nationkey AS BIGINT) AS nat FROM customer), " +
+      "hist AS (SELECT key, 'OLD_' || seg AS seg, nat, " +
+      "CAST(0 AS BIGINT) AS valid_from, CAST(5 AS BIGINT) AS valid_to, " +
+      "false AS is_current FROM c WHERE key % 10 = 0 " +
+      "UNION ALL SELECT key, seg, nat, " +
+      "CAST(CASE WHEN key % 10 = 0 THEN 5 ELSE 0 END AS BIGINT), " +
+      "CAST(NULL AS BIGINT), true FROM c), " +
+      "chg AS (SELECT CASE WHEN key % 3 = 2 THEN key + 1000000 ELSE key END AS key, " +
+      "CASE WHEN key % 3 = 1 THEN seg || '_X' WHEN key % 3 = 2 THEN 'NEW' " +
+      "ELSE seg END AS seg, nat FROM c), " +
+      "o AS (SELECT * FROM hist WHERE is_current), " +
+      "j AS (SELECT o.key AS okey, o.seg AS oseg, o.nat AS onat, " +
+      "o.valid_from AS ofrom, g.key AS gkey, g.seg AS gseg, g.nat AS gnat, " +
+      "(o.seg IS NOT DISTINCT FROM g.seg AND o.nat IS NOT DISTINCT FROM g.nat) AS same " +
+      "FROM o FULL OUTER JOIN chg g ON o.key = g.key), " +
+      "merged AS (" +
+      "SELECT key, seg, nat, valid_from, valid_to, is_current FROM hist WHERE NOT is_current " +
+      "UNION ALL SELECT okey, oseg, onat, ofrom, CAST(NULL AS BIGINT), true " +
+      "FROM j WHERE okey IS NOT NULL AND (gkey IS NULL OR same) " +
+      "UNION ALL SELECT okey, oseg, onat, ofrom, CAST(10 AS BIGINT), false " +
+      "FROM j WHERE okey IS NOT NULL AND gkey IS NOT NULL AND NOT same " +
+      "UNION ALL SELECT gkey, gseg, gnat, CAST(10 AS BIGINT), CAST(NULL AS BIGINT), true " +
+      "FROM j WHERE gkey IS NOT NULL AND (okey IS NULL OR NOT same))"
+
+  /** The SCD2 contract fixture: customer-derived history (a closed
+    * 'OLD_' row per key%10==0 + an open row per key) merged at version
+    * 10 with a no-op / changed-segment / brand-new change batch split by
+    * key%3 — shared by the merge query and its point-in-time reader. */
+  private def scd2Merged(s: SparkSession, dir: String): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nat"))
+    val closed = c.filter(col("key") % 10 === 0)
+      .select(col("key"), concat(lit("OLD_"), col("seg")).as("seg"),
+        col("nat"), lit(0L).as("valid_from"), lit(5L).as("valid_to"),
+        lit(false).as("is_current"))
+    val open = c.select(col("key"), col("seg"), col("nat"),
+      when(col("key") % 10 === 0, lit(5L)).otherwise(lit(0L)).as("valid_from"),
+      lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+    val changes = c.select(
+      when(col("key") % 3 === 2, col("key") + 1000000L)
+        .otherwise(col("key")).as("key"),
+      when(col("key") % 3 === 1, concat(col("seg"), lit("_X")))
+        .when(col("key") % 3 === 2, lit("NEW"))
+        .otherwise(col("seg")).as("seg"),
+      col("nat"))
+    graft.ops.ScdMerge.merge(closed.unionByName(open), changes,
+      "key", Seq("seg", "nat"), version = 10L)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -855,27 +909,20 @@ object SparkEntry {
     // derived from customer — a closed 'OLD_' row for every key%10==0
     // plus an open row per key — merged with a change batch split into
     // no-op / changed-segment / brand-new thirds by key%3, at version 10
-    "q_scd2" -> ((s, dir) => {
-      val c = s.read.parquet(s"$dir/customer.parquet")
-        .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
-          col("c_nationkey").cast("long").as("nat"))
-      val closed = c.filter(col("key") % 10 === 0)
-        .select(col("key"), concat(lit("OLD_"), col("seg")).as("seg"),
-          col("nat"), lit(0L).as("valid_from"), lit(5L).as("valid_to"),
-          lit(false).as("is_current"))
-      val open = c.select(col("key"), col("seg"), col("nat"),
-        when(col("key") % 10 === 0, lit(5L)).otherwise(lit(0L)).as("valid_from"),
-        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
-      val changes = c.select(
-        when(col("key") % 3 === 2, col("key") + 1000000L)
-          .otherwise(col("key")).as("key"),
-        when(col("key") % 3 === 1, concat(col("seg"), lit("_X")))
-          .when(col("key") % 3 === 2, lit("NEW"))
-          .otherwise(col("seg")).as("seg"),
-        col("nat"))
-      graft.ops.ScdMerge.merge(closed.unionByName(open), changes,
-        "key", Seq("seg", "nat"), version = 10L)
-        .orderBy(col("key"), col("valid_from"))
+    "q_scd2" -> ((s, dir) =>
+      scd2Merged(s, dir).orderBy(col("key"), col("valid_from"))),
+
+    // point-in-time lookup against that merged history (the read side):
+    // every merged key probes at t = key % 15, spanning the version
+    // stamps {0, 5, 10} — new keys with t < 10 get the null
+    // before-first-version region; inclusive-boundary facts (t exactly
+    // at a valid_from) resolve to that version
+    "q_scd2_pit" -> ((s, dir) => {
+      val merged = scd2Merged(s, dir)
+      val facts = merged.select(col("key")).distinct()
+        .withColumn("t", col("key") % 15)
+      graft.ops.ScdMerge.pointInTime(merged, facts, "key", "t", Seq("seg", "nat"))
+        .orderBy(col("key"))
     }),
 
     // exact interpolated percentiles per group (no approx — contract)
@@ -2506,31 +2553,17 @@ object SparkEntry {
         "FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id"),
 
     "q_scd2" ->
-      ("WITH c AS (SELECT c_custkey AS key, c_mktsegment AS seg, " +
-        "CAST(c_nationkey AS BIGINT) AS nat FROM customer), " +
-        "hist AS (SELECT key, 'OLD_' || seg AS seg, nat, " +
-        "CAST(0 AS BIGINT) AS valid_from, CAST(5 AS BIGINT) AS valid_to, " +
-        "false AS is_current FROM c WHERE key % 10 = 0 " +
-        "UNION ALL SELECT key, seg, nat, " +
-        "CAST(CASE WHEN key % 10 = 0 THEN 5 ELSE 0 END AS BIGINT), " +
-        "CAST(NULL AS BIGINT), true FROM c), " +
-        "chg AS (SELECT CASE WHEN key % 3 = 2 THEN key + 1000000 ELSE key END AS key, " +
-        "CASE WHEN key % 3 = 1 THEN seg || '_X' WHEN key % 3 = 2 THEN 'NEW' " +
-        "ELSE seg END AS seg, nat FROM c), " +
-        "o AS (SELECT * FROM hist WHERE is_current), " +
-        "j AS (SELECT o.key AS okey, o.seg AS oseg, o.nat AS onat, " +
-        "o.valid_from AS ofrom, g.key AS gkey, g.seg AS gseg, g.nat AS gnat, " +
-        "(o.seg IS NOT DISTINCT FROM g.seg AND o.nat IS NOT DISTINCT FROM g.nat) AS same " +
-        "FROM o FULL OUTER JOIN chg g ON o.key = g.key) " +
-        "SELECT key, seg, nat, valid_from, valid_to, is_current FROM (" +
-        "SELECT key, seg, nat, valid_from, valid_to, is_current FROM hist WHERE NOT is_current " +
-        "UNION ALL SELECT okey, oseg, onat, ofrom, CAST(NULL AS BIGINT), true " +
-        "FROM j WHERE okey IS NOT NULL AND (gkey IS NULL OR same) " +
-        "UNION ALL SELECT okey, oseg, onat, ofrom, CAST(10 AS BIGINT), false " +
-        "FROM j WHERE okey IS NOT NULL AND gkey IS NOT NULL AND NOT same " +
-        "UNION ALL SELECT gkey, gseg, gnat, CAST(10 AS BIGINT), CAST(NULL AS BIGINT), true " +
-        "FROM j WHERE gkey IS NOT NULL AND (okey IS NULL OR NOT same)" +
-        ") ORDER BY key, valid_from"),
+      (ScdMergedCtes + " SELECT key, seg, nat, valid_from, valid_to, " +
+        "is_current FROM merged ORDER BY key, valid_from"),
+
+    "q_scd2_pit" ->
+      (ScdMergedCtes + ", facts AS (SELECT DISTINCT key, key % 15 AS t FROM merged) " +
+        "SELECT key, t, " +
+        "(SELECT m.seg FROM merged m WHERE m.key = f.key AND m.valid_from <= f.t " +
+        "ORDER BY m.valid_from DESC LIMIT 1) AS asof_seg, " +
+        "(SELECT m.nat FROM merged m WHERE m.key = f.key AND m.valid_from <= f.t " +
+        "ORDER BY m.valid_from DESC LIMIT 1) AS asof_nat " +
+        "FROM facts f ORDER BY key"),
 
     "q_percentiles" ->
       ("SELECT l_returnflag, count(*) AS n, " +

@@ -91,4 +91,25 @@ object ScdMerge {
       .filter(col("_r").isNotNull)
       .select(outCols.map(c => col(s"_r.$c").as(c)): _*)
   }
+
+  /** Point-in-time dimension lookup against an SCD2 history — the read
+    * side of [[merge]]: each fact row gets the attribute values that
+    * were CURRENT at its version stamp (`asof_<attr>` columns; null
+    * when the key had no row yet). Because a well-formed SCD2 history
+    * partitions each key's timeline into disjoint `[valid_from,
+    * valid_to)` intervals, "the row valid at t" is exactly "the latest
+    * row with `valid_from <= t`" — which is [[AsofJoin.lastBefore]]'s
+    * union-window shape with the strict `<` turned inclusive by
+    * shifting the fact side one version tick (versions are discrete
+    * BIGINTs, so `valid_from <= t` IS `valid_from < t+1`). Inherits the
+    * as-of join's scale story: one key-keyed union-window, linear in
+    * facts + history rows, no range-join pair blowup on hot keys. */
+  def pointInTime(history: DataFrame, facts: DataFrame, key: String,
+                  timeCol: String, attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "point-in-time lookup needs at least one attribute")
+    val h = history.select(
+      (col(key) +: attrs.map(col)) :+ col("valid_from").cast("long").as("_pit"): _*)
+    val f = facts.withColumn("_pit", col(timeCol).cast("long") + 1L)
+    AsofJoin.lastBefore(f, h, Seq(key), "_pit", attrs).drop("_pit")
+  }
 }

@@ -73,6 +73,26 @@ class ScdMergeSpec extends SparkSpec {
     k1 shouldBe Array(("a", 0L, 1L), ("b", 1L, 2L), ("c", 2L, -1L))
   }
 
+  test("pointInTime: inclusive at valid_from, latest version wins, null before first version and for unknown keys") {
+    val history = hist(
+      (1L, "a", 7L, 0L, Some(5L), false),
+      (1L, "b", 8L, 5L, None, true),
+      (2L, "z", 9L, 3L, None, true))
+    val facts = Seq((1L, 0L), (1L, 4L), (1L, 5L), (1L, 99L), (2L, 2L), (3L, 7L))
+      .toDF("key", "t")
+    val out = ScdMerge.pointInTime(history, facts, "key", "t", Seq("seg", "nat"))
+      .orderBy("key", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    out shouldBe Array(
+      (1L, 0L, Some("a"), Some(7L)),  // t = valid_from: inclusive
+      (1L, 4L, Some("a"), Some(7L)),
+      (1L, 5L, Some("b"), Some(8L)),  // boundary flips to the new version
+      (1L, 99L, Some("b"), Some(8L)),
+      (2L, 2L, None, None),           // before the key's first version
+      (3L, 7L, None, None))           // unknown key: kept, null attrs
+  }
+
   test("history is scanned once through a single full-outer merge join") {
     val history = spark.range(0, 1000)
       .select(col("id").as("key"), concat(lit("s"), col("id") % 5).as("seg"),
