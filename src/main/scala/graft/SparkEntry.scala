@@ -221,13 +221,23 @@ object SparkEntry {
     val c = s.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
         col("c_nationkey").cast("long").as("nat"))
-    val closed = c.filter(col("key") % 10 === 0)
-      .select(col("key"), concat(lit("OLD_"), col("seg")).as("seg"),
-        col("nat"), lit(0L).as("valid_from"), lit(5L).as("valid_to"),
-        lit(false).as("is_current"))
-    val open = c.select(col("key"), col("seg"), col("nat"),
+    // history from ONE scan: a union of a filtered arm and an open arm
+    // would read customer twice (Spark reuses no subplans) — instead
+    // each row emits its optional closed row + its open row through one
+    // null-slot explode, the ScdMerge generator's own shape
+    val closedRow = when(col("key") % 10 === 0, struct(
+      col("key"), concat(lit("OLD_"), col("seg")).as("seg"), col("nat"),
+      lit(0L).as("valid_from"), lit(5L).as("valid_to"),
+      lit(false).as("is_current")))
+    val openRow = struct(
+      col("key"), col("seg"), col("nat"),
       when(col("key") % 10 === 0, lit(5L)).otherwise(lit(0L)).as("valid_from"),
       lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+    val history = c.select(explode(array(closedRow, openRow)).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("h.key").as("key"), col("h.seg").as("seg"),
+        col("h.nat").as("nat"), col("h.valid_from").as("valid_from"),
+        col("h.valid_to").as("valid_to"), col("h.is_current").as("is_current"))
     val changes = c.select(
       when(col("key") % 3 === 2, col("key") + 1000000L)
         .otherwise(col("key")).as("key"),
@@ -235,7 +245,7 @@ object SparkEntry {
         .when(col("key") % 3 === 2, lit("NEW"))
         .otherwise(col("seg")).as("seg"),
       col("nat"))
-    graft.ops.ScdMerge.merge(closed.unionByName(open), changes,
+    graft.ops.ScdMerge.merge(history, changes,
       "key", Seq("seg", "nat"), version = 10L)
   }
 

@@ -754,12 +754,16 @@ object TextAnalysis {
     * to one ingestion window (the dup monitors catch verbatim floods;
     * this catches VOCABULARY floods that never repeat a document).
     *
-    * Exact construction: the [[vocabGrowth]] (batch, word) count spine;
-    * per-word corpus totals ride a word-keyed WINDOW over that
-    * aggregate (parallel — partitioned by w), per-batch token totals a
-    * batches-sized second aggregate whose corpus total rides an
-    * unpartitioned window over THAT tiny table (never over the vocab
-    * table), broadcast back. The burst test is the cross-multiplied
+    * Exact construction: the [[vocabGrowth]] (batch, word) count spine,
+    * PERSISTED across its two consumers (Spark reuses no DataFrame
+    * subplans — without the persist the corpus explode+aggregate runs
+    * twice, PlanSpec-pinned to one scan); per-word corpus totals ride a
+    * word-keyed WINDOW over that aggregate (parallel — partitioned by
+    * w), per-batch token totals a batches-sized second aggregate whose
+    * corpus total rides an unpartitioned window over THAT tiny table
+    * (never over the vocab table), broadcast back. EAGER: the burst
+    * table materializes so the spine cache releases at return. The
+    * burst test is the cross-multiplied
     * integer compare c·n_rest > factor·c_rest·n_batch — no division
     * decides anything; burst_ratio is ONE division of the same two
     * CAST-to-DOUBLE exact BIGINT products (the qualityClassifier
@@ -779,10 +783,11 @@ object TextAnalysis {
       .select(expr(s"doc_id div $batchSize").as("batch"),
         explode(tokens(col("text"))).as("w"))
       .groupBy(col("batch"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ww = bw.withColumn("cw", sum(col("c")).over(Window.partitionBy(col("w"))))
     val nb = bw.groupBy(col("batch")).agg(sum(col("c")).as("n_batch"))
       .withColumn("nt", sum(col("n_batch")).over(Window.partitionBy()))
-    ww.join(broadcast(nb), Seq("batch"))
+    val out = ww.join(broadcast(nb), Seq("batch"))
       .select(col("batch"), col("w"), col("c"),
         (col("cw") - col("c")).as("c_rest"),
         col("n_batch"), (col("nt") - col("n_batch")).as("n_rest"))
@@ -792,6 +797,10 @@ object TextAnalysis {
         when(col("c_rest") * col("n_batch") > 0,
           (col("c") * col("n_rest")).cast("double") /
             (col("c_rest") * col("n_batch")).cast("double")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    bw.unpersist(false)
+    out
   }
 
   /** Token-share Gini across sources — the one-number answer to "is my

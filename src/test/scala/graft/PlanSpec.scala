@@ -520,4 +520,37 @@ class PlanSpec extends SparkSpec {
     (m should not).include("CartesianProduct") // 1-row bottleneck broadcast-NL is fine
     m should include("BroadcastHashJoin") // weights join
   }
+
+  test("q_bursts: EAGER + cached — served from the materialized burst table; totals join broadcast") {
+    // the operator persists its (batch, word) spine across both
+    // consumers (one parquet scan fills it) and materializes the burst
+    // table before returning — the served plan reads the cache, and the
+    // only join in the lineage is the broadcast of the batches-sized
+    // totals
+    val p = plan("q_bursts", "simple")
+    p should include("InMemoryTableScan")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_cell_medoids: fitted-cell assignment is a projection; one medoid aggregate, no sort-merge") {
+    val p = plan("q_cell_medoids", "simple")
+    // centroid re-attach broadcasts; the only shuffle is the cell-keyed
+    // min-struct aggregate (plus AQE bookkeeping) — never a window sort
+    // over whole cells
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("Window")
+  }
+
+  test("q_scd2: the MERGE shape — one full-outer key join, history never re-scanned") {
+    val p = plan("q_scd2", "simple")
+    p should include("FullOuter")
+    // customer is read once for the history side and once for the change
+    // batch (two INPUTS, not a duplicated subtree); the closed rows ride
+    // through the join, so no third scan exists
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 2
+    (p should not).include("CartesianProduct")
+  }
 }
