@@ -159,6 +159,21 @@ object Bench {
           confidence = 0.99, seed = 42).count()
         require(n == 10, s"expected 10 sketched heavy hitters, got $n")
       }),
+      // sketched Heaps curve: per-batch HLL sketches + a batches²
+      // prefix union — never the vocab × batches first-seen table
+      // (q_vocab_growth keeps the exact contract form)
+      "vocab_growth_sketched" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val out = graft.llm.TextAnalysis.vocabGrowthSketched(docs, 50L)
+        val rows = out.orderBy(col("batch")).collect()
+        out.unpersist(false)
+        require(rows.nonEmpty && rows.forall(_.getLong(3) > 0L) &&
+          rows.sliding(2).forall(p => p.length < 2 ||
+            p(0).getLong(3) <= p(1).getLong(3)),
+          s"sketched vocab curve not monotone over ${rows.length} batches")
+      }),
       // sketched quantile gate: per-source approx_percentile threshold
       // + scan-side compare — zero sorts (q_quality_quantile keeps the
       // exact percent_rank contract form; this twin is the 100 TB path)

@@ -746,6 +746,56 @@ object TextAnalysis {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** 100 TB scale twin of [[vocabGrowth]]: the exact curve needs the
+    * (batch, word) table — vocab × batches rows, the one big object in
+    * that plan — just to find each word's first batch. This twin never
+    * builds it: ONE corpus scan folds each batch's word set into a
+    * Datasketches HLL sketch (mergeable — register-wise max, so partials
+    * combine on executors in any order, deterministically), cumulative
+    * vocabulary is `hll_union_agg` over a batches² prefix self-join of
+    * the BATCHES-sized sketch table (trivia — sketches are KBs), and
+    * per-batch new words fall out as the lag difference of cumulative
+    * estimates. Register maxes only grow under union, so the cumulative
+    * estimate is monotone by construction — a saturation curve that
+    * cannot jitter downward.
+    *
+    * No contract query: DuckDB has no Datasketches HLL to mirror — the
+    * established sketched-twin split (`q_vocab_growth` pins the exact
+    * semantics; the spec pins this twin within the sketch's error of it
+    * and bitwise-deterministic across layouts). The per-batch sketch
+    * table persists across the prefix join's two references (the burst
+    * spine discipline); EAGER, cache released at return. Output:
+    * (batch, n_tokens, n_new_est, cum_vocab_est). */
+  def vocabGrowthSketched(docs: DataFrame, batchSize: Long,
+                          lgConfigK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
+    require(lgConfigK >= 4 && lgConfigK <= 21,
+      s"need 4 <= lgConfigK <= 21 (Datasketches HLL bounds), got $lgConfigK")
+    val perBatch = docs
+      .select(expr(s"doc_id div $batchSize").as("batch"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy(col("batch"))
+      .agg(hll_sketch_agg(col("w"), lit(lgConfigK)).as("sk"),
+        count(lit(1)).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = perBatch.as("a")
+      .join(perBatch.as("b"), col("b.batch") <= col("a.batch"))
+      .groupBy(col("a.batch").as("batch"))
+      .agg(max(col("a.n_tokens")).as("n_tokens"),
+        hll_sketch_estimate(hll_union_agg(col("b.sk"))).as("cum_vocab_est"))
+    val out = cum
+      .withColumn("n_new_est",
+        col("cum_vocab_est") -
+          coalesce(lag(col("cum_vocab_est"), 1).over(Window.orderBy(col("batch"))),
+            lit(0L)))
+      .select(col("batch"), col("n_tokens"), col("n_new_est"), col("cum_vocab_est"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    perBatch.unpersist(false)
+    out
+  }
+
   /** Bursting terms per ingestion batch — the freshness/contamination
     * alarm beside [[vocabGrowth]]'s saturation curve: a term whose
     * in-batch occurrence RATE beats its rate in the rest of the corpus

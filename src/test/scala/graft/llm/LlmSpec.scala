@@ -1798,6 +1798,30 @@ class LlmSpec extends SparkSpec {
     TextAnalysis.burstTerms(d, 2L, minCount = 7L, factor = 1L).count() shouldBe 0L
   }
 
+  test("vocabGrowthSketched: tracks the exact Heaps curve within sketch error, monotone, layout-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextAnalysis.vocabGrowth(docs, 50L).orderBy(col("batch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // batch, n_tokens, cum
+    val sk = TextAnalysis.vocabGrowthSketched(docs, 50L)
+    val got = sk.orderBy(col("batch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.map(_._1) shouldBe exact.map(_._1)
+    got.map(_._2) shouldBe exact.map(_._2) // token counts exact
+    // cumulative estimate within 3·rsd of the exact vocabulary at every
+    // batch (rsd ≈ 1.04/√2^12 at the default lgConfigK)
+    val bound = 3.0 * 1.04 / math.sqrt(1 << 12)
+    for (((_, _, cum), (_, _, _, est)) <- exact.zip(got))
+      math.abs(est - cum).toDouble should be <= (cum * bound)
+    // monotone by register construction; new-word deltas reassemble it
+    got.sliding(2).foreach(p => p(0)._4 should be <= p(1)._4)
+    got.map(_._3).sum shouldBe got.last._4
+    // register maxes are commutative: any partition layout, same rows
+    val re = TextAnalysis.vocabGrowthSketched(docs.repartition(7), 50L)
+    re.orderBy(col("batch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) shouldBe got
+    sk.unpersist(false); re.unpersist(false)
+  }
+
   test("collocations: counts and PMI by hand on the exact product grid") {
     val out = TextAnalysis.collocations(docsDF(1L -> "x y x y"), 2)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
