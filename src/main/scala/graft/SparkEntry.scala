@@ -1375,6 +1375,16 @@ object SparkEntry {
         .orderBy(col("user_id"), col("start_us"))
     }),
 
+    // event debounce: telemetry burst-dedup — keep the first event of
+    // each (user, type) burst chain at a 24h gap; a chain-opening row
+    // is one lag comparison, one keyed exchange, all integers
+    "q_event_debounce" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("tus"))
+      graft.analytics.Analytics.debounceEvents(ev, gapUs = 86400L * 1000000L)
+        .orderBy(col("event_id"))
+    }),
+
     // ordered funnel: users reaching view -> click -> purchase in order
     "q_funnel" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -2694,6 +2704,14 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM l) " +
         "SELECT user_id, min(tus) AS start_us, max(tus) AS end_us, count(*) AS n_events " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"),
+
+    "q_event_debounce" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events), " +
+        "d AS (SELECT *, lag(tus) OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY tus, event_id) AS prev FROM ev) " +
+        "SELECT event_id, user_id, event_type, tus FROM d " +
+        "WHERE prev IS NULL OR tus - prev > CAST(86400 AS BIGINT) * 1000000 " +
+        "ORDER BY event_id"),
 
     "q_funnel" ->
       ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +

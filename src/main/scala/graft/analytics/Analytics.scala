@@ -13,6 +13,37 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Event debounce — telemetry burst-dedup: a client retry storm, a
+    * double-click, or an at-least-once producer emits the same logical
+    * event many times in quick succession; this keeps the FIRST event
+    * of each burst chain per (user, event_type) and drops the rest. A
+    * burst chain is the sessionize grouping at gap = `gapUs`: an event
+    * within `gapUs` of its PREDECESSOR joins the predecessor's chain,
+    * so a storm ticking every second collapses to exactly one kept
+    * event no matter how long it lasts. (The alternative "within gap of
+    * the last KEPT event" rule would re-admit one event per gap inside
+    * a long storm — deliberately not the semantics here: chain
+    * suppression is the debounce contract, and it is the rule a single
+    * lag comparison expresses exactly.)
+    *
+    * Shape: ONE (user, type)-keyed exchange shared by the lag and the
+    * running-sum window (the sessionize discipline), keep = the
+    * chain-opening row — a filter, no second aggregate, no join back.
+    * All integers. Input needs (event_id, user_id, event_type, tus);
+    * output = the kept rows, same columns. */
+  def debounceEvents(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapUs >= 1, s"need gapUs >= 1, got $gapUs")
+    val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    events
+      .withColumn("_prev", lag(col("tus"), 1).over(byKey))
+      .withColumn("_chain_start",
+        col("_prev").isNull || col("tus") - col("_prev") > gapUs)
+      .filter(col("_chain_start"))
+      .drop("_prev", "_chain_start")
+  }
+
   /** Ordered funnel analysis: how many users reach each stage of
     * `stages` IN ORDER (stage i+1 counts only if it happens strictly
     * after the user's first stage-i event). One hash aggregate computes

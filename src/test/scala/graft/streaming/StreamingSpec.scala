@@ -537,6 +537,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("debounceEvents: chain suppression keeps one event per burst, keys independent, ties drop the higher id") {
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "a", 5L),   // 5-0 <= 10: joins chain
+      (3L, 1L, "a", 11L),                      // 11-5 <= 10: still the SAME
+      // chain even though 11-0 > 10 — chain semantics, not last-kept
+      (4L, 1L, "a", 30L),                      // 30-11 > 10: new chain
+      (5L, 1L, "b", 3L),                       // different type: own key
+      (6L, 2L, "a", 4L), (7L, 2L, "a", 4L))    // same instant: id ties,
+      // the lower event_id opens the chain and the higher one drops
+      .toDF("event_id", "user_id", "event_type", "tus")
+    val kept = graft.analytics.Analytics.debounceEvents(ev, gapUs = 10L)
+      .orderBy("event_id").collect().map(_.getLong(0))
+    kept shouldBe Array(1L, 4L, 5L, 6L)
+    // output carries the input columns untouched, helpers dropped
+    graft.analytics.Analytics.debounceEvents(ev, 10L).columns shouldBe
+      Array("event_id", "user_id", "event_type", "tus")
+  }
+
   test("transitionMatrix: per-user consecutive pairs, per-prev probabilities, firsts drop") {
     val ev = Seq(
       (1L, 1L, "A", 10L), (1L, 2L, "B", 20L), (1L, 3L, "A", 30L), // A->B, B->A
