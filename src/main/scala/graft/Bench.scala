@@ -391,6 +391,46 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming debounce: the events table fed as a 4-batch file
+      // stream in event-time order; state = ONE long per (user, type).
+      // Guard: the streamed kept set size equals the batch operator's
+      // (bitwise row equality is spec-pinned)
+      "stream_debounce" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val gap = 86400L * 1000000L
+        val ev = graft.SparkEntry.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("tus"))
+        val nBatch = graft.analytics.Analytics.debounceEvents(ev, gap).count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_deb_bench").toString
+        try {
+          // event-time-ordered 4-way split so triggers respect time
+          ev.withColumn("part", ntile(4).over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("tus"), col("event_id"))))
+            .repartition(1).write.partitionBy("part")
+            .mode("overwrite").parquet(s"$tmp/in")
+          import s2.implicits._
+          val src = s2.readStream
+            .schema("event_id LONG, user_id LONG, event_type STRING, tus LONG, part INT")
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .select(col("event_id"), col("user_id"), col("event_type"), col("tus"))
+            .as[graft.streaming.DebounceStream.Ev]
+          val q = graft.streaming.DebounceStream.debounceUpdates(src, gap)
+            .writeStream.format("memory").queryName("deb_bench")
+            .outputMode("append").option("checkpointLocation", s"$tmp/ck").start()
+          q.processAllAvailable()
+          q.stop()
+          val kept = s2.sql("SELECT count(*) FROM deb_bench").head().getLong(0)
+          require(kept == nBatch,
+            s"streamed debounce kept $kept, batch kept $nBatch")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming SCD2 dimension maintenance: a 4-batch change stream
       // derived from customer (each batch re-segments a disjoint key
       // quarter) merges into a manifest-versioned history. Guard: 4

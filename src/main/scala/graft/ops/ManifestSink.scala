@@ -124,14 +124,27 @@ object ManifestSink {
   /** Deletes data directories not referenced by the LATEST manifest
     * (older versions and uncommitted/failed publishes). Returns the
     * number of directories removed. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+  def vacuum(spark: SparkSession, dir: String): Int =
+    vacuum(spark, dir, keepLast = 1)
+
+  /** Retention-aware vacuum: keeps the `keepLast` NEWEST committed
+    * versions readable (their data and manifests), deletes everything
+    * older plus uncommitted/failed publish leftovers. `keepLast` is the
+    * time-travel retention window for [[readAt]] consumers (the
+    * streaming SCD history keeps a few versions so replays and
+    * point-in-time readers can resolve their base snapshots); the
+    * 1-argument form is the keep-only-latest contract a plain published
+    * table wants. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"need keepLast >= 1, got $keepLast")
     val fs = fsOf(spark, dir)
-    val keep = committed(spark, dir).lastOption.map(_._1)
-    val live = keep.map(v => s"data-v$v").toSet
+    val all = committed(spark, dir)
+    val kept = all.takeRight(keepLast)
+    val live = kept.map { case (v, _) => s"data-v$v" }.toSet
     val dataDirs = Option(fs.globStatus(new Path(dir, "data-v*"))).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.isDirectory).map(_.getPath)
       .filterNot(p => live.contains(p.getName))
-    val staleManifests = committed(spark, dir).dropRight(1).map(_._2)
+    val staleManifests = all.dropRight(keepLast).map(_._2)
     dataDirs.foreach(p => fs.delete(p, true))
     staleManifests.foreach(p => fs.delete(p, false))
     dataDirs.size

@@ -70,5 +70,14 @@ class ManifestSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestSink.publishAt(Seq((3L, "c")).toDF("id", "s"), dir, version = 9L)
     }.getMessage should include("already committed")
+    // retention-aware vacuum: keepLast = 2 preserves both versions for
+    // time travel; the default form then collapses to the latest only
+    ManifestSink.vacuum(spark, dir, keepLast = 2) shouldBe 0
+    ManifestSink.readAt(spark, dir, 5L).count() shouldBe 1L
+    ManifestSink.vacuum(spark, dir) shouldBe 1
+    ManifestSink.committedVersions(spark, dir) shouldBe Seq(9L)
+    intercept[java.io.FileNotFoundException] {
+      ManifestSink.readAt(spark, dir, 5L)
+    }
   }
 }

@@ -555,6 +555,43 @@ class StreamingSpec extends SparkSpec {
       Array("event_id", "user_id", "event_type", "tus")
   }
 
+  test("debounceUpdates: single-trigger stream equals the batch debounce bitwise; chains survive trigger boundaries") {
+    implicit val ctx = spark.sqlContext
+    // real corpus, one trigger: the streamed kept set must equal the
+    // batch operator row-for-row
+    val ev = graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tus"))
+    val gap = 86400L * 1000000L
+    val batch = graft.analytics.Analytics.debounceEvents(ev, gap)
+      .orderBy("event_id").collect().map(_.getLong(0))
+    val rows = ev.collect().map(r => DebounceStream.Ev(
+      r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val mem = MemoryStream[DebounceStream.Ev]
+    val q = DebounceStream.debounceUpdates(mem.toDS(), gap)
+      .writeStream.format("memory").queryName("deb").outputMode("append").start()
+    try {
+      mem.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.table("deb").orderBy("event_id").collect()
+        .map(_.getLong(0)) shouldBe batch
+    } finally q.stop()
+
+    // chain state survives the trigger boundary: an in-gap arrival in a
+    // LATER trigger is still suppressed, a past-gap one opens a chain
+    val mem2 = MemoryStream[DebounceStream.Ev]
+    val q2 = DebounceStream.debounceUpdates(mem2.toDS(), 10L)
+      .writeStream.format("memory").queryName("deb2").outputMode("append").start()
+    try {
+      mem2.addData(DebounceStream.Ev(1L, 1L, "a", 0L))
+      q2.processAllAvailable()
+      mem2.addData(DebounceStream.Ev(2L, 1L, "a", 5L),  // in-gap: dropped
+        DebounceStream.Ev(3L, 1L, "a", 30L))            // past gap: kept
+      q2.processAllAvailable()
+      spark.table("deb2").orderBy("event_id").collect()
+        .map(_.getLong(0)) shouldBe Array(1L, 3L)
+    } finally q2.stop()
+  }
+
   test("transitionMatrix: per-user consecutive pairs, per-prev probabilities, firsts drop") {
     val ev = Seq(
       (1L, 1L, "A", 10L), (1L, 2L, "B", 20L), (1L, 3L, "A", 30L), // A->B, B->A
