@@ -550,6 +550,48 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming K-Means step: the engine core live — per-cell gridded
+      // sufficient statistics in state (dim+1 longs per cell), the
+      // embeddings table fed as a 4-batch file stream against 4 fixed
+      // epoch centroids. Final-trigger ≡ batch step bitwise is
+      // spec-pinned; the guard is full corpus coverage across cells
+      "stream_vkmeans_step" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val cents = e.filter(col("vec_id").isin(11L, 57L, 201L, 401L))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).map(_._2).toSeq
+        val dim = cents.head.length
+        val assigned = e.select(
+          graft.llm.VectorKMeans.cellOf(col("vec"), cents).as("cell"), col("vec"))
+        val nVecs = assigned.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_vkstream_bench").toString
+        try {
+          assigned.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          import s2.implicits._
+          val src = s2.readStream.schema(assigned.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .as[graft.streaming.VectorKMeansStream.AssignedVec]
+          val q = graft.streaming.VectorKMeansStream.stepUpdates(src, dim)
+            .writeStream.format("memory").queryName("vkstep_bench")
+            .outputMode("update").option("checkpointLocation", s"$tmp/ck").start()
+          q.processAllAvailable()
+          q.stop()
+          // last emission per cell: counts must cover the whole corpus
+          val covered = s2.sql("SELECT cell, max(n_vecs) FROM vkstep_bench GROUP BY cell")
+            .collect().map(_.getLong(1)).sum
+          require(covered == nVecs,
+            s"streamed step covered $covered of $nVecs vectors")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming per-label embedding drift: int8 code sums per label in
       // flatMapGroupsWithState state (dim+1 longs per label, constant),
       // the embeddings table fed as a 4-batch file stream against the

@@ -751,6 +751,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stepUpdates: the streamed K-Means step equals the batch step bitwise on every touched cell") {
+    implicit val ctx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val cents = e.filter(col("vec_id").isin(11L, 57L, 201L, 401L))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2).toSeq
+    val dim = cents.head.length
+    val batch = graft.llm.VectorKMeans.step(e, "vec", cents)
+    // the batch twin's assignment projection feeds the stream
+    val assigned = e.select(
+        graft.llm.VectorKMeans.cellOf(col("vec"), cents).as("cell"),
+        col("vec"))
+      .collect()
+      .map(r => VectorKMeansStream.AssignedVec(r.getInt(0), r.getSeq[Double](1)))
+    val touched = assigned.map(_.cell).toSet
+    val mem = MemoryStream[VectorKMeansStream.AssignedVec]
+    val q = VectorKMeansStream.stepUpdates(mem.toDS(), dim)
+      .writeStream.format("memory").queryName("vkstep").outputMode("update").start()
+    try {
+      val (b1, b2) = assigned.splitAt(assigned.length / 2)
+      mem.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("vkstep").collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      streamed.keySet shouldBe touched
+      for ((cell, (_, centroid)) <- streamed) withClue(s"cell $cell: ") {
+        centroid.toArray shouldBe batch(cell) // bitwise: shared grid
+      }
+      // a cell the stream never saw is the batch keep-previous branch
+      for (cell <- cents.indices.filterNot(touched))
+        batch(cell) shouldBe cents(cell)
+    } finally q.stop()
+  }
+
   test("labelDriftUpdates: streamed centroids equal the batch labelDrift bitwise with the batch global as reference") {
     implicit val ctx = spark.sqlContext
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
