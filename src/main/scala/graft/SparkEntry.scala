@@ -1307,6 +1307,31 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // dedup-aware effective token volume per source: what near-dup
+    // dedup actually buys — raw vs keeper-only token counts and the
+    // duplicated fraction (one division of two CAST-to-DOUBLE exact
+    // BIGINTs); the mixture planner's honest token supply
+    "q_effective_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = graft.ops.ConnectedComponents.dedupClusters(
+        Dedup.minhashPairs(d, JacThreshold).select(col("da"), col("db")))
+      val losers = clusters.filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"), lit(true).as("_loser"))
+      d.select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+        .join(losers, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("raw_tokens"),
+          sum(when(col("_loser").isNull, col("nt")).otherwise(lit(0L)))
+            .as("eff_tokens"),
+          sum(when(col("_loser").isNull, lit(0L)).otherwise(col("nt")))
+            .as("dup_tokens"))
+        .withColumn("dup_frac",
+          col("dup_tokens").cast("double") / col("raw_tokens").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // the keep-BEST policy applied to the same clusters: keep the
     // longest doc per near-dup cluster (ties to lowest id) instead of
     // keep-first — integer token counts keep the keeper argmax exact
@@ -2822,6 +2847,23 @@ object SparkEntry {
         "SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keep_id) " +
         "GROUP BY lang ORDER BY lang"),
+
+    "q_effective_tokens" ->
+      (s"WITH RECURSIVE pairs AS (SELECT da, db FROM (${TextSql.dedupMinhashSql(JacThreshold)}) mp), " +
+        "sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs), " +
+        "reach AS (SELECT a, b FROM sym " +
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a), " +
+        "losers AS (SELECT doc_id FROM comp WHERE doc_id <> keep_id), " +
+        "tokc AS (SELECT d.doc_id, d.source, " +
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt, " +
+        "d.doc_id IN (SELECT doc_id FROM losers) AS is_loser FROM documents d) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS raw_tokens, " +
+        "CAST(sum(CASE WHEN is_loser THEN 0 ELSE nt END) AS BIGINT) AS eff_tokens, " +
+        "CAST(sum(CASE WHEN is_loser THEN nt ELSE 0 END) AS BIGINT) AS dup_tokens, " +
+        "CAST(CAST(sum(CASE WHEN is_loser THEN nt ELSE 0 END) AS BIGINT) AS DOUBLE) / " +
+        "CAST(CAST(sum(nt) AS BIGINT) AS DOUBLE) AS dup_frac " +
+        "FROM tokc GROUP BY source ORDER BY source"),
 
     "q_dedup_best" ->
       (s"WITH RECURSIVE pairs AS (SELECT da, db FROM (${TextSql.dedupMinhashSql(JacThreshold)}) mp), " +
