@@ -922,6 +922,29 @@ object SparkEntry {
     "q_scd2" -> ((s, dir) =>
       scd2Merged(s, dir).orderBy(col("key"), col("valid_from"))),
 
+    // SCD2 backfill from a full change log (the one-shot batch twin of
+    // the iterated merge loop): three deterministic versions per key in
+    // one scan — v0 base, v1 re-segments odd keys (even keys emit a
+    // NO-OP row the consecutive-dedupe must drop), v2 'C' for key%3==0
+    "q_scd2_log" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"))
+      val v0 = struct(col("key"), col("seg"), col("nat"), lit(0L).as("v"))
+      val v1 = struct(col("key"),
+        when(col("key") % 2 === 1, concat(col("seg"), lit("_B")))
+          .otherwise(col("seg")).as("seg"),
+        col("nat"), lit(1L).as("v"))
+      val v2 = when(col("key") % 3 === 0,
+        struct(col("key"), lit("C").as("seg"), col("nat"), lit(2L).as("v")))
+      val log = c.select(explode(array(v0, v1, v2)).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("r.key").as("key"), col("r.seg").as("seg"),
+          col("r.nat").as("nat"), col("r.v").as("v"))
+      graft.ops.ScdMerge.fromChangeLog(log, "key", Seq("seg", "nat"), "v")
+        .orderBy(col("key"), col("valid_from"))
+    }),
+
     // point-in-time lookup against that merged history (the read side):
     // every merged key probes at t = key % 15, spanning the version
     // stamps {0, 5, 10} — new keys with t < 10 get the null
@@ -2600,6 +2623,24 @@ object SparkEntry {
     "q_scd2" ->
       (ScdMergedCtes + " SELECT key, seg, nat, valid_from, valid_to, " +
         "is_current FROM merged ORDER BY key, valid_from"),
+
+    "q_scd2_log" ->
+      ("WITH c AS (SELECT c_custkey AS key, c_mktsegment AS seg, " +
+        "CAST(c_nationkey AS BIGINT) AS nat FROM customer), " +
+        "log AS (" +
+        "SELECT key, seg, nat, CAST(0 AS BIGINT) AS v FROM c " +
+        "UNION ALL SELECT key, CASE WHEN key % 2 = 1 THEN seg || '_B' ELSE seg END, nat, 1 FROM c " +
+        "UNION ALL SELECT key, 'C', nat, 2 FROM c WHERE key % 3 = 0), " +
+        "d AS (SELECT *, (seg IS NOT DISTINCT FROM lag(seg) OVER w) AND " +
+        "(nat IS NOT DISTINCT FROM lag(nat) OVER w) AND " +
+        "lag(v) OVER w IS NOT NULL AS same " +
+        "FROM log WINDOW w AS (PARTITION BY key ORDER BY v)), " +
+        "kept AS (SELECT key, seg, nat, v FROM d WHERE NOT same) " +
+        "SELECT key, seg, nat, CAST(v AS BIGINT) AS valid_from, " +
+        "CAST(lead(v) OVER w2 AS BIGINT) AS valid_to, " +
+        "lead(v) OVER w2 IS NULL AS is_current " +
+        "FROM kept WINDOW w2 AS (PARTITION BY key ORDER BY v) " +
+        "ORDER BY key, valid_from"),
 
     "q_scd2_pit" ->
       (ScdMergedCtes + ", facts AS (SELECT DISTINCT key, key % 15 AS t FROM merged) " +

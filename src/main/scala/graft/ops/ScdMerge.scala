@@ -92,6 +92,40 @@ object ScdMerge {
       .select(outCols.map(c => col(s"_r.$c").as(c)): _*)
   }
 
+  /** SCD2 backfill from a full change log — the one-shot batch twin of
+    * the iterated [[merge]] loop (and of `streaming/ScdIngest`): given
+    * every historical change row at once (the event-sourcing replay /
+    * CDC-archive case), build the whole versioned history in ONE pass
+    * instead of one merge per version. Semantics are exactly the
+    * iterated fold's (generative-spec-pinned): a change identical
+    * (null-safe) to the key's previous surviving change is a no-op —
+    * equality is transitive along a run of no-ops, so comparing against
+    * the previous RAW log row with `lag` is the same as comparing
+    * against the last KEPT row — and each surviving change closes at
+    * the NEXT surviving change's version (`lead`), the last one open.
+    *
+    * Shape: one key-keyed exchange shared by the dedupe `lag` and the
+    * interval `lead` (same partitioning, the filter between them adds
+    * only a sort), no joins, no generator — linear in log rows. The log
+    * must have at most one row per (key, version). */
+  def fromChangeLog(log: DataFrame, key: String, attrs: Seq[String],
+                    versionCol: String): DataFrame = {
+    require(attrs.nonEmpty, "SCD backfill needs at least one tracked attribute")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(versionCol))
+    val sameAsPrev = attrs
+      .map(a => col(a) <=> lag(col(a), 1).over(w))
+      .reduce(_ && _) && lag(col(versionCol), 1).over(w).isNotNull
+    log
+      .withColumn("_same", sameAsPrev)
+      .filter(!col("_same"))
+      .withColumn("valid_from", col(versionCol).cast("long"))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((col(key) +: attrs.map(col)) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
   /** Point-in-time dimension lookup against an SCD2 history — the read
     * side of [[merge]]: each fact row gets the attribute values that
     * were CURRENT at its version stamp (`asof_<attr>` columns; null

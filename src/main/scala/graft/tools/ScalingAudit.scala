@@ -341,6 +341,18 @@ object ScalingAudit {
       semCoarse, 0.4).count()
     val isW = (System.nanoTime() - isT0) / 1e9
     embBig.unpersist()
+    // Dedup-aware effective token volume: Σ keeper-only tokens at the
+    // decade — fingerprints the cluster closure + token arithmetic
+    // stacked on the pairs_minhash tripwire above.
+    val etT0 = System.nanoTime()
+    val etClusters = graft.ops.ConnectedComponents.dedupClusters(
+      Dedup.minhashPairs(big, 0.5).select(col("da"), col("db")))
+    val effTokens = big
+      .join(etClusters.filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L)))
+      .head.getLong(0)
+    val etW = (System.nanoTime() - etT0) / 1e9
     // Round-13 families. Perceptual-hash media near-dup: banded pHash
     // verified-pair count at the decade (payload = text, the contract's
     // stub world) — drift means the majority-vote signature, the
@@ -404,6 +416,7 @@ object ScalingAudit {
         s""""pairs_phash":$phPairs,"hash_drift_dot":$hdDot,""" +
         s""""hash_drift_na2":$hdNa2,"ks_num_s16":$ksNumSum,""" +
         s""""burst_rows":$burstRows,"scd2_rows":$scdRows,""" +
+        s""""eff_tokens":$effTokens,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
@@ -411,7 +424,7 @@ object ScalingAudit {
         s""""forget":${d2(fgW)},"safe_split":${d2(ssW)},"tv_drift":${d2(tvW)},""" +
         s""""frame_neardup":${d2(fnW)},"incr_sem":${d2(isW)},""" +
         s""""phash":${d2(phW)},"hash_drift":${d2(hdW)},"ks_drift":${d2(ksW)},""" +
-        s""""bursts":${d2(buW)},"scd2":${d2(scW)}}}"""
+        s""""bursts":${d2(buW)},"scd2":${d2(scW)},"eff_tokens":${d2(etW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()

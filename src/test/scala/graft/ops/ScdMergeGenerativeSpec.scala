@@ -46,6 +46,7 @@ class ScdMergeGenerativeSpec extends SparkSpec {
       var refHist: Map[Long, Vector[Ver]] = Map.empty
       var df = Seq.empty[(Long, Option[String], Long, Long, Option[Long], Boolean)]
         .toDF("key", "seg", "nat", "valid_from", "valid_to", "is_current")
+      var fullLog = Vector.empty[(Long, Option[String], Long, Long)]
       var prevCount = 0L
       for (version <- 1L to 6L) {
         // random change batch: distinct keys, random attrs (None seg
@@ -53,6 +54,7 @@ class ScdMergeGenerativeSpec extends SparkSpec {
         val batch = rnd.shuffle(keys).take(1 + rnd.nextInt(25))
           .map(k => (k, segs(rnd.nextInt(segs.size)), rnd.nextInt(3).toLong))
         refHist = refMerge(refHist, batch, version)
+        fullLog ++= batch.map { case (k, s, n) => (k, s, n, version) }
         df = ScdMerge.merge(df,
           batch.map { case (k, s, n) => (k, s, n) }.toDF("key", "seg", "nat"),
           "key", Seq("seg", "nat"), version)
@@ -82,6 +84,17 @@ class ScdMergeGenerativeSpec extends SparkSpec {
           Option(r.getString(1)), r.getLong(2), r.getLong(3),
           if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
           .toDF("key", "seg", "nat", "valid_from", "valid_to", "is_current")
+      }
+      // the one-shot backfill over the SAME change log equals the
+      // iterated fold row-for-row (fromChangeLog's contract)
+      val backfill = ScdMerge.fromChangeLog(
+          fullLog.toDF("key", "seg", "nat", "v"), "key", Seq("seg", "nat"), "v")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+      withClue(s"seed $seed backfill: ") {
+        backfill.toSet shouldBe toRows(refHist)
+        backfill.length shouldBe backfill.toSet.size
       }
     }
   }

@@ -93,6 +93,27 @@ class ScdMergeSpec extends SparkSpec {
       (3L, 7L, None, None))           // unknown key: kept, null attrs
   }
 
+  test("fromChangeLog: consecutive no-ops collapse, intervals chain, null attrs on the first version survive") {
+    val log = Seq(
+      (1L, Option("a"), 0L), (1L, Option("a"), 3L),  // no-op at v3: dropped
+      (1L, Option("b"), 5L), (1L, Option("b"), 7L),  // no-op at v7
+      (1L, Option("a"), 9L),                          // back to 'a': a NEW version
+      (2L, Option.empty[String], 1L),                 // first version with a NULL attr
+      (2L, Option.empty[String], 4L),                 // null == null: no-op
+      (2L, Option("x"), 6L))
+      .toDF("key", "seg", "v")
+    val out = ScdMerge.fromChangeLog(log, "key", Seq("seg"), "v")
+      .orderBy("key", "valid_from").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    out shouldBe Array(
+      (1L, Some("a"), 0L, Some(5L), false),
+      (1L, Some("b"), 5L, Some(9L), false),
+      (1L, Some("a"), 9L, None, true),
+      (2L, None, 1L, Some(6L), false),
+      (2L, Some("x"), 6L, None, true))
+  }
+
   test("history is scanned once through a single full-outer merge join") {
     val history = spark.range(0, 1000)
       .select(col("id").as("key"), concat(lit("s"), col("id") % 5).as("seg"),

@@ -789,6 +789,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stepUpdates epoch roll: two streamed epochs reproduce two batch steps bitwise") {
+    // the scaladoc's deployment contract: an epoch pins the centroids,
+    // the driver collects the K emitted rows at epoch end and re-seeds
+    // the next epoch — this must equal the batch loop's centroid handoff
+    implicit val ctx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val seeds = e.filter(col("vec_id").isin(11L, 57L, 201L, 401L))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2).toSeq
+    val dim = seeds.head.length
+    val batch1 = graft.llm.VectorKMeans.step(e, "vec", seeds)
+    val batch2 = graft.llm.VectorKMeans.step(e, "vec", batch1)
+
+    def streamEpoch(cents: Seq[Array[Double]], name: String): Seq[Array[Double]] = {
+      val assigned = e.select(
+          graft.llm.VectorKMeans.cellOf(col("vec"), cents).as("cell"), col("vec"))
+        .collect()
+        .map(r => VectorKMeansStream.AssignedVec(r.getInt(0), r.getSeq[Double](1)))
+      val mem = MemoryStream[VectorKMeansStream.AssignedVec]
+      val q = VectorKMeansStream.stepUpdates(mem.toDS(), dim)
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        mem.addData(assigned.toIndexedSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val emitted = spark.table(name).collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1)._2 }
+      // the epoch roll: emitted cells take the streamed mean, silent
+      // cells keep the epoch's centroid (the batch keep-previous branch)
+      cents.indices.map(i => emitted.get(i).map(_.toArray).getOrElse(cents(i)))
+    }
+
+    val s1 = streamEpoch(seeds, "vk_epoch1")
+    s1.zip(batch1).foreach { case (a, b) => a shouldBe b }
+    val s2 = streamEpoch(s1, "vk_epoch2")
+    s2.zip(batch2).foreach { case (a, b) => a shouldBe b }
+  }
+
   test("labelDriftUpdates: streamed centroids equal the batch labelDrift bitwise with the batch global as reference") {
     implicit val ctx = spark.sqlContext
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
