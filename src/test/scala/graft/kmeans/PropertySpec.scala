@@ -274,4 +274,51 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     top(docs.coalesce(1)) shouldBe top(docs.repartition(8))
   }
+
+  test("round-14 operators are partition-count invariant") {
+    import org.apache.spark.sql.DataFrame
+    val spark0 = spark
+    import spark0.implicits._
+    // event debounce: the kept set is a pure function of (key, time, id)
+    val ev = graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tus"))
+    def kept(df: DataFrame) =
+      graft.analytics.Analytics.debounceEvents(df, 86400L * 1000000L)
+        .collect().map(_.getLong(0)).toSet
+    val k1 = kept(ev.coalesce(1))
+    kept(ev.repartition(8)) shouldBe k1
+    k1 should not be empty
+    // SCD2 merge + log backfill: integer versions, null-safe compares —
+    // output row sets independent of input layout
+    val hist = Seq((1L, "a", 0L, Option.empty[Long], true),
+      (2L, "b", 0L, Option.empty[Long], true))
+      .toDF("key", "seg", "valid_from", "valid_to", "is_current")
+    val chg = (1L to 100L).map(k => (k, s"s${k % 7}")).toDF("key", "seg")
+    def merged(h: DataFrame, c: DataFrame) =
+      graft.ops.ScdMerge.merge(h, c, "key", Seq("seg"), 5L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    merged(hist.repartition(8), chg.repartition(8)) shouldBe
+      merged(hist.coalesce(1), chg.coalesce(1))
+    val log = (1L to 60L).flatMap(k =>
+      (0L to (k % 4)).map(v => (k, s"s${(k + v) % 3}", v)))
+      .toDF("key", "seg", "v")
+    def hist2(df: DataFrame) =
+      graft.ops.ScdMerge.fromChangeLog(df, "key", Seq("seg"), "v")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    hist2(log.repartition(8)) shouldBe hist2(log.coalesce(1))
+    // bursting terms: exact integer counts and one exact-grid division
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def bursts(df: DataFrame) = {
+      val out = graft.llm.TextAnalysis.burstTerms(df, 50L, 4L, 1L)
+      val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(6)) Double.NaN else r.getDouble(6))).toSet
+      out.unpersist(false)
+      rows
+    }
+    val b1 = bursts(docs.coalesce(1))
+    bursts(docs.repartition(8)) shouldBe b1
+    b1 should not be empty
+  }
 }
