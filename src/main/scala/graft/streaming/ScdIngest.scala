@@ -63,4 +63,33 @@ object ScdIngest {
   /** The served dimension: the latest committed history snapshot. */
   def currentHistory(spark: SparkSession, historyDir: String): DataFrame =
     ManifestSink.read(spark, historyDir)
+
+  /** Streaming point-in-time enrichment — the read side live: each
+    * micro-batch of fact rows joins the attributes that were current at
+    * its own version stamp, against the LATEST COMMITTED history
+    * snapshot at trigger time (the manifest protocol guarantees a
+    * complete snapshot — never a half-written merge). This is the
+    * stream-static join pattern with a versioned static side: facts
+    * stamped with past versions resolve their historical attributes,
+    * not today's — the property a plain dimension join cannot give.
+    * Enriched batches land in per-batch partitions with dynamic
+    * overwrite (the IngestDedup exactly-once discipline). */
+  def enrichStream(factStream: DataFrame, historyDir: String, outPath: String,
+                   key: String, timeCol: String, attrs: Seq[String],
+                   checkpoint: String): StreamingQuery =
+    factStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          ScdMerge.pointInTime(
+              currentHistory(batch.sparkSession, historyDir),
+              batch.toDF(), key, timeCol, attrs)
+            .withColumn("enrich_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("enrich_batch")
+            .parquet(outPath)
+        }
+      }
+      .start()
 }

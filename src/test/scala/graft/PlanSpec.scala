@@ -544,6 +544,13 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Window")
   }
 
+  test("q_scd2_pit: the as-of union-window shape — no range join, no cartesian") {
+    val p = plan("q_scd2_pit", "simple")
+    p should include("Window")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("q_scd2: the MERGE shape — one full-outer key join, history never re-scanned") {
     val p = plan("q_scd2", "simple")
     p should include("FullOuter")

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -259,6 +259,45 @@ class StreamingSpec extends SparkSpec {
       graft.ops.ManifestSink.committedVersions(spark, hist) shouldBe Seq(0L, 1L)
       snapshot() shouldBe cur
     } finally q.stop()
+  }
+
+  test("scd enrichStream: streamed point-in-time enrichment equals the batch PIT; replay overwrites its own partition") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scdenrich").toString
+    // a committed two-version history: key 1 re-segments at version 5
+    val hist = Seq(
+      (1L, "a", 0L, Option(5L), false), (1L, "b", 5L, Option.empty[Long], true),
+      (2L, "z", 3L, Option.empty[Long], true))
+      .toDF("key", "seg", "valid_from", "valid_to", "is_current")
+    graft.ops.ManifestSink.publishAt(hist, s"$dir/hist", 0L)
+    val facts = Seq((1L, 0L), (1L, 7L), (2L, 1L), (3L, 9L))
+    val mem = MemoryStream[(Long, Long)]
+    val q = ScdIngest.enrichStream(mem.toDF.toDF("key", "t"),
+      s"$dir/hist", s"$dir/out", "key", "t", Seq("seg"), s"$dir/ck")
+    try {
+      mem.addData(facts.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(facts.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def out() = spark.read.parquet(s"$dir/out")
+      .orderBy("key", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    val batchPit = graft.ops.ScdMerge.pointInTime(hist,
+        facts.toDF("key", "t"), "key", "t", Seq("seg"))
+      .orderBy("key", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    out() shouldBe batchPit
+    batchPit shouldBe Array(
+      (1L, 0L, Some("a")), (1L, 7L, Some("b")), // historical vs current attrs
+      (2L, 1L, None), (3L, 9L, None))
+    // replay of batch 1 overwrites its own partition, never appends
+    graft.ops.ScdMerge.pointInTime(hist,
+        facts.drop(2).toDF("key", "t"), "key", "t", Seq("seg"))
+      .withColumn("enrich_batch", lit(1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("enrich_batch").parquet(s"$dir/out")
+    out() shouldBe batchPit
   }
 
   test("bloom ingest: exact streaming dedup, replay idempotent, restart restores the bloom") {
