@@ -420,6 +420,13 @@ object SparkEntry {
     // n-gram/stopword-heuristic language ID
     "lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // mixed-language detection: per-chunk LID votes per doc — majority
+    // language (ties lex-smaller), non-majority share as one exact-grid
+    // division; 'und' chunks vote like a language
+    "q_mixed_lang" -> ((s, dir) =>
+      TextAnalysis.mixedLanguageDocs(docs(s, dir), chunkTokens = 20)
+        .orderBy(col("doc_id"))),
+
     // corpus-trained char-trigram rank-order LID (Cavnar-Trenkle) with
     // per-doc verdicts against the labeled lang column — all integers
     "q_lang_trigram" -> ((s, dir) =>
@@ -2237,6 +2244,7 @@ object SparkEntry {
 
     "text_stats" -> TextSql.textStatsSql,
     "lang_id" -> TextSql.langIdSql,
+    "q_mixed_lang" -> TextSql.mixedLangSql(20),
     "q_lang_trigram" -> TextSql.langIdTrigramSql(LidProfileK, LidDocK),
     "fingerprint" -> TextSql.fingerprintSql,
     "dedup_exact" -> TextSql.dedupExactSql,

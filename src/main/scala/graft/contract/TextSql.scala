@@ -56,6 +56,33 @@ object TextSql {
       "FROM h ORDER BY doc_id"
   }
 
+  /** Mirror of TextAnalysis.mixedLanguageDocs: the chunk CTEs + the
+    * langIdSql hit/argmax logic per CHUNK, then the (doc, lang) count
+    * table with the majority rank and the exact-grid mixed fraction. */
+  def mixedLangSql(chunkTokens: Int): String = {
+    val hitCols = TextAnalysis.LangStopwords.map { case (lang, words) =>
+      s"len(list_filter(string_split(chunk_text, ' '), " +
+        s"t -> list_contains(${strList(words)}, t))) AS h_$lang"
+    }.mkString(", ")
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val zero = langs.map(l => s"h_$l").mkString(" + ") + " = 0"
+    val cases = langs.dropRight(1).map { l =>
+      val wins = langs.filter(_ != l).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $wins THEN '$l'"
+    }.mkString(" ")
+    s"WITH ${chunkCtes(chunkTokens)}, " +
+      s"h AS (SELECT doc_id, $hitCols FROM ch), " +
+      s"cl AS (SELECT doc_id, CASE WHEN $zero THEN 'und' $cases " +
+      s"ELSE '${langs.last}' END AS clang FROM h), " +
+      "cnt AS (SELECT doc_id, clang, CAST(count(*) AS BIGINT) AS c FROM cl GROUP BY 1, 2), " +
+      "r AS (SELECT doc_id, clang, c, " +
+      "CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks, " +
+      "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, clang) AS rn FROM cnt) " +
+      "SELECT doc_id, clang AS major_lang, c AS n_major, n_chunks, " +
+      "CAST(n_chunks - c AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS mixed_frac " +
+      "FROM r WHERE rn = 1 ORDER BY doc_id"
+  }
+
   val fingerprintSql: String =
     s"SELECT doc_id, CASE WHEN len(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END AS fp " +
       "FROM documents ORDER BY doc_id"

@@ -73,6 +73,38 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), langPred(col("text")).as("lang_pred"))
 
+  /** Mixed-language document detection — the curation signal LID per
+    * document cannot give: a doc whose CHUNKS disagree about their
+    * language (scraped boilerplate wrapping foreign content, parallel-
+    * text pages, code-switched forums) trains noisier than either pure
+    * language. Each disjoint `chunkTokens`-token chunk votes with the
+    * stopword LID ([[langPred]] — 'und' votes like a language: a run of
+    * stopword-free chunks inside an otherwise-identified doc IS mixture
+    * evidence); the majority language takes ties to the
+    * lexicographically smaller vote, and `mixed_frac` = the non-majority
+    * chunk share as ONE division of two CAST-to-DOUBLE exact BIGINTs.
+    *
+    * Shape: the [[chunk]] explode → a (doc, lang) count aggregate
+    * (≤ |langs|+1 rows per doc) → ONE doc-keyed exchange shared by the
+    * total-sum window and the majority rank window. Output: (doc_id,
+    * major_lang, n_major, n_chunks, mixed_frac). */
+  def mixedLanguageDocs(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = chunk(docs, chunkTokens, overlap = 0)
+      .select(col("doc_id"), langPred(col("chunk_text")).as("clang"))
+    val counts = ch.groupBy(col("doc_id"), col("clang")).agg(count(lit(1)).as("c"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("n_chunks", sum(col("c")).over(byDoc))
+      .withColumn("rn", row_number().over(
+        byDoc.orderBy(col("c").desc, col("clang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("clang").as("major_lang"),
+        col("c").as("n_major"), col("n_chunks"),
+        ((col("n_chunks") - col("c")).cast("double") /
+          col("n_chunks").cast("double")).as("mixed_frac"))
+  }
+
   /** Char-trigram rank-order language ID (Cavnar & Trenkle 1994 — the
     * n-gram-profile classifier fastText-style LID descends from), the
     * corpus-trained upgrade of the fixed-stopword [[langId]]: per-

@@ -1798,6 +1798,23 @@ class LlmSpec extends SparkSpec {
     TextAnalysis.burstTerms(d, 2L, minCount = 7L, factor = 1L).count() shouldBe 0L
   }
 
+  test("mixedLanguageDocs: chunk votes, majority tie to lex-smaller, und votes like a language") {
+    val d = docsDF(
+      1L -> "the and of le la les",      // en chunk + fr chunk: tie -> en
+      2L -> "the and of to is in",       // two en chunks: pure
+      3L -> "xyz abc",                   // one stopword-free chunk: und
+      4L -> "the and of xyz zzz qqq")    // en + und: und IS mixture evidence
+    val out = TextAnalysis.mixedLanguageDocs(d, chunkTokens = 3)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    out.toSeq shouldBe Seq(
+      (1L, "en", 1L, 2L, 0.5),
+      (2L, "en", 2L, 2L, 0.0),
+      (3L, "und", 1L, 1L, 0.0),
+      (4L, "en", 1L, 2L, 0.5))
+  }
+
   test("vocabGrowthSketched: tracks the exact Heaps curve within sketch error, monotone, layout-invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = TextAnalysis.vocabGrowth(docs, 50L).orderBy(col("batch")).collect()
