@@ -469,6 +469,56 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming point-in-time enrichment: the SCD read side live — a
+      // 4-batch fact stream resolves historical attrs against a
+      // committed 2-version history; streamed ≡ batch PIT is
+      // spec-pinned, the guard is full fact coverage with the
+      // pre-version null region present
+      "stream_scd_enrich" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val c = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"))
+        val hist = c.select(explode(array(
+            struct(col("key"), col("seg").as("seg"),
+              lit(2L).as("valid_from"), lit(5L).as("valid_to"),
+              lit(false).as("is_current")),
+            struct(col("key"), concat(col("seg"), lit("_V2")).as("seg"),
+              lit(5L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+              lit(true).as("is_current")))).as("h"))
+          .select(col("h.*"))
+        val facts = c.select(col("key"), (col("key") % 12).as("t"),
+          (col("key") % 4).as("part"))
+        val nFacts = facts.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_enrich_bench").toString
+        try {
+          graft.ops.ManifestSink.publishAt(hist, s"$tmp/hist", 0L)
+          facts.repartition(1).write.partitionBy("part")
+            .mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream
+            .schema("key LONG, t LONG, part INT")
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .select(col("key"), col("t"))
+          val q = graft.streaming.ScdIngest.enrichStream(src, s"$tmp/hist",
+            s"$tmp/out", "key", "t", Seq("seg"), s"$tmp/ck")
+          q.processAllAvailable()
+          q.stop()
+          val out = s2.read.parquet(s"$tmp/out")
+          val n = out.count()
+          val v2 = out.filter(col("asof_seg").endsWith("_V2")).count()
+          val v1 = out.filter(col("asof_seg").isNotNull &&
+            !col("asof_seg").endsWith("_V2")).count()
+          val pre = out.filter(col("asof_seg").isNull).count()
+          require(n == nFacts && v1 > 0 && v2 > 0 && pre > 0,
+            s"enrich covered $n/$nFacts facts (v1=$v1, v2=$v2, pre=$pre)")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming per-source token-budget gate: the documents table fed
       // as a 4-batch file stream; per-source running totals live in
       // flatMapGroupsWithState state (ONE long per source). Guard: every
