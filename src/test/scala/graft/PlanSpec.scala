@@ -544,6 +544,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Window")
   }
 
+  test("q_mixed_lang: ONE documents scan, join-free — chunk votes fold through windows") {
+    val p = plan("q_mixed_lang", "simple")
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+    (p should not).include("Join")
+  }
+
   test("q_scd2_pit: the as-of union-window shape — no range join, no cartesian") {
     val p = plan("q_scd2_pit", "simple")
     p should include("Window")
