@@ -410,6 +410,23 @@ object Bench {
               org.apache.spark.sql.expressions.Window.orderBy(col("tus"), col("event_id"))))
             .repartition(1).write.partitionBy("part")
             .mode("overwrite").parquet(s"$tmp/in")
+          // FileStreamSource orders triggers by file MODIFICATION TIME, and
+          // one partitionBy write lands all four part files within the same
+          // clock tick — an mtime tie would let a later-part file fire first
+          // and compare a late event against newer state. Stamp strictly
+          // increasing mtimes in part order so trigger order is the event-
+          // time order by construction.
+          locally {
+            val inPath = new org.apache.hadoop.fs.Path(s"$tmp/in")
+            val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val base = System.currentTimeMillis()
+            for (p <- 1 to 4) {
+              val dir = new org.apache.hadoop.fs.Path(s"$tmp/in/part=$p")
+              fs.listStatus(dir)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .foreach(st => fs.setTimes(st.getPath, base + p * 2000L, -1L))
+            }
+          }
           import s2.implicits._
           val src = s2.readStream
             .schema("event_id LONG, user_id LONG, event_type STRING, tus LONG, part INT")

@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   *   - key has an open history row with DIFFERENT attrs — the open row
   *     closes (`valid_to = version`, `is_current = false`) and a new
   *     open row (attrs from the change, `valid_from = version`) appends;
-  *   - key has no history row — a new open row appends.
+  *   - key has no history row — a new open row appends;
+  *   - key has history rows but NO open row (externally-authored
+  *     histories, or a future delete operator — [[merge]] and
+  *     [[fromChangeLog]] outputs always keep exactly one open row per
+  *     surviving key) — a new open row appends, detected by a per-key
+  *     open-row count carried through the join on exactly one
+  *     representative row so the insert emits once.
   * History rows already closed pass through untouched; open rows for
   * keys absent from the change set pass through untouched. Versions are
   * caller-supplied BIGINTs (ingestion batch ids / epoch micros), so the
@@ -44,7 +50,9 @@ object ScdMerge {
   /** @param history  SCD2 table: `key`, `attrs*`, `valid_from: BIGINT`,
     *                 `valid_to: BIGINT` (null = open), `is_current:
     *                 BOOLEAN`. At most one open row per key (the SCD2
-    *                 invariant — outputs of this operator preserve it).
+    *                 invariant — outputs of this operator preserve it;
+    *                 a key with only closed rows is handled: its change
+    *                 inserts a fresh open row).
     * @param changes  one row per key: `key`, `attrs*`. Must be unique
     *                 per key (a change batch with conflicting rows for
     *                 one key has no well-defined SCD outcome — dedupe
@@ -62,10 +70,26 @@ object ScdMerge {
     val chg = changes.select(
       (col(key).as(key) +: attrs.map(a => col(a).as(s"_chg_$a"))) :+
         lit(true).as("_chg"): _*)
-    val j = history.join(chg, Seq(key), "full_outer")
+    // per-key open-row count + a single representative row, so a change
+    // for a key whose history is ALL CLOSED still emits its insert (once).
+    // The window's hashpartitioning(key) is the same exchange the
+    // full-outer sort-merge join needs — history is still scanned once.
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val h = history
+      .withColumn("_open_cnt",
+        sum(when(col("is_current"), 1L).otherwise(0L)).over(wKey))
+      .withColumn("_rn",
+        row_number().over(wKey.orderBy(col("valid_from").desc)))
+    val j = h.join(chg, Seq(key), "full_outer")
     val hasHist = col("is_current").isNotNull
     val sameAttrs = attrs.map(a => col(a) <=> col(s"_chg_$a")).reduce(_ && _)
     val superseded = hasHist && col("is_current") && col("_chg") && !sameAttrs
+    // all-closed key receiving a change: nothing to close, but the open
+    // row must appear — emit it from the key's one representative row
+    // (which row carries it is irrelevant: the insert reads only change
+    // attrs and the version literal)
+    val orphanInsert =
+      hasHist && col("_open_cnt") === 0L && col("_chg") && col("_rn") === 1
     def outStruct(attrCols: Seq[org.apache.spark.sql.Column],
                   from: org.apache.spark.sql.Column,
                   to: org.apache.spark.sql.Column,
@@ -86,7 +110,7 @@ object ScdMerge {
     // the post-generator filter drops
     val rows = array(
       when(hasHist, passOrClose).otherwise(insertNew),
-      when(superseded, insertNew))
+      when(superseded || orphanInsert, insertNew))
     j.select(explode(rows).as("_r"))
       .filter(col("_r").isNotNull)
       .select(outCols.map(c => col(s"_r.$c").as(c)): _*)

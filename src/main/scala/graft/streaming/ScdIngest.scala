@@ -29,11 +29,43 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * 100 TB facts the dimension history this maintains is still GBs.
   *
   * Empty batches publish nothing (no version burned, the IndexedIngest
-  * convention). */
+  * convention).
+  *
+  * A CDC trigger can carry SEVERAL updates for one key — but
+  * [[graft.ops.ScdMerge.merge]] requires at most one change row per key
+  * (two rows for a key would fan out through the full-outer join and
+  * corrupt the snapshot: duplicated pass-through rows, two open rows).
+  * Callers with ordered CDC pass `seqCol` (LSN / source offset / event
+  * time) and each batch collapses to the key's LAST change —
+  * deterministically, via `max(struct(seq, attrs…))` whose lexicographic
+  * tie-break keeps replay rewrites byte-identical even on seq ties.
+  * Without `seqCol` there is no defensible winner, so a multi-row key
+  * fails the batch loudly instead of corrupting history forever. */
 object ScdIngest {
 
+  /** One change row per key, or a loud error: the precondition
+    * [[graft.ops.ScdMerge.merge]] needs, enforced per micro-batch. */
+  private[streaming] def collapseToLastPerKey(
+      changes: DataFrame, key: String, attrs: Seq[String],
+      seqCol: Option[String], batchId: Long): DataFrame = seqCol match {
+    case Some(sc) =>
+      changes.groupBy(col(key))
+        .agg(max(struct(col(sc).as("_seq") +: attrs.map(col): _*)).as("_m"))
+        .select(col(key) +: attrs.map(a => col(s"_m.$a").as(a)): _*)
+    case None =>
+      val dup = changes.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"ScdIngest batch $batchId carries ${dup.headOption.map(_.getLong(1)).getOrElse(0L)} " +
+          s"change rows for key ${dup.headOption.map(_.get(0)).getOrElse("?")} — " +
+          "an SCD2 merge has no well-defined outcome for conflicting rows; " +
+          "pass seqCol to collapse each key to its last change, or dedupe upstream")
+      changes
+  }
+
   def ingestBatch(changes: DataFrame, historyDir: String, key: String,
-                  attrs: Seq[String], batchId: Long): Unit = {
+                  attrs: Seq[String], batchId: Long,
+                  seqCol: Option[String] = None): Unit = {
     val spark = changes.sparkSession
     if (changes.isEmpty) return
     val versions = ManifestSink.committedVersions(spark, historyDir)
@@ -47,16 +79,19 @@ object ScdIngest {
           .withColumn("is_current", lit(true))
     }
     ManifestSink.publishAt(
-      ScdMerge.merge(history, changes, key, attrs, batchId),
+      ScdMerge.merge(history,
+        collapseToLastPerKey(changes, key, attrs, seqCol, batchId),
+        key, attrs, batchId),
       historyDir, batchId)
   }
 
   def start(changeStream: DataFrame, historyDir: String, key: String,
-            attrs: Seq[String], checkpoint: String): StreamingQuery =
+            attrs: Seq[String], checkpoint: String,
+            seqCol: Option[String] = None): StreamingQuery =
     changeStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        ingestBatch(batch.toDF(), historyDir, key, attrs, batchId)
+        ingestBatch(batch.toDF(), historyDir, key, attrs, batchId, seqCol)
       }
       .start()
 

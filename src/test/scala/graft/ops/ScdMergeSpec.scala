@@ -73,6 +73,30 @@ class ScdMergeSpec extends SparkSpec {
     k1 shouldBe Array(("a", 0L, 1L), ("b", 1L, 2L), ("c", 2L, -1L))
   }
 
+  test("all-closed key: a change inserts a fresh open row exactly once, closed rows untouched") {
+    // externally-authored history: key 1 has TWO closed rows and no open
+    // row (the state merge/fromChangeLog never produce but must survive)
+    val history = hist(
+      (1L, "a", 7L, 0L, Some(3L), false),
+      (1L, "b", 7L, 3L, Some(5L), false),
+      (2L, "z", 9L, 0L, None, true))
+    val changes = Seq((1L, "c", 7L), (2L, "z", 9L)).toDF("key", "seg", "nat")
+    val out = ScdMerge.merge(history, changes, "key", Seq("seg", "nat"), version = 8L)
+      .orderBy("key", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    out shouldBe Array(
+      (1L, "a", 0L, Some(3L), false),   // closed rows pass through
+      (1L, "b", 3L, Some(5L), false),
+      (1L, "c", 8L, None, true),        // the insert emits ONCE, not per closed row
+      (2L, "z", 0L, None, true))        // no-op open key untouched
+    // and an all-closed key ABSENT from the change set stays all closed
+    val quiet = ScdMerge.merge(history, Seq((2L, "y", 9L)).toDF("key", "seg", "nat"),
+      "key", Seq("seg", "nat"), version = 8L)
+    quiet.filter(col("key") === 1L && col("is_current")).count() shouldBe 0L
+    quiet.filter(col("key") === 1L).count() shouldBe 2L
+  }
+
   test("pointInTime: inclusive at valid_from, latest version wins, null before first version and for unknown keys") {
     val history = hist(
       (1L, "a", 7L, 0L, Some(5L), false),

@@ -261,6 +261,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd ingest: a multi-change-per-key batch collapses to the key's last change with seqCol, fails loudly without") {
+    val dir = java.nio.file.Files.createTempDirectory("scdmulti").toString
+    val hist = s"$dir/hist"
+    // CDC trigger with THREE updates for key 1, in sequence order: the
+    // merged snapshot must show only the final value — one open row
+    val batch = Seq((1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L), (2L, "x", 15L))
+      .toDF("key", "seg", "lsn")
+    ScdIngest.ingestBatch(batch, hist, "key", Seq("seg"), batchId = 0L,
+      seqCol = Some("lsn"))
+    val snap = ScdIngest.currentHistory(spark, hist)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(4)))
+    snap shouldBe Array((1L, "c", true), (2L, "x", true))
+    // deterministic on seq ties: max(struct) breaks ties lexicographically
+    // by attr value, so replays rewrite byte-identically
+    val tied = ScdIngest.collapseToLastPerKey(
+      Seq((1L, "p", 5L), (1L, "q", 5L)).toDF("key", "seg", "lsn"),
+      "key", Seq("seg"), Some("lsn"), batchId = 1L).collect()
+    tied.map(r => (r.getLong(0), r.getString(1))) shouldBe Array((1L, "q"))
+    // without seqCol there is no defensible winner: the batch fails loudly
+    // instead of fanning out through the merge join and corrupting history
+    val ex = intercept[IllegalArgumentException] {
+      ScdIngest.ingestBatch(
+        Seq((3L, "m"), (3L, "n")).toDF("key", "seg"),
+        hist, "key", Seq("seg"), batchId = 1L)
+    }
+    ex.getMessage should include("change rows for key")
+    // and the failed batch published nothing
+    graft.ops.ManifestSink.committedVersions(spark, hist) shouldBe Seq(0L)
+  }
+
   test("scd enrichStream: streamed point-in-time enrichment equals the batch PIT; replay overwrites its own partition") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("scdenrich").toString
