@@ -210,6 +210,32 @@ object Bench {
         val n = graft.llm.Similarity.assignCells(e, coarse).count()
         require(n > 0, "no assignments from the large-K path")
       }),
+      // the persisted-ANN-index query path: train the quantizer + write
+      // the cell-partitioned integer index ONCE, then probe the STORED
+      // rows — the amortization every other 100 TB family already had
+      // (band index / IndexedIngest), now on the vector side. The probe
+      // partition-prunes to nprobe cells (LlmSpec pins the plan); bitwise
+      // equality with the one-shot ivfPqSearch is spec-pinned. Guard:
+      // non-empty probe over a full-corpus index.
+      "ann_indexed_probe" -> (() => {
+        import graft.llm.Similarity
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val quant = Similarity.trainIvfPqQuantizer(
+          e, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_annidx_bench").toString
+        try {
+          Similarity.writeIvfPqIndex(e, quant, s"$tmp/idx")
+          val stored = Similarity.readIvfPqIndex(spark, s"$tmp/idx")
+          val hits = Similarity.ivfPqProbe(stored, quant,
+            Similarity.collectVectors(e, Seq(0L, 1L, 2L)), nprobe = 2, k = 10).count()
+          require(hits > 0, "empty probe over the persisted IVF-PQ index")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming surface: file-stream click attribution over the events
       // table (views/clicks split to parquet, consumed as streams, the
       // watermarked interval join drained to completion). Equality with
@@ -384,6 +410,75 @@ object Bench {
             .select("doc_id").distinct().count()
           require(survived > 0 && survived <= nDocs && indexed == survived,
             s"indexed ingest kept $survived of $nDocs docs, index covers $indexed")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
+      // streaming vector-index ingest: the embeddings table fed as a
+      // 4-batch file stream, each micro-batch encoded against the frozen
+      // quantizer and appended as (cell, batch) partitions. Bitwise probe
+      // equality with ivfPqSearch is spec-pinned; guard here: the index
+      // covers every ingested vector and probes non-trivially
+      "stream_vector_ingest" -> (() => {
+        import org.apache.spark.sql.functions._
+        import graft.llm.Similarity
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val nVecs = e.count()
+        val quant = Similarity.trainIvfPqQuantizer(
+          e, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_vecing_bench").toString
+        try {
+          e.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val q = graft.streaming.VectorIndexIngest.start(
+            src, s"$tmp/idx", quant, s"$tmp/ck")
+          q.processAllAvailable()
+          q.stop()
+          val idx = graft.streaming.VectorIndexIngest.index(s2, s"$tmp/idx")
+          val indexed = idx.count()
+          val hits = Similarity.ivfPqProbe(idx, quant,
+            Similarity.collectVectors(e, Seq(0L, 1L, 2L)), nprobe = 2, k = 10).count()
+          require(indexed == nVecs && hits > 0,
+            s"vector ingest indexed $indexed of $nVecs vectors, $hits probe hits")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
+      // streaming count-min sketch: the documents table fed as a 4-batch
+      // file stream, per-batch distributed CMS builds merged into driver
+      // state (cell-for-cell equality with the batch build is spec-
+      // pinned). Guard: the merged sketch's totalCount — an EXACT sum
+      // even in a CMS — equals the corpus token count
+      "stream_cms" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val nToks = docs.select(explode(
+          graft.llm.TextAnalysis.tokens(col("text"))).as("w")).count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cms_bench").toString
+        try {
+          docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val sk = new graft.streaming.StreamingSketch(
+            eps = 0.001, confidence = 0.99, seed = 42)
+          val q = sk.start(src, s"$tmp/ck")
+          q.processAllAvailable()
+          q.stop()
+          require(sk.snapshot.totalCount() == nToks,
+            s"streamed CMS saw ${sk.snapshot.totalCount()} tokens, corpus has $nToks")
         } finally {
           try {
             val p = new org.apache.hadoop.fs.Path(tmp)

