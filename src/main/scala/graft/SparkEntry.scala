@@ -1821,6 +1821,13 @@ object SparkEntry {
       Dedup.substringPairs(docs(s, dir), SubstrN, SubstrDfCap)
         .orderBy(col("da"), col("db"))),
 
+    // the pair signal COMPLETED (Lee et al. 2022 remove the matched
+    // spans): tokens covered by a 12-gram first seen in a lower doc_id
+    // are dropped, docs reassembled from the survivors
+    "q_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(docs(s, dir), SubstrN)
+        .orderBy(col("doc_id"))),
+
     // SemDeDup: embedding-space dedup policy (cell-pruned pairs, keep
     // the lowest vec_id of every near-dup group) — surviving ids
     "q_semdedup" -> ((s, dir) =>
@@ -3060,6 +3067,7 @@ object SparkEntry {
     "q_datasheet" -> TextSql.datasheetSql(GopherMinWords, GopherMaxWords,
       GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac),
     "q_substring_pairs" -> TextSql.substringPairsSql(SubstrN, SubstrDfCap),
+    "q_span_removal" -> TextSql.spanRemovalSql(SubstrN),
     "q_semdedup" -> TextSql.semDedupSql(IvfCoarseIds, SemDedupThreshold),
     "q_retrieval" -> TextSql.retrievalSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),
     "q_source_stats" -> TextSql.sourceStatsSql(JacThreshold, SourceMaxDupFrac),

@@ -1801,6 +1801,36 @@ object TextSql {
       "GROUP BY 1, 2 ORDER BY da, db"
   }
 
+  /** Mirror of Dedup.removeDuplicateSpans: positional word n-grams,
+    * each gram's min doc_id keeps its copies, every token of a higher
+    * doc covered by such a gram is dropped, documents reassembled from
+    * surviving tokens in order. All integer/string arithmetic — bitwise.
+    * The two zipped unnests in `tok` align element-for-element (DuckDB
+    * zips same-SELECT unnests), giving the (tpos, tok) pairs Spark's
+    * posexplode emits. */
+  def spanRemovalSql(n: Int): String =
+    s"WITH t AS ($toksCte), " +
+      s"pg AS (SELECT doc_id, unnest(range(0, len(toks) - $n + 1)) AS p, toks " +
+      s"FROM t WHERE len(toks) >= $n), " +
+      s"gr AS (SELECT doc_id, p, " +
+      s"array_to_string(list_slice(toks, (p+1)::INT, (p+$n)::INT), ' ') AS g FROM pg), " +
+      "fd AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY g), " +
+      "dropped AS (SELECT DISTINCT gr.doc_id, p + unnest(range(0, " + n + ")) AS tpos " +
+      "FROM gr JOIN fd USING (g) WHERE fd.first_doc < gr.doc_id), " +
+      "tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS tpos, unnest(toks) AS tok " +
+      "FROM t WHERE toks IS NOT NULL), " +
+      "kept AS (SELECT doc_id, tpos, tok FROM tok " +
+      "WHERE NOT EXISTS (SELECT 1 FROM dropped dr " +
+      "WHERE dr.doc_id = tok.doc_id AND dr.tpos = tok.tpos)), " +
+      "re AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(tok, ' ' ORDER BY tpos) AS text FROM kept GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t) " +
+      "SELECT d0.doc_id, coalesce(n_tokens, 0) AS n_tokens, " +
+      "coalesce(n_tokens, 0) - coalesce(n_kept, 0) AS n_dropped, " +
+      "coalesce(re.text, '') AS text " +
+      "FROM documents d0 LEFT JOIN tot ON d0.doc_id = tot.doc_id " +
+      "LEFT JOIN re ON d0.doc_id = re.doc_id ORDER BY d0.doc_id"
+
   /** Mirror of Similarity.semDedup over the SAME cell-pruned pair set
     * as dedupEmbeddingSql: survivors = vectors that are nobody's
     * higher-id near-duplicate. */

@@ -287,6 +287,82 @@ object Dedup {
       Seq(f))
   }
 
+  /** Duplicated-SPAN removal — [[substringPairs]]' signal COMPLETED the
+    * way Lee et al. 2022 actually use it ("Deduplicating Training Data
+    * Makes Language Models Better" removes the matched spans, it does
+    * not just flag the pair): every token covered by a word `n`-gram
+    * whose FIRST global occurrence lives in a lower doc_id is removed,
+    * and each document is reassembled from its surviving tokens in
+    * order. The keeper rule is deterministic and the span-granular twin
+    * of `TextAnalysis.chunkDedup`'s: the lowest doc_id containing a
+    * gram keeps every copy it has (within-doc repeats included — the
+    * doc "owns" the gram); every HIGHER doc drops every covered token.
+    * Overlapping duplicated grams union their token ranges, so a long
+    * shared passage is removed wholesale, not gram-by-gram.
+    *
+    * Scale shape — deliberately NOT the pair generator's: removal
+    * needs no candidate pairs at all, only each gram's min doc_id.
+    * One positional-gram explode (rows = tokens, linear), one gram-
+    * keyed min aggregate (map-side partials collapse boilerplate), one
+    * gram-keyed join back, a token-range explode of only the DROPPED
+    * occurrences, and a doc-keyed anti-join + reassembly — every stage
+    * linear, every shuffle key either the gram or the doc id. No df
+    * cap is needed because nothing is quadratic: a gram in a million
+    * docs aggregates to one (g, first_doc) row. All arithmetic is
+    * integer/string — the oracle mirrors bitwise.
+    *
+    * Persisted + materialized like chunkDedup (internal caches
+    * released before returning). Output: (doc_id, n_tokens, n_dropped,
+    * text). */
+  def removeDuplicateSpans(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"need n >= 2, got $n")
+    val toksed = spread(docs)
+      .select(col("doc_id"), graft.llm.TextAnalysis.tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positional gram table: (doc_id, p, g) with p 0-based
+    val grams = toksed
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("p"))
+      .select(col("doc_id"), col("p"),
+        concat_ws(" ", slice(col("toks"), col("p") + 1, lit(n))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstDoc = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    // token positions covered by some duplicated gram occurrence; the
+    // n-way explode touches only dropped occurrences, and the distinct
+    // collapses the n-1 overlaps of consecutive duplicated grams before
+    // the anti-join builds on it
+    val dropped = grams.join(firstDoc, Seq("g"))
+      .filter(col("first_doc") < col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("tpos"))
+      .distinct()
+    val tok = toksed.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("tpos", "tok")))
+    val kept = tok.join(dropped, Seq("doc_id", "tpos"), "left_anti")
+    val totals = toksed.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    // field extraction over the sorted struct array is a native
+    // GetArrayStructFields (the chunkDedup reassembly discipline)
+    val re = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("tpos"), col("tok")))).as("arr"))
+      .select(col("doc_id"), col("n_kept"), array_join(col("arr.tok"), " ").as("t"))
+    val out = docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("t"), lit("")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    grams.unpersist(false)
+    toksed.unpersist(false)
+    out
+  }
+
   /** Per-source corpus report — the per-domain duplication/volume table
     * a curation run builds source blocklists from (C4 dropped whole
     * domains this way; `source` stands in for the crawl domain). Takes

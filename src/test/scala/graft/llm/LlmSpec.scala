@@ -2147,6 +2147,35 @@ class LlmSpec extends SparkSpec {
     uncapped should contain allOf ((4L, 5L), (4L, 6L), (5L, 6L))
   }
 
+  test("removeDuplicateSpans: covered tokens drop in higher docs, owner keeps all copies, overlaps union, short/empty/null docs survive") {
+    val d = docsDF(
+      1L -> "a b c d e f",       // owns every gram it has
+      2L -> "x y a b c d q",     // 'a b c','b c d' first in doc 1: tokens 2..5 drop
+      3L -> "a b c d x y z w",   // same spans drop; 'x y z' is NOT in doc 2 ('x y a')
+      4L -> "",                  // one empty-string token, kept
+      5L -> null)                // null text: 0 tokens, text ''
+    val out = Dedup.removeDuplicateSpans(d, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out.toSeq shouldBe Seq(
+      (1L, 6L, 0L, "a b c d e f"),
+      (2L, 7L, 4L, "x y q"),     // overlapping grams union to ONE 4-token span
+      (3L, 8L, 4L, "x y z w"),
+      (4L, 1L, 0L, ""),
+      (5L, 0L, 0L, ""))
+    // within-doc repeats with no earlier owner are KEPT (the doc owns them)
+    val rep = Dedup.removeDuplicateSpans(
+      docsDF(7L -> "m n o m n o"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    rep.toSeq shouldBe Seq((7L, 0L, "m n o m n o"))
+    // ... but a LOWER doc sharing the gram strips every copy downstream
+    val owned = Dedup.removeDuplicateSpans(
+      docsDF(1L -> "m n o", 7L -> "m n o m n o"), n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    owned.toSeq shouldBe Seq((1L, 0L, "m n o"), (7L, 6L, ""))
+  }
+
   test("semDedup: lowest id of each near-dup group survives, other cells untouched") {
     val e = embDF(
       1L -> Seq(1f, 0f),        // cell 1 (coarse)
