@@ -486,6 +486,43 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming transition-matrix twin: the events table fed as a
+      // 4-batch file stream in ARBITRARY order — retraction makes the
+      // summed deltas order-independent. Guard: the summed cell deltas
+      // equal the batch transitionMatrix counts exactly
+      "stream_transitions" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val ev = graft.SparkEntry.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("tus"))
+        val batch = graft.analytics.Analytics.transitionMatrix(ev).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val tmp = java.nio.file.Files.createTempDirectory("graft_trans_bench").toString
+        try {
+          ev.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          import s2.implicits._
+          val src = s2.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .as[graft.streaming.EventStream.SeqEvent]
+          val q = graft.streaming.EventStream.transitionCellUpdates(src)
+            .writeStream.format("memory").queryName("trans_bench")
+            .outputMode("update").option("checkpointLocation", s"$tmp/ck").start()
+          q.processAllAvailable()
+          q.stop()
+          val streamed = s2.sql(
+            "SELECT prev_type, next_type, sum(delta) AS n FROM trans_bench " +
+              "GROUP BY 1, 2 HAVING sum(delta) <> 0").collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+          require(streamed == batch,
+            s"streamed transition matrix has ${streamed.size} cells, batch ${batch.size}")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming debounce: the events table fed as a 4-batch file
       // stream in event-time order; state = ONE long per (user, type).
       // Guard: the streamed kept set size equals the batch operator's

@@ -223,6 +223,55 @@ object EventStream {
       }
   }
 
+  case class SeqEvent(user_id: Long, event_id: Long, event_type: String, tus: Long)
+  case class UserSeq(events: Seq[SeqEvent])
+  case class TransitionDelta(prev_type: String, next_type: String, delta: Long)
+
+  /** Streaming twin of `analytics.Analytics.transitionMatrix`: per-user
+    * ordered-sequence state emitting DELTAS of (prev_type, next_type)
+    * transition cells — downstream `sum(delta)` grouped by the pair
+    * reproduces the batch matrix's `n_transitions` at every trigger
+    * (`prob` derives from the counts exactly as in batch). Late data is
+    * handled by RETRACTION, the retentionCellUpdates discipline: an
+    * event landing in the MIDDLE of a user's seen sequence retracts the
+    * (pred, succ) pair it splits (−1) and asserts the two pairs it
+    * creates (+1 each) — the batch semantics (global (tus, event_id)
+    * order per user) preserved exactly on an unbounded stream, which a
+    * drop-late watermark cannot do. The trigger's group iterator is NOT
+    * time-ordered (the DebounceStream trap) — incoming events merge
+    * into the state and the whole sequence re-sorts by (tus, event_id)
+    * before pairs are read.
+    *
+    * State per user is its event sequence — the price of exact
+    * insert-anywhere retraction; production bounds it with an event-
+    * time horizon (drop state entries older than watermark − H: a late
+    * arrival beyond the horizon could only split pairs that are already
+    * immutable). Update output mode; state shards by user_id. */
+  def transitionCellUpdates(events: Dataset[SeqEvent]): Dataset[TransitionDelta] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def pairCounts(s: Seq[SeqEvent]): Map[(String, String), Long] =
+      if (s.length < 2) Map.empty
+      else s.zip(s.tail).groupMapReduce(
+        p => (p._1.event_type, p._2.event_type))(_ => 1L)(_ + _)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[SeqEvent], state: GroupState[UserSeq]) =>
+          val prev = state.getOption.map(_.events).getOrElse(Seq.empty)
+          val merged = (prev ++ it).sortBy(e => (e.tus, e.event_id))
+          state.update(UserSeq(merged))
+          val before = pairCounts(prev)
+          val after = pairCounts(merged)
+          (before.keySet ++ after.keySet).iterator.flatMap { k =>
+            val d = after.getOrElse(k, 0L) - before.getOrElse(k, 0L)
+            if (d != 0L) Iterator(TransitionDelta(k._1, k._2, d)) else Iterator.empty
+          }
+      }
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(user_id: Long, events: Long, total: Double)
 

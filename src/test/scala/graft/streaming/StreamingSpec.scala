@@ -1128,4 +1128,43 @@ class StreamingSpec extends SparkSpec {
       summed shouldBe batch
     } finally q.stop()
   }
+
+  test("transitionCellUpdates: summed deltas equal the batch matrix at every trigger; a late middle event retracts the split pair") {
+    implicit val ctx = spark.sqlContext
+    import EventStream.SeqEvent
+    val mem = MemoryStream[SeqEvent]
+    val q = EventStream.transitionCellUpdates(mem.toDS())
+      .writeStream.format("memory").queryName("trdelta").outputMode("update").start()
+    def summed(): Map[(String, String), Long] = spark.sql(
+      "SELECT prev_type, next_type, sum(delta) AS n FROM trdelta " +
+        "GROUP BY 1, 2 HAVING sum(delta) <> 0").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def batchOf(evs: Seq[SeqEvent]): Map[(String, String), Long] =
+      graft.analytics.Analytics.transitionMatrix(
+          evs.map(e => (e.user_id, e.event_id, e.event_type, e.tus))
+            .toDF("user_id", "event_id", "event_type", "tus"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    try {
+      // trigger 1: user 1 view->click->buy, user 2 view->view; the group
+      // iterator gets them DELIBERATELY out of time order
+      val t1 = Seq(
+        SeqEvent(1L, 3L, "buy", 30L), SeqEvent(1L, 1L, "view", 10L),
+        SeqEvent(1L, 2L, "click", 20L),
+        SeqEvent(2L, 5L, "view", 11L), SeqEvent(2L, 6L, "view", 21L))
+      mem.addData(t1: _*)
+      q.processAllAvailable()
+      summed() shouldBe Map(("view", "click") -> 1L, ("click", "buy") -> 1L,
+        ("view", "view") -> 1L)
+      summed() shouldBe batchOf(t1)
+      // trigger 2: a LATE event for user 1 lands BETWEEN click and buy —
+      // the (click, buy) pair retracts, (click, cart) and (cart, buy)
+      // assert; user 2 extends the tail normally
+      val t2 = Seq(SeqEvent(1L, 9L, "cart", 25L), SeqEvent(2L, 7L, "click", 31L))
+      mem.addData(t2: _*)
+      q.processAllAvailable()
+      summed() shouldBe batchOf(t1 ++ t2)
+      summed() shouldBe Map(("view", "click") -> 2L, ("click", "cart") -> 1L,
+        ("cart", "buy") -> 1L, ("view", "view") -> 1L)
+    } finally q.stop()
+  }
 }
