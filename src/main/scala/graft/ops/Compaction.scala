@@ -68,4 +68,33 @@ object Compaction {
     }
     groups.size
   }
+
+  /** Z-order-aware compaction — `OPTIMIZE … ZORDER BY` end-to-end.
+    * [[compact]]'s name-order packing preserves locality of a layout
+    * that HAS locality across file names, but a Z-clustered table
+    * fragmented by many small ingest batches is the opposite case:
+    * every batch's files span the whole key range, so name-order
+    * packing interleaves ranges and the compacted row groups' min/max
+    * envelopes widen until data skipping dies. This variant rewrites
+    * the whole directory through `ZOrder.writeClustered` — one range
+    * exchange on the Morton key + a sorted write, the Delta OPTIMIZE
+    * ZORDER shape — so pruning on EVERY clustered dimension survives
+    * compaction (ZOrderSkipSpec pins it on both dims). Output file
+    * count follows the same byte budget as [[plan]]:
+    * ceil(totalBytes / targetBytes). Same non-transactional contract
+    * as [[compact]]: `outDir` is fresh, the swap is the caller's
+    * rename. Returns the planned file count. */
+  def compactClustered(spark: SparkSession, dir: String, dims: Seq[String],
+                       outDir: String, targetBytes: Long,
+                       rowGroupBytes: Long = 128L << 20): Int = {
+    require(targetBytes >= 1, s"need targetBytes >= 1, got $targetBytes")
+    val files = listParquet(spark, dir)
+    require(files.nonEmpty, s"compactClustered: no parquet files under $dir")
+    val total = files.map(_._2).sum
+    val numFiles = math.max(1L, (total + targetBytes - 1L) / targetBytes).toInt
+    ZOrder.writeClustered(spark.read.parquet(dir),
+      dims.map(org.apache.spark.sql.functions.col), outDir, numFiles,
+      rowGroupBytes)
+    numFiles
+  }
 }
