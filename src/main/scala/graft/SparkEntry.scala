@@ -1924,6 +1924,25 @@ object SparkEntry {
         .orderBy(col("source"), col("status"))
     }),
 
+    // versioned corpus-card diff: the publish-gate change report — the
+    // snapshot-diff bands wide, each release's datasheet integers, and
+    // the token delta, per source. Same deterministic old-snapshot
+    // derivation as q_snapshot_diff, carrying lang for the cards.
+    "q_corpus_card_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val old = d.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"), col("source"), col("lang"))
+        .unionByName(d.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("source"), col("lang")))
+      graft.analytics.DataQuality.corpusCardDiff(old, d,
+          GopherMinWords, GopherMaxWords, GopherMinAvgLen, GopherMaxAvgLen,
+          GopherMinStop, GopherMinAlphaFrac)
+        .orderBy(col("source"))
+    }),
+
     // declarative constraint suite: per-row domain rules fold into ONE
     // aggregate on one scan; PK uniqueness = count - countDistinct;
     // FK integrity = one broadcast anti-join count. The publish gate.
@@ -3099,6 +3118,14 @@ object SparkEntry {
         "FROM o FULL OUTER JOIN n USING (doc_id)) " +
         "SELECT source, status, count(*) AS n_docs FROM j " +
         "GROUP BY 1, 2 ORDER BY source, status"),
+
+    "q_corpus_card_diff" -> TextSql.corpusCardDiffSql(
+      GopherMinWords, GopherMaxWords, GopherMinAvgLen, GopherMaxAvgLen,
+      GopherMinStop, GopherMinAlphaFrac,
+      oldCte = "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v1' ELSE text END AS text, source, lang " +
+        "FROM documents WHERE doc_id % 11 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text, source, lang FROM documents WHERE doc_id % 17 = 0",
+      newCte = "SELECT doc_id, text, source, lang FROM documents"),
 
     "q_dq_checks" ->
       ("WITH r AS (SELECT " +

@@ -137,4 +137,60 @@ object DataQuality {
       .groupBy(col("source"), col("status"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Versioned corpus-card diff — the between-releases change report a
+    * publish gate reviews: [[snapshotDiff]]'s id-level bands pivoted
+    * wide, side by side with each release's dataset-card integers
+    * (`TextAnalysis.datasheet`'s per-source volume / Gopher-pass /
+    * exact-dup counts) and the headline token delta. One row per
+    * source answers "what did this release change here" — doc churn
+    * (added/removed/changed), volume drift, and whether the quality
+    * mix moved (pass/dup counts), which is how a crawl regression or a
+    * filter change shows up BEFORE training does.
+    *
+    * All outputs are exact BIGINTs (the exact-grid doctrine: emit the
+    * counts, let the reader divide) — no float discipline needed.
+    * Shape: the diff is one doc_id-keyed full-outer join; each card is
+    * the datasheet aggregate; the final full-outer joins are
+    * sources-sized. Each snapshot frame is consumed by two different
+    * aggregations (diff + its card) — Spark reuses no subplans, so a
+    * production run persists the snapshots or, better, reads them from
+    * the manifest store where the two passes each prune to their own
+    * columns. */
+  def corpusCardDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                     minWords: Int, maxWords: Int,
+                     minAvgLen: Double, maxAvgLen: Double,
+                     minStopHits: Int, minAlphaFrac: Double): DataFrame = {
+    def band(st: String, as: String) =
+      coalesce(sum(when(col("status") === st, col("n_docs"))), lit(0L)).as(as)
+    val bands = snapshotDiff(oldSnap, newSnap).groupBy(col("source")).agg(
+      band("added", "n_added"), band("removed", "n_removed"),
+      band("changed", "n_changed"), band("unchanged", "n_unchanged"))
+    def card(snap: DataFrame, suffix: String) =
+      graft.llm.TextAnalysis.datasheet(snap, minWords, maxWords,
+          minAvgLen, maxAvgLen, minStopHits, minAlphaFrac)
+        .select(col("source"), col("n_docs").as(s"docs_$suffix"),
+          col("n_tokens").as(s"tokens_$suffix"),
+          col("n_gopher_pass").as(s"pass_$suffix"),
+          col("n_dup_docs").as(s"dup_$suffix"))
+    val z = lit(0L)
+    bands
+      .join(card(oldSnap, "old"), Seq("source"), "full_outer")
+      .join(card(newSnap, "new"), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_added"), z).as("n_added"),
+        coalesce(col("n_removed"), z).as("n_removed"),
+        coalesce(col("n_changed"), z).as("n_changed"),
+        coalesce(col("n_unchanged"), z).as("n_unchanged"),
+        coalesce(col("docs_old"), z).as("docs_old"),
+        coalesce(col("docs_new"), z).as("docs_new"),
+        coalesce(col("tokens_old"), z).as("tokens_old"),
+        coalesce(col("tokens_new"), z).as("tokens_new"),
+        (coalesce(col("tokens_new"), z) - coalesce(col("tokens_old"), z))
+          .as("token_delta"),
+        coalesce(col("pass_old"), z).as("pass_old"),
+        coalesce(col("pass_new"), z).as("pass_new"),
+        coalesce(col("dup_old"), z).as("dup_old"),
+        coalesce(col("dup_new"), z).as("dup_new"))
+  }
 }

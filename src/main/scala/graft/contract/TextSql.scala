@@ -1567,9 +1567,10 @@ object TextSql {
     * lang)) argmax; every fraction ONE division of two CAST-to-DOUBLE
     * exact BIGINTs. */
   def datasheetSql(minWords: Int, maxWords: Int, minAvgLen: Double, maxAvgLen: Double,
-                   minStopHits: Int, minAlphaFrac: Double): String = {
+                   minStopHits: Int, minAlphaFrac: Double,
+                   from: String = "documents"): String = {
     val stop = strList(TextAnalysis.Stopwords)
-    "WITH t AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS toks FROM documents), " +
+    s"WITH t AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS toks FROM $from), " +
       "s AS (SELECT source, lang, text, len(toks) AS n_words, " +
       "list_sum(list_transform(toks, t -> len(t)))/len(toks) AS mean_word_len, " +
       s"len(list_filter($stop, w -> list_contains(toks, w))) AS n_stop_distinct, " +
@@ -1596,6 +1597,49 @@ object TextSql {
       "n_gopher_pass, CAST(n_gopher_pass AS DOUBLE)/CAST(n_docs AS DOUBLE) AS pass_frac, " +
       "n_dup_docs, CAST(n_dup_docs AS DOUBLE)/CAST(n_docs AS DOUBLE) AS dup_frac " +
       "FROM a JOIN tl USING (source) ORDER BY source"
+  }
+
+  /** Mirror of DataQuality.corpusCardDiff: the snapshot-diff bands
+    * pivoted wide + each release's datasheet INTEGER card (nested
+    * [[datasheetSql]] subqueries over the two snapshot CTEs — one
+    * definition of the card, so single-operator and composed oracles
+    * cannot drift) + the token delta. All BIGINTs — bitwise with no
+    * float discipline. `oldCte`/`newCte` are full SELECTs producing
+    * (doc_id, text, source, lang). */
+  def corpusCardDiffSql(minWords: Int, maxWords: Int, minAvgLen: Double,
+                        maxAvgLen: Double, minStopHits: Int,
+                        minAlphaFrac: Double,
+                        oldCte: String, newCte: String): String = {
+    def card(rel: String) =
+      "SELECT source, n_docs, n_tokens, n_gopher_pass, n_dup_docs FROM (" +
+        datasheetSql(minWords, maxWords, minAvgLen, maxAvgLen,
+          minStopHits, minAlphaFrac, rel) + ")"
+    s"WITH oldsnap AS ($oldCte), newsnap AS ($newCte), " +
+      "o AS (SELECT doc_id, md5(text) AS oh, source AS osrc FROM oldsnap), " +
+      "n AS (SELECT doc_id, md5(text) AS nh, source AS nsrc FROM newsnap), " +
+      "j AS (SELECT coalesce(nsrc, osrc) AS source, " +
+      "CASE WHEN oh IS NULL THEN 'added' WHEN nh IS NULL THEN 'removed' " +
+      "WHEN oh <> nh THEN 'changed' ELSE 'unchanged' END AS status " +
+      "FROM o FULL OUTER JOIN n USING (doc_id)), " +
+      "bands AS (SELECT source, " +
+      "CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added, " +
+      "CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+      "CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
+      "CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged " +
+      "FROM j GROUP BY 1), " +
+      s"oc AS (${card("oldsnap")}), " +
+      s"nc AS (${card("newsnap")}) " +
+      "SELECT coalesce(bands.source, oc.source, nc.source) AS source, " +
+      "coalesce(n_added, 0) AS n_added, coalesce(n_removed, 0) AS n_removed, " +
+      "coalesce(n_changed, 0) AS n_changed, coalesce(n_unchanged, 0) AS n_unchanged, " +
+      "coalesce(oc.n_docs, 0) AS docs_old, coalesce(nc.n_docs, 0) AS docs_new, " +
+      "coalesce(oc.n_tokens, 0) AS tokens_old, coalesce(nc.n_tokens, 0) AS tokens_new, " +
+      "coalesce(nc.n_tokens, 0) - coalesce(oc.n_tokens, 0) AS token_delta, " +
+      "coalesce(oc.n_gopher_pass, 0) AS pass_old, coalesce(nc.n_gopher_pass, 0) AS pass_new, " +
+      "coalesce(oc.n_dup_docs, 0) AS dup_old, coalesce(nc.n_dup_docs, 0) AS dup_new " +
+      "FROM bands FULL OUTER JOIN oc ON bands.source = oc.source " +
+      "FULL OUTER JOIN nc ON coalesce(bands.source, oc.source) = nc.source " +
+      "ORDER BY source"
   }
 
   /** Mirror of TextAnalysis.qualityClassifier — generated from the

@@ -69,6 +69,32 @@ class DataQualitySpec extends SparkSpec {
       ("B", "removed") -> 1L, ("B", "added") -> 1L)
   }
 
+  test("corpusCardDiff: bands + card integers + token delta per source, sources present on one side only survive") {
+    // lang carried for the datasheet cards; gopher thresholds chosen so
+    // nothing passes (the card's pass counts pin to 0 without needing a
+    // 30-word fixture) and the dup pair in old is visible
+    val old = Seq(
+      (1L, "same text", "A", "en"), (2L, "same text", "A", "en"), // exact dups in old
+      (3L, "gone forever", "B", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val neu = Seq(
+      (1L, "same text", "A", "en"), (2L, "edited text", "A", "en"),
+      (4L, "fresh words here", "C", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = DataQuality.corpusCardDiff(old, neu,
+        minWords = 30, maxWords = 100, minAvgLen = 4.0, maxAvgLen = 10.0,
+        minStopHits = 2, minAlphaFrac = 0.8)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9), r.getLong(12), r.getLong(13)))
+    out.toSeq shouldBe Seq(
+      //       add rm chg unchg dO dN tokO tokN delta dupO dupN
+      ("A", 0L, 0L, 1L, 1L, 2L, 2L, 4L, 4L, 0L, 2L, 0L),
+      ("B", 0L, 1L, 0L, 0L, 1L, 0L, 2L, 0L, -2L, 0L, 0L),
+      ("C", 1L, 0L, 0L, 0L, 0L, 1L, 0L, 3L, 3L, 0L, 0L))
+  }
+
   test("null rule predicates count as non-violations (three-valued logic pinned)") {
     val df = Seq(Some("F"), Some("X"), None).toDF("st")
     val out = DataQuality.ruleViolations(df,
