@@ -340,6 +340,30 @@ object ScalingAudit {
       embBig.filter(col("vec_id") % 5 === 0), embBig.filter(col("vec_id") % 5 =!= 0),
       semCoarse, 0.4).count()
     val isW = (System.nanoTime() - isT0) / 1e9
+    // Round-15 vector families at the embedding decade. Persisted
+    // IVF-PQ index: encode the decade against base-corpus quantizers,
+    // write the cell-partitioned store, probe 3 queries — Σ neighbor_id
+    // fingerprints the whole encode/store/probe chain (integers only,
+    // so the store round-trip cannot move it). Medoids: Σ medoid vec_id
+    // over base-seeded cells fingerprints the shuffle-free argmin.
+    val aiT0 = System.nanoTime()
+    val aiQuant = graft.llm.Similarity.trainIvfPqQuantizer(
+      embBig, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4)
+    val aiDir = java.nio.file.Files.createTempDirectory("graft_scale_annidx").toString
+    graft.llm.Similarity.writeIvfPqIndex(embBig, aiQuant, aiDir)
+    val aiHits = graft.llm.Similarity.ivfPqProbe(
+        graft.llm.Similarity.readIvfPqIndex(spark, aiDir), aiQuant,
+        graft.llm.Similarity.collectVectors(embBig, Seq(0L, 1L, 2L)),
+        nprobe = 2, k = 10)
+      .agg(coalesce(sum(col("neighbor_id")), lit(0L))).head.getLong(0)
+    val aiW = (System.nanoTime() - aiT0) / 1e9
+    val mdT0 = System.nanoTime()
+    val mdCoarse = embBase.filter(col("vec_id").isin(11L, 57L, 201L, 401L))
+      .select(col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("cvec"))
+    val medoidSum = graft.llm.Similarity.cellMedoids(embBig, mdCoarse)
+      .agg(coalesce(sum(col("medoid_id")), lit(0L))).head.getLong(0)
+    val mdW = (System.nanoTime() - mdT0) / 1e9
     embBig.unpersist()
     // Dedup-aware effective token volume: Σ keeper-only tokens at the
     // decade — fingerprints the cluster closure + token arithmetic
@@ -399,6 +423,37 @@ object ScalingAudit {
     val scdRows = graft.ops.ScdMerge.merge(
       scHist, scChg, "key", Seq("seg", "nat"), 1L).count()
     val scW = (System.nanoTime() - scT0) / 1e9
+    // Round-15 text families. Span removal: Σ n_dropped at the decade
+    // fingerprints the gram-min aggregate + coverage-union arithmetic
+    // (the synthesized copies share most 12-grams, so this exercises the
+    // dense-duplication regime the operator exists for).
+    val srT0 = System.nanoTime()
+    val spanOut = Dedup.removeDuplicateSpans(big, 12)
+    val spanDropped = spanOut
+      .agg(coalesce(sum(col("n_dropped")), lit(0L))).head.getLong(0)
+    spanOut.unpersist(false)
+    val srW = (System.nanoTime() - srT0) / 1e9
+    // Mixed-language detection: the count of docs whose 20-token chunks
+    // disagree on language fingerprints the chunk-vote + window fold.
+    val mlT0 = System.nanoTime()
+    val mixedRows = TextAnalysis.mixedLanguageDocs(big, 20)
+      .filter(col("n_major") < col("n_chunks")).count()
+    val mlW = (System.nanoTime() - mlT0) / 1e9
+    // Corpus-card diff over a derived release pair at the decade: the
+    // per-source report row count and Σ token_delta fingerprint the
+    // band + card + delta composition (all exact BIGINTs).
+    val ccT0 = System.nanoTime()
+    val bigCard = bigSrc.withColumn("lang", concat(lit("l"), col("doc_id") % 3))
+    val ccOld = bigCard.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"), col("source"), col("lang"))
+    val ccDiff = graft.analytics.DataQuality.corpusCardDiff(ccOld, bigCard,
+      30, 100000, 4.0, 10.0, 2, 0.8)
+      .agg(count(lit(1)).as("rows"),
+        coalesce(sum(col("token_delta")), lit(0L)).as("td")).head
+    val (cardRows, cardTokenDelta) = (ccDiff.getLong(0), ccDiff.getLong(1))
+    val ccW = (System.nanoTime() - ccT0) / 1e9
     big.unpersist()
     def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
     val json =
@@ -417,6 +472,9 @@ object ScalingAudit {
         s""""hash_drift_na2":$hdNa2,"ks_num_s16":$ksNumSum,""" +
         s""""burst_rows":$burstRows,"scd2_rows":$scdRows,""" +
         s""""eff_tokens":$effTokens,""" +
+        s""""ann_indexed_hits":$aiHits,"medoid_vecid_sum":$medoidSum,""" +
+        s""""span_drop_tokens":$spanDropped,"mixed_lang_rows":$mixedRows,""" +
+        s""""card_rows":$cardRows,"card_token_delta":$cardTokenDelta,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
@@ -424,7 +482,10 @@ object ScalingAudit {
         s""""forget":${d2(fgW)},"safe_split":${d2(ssW)},"tv_drift":${d2(tvW)},""" +
         s""""frame_neardup":${d2(fnW)},"incr_sem":${d2(isW)},""" +
         s""""phash":${d2(phW)},"hash_drift":${d2(hdW)},"ks_drift":${d2(ksW)},""" +
-        s""""bursts":${d2(buW)},"scd2":${d2(scW)},"eff_tokens":${d2(etW)}}}"""
+        s""""bursts":${d2(buW)},"scd2":${d2(scW)},"eff_tokens":${d2(etW)},""" +
+        s""""ann_indexed":${d2(aiW)},"medoids":${d2(mdW)},""" +
+        s""""span_removal":${d2(srW)},"mixed_lang":${d2(mlW)},""" +
+        s""""card_diff":${d2(ccW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()

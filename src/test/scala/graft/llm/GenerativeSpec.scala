@@ -247,4 +247,42 @@ class GenerativeSpec extends SparkSpec {
       withClue(s"seed $seed encode: ") { gotEnc shouldBe expEnc }
     }
   }
+
+  test("generative: removeDuplicateSpans matches a driver-side coverage-union reference") {
+    // small vocab + short grams force heavy cross-doc gram sharing, so
+    // ownership, overlap union, and within-doc repeats all fire
+    def ref(docs: Seq[(Long, String)], n: Int): Seq[(Long, Long, Long, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> (if (t == null) Array.empty[String] else t.split(" ", -1))
+      }.toMap
+      val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+      for ((id, ts) <- toks.toSeq.sortBy(_._1); p <- 0 to ts.length - n) {
+        val g = ts.slice(p, p + n).mkString(" ")
+        if (!firstDoc.contains(g) || firstDoc(g) > id) firstDoc(g) = id
+      }
+      docs.map { case (id, _) =>
+        val ts = toks(id)
+        val drop = Array.fill(ts.length)(false)
+        for (p <- 0 to ts.length - n) {
+          val g = ts.slice(p, p + n).mkString(" ")
+          if (firstDoc(g) < id) for (k <- p until p + n) drop(k) = true
+        }
+        val kept = ts.indices.filterNot(drop).map(ts)
+        (id, ts.length.toLong, drop.count(identity).toLong, kept.mkString(" "))
+      }.sortBy(_._1)
+    }
+    for (seed <- Seq(5, 17, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val smallVocab = Vocab.take(6)
+      val docs = (1L to 40L).map { i =>
+        val len = rnd.nextInt(16)
+        (i, (0 until len).map(_ => smallVocab(rnd.nextInt(smallVocab.size))).mkString(" "))
+      }
+      val n = 2 + (seed % 2) // gram lengths 2 and 3 across seeds
+      val got = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"), n)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      withClue(s"seed $seed n=$n: ") { got shouldBe ref(docs, n) }
+    }
+  }
 }
