@@ -566,4 +566,29 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 2
     (p should not).include("CartesianProduct")
   }
+
+  test("q_span_removal: EAGER + cached — served from the materialized output; nothing cartesian in the lineage") {
+    // the operator persists + materializes its reassembled output and
+    // releases the internal gram/token caches before returning (the
+    // q_bursts discipline): the served plan reads the cache, and span
+    // detection is aggregate+join-back — no pair generation anywhere
+    val p = plan("q_span_removal", "simple")
+    p should include("InMemoryTableScan")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_corpus_card_diff: bands + two cards compose without a cartesian; the id diff is the one full-outer merge join") {
+    val p = plan("q_corpus_card_diff", "simple")
+    p should include("FullOuter")
+    (p should not).include("CartesianProduct")
+    // the datasheet cards keep their window folds; the final source-keyed
+    // stitches stay equi-joins
+    p should include("Window")
+  }
+
+  test("ann_indexed: the stored-index probe partition-prunes on cell_id and plans no join") {
+    val p = plan("ann_indexed")
+    p should include regex "PartitionFilters: \\[[^\\]]*cell_id"
+    (p should not).include("Join")
+  }
 }
