@@ -1828,6 +1828,17 @@ object SparkEntry {
       Dedup.removeDuplicateSpans(docs(s, dir), SubstrN)
         .orderBy(col("doc_id"))),
 
+    // the incremental twin at ingest time: arriving docs (doc_id%5==0)
+    // clean themselves against the settled corpus's gram index — corpus
+    // text is never read on the batch path, only its one-column index
+    "q_span_removal_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.removeCorpusSpans(
+        d.filter(col("doc_id") % 5 === 0),
+        Dedup.spanIndexRows(d.filter(col("doc_id") % 5 =!= 0), SubstrN),
+        SubstrN).orderBy(col("doc_id"))
+    }),
+
     // SemDeDup: embedding-space dedup policy (cell-pruned pairs, keep
     // the lowest vec_id of every near-dup group) — surviving ids
     "q_semdedup" -> ((s, dir) =>
@@ -3087,6 +3098,9 @@ object SparkEntry {
       GopherMinAvgLen, GopherMaxAvgLen, GopherMinStop, GopherMinAlphaFrac),
     "q_substring_pairs" -> TextSql.substringPairsSql(SubstrN, SubstrDfCap),
     "q_span_removal" -> TextSql.spanRemovalSql(SubstrN),
+    "q_span_removal_incr" -> TextSql.spanRemovalIncrSql(SubstrN,
+      corpusCte = "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0",
+      batchCte = "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"),
     "q_semdedup" -> TextSql.semDedupSql(IvfCoarseIds, SemDedupThreshold),
     "q_retrieval" -> TextSql.retrievalSql(IvfCoarseIds, AnnQueryIds, nprobe = 2, k = 5),
     "q_source_stats" -> TextSql.sourceStatsSql(JacThreshold, SourceMaxDupFrac),

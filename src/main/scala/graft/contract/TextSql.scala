@@ -1875,6 +1875,38 @@ object TextSql {
       "FROM documents d0 LEFT JOIN tot ON d0.doc_id = tot.doc_id " +
       "LEFT JOIN re ON d0.doc_id = re.doc_id ORDER BY d0.doc_id"
 
+  /** Mirror of Dedup.removeCorpusSpans over derived corpus/batch CTEs
+    * (each a SELECT producing (doc_id, text)): the corpus's DISTINCT
+    * n-grams own everything — every covered batch token drops. Same
+    * positional-gram and reassembly SQL as [[spanRemovalSql]], with the
+    * ownership test swapped from min-doc to corpus membership. */
+  def spanRemovalIncrSql(n: Int, corpusCte: String, batchCte: String): String =
+    s"WITH corpus AS ($corpusCte), batch AS ($batchCte), " +
+      "ctk AS (SELECT string_split(text, ' ') AS toks FROM corpus), " +
+      s"cpg AS (SELECT unnest(range(0, len(toks) - $n + 1)) AS p, toks " +
+      s"FROM ctk WHERE len(toks) >= $n), " +
+      s"cg AS (SELECT DISTINCT array_to_string(list_slice(toks, (p+1)::INT, (p+$n)::INT), ' ') AS g FROM cpg), " +
+      "t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM batch), " +
+      s"pg AS (SELECT doc_id, unnest(range(0, len(toks) - $n + 1)) AS p, toks " +
+      s"FROM t WHERE len(toks) >= $n), " +
+      s"gr AS (SELECT doc_id, p, " +
+      s"array_to_string(list_slice(toks, (p+1)::INT, (p+$n)::INT), ' ') AS g FROM pg), " +
+      "dropped AS (SELECT DISTINCT gr.doc_id, p + unnest(range(0, " + n + ")) AS tpos " +
+      "FROM gr WHERE EXISTS (SELECT 1 FROM cg WHERE cg.g = gr.g)), " +
+      "tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS tpos, unnest(toks) AS tok " +
+      "FROM t WHERE toks IS NOT NULL), " +
+      "kept AS (SELECT doc_id, tpos, tok FROM tok " +
+      "WHERE NOT EXISTS (SELECT 1 FROM dropped dr " +
+      "WHERE dr.doc_id = tok.doc_id AND dr.tpos = tok.tpos)), " +
+      "re AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(tok, ' ' ORDER BY tpos) AS text FROM kept GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t) " +
+      "SELECT d0.doc_id, coalesce(n_tokens, 0) AS n_tokens, " +
+      "coalesce(n_tokens, 0) - coalesce(n_kept, 0) AS n_dropped, " +
+      "coalesce(re.text, '') AS text " +
+      "FROM batch d0 LEFT JOIN tot ON d0.doc_id = tot.doc_id " +
+      "LEFT JOIN re ON d0.doc_id = re.doc_id ORDER BY d0.doc_id"
+
   /** Mirror of Similarity.semDedup over the SAME cell-pruned pair set
     * as dedupEmbeddingSql: survivors = vectors that are nobody's
     * higher-id near-duplicate. */

@@ -319,13 +319,7 @@ object Dedup {
     val toksed = spread(docs)
       .select(col("doc_id"), graft.llm.TextAnalysis.tokens(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // positional gram table: (doc_id, p, g) with p 0-based
-    val grams = toksed
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - n)).as("p"))
-      .select(col("doc_id"), col("p"),
-        concat_ws(" ", slice(col("toks"), col("p") + 1, lit(n))).as("g"))
+    val grams = positionalGrams(toksed, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstDoc = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     // token positions covered by some duplicated gram occurrence; the
@@ -337,18 +331,41 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(n - 1))).as("tpos"))
       .distinct()
+    val out = removeCovered(docs, toksed, dropped)
+    out.count()
+    grams.unpersist(false)
+    toksed.unpersist(false)
+    out
+  }
+
+  /** Positional word n-gram table of a tokenized frame: (doc_id, p, g)
+    * with p 0-based; docs shorter than n emit nothing. Shared by the
+    * whole-corpus and incremental span-removal paths. */
+  private def positionalGrams(toksed: DataFrame, n: Int): DataFrame =
+    toksed
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("p"))
+      .select(col("doc_id"), col("p"),
+        concat_ws(" ", slice(col("toks"), col("p") + 1, lit(n))).as("g"))
+
+  /** Reassembles documents minus a dropped (doc_id, tpos) set: token
+    * anti-join + in-order concat. Field extraction over the sorted
+    * struct array is a native GetArrayStructFields (the chunkDedup
+    * reassembly discipline). Returns the PERSISTED (not yet
+    * materialized) output frame. */
+  private def removeCovered(docs: DataFrame, toksed: DataFrame,
+                            dropped: DataFrame): DataFrame = {
     val tok = toksed.select(col("doc_id"),
       posexplode(col("toks")).as(Seq("tpos", "tok")))
     val kept = tok.join(dropped, Seq("doc_id", "tpos"), "left_anti")
     val totals = toksed.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"))
-    // field extraction over the sorted struct array is a native
-    // GetArrayStructFields (the chunkDedup reassembly discipline)
     val re = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         sort_array(collect_list(struct(col("tpos"), col("tok")))).as("arr"))
       .select(col("doc_id"), col("n_kept"), array_join(col("arr.tok"), " ").as("t"))
-    val out = docs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(totals, Seq("doc_id"), "left")
       .join(re, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -357,8 +374,58 @@ object Dedup {
           .as("n_dropped"),
         coalesce(col("t"), lit("")).as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The persisted gram index behind incremental span removal: the
+    * corpus's DISTINCT word n-grams, one narrow string column — the
+    * span-family analog of [[writeBandIndex]] (text) and
+    * `Similarity.writeIvfPqIndex` (vectors). Built once per corpus
+    * release; arriving batches probe the stored rows instead of
+    * re-gramming corpus text ([[removeCorpusSpans]]). */
+  def spanIndexRows(corpus: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"need n >= 2, got $n")
+    spread(corpus)
+      .select(explode(ngramShingles(col("text"), n)).as("g"))
+      .distinct()
+  }
+
+  def writeSpanIndex(corpus: DataFrame, n: Int, path: String): Unit =
+    spanIndexRows(corpus, n).write.mode("overwrite").parquet(path)
+
+  def readSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path).select(col("g"))
+
+  /** Incremental duplicated-span removal — [[removeDuplicateSpans]]'
+    * batch-vs-corpus twin (the pattern every dedup signal here ships:
+    * the corpus is settled, arrivals clean themselves against it):
+    * every token of a NEW document covered by a word n-gram already
+    * present in the corpus index is removed. The corpus "owns" all its
+    * grams — this is Lee et al.'s span removal applied at ingest time,
+    * and the decontamination shape at span granularity. Within-batch
+    * duplication is deliberately out of scope (compose
+    * [[removeDuplicateSpans]] over the batch first if wanted) — one
+    * rule per operator keeps both oracles exact.
+    *
+    * Scale: the batch side is linear (positional grams of the batch
+    * only); the corpus side is a ONE-COLUMN scan of the stored index —
+    * corpus text is never read, the [[writeBandIndex]] amortization.
+    * The semi-join keys on the gram string; at 100 TB both sides
+    * pre-hash (the decontaminate collision note).
+    * Output: (doc_id, n_tokens, n_dropped, text) over the batch. */
+  def removeCorpusSpans(newDocs: DataFrame, corpusGrams: DataFrame,
+                        n: Int): DataFrame = {
+    require(n >= 2, s"need n >= 2, got $n")
+    val toksed = spread(newDocs)
+      .select(col("doc_id"), graft.llm.TextAnalysis.tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = positionalGrams(toksed, n)
+      .join(corpusGrams.select(col("g")), Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("tpos"))
+      .distinct()
+    val out = removeCovered(newDocs, toksed, dropped)
     out.count()
-    grams.unpersist(false)
     toksed.unpersist(false)
     out
   }

@@ -2176,6 +2176,27 @@ class LlmSpec extends SparkSpec {
     owned.toSeq shouldBe Seq((1L, 0L, "m n o"), (7L, 6L, ""))
   }
 
+  test("removeCorpusSpans: corpus grams own everything, batch-internal repeats survive, persisted index round-trips") {
+    val corpus = docsDF(1L -> "a b c d", 2L -> "p q r")
+    val batch = docsDF(
+      10L -> "x a b c y",     // 'a b c' in corpus: positions 1..3 drop
+      11L -> "m n o m n o",   // batch-internal repeat, NOT in corpus: kept whole
+      12L -> "p q r")         // fully owned by the corpus: empties
+    def run(grams: org.apache.spark.sql.DataFrame) =
+      Dedup.removeCorpusSpans(batch, grams, n = 3)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val expect = Seq(
+      (10L, 5L, 3L, "x y"),
+      (11L, 6L, 0L, "m n o m n o"),
+      (12L, 3L, 3L, ""))
+    run(Dedup.spanIndexRows(corpus, 3)) shouldBe expect
+    // the persisted index is the same rows: write, read back, same output
+    val dir = java.nio.file.Files.createTempDirectory("spanidx").toString
+    Dedup.writeSpanIndex(corpus, 3, s"$dir/idx")
+    run(Dedup.readSpanIndex(spark, s"$dir/idx")) shouldBe expect
+  }
+
   test("unigramLmTrain: hand-walked hard-EM on a 3-word corpus; encode counts; partition invariance") {
     // corpus: words ab(wc 2), abc(wc 1). Seed substrings aggregate to
     // a:3 b:3 ab:3 c:1 bc:1 abc:1; singles a,b,c always kept, the two
