@@ -436,6 +436,41 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming span-cleaning ingest: the documents table fed as a
+      // 4-batch file stream, each batch stripping token runs already in
+      // the stored corpus via the maintained gram index (corpus text
+      // never read on the ingest path). Guard: every doc lands exactly
+      // once and later batches actually dropped tokens (the corpus has
+      // cross-doc duplication by construction)
+      "stream_span_ingest" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val nDocs = docs.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_spaning_bench").toString
+        try {
+          docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val q = graft.streaming.SpanIngest.start(
+            src, s"$tmp/corpus", s"$tmp/index", s"$tmp/ck", n = 12)
+          q.processAllAvailable()
+          q.stop()
+          val out = s2.read.parquet(s"$tmp/corpus")
+          val landed = out.count()
+          val dropped = out.agg(coalesce(sum(col("n_dropped")), lit(0L)))
+            .head().getLong(0)
+          require(landed == nDocs && dropped > 0,
+            s"span ingest landed $landed of $nDocs docs, dropped $dropped tokens")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming vector-index ingest: the embeddings table fed as a
       // 4-batch file stream, each micro-batch encoded against the frozen
       // quantizer and appended as (cell, batch) partitions. Bitwise probe

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.llm.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Span-cleaning streaming ingest — [[IndexedIngest]]'s discipline
+  * applied to duplicated-SPAN removal (Lee et al. 2022 at ingest time):
+  * each arriving micro-batch strips every token run already present in
+  * the stored corpus (`Dedup.removeCorpusSpans` against the maintained
+  * gram index), then lands the CLEANED documents and the cleaned
+  * text's own gram rows as per-batch partitions. The corpus converges
+  * to span-disjoint content without any whole-corpus pass: a batch's
+  * cost is its own grams plus a one-column scan of the stored index —
+  * corpus TEXT is never read on the ingest path.
+  *
+  * Indexing the CLEANED text (not the raw batch) is load-bearing: the
+  * index then describes exactly what the store contains, so a span can
+  * never be owned by text that was itself removed. Within-batch
+  * duplication is out of scope per `removeCorpusSpans`' contract —
+  * compose `Dedup.removeDuplicateSpans` upstream for self-cleaning
+  * batches. Documents may empty to text = '' (counts preserved);
+  * dropping them is a downstream policy, not this operator's.
+  *
+  * Exactly-once is [[IndexedIngest]]'s on both stores: (corpus, index)
+  * partitions keyed by batch id with dynamic overwrite, a batch
+  * compares only against partitions written BEFORE it, so a replay
+  * sees its original corpus view and rewrites its own partitions
+  * byte-identically. The torn-first-batch escape and the
+  * missing-index-beside-prior-batches raise are inherited verbatim. */
+object SpanIngest {
+
+  def ingestBatch(batch: DataFrame, corpusPath: String, indexPath: String,
+                  batchId: Long, n: Int): Unit = {
+    val spark = batch.sparkSession
+    val batchDocs = batch.select(col("doc_id"), col("text"))
+    if (batchDocs.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$corpusPath/ingest_batch=*"))
+    val indexDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$indexPath/ingest_batch=*"))
+    val priorGrams =
+      if (partDirs == null || partDirs.isEmpty)
+        Dedup.spanIndexRows(batchDocs.limit(0), n)
+      else if (indexDirs != null && indexDirs.nonEmpty)
+        spark.read.parquet(indexPath)
+          .filter(col("ingest_batch") < batchId)
+          .select(col("g"))
+      else {
+        // torn first batch: corpus written, index write never happened —
+        // only this batch's own partitions can exist (the replay filter
+        // excludes them anyway). Prior corpus batches with no index is
+        // LOSS: raise, don't silently degrade to within-batch-only.
+        val priorCorpusBatches = partDirs.toSeq
+          .map(_.getPath.getName.stripPrefix("ingest_batch="))
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .filter(_ < batchId)
+        require(priorCorpusBatches.isEmpty,
+          s"span index missing at $indexPath but corpus has prior " +
+            s"batches ${priorCorpusBatches.sorted.mkString(",")} — " +
+            "index was lost (not a torn-first-batch replay); rebuild " +
+            "it with Dedup.writeSpanIndex over the stored corpus")
+        Dedup.spanIndexRows(batchDocs.limit(0), n)
+      }
+    // removeCorpusSpans returns its output persisted + materialized —
+    // both writes below are cache reads of the one computation
+    val cleanedBase = Dedup.removeCorpusSpans(batchDocs, priorGrams, n)
+    val cleaned = cleanedBase.withColumn("ingest_batch", lit(batchId))
+    cleaned.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(corpusPath)
+    Dedup.spanIndexRows(cleaned.select(col("doc_id"), col("text")), n)
+      .withColumn("ingest_batch", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(indexPath)
+    cleanedBase.unpersist(false)
+    ()
+  }
+
+  def start(docsStream: DataFrame, corpusPath: String, indexPath: String,
+            checkpoint: String, n: Int): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), corpusPath, indexPath, batchId, n)
+      }
+      .start()
+}

@@ -222,6 +222,51 @@ class StreamingSpec extends SparkSpec {
     ex.getMessage should include("prior batches 0")
   }
 
+  test("span ingest: batches clean against the stored corpus, index follows the CLEANED text; replay rewrites identically; index loss raises") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("spaningest").toString
+    val (c, i) = (s"$dir/c", s"$dir/i")
+    def corpus(): Seq[(Long, Long, String)] =
+      spark.read.parquet(c).select("doc_id", "n_dropped", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = SpanIngest.start(mem.toDF.toDF("doc_id", "text"), c, i, s"$dir/ck", n = 3)
+    try {
+      mem.addData((1L, "a b c d"), (2L, "p q r"))
+      q.processAllAvailable()
+      mem.addData((10L, "x a b c y"), (11L, "m n o m n o"), (12L, "p q r"))
+      q.processAllAvailable()
+      corpus() shouldBe Seq(
+        (1L, 0L, "a b c d"), (2L, 0L, "p q r"),
+        (10L, 3L, "x y"),            // 'a b c' owned by batch 0
+        (11L, 0L, "m n o m n o"),    // batch-internal repeat: kept
+        (12L, 3L, ""))               // fully owned: empties, row kept
+      // the index follows CLEANED text: doc 10 contributed no 3-grams
+      // ("x y" is too short), doc 11 contributed its m/n/o grams — a new
+      // arrival repeating doc 11's content cleans against the STORE
+      mem.addData((20L, "m n o z"))
+      q.processAllAvailable()
+      corpus().last shouldBe ((20L, 3L, "z"))
+    } finally q.stop()
+    // replay of batch 1 (same input, same prior view) rewrites its own
+    // partitions byte-identically — corpus unchanged
+    val before = corpus()
+    SpanIngest.ingestBatch(
+      Seq((10L, "x a b c y"), (11L, "m n o m n o"), (12L, "p q r"))
+        .toDF("doc_id", "text"), c, i, batchId = 1L, n = 3)
+    corpus() shouldBe before
+    // index lost beside prior corpus batches: raise, never degrade
+    val fs = new org.apache.hadoop.fs.Path(i)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(i), true) shouldBe true
+    val ex = intercept[IllegalArgumentException] {
+      SpanIngest.ingestBatch(Seq((30L, "z z z")).toDF("doc_id", "text"),
+        c, i, batchId = 3L, n = 3)
+    }
+    ex.getMessage should include("span index missing")
+  }
+
   test("scd ingest: versioned SCD2 history per micro-batch; completed replay skips, torn replay rewrites identically") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("scdingest").toString
