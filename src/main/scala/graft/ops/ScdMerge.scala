@@ -44,6 +44,10 @@ import org.apache.spark.sql.functions._
   * range-partitioned by key (the `ops/Bucketing` layout), which removes
   * the history-side exchange — the merge then shuffles only the change
   * batch, and the rewrite touches only partitions holding changed keys.
+  * That claim is PINNED, not just argued: BucketingSpec runs this merge
+  * over a bucketed history and counts exactly one surviving exchange
+  * (the change side's) — the per-key window and the SMJ both ride the
+  * bucket layout.
   */
 object ScdMerge {
 
