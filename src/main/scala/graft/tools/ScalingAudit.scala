@@ -433,6 +433,17 @@ object ScalingAudit {
       .agg(coalesce(sum(col("n_dropped")), lit(0L))).head.getLong(0)
     spanOut.unpersist(false)
     val srW = (System.nanoTime() - srT0) / 1e9
+    // ... and its incremental twin against the settled 4/5 of the decade:
+    // the batch side grams only itself, the corpus side is the one-column
+    // gram index — the ingest-path cost claim under audit.
+    val siT0 = System.nanoTime()
+    val spanIncrOut = Dedup.removeCorpusSpans(
+      big.filter(col("doc_id") % 5 === 0),
+      Dedup.spanIndexRows(big.filter(col("doc_id") % 5 =!= 0), 12), 12)
+    val spanIncrDropped = spanIncrOut
+      .agg(coalesce(sum(col("n_dropped")), lit(0L))).head.getLong(0)
+    spanIncrOut.unpersist(false)
+    val siW = (System.nanoTime() - siT0) / 1e9
     // Mixed-language detection: the count of docs whose 20-token chunks
     // disagree on language fingerprints the chunk-vote + window fold.
     val mlT0 = System.nanoTime()
@@ -473,7 +484,8 @@ object ScalingAudit {
         s""""burst_rows":$burstRows,"scd2_rows":$scdRows,""" +
         s""""eff_tokens":$effTokens,""" +
         s""""ann_indexed_hits":$aiHits,"medoid_vecid_sum":$medoidSum,""" +
-        s""""span_drop_tokens":$spanDropped,"mixed_lang_rows":$mixedRows,""" +
+        s""""span_drop_tokens":$spanDropped,"span_incr_drop":$spanIncrDropped,""" +
+        s""""mixed_lang_rows":$mixedRows,""" +
         s""""card_rows":$cardRows,"card_token_delta":$cardTokenDelta,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
@@ -484,7 +496,7 @@ object ScalingAudit {
         s""""phash":${d2(phW)},"hash_drift":${d2(hdW)},"ks_drift":${d2(ksW)},""" +
         s""""bursts":${d2(buW)},"scd2":${d2(scW)},"eff_tokens":${d2(etW)},""" +
         s""""ann_indexed":${d2(aiW)},"medoids":${d2(mdW)},""" +
-        s""""span_removal":${d2(srW)},"mixed_lang":${d2(mlW)},""" +
+        s""""span_removal":${d2(srW)},"span_incr":${d2(siW)},"mixed_lang":${d2(mlW)},""" +
         s""""card_diff":${d2(ccW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
