@@ -922,6 +922,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // the FORWARD as-of: each click's next view strictly after it —
+    // same union-window shape mirrored in time, no range-join blowup
+    "q_asof_next" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tus"), col("tus").as("vtus"))
+      graft.ops.AsofJoin.firstAfter(clicks, views, keys = Seq("user_id"),
+        timeCol = "tus", valueCols = Seq("vtus"))
+        .select(col("event_id"), col("user_id"), col("tus").as("click_us"),
+          col("asof_vtus").as("next_view_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // SCD2 dimension merge (the MERGE INTO pattern engine-side): history
     // derived from customer — a closed 'OLD_' row for every key%10==0
     // plus an open row per key — merged with a change batch split into
@@ -2679,6 +2696,13 @@ object SparkEntry {
         "SELECT c.event_id, c.user_id, c.tus AS click_us, " +
         "(SELECT max(v.tus) FROM ev v WHERE v.user_id = c.user_id " +
         "AND v.event_type = 'view' AND v.tus < c.tus) AS prior_view_us " +
+        "FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id"),
+
+    "q_asof_next" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events) " +
+        "SELECT c.event_id, c.user_id, c.tus AS click_us, " +
+        "(SELECT min(v.tus) FROM ev v WHERE v.user_id = c.user_id " +
+        "AND v.event_type = 'view' AND v.tus > c.tus) AS next_view_us " +
         "FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id"),
 
     "q_scd2" ->

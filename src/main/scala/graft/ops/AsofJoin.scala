@@ -89,4 +89,53 @@ object AsofJoin {
       .select(leftCols.map(c => if (keys.contains(c)) col(c) else col(s"_l_$c").as(c)) ++
         valueCols.zip(outValue).map { case (c, out) => col("_vlast")(c).as(out) }: _*)
   }
+
+  /** Forward as-of join — [[lastBefore]] mirrored in time: each left
+    * row gets the EARLIEST right row whose time is STRICTLY AFTER its
+    * own (pandas `merge_asof(direction='forward')`; the "next reading
+    * after the event" question). Same union-window shape and scale
+    * story — one key exchange, one sort, no range-join pair blowup.
+    *
+    * Strictness mirror: right rows sort BEFORE left rows at equal time
+    * and the frame starts at the NEXT row, so a right row at exactly t
+    * never matches a left row at t. When several right rows share
+    * (keys, time), the FIRST in `tieBreak` ascending order wins. */
+  def firstAfter(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 timeCol: String, valueCols: Seq[String],
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one key column")
+    val leftCols = left.columns.toSeq
+    val outValue = valueCols.map(v => s"asof_$v")
+    val valueStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+
+    val lSide = left.select(
+      keys.map(col) ++ Seq(col(timeCol).as("_t"), lit(1).as("_side")) ++
+        tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"_tb_$c")) ++
+        Seq(lit(null).cast(valueStructType).as("_v")) ++
+        leftCols.map(c => col(c).as(s"_l_$c")): _*)
+    val rSide = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(timeCol).as("_t"), lit(0).as("_side")) ++
+          tieBreak.map(c => col(c).as(s"_tb_$c")) ++
+          Seq(struct(valueCols.map(c => col(c).as(c)): _*).as("_v")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
+
+    // right rows sort BEFORE left rows at equal _t => the "following
+    // rows" frame never exposes a same-time right row to a left row
+    val order: Seq[Column] =
+      col("_t") +: col("_side") +: tieBreak.map(c => col(s"_tb_$c"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+
+    lSide.unionByName(rSide)
+      .select((keys.map(col) :+ col("_side") :+ col("_t")) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"_l_$c")) :+
+        first(col("_v"), ignoreNulls = true).over(w).as("_vfirst"): _*)
+      .filter(col("_side") === 1)
+      .select(leftCols.map(c => if (keys.contains(c)) col(c) else col(s"_l_$c").as(c)) ++
+        valueCols.zip(outValue).map { case (c, out) => col("_vfirst")(c).as(out) }: _*)
+  }
 }

@@ -82,4 +82,42 @@ class AsofJoinSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should include("Window")
   }
+
+  /** Forward brute-force: earliest right row with rt > lt per key, ties
+    * on rt broken by the SMALLEST tie-break value. */
+  private def bruteForward(left: Seq[(Long, Long)], right: Seq[(Long, Long, Long)])
+  : Map[(Long, Long), Option[Long]] =
+    left.map { case (k, lt) =>
+      val after = right.filter { case (rk, rt, _) => rk == k && rt > lt }
+      (k, lt) -> after.sortBy { case (_, rt, tb) => (rt, tb) }.headOption.map(_._3)
+    }.toMap
+
+  test("firstAfter matches the forward brute-force semantics, incl. equal-time strictness and first-tie-wins") {
+    val left = for (k <- 0L until 5L; i <- 0L until 20L)
+      yield (k, (i * 7 + k * 3) % 40)
+    val right = for (k <- 0L until 5L; i <- 0L until 15L)
+      yield (k, (i * 5 + k) % 40, 1000 + k * 100 + i)
+    val got = AsofJoin.firstAfter(left.toDF("user_id", "t"),
+        right.toDF("user_id", "t", "val"),
+        keys = Seq("user_id"), timeCol = "t",
+        valueCols = Seq("val"), tieBreak = Seq("val"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)) ->
+        (if (row.isNullAt(2)) None else Some(row.getLong(2))))
+      .toMap
+    got shouldBe bruteForward(left, right)
+    // equal-time strictness mirrored: t=100 right row invisible
+    val out = AsofJoin.firstAfter(
+      Seq((1L, 100L)).toDF("k", "t"),
+      Seq((1L, 100L, 7L), (1L, 101L, 3L)).toDF("k", "t", "v"),
+      Seq("k"), "t", Seq("v")).collect()
+    out.head.getLong(2) shouldBe 3L
+    // and the window plan holds — no range-join pair blowup
+    val plan = AsofJoin.firstAfter(
+        Seq((1L, 1L)).toDF("k", "t"), Seq((1L, 2L, 9L)).toDF("k", "t", "v"),
+        Seq("k"), "t", Seq("v"))
+      .queryExecution.executedPlan.toString()
+    plan should not include "CartesianProduct"
+    plan should include("Window")
+  }
 }
