@@ -922,6 +922,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // tolerance-bounded as-of: the prior view counts only within a
+    // 1-hour lookback (the attribution horizon) — one lastBefore pass,
+    // staleness tested on the very row that matched
+    "q_asof_within" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tus"), col("tus").as("vtus"))
+      graft.ops.AsofJoin.lastBeforeWithin(clicks, views, keys = Seq("user_id"),
+        timeCol = "tus", valueCols = Seq("vtus"), tolerance = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("tus").as("click_us"),
+          col("asof_vtus").as("recent_view_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // the FORWARD as-of: each click's next view strictly after it —
     // same union-window shape mirrored in time, no range-join blowup
     "q_asof_next" -> ((s, dir) => {
@@ -2703,6 +2721,18 @@ object SparkEntry {
         "SELECT c.event_id, c.user_id, c.tus AS click_us, " +
         "(SELECT min(v.tus) FROM ev v WHERE v.user_id = c.user_id " +
         "AND v.event_type = 'view' AND v.tus > c.tus) AS next_view_us " +
+        "FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id"),
+
+    // the tolerance nulls the match when the LATEST prior view (the row
+    // the operator matched) is stale — it does NOT fall back to an older
+    // in-horizon view, mirroring lastBeforeWithin's matched-row test
+    "q_asof_within" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events) " +
+        "SELECT c.event_id, c.user_id, c.tus AS click_us, " +
+        "CASE WHEN c.tus - (SELECT max(v.tus) FROM ev v WHERE v.user_id = c.user_id " +
+        "AND v.event_type = 'view' AND v.tus < c.tus) <= 3600000000 " +
+        "THEN (SELECT max(v.tus) FROM ev v WHERE v.user_id = c.user_id " +
+        "AND v.event_type = 'view' AND v.tus < c.tus) END AS recent_view_us " +
         "FROM ev c WHERE c.event_type = 'click' ORDER BY c.event_id"),
 
     "q_scd2" ->

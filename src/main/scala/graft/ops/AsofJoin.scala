@@ -90,6 +90,33 @@ object AsofJoin {
         valueCols.zip(outValue).map { case (c, out) => col("_vlast")(c).as(out) }: _*)
   }
 
+  /** Tolerance-bounded as-of — [[lastBefore]] with a maximum lookback
+    * (pandas `merge_asof(tolerance=…)`): the matched right row only
+    * counts when it lies within `tolerance` time units strictly before
+    * the left row; staler matches null out, exactly as if no right row
+    * preceded. The attribution use case: a click joins its prior view
+    * only within the campaign horizon. Implemented as ONE [[lastBefore]]
+    * pass carrying the matched right TIME through the same struct (so
+    * the staleness test reads the very row that matched, never a
+    * different one) + a codegen'd post-projection — the tolerance adds
+    * zero shuffles. `timeCol` must be numeric (BIGINT micros here;
+    * timestamps cast upstream). */
+  def lastBeforeWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       timeCol: String, valueCols: Seq[String],
+                       tolerance: Long,
+                       tieBreak: Seq[String] = Nil): DataFrame = {
+    require(tolerance >= 0, s"need tolerance >= 0, got $tolerance")
+    val rt = "_asof_rt"
+    val joined = lastBefore(left,
+      right.withColumn(rt, col(timeCol)), keys, timeCol,
+      valueCols :+ rt, tieBreak)
+    val fresh = col(s"asof_$rt").isNotNull &&
+      (col(timeCol) - col(s"asof_$rt")) <= tolerance
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+    }.drop(s"asof_$rt")
+  }
+
   /** Forward as-of join — [[lastBefore]] mirrored in time: each left
     * row gets the EARLIEST right row whose time is STRICTLY AFTER its
     * own (pandas `merge_asof(direction='forward')`; the "next reading

@@ -83,6 +83,30 @@ class AsofJoinSpec extends SparkSpec {
     plan should include("Window")
   }
 
+  test("lastBeforeWithin: a stale latest match nulls out — no fallback to older in-horizon rows") {
+    val l = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("k", "t")
+    val r = Seq(
+      (1L, 95L, 10L),             // fresh: within 10
+      (2L, 80L, 20L),             // stale latest: 20 units back
+      (3L, 99L, 30L), (3L, 50L, 31L)) // latest fresh; the old row is irrelevant
+      .toDF("k", "t", "v")
+    val got = AsofJoin.lastBeforeWithin(l, r, Seq("k"), "t", Seq("v"),
+        tolerance = 10L)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getLong(2)))).toMap
+    got shouldBe Map(1L -> Some(10L), 2L -> None, 3L -> Some(30L))
+    // the matched-row test reads the LATEST row (the freshest by
+    // construction): 95 is 5 units back, tolerance 4 nulls the join even
+    // though other (necessarily staler) rows exist
+    val l2 = Seq((9L, 100L)).toDF("k", "t")
+    val r2 = Seq((9L, 80L, 1L), (9L, 95L, 2L)).toDF("k", "t", "v")
+    AsofJoin.lastBeforeWithin(l2, r2, Seq("k"), "t", Seq("v"), tolerance = 4L)
+      .collect().head.isNullAt(2) shouldBe true
+    // ... and exactly at the tolerance boundary it still matches (<=)
+    AsofJoin.lastBeforeWithin(l2, r2, Seq("k"), "t", Seq("v"), tolerance = 5L)
+      .collect().head.getLong(2) shouldBe 2L
+  }
+
   /** Forward brute-force: earliest right row with rt > lt per key, ties
     * on rt broken by the SMALLEST tie-break value. */
   private def bruteForward(left: Seq[(Long, Long)], right: Seq[(Long, Long, Long)])
