@@ -436,6 +436,43 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // live corpus card: the documents table fed as a 4-batch file
+      // stream through the per-source additive-integer streaming
+      // aggregate. Guard: the final complete-mode table equals the batch
+      // datasheet's (n_docs, n_tokens, n_gopher_pass) exactly
+      "stream_corpus_card" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"), col("lang"))
+        val batch = graft.llm.TextAnalysis.datasheet(
+            docs, 30, 100000, 4.0, 10.0, 2, 0.8)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4),
+            r.getLong(6))).sortBy(_._1).toSeq
+        val tmp = java.nio.file.Files.createTempDirectory("graft_card_bench").toString
+        try {
+          docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val q = graft.streaming.QualityGate.corpusCard(
+              src, 30, 100000, 4.0, 10.0, 2, 0.8)
+            .writeStream.format("memory").queryName("card_bench")
+            .outputMode("complete").option("checkpointLocation", s"$tmp/ck").start()
+          q.processAllAvailable()
+          q.stop()
+          val streamed = s2.sql("SELECT * FROM card_bench").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            .sortBy(_._1).toSeq
+          require(streamed == batch,
+            s"live card has ${streamed.size} sources, batch ${batch.size}")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming span-cleaning ingest: the documents table fed as a
       // 4-batch file stream, each batch stripping token runs already in
       // the stored corpus via the maintained gram index (corpus text

@@ -29,6 +29,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * cost tracks the batch, making it safe in front of any volume. */
 object QualityGate {
 
+  /** Live corpus card — the streaming twin of `TextAnalysis.datasheet`'s
+    * ADDITIVE integers: per source, running doc count, token volume, and
+    * Gopher-pass count, maintained by a native streaming aggregate (the
+    * per-row flags are stateless Column compute — `gopherRules` runs
+    * unchanged on a stream — so state is exactly ONE row per source,
+    * bounded by the source universe, no watermark needed). At every
+    * trigger the complete-mode table equals the batch datasheet's
+    * (n_docs, n_tokens, n_gopher_pass) over everything ingested so far
+    * (spec-pinned). The datasheet's non-additive columns (corpus-wide
+    * dup fractions, language shares) stay batch-side by design: they
+    * need a text-partition window over the WHOLE corpus, which is the
+    * publish-time pass, not the monitor. */
+  def corpusCard(docsStream: DataFrame,
+                 minWords: Int, maxWords: Int,
+                 minAvgLen: Double, maxAvgLen: Double,
+                 minStopHits: Int, minAlphaFrac: Double): DataFrame =
+    graft.llm.TextAnalysis.gopherRules(docsStream, minWords, maxWords,
+        minAvgLen, maxAvgLen, minStopHits, minAlphaFrac,
+        carry = Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("passes").cast("long")).as("n_gopher_pass"))
+
   /** Processes one micro-batch; factored out so the spec can pin
     * replay idempotence by calling it directly. */
   def gateBatch(batch: DataFrame, rules: Seq[(String, Column)],

@@ -222,6 +222,39 @@ class StreamingSpec extends SparkSpec {
     ex.getMessage should include("prior batches 0")
   }
 
+  test("corpusCard: the complete-mode table equals the batch datasheet's additive integers at every trigger") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = QualityGate.corpusCard(
+        mem.toDF.toDF("doc_id", "text", "source", "lang"),
+        minWords = 2, maxWords = 100, minAvgLen = 1.0, maxAvgLen = 10.0,
+        minStopHits = 0, minAlphaFrac = 0.5)
+      .writeStream.format("memory").queryName("card")
+      .outputMode("complete").start()
+    val b1 = Seq((1L, "the cat sat on the mat", "web", "en"),
+      (2L, "x", "web", "en")) // 1 word: fails minWords
+    val b2 = Seq((3L, "more words arrive here", "books", "en"),
+      (4L, "the 99 of 42", "web", "en")) // alpha_frac 0.5: passes at >= 0.5
+    def streamed() = spark.sql("SELECT * FROM card ORDER BY source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def batchCard(rows: Seq[(Long, String, String, String)]) =
+      graft.llm.TextAnalysis.datasheet(
+          rows.toDF("doc_id", "text", "source", "lang"),
+          2, 100, 1.0, 10.0, 0, 0.5)
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(6))).toSeq
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      streamed() shouldBe batchCard(b1)
+      streamed() shouldBe Seq(("web", 2L, 7L, 1L))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      streamed() shouldBe batchCard(b1 ++ b2)
+      streamed() shouldBe Seq(("books", 1L, 4L, 1L), ("web", 3L, 11L, 2L))
+    } finally q.stop()
+  }
+
   test("span ingest: batches clean against the stored corpus, index follows the CLEANED text; replay rewrites identically; index loss raises") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("spaningest").toString
