@@ -1821,17 +1821,32 @@ object SparkEntry {
     // the PERSISTED-index path end-to-end: train the quantizer, write the
     // cell-partitioned integer index, probe the STORED rows (nprobe=3 to
     // exercise a different probe set than q_ivf_pq) — must equal the
-    // one-shot search's oracle because the parquet round-trip is exact
+    // one-shot search's oracle because the parquet round-trip is exact.
+    // The probe is EAGER (persist + count) so the temp index can be
+    // deleted before returning — repeated gate runs leave nothing behind
+    // (Bench's ann_indexed_probe try/finally discipline); the result is
+    // k·|queries| rows, trivially cached
     "ann_indexed" -> ((s, dir) => {
       val e = emb(s, dir)
       val quant = Similarity.trainIvfPqQuantizer(
         e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft_ann_indexed").toString
-      Similarity.writeIvfPqIndex(e, quant, idxDir)
-      Similarity.ivfPqProbe(Similarity.readIvfPqIndex(s, idxDir), quant,
-          Similarity.collectVectors(e, AnnQueryIds), nprobe = 3, k = PqSearchK)
-        .orderBy(col("query_id"), col("rn"))
+      try {
+        Similarity.writeIvfPqIndex(e, quant, idxDir)
+        val out = Similarity.ivfPqProbe(Similarity.readIvfPqIndex(s, idxDir),
+            quant, Similarity.collectVectors(e, AnnQueryIds),
+            nprobe = 3, k = PqSearchK)
+          .orderBy(col("query_id"), col("rn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxDir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
     }),
 
     // ---- round 6: quality rules, substring dedup, semantic dedup,

@@ -152,18 +152,22 @@ object DataQuality {
     * counts, let the reader divide) — no float discipline needed.
     * Shape: the diff is one doc_id-keyed full-outer join; each card is
     * the datasheet aggregate; the final full-outer joins are
-    * sources-sized. Each snapshot frame is consumed by two different
-    * aggregations (diff + its card) — Spark reuses no subplans, so a
-    * production run persists the snapshots or, better, reads them from
-    * the manifest store where the two passes each prune to their own
-    * columns. */
+    * sources-sized. Each snapshot frame is consumed by TWO different
+    * aggregations (diff + its card) and Spark reuses no subplans, so
+    * both snapshots persist for the operator's duration and release
+    * after the sources-sized output materializes (the chunkDedup
+    * discipline) — without it a derived snapshot's whole upstream plan
+    * re-executes per consumer. */
   def corpusCardDiff(oldSnap: DataFrame, newSnap: DataFrame,
                      minWords: Int, maxWords: Int,
                      minAvgLen: Double, maxAvgLen: Double,
                      minStopHits: Int, minAlphaFrac: Double): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val o = oldSnap.persist(lvl)
+    val n = newSnap.persist(lvl)
     def band(st: String, as: String) =
       coalesce(sum(when(col("status") === st, col("n_docs"))), lit(0L)).as(as)
-    val bands = snapshotDiff(oldSnap, newSnap).groupBy(col("source")).agg(
+    val bands = snapshotDiff(o, n).groupBy(col("source")).agg(
       band("added", "n_added"), band("removed", "n_removed"),
       band("changed", "n_changed"), band("unchanged", "n_unchanged"))
     def card(snap: DataFrame, suffix: String) =
@@ -174,9 +178,9 @@ object DataQuality {
           col("n_gopher_pass").as(s"pass_$suffix"),
           col("n_dup_docs").as(s"dup_$suffix"))
     val z = lit(0L)
-    bands
-      .join(card(oldSnap, "old"), Seq("source"), "full_outer")
-      .join(card(newSnap, "new"), Seq("source"), "full_outer")
+    val out = bands
+      .join(card(o, "old"), Seq("source"), "full_outer")
+      .join(card(n, "new"), Seq("source"), "full_outer")
       .select(col("source"),
         coalesce(col("n_added"), z).as("n_added"),
         coalesce(col("n_removed"), z).as("n_removed"),
@@ -192,5 +196,10 @@ object DataQuality {
         coalesce(col("pass_new"), z).as("pass_new"),
         coalesce(col("dup_old"), z).as("dup_old"),
         coalesce(col("dup_new"), z).as("dup_new"))
+      .persist(lvl)
+    out.count()
+    o.unpersist(false)
+    n.unpersist(false)
+    out
   }
 }

@@ -53,14 +53,24 @@ object ScdIngest {
         .agg(max(struct(col(sc).as("_seq") +: attrs.map(col): _*)).as("_m"))
         .select(col(key) +: attrs.map(a => col(s"_m.$a").as(a)): _*)
     case None =>
-      val dup = changes.groupBy(col(key)).count()
-        .filter(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"ScdIngest batch $batchId carries ${dup.headOption.map(_.getLong(1)).getOrElse(0L)} " +
-          s"change rows for key ${dup.headOption.map(_.get(0)).getOrElse("?")} — " +
-          "an SCD2 merge has no well-defined outcome for conflicting rows; " +
-          "pass seqCol to collapse each key to its last change, or dedupe upstream")
+      // one-pass guard: the per-key count rides a key-keyed window whose
+      // hashpartitioning(key) is the SAME exchange the merge's full-outer
+      // sort-merge join needs on the change side — no extra scan or
+      // shuffle per trigger (vs an eager groupBy().collect() pre-check).
+      // assert_true is non-foldable so the guard survives optimization;
+      // a duplicate key fails the batch as a task error BEFORE the
+      // manifest commit, so the failed batch publishes nothing.
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
       changes
+        .withColumn("_kc", count(lit(1)).over(wk))
+        .filter(assert_true(col("_kc") === 1L,
+          concat(
+            lit(s"ScdIngest batch $batchId carries multiple change rows for key "),
+            col(key).cast("string"),
+            lit(" — an SCD2 merge has no well-defined outcome for " +
+              "conflicting rows; pass seqCol to collapse each key to its " +
+              "last change, or dedupe upstream"))).isNull)
+        .drop("_kc")
   }
 
   def ingestBatch(changes: DataFrame, historyDir: String, key: String,

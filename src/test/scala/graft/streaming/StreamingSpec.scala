@@ -359,13 +359,17 @@ class StreamingSpec extends SparkSpec {
       "key", Seq("seg"), Some("lsn"), batchId = 1L).collect()
     tied.map(r => (r.getLong(0), r.getString(1))) shouldBe Array((1L, "q"))
     // without seqCol there is no defensible winner: the batch fails loudly
-    // instead of fanning out through the merge join and corrupting history
-    val ex = intercept[IllegalArgumentException] {
+    // (a task-level assert_true riding the merge's own key exchange — no
+    // extra pre-check job) instead of fanning out through the merge join
+    // and corrupting history
+    val ex = intercept[Exception] {
       ScdIngest.ingestBatch(
         Seq((3L, "m"), (3L, "n")).toDF("key", "seg"),
         hist, "key", Seq("seg"), batchId = 1L)
     }
-    ex.getMessage should include("change rows for key")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    messages(ex).mkString("\n") should include("change rows for key")
     // and the failed batch published nothing
     graft.ops.ManifestSink.committedVersions(spark, hist) shouldBe Seq(0L)
   }
@@ -1243,6 +1247,40 @@ class StreamingSpec extends SparkSpec {
       summed() shouldBe batchOf(t1 ++ t2)
       summed() shouldBe Map(("view", "click") -> 2L, ("click", "cart") -> 1L,
         ("cart", "buy") -> 1L, ("view", "view") -> 1L)
+    } finally q.stop()
+  }
+
+  test("transitionCellUpdates horizon: state prunes to the window, in-horizon retraction stays exact, beyond-horizon lates drop") {
+    implicit val ctx = spark.sqlContext
+    import EventStream.SeqEvent
+    val mem = MemoryStream[SeqEvent]
+    // horizon = 50 micros of event time
+    val q = EventStream.transitionCellUpdates(mem.toDS(), horizonMicros = Some(50L))
+      .writeStream.format("memory").queryName("trhdelta").outputMode("update").start()
+    def summed(): Map[(String, String), Long] = spark.sql(
+      "SELECT prev_type, next_type, sum(delta) AS n FROM trhdelta " +
+        "GROUP BY 1, 2 HAVING sum(delta) <> 0").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    try {
+      // trigger 1: a->b->c at t=10,20,30 (all within horizon of hw=30)
+      mem.addData(SeqEvent(1L, 1L, "a", 10L), SeqEvent(1L, 2L, "b", 20L),
+        SeqEvent(1L, 3L, "c", 30L))
+      q.processAllAvailable()
+      summed() shouldBe Map(("a", "b") -> 1L, ("b", "c") -> 1L)
+      // trigger 2: hw jumps to 100 → cutoff 50: events 10,20 prune, 30
+      // stays as the boundary. The asserted (a,b) pair is immutable —
+      // it must NOT retract on pruning.
+      mem.addData(SeqEvent(1L, 4L, "d", 100L))
+      q.processAllAvailable()
+      summed() shouldBe Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("c", "d") -> 1L)
+      // trigger 3: a late event INSIDE the horizon (t=60, cutoff=50)
+      // splits (c,d) exactly — retraction still works on the retained
+      // window; a late event BEYOND the pruned frontier (t=5) is
+      // discarded, asserting nothing against the truncated prefix
+      mem.addData(SeqEvent(1L, 5L, "e", 60L), SeqEvent(1L, 6L, "x", 5L))
+      q.processAllAvailable()
+      summed() shouldBe Map(("a", "b") -> 1L, ("b", "c") -> 1L,
+        ("c", "e") -> 1L, ("e", "d") -> 1L)
     } finally q.stop()
   }
 }
