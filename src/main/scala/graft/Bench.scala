@@ -545,6 +545,39 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // OPTIMIZE lifecycle over an ingest-built vector index: 8 appended
+      // batches -> per-cell consolidation + vacuum -> probe the compacted
+      // store; the probe must stay correct (rows>0 and full coverage) and
+      // the store must collapse to one generation
+      "store_compaction" -> (() => {
+        import org.apache.spark.sql.functions._
+        import graft.llm.Similarity
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val nVecs = e.count()
+        val quant = Similarity.trainIvfPqQuantizer(
+          e, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cmp_bench").toString
+        try {
+          for (b <- 0 until 8)
+            graft.streaming.VectorIndexIngest.ingestBatch(
+              e.filter(col("vec_id") % 8 === b), s"$tmp/idx", quant, b.toLong)
+          val ws = graft.streaming.StoreCompaction.compact(
+            spark, s"$tmp/idx", Seq("cell_id"))
+          graft.streaming.StoreCompaction.vacuum(spark, s"$tmp/idx")
+          val idx = graft.streaming.VectorIndexIngest.index(spark, s"$tmp/idx")
+          val indexed = idx.count()
+          val hits = Similarity.ivfPqProbe(idx, quant,
+            Similarity.collectVectors(e, Seq(0L, 1L, 2L)), nprobe = 2, k = 10).count()
+          require(ws.coveredThrough == 7L && indexed == nVecs && hits > 0,
+            s"compacted store holds $indexed of $nVecs vectors, $hits probe hits")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming count-min sketch: the documents table fed as a 4-batch
       // file stream, per-batch distributed CMS builds merged into driver
       // state (cell-for-cell equality with the batch build is spec-

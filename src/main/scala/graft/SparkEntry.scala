@@ -1849,6 +1849,39 @@ object SparkEntry {
       }
     }),
 
+    // the OPTIMIZE lifecycle end-to-end: the embeddings arrive as FOUR
+    // ingest batches, the store compacts (per-cell consolidation) and
+    // vacuums, and the probe over the compacted generation must still
+    // equal the one-shot search — compaction preserves results exactly
+    // because the stored rows are integers and the partition schema
+    // survives. Eager + temp-dir cleanup like ann_indexed.
+    "ann_compacted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_ann_compacted").toString
+      try {
+        for (b <- 0 until 4)
+          graft.streaming.VectorIndexIngest.ingestBatch(
+            e.filter(col("vec_id") % 4 === b), idxDir, quant, b.toLong)
+        graft.streaming.StoreCompaction.compact(s, idxDir, Seq("cell_id"))
+        graft.streaming.StoreCompaction.vacuum(s, idxDir)
+        val out = Similarity.ivfPqProbe(
+            graft.streaming.VectorIndexIngest.index(s, idxDir), quant,
+            Similarity.collectVectors(e, AnnQueryIds), nprobe = 2, k = PqSearchK)
+          .orderBy(col("query_id"), col("rn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxDir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // ---- round 6: quality rules, substring dedup, semantic dedup,
     //      retrieval, source blocklist, subquery/window breadth ----
 
@@ -3153,6 +3186,11 @@ object SparkEntry {
     // search SQL at the probe's nprobe
     "ann_indexed" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
       AnnQueryIds, nprobe = 3, k = PqSearchK),
+    // OPTIMIZE preserves probe results exactly: the compacted store's
+    // probe answers to the same one-shot search SQL (nprobe=2 — a third
+    // distinct probe set across the persisted-index family)
+    "ann_compacted" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
+      AnnQueryIds, nprobe = 2, k = PqSearchK),
     "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),
     "q_vkmeans_step" -> TextSql.vkmeansStepSql(PqCodebookIds),
     "q_vkmeans_iterate2" -> TextSql.vkmeansIterateSql(PqCodebookIds, 2),

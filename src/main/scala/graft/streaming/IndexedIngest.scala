@@ -19,7 +19,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * keyed by batch id with dynamic overwrite, and a batch compares only
   * against partitions written before it — replay overwrites its own
   * output (corpus AND index) and sees exactly its original corpus
-  * view. Policy and output are identical to IngestDedup (spec-pinned). */
+  * view. Policy and output are identical to IngestDedup (spec-pinned).
+  *
+  * Long-lived stores compact with [[StoreCompaction]] — corpus and
+  * index together, to the same watershed. Prior-view reads go through
+  * the committed view (one consolidated partition instead of one per
+  * trigger); a replayed batch at or below either watershed SKIPS, its
+  * survivors and index rows already durable inside the generations. */
 object IndexedIngest {
 
   def ingestBatch(batch: DataFrame, corpusPath: String, indexPath: String,
@@ -29,6 +35,9 @@ object IndexedIngest {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchDocs = batch.select(col("doc_id"), col("text"))
     if (batchDocs.isEmpty) return
+    if (batchId <= math.max(StoreCompaction.coveredThrough(spark, corpusPath),
+        StoreCompaction.coveredThrough(spark, indexPath)))
+      return // compacted replay: effects durable inside the generations
     val partDirs = fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$corpusPath/ingest_batch=*"))
     val indexDirs = fs.globStatus(
@@ -36,7 +45,7 @@ object IndexedIngest {
     val prior =
       if (partDirs != null && partDirs.nonEmpty)
         Some((
-          spark.read.parquet(corpusPath)
+          StoreCompaction.committedView(spark, corpusPath)
             .filter(col("ingest_batch") < batchId)
             .select(col("doc_id"), col("text")),
           // torn first batch: a crash between the corpus write and the
@@ -51,7 +60,7 @@ object IndexedIngest {
           // silently degrade cross-batch near-dup to within-batch-only;
           // schema comes from the same builder so the shapes can't drift
           if (indexDirs != null && indexDirs.nonEmpty)
-            spark.read.parquet(indexPath)
+            StoreCompaction.committedView(spark, indexPath)
               .filter(col("ingest_batch") < batchId)
               .select(col("doc_id"), col("band"), col("key"))
           else {

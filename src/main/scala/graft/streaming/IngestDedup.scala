@@ -38,6 +38,10 @@ object IngestDedup {
     // an empty batch writes nothing: a zero-row dynamic overwrite would
     // create a file-less directory that later parquet reads choke on
     if (batchDocs.isEmpty) return
+    // compacted replay (StoreCompaction watershed): effects durable
+    // inside the generation — rewriting a covered partition would
+    // resurrect it beside the generation's copy of the same rows
+    if (batchId <= StoreCompaction.coveredThrough(spark, corpusPath)) return
     // corpus presence = actual ingest_batch=* partition directories
     // (cheap filesystem metadata, no Spark job) — a bare exists() on
     // the root is wrong after any file-less write
@@ -50,7 +54,7 @@ object IngestDedup {
     // and drop every row, turning replay into data loss
     val corpus =
       if (partDirs != null && partDirs.nonEmpty)
-        Some(spark.read.parquet(corpusPath)
+        Some(StoreCompaction.committedView(spark, corpusPath)
           .filter(col("ingest_batch") < batchId)
           .select(col("doc_id"), col("text")))
       else None

@@ -28,7 +28,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * compares only against partitions written BEFORE it, so a replay
   * sees its original corpus view and rewrites its own partitions
   * byte-identically. The torn-first-batch escape and the
-  * missing-index-beside-prior-batches raise are inherited verbatim. */
+  * missing-index-beside-prior-batches raise are inherited verbatim.
+  *
+  * Long-lived stores compact with [[StoreCompaction]] — corpus and
+  * index TOGETHER, to the same watershed (they describe the same
+  * content). Prior-view reads go through the committed view, so a
+  * compacted index serves one consolidated partition instead of one
+  * per trigger; a replayed batch at or below either store's watershed
+  * SKIPS (its cleaned docs and gram rows are durable inside the
+  * generations). */
 object SpanIngest {
 
   def ingestBatch(batch: DataFrame, corpusPath: String, indexPath: String,
@@ -36,6 +44,9 @@ object SpanIngest {
     val spark = batch.sparkSession
     val batchDocs = batch.select(col("doc_id"), col("text"))
     if (batchDocs.isEmpty) return
+    if (batchId <= math.max(StoreCompaction.coveredThrough(spark, corpusPath),
+        StoreCompaction.coveredThrough(spark, indexPath)))
+      return // compacted replay: effects durable inside the generations
     val fs = new org.apache.hadoop.fs.Path(corpusPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val partDirs = fs.globStatus(
@@ -46,7 +57,7 @@ object SpanIngest {
       if (partDirs == null || partDirs.isEmpty)
         Dedup.spanIndexRows(batchDocs.limit(0), n)
       else if (indexDirs != null && indexDirs.nonEmpty)
-        spark.read.parquet(indexPath)
+        StoreCompaction.committedView(spark, indexPath)
           .filter(col("ingest_batch") < batchId)
           .select(col("g"))
       else {

@@ -1,0 +1,195 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OPTIMIZE for ingest-built stores — the read-side lifecycle the
+  * streaming ingests ([[IndexedIngest]], [[SpanIngest]],
+  * [[VectorIndexIngest]]) leave open: each micro-batch appends an
+  * `ingest_batch=<id>` partition forever, so after 10⁴ triggers every
+  * store (or every cell of a cell-partitioned vector index) is 10⁴
+  * small files, and scan cost at scale is file-open overhead long
+  * before bytes. This pass rewrites all committed rows into ONE
+  * consolidated generation while keeping probes and incremental cleans
+  * BITWISE identical (spec-pinned) — the Delta/Iceberg OPTIMIZE +
+  * checkpoint story without a table format on the classpath.
+  *
+  * Layout contract: a store partitioned by (clusterCols…, ingest_batch)
+  * where real batch ids are ≥ 0. Compacted generation `g` lives in the
+  * RESERVED partition `ingest_batch = −g` — the partition schema never
+  * changes, so cell-level directory pruning (`ivfPqProbe`'s
+  * PartitionFilters) survives compaction unchanged, and the ingests'
+  * `ingest_batch < batchId` prior-view filters stay correct by
+  * construction (−g < any live batch id).
+  *
+  * Commit protocol (the [[graft.ops.ManifestSink]] rename discipline):
+  * generation data writes first (dynamic overwrite of its own −g
+  * partitions — a torn prior attempt at the same generation rewrites
+  * cleanly), then a marker `_compaction/gen-<g>` whose CONTENT is the
+  * covered high-water batch id `W` renames into place as the commit
+  * point. [[committedView]] resolves the HIGHEST committed generation
+  * and reads exactly {partition −g} ∪ {partitions b > W}: an
+  * uncommitted generation, a torn compaction, and covered-but-not-yet-
+  * vacuumed batch partitions are all invisible — no reader can ever
+  * double-count. `_`-prefixed paths are invisible to Spark's partition
+  * discovery, so markers never pollute the table.
+  *
+  * REPLAY WATERSHED — the interaction with the ingests' exactly-once
+  * story: a compacted generation supersedes replay below its high-water
+  * batch. A replayed batch b ≤ W must SKIP (its effects are already
+  * durable inside the generation; a dynamic-partition overwrite would
+  * resurrect its covered partition and double its rows) — every ingest
+  * checks [[coveredThrough]] first, exactly like ScdIngest skips
+  * already-committed manifest versions. A replayed batch b > W sees
+  * {−g} ∪ {W < b' < b} through the view — precisely its original prior
+  * corpus — and rewrites its own partitions byte-identically, so the
+  * ingests' replay contract is preserved above the watershed and
+  * subsumed below it (the Delta/Iceberg checkpoint semantics).
+  *
+  * [[vacuum]] is pure GC: correctness comes from the marker filter
+  * alone, so covered partitions and superseded generations can be
+  * deleted any time after commit. Single writer per store (the standing
+  * contract of every ingest here); readers are safe throughout. */
+object StoreCompaction {
+
+  /** A committed compaction: generation `g` (its rows live in partition
+    * `ingest_batch = −generation`) covering every real batch id ≤
+    * `coveredThrough`. */
+  case class Watershed(generation: Long, coveredThrough: Long)
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def markerDir(path: String) = new Path(path, "_compaction")
+
+  /** Committed (generation, coveredThrough) pairs, ascending. */
+  private def markers(spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val fs = fsOf(spark, path)
+    val st = fs.globStatus(new Path(markerDir(path), "gen-*"))
+    if (st == null) Seq.empty
+    else st.toSeq
+      .filterNot(_.getPath.getName.endsWith(".tmp"))
+      .flatMap { s =>
+        val g = scala.util.Try(
+          s.getPath.getName.stripPrefix("gen-").toLong).toOption
+        g.map { gen =>
+          val in = fs.open(s.getPath)
+          val covered =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+            finally in.close()
+          (gen, covered)
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  /** The latest committed compaction, if any. */
+  def watershed(spark: SparkSession, path: String): Option[Watershed] =
+    markers(spark, path).lastOption.map { case (g, w) => Watershed(g, w) }
+
+  /** Highest batch id whose effects are durable inside a committed
+    * generation — the ingests' replay-skip bound (−1 when the store has
+    * never compacted, so `batchId <= coveredThrough` is never true). */
+  def coveredThrough(spark: SparkSession, path: String): Long =
+    watershed(spark, path).map(_.coveredThrough).getOrElse(-1L)
+
+  /** Every committed row of the store, exactly once: the latest
+    * generation's partition plus all batch partitions above its
+    * watershed (or the raw store when never compacted). The filter is
+    * on the `ingest_batch` PARTITION column, so covered directories
+    * prune at the listing — a compacted 10⁴-trigger store reads one
+    * consolidated partition, not 10⁴ small files. */
+  def committedView(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    watershed(spark, path) match {
+      case None =>
+        // a TORN first compaction (generation data written, marker rename
+        // never happened) leaves an uncommitted negative partition — the
+        // filter keeps it invisible, exactly like ManifestSink's readers
+        // never resolving an uncommitted data directory
+        raw.filter(col("ingest_batch") >= 0L)
+      case Some(Watershed(g, w)) =>
+        raw.filter(col("ingest_batch") === lit(-g) || col("ingest_batch") > lit(w))
+    }
+  }
+
+  /** `ingest_batch=` partition directories at either layout depth
+    * (top-level for (ingest_batch) stores, one below for
+    * (cluster, ingest_batch) stores), with their parsed batch values. */
+  private def batchDirs(spark: SparkSession, path: String): Seq[(Path, Long)] = {
+    val fs = fsOf(spark, path)
+    def glob(pat: String): Seq[Path] =
+      Option(fs.globStatus(new Path(path, pat))).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isDirectory).map(_.getPath)
+    (glob("ingest_batch=*") ++ glob("*/ingest_batch=*"))
+      .flatMap(p => scala.util.Try(
+        p.getName.stripPrefix("ingest_batch=").toLong).toOption.map(v => (p, v)))
+  }
+
+  /** Rewrites every committed row into generation (g+1): one shuffle
+    * keyed by `clusterCols` (each cluster value lands in exactly one
+    * task → exactly one file per consolidated partition — the
+    * `Compaction.compactClustered` consolidation shape applied
+    * per-cell), or `targetFiles` round-robin files for an unclustered
+    * store. Commits the marker and returns the new watershed; does NOT
+    * delete superseded partitions — run [[vacuum]] after, at the
+    * caller's retention policy. */
+  def compact(spark: SparkSession, path: String, clusterCols: Seq[String],
+              targetFiles: Int = 1): Watershed = {
+    require(targetFiles >= 1, s"need targetFiles >= 1, got $targetFiles")
+    val prior = watershed(spark, path)
+    val batches = batchDirs(spark, path).map(_._2).filter(_ >= 0L)
+    val covered = (prior.map(_.coveredThrough).getOrElse(-1L) +: batches).max
+    require(covered >= 0L, s"nothing to compact under $path")
+    val gen = prior.map(_.generation).getOrElse(0L) + 1L
+    val rows = committedView(spark, path)
+      .withColumn("ingest_batch", lit(-gen))
+    val sized =
+      if (clusterCols.nonEmpty) rows.repartition(clusterCols.map(col): _*)
+      else rows.repartition(targetFiles)
+    sized.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy((clusterCols :+ "ingest_batch"): _*)
+      .parquet(path)
+    // commit: marker content is the covered high-water batch id; the
+    // rename is the commit point (ManifestSink discipline)
+    val fs = fsOf(spark, path)
+    fs.mkdirs(markerDir(path))
+    val tmp = new Path(markerDir(path), s"gen-$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$covered\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(markerDir(path), s"gen-$gen")
+    if (!fs.rename(tmp, dst) || !fs.exists(dst))
+      throw new java.io.IOException(s"compaction commit $tmp -> $dst failed")
+    Watershed(gen, covered)
+  }
+
+  /** Deletes partitions the latest committed generation superseded:
+    * real batches ≤ coveredThrough, generations < current, stale
+    * markers, and cluster directories emptied by the sweep. Safe any
+    * time after commit — [[committedView]] never resolves them. Returns
+    * the number of partition directories removed; no-op (0) on a store
+    * that has never compacted. */
+  def vacuum(spark: SparkSession, path: String): Int =
+    watershed(spark, path) match {
+      case None => 0
+      case Some(Watershed(g, w)) =>
+        val fs = fsOf(spark, path)
+        val dead = batchDirs(spark, path).filter { case (_, v) =>
+          (v >= 0L && v <= w) || (v < 0L && v != -g)
+        }
+        dead.foreach { case (p, _) => fs.delete(p, true) }
+        // a (cluster, ingest_batch) store may leave emptied cluster dirs
+        dead.map(_._1.getParent).distinct
+          .filter(p => p != null && p.getName.contains("=") &&
+            Option(fs.listStatus(p)).forall(_.isEmpty))
+          .foreach(fs.delete(_, true))
+        markers(spark, path).dropRight(1)
+          .foreach { case (og, _) => fs.delete(new Path(markerDir(path), s"gen-$og"), false) }
+        Option(fs.globStatus(new Path(markerDir(path), "gen-*.tmp")))
+          .foreach(_.foreach(s => fs.delete(s.getPath, false)))
+        dead.size
+    }
+}

@@ -31,12 +31,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * dynamic-partition overwrite rewrites them byte-identically; no
   * manifest or listing decision is needed (the IngestDedup discipline,
   * without even the cross-batch read dependency: batches encode
-  * independently). Empty batches write nothing. */
+  * independently). Empty batches write nothing.
+  *
+  * Long-lived stores compact with [[StoreCompaction]] (clusterCols =
+  * cell_id — one consolidated file per IVF cell instead of one per
+  * (cell, batch)): probes are bitwise unchanged because the stored rows
+  * are integers and the partition schema survives, and a replayed batch
+  * at or below the compaction watershed SKIPS here — its rows are
+  * already durable inside the generation, and rewriting its covered
+  * partition would double them. */
 object VectorIndexIngest {
 
   def ingestBatch(batch: DataFrame, indexPath: String, q: IvfPqQuantizer,
                   batchId: Long): Unit = {
     if (batch.isEmpty) return
+    if (batchId <= StoreCompaction.coveredThrough(batch.sparkSession, indexPath))
+      return // compacted replay: effects durable inside the generation
     Similarity.ivfPqIndexRows(batch, q)
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
@@ -55,12 +65,14 @@ object VectorIndexIngest {
       }
       .start()
 
-  /** The served index: every committed (vec_id, cell_id, codes) row.
-    * Partition columns return as BIGINT (`Similarity.readIvfPqIndex`'s
-    * normalization); `ivfPqProbe`'s cell pre-filter prunes the cell
-    * directories before any file is read. */
+  /** The served index: every committed (vec_id, cell_id, codes) row,
+    * exactly once across batches AND compacted generations
+    * ([[StoreCompaction.committedView]] — pre-compaction it is the raw
+    * store). Partition columns return as BIGINT
+    * (`Similarity.readIvfPqIndex`'s normalization); `ivfPqProbe`'s cell
+    * pre-filter prunes the cell directories before any file is read. */
   def index(spark: SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(indexPath)
+    StoreCompaction.committedView(spark, indexPath)
       .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
         col("codes"))
 }

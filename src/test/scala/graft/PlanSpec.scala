@@ -591,4 +591,11 @@ class PlanSpec extends SparkSpec {
     p should include regex "PartitionFilters: \\[[^\\]]*cell_id"
     (p should not).include("Join")
   }
+
+  test("ann_compacted: the compacted-store probe keeps cell_id partition pruning and the committed-view generation filter; no join") {
+    val p = plan("ann_compacted")
+    p should include regex "PartitionFilters: \\[[^\\]]*cell_id"
+    p should include regex "PartitionFilters: \\[[^\\]]*ingest_batch"
+    (p should not).include("Join")
+  }
 }

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** OPTIMIZE over ingest-built stores: probes and incremental cleans
+  * must be BITWISE identical before and after compaction + vacuum, the
+  * per-batch small files must collapse, covered replays must skip, and
+  * a torn compaction must be invisible (the ManifestSink commit
+  * discipline). */
+class StoreCompactionSpec extends SparkSpec {
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath.toString
+    }
+    out.result().sorted
+  }
+
+  test("vector index: probe bitwise across compact+vacuum, one file per cell, covered replay skips, ingest resumes above the watershed") {
+    val dir = java.nio.file.Files.createTempDirectory("cmpvec").toString
+    val idx = s"$dir/idx"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    val queries = Similarity.collectVectors(emb, Seq(0L, 1L, 2L))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    def probe() = key(Similarity.ivfPqProbe(
+      VectorIndexIngest.index(spark, idx), quant, queries, nprobe = 2, k = 10))
+    val expected = key(
+      Similarity.ivfPqSearch(emb, coarseIds, cbIds, 4, Seq(0L, 1L, 2L), nprobe = 2, k = 10))
+
+    def batchOf(b: Int) = emb.filter(col("vec_id") % 3 === b)
+    // two ingested batches, then OPTIMIZE, then a third above the watershed
+    VectorIndexIngest.ingestBatch(batchOf(0), idx, quant, 0L)
+    VectorIndexIngest.ingestBatch(batchOf(1), idx, quant, 1L)
+    val pre = key(Similarity.ivfPqProbe(
+      VectorIndexIngest.index(spark, idx), quant, queries, nprobe = 2, k = 10))
+    val filesPre = parquetFiles(idx).size
+
+    val ws = StoreCompaction.compact(spark, idx, Seq("cell_id"))
+    ws shouldBe StoreCompaction.Watershed(1L, 1L)
+    probe() shouldBe pre // bitwise, before vacuum (covered dirs still on disk)
+    StoreCompaction.vacuum(spark, idx) should be > 0
+    probe() shouldBe pre // bitwise, after vacuum
+
+    // every surviving partition is the generation's: exactly one file per cell
+    val files = parquetFiles(idx)
+    files.size should be < filesPre
+    all(files) should include("ingest_batch=-1")
+    files.map(_.replaceAll("/ingest_batch=.*", "")).distinct.size shouldBe files.size
+
+    // the probe plan still partition-prunes on cell_id over the compacted store
+    val plan = Similarity.ivfPqProbe(VectorIndexIngest.index(spark, idx),
+        quant, queries, nprobe = 2, k = 10)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should include regex "PartitionFilters: \\[[^\\]]*cell_id"
+
+    // covered replay: batch 1 <= watershed SKIPS — the store is byte-unchanged
+    VectorIndexIngest.ingestBatch(batchOf(1), idx, quant, 1L)
+    parquetFiles(idx) shouldBe files
+    probe() shouldBe pre
+
+    // ingest resumes above the watershed; the full index equals the
+    // whole-corpus batch encode and the one-shot search, bitwise
+    VectorIndexIngest.ingestBatch(batchOf(2), idx, quant, 2L)
+    val all3 = VectorIndexIngest.index(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1)
+    all3 shouldBe Similarity.ivfPqIndexRows(emb, quant).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1)
+    probe() shouldBe expected
+    // a second-generation compaction folds the new batch too
+    StoreCompaction.compact(spark, idx, Seq("cell_id")) shouldBe
+      StoreCompaction.Watershed(2L, 2L)
+    StoreCompaction.vacuum(spark, idx) should be > 0
+    probe() shouldBe expected
+  }
+
+  test("span ingest: post-compaction batches clean identically to an uncompacted twin; covered replay skips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmpspan").toString
+    val n = 3
+    val batches = Seq(
+      Seq((1L, "w1 w2 w3 w4 w5"), (2L, "p1 p2 p3 p4")),
+      Seq((3L, "x w1 w2 w3 w4 y"), (4L, "q1 q2 q3 q4 q5 q6")),
+      Seq((5L, "w3 w4 w5 z q1 q2 q3"), (6L, "fresh tokens only here")))
+    def ingest(root: String, b: Int): Unit =
+      SpanIngest.ingestBatch(batches(b).toDF("doc_id", "text"),
+        s"$root/corpus", s"$root/index", b.toLong, n)
+    def corpus(root: String) =
+      StoreCompaction.committedView(spark, s"$root/corpus")
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+
+    ingest(s"$dir/a", 0); ingest(s"$dir/a", 1)
+    ingest(s"$dir/b", 0); ingest(s"$dir/b", 1)
+    // OPTIMIZE store A (corpus and index together, same watershed)
+    StoreCompaction.compact(spark, s"$dir/a/corpus", Nil) shouldBe
+      StoreCompaction.Watershed(1L, 1L)
+    StoreCompaction.compact(spark, s"$dir/a/index", Nil) shouldBe
+      StoreCompaction.Watershed(1L, 1L)
+    StoreCompaction.vacuum(spark, s"$dir/a/corpus") should be > 0
+    StoreCompaction.vacuum(spark, s"$dir/a/index") should be > 0
+    corpus(s"$dir/a") shouldBe corpus(s"$dir/b")
+    // the compacted index is ONE partition directory
+    parquetFiles(s"$dir/a/index")
+      .map(_.replaceAll(".*/(ingest_batch=[^/]*)/.*", "$1"))
+      .distinct shouldBe Seq("ingest_batch=-1")
+
+    // covered replay: batch 0 skips on A (byte-unchanged), rewrites on B
+    val filesA = parquetFiles(s"$dir/a/corpus")
+    SpanIngest.ingestBatch(batches(0).toDF("doc_id", "text"),
+      s"$dir/a/corpus", s"$dir/a/index", 0L, n)
+    parquetFiles(s"$dir/a/corpus") shouldBe filesA
+
+    // the NEXT batch cleans against the committed view — identical docs
+    // on the compacted store and the untouched twin
+    ingest(s"$dir/a", 2); ingest(s"$dir/b", 2)
+    corpus(s"$dir/a") shouldBe corpus(s"$dir/b")
+    // sanity on content: doc 5's corpus-duplicated runs were stripped on both
+    corpus(s"$dir/a").find(_._1 == 5L).get._2 should not include "w3 w4 w5"
+  }
+
+  test("ann_compacted contract query is bitwise the one-shot q_ivf_pq search (same nprobe/k)") {
+    val dir = "/root/testdata/sf0.001"
+    def key(name: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    key("ann_compacted") shouldBe key("q_ivf_pq")
+  }
+
+  test("torn compaction is invisible: generation data without a marker reads as the raw store; retry commits the same generation") {
+    val dir = java.nio.file.Files.createTempDirectory("cmptorn").toString
+    val idx = s"$dir/idx"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quant = Similarity.trainIvfPqQuantizer(
+      emb, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), m = 4)
+    VectorIndexIngest.ingestBatch(emb.filter(col("vec_id") % 2 === 0), idx, quant, 0L)
+    VectorIndexIngest.ingestBatch(emb.filter(col("vec_id") % 2 === 1), idx, quant, 1L)
+    def rows() = VectorIndexIngest.index(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1)
+    val pre = rows()
+
+    StoreCompaction.compact(spark, idx, Seq("cell_id"))
+    // tear the commit: generation partitions exist, marker gone
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_compaction/gen-1"), false) shouldBe true
+    StoreCompaction.watershed(spark, idx) shouldBe None
+    StoreCompaction.coveredThrough(spark, idx) shouldBe -1L
+    rows() shouldBe pre // the orphaned -1 partitions are invisible
+    // retry: same generation id, dynamic overwrite rewrites it, commit lands
+    StoreCompaction.compact(spark, idx, Seq("cell_id")) shouldBe
+      StoreCompaction.Watershed(1L, 1L)
+    StoreCompaction.vacuum(spark, idx) should be > 0
+    rows() shouldBe pre
+  }
+}
