@@ -213,18 +213,18 @@ object SparkEntry {
       "UNION ALL SELECT gkey, gseg, gnat, CAST(10 AS BIGINT), CAST(NULL AS BIGINT), true " +
       "FROM j WHERE gkey IS NOT NULL AND (okey IS NULL OR NOT same))"
 
-  /** The SCD2 contract fixture: customer-derived history (a closed
-    * 'OLD_' row per key%10==0 + an open row per key) merged at version
-    * 10 with a no-op / changed-segment / brand-new change batch split by
-    * key%3 — shared by the merge query and its point-in-time reader. */
-  private def scd2Merged(s: SparkSession, dir: String): DataFrame = {
-    val c = s.read.parquet(s"$dir/customer.parquet")
+  private def scd2Customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
         col("c_nationkey").cast("long").as("nat"))
-    // history from ONE scan: a union of a filtered arm and an open arm
-    // would read customer twice (Spark reuses no subplans) — instead
-    // each row emits its optional closed row + its open row through one
-    // null-slot explode, the ScdMerge generator's own shape
+
+  /** Customer-derived SCD2 history: a closed 'OLD_' row per key%10==0
+    * plus an open row per key — from ONE scan: a union of a filtered
+    * arm and an open arm would read customer twice (Spark reuses no
+    * subplans), so each row emits its optional closed row + its open
+    * row through one null-slot explode, the ScdMerge generator's own
+    * shape. */
+  private def scd2History(c: DataFrame): DataFrame = {
     val closedRow = when(col("key") % 10 === 0, struct(
       col("key"), concat(lit("OLD_"), col("seg")).as("seg"), col("nat"),
       lit(0L).as("valid_from"), lit(5L).as("valid_to"),
@@ -233,11 +233,51 @@ object SparkEntry {
       col("key"), col("seg"), col("nat"),
       when(col("key") % 10 === 0, lit(5L)).otherwise(lit(0L)).as("valid_from"),
       lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
-    val history = c.select(explode(array(closedRow, openRow)).as("h"))
+    c.select(explode(array(closedRow, openRow)).as("h"))
       .filter(col("h").isNotNull)
       .select(col("h.key").as("key"), col("h.seg").as("seg"),
         col("h.nat").as("nat"), col("h.valid_from").as("valid_from"),
         col("h.valid_to").as("valid_to"), col("h.is_current").as("is_current"))
+  }
+
+  /** DuckDB mirror of [[scd2MergedDel]] as a CTE chain ending in
+    * `merged` — shared by the tombstone-merge oracle and its
+    * point-in-time oracle. The delete arms: an open row whose change is
+    * a delete closes (regardless of attr equality); deletes never
+    * insert; ghost deletes fall out of the join with no open side. */
+  private val ScdDelCtes: String =
+    "WITH c AS (SELECT c_custkey AS key, c_mktsegment AS seg, " +
+      "CAST(c_nationkey AS BIGINT) AS nat FROM customer), " +
+      "hist AS (SELECT key, 'OLD_' || seg AS seg, nat, " +
+      "CAST(0 AS BIGINT) AS valid_from, CAST(5 AS BIGINT) AS valid_to, " +
+      "false AS is_current FROM c WHERE key % 10 = 0 " +
+      "UNION ALL SELECT key, seg, nat, " +
+      "CAST(CASE WHEN key % 10 = 0 THEN 5 ELSE 0 END AS BIGINT), " +
+      "CAST(NULL AS BIGINT), true FROM c), " +
+      "chg AS (SELECT CASE WHEN key % 4 <> 0 AND key % 3 = 2 THEN key + 1000000 ELSE key END AS key, " +
+      "CASE WHEN key % 4 = 0 THEN 'D' ELSE 'U' END AS op, " +
+      "CASE WHEN key % 3 = 1 THEN seg || '_X' WHEN key % 3 = 2 THEN 'NEW' " +
+      "ELSE seg END AS seg, nat FROM c " +
+      "UNION ALL SELECT key + 2000000, 'D', seg, nat FROM c WHERE key % 7 = 1), " +
+      "o AS (SELECT * FROM hist WHERE is_current), " +
+      "j AS (SELECT o.key AS okey, o.seg AS oseg, o.nat AS onat, " +
+      "o.valid_from AS ofrom, g.key AS gkey, g.op AS gop, g.seg AS gseg, g.nat AS gnat, " +
+      "(o.seg IS NOT DISTINCT FROM g.seg AND o.nat IS NOT DISTINCT FROM g.nat) AS same " +
+      "FROM o FULL OUTER JOIN chg g ON o.key = g.key), " +
+      "merged AS (" +
+      "SELECT key, seg, nat, valid_from, valid_to, is_current FROM hist WHERE NOT is_current " +
+      "UNION ALL SELECT okey, oseg, onat, ofrom, CAST(NULL AS BIGINT), true " +
+      "FROM j WHERE okey IS NOT NULL AND (gkey IS NULL OR (gop = 'U' AND same)) " +
+      "UNION ALL SELECT okey, oseg, onat, ofrom, CAST(10 AS BIGINT), false " +
+      "FROM j WHERE okey IS NOT NULL AND gkey IS NOT NULL AND (gop = 'D' OR NOT same) " +
+      "UNION ALL SELECT gkey, gseg, gnat, CAST(10 AS BIGINT), CAST(NULL AS BIGINT), true " +
+      "FROM j WHERE gkey IS NOT NULL AND gop = 'U' AND (okey IS NULL OR NOT same))"
+
+  /** The SCD2 contract fixture: [[scd2History]] merged at version 10
+    * with a no-op / changed-segment / brand-new change batch split by
+    * key%3 — shared by the merge query and its point-in-time reader. */
+  private def scd2Merged(s: SparkSession, dir: String): DataFrame = {
+    val c = scd2Customer(s, dir)
     val changes = c.select(
       when(col("key") % 3 === 2, col("key") + 1000000L)
         .otherwise(col("key")).as("key"),
@@ -245,8 +285,35 @@ object SparkEntry {
         .when(col("key") % 3 === 2, lit("NEW"))
         .otherwise(col("seg")).as("seg"),
       col("nat"))
-    graft.ops.ScdMerge.merge(history, changes,
+    graft.ops.ScdMerge.merge(scd2History(c), changes,
       "key", Seq("seg", "nat"), version = 10L)
+  }
+
+  /** The tombstone fixture: [[scd2History]] merged at version 10 with an
+    * OP-carrying batch — key%4==0 DELETES (closes the open row, inserts
+    * nothing), the rest upsert with the q_scd2 mutation split, plus a
+    * ghost-delete arm (key%7==1, key+2000000) proving tombstones on
+    * never-existed keys are no-ops. One scan per side: the ghost rides
+    * the change projection's null-slot explode. */
+  private def scd2MergedDel(s: SparkSession, dir: String): DataFrame = {
+    val c = scd2Customer(s, dir)
+    val mainRow = struct(
+      when(col("key") % 4 =!= 0 && col("key") % 3 === 2, col("key") + 1000000L)
+        .otherwise(col("key")).as("key"),
+      when(col("key") % 4 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      when(col("key") % 3 === 1, concat(col("seg"), lit("_X")))
+        .when(col("key") % 3 === 2, lit("NEW"))
+        .otherwise(col("seg")).as("seg"),
+      col("nat"))
+    val ghostRow = when(col("key") % 7 === 1, struct(
+      (col("key") + 2000000L).as("key"), lit("D").as("op"),
+      col("seg").as("seg"), col("nat")))
+    val changes = c.select(explode(array(mainRow, ghostRow)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("g.key").as("key"), col("g.op").as("op"),
+        col("g.seg").as("seg"), col("g.nat").as("nat"))
+    graft.ops.ScdMerge.mergeOps(scd2History(c), changes,
+      "key", Seq("seg", "nat"), "op", version = 10L)
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -985,6 +1052,49 @@ object SparkEntry {
           col("r.nat").as("nat"), col("r.v").as("v"))
       graft.ops.ScdMerge.fromChangeLog(log, "key", Seq("seg", "nat"), "v")
         .orderBy(col("key"), col("valid_from"))
+    }),
+
+    // SCD2 merge WITH TOMBSTONES: key%4==0 deletes close open rows and
+    // insert nothing; ghost deletes (never-existed keys) are no-ops;
+    // the rest upserts with the q_scd2 mutation split
+    "q_scd2_del" -> ((s, dir) =>
+      scd2MergedDel(s, dir).orderBy(col("key"), col("valid_from"))),
+
+    // CDC-archive backfill with ops: v0 base (except key%9==0 — their
+    // even members then delete-at-start, a dropped no-op), v1 deletes
+    // evens / re-segments odds, v2 re-inserts or changes key%3==0, v3
+    // deletes key%4==0 (a second delete after v1 for %12∈{4,8} — the
+    // idempotent-tombstone no-op)
+    "q_scd2_log_del" -> ((s, dir) => {
+      val c = scd2Customer(s, dir)
+      val a0 = when(col("key") % 9 =!= 0,
+        struct(lit("U").as("op"), col("seg").as("seg"), col("nat"), lit(0L).as("v")))
+      val a1 = struct(
+        when(col("key") % 2 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        when(col("key") % 2 === 0, col("seg"))
+          .otherwise(concat(col("seg"), lit("_B"))).as("seg"),
+        col("nat"), lit(1L).as("v"))
+      val a2 = when(col("key") % 3 === 0,
+        struct(lit("U").as("op"), lit("C").as("seg"), col("nat"), lit(2L).as("v")))
+      val a3 = when(col("key") % 4 === 0,
+        struct(lit("D").as("op"), col("seg").as("seg"), col("nat"), lit(3L).as("v")))
+      val log = c.select(col("key"), explode(array(a0, a1, a2, a3)).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("key"), col("r.op").as("op"), col("r.seg").as("seg"),
+          col("r.nat").as("nat"), col("r.v").as("v"))
+      graft.ops.ScdMerge.fromChangeLogOps(log, "key", Seq("seg", "nat"), "v", "op")
+        .orderBy(col("key"), col("valid_from"))
+    }),
+
+    // point-in-time against the TOMBSTONED history: probes landing in a
+    // post-delete gap (deleted keys, t >= 10) resolve to null attrs —
+    // the validity check a gap-free history never needs
+    "q_scd2_pit_del" -> ((s, dir) => {
+      val merged = scd2MergedDel(s, dir)
+      val facts = merged.select(col("key")).distinct()
+        .withColumn("t", col("key") % 15)
+      graft.ops.ScdMerge.pointInTime(merged, facts, "key", "t", Seq("seg", "nat"))
+        .orderBy(col("key"))
     }),
 
     // point-in-time lookup against that merged history (the read side):
@@ -2811,6 +2921,43 @@ object SparkEntry {
         "(SELECT m.seg FROM merged m WHERE m.key = f.key AND m.valid_from <= f.t " +
         "ORDER BY m.valid_from DESC LIMIT 1) AS asof_seg, " +
         "(SELECT m.nat FROM merged m WHERE m.key = f.key AND m.valid_from <= f.t " +
+        "ORDER BY m.valid_from DESC LIMIT 1) AS asof_nat " +
+        "FROM facts f ORDER BY key"),
+
+    "q_scd2_del" ->
+      (ScdDelCtes + " SELECT key, seg, nat, valid_from, valid_to, " +
+        "is_current FROM merged ORDER BY key, valid_from"),
+
+    "q_scd2_log_del" ->
+      ("WITH c AS (SELECT c_custkey AS key, c_mktsegment AS seg, " +
+        "CAST(c_nationkey AS BIGINT) AS nat FROM customer), " +
+        "log AS (" +
+        "SELECT key, 'U' AS op, seg, nat, 0 AS v FROM c WHERE key % 9 <> 0 " +
+        "UNION ALL SELECT key, CASE WHEN key % 2 = 0 THEN 'D' ELSE 'U' END, " +
+        "CASE WHEN key % 2 = 0 THEN seg ELSE seg || '_B' END, nat, 1 FROM c " +
+        "UNION ALL SELECT key, 'U', 'C', nat, 2 FROM c WHERE key % 3 = 0 " +
+        "UNION ALL SELECT key, 'D', seg, nat, 3 FROM c WHERE key % 4 = 0), " +
+        "d AS (SELECT *, CASE WHEN op = 'D' " +
+        "THEN lag(op) OVER w IS NULL OR lag(op) OVER w = 'D' " +
+        "ELSE lag(op) OVER w = 'U' AND (seg IS NOT DISTINCT FROM lag(seg) OVER w) " +
+        "AND (nat IS NOT DISTINCT FROM lag(nat) OVER w) END AS noop " +
+        "FROM log WINDOW w AS (PARTITION BY key ORDER BY v)), " +
+        "kept AS (SELECT * FROM d WHERE NOT coalesce(noop, false)), " +
+        "iv AS (SELECT key, op, seg, nat, CAST(v AS BIGINT) AS valid_from, " +
+        "CAST(lead(v) OVER w2 AS BIGINT) AS valid_to FROM kept " +
+        "WINDOW w2 AS (PARTITION BY key ORDER BY v)) " +
+        "SELECT key, seg, nat, valid_from, valid_to, " +
+        "(valid_to IS NULL) AS is_current " +
+        "FROM iv WHERE op <> 'D' ORDER BY key, valid_from"),
+
+    "q_scd2_pit_del" ->
+      (ScdDelCtes + ", facts AS (SELECT DISTINCT key, key % 15 AS t FROM merged) " +
+        "SELECT key, t, " +
+        "(SELECT m.seg FROM merged m WHERE m.key = f.key AND m.valid_from <= f.t " +
+        "AND (m.valid_to IS NULL OR m.valid_to > f.t) " +
+        "ORDER BY m.valid_from DESC LIMIT 1) AS asof_seg, " +
+        "(SELECT m.nat FROM merged m WHERE m.key = f.key AND m.valid_from <= f.t " +
+        "AND (m.valid_to IS NULL OR m.valid_to > f.t) " +
         "ORDER BY m.valid_from DESC LIMIT 1) AS asof_nat " +
         "FROM facts f ORDER BY key"),
 

@@ -68,12 +68,37 @@ object ScdMerge {
     *                 version`.
     */
   def merge(history: DataFrame, changes: DataFrame, key: String,
-            attrs: Seq[String], version: Long): DataFrame = {
+            attrs: Seq[String], version: Long): DataFrame =
+    mergeOps(history, changes.withColumn("_graft_op", lit("U")),
+      key, attrs, "_graft_op", version)
+
+  /** [[merge]] with TOMBSTONES — the op column CDC feeds carry
+    * (`'U'` upsert / `'D'` delete): a delete CLOSES the key's open row
+    * (`valid_to = version`) and inserts nothing, leaving the key with
+    * only closed history — the SCD2 "soft delete" a dimension pipeline
+    * needs when source rows are retired. Delete semantics per row:
+    *   - delete + open row → the open row closes; no insert;
+    *   - delete + no open row (never existed, or already deleted) —
+    *     a no-op: tombstones are idempotent;
+    *   - a later UPSERT for a deleted key re-inserts a fresh open row
+    *     (the all-closed-key arm [[merge]] already carries).
+    * Any op value other than 'U'/'D' fails the merge loudly
+    * (raise_error in the projection — no silent row drops). Same plan
+    * shape as [[merge]]: the op rides the change projection as one
+    * boolean, nothing new shuffles, and [[merge]] itself is the
+    * `op = 'U'` special case (delegates here). */
+  def mergeOps(history: DataFrame, changes: DataFrame, key: String,
+               attrs: Seq[String], opCol: String, version: Long): DataFrame = {
     require(attrs.nonEmpty, "SCD merge needs at least one tracked attribute")
     val outCols = (key +: attrs) ++ Seq("valid_from", "valid_to", "is_current")
+    val delFlag = when(col(opCol).isin("U", "D"), col(opCol) === "D")
+      .otherwise(raise_error(concat(
+        lit("ScdMerge.mergeOps: unknown op '"), col(opCol).cast("string"),
+        lit(s"' for key "), col(key).cast("string"),
+        lit(" — expected 'U' (upsert) or 'D' (delete)"))))
     val chg = changes.select(
-      (col(key).as(key) +: attrs.map(a => col(a).as(s"_chg_$a"))) :+
-        lit(true).as("_chg"): _*)
+      (col(key).as(key) +: attrs.map(a => col(a).as(s"_chg_$a"))) ++
+        Seq(delFlag.as("_del"), lit(true).as("_chg")): _*)
     // per-key open-row count + a single representative row, so a change
     // for a key whose history is ALL CLOSED still emits its insert (once).
     // The window's hashpartitioning(key) is the same exchange the
@@ -87,13 +112,17 @@ object ScdMerge {
     val j = h.join(chg, Seq(key), "full_outer")
     val hasHist = col("is_current").isNotNull
     val sameAttrs = attrs.map(a => col(a) <=> col(s"_chg_$a")).reduce(_ && _)
-    val superseded = hasHist && col("is_current") && col("_chg") && !sameAttrs
-    // all-closed key receiving a change: nothing to close, but the open
+    // a delete supersedes the open row regardless of attr equality
+    val superseded = hasHist && col("is_current") && col("_chg") &&
+      (!sameAttrs || col("_del"))
+    // all-closed key receiving an UPSERT: nothing to close, but the open
     // row must appear — emit it from the key's one representative row
     // (which row carries it is irrelevant: the insert reads only change
-    // attrs and the version literal)
+    // attrs and the version literal). A delete on an all-closed key is
+    // an idempotent no-op.
     val orphanInsert =
-      hasHist && col("_open_cnt") === 0L && col("_chg") && col("_rn") === 1
+      hasHist && col("_open_cnt") === 0L && col("_chg") && col("_rn") === 1 &&
+        !col("_del")
     def outStruct(attrCols: Seq[org.apache.spark.sql.Column],
                   from: org.apache.spark.sql.Column,
                   to: org.apache.spark.sql.Column,
@@ -102,8 +131,10 @@ object ScdMerge {
         Seq(from.cast("long").as("valid_from"), to.cast("long").as("valid_to"),
           current.as("is_current")): _*)
     // row 1: the history row, closed out when superseded; or the brand-new
-    // open row when the key never existed. row 2: the replacement open row
-    // for a superseded key (null and filtered otherwise).
+    // open row when the key never existed (unless the change is a delete
+    // of a key that never existed — idempotent no-op). row 2: the
+    // replacement open row for a superseded or re-inserted key (null and
+    // filtered otherwise; never for a delete).
     val passOrClose = outStruct(attrs.map(col),
       col("valid_from"),
       when(superseded, lit(version)).otherwise(col("valid_to")),
@@ -113,8 +144,8 @@ object ScdMerge {
     // `when` without `otherwise` is null of the branch type — the slot
     // the post-generator filter drops
     val rows = array(
-      when(hasHist, passOrClose).otherwise(insertNew),
-      when(superseded || orphanInsert, insertNew))
+      when(hasHist, passOrClose).otherwise(when(!col("_del"), insertNew)),
+      when((superseded && !col("_del")) || orphanInsert, insertNew))
     j.select(explode(rows).as("_r"))
       .filter(col("_r").isNotNull)
       .select(outCols.map(c => col(s"_r.$c").as(c)): _*)
@@ -154,6 +185,51 @@ object ScdMerge {
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** [[fromChangeLog]] with TOMBSTONES — the CDC-archive replay when the
+    * log carries an op column ('U'/'D'): a delete terminates the key's
+    * open interval at its version and emits no row of its own, so a
+    * deleted key's history ends all-closed (with a GAP until any later
+    * re-insert — [[pointInTime]] resolves lookups inside the gap to
+    * null). One pass, exactly [[fromChangeLog]]'s fold equivalence
+    * (generative-spec-pinned against the iterated [[mergeOps]]):
+    * comparing against the previous RAW row is still the same as
+    * comparing against the surviving state, because after any raw row
+    * the state is exactly (present iff op='U', that row's attrs) —
+    * dropped no-ops preserve it by definition. No-op rules:
+    *   - upsert whose previous raw row is an upsert with identical
+    *     (null-safe) attrs — dropped (a delete between them breaks the
+    *     run, so the re-insert is kept even with equal attrs);
+    *   - delete at the start of a key, or following another delete —
+    *     dropped (tombstones are idempotent).
+    * Same shape: one key-keyed exchange shared by the `lag` dedupe and
+    * the `lead` intervals, no joins, linear in log rows. At most one
+    * row per (key, version); unknown ops fail loudly. */
+  def fromChangeLogOps(log: DataFrame, key: String, attrs: Seq[String],
+                       versionCol: String, opCol: String): DataFrame = {
+    require(attrs.nonEmpty, "SCD backfill needs at least one tracked attribute")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(versionCol))
+    val del = when(col(opCol).isin("U", "D"), col(opCol) === "D")
+      .otherwise(raise_error(concat(
+        lit("ScdMerge.fromChangeLogOps: unknown op '"), col(opCol).cast("string"),
+        lit("' for key "), col(key).cast("string"),
+        lit(" — expected 'U' (upsert) or 'D' (delete)"))))
+    val prevOp = lag(col(opCol), 1).over(w)
+    val sameAsPrev = attrs.map(a => col(a) <=> lag(col(a), 1).over(w)).reduce(_ && _)
+    val noop = when(col(opCol) === "D", prevOp.isNull || prevOp === "D")
+      .otherwise(prevOp === "U" && sameAsPrev)
+    log
+      .withColumn("_del", del)
+      .withColumn("_noop", noop)
+      .filter(!coalesce(col("_noop"), lit(false)))
+      .withColumn("valid_from", col(versionCol).cast("long"))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w).cast("long"))
+      .withColumn("is_current", !col("_del") && col("valid_to").isNull)
+      .filter(!col("_del"))
+      .select((col(key) +: attrs.map(col)) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
   /** Point-in-time dimension lookup against an SCD2 history — the read
     * side of [[merge]]: each fact row gets the attribute values that
     * were CURRENT at its version stamp (`asof_<attr>` columns; null
@@ -163,15 +239,33 @@ object ScdMerge {
     * row with `valid_from <= t`" — which is [[AsofJoin.lastBefore]]'s
     * union-window shape with the strict `<` turned inclusive by
     * shifting the fact side one version tick (versions are discrete
-    * BIGINTs, so `valid_from <= t` IS `valid_from < t+1`). Inherits the
-    * as-of join's scale story: one key-keyed union-window, linear in
-    * facts + history rows, no range-join pair blowup on hot keys. */
+    * BIGINTs, so `valid_from <= t` IS `valid_from < t+1`). A history
+    * WITH DELETES ([[mergeOps]]) has gaps — a key all-closed between a
+    * delete and a later re-insert — where the latest `valid_from <= t`
+    * row is a CLOSED row no longer valid at t: the matched row's
+    * `valid_to` rides along and stale matches resolve to null attrs
+    * (on a gap-free history the check never fires: a closed match's
+    * successor would itself match later, contradiction — so delete-free
+    * results are bit-identical to before). Inherits the as-of join's
+    * scale story: one key-keyed union-window, linear in facts + history
+    * rows, no range-join pair blowup on hot keys. */
   def pointInTime(history: DataFrame, facts: DataFrame, key: String,
                   timeCol: String, attrs: Seq[String]): DataFrame = {
     require(attrs.nonEmpty, "point-in-time lookup needs at least one attribute")
+    val vt = "_scd_vt"
     val h = history.select(
-      (col(key) +: attrs.map(col)) :+ col("valid_from").cast("long").as("_pit"): _*)
+      (col(key) +: attrs.map(col)) ++ Seq(
+        col("valid_to").cast("long").as(vt),
+        col("valid_from").cast("long").as("_pit")): _*)
     val f = facts.withColumn("_pit", col(timeCol).cast("long") + 1L)
-    AsofJoin.lastBefore(f, h, Seq(key), "_pit", attrs).drop("_pit")
+    val j = AsofJoin.lastBefore(f, h, Seq(key), "_pit", attrs :+ vt)
+      .drop("_pit")
+    val stale = col(s"asof_$vt").isNotNull &&
+      col(s"asof_$vt") <= col(timeCol).cast("long")
+    j.select(j.columns.filterNot(_ == s"asof_$vt").map { c =>
+      if (attrs.contains(c.stripPrefix("asof_")) && c.startsWith("asof_"))
+        when(!stale, col(c)).as(c)
+      else col(c)
+    }: _*)
   }
 }

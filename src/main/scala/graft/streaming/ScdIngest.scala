@@ -44,14 +44,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object ScdIngest {
 
   /** One change row per key, or a loud error: the precondition
-    * [[graft.ops.ScdMerge.merge]] needs, enforced per micro-batch. */
+    * [[graft.ops.ScdMerge.merge]] needs, enforced per micro-batch.
+    * With `opCol` set the op rides the collapse struct (after seq,
+    * before attrs — still deterministic on seq ties) so a delete
+    * followed by a re-insert within one trigger keeps the re-insert. */
   private[streaming] def collapseToLastPerKey(
       changes: DataFrame, key: String, attrs: Seq[String],
-      seqCol: Option[String], batchId: Long): DataFrame = seqCol match {
+      seqCol: Option[String], batchId: Long,
+      opCol: Option[String] = None): DataFrame = seqCol match {
     case Some(sc) =>
+      val carried = opCol.toSeq ++ attrs
       changes.groupBy(col(key))
-        .agg(max(struct(col(sc).as("_seq") +: attrs.map(col): _*)).as("_m"))
-        .select(col(key) +: attrs.map(a => col(s"_m.$a").as(a)): _*)
+        .agg(max(struct(col(sc).as("_seq") +: carried.map(col): _*)).as("_m"))
+        .select(col(key) +: carried.map(a => col(s"_m.$a").as(a)): _*)
     case None =>
       // one-pass guard: the per-key count rides a key-keyed window whose
       // hashpartitioning(key) is the SAME exchange the merge's full-outer
@@ -73,9 +78,14 @@ object ScdIngest {
         .drop("_kc")
   }
 
+  /** @param opCol when set, the CDC op column ('U' upsert / 'D' delete)
+    *               — each batch merges through
+    *               [[graft.ops.ScdMerge.mergeOps]], so deletes close
+    *               open rows (tombstones) and later upserts re-insert. */
   def ingestBatch(changes: DataFrame, historyDir: String, key: String,
                   attrs: Seq[String], batchId: Long,
-                  seqCol: Option[String] = None): Unit = {
+                  seqCol: Option[String] = None,
+                  opCol: Option[String] = None): Unit = {
     val spark = changes.sparkSession
     if (changes.isEmpty) return
     val versions = ManifestSink.committedVersions(spark, historyDir)
@@ -88,20 +98,25 @@ object ScdIngest {
           .withColumn("valid_to", lit(null).cast("long"))
           .withColumn("is_current", lit(true))
     }
+    val collapsed = collapseToLastPerKey(changes, key, attrs, seqCol,
+      batchId, opCol)
     ManifestSink.publishAt(
-      ScdMerge.merge(history,
-        collapseToLastPerKey(changes, key, attrs, seqCol, batchId),
-        key, attrs, batchId),
+      opCol match {
+        case Some(oc) =>
+          ScdMerge.mergeOps(history, collapsed, key, attrs, oc, batchId)
+        case None => ScdMerge.merge(history, collapsed, key, attrs, batchId)
+      },
       historyDir, batchId)
   }
 
   def start(changeStream: DataFrame, historyDir: String, key: String,
             attrs: Seq[String], checkpoint: String,
-            seqCol: Option[String] = None): StreamingQuery =
+            seqCol: Option[String] = None,
+            opCol: Option[String] = None): StreamingQuery =
     changeStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        ingestBatch(batch.toDF(), historyDir, key, attrs, batchId, seqCol)
+        ingestBatch(batch.toDF(), historyDir, key, attrs, batchId, seqCol, opCol)
       }
       .start()
 

@@ -374,6 +374,51 @@ class StreamingSpec extends SparkSpec {
     graft.ops.ManifestSink.committedVersions(spark, hist) shouldBe Seq(0L)
   }
 
+  test("scd ingest with tombstones: deletes close open rows per trigger, re-inserts reopen, the snapshot equals the iterated mergeOps fold") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scddel").toString
+    val hist = s"$dir/hist"
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = ScdIngest.start(mem.toDF.toDF("key", "op", "seg", "lsn"),
+      hist, "key", Seq("seg"), s"$dir/ck",
+      seqCol = Some("lsn"), opCol = Some("op"))
+    val batches = Seq(
+      // trigger 0: two inserts
+      Seq((1L, "U", "a", 1L), (2L, "U", "x", 2L)),
+      // trigger 1: delete key 1, change key 2; key 3 inserts and deletes
+      // WITHIN the trigger — the (seq, op, attrs) collapse keeps the 'D'
+      Seq((1L, "D", "a", 3L), (2L, "U", "y", 4L),
+        (3L, "U", "m", 5L), (3L, "D", "m", 6L)),
+      // trigger 2: re-insert deleted key 1; delete key 2; ghost delete 9
+      Seq((1L, "U", "b", 7L), (2L, "D", "y", 8L), (9L, "D", "z", 9L)))
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def snap() = ScdIngest.currentHistory(spark, hist)
+      .orderBy("key", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    // the iterated batch fold over the same collapsed changes
+    import graft.ops.ScdMerge
+    var folded = Seq.empty[(Long, String, Long, Option[Long], Boolean)]
+      .toDF("key", "seg", "valid_from", "valid_to", "is_current")
+    val perTrigger = Seq(
+      Seq((1L, "U", "a"), (2L, "U", "x")),
+      Seq((1L, "D", "a"), (2L, "U", "y"), (3L, "D", "m")),
+      Seq((1L, "U", "b"), (2L, "D", "y"), (9L, "D", "z")))
+    for ((b, v) <- perTrigger.zipWithIndex)
+      folded = ScdMerge.mergeOps(folded, b.toDF("key", "op", "seg"),
+        "key", Seq("seg"), "op", v.toLong)
+    snap() shouldBe folded.orderBy("key", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    // shape sanity: key 1 re-opened with 'b'; key 2 all-closed; key 3
+    // (insert+delete in one trigger) and key 9 (ghost) never appear
+    snap() shouldBe Array(
+      (1L, "a", 0L, Some(1L), false), (1L, "b", 2L, None, true),
+      (2L, "x", 0L, Some(1L), false), (2L, "y", 1L, Some(2L), false))
+  }
+
   test("scd enrichStream: streamed point-in-time enrichment equals the batch PIT; replay overwrites its own partition") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("scdenrich").toString
