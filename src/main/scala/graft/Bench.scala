@@ -545,6 +545,27 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // persisted lexical (BM25) index lifecycle: write the term-clustered
+      // postings + stats store, probe it for the contract term set — the
+      // amortization claim is the probe reading |Q| term slices instead of
+      // re-exploding the corpus per query
+      "bm25_indexed" -> (() => {
+        import org.apache.spark.sql.functions._
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_lex_bench").toString
+        try {
+          graft.llm.TextAnalysis.writeLexIndex(d, tmp)
+          val hits = graft.llm.TextAnalysis.bm25Probe(spark, tmp,
+            Seq("spark", "window", "customer", "filter"), 10).count()
+          require(hits > 0, "empty BM25 ranking over the persisted index")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // OPTIMIZE lifecycle over an ingest-built vector index: 8 appended
       // batches -> per-cell consolidation + vacuum -> probe the compacted
       // store; the probe must stay correct (rows>0 and full coverage) and

@@ -2284,6 +2284,26 @@ object SparkEntry {
       TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, Bm25K)
         .orderBy(col("rn"))),
 
+    // the PERSISTED lexical index end-to-end (the writeIvfPqIndex
+    // pattern for retrieval): write the term-clustered integer postings
+    // + stats store, probe the STORED rows — bitwise the one-shot
+    // scorer, so the oracle is q_bm25's SQL. Eager + temp cleanup like
+    // ann_indexed.
+    "q_bm25_indexed" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_bm25_indexed").toString
+      try {
+        TextAnalysis.writeLexIndex(docs(s, dir), idxDir)
+        TextAnalysis.bm25Probe(s, idxDir, Bm25Terms, Bm25K)
+          .orderBy(col("rn"))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxDir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // forward fill (last observation carried forward): every event
     // carries the user's most recent CLICK value; IGNORE NULLS over a
     // running frame — null until the first click, then sticky. The
@@ -3453,6 +3473,9 @@ object SparkEntry {
         "GROUP BY d.source ORDER BY d.source"),
 
     "q_bm25" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
+    // the stored-index probe replays the one-shot scorer's expression
+    // tree over exactly-round-tripped integers — same oracle
+    "q_bm25_indexed" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
 
     "q_weighted_sample" -> TextSql.weightedSampleSql(WsK),
 

@@ -2342,6 +2342,76 @@ object TextAnalysis {
     out
   }
 
+  /** Persist the lexical (BM25) index of a corpus — the write side of
+    * the retrieval pair [[bm25TopDocs]] re-derives per query: a POSTINGS
+    * table (term, doc_id, tf, dl — all exact BIGINTs, the classic
+    * inverted index rows) plus a one-row STATS table (n docs, Σdl).
+    * Postings land term-clustered (repartition + sortWithinPartitions on
+    * term), so parquet row-group min/max stats turn a probe's
+    * `term IN (…)` pushdown into row-group skipping — the Lucene
+    * segment-dictionary effect without leaving parquet, and at 100 TB
+    * the difference between reading |Q| term slices and re-exploding the
+    * corpus per query. The float-free store round-trips exactly, which
+    * is what makes [[bm25Probe]] bitwise-equal to the one-shot scorer. */
+  def writeLexIndex(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = tokens(col("text"))
+    docs
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    docs.agg(count(lit(1)).as("n"), sum(size(toks).cast("long")).as("sumdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k over a PERSISTED [[writeLexIndex]] store — bitwise
+    * [[bm25TopDocs]] (spec-pinned): the postings are exact integers, the
+    * corpus constants (N, Σdl) inline as driver literals from the one-row
+    * stats table, and every double op (idf, length norm, the ≤|Q|-term
+    * sum rounded to 4 before ranking) replays the one-shot scorer's
+    * expression tree on identical inputs. Scale shape: ONE scan of the
+    * |Q| term slices (`term IN` pushed to the postings scan, row-group
+    * skipped by the term-clustered layout), df aggregated from the same
+    * slice the scoring joins — the corpus text is never read on the
+    * query path. */
+  def bm25Probe(spark: org.apache.spark.sql.SparkSession, path: String,
+                queryTerms: Seq[String], k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25Probe: empty query")
+    require(k >= 1, s"need k >= 1, got $k")
+    val st = spark.read.parquet(s"$path/stats").head()
+    val n = st.getLong(0)
+    val sumdl = st.getLong(1)
+    // the |matching docs|·|Q|-bounded term slice feeds BOTH the df
+    // aggregate and the scoring join (the bm25TopDocs persist discipline)
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(queryTerms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = lit(sumdl).cast("double") / lit(n)
+    val idf = log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val denom = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl))
+    val w = idf * (col("tf") * lit(k1 + 1.0)) / denom
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(w), 4).as("score"))
+    val win = Window.orderBy(col("score").desc, col("doc_id"))
+    val out = scored.withColumn("rn", row_number().over(win).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("score"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist(false)
+    out
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
     * derandomized: each document draws an exponential clock
     * key = −ln(u)/w and the k SMALLEST keys win — the distribution-

@@ -592,6 +592,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Join")
   }
 
+  test("q_bm25_indexed: the stored-postings probe pushes the term IN filter to the scan; corpus text is never read") {
+    val p = plan("q_bm25_indexed")
+    p should include regex "PushedFilters: \\[[^\\]]*In\\(term"
+    (p should not).include("documents.parquet")
+  }
+
   test("ann_compacted: the compacted-store probe keeps cell_id partition pruning and the committed-view generation filter; no join") {
     val p = plan("ann_compacted")
     p should include regex "PartitionFilters: \\[[^\\]]*cell_id"

@@ -2273,6 +2273,27 @@ class LlmSpec extends SparkSpec {
     out.map(_._1).toSet shouldBe Set(1L, 2L) // doc 3 has no query terms
   }
 
+  test("bm25Probe over the persisted lexical index is bitwise the one-shot bm25TopDocs") {
+    val dir = java.nio.file.Files.createTempDirectory("lexidx").toString
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    val terms = Seq("spark", "window", "customer", "filter")
+    TextAnalysis.writeLexIndex(d, dir)
+    val probed = key(TextAnalysis.bm25Probe(spark, dir, terms, 10))
+    probed shouldBe key(TextAnalysis.bm25TopDocs(d, terms, 10))
+    probed.length shouldBe 10
+    // the probe's postings scan pushes the term IN filter down
+    val plan = TextAnalysis.bm25Probe(spark, dir, terms, 10)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should include regex "PushedFilters: \\[[^\\]]*In\\(term"
+    // a query of terms absent from the corpus ranks nothing, no throw
+    TextAnalysis.bm25Probe(spark, dir, Seq("zzzznope"), 5).count() shouldBe 0L
+  }
+
   test("weightedSampleTopK: deterministic, dup-affine keys, heavier docs favored in aggregate") {
     val d = docsDF(
       1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", // dups: same key
