@@ -725,6 +725,68 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming as-of enrichment: the events table fed as a 4-batch
+      // event-time-ordered file stream; every click emits once with its
+      // latest prior view within the 1h horizon, state = TWO longs per
+      // user (vs the interval join's per-horizon pair buffer). Guard:
+      // the streamed match set equals the batch lastBeforeWithin
+      // (bitwise equality is spec-pinned on a tie/stale fixture)
+      "stream_asof_within" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val tol = 3600L * 1000000L
+        val ev = graft.SparkEntry.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("tus"))
+          .filter(col("event_type").isin("view", "click"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tus"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("tus"), col("tus").as("vtus"))
+        val batch = graft.ops.AsofJoin.lastBeforeWithin(clicks, views,
+            Seq("user_id"), "tus", Seq("vtus"), tol)
+          .agg(count(lit(1)), count(col("asof_vtus"))).head()
+        val (nClicks, nMatched) = (batch.getLong(0), batch.getLong(1))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_asof_bench").toString
+        try {
+          ev.withColumn("part", ntile(4).over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("tus"), col("event_id"))))
+            .repartition(1).write.partitionBy("part")
+            .mode("overwrite").parquet(s"$tmp/in")
+          locally { // strictly increasing mtimes = event-time trigger order
+            val inPath = new org.apache.hadoop.fs.Path(s"$tmp/in")
+            val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val base = System.currentTimeMillis()
+            for (p <- 1 to 4) {
+              val dir = new org.apache.hadoop.fs.Path(s"$tmp/in/part=$p")
+              fs.listStatus(dir)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .foreach(st => fs.setTimes(st.getPath, base + p * 2000L, -1L))
+            }
+          }
+          import s2.implicits._
+          val src = s2.readStream
+            .schema("event_id LONG, user_id LONG, event_type STRING, tus LONG, part INT")
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+            .select(col("user_id"), col("event_id"), col("event_type"), col("tus"))
+            .as[graft.streaming.EventStream.AsofEvent]
+          val q = graft.streaming.EventStream
+            .streamingAsofWithin(src, "click", "view", tol)
+            .writeStream.format("memory").queryName("asof_bench")
+            .outputMode("update").option("checkpointLocation", s"$tmp/ck").start()
+          q.processAllAvailable()
+          q.stop()
+          val got = s2.sql("SELECT count(*), count(recent_view_us) FROM asof_bench").head()
+          require(got.getLong(0) == nClicks && got.getLong(1) == nMatched,
+            s"streamed as-of emitted ${got.getLong(0)}/${got.getLong(1)} " +
+              s"vs batch $nClicks/$nMatched")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming SCD2 dimension maintenance: a 4-batch change stream
       // derived from customer (each batch re-segments a disjoint key
       // quarter) merges into a manifest-versioned history. Guard: 4

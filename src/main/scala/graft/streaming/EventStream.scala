@@ -303,6 +303,68 @@ object EventStream {
       }
   }
 
+  case class AsofEvent(user_id: Long, event_id: Long, event_type: String, tus: Long)
+  case class AsofState(vLatest: Long, vPrevDistinct: Long, seen: Boolean)
+  case class AsofMatch(user_id: Long, event_id: Long, click_us: Long,
+                       recent_view_us: Option[Long])
+
+  /** Streaming twin of `ops/AsofJoin.lastBeforeWithin` — each LEFT event
+    * (`leftType`, e.g. click) emits once, enriched with the time of the
+    * latest RIGHT event (`rightType`, e.g. view) STRICTLY before it and
+    * within `toleranceMicros`; staler or absent matches emit null,
+    * exactly the batch operator's attribution-horizon semantics
+    * (spec-pinned ≡ batch on event-time-ordered triggers, the
+    * DebounceStream contract — intra-trigger order is free: the group
+    * sorts by (tus, event_id) before the walk, so a right event landing
+    * in the same trigger as its left still matches).
+    *
+    * State per user is TWO longs — the latest right time and the
+    * latest strictly-earlier distinct right time (the tie case: a right
+    * event AT a left's exact time never matches, so the walk falls back
+    * one distinct value) — not the O(events-per-horizon) pair buffer
+    * the stream-stream interval join (`clickAttribution`) must hold,
+    * and with no watermark coupling: the FIRST right beyond any gap
+    * still matches, which an evicting join cannot promise. The price is
+    * the ordered-trigger contract on LATE left events (a left arriving
+    * after a later-time right was folded into two-long state cannot
+    * reconstruct its own horizon — the interval join is the late-data
+    * shape). Update mode; state shards by user_id. */
+  def streamingAsofWithin(events: Dataset[AsofEvent], leftType: String,
+                          rightType: String,
+                          toleranceMicros: Long): Dataset[AsofMatch] = {
+    require(toleranceMicros >= 0L, s"need tolerance >= 0, got $toleranceMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          var st = state.getOption.getOrElse(
+            AsofState(Long.MinValue, Long.MinValue, seen = false))
+          val out = Seq.newBuilder[AsofMatch]
+          // the trigger's iterator is NOT time-ordered (DebounceStream trap)
+          for (e <- it.toSeq.sortBy(e => (e.tus, e.event_id))) {
+            if (e.event_type == rightType) {
+              if (!st.seen || e.tus > st.vLatest)
+                st = AsofState(e.tus,
+                  if (st.seen) st.vLatest else Long.MinValue, seen = true)
+              // e.tus == vLatest: a duplicate time changes nothing
+            } else if (e.event_type == leftType) {
+              val cand =
+                if (st.seen && st.vLatest < e.tus) Some(st.vLatest)
+                else if (st.vPrevDistinct != Long.MinValue) Some(st.vPrevDistinct)
+                else None
+              out += AsofMatch(user, e.event_id, e.tus,
+                cand.filter(c => e.tus - c <= toleranceMicros))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(user_id: Long, events: Long, total: Double)
 

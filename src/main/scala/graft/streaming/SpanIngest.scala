@@ -18,10 +18,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Indexing the CLEANED text (not the raw batch) is load-bearing: the
   * index then describes exactly what the store contains, so a span can
   * never be owned by text that was itself removed. Within-batch
-  * duplication is out of scope per `removeCorpusSpans`' contract —
-  * compose `Dedup.removeDuplicateSpans` upstream for self-cleaning
-  * batches. Documents may empty to text = '' (counts preserved);
-  * dropping them is a downstream policy, not this operator's.
+  * duplication is `selfClean`'s arm: the batch first runs
+  * `Dedup.removeDuplicateSpans` against ITSELF (first-occurrence-owns,
+  * by doc_id), then the survivor text cleans against the corpus index —
+  * so a self-duplicating batch lands span-disjoint both internally and
+  * against the store. The landed counts stay anchored to the RAW batch
+  * (n_tokens = original tokens, n_dropped = self-dropped +
+  * corpus-dropped). With selfClean = false (the default) within-batch
+  * duplication passes through, per `removeCorpusSpans`' contract.
+  * Documents may empty to text = '' (counts preserved); dropping them
+  * is a downstream policy, not this operator's.
   *
   * Exactly-once is [[IndexedIngest]]'s on both stores: (corpus, index)
   * partitions keyed by batch id with dynamic overwrite, a batch
@@ -40,7 +46,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object SpanIngest {
 
   def ingestBatch(batch: DataFrame, corpusPath: String, indexPath: String,
-                  batchId: Long, n: Int): Unit = {
+                  batchId: Long, n: Int, selfClean: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val batchDocs = batch.select(col("doc_id"), col("text"))
     if (batchDocs.isEmpty) return
@@ -77,8 +83,29 @@ object SpanIngest {
         Dedup.spanIndexRows(batchDocs.limit(0), n)
       }
     // removeCorpusSpans returns its output persisted + materialized —
-    // both writes below are cache reads of the one computation
-    val cleanedBase = Dedup.removeCorpusSpans(batchDocs, priorGrams, n)
+    // both writes below are cache reads of the one computation. With
+    // selfClean the batch first strips its own internal duplicate runs,
+    // then the survivor text cleans against the corpus; the landed
+    // counts re-anchor to the raw batch (total tokens, total dropped)
+    // via one batch-sized join of the two cached stages.
+    val cleanedBase =
+      if (!selfClean) Dedup.removeCorpusSpans(batchDocs, priorGrams, n)
+      else {
+        val sc = Dedup.removeDuplicateSpans(batchDocs, n)
+        val cc = Dedup.removeCorpusSpans(
+          sc.select(col("doc_id"), col("text")), priorGrams, n)
+        val merged = cc
+          .select(col("doc_id"), col("n_dropped").as("_cd"), col("text"))
+          .join(sc.select(col("doc_id"), col("n_tokens"),
+            col("n_dropped").as("_sd")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("_sd") + col("_cd")).as("n_dropped"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        merged.count()
+        cc.unpersist(false)
+        sc.unpersist(false)
+        merged
+      }
     val cleaned = cleanedBase.withColumn("ingest_batch", lit(batchId))
     cleaned.write
       .mode("overwrite")
@@ -97,11 +124,12 @@ object SpanIngest {
   }
 
   def start(docsStream: DataFrame, corpusPath: String, indexPath: String,
-            checkpoint: String, n: Int): StreamingQuery =
+            checkpoint: String, n: Int,
+            selfClean: Boolean = false): StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        ingestBatch(batch.toDF(), corpusPath, indexPath, batchId, n)
+        ingestBatch(batch.toDF(), corpusPath, indexPath, batchId, n, selfClean)
       }
       .start()
 }

@@ -300,6 +300,46 @@ class StreamingSpec extends SparkSpec {
     ex.getMessage should include("span index missing")
   }
 
+  test("span ingest selfClean: a self-duplicating batch lands span-disjoint internally AND against the store; counts anchor to the raw batch") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("spanself").toString
+    val (c, i) = (s"$dir/c", s"$dir/i")
+    def corpus(): Seq[(Long, Long, Long, String)] =
+      spark.read.parquet(c).select("doc_id", "n_tokens", "n_dropped", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // batch 0 seeds the corpus with 'a b c'
+    SpanIngest.ingestBatch(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      c, i, 0L, n = 3, selfClean = true)
+    // batch 1 duplicates WITHIN itself (docs 10/11 share 'k l m') and
+    // AGAINST the store (doc 11 also carries 'a b c'); doc 12 repeats a
+    // run inside ONE document (kept: ownership is by lowest doc_id)
+    SpanIngest.ingestBatch(Seq(
+        (10L, "k l m x"), (11L, "k l m y a b c"), (12L, "u v w u v w")
+      ).toDF("doc_id", "text"), c, i, 1L, n = 3, selfClean = true)
+    corpus() shouldBe Seq(
+      (1L, 3L, 0L, "a b c"),
+      (10L, 4L, 0L, "k l m x"),   // first occurrence owns
+      // 'k l m' self-dropped (3) + 'a b c' corpus-dropped (3)
+      (11L, 7L, 6L, "y"),
+      (12L, 6L, 0L, "u v w u v w"))
+    // the landed store matches the batch-wise composition exactly
+    val composed = graft.llm.Dedup.removeCorpusSpans(
+      graft.llm.Dedup.removeDuplicateSpans(
+          Seq((10L, "k l m x"), (11L, "k l m y a b c"), (12L, "u v w u v w"))
+            .toDF("doc_id", "text"), 3)
+        .select(col("doc_id"), col("text")),
+      graft.llm.Dedup.spanIndexRows(Seq((1L, "a b c")).toDF("doc_id", "text"), 3), 3)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    corpus().drop(1).map(t => (t._1, t._4)) shouldBe composed
+    // the index follows the FINAL text: a later arrival repeating doc
+    // 12's surviving run cleans against the store
+    SpanIngest.ingestBatch(Seq((20L, "u v w z")).toDF("doc_id", "text"),
+      c, i, 2L, n = 3, selfClean = true)
+    corpus().last shouldBe ((20L, 4L, 3L, "z"))
+  }
+
   test("scd ingest: versioned SCD2 history per micro-batch; completed replay skips, torn replay rewrites identically") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("scdingest").toString
@@ -1293,6 +1333,53 @@ class StreamingSpec extends SparkSpec {
       summed() shouldBe Map(("view", "click") -> 2L, ("click", "cart") -> 1L,
         ("cart", "buy") -> 1L, ("view", "view") -> 1L)
     } finally q.stop()
+  }
+
+  test("streamingAsofWithin: per-trigger matches equal the batch lastBeforeWithin on event-time-ordered triggers; ties and stale views null out") {
+    implicit val ctx = spark.sqlContext
+    import EventStream.AsofEvent
+    val tol = 100L
+    // trigger boundaries respect event time; WITHIN a trigger the rows
+    // arrive deliberately out of order
+    val triggers = Seq(
+      Seq( // user 1: view then click same trigger; user 2: click w/o view
+        AsofEvent(1L, 2L, "click", 50L), AsofEvent(1L, 1L, "view", 10L),
+        AsofEvent(2L, 3L, "click", 60L)),
+      Seq( // user 1: tie — view at exactly the click time falls back to
+           // the previous distinct view (10, stale at 200: 190 > tol → null);
+           // user 2 gets a view for later
+        AsofEvent(1L, 5L, "click", 200L), AsofEvent(1L, 4L, "view", 200L),
+        AsofEvent(2L, 6L, "view", 210L)),
+      Seq( // user 1: click matches the tie-view from last trigger (fresh);
+           // user 2: cross-trigger match within tolerance
+        AsofEvent(1L, 7L, "click", 250L), AsofEvent(2L, 8L, "click", 290L)))
+    val mem = MemoryStream[AsofEvent]
+    val q = EventStream.streamingAsofWithin(mem.toDS(), "click", "view", tol)
+      .writeStream.format("memory").queryName("asofw").outputMode("update").start()
+    try {
+      triggers.foreach { t => mem.addData(t: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("asofw").collect()
+      .map(r => (r.getLong(1), (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).sortBy(_._1)
+    streamed.map(_._1) shouldBe Array(2L, 3L, 5L, 7L, 8L) // each click once
+    // ≡ the batch operator over the full event set
+    val all = triggers.flatten
+    val clicks = all.filter(_.event_type == "click")
+      .map(e => (e.event_id, e.user_id, e.tus)).toDF("event_id", "user_id", "tus")
+    val views = all.filter(_.event_type == "view")
+      .map(e => (e.user_id, e.tus, e.tus)).toDF("user_id", "tus", "vtus")
+    val batch = graft.ops.AsofJoin.lastBeforeWithin(clicks, views,
+        Seq("user_id"), "tus", Seq("vtus"), tol)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).sortBy(_._1)
+    streamed shouldBe batch
+    // spot semantics: tie falls back then nulls on staleness; the
+    // tie-view itself matches the NEXT click
+    streamed.toMap.apply(5L) shouldBe ((1L, 200L, None))
+    streamed.toMap.apply(7L) shouldBe ((1L, 250L, Some(200L)))
+    streamed.toMap.apply(3L) shouldBe ((2L, 60L, None))
+    streamed.toMap.apply(8L) shouldBe ((2L, 290L, Some(210L)))
   }
 
   test("transitionCellUpdates horizon: state prunes to the window, in-horizon retraction stays exact, beyond-horizon lates drop") {
