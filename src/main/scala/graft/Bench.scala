@@ -473,6 +473,55 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming drift-since-last-publish: the live card stitched
+      // against a committed release card (the even-doc_id half) per
+      // trigger. Guard: the final monitor partition equals the batch
+      // corpusCardDiff's card columns over the same snapshot pair
+      "stream_corpus_card_diff" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"), col("lang"))
+        val release = docs.filter(col("doc_id") % 2 === 0)
+        val releaseCard = graft.llm.TextAnalysis.datasheet(
+            release, 30, 100000, 4.0, 10.0, 2, 0.8)
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_gopher_pass"))
+        val expected = graft.analytics.DataQuality.corpusCardDiff(
+            release, docs, 30, 100000, 4.0, 10.0, 2, 0.8)
+          .collect().map(r => (r.getString(0),
+            r.getAs[Long]("docs_old"), r.getAs[Long]("docs_new"),
+            r.getAs[Long]("tokens_old"), r.getAs[Long]("tokens_new"),
+            r.getAs[Long]("pass_old"), r.getAs[Long]("pass_new")))
+          .sortBy(_._1).toSeq
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cdiff_bench").toString
+        try {
+          docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val q = graft.streaming.QualityGate.corpusCardDiffStream(
+            src, releaseCard, s"$tmp/out", s"$tmp/ck",
+            30, 100000, 4.0, 10.0, 2, 0.8)
+          q.processAllAvailable()
+          q.stop()
+          val out = s2.read.parquet(s"$tmp/out")
+          val last = out.agg(max(col("monitor_batch").cast("long"))).head().getLong(0)
+          val got = out.filter(col("monitor_batch") === last)
+            .collect().map(r => (r.getString(0),
+              r.getAs[Long]("docs_release"), r.getAs[Long]("docs_live"),
+              r.getAs[Long]("tokens_release"), r.getAs[Long]("tokens_live"),
+              r.getAs[Long]("pass_release"), r.getAs[Long]("pass_live")))
+            .sortBy(_._1).toSeq
+          require(got == expected,
+            s"drift monitor has ${got.size} sources, batch diff ${expected.size}")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // streaming span-cleaning ingest: the documents table fed as a
       // 4-batch file stream, each batch stripping token runs already in
       // the stored corpus via the maintained gram index (corpus text

@@ -53,6 +53,69 @@ object QualityGate {
         sum(col("n_words")).as("n_tokens"),
         sum(col("passes").cast("long")).as("n_gopher_pass"))
 
+  /** Drift-since-last-publish: the live card against a COMMITTED release
+    * card (`TextAnalysis.datasheet`'s additive integers for the published
+    * corpus) — per source, both sides' volumes and the deltas, all exact
+    * BIGINTs. Pure frame logic shared by the per-trigger monitor
+    * ([[corpusCardDiffStream]]) and any batch review; sources present on
+    * only one side coalesce to 0 through the full-outer stitch, exactly
+    * `DataQuality.corpusCardDiff`'s card columns (spec-pinned equal on a
+    * derived release pair). The id-level churn bands (added/removed/
+    * changed) stay publish-time by design — they need the doc-id diff
+    * join, not a per-source running sum. */
+  def cardDiff(liveCard: DataFrame, releaseCard: DataFrame): DataFrame = {
+    val z = lit(0L)
+    val rel = releaseCard.select(col("source"),
+      col("n_docs").as("docs_release"), col("n_tokens").as("tokens_release"),
+      col("n_gopher_pass").as("pass_release"))
+    val live = liveCard.select(col("source"),
+      col("n_docs").as("docs_live"), col("n_tokens").as("tokens_live"),
+      col("n_gopher_pass").as("pass_live"))
+    rel.join(live, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("docs_release"), z).as("docs_release"),
+        coalesce(col("docs_live"), z).as("docs_live"),
+        (coalesce(col("docs_live"), z) - coalesce(col("docs_release"), z))
+          .as("docs_delta"),
+        coalesce(col("tokens_release"), z).as("tokens_release"),
+        coalesce(col("tokens_live"), z).as("tokens_live"),
+        (coalesce(col("tokens_live"), z) - coalesce(col("tokens_release"), z))
+          .as("token_delta"),
+        coalesce(col("pass_release"), z).as("pass_release"),
+        coalesce(col("pass_live"), z).as("pass_live"),
+        (coalesce(col("pass_live"), z) - coalesce(col("pass_release"), z))
+          .as("pass_delta"))
+  }
+
+  /** Per-trigger drift monitor: [[corpusCard]]'s complete-mode running
+    * aggregate, stitched against the committed release card and landed
+    * as one `monitor_batch=` partition per trigger (a replay overwrites
+    * its own partition — but note the aggregate is CUMULATIVE, so unlike
+    * the fact ingests a replayed old trigger rewrites the card as of
+    * NOW; the monitor's contract is "latest partition = current drift",
+    * not a time-travel log). Streaming cannot join AFTER an aggregate
+    * inside one plan, so the stitch runs in foreachBatch over the
+    * trigger's sources-sized card — the release side broadcasts. */
+  def corpusCardDiffStream(docsStream: DataFrame, releaseCard: DataFrame,
+                           outPath: String, checkpoint: String,
+                           minWords: Int, maxWords: Int,
+                           minAvgLen: Double, maxAvgLen: Double,
+                           minStopHits: Int, minAlphaFrac: Double): StreamingQuery =
+    corpusCard(docsStream, minWords, maxWords, minAvgLen, maxAvgLen,
+        minStopHits, minAlphaFrac)
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (card: Dataset[Row], batchId: Long) =>
+        cardDiff(card.toDF(), broadcast(releaseCard))
+          .withColumn("monitor_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("monitor_batch")
+          .parquet(outPath)
+      }
+      .start()
+
   /** Processes one micro-batch; factored out so the spec can pin
     * replay idempotence by calling it directly. */
   def gateBatch(batch: DataFrame, rules: Seq[(String, Column)],

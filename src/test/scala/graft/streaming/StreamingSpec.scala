@@ -255,6 +255,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusCardDiffStream: per-trigger drift vs the committed release card; equals the batch corpusCardDiff card columns on the release pair") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("carddiff").toString
+    val thr = (2, 100, 1.0, 10.0, 0, 0.5)
+    // the committed release: web-only, two docs
+    val release = Seq((1L, "the cat sat on the mat", "web", "en"),
+      (2L, "x", "web", "en"))
+    val releaseCard = graft.llm.TextAnalysis.datasheet(
+        release.toDF("doc_id", "text", "source", "lang"),
+        thr._1, thr._2, thr._3, thr._4, thr._5, thr._6)
+      .select("source", "n_docs", "n_tokens", "n_gopher_pass")
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = QualityGate.corpusCardDiffStream(
+      mem.toDF.toDF("doc_id", "text", "source", "lang"), releaseCard,
+      s"$dir/out", s"$dir/ck", thr._1, thr._2, thr._3, thr._4, thr._5, thr._6)
+    def latest() = {
+      val all = spark.read.parquet(s"$dir/out")
+      // monitor_batch is a partition column: round-trips as INT
+      val last = all.agg(org.apache.spark.sql.functions.max(
+        col("monitor_batch").cast("long"))).head().getLong(0)
+      all.filter(col("monitor_batch") === last).orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(9))).toSeq
+    }
+    val b1 = Seq((1L, "the cat sat on the mat", "web", "en")) // re-ingest of release doc 1
+    val b2 = Seq((3L, "more words arrive here", "books", "en"),
+      (4L, "the 99 of 42", "web", "en"))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      // live: web(1 doc, 6 tok, 1 pass); release: web(2, 7, 1)
+      latest() shouldBe Seq(("web", 2L, 1L, -1L, 7L, 6L, -1L, 1L, 1L, 0L))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // books is live-only -> release side coalesces to 0
+      latest() shouldBe Seq(
+        ("books", 0L, 1L, 1L, 0L, 4L, 4L, 0L, 1L, 1L),
+        ("web", 2L, 2L, 0L, 7L, 10L, 3L, 1L, 2L, 1L))
+    } finally q.stop()
+    // the monitor's final row set equals the BATCH corpusCardDiff's card
+    // columns over the same (release, live) snapshot pair
+    val batchDiff = graft.analytics.DataQuality.corpusCardDiff(
+        release.toDF("doc_id", "text", "source", "lang"),
+        (b1 ++ b2).toDF("doc_id", "text", "source", "lang"),
+        thr._1, thr._2, thr._3, thr._4, thr._5, thr._6)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0),
+        r.getAs[Long]("docs_old"), r.getAs[Long]("docs_new"),
+        r.getAs[Long]("tokens_old"), r.getAs[Long]("tokens_new"),
+        r.getAs[Long]("token_delta"),
+        r.getAs[Long]("pass_old"), r.getAs[Long]("pass_new"))).toSeq
+    latest().map(t => (t._1, t._2, t._3, t._5, t._6, t._7, t._8, t._9)) shouldBe batchDiff
+  }
+
   test("span ingest: batches clean against the stored corpus, index follows the CLEANED text; replay rewrites identically; index loss raises") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("spaningest").toString
