@@ -450,6 +450,23 @@ object ScalingAudit {
     val mixedRows = TextAnalysis.mixedLanguageDocs(big, 20)
       .filter(col("n_major") < col("n_chunks")).count()
     val mlW = (System.nanoTime() - mlT0) / 1e9
+    // Unigram-LM trainer at the decade (contract params: vocab 500,
+    // pieces <= 4 chars, 2 hard-EM rounds): the vocab row count, the
+    // Σn over the trained table, and the top-6 (piece=n) signature
+    // fingerprint the seed-prune + EM + Viterbi composition — a drift
+    // in any of them means the segmentation changed above contract
+    // scale. Encode rides along: Σ subtokens over the corpus.
+    val ugT0 = System.nanoTime()
+    val ugVocab = TextAnalysis.unigramLmTrain(big, 500, 4, 2)
+      .orderBy(col("rn")).collect().map(r => (r.getString(1), r.getLong(2)))
+    val ugSig = ugVocab.take(6)
+      .map { case (p, c) => s"$p=$c" }.mkString(",")
+    val ugNSum = ugVocab.map(_._2).sum
+    val ugEnc = TextAnalysis.unigramLmEncode(big, 500, 4, 2)
+    val ugSubtok = ugEnc.agg(coalesce(sum(col("n_subtokens")), lit(0L)))
+      .head.getLong(0)
+    ugEnc.unpersist(false)
+    val ugW = (System.nanoTime() - ugT0) / 1e9
     // Corpus-card diff over a derived release pair at the decade: the
     // per-source report row count and Σ token_delta fingerprint the
     // band + card + delta composition (all exact BIGINTs).
@@ -487,6 +504,8 @@ object ScalingAudit {
         s""""span_drop_tokens":$spanDropped,"span_incr_drop":$spanIncrDropped,""" +
         s""""mixed_lang_rows":$mixedRows,""" +
         s""""card_rows":$cardRows,"card_token_delta":$cardTokenDelta,""" +
+        s""""unigram_vocab_rows":${ugVocab.length},"unigram_n_sum":$ugNSum,""" +
+        s""""unigram_top6":"$ugSig","unigram_subtokens":$ugSubtok,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
@@ -497,7 +516,7 @@ object ScalingAudit {
         s""""bursts":${d2(buW)},"scd2":${d2(scW)},"eff_tokens":${d2(etW)},""" +
         s""""ann_indexed":${d2(aiW)},"medoids":${d2(mdW)},""" +
         s""""span_removal":${d2(srW)},"span_incr":${d2(siW)},"mixed_lang":${d2(mlW)},""" +
-        s""""card_diff":${d2(ccW)}}}"""
+        s""""card_diff":${d2(ccW)},"unigram":${d2(ugW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()

@@ -133,6 +133,44 @@ class StoreCompactionSpec extends SparkSpec {
     corpus(s"$dir/a").find(_._1 == 5L).get._2 should not include "w3 w4 w5"
   }
 
+  test("indexed ingest (band index): post-compaction batches dedup identically to an uncompacted twin; covered replay skips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmpband").toString
+    // batch 1 near-duplicates batch 0's doc 1 (one token differs) and
+    // batch 2 near-duplicates a batch-1 survivor — exercising the
+    // committed-view prior read both before and after compaction
+    val batches = Seq(
+      Seq((1L, "one two three four five six seven eight"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta")),
+      Seq((10L, "one two three four five six seven nine"),
+        (11L, "totally different content with fresh words here")),
+      Seq((20L, "totally different content with fresh words there"),
+        (21L, "yet another brand new document body entirely")))
+    def ingest(root: String, b: Int): Unit =
+      IndexedIngest.ingestBatch(batches(b).toDF("doc_id", "text"),
+        s"$root/corpus", s"$root/index", b.toLong, threshold = 0.5)
+    def corpus(root: String) =
+      StoreCompaction.committedView(spark, s"$root/corpus")
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    ingest(s"$dir/a", 0); ingest(s"$dir/a", 1)
+    ingest(s"$dir/b", 0); ingest(s"$dir/b", 1)
+    StoreCompaction.compact(spark, s"$dir/a/corpus", Nil)
+    StoreCompaction.compact(spark, s"$dir/a/index", Nil)
+    StoreCompaction.vacuum(spark, s"$dir/a/corpus") should be > 0
+    StoreCompaction.vacuum(spark, s"$dir/a/index") should be > 0
+    corpus(s"$dir/a") shouldBe corpus(s"$dir/b")
+    // covered replay skips on the compacted store
+    val files = parquetFiles(s"$dir/a/corpus")
+    IndexedIngest.ingestBatch(batches(1).toDF("doc_id", "text"),
+      s"$dir/a/corpus", s"$dir/a/index", 1L, threshold = 0.5)
+    parquetFiles(s"$dir/a/corpus") shouldBe files
+    // the next batch dedups against the committed view identically
+    ingest(s"$dir/a", 2); ingest(s"$dir/b", 2)
+    corpus(s"$dir/a") shouldBe corpus(s"$dir/b")
+    corpus(s"$dir/a") should not contain 10L // near-dup of doc 1 dropped
+    corpus(s"$dir/a") should not contain 20L // near-dup of survivor 11
+  }
+
   test("ann_compacted contract query is bitwise the one-shot q_ivf_pq search (same nprobe/k)") {
     val dir = "/root/testdata/sf0.001"
     def key(name: String) =
