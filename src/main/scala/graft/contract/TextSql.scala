@@ -1042,6 +1042,35 @@ object TextSql {
       "ORDER BY query_id, rn"
   }
 
+  /** Mirror of the HYBRID lexical + semantic fusion: the bm25Sql ranking
+    * (doc_id → neighbor_id, one synthetic query id) full-outer joined
+    * with the exact-cosine ranking of the same query id, scored by the
+    * two-term left-associated RRF sum — rrfFusionSql's join/score shape
+    * with the lexical CTE standing in for the PQ side. Reads BOTH
+    * tables (documents for BM25, embeddings for cosine). */
+  def hybridRrfSql(queryTerms: Seq[String], k1: Double, b: Double,
+                   queryId: Long, poolK: Int, kRrf: Int,
+                   topK: Int): String = {
+    val bf =
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = $queryId), " +
+        s"scored AS (SELECT query_id, e.vec_id AS neighbor_id, $cosSql AS sim " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored) " +
+        s"SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $poolK"
+    s"WITH lex AS (SELECT CAST($queryId AS BIGINT) AS query_id, " +
+      s"doc_id AS neighbor_id, rn FROM (${bm25Sql(queryTerms, poolK, k1, b)}) l), " +
+      s"sem AS (SELECT * FROM ($bf) s), " +
+      "f AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id, " +
+      "coalesce(lex.neighbor_id, sem.neighbor_id) AS neighbor_id, " +
+      s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + lex.rn AS DOUBLE), CAST(0 AS DOUBLE)) + " +
+      s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + sem.rn AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf " +
+      "FROM lex FULL OUTER JOIN sem ON lex.query_id = sem.query_id AND lex.neighbor_id = sem.neighbor_id), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rn2 FROM f) " +
+      s"SELECT query_id, neighbor_id, rrf, CAST(rn2 AS BIGINT) AS rn FROM rk WHERE rn2 <= $topK " +
+      "ORDER BY rn"
+  }
+
   /** Mirror of Similarity.rrfFuseN over THREE rankings (exact-cosine,
     * IVF, PQ-ADC) — each re-derived by its own contract CTEs. The join
     * chain is left-folded exactly like the operator's `reduce` (bf⟗ivf,

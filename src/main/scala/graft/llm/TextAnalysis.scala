@@ -2353,7 +2353,14 @@ object TextAnalysis {
     * the difference between reading |Q| term slices and re-exploding the
     * corpus per query. The float-free store round-trips exactly, which
     * is what makes [[bm25Probe]] bitwise-equal to the one-shot scorer. */
-  def writeLexIndex(docs: DataFrame, path: String): Unit = {
+  /** The inverted-index rows of a document set: (term, doc_id, tf, dl),
+    * term-clustered (repartition + sortWithinPartitions) so the written
+    * files row-group-skip on term pushdown. tf and dl are INTRA-document
+    * quantities, so postings compute batch-locally — which is what makes
+    * the streaming ingest ([[graft.streaming.LexIngest]]) a pure
+    * projection of each batch, replay-idempotent with no cross-batch
+    * read (the VectorIndexIngest property on the lexical family). */
+  def lexPostings(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val toks = tokens(col("text"))
     docs
@@ -2365,9 +2372,18 @@ object TextAnalysis {
       .repartition(col("term"))
       .sortWithinPartitions(col("term"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      .write.mode("overwrite").parquet(s"$path/postings")
-    docs.agg(count(lit(1)).as("n"), sum(size(toks).cast("long")).as("sumdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** The one-row corpus stats of a document set: (n, sumdl) — both
+    * exact BIGINTs, hence ADDITIVE across disjoint batches (the
+    * streaming ingest sums per-batch rows to the corpus totals). */
+  def lexStats(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n"),
+      sum(size(tokens(col("text"))).cast("long")).as("sumdl"))
+
+  def writeLexIndex(docs: DataFrame, path: String): Unit = {
+    lexPostings(docs).write.mode("overwrite").parquet(s"$path/postings")
+    lexStats(docs).write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** BM25 top-k over a PERSISTED [[writeLexIndex]] store — bitwise
@@ -2383,15 +2399,27 @@ object TextAnalysis {
   def bm25Probe(spark: org.apache.spark.sql.SparkSession, path: String,
                 queryTerms: Seq[String], k: Int,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(queryTerms.nonEmpty, "bm25Probe: empty query")
-    require(k >= 1, s"need k >= 1, got $k")
     val st = spark.read.parquet(s"$path/stats").head()
-    val n = st.getLong(0)
-    val sumdl = st.getLong(1)
-    // the |matching docs|·|Q|-bounded term slice feeds BOTH the df
-    // aggregate and the scoring join (the bm25TopDocs persist discipline)
-    val tf = spark.read.parquet(s"$path/postings")
+    bm25ScoreSlice(spark.read.parquet(s"$path/postings"), queryTerms,
+      st.getLong(0), st.getLong(1), k, k1, b)
+  }
+
+  /** The shared probe kernel: score a postings table against the query
+    * term set given the corpus constants — [[bm25TopDocs]]'s expression
+    * tree verbatim with (N, Σdl) inlined as driver literals, so every
+    * store whose postings round-trip exactly (batch [[writeLexIndex]],
+    * streaming `LexIngest`, either one compacted) probes bitwise-equal
+    * to the one-shot scorer. Eager (persist + count) like the one-shot:
+    * the |matching docs|·|Q|-bounded term slice feeds BOTH the df
+    * aggregate and the scoring join. */
+  private[graft] def bm25ScoreSlice(postings: DataFrame,
+                                    queryTerms: Seq[String],
+                                    n: Long, sumdl: Long, k: Int,
+                                    k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25 probe: empty query")
+    require(k >= 1, s"need k >= 1, got $k")
+    val tf = postings
       .filter(col("term").isin(queryTerms: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -132,11 +132,16 @@ object StoreCompaction {
     * task → exactly one file per consolidated partition — the
     * `Compaction.compactClustered` consolidation shape applied
     * per-cell), or `targetFiles` round-robin files for an unclustered
-    * store. Commits the marker and returns the new watershed; does NOT
-    * delete superseded partitions — run [[vacuum]] after, at the
-    * caller's retention policy. */
+    * store. `sortCols` sorts rows WITHIN each output file — the
+    * `OPTIMIZE … ZORDER`-style re-clustering arm: a store whose probes
+    * rely on row-group min/max skipping (the lexical postings' term
+    * layout) fragments that locality across per-batch files, and the
+    * consolidation pass is exactly where it is restored. Commits the
+    * marker and returns the new watershed; does NOT delete superseded
+    * partitions — run [[vacuum]] after, at the caller's retention
+    * policy. */
   def compact(spark: SparkSession, path: String, clusterCols: Seq[String],
-              targetFiles: Int = 1): Watershed = {
+              targetFiles: Int = 1, sortCols: Seq[String] = Nil): Watershed = {
     require(targetFiles >= 1, s"need targetFiles >= 1, got $targetFiles")
     val prior = watershed(spark, path)
     val batches = batchDirs(spark, path).map(_._2).filter(_ >= 0L)
@@ -145,9 +150,12 @@ object StoreCompaction {
     val gen = prior.map(_.generation).getOrElse(0L) + 1L
     val rows = committedView(spark, path)
       .withColumn("ingest_batch", lit(-gen))
-    val sized =
+    val packed =
       if (clusterCols.nonEmpty) rows.repartition(clusterCols.map(col): _*)
       else rows.repartition(targetFiles)
+    val sized =
+      if (sortCols.isEmpty) packed
+      else packed.sortWithinPartitions(sortCols.map(col): _*)
     sized.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy((clusterCols :+ "ingest_batch"): _*)

@@ -171,6 +171,61 @@ class StoreCompactionSpec extends SparkSpec {
     corpus(s"$dir/a") should not contain 20L // near-dup of survivor 11
   }
 
+  test("lex ingest compaction: term-sorted consolidation keeps the probe bitwise; per-batch files collapse; covered replay skips") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("cmplex").toString
+    val idx = s"$dir/idx"
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "window", "customer", "filter")
+    def key() = LexIngest.probe(spark, idx, terms, 10)
+      .orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    for (b <- 0 until 4)
+      LexIngest.ingestBatch(rows.filter(_._1 % 4 == b).toSeq.toDF("doc_id", "text"),
+        idx, b.toLong)
+    val expected = key()
+    expected shouldBe TextAnalysis.bm25TopDocs(d, terms, 10)
+      .orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+
+    // OPTIMIZE both stores; postings re-cluster on term (the locality
+    // per-batch files fragment), stats fold to one tiny partition
+    StoreCompaction.compact(spark, s"$idx/postings", Nil,
+      targetFiles = 1, sortCols = Seq("term")) shouldBe
+      StoreCompaction.Watershed(1L, 3L)
+    StoreCompaction.compact(spark, s"$idx/stats", Nil) shouldBe
+      StoreCompaction.Watershed(1L, 3L)
+    StoreCompaction.vacuum(spark, s"$idx/postings") should be > 0
+    StoreCompaction.vacuum(spark, s"$idx/stats") should be > 0
+    key() shouldBe expected
+    parquetFiles(s"$idx/postings").size shouldBe 1
+    // the consolidated file is term-sorted: row-group min/max skipping
+    // has its locality back (verified on the data, not just the plan)
+    val termsRead = spark.read
+      .parquet(parquetFiles(s"$idx/postings").head.replaceAll("file:", ""))
+      .select("term").collect().map(_.getString(0))
+    termsRead shouldBe termsRead.sorted
+    // covered replay skips byte-identically
+    val files = parquetFiles(s"$idx/postings")
+    LexIngest.ingestBatch(rows.filter(_._1 % 4 == 2).toSeq.toDF("doc_id", "text"),
+      idx, batchId = 2L)
+    parquetFiles(s"$idx/postings") shouldBe files
+    // ingest resumes above the watershed (a disjoint doc set appends):
+    // a term unique to the new doc ranks exactly it
+    LexIngest.ingestBatch(Seq((900001L, "zzzuniqueterm appears here once"))
+      .toDF("doc_id", "text"), idx, batchId = 4L)
+    val after = LexIngest.probe(spark, idx, Seq("zzzuniqueterm"), 10).collect()
+      .map(r => r.getLong(0))
+    after shouldBe Array(900001L)
+    // and the standing ranking is unchanged by the tiny append's stats
+    // only in membership terms (avgdl moved, scores may differ): the
+    // original top-10 pool is still served from both generations+batch 4
+    LexIngest.probe(spark, idx, terms, 10).count() shouldBe 10L
+  }
+
   test("ann_compacted contract query is bitwise the one-shot q_ivf_pq search (same nprobe/k)") {
     val dir = "/root/testdata/sf0.001"
     def key(name: String) =

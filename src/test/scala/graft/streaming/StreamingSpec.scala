@@ -1090,6 +1090,45 @@ class StreamingSpec extends SparkSpec {
     key(Similarity.ivfPqProbe(replayed, quant, queries, nprobe = 2, k = 10)) shouldBe expected
   }
 
+  test("lex ingest: streamed BM25 index probes bitwise-equal to the one-shot scorer and the batch store; replay rewrites identically") {
+    implicit val ctx = spark.sqlContext
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("lexingest").toString
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "window", "customer", "filter")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    val expected = key(TextAnalysis.bm25TopDocs(d, terms, 10))
+
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = LexIngest.start(mem.toDF.toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/ck")
+    try {
+      for (b <- 0 until 3) {
+        mem.addData(rows.filter(_._1 % 3 == b).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    key(LexIngest.probe(spark, s"$dir/idx", terms, 10)) shouldBe expected
+    // and bitwise the batch-written store's probe
+    TextAnalysis.writeLexIndex(d, s"$dir/batchidx")
+    key(TextAnalysis.bm25Probe(spark, s"$dir/batchidx", terms, 10)) shouldBe expected
+    // replay of batch 1: the projection is batch-local and deterministic,
+    // dynamic overwrite rewrites exactly its own partitions
+    LexIngest.ingestBatch(
+      rows.filter(_._1 % 3 == 1).toSeq.toDF("doc_id", "text"),
+      s"$dir/idx", batchId = 1L)
+    key(LexIngest.probe(spark, s"$dir/idx", terms, 10)) shouldBe expected
+    // stats stayed additive: summed (n, sumdl) equal the corpus totals
+    val st = spark.read.parquet(s"$dir/idx/stats")
+      .agg(sum(col("n")), sum(col("sumdl"))).head()
+    val bt = TextAnalysis.lexStats(d).head()
+    (st.getLong(0), st.getLong(1)) shouldBe ((bt.getLong(0), bt.getLong(1)))
+  }
+
   test("stepUpdates: the streamed K-Means step equals the batch step bitwise on every touched cell") {
     implicit val ctx = spark.sqlContext
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
