@@ -677,6 +677,62 @@ object ScalingAudit {
     big.unpersist()
   }
 
+  /** Interleaved A/B of probe cost on a fragmented vs compacted
+    * streaming-built IVF-PQ store (the StoreCompaction existence
+    * measurement): two identical 64-batch ingests, one compacted +
+    * vacuumed, probes alternated A,B per round so host throttling hits
+    * both sides equally (the §1 lesson — never trust one-sided walls).
+    * File counts are the deterministic signal; walls are context. */
+  private def compactAb(spark: SparkSession, dir: String): Unit = {
+    import graft.llm.Similarity
+    import graft.streaming.{StoreCompaction, VectorIndexIngest}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val quant = Similarity.trainIvfPqQuantizer(
+      e, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4)
+    val queries = Similarity.collectVectors(e, Seq(0L, 1L, 2L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compactab").toString
+    try {
+      for (s <- Seq("a", "b"); b <- 0 until 64)
+        VectorIndexIngest.ingestBatch(
+          e.filter(col("vec_id") % 64 === b), s"$tmp/$s", quant, b.toLong)
+      StoreCompaction.compact(spark, s"$tmp/b", Seq("cell_id"))
+      StoreCompaction.vacuum(spark, s"$tmp/b")
+      def files(p: String): Int = {
+        val root = new org.apache.hadoop.fs.Path(p)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(root, true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      def probe(p: String): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val hits = Similarity.ivfPqProbe(VectorIndexIngest.index(spark, p),
+          quant, queries, nprobe = 2, k = 10).count()
+        (hits, (System.nanoTime() - t0) / 1e9)
+      }
+      probe(s"$tmp/a"); probe(s"$tmp/b") // warm both code paths
+      val (wa, wb) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+      var (ha, hb) = (0L, 0L)
+      for (_ <- 1 to 5) {
+        val (h1, w1) = probe(s"$tmp/a"); ha = h1; wa += w1
+        val (h2, w2) = probe(s"$tmp/b"); hb = h2; wb += w2
+      }
+      require(ha == hb, s"probe results diverged: $ha vs $hb")
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
+      println(s"""{"artifact":"compactab","files_fragmented":${files(s"$tmp/a")},""" +
+        s""""files_compacted":${files(s"$tmp/b")},"probe_hits":$ha,""" +
+        s""""probe_med_fragmented_s":${d2(med(wa.result()))},""" +
+        s""""probe_med_compacted_s":${d2(med(wb.result()))},""" +
+        s""""probe_walls_fragmented":[${wa.result().map(d2).mkString(",")}],""" +
+        s""""probe_walls_compacted":[${wb.result().map(d2).mkString(",")}]}""")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScalingAudit candidates|sf1ish|annprobe <sfDir>...")
     val spark = SparkSession.builder()
@@ -698,6 +754,7 @@ object ScalingAudit {
       case "scalejson"  =>
         require(args.length >= 3, "usage: ScalingAudit scalejson <sf0.1Dir> <outFile>")
         scaleJson(spark, args(1), args(2))
+      case "compactab"  => compactAb(spark, args(1))
       case other        => sys.error(s"unknown mode $other")
     }
     spark.stop()
