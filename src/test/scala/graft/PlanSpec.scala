@@ -592,6 +592,21 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Join")
   }
 
+  test("q_scd2_del: the tombstone merge keeps the MERGE shape — one full-outer key join, history never re-scanned") {
+    val p = plan("q_scd2_del", "simple")
+    p should include("FullOuter")
+    // history side + change side: two scans, no third (the op column
+    // rides the change projection, nothing new shuffles)
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 2
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_hybrid_retrieval: the cross-modality fusion joins stay equi — nothing cartesian, the rank join is full-outer on (query, neighbor)") {
+    val p = plan("q_hybrid_retrieval", "simple")
+    p should include("FullOuter")
+    (p should not).include("CartesianProduct")
+  }
+
   test("q_bm25_indexed: the stored-postings probe pushes the term IN filter to the scan; corpus text is never read") {
     val p = plan("q_bm25_indexed")
     p should include regex "PushedFilters: \\[[^\\]]*In\\(term"

@@ -235,6 +235,60 @@ class StoreCompactionSpec extends SparkSpec {
     key("ann_compacted") shouldBe key("q_ivf_pq")
   }
 
+  test("generative: random batch splits with compaction at a random mid-stream point always probe bitwise (vector) and rank bitwise (lexical)") {
+    import spark.implicits._
+    import graft.llm.{Similarity, TextAnalysis}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val quant = Similarity.trainIvfPqQuantizer(
+      emb, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), m = 4)
+    val queries = Similarity.collectVectors(emb, Seq(0L, 1L, 2L))
+    val terms = Seq("spark", "window", "customer", "filter")
+    def vkey(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    def lkey(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    val vExpected = vkey(Similarity.ivfPqSearch(
+      emb, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4,
+      Seq(0L, 1L, 2L), nprobe = 2, k = 10))
+    val lExpected = lkey(TextAnalysis.bm25TopDocs(docs, terms, 10))
+    val embRows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val docRows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    for (seed <- Seq(3, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val nBatches = 2 + rnd.nextInt(4)            // 2..5 batches
+      val compactAfter = 1 + rnd.nextInt(nBatches) // compact after 1..n
+      val assign = embRows.map(_ => rnd.nextInt(nBatches))
+      val dir = java.nio.file.Files.createTempDirectory(s"cmpgen$seed").toString
+      def vBatch(b: Int) = embRows.zip(assign).collect { case (r, a) if a == b => r }
+        .toSeq.toDF("vec_id", "embedding")
+      def lBatch(b: Int) = docRows.zip(assign).collect { case (r, a) if a == b => r }
+        .toSeq.toDF("doc_id", "text")
+      for (b <- 0 until nBatches) {
+        VectorIndexIngest.ingestBatch(vBatch(b), s"$dir/v", quant, b.toLong)
+        LexIngest.ingestBatch(lBatch(b), s"$dir/l", b.toLong)
+        if (b + 1 == compactAfter) {
+          StoreCompaction.compact(spark, s"$dir/v", Seq("cell_id"))
+          StoreCompaction.vacuum(spark, s"$dir/v")
+          StoreCompaction.compact(spark, s"$dir/l/postings", Nil,
+            targetFiles = 1, sortCols = Seq("term"))
+          StoreCompaction.compact(spark, s"$dir/l/stats", Nil)
+          StoreCompaction.vacuum(spark, s"$dir/l/postings")
+          StoreCompaction.vacuum(spark, s"$dir/l/stats")
+        }
+      }
+      withClue(s"seed $seed ($nBatches batches, compact after $compactAfter): ") {
+        vkey(Similarity.ivfPqProbe(VectorIndexIngest.index(spark, s"$dir/v"),
+          quant, queries, nprobe = 2, k = 10)) shouldBe vExpected
+        lkey(LexIngest.probe(spark, s"$dir/l", terms, 10)) shouldBe lExpected
+      }
+    }
+  }
+
   test("torn compaction is invisible: generation data without a marker reads as the raw store; retry commits the same generation") {
     val dir = java.nio.file.Files.createTempDirectory("cmptorn").toString
     val idx = s"$dir/idx"
