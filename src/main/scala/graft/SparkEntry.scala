@@ -117,6 +117,10 @@ object SparkEntry {
   private val RrfConst = 60
   private val RrfTopK = 5
   private val HybridQueryId = 0L
+  // forget fixtures: ids disjoint from the quantizer-training and query
+  // ids; one id that never existed (tombstones are idempotent)
+  private val ForgetVecIds = Seq(5L, 18L, 42L, 999999L)
+  private val ForgetDocIds = Seq(87L, 102L, 999999L)
   // non-uniform target mix for the waterfilling planner (1x/2x/3x bands)
   private val MixWeights: Seq[(String, Long)] =
     (0 until 20).map(i => (s"src$i", 1L + i % 3))
@@ -2012,6 +2016,69 @@ object SparkEntry {
     // ---- round 6: quality rules, substring dedup, semantic dedup,
     //      retrieval, source blocklist, subquery/window breadth ----
 
+    // RIGHT-TO-BE-FORGOTTEN on the persisted vector index (deletion
+    // vectors, physically applied at OPTIMIZE): ingest in batches, mark
+    // ids deleted, compact with the id column, vacuum, probe — the
+    // surviving scores are unchanged (per-row adist is independent) and
+    // the forgotten ids are gone from disk, so the oracle is the
+    // one-shot search SQL with the ids excluded from the candidate set
+    "ann_forget" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_ann_forget").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.VectorIndexIngest.ingestBatch(
+            e.filter(col("vec_id") % 3 === b), idxDir, quant, b.toLong)
+        graft.streaming.StoreCompaction.markDeleted(s, idxDir, ForgetVecIds)
+        graft.streaming.StoreCompaction.compact(s, idxDir, Seq("cell_id"),
+          deleteIdCol = Some("vec_id"))
+        graft.streaming.StoreCompaction.vacuum(s, idxDir)
+        val out = Similarity.ivfPqProbe(
+            graft.streaming.VectorIndexIngest.index(s, idxDir), quant,
+            Similarity.collectVectors(e, AnnQueryIds), nprobe = 3, k = PqSearchK)
+          .orderBy(col("query_id"), col("rn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxDir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
+    // the lexical twin: forgotten docs leave the RANKING MODEL entirely
+    // (tf, df, N, Σdl all shift via the per-doc stats subtraction), so
+    // the oracle is the one-shot BM25 SQL over the surviving corpus
+    "q_bm25_forget" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_bm25_forget").toString
+      try {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        for (b <- 0 until 3)
+          graft.streaming.LexIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), idxDir, b.toLong)
+        graft.streaming.LexIngest.markDeleted(s, idxDir, ForgetDocIds)
+        graft.streaming.StoreCompaction.compact(s, s"$idxDir/postings", Nil,
+          targetFiles = 1, sortCols = Seq("term"), deleteIdCol = Some("doc_id"))
+        graft.streaming.StoreCompaction.compact(s, s"$idxDir/stats", Nil,
+          deleteIdCol = Some("doc_id"))
+        graft.streaming.StoreCompaction.vacuum(s, s"$idxDir/postings")
+        graft.streaming.StoreCompaction.vacuum(s, s"$idxDir/stats")
+        graft.streaming.LexIngest.probe(s, idxDir, Bm25Terms, Bm25K)
+          .orderBy(col("rn"))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxDir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // Gopher-style quality rule gate: per-doc rule inputs + pass bit
     "q_gopher" -> ((s, dir) =>
       TextAnalysis.gopherRules(docs(s, dir), GopherMinWords, GopherMaxWords,
@@ -3377,6 +3444,10 @@ object SparkEntry {
     // distinct probe set across the persisted-index family)
     "ann_compacted" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
       AnnQueryIds, nprobe = 2, k = PqSearchK),
+    // deletion vectors: forgotten ids leave the candidate set, every
+    // surviving score unchanged (per-row adist independence)
+    "ann_forget" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
+      AnnQueryIds, nprobe = 3, k = PqSearchK, excludeNeighbors = ForgetVecIds),
     "q_minhash_est" -> TextSql.minhashEstimateSql(MinhashEstMatch),
     "q_vkmeans_step" -> TextSql.vkmeansStepSql(PqCodebookIds),
     "q_vkmeans_iterate2" -> TextSql.vkmeansIterateSql(PqCodebookIds, 2),
@@ -3495,6 +3566,9 @@ object SparkEntry {
     // the stored-index probe replays the one-shot scorer's expression
     // tree over exactly-round-tripped integers — same oracle
     "q_bm25_indexed" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
+    // post-forget ranking = the one-shot scorer over the SURVIVING corpus
+    "q_bm25_forget" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75,
+      excludeIds = ForgetDocIds),
 
     "q_weighted_sample" -> TextSql.weightedSampleSql(WsK),
 

@@ -1108,9 +1108,17 @@ object TextSql {
   /** Mirror of Similarity.ivfPqSearch: coarse assignment + probe lists
     * via the annIvfSql ROW_NUMBER argmin (ties to lowest cell id), PQ
     * codes + distance tables via the pqSearchSql CTEs, candidates
-    * restricted to probed cells, adist rounded before ranking. */
+    * restricted to probed cells, adist rounded before ranking.
+    * `excludeNeighbors` mirrors a deletion-vector probe: rows removed
+    * from the stored index drop out of the candidate set BEFORE
+    * ranking (per-row adist is independent, so every surviving score
+    * is unchanged — exactly the store-side anti-join). */
   def ivfPqSearchSql(coarseIds: Seq[Long], codebookIds: Seq[Long], m: Int,
-                     queryIds: Seq[Long], nprobe: Int, k: Int): String = {
+                     queryIds: Seq[Long], nprobe: Int, k: Int,
+                     excludeNeighbors: Seq[Long] = Nil): String = {
+    val exclN =
+      if (excludeNeighbors.isEmpty) ""
+      else s" AND a.vec_id NOT IN (${excludeNeighbors.mkString(", ")})"
     val cbValues = codebookIds.zipWithIndex
       .map { case (id, c) => s"($c, $id)" }.mkString(", ")
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
@@ -1136,7 +1144,7 @@ object TextSql {
       "FROM q CROSS JOIN ss), " +
       s"dt AS (SELECT query_id, s, code, ${l2sqSql("qs", "cs")} AS qd FROM qsub JOIN csub USING (s)), " +
       "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM assigned a " +
-      "JOIN probes p ON a.cell_id = p.cell_id WHERE a.vec_id <> p.query_id), " +
+      s"JOIN probes p ON a.cell_id = p.cell_id WHERE a.vec_id <> p.query_id$exclN), " +
       "ad AS (SELECT c.query_id, c.neighbor_id, round(sum(dt.qd), 4) AS adist " +
       "FROM cand c JOIN codes co ON co.vec_id = c.neighbor_id " +
       "JOIN dt ON dt.query_id = c.query_id AND dt.s = co.s AND dt.code = co.code " +
@@ -2021,9 +2029,17 @@ object TextSql {
     * constants interpolate from the SAME Scala doubles, which
     * round-trip exactly through their decimal repr), identical
     * association order, score rounded to 4 before ranking. */
-  def bm25Sql(queryTerms: Seq[String], k: Int, k1: Double, b: Double): String = {
+  /** `excludeIds` mirrors a deletion-vector probe: the excluded docs
+    * leave the corpus entirely (tf, df, N and Σdl all shift — the
+    * per-doc stats subtraction on the Spark side), not just the final
+    * ranking. */
+  def bm25Sql(queryTerms: Seq[String], k: Int, k1: Double, b: Double,
+              excludeIds: Seq[Long] = Nil): String = {
     val terms = strList(queryTerms)
-    s"WITH t AS ($toksCte), " +
+    val excl =
+      if (excludeIds.isEmpty) ""
+      else s" WHERE doc_id NOT IN (${excludeIds.mkString(", ")})"
+    s"WITH t AS (SELECT * FROM ($toksCte) t0$excl), " +
       "ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t), " +
       s"q AS (SELECT unnest($terms) AS term), " +
       "tf AS (SELECT doc_id, term, count(*) AS tf, first(dl) AS dl " +

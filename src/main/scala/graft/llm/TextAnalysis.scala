@@ -2381,6 +2381,15 @@ object TextAnalysis {
     docs.agg(count(lit(1)).as("n"),
       sum(size(tokens(col("text"))).cast("long")).as("sumdl"))
 
+  /** Per-DOCUMENT stats rows (doc_id, dl) — [[lexStats]] before the
+    * fold: still additive across batches (n = count, Σdl = sum), and
+    * SUBTRACTABLE per document, which is what lets a deletion-vector
+    * probe recompute the exact BM25 corpus constants of the surviving
+    * corpus ([[graft.streaming.LexIngest]]'s stats layout). */
+  def lexDocStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+
   def writeLexIndex(docs: DataFrame, path: String): Unit = {
     lexPostings(docs).write.mode("overwrite").parquet(s"$path/postings")
     lexStats(docs).write.mode("overwrite").parquet(s"$path/stats")

@@ -46,12 +46,26 @@ object LexIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch")
       .parquet(s"$indexPath/postings")
-    TextAnalysis.lexStats(batchDocs)
+    // per-DOCUMENT stats (doc_id, dl): still additive across batches,
+    // and subtractable per doc — a deletion-vector probe recomputes the
+    // exact (n, Σdl) of the SURVIVING corpus, which is what keeps the
+    // post-forget ranking bitwise-equal to the one-shot scorer over the
+    // surviving documents
+    TextAnalysis.lexDocStats(batchDocs)
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch")
       .parquet(s"$indexPath/stats")
+  }
+
+  /** Logically forget documents: postings AND stats mark the ids; every
+    * [[probe]] from now on excludes them and re-derives the surviving
+    * corpus constants; the next [[StoreCompaction.compact]] (with
+    * `deleteIdCol = Some("doc_id")`) removes them physically. */
+  def markDeleted(spark: SparkSession, indexPath: String, docIds: Seq[Long]): Unit = {
+    StoreCompaction.markDeleted(spark, s"$indexPath/postings", docIds)
+    StoreCompaction.markDeleted(spark, s"$indexPath/stats", docIds)
   }
 
   def start(docsStream: DataFrame, indexPath: String,
@@ -63,17 +77,17 @@ object LexIngest {
       }
       .start()
 
-  /** BM25 top-k over the streamed store: corpus constants summed over
-    * the committed stats partitions (exact additive BIGINTs), the term
-    * slice read through the committed postings view — the shared
-    * scoring kernel makes this bitwise `bm25TopDocs`/`bm25Probe`. */
+  /** BM25 top-k over the streamed store: corpus constants aggregated
+    * over the LIVE per-doc stats rows (exact additive BIGINTs, deleted
+    * docs subtracted), the term slice read through the live postings
+    * view — the shared scoring kernel makes this bitwise
+    * `bm25TopDocs`/`bm25Probe` over the surviving corpus. */
   def probe(spark: SparkSession, indexPath: String, queryTerms: Seq[String],
             k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val st = StoreCompaction.committedView(spark, s"$indexPath/stats")
-      .agg(coalesce(sum(col("n")), lit(0L)),
-        coalesce(sum(col("sumdl")), lit(0L))).head()
+    val st = StoreCompaction.liveView(spark, s"$indexPath/stats", "doc_id")
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     TextAnalysis.bm25ScoreSlice(
-      StoreCompaction.committedView(spark, s"$indexPath/postings"),
+      StoreCompaction.liveView(spark, s"$indexPath/postings", "doc_id"),
       queryTerms, st.getLong(0), st.getLong(1), k, k1, b)
   }
 }

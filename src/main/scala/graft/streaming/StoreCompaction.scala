@@ -114,6 +114,49 @@ object StoreCompaction {
     }
   }
 
+  // ---------- deletion vectors (right-to-be-forgotten on indexes) ----------
+
+  /** Marks rows as LOGICALLY deleted — the Delta deletion-vector story
+    * for ingest-built stores: ids append as tiny one-column parquet
+    * files under `<path>/_deletes/` (underscore → invisible to partition
+    * discovery), [[liveView]] subtracts them immediately, and the next
+    * [[compact]] applies them PHYSICALLY (the rewritten generation
+    * excludes the rows) and clears the applied files. Idempotent by
+    * construction: deletes are a set union, re-marking an id (or an id
+    * that never existed) changes nothing. This is how `Dedup
+    * .deleteCascade`'s forget verdicts reach the PERSISTED index family
+    * — removing a document from the corpus is not forgetting it while
+    * its codes/postings still serve probes. */
+  def markDeleted(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    import spark.implicits._
+    ids.toDF("_del_id").coalesce(1).write.mode("append")
+      .parquet(s"$path/_deletes")
+  }
+
+  /** The distinct logically-deleted ids (empty frame when none). */
+  def deletedIds(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(path, "_deletes")
+    import spark.implicits._
+    if (fs.exists(dir) &&
+        Option(fs.globStatus(new Path(dir, "*.parquet"))).exists(_.nonEmpty))
+      spark.read.parquet(dir.toString).select(col("_del_id")).distinct()
+    else Seq.empty[Long].toDF("_del_id")
+  }
+
+  /** [[committedView]] minus the logically-deleted rows — the SERVING
+    * view probes read ([[VectorIndexIngest.index]], [[LexIngest.probe]]).
+    * The delete set is broadcast (forget requests are tiny relative to
+    * the store), so the subtraction adds no shuffle. Ingest PRIOR-view
+    * reads stay on [[committedView]] deliberately: what a store's
+    * history owned for dedup purposes is a corpus-level policy
+    * (`Dedup.deleteCascade`), not a probe-serving one. */
+  def liveView(spark: SparkSession, path: String, idCol: String): DataFrame =
+    committedView(spark, path).join(
+      org.apache.spark.sql.functions.broadcast(deletedIds(spark, path)),
+      col(idCol) === col("_del_id"), "left_anti")
+
   /** `ingest_batch=` partition directories at either layout depth
     * (top-level for (ingest_batch) stores, one below for
     * (cluster, ingest_batch) stores), with their parsed batch values. */
@@ -141,15 +184,35 @@ object StoreCompaction {
     * partitions — run [[vacuum]] after, at the caller's retention
     * policy. */
   def compact(spark: SparkSession, path: String, clusterCols: Seq[String],
-              targetFiles: Int = 1, sortCols: Seq[String] = Nil): Watershed = {
+              targetFiles: Int = 1, sortCols: Seq[String] = Nil,
+              deleteIdCol: Option[String] = None): Watershed = {
     require(targetFiles >= 1, s"need targetFiles >= 1, got $targetFiles")
     val prior = watershed(spark, path)
     val batches = batchDirs(spark, path).map(_._2).filter(_ >= 0L)
     val covered = (prior.map(_.coveredThrough).getOrElse(-1L) +: batches).max
     require(covered >= 0L, s"nothing to compact under $path")
     val gen = prior.map(_.generation).getOrElse(0L) + 1L
-    val rows = committedView(spark, path)
-      .withColumn("ingest_batch", lit(-gen))
+    // deletion vectors apply PHYSICALLY here: the rewritten generation
+    // excludes logically-deleted rows, and the delete files read at this
+    // point clear after the marker commits (everything current is covered
+    // by this generation; under the single-writer contract no uncovered
+    // batch can resurrect a cleared id — later replays are > watershed
+    // and carry NEW content). A store with pending deletes refuses to
+    // compact without its id column: silently carrying the rows forward
+    // would turn "forgotten" into "still on disk".
+    val fs0 = fsOf(spark, path)
+    val pendingDeleteFiles = Option(
+      fs0.globStatus(new Path(s"$path/_deletes", "*.parquet")))
+      .map(_.toSeq.map(_.getPath)).getOrElse(Seq.empty)
+    require(pendingDeleteFiles.isEmpty || deleteIdCol.isDefined,
+      s"$path has ${pendingDeleteFiles.size} pending delete file(s) but " +
+        "compact() was not given deleteIdCol — pass the id column so the " +
+        "rewrite can apply them physically")
+    val base = deleteIdCol match {
+      case Some(idc) if pendingDeleteFiles.nonEmpty => liveView(spark, path, idc)
+      case _ => committedView(spark, path)
+    }
+    val rows = base.withColumn("ingest_batch", lit(-gen))
     val packed =
       if (clusterCols.nonEmpty) rows.repartition(clusterCols.map(col): _*)
       else rows.repartition(targetFiles)
@@ -171,6 +234,11 @@ object StoreCompaction {
     val dst = new Path(markerDir(path), s"gen-$gen")
     if (!fs.rename(tmp, dst) || !fs.exists(dst))
       throw new java.io.IOException(s"compaction commit $tmp -> $dst failed")
+    // clear exactly the delete files this rewrite applied — ones marked
+    // AFTER the listing stay pending (liveView keeps them logical until
+    // the next compaction). Torn-before-this-point is safe: the files
+    // remain, liveView still subtracts, re-applying is a no-op.
+    pendingDeleteFiles.foreach(fs0.delete(_, false))
     Watershed(gen, covered)
   }
 

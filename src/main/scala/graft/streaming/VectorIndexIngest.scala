@@ -66,13 +66,15 @@ object VectorIndexIngest {
       .start()
 
   /** The served index: every committed (vec_id, cell_id, codes) row,
-    * exactly once across batches AND compacted generations
-    * ([[StoreCompaction.committedView]] — pre-compaction it is the raw
-    * store). Partition columns return as BIGINT
+    * exactly once across batches AND compacted generations, MINUS any
+    * logically-deleted vectors ([[StoreCompaction.liveView]] — the
+    * deletion-vector subtraction is a broadcast anti-join, physical
+    * removal happens at the next compaction; pre-compaction with no
+    * deletes it is the raw store). Partition columns return as BIGINT
     * (`Similarity.readIvfPqIndex`'s normalization); `ivfPqProbe`'s cell
     * pre-filter prunes the cell directories before any file is read. */
   def index(spark: SparkSession, indexPath: String): DataFrame =
-    StoreCompaction.committedView(spark, indexPath)
+    StoreCompaction.liveView(spark, indexPath, "vec_id")
       .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
         col("codes"))
 }

@@ -235,6 +235,85 @@ class StoreCompactionSpec extends SparkSpec {
     key("ann_compacted") shouldBe key("q_ivf_pq")
   }
 
+  test("deletion vectors (vector index): forgotten ids vanish from probes immediately, physically at compact; compact refuses without the id column") {
+    val dir = java.nio.file.Files.createTempDirectory("delvec").toString
+    val idx = s"$dir/idx"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    val queries = Similarity.collectVectors(emb, Seq(0L, 1L, 2L))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    def probe() = key(Similarity.ivfPqProbe(
+      VectorIndexIngest.index(spark, idx), quant, queries, nprobe = 2, k = 10))
+    for (b <- 0 until 3)
+      VectorIndexIngest.ingestBatch(
+        emb.filter(col("vec_id") % 3 === b), idx, quant, b.toLong)
+    // forget the top-1 neighbor of query 0 (so the effect is visible)
+    // plus an id that never existed (idempotent no-op)
+    val victim = probe().head._2
+    VectorIndexIngest.index(spark, idx)
+      .filter(col("vec_id") === victim).count() shouldBe 1L
+    StoreCompaction.markDeleted(spark, idx, Seq(victim, 999999L))
+    val forgotten = key(Similarity.ivfPqSearch(
+      emb.filter(!col("vec_id").isin(victim)), coarseIds, cbIds, 4,
+      Seq(0L, 1L, 2L), nprobe = 2, k = 10))
+    probe() shouldBe forgotten // logical delete, bitwise vs surviving corpus
+    probe().map(_._2) should not contain victim
+    // re-marking is a set union: nothing changes
+    StoreCompaction.markDeleted(spark, idx, Seq(victim))
+    probe() shouldBe forgotten
+    // compact without the id column refuses while deletes are pending
+    val ex = intercept[IllegalArgumentException] {
+      StoreCompaction.compact(spark, idx, Seq("cell_id"))
+    }
+    ex.getMessage should include("deleteIdCol")
+    // compact WITH it applies physically and clears the vector files
+    StoreCompaction.compact(spark, idx, Seq("cell_id"),
+      deleteIdCol = Some("vec_id"))
+    StoreCompaction.vacuum(spark, idx) should be > 0
+    probe() shouldBe forgotten
+    StoreCompaction.deletedIds(spark, idx).count() shouldBe 0L
+    // physically gone: even the raw committed view has no trace
+    StoreCompaction.committedView(spark, idx)
+      .filter(col("vec_id") === victim).count() shouldBe 0L
+  }
+
+  test("deletion vectors (lexical index): post-forget ranking is bitwise the one-shot scorer over the SURVIVING corpus, before and after compaction") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("dellex").toString
+    val idx = s"$dir/idx"
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "window", "customer", "filter")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    for (b <- 0 until 3)
+      LexIngest.ingestBatch(rows.filter(_._1 % 3 == b).toSeq.toDF("doc_id", "text"),
+        idx, b.toLong)
+    // forget the current top-2 docs — N and Σdl must shift exactly
+    val victims = key(LexIngest.probe(spark, idx, terms, 10)).take(2).map(_._1)
+    LexIngest.markDeleted(spark, idx, victims)
+    val surviving = key(TextAnalysis.bm25TopDocs(
+      d.filter(!col("doc_id").isin(victims: _*)), terms, 10))
+    key(LexIngest.probe(spark, idx, terms, 10)) shouldBe surviving
+    // physical apply at OPTIMIZE, ranking unchanged
+    StoreCompaction.compact(spark, s"$idx/postings", Nil,
+      targetFiles = 1, sortCols = Seq("term"), deleteIdCol = Some("doc_id"))
+    StoreCompaction.compact(spark, s"$idx/stats", Nil,
+      deleteIdCol = Some("doc_id"))
+    StoreCompaction.vacuum(spark, s"$idx/postings")
+    StoreCompaction.vacuum(spark, s"$idx/stats")
+    key(LexIngest.probe(spark, idx, terms, 10)) shouldBe surviving
+    StoreCompaction.committedView(spark, s"$idx/postings")
+      .filter(col("doc_id").isin(victims: _*)).count() shouldBe 0L
+  }
+
   test("generative: random batch splits with compaction at a random mid-stream point always probe bitwise (vector) and rank bitwise (lexical)") {
     import spark.implicits._
     import graft.llm.{Similarity, TextAnalysis}

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, lit, sum}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -1122,9 +1122,9 @@ class StreamingSpec extends SparkSpec {
       rows.filter(_._1 % 3 == 1).toSeq.toDF("doc_id", "text"),
       s"$dir/idx", batchId = 1L)
     key(LexIngest.probe(spark, s"$dir/idx", terms, 10)) shouldBe expected
-    // stats stayed additive: summed (n, sumdl) equal the corpus totals
+    // stats stayed additive: the per-doc rows aggregate to the corpus totals
     val st = spark.read.parquet(s"$dir/idx/stats")
-      .agg(sum(col("n")), sum(col("sumdl"))).head()
+      .agg(count(lit(1)), sum(col("dl"))).head()
     val bt = TextAnalysis.lexStats(d).head()
     (st.getLong(0), st.getLong(1)) shouldBe ((bt.getLong(0), bt.getLong(1)))
   }
