@@ -614,8 +614,8 @@ object Bench {
           val q = graft.streaming.LexIngest.start(src, s"$tmp/idx", s"$tmp/ck")
           q.processAllAvailable()
           q.stop()
-          val n = s2.read.parquet(s"$tmp/idx/stats")
-            .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+          // stats are per-DOCUMENT rows (the deletion-subtractable layout)
+          val n = s2.read.parquet(s"$tmp/idx/stats").count()
           val hits = graft.streaming.LexIngest.probe(s2, s"$tmp/idx",
             Seq("spark", "window", "customer", "filter"), 10).count()
           require(n == nDocs && hits > 0,
