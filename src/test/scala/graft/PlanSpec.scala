@@ -619,4 +619,18 @@ class PlanSpec extends SparkSpec {
     p should include regex "PartitionFilters: \\[[^\\]]*ingest_batch"
     (p should not).include("Join")
   }
+
+  test("ann_forget: after the physical apply the probe plan is clean — partition pruning intact, the cleared deletion anti-join optimized away") {
+    val p = plan("ann_forget")
+    p should include regex "PartitionFilters: \\[[^\\]]*cell_id"
+    // deletes were applied and cleared at compact: deletedIds is an empty
+    // local relation, so PropagateEmptyRelation removes the anti-join
+    (p should not).include("Join")
+  }
+
+  test("q_bm25_forget: the post-forget probe still pushes the term IN filter to the postings scan") {
+    val p = plan("q_bm25_forget")
+    p should include regex "PushedFilters: \\[[^\\]]*In\\(term"
+    (p should not).include("documents.parquet")
+  }
 }

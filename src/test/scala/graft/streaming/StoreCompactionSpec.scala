@@ -302,6 +302,12 @@ class StoreCompactionSpec extends SparkSpec {
     val surviving = key(TextAnalysis.bm25TopDocs(
       d.filter(!col("doc_id").isin(victims: _*)), terms, 10))
     key(LexIngest.probe(spark, idx, terms, 10)) shouldBe surviving
+    // with deletes PENDING the probe carries the anti-join, but the term
+    // IN filter still pushes through it to the postings scan
+    val pendingPlan = LexIngest.probe(spark, idx, terms, 10)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    pendingPlan should include regex "PushedFilters: \\[[^\\]]*In\\(term"
     // physical apply at OPTIMIZE, ranking unchanged
     StoreCompaction.compact(spark, s"$idx/postings", Nil,
       targetFiles = 1, sortCols = Seq("term"), deleteIdCol = Some("doc_id"))
