@@ -320,6 +320,43 @@ class StoreCompactionSpec extends SparkSpec {
       .filter(col("doc_id").isin(victims: _*)).count() shouldBe 0L
   }
 
+  test("forget end-to-end: deleteCascade verdicts (requested + near-dups) flow into the index deletion vectors; the content stops serving") {
+    import spark.implicits._
+    import graft.llm.{Dedup, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("cascadeidx").toString
+    val idx = s"$dir/idx"
+    // doc 2 near-duplicates doc 1 (one token differs); docs 3/4 disjoint
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally different content with fresh words here"),
+      (4L, "yet another unrelated document body entirely"))
+    LexIngest.ingestBatch(corpus.toDF("doc_id", "text"), idx, 0L)
+    // the removal request names doc 1; the cascade adds its near-dup 2
+    val verdicts = Dedup.deleteCascade(corpus.toDF("doc_id", "text"),
+        Seq(1L).toDF("doc_id"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    verdicts shouldBe Array((1L, "requested"), (2L, "near_dup"))
+    LexIngest.markDeleted(spark, idx, verdicts.map(_._1))
+    // the forgotten CONTENT stops serving: its distinguishing terms rank
+    // nothing, and the ranking over surviving terms equals the one-shot
+    // scorer over the surviving corpus, bitwise
+    LexIngest.probe(spark, idx, Seq("alpha"), 5).count() shouldBe 0L
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    key(LexIngest.probe(spark, idx, Seq("content", "document"), 5)) shouldBe
+      key(TextAnalysis.bm25TopDocs(
+        corpus.filter(_._1 > 2L).toDF("doc_id", "text"),
+        Seq("content", "document"), 5))
+    // and the physical apply leaves no trace
+    StoreCompaction.compact(spark, s"$idx/postings", Nil,
+      targetFiles = 1, sortCols = Seq("term"), deleteIdCol = Some("doc_id"))
+    StoreCompaction.compact(spark, s"$idx/stats", Nil, deleteIdCol = Some("doc_id"))
+    StoreCompaction.committedView(spark, s"$idx/postings")
+      .filter(col("term") === "alpha").count() shouldBe 0L
+  }
+
   test("generative: random batch splits with compaction at a random mid-stream point always probe bitwise (vector) and rank bitwise (lexical)") {
     import spark.implicits._
     import graft.llm.{Similarity, TextAnalysis}
