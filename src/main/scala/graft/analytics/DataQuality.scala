@@ -163,8 +163,13 @@ object DataQuality {
                      minAvgLen: Double, maxAvgLen: Double,
                      minStopHits: Int, minAlphaFrac: Double): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val o = oldSnap.persist(lvl)
-    val n = newSnap.persist(lvl)
+    // persist DEFENSIVE COPIES (a fresh Project node per snapshot), never
+    // the caller's frames: persist() throws if the caller already cached
+    // a snapshot at a different level, and the unpersist below would
+    // silently evict a cache the caller owns
+    def copy(df: DataFrame): DataFrame = df.select(df.columns.map(col): _*)
+    val o = copy(oldSnap).persist(lvl)
+    val n = copy(newSnap).persist(lvl)
     def band(st: String, as: String) =
       coalesce(sum(when(col("status") === st, col("n_docs"))), lit(0L)).as(as)
     val bands = snapshotDiff(o, n).groupBy(col("source")).agg(

@@ -356,8 +356,13 @@ object EventStream {
                 if (st.seen && st.vLatest < e.tus) Some(st.vLatest)
                 else if (st.vPrevDistinct != Long.MinValue) Some(st.vPrevDistinct)
                 else None
+              // c < e.tus re-checked on the FALLBACK arm too: an
+              // out-of-contract late left (e.tus ≤ vPrevDistinct) must
+              // fail safe to null, never emit a match from the left's
+              // FUTURE (e.tus − c would be negative and pass the
+              // tolerance bound alone)
               out += AsofMatch(user, e.event_id, e.tus,
-                cand.filter(c => e.tus - c <= toleranceMicros))
+                cand.filter(c => c < e.tus && e.tus - c <= toleranceMicros))
             }
           }
           state.update(st)

@@ -95,7 +95,11 @@ object QualityGate {
     * NOW; the monitor's contract is "latest partition = current drift",
     * not a time-travel log). Streaming cannot join AFTER an aggregate
     * inside one plan, so the stitch runs in foreachBatch over the
-    * trigger's sources-sized card — the release side broadcasts. */
+    * trigger's sources-sized card. The stitch is a FULL OUTER join, the
+    * one join type with no broadcast variant in Spark 4.1 (a hint would
+    * be silently ignored) — the per-trigger sort-merge exchange is over
+    * two sources-sized frames, a few rows each, so it costs the job
+    * floor, not a shuffle of data. */
   def corpusCardDiffStream(docsStream: DataFrame, releaseCard: DataFrame,
                            outPath: String, checkpoint: String,
                            minWords: Int, maxWords: Int,
@@ -107,7 +111,7 @@ object QualityGate {
       .outputMode("complete")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (card: Dataset[Row], batchId: Long) =>
-        cardDiff(card.toDF(), broadcast(releaseCard))
+        cardDiff(card.toDF(), releaseCard)
           .withColumn("monitor_batch", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

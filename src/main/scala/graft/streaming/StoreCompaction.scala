@@ -208,6 +208,18 @@ object StoreCompaction {
       s"$path has ${pendingDeleteFiles.size} pending delete file(s) but " +
         "compact() was not given deleteIdCol — pass the id column so the " +
         "rewrite can apply them physically")
+    // a TORN prior attempt at this generation may have left −gen
+    // partitions this retry's data no longer produces: on a CLUSTERED
+    // store the dynamic overwrite rewrites only (cluster, −g) partitions
+    // PRESENT in the retry's rows, so if deletes marked between the torn
+    // attempt and the retry emptied a whole cluster, its stale directory
+    // would survive and become visible the moment the marker commits —
+    // resurrecting forgotten rows. Sweep every uncommitted −gen directory
+    // BEFORE the write (they are invisible to committedView, so readers
+    // never see the gap); the write then recreates exactly this attempt's
+    // partitions.
+    batchDirs(spark, path).filter(_._2 == -gen)
+      .foreach { case (p, _) => fs0.delete(p, true) }
     val base = deleteIdCol match {
       case Some(idc) if pendingDeleteFiles.nonEmpty => liveView(spark, path, idc)
       case _ => committedView(spark, path)

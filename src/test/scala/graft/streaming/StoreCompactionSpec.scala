@@ -437,4 +437,34 @@ class StoreCompactionSpec extends SparkSpec {
     StoreCompaction.vacuum(spark, idx) should be > 0
     rows() shouldBe pre
   }
+
+  test("torn clustered retry cannot resurrect forgotten rows: a cluster emptied by deletes between the torn attempt and the retry leaves no stale -g partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmptornclu").toString
+    val store = s"$dir/store"
+    Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "cell")
+      .withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("cell", "ingest_batch").parquet(store)
+    // first attempt writes generation 1 (clusters A and B), then TEARS
+    StoreCompaction.compact(spark, store, Seq("cell"))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/_compaction/gen-1"), false) shouldBe true
+    fs.exists(new org.apache.hadoop.fs.Path(s"$store/cell=B/ingest_batch=-1")) shouldBe true
+    // id 3 (the ONLY row of cluster B) is forgotten between attempts
+    StoreCompaction.markDeleted(spark, store, Seq(3L))
+    // retry: its data has no cluster-B rows, so a bare dynamic overwrite
+    // would leave the torn attempt's cell=B/ingest_batch=-1 on disk and
+    // the marker commit would resurrect the forgotten row — the
+    // pre-write sweep of uncommitted -g directories prevents exactly that
+    StoreCompaction.compact(spark, store, Seq("cell"),
+      deleteIdCol = Some("id")) shouldBe StoreCompaction.Watershed(1L, 0L)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$store/cell=B/ingest_batch=-1")) shouldBe false
+    StoreCompaction.committedView(spark, store)
+      .select("id").orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 2L)
+    StoreCompaction.vacuum(spark, store)
+    StoreCompaction.committedView(spark, store)
+      .select("id").orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 2L)
+    all(parquetFiles(store)) should not include "cell=B"
+  }
 }

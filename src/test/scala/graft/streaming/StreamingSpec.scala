@@ -1476,6 +1476,35 @@ class StreamingSpec extends SparkSpec {
     streamed.toMap.apply(8L) shouldBe ((2L, 290L, Some(210L)))
   }
 
+  test("streamingAsofWithin: an out-of-contract late left fails safe to null, never a match from its own future") {
+    implicit val ctx = spark.sqlContext
+    import EventStream.AsofEvent
+    val mem = MemoryStream[AsofEvent]
+    val q = EventStream.streamingAsofWithin(mem.toDS(), "click", "view", 100L)
+      .writeStream.format("memory").queryName("asoflate").outputMode("update").start()
+    try {
+      // two views fold into the two-long state (vLatest=200, vPrev=100)
+      mem.addData(AsofEvent(1L, 1L, "view", 100L), AsofEvent(1L, 2L, "view", 200L))
+      q.processAllAvailable()
+      // a late left at t=50 violates the ordered-trigger contract: both
+      // state values are in its FUTURE. The fallback arm (vPrev=100)
+      // passes the tolerance bound alone (50-100 = -50 <= 100) — the
+      // strict-before check must null it out, not emit view@100
+      mem.addData(AsofEvent(1L, 3L, "click", 50L))
+      q.processAllAvailable()
+      // an in-contract left still matches through the fallback arm:
+      // click@200 ties vLatest → falls back to view@100, which is
+      // strictly before and within tolerance (200-100 = 100 <= 100)
+      mem.addData(AsofEvent(1L, 4L, "click", 200L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("asoflate").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    out(3L) shouldBe None       // fail-safe null, not Some(100L)
+    out(4L) shouldBe Some(100L) // the legit fallback match is untouched
+  }
+
   test("transitionCellUpdates horizon: state prunes to the window, in-horizon retraction stays exact, beyond-horizon lates drop") {
     implicit val ctx = spark.sqlContext
     import EventStream.SeqEvent
