@@ -1875,6 +1875,53 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
+    // the PRODUCTION RAG path end-to-end: both retrievers probe their
+    // PERSISTED stores (streamed lexical postings + IVF-PQ vector index)
+    // with forget composed through BOTH — the same ids marked deleted on
+    // each store serve through the deletion-vector liveView subtraction
+    // (the logical-delete path; ann_forget/q_bm25_forget pin the
+    // physical apply). Each probe is bitwise its one-shot scorer over
+    // the surviving corpus, so the oracle is the one-shot hybrid SQL
+    // with the ids excluded. Eager (persist + count) so both temp
+    // stores delete in the finally.
+    "q_hybrid_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hybrid_indexed").toString
+      try {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        for (b <- 0 until 3) {
+          graft.streaming.LexIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), s"$root/lex", b.toLong)
+          graft.streaming.VectorIndexIngest.ingestBatch(
+            e.filter(col("vec_id") % 3 === b), s"$root/vec", quant, b.toLong)
+        }
+        graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetDocIds)
+        graft.streaming.StoreCompaction.markDeleted(s, s"$root/vec", ForgetDocIds)
+        val lex = graft.streaming.LexIngest
+          .probe(s, s"$root/lex", Bm25Terms, RrfPoolK)
+          .select(lit(HybridQueryId).as("query_id"),
+            col("doc_id").as("neighbor_id"), col("rn"))
+        val sem = Similarity.ivfPqProbe(
+            graft.streaming.VectorIndexIngest.index(s, s"$root/vec"), quant,
+            Similarity.collectVectors(e, Seq(HybridQueryId)),
+            nprobe = 3, k = RrfPoolK)
+          .select(col("query_id"), col("neighbor_id"), col("rn"))
+        val out = Similarity.rrfFuse(lex, sem, RrfConst, RrfTopK)
+          .orderBy(col("rn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // three-retriever RRF ensemble: exact cosine + IVF + PQ-ADC fused by
     // the n-ary fold (rrfFuseN) — the realistic hybrid-search shape;
     // score is a fixed-order three-term sum of exact-integer divisions
@@ -3400,6 +3447,12 @@ object SparkEntry {
       PqCodebookIds, PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),
     "q_hybrid_retrieval" -> TextSql.hybridRrfSql(Bm25Terms, 1.2, 0.75,
       HybridQueryId, RrfPoolK, RrfConst, RrfTopK),
+    // both persisted stores serve through deletion vectors, each probe
+    // bitwise its one-shot scorer over the surviving corpus — so the
+    // oracle is the one-shot hybrid with the forgotten ids excluded
+    "q_hybrid_indexed" -> TextSql.hybridIndexedRrfSql(Bm25Terms, 1.2, 0.75,
+      HybridQueryId, IvfCoarseIds, PqCodebookIds, PqSubspaces, nprobe = 3,
+      RrfPoolK, RrfConst, RrfTopK, excludeIds = ForgetDocIds),
 
     "q_rrf3" -> TextSql.rrfFusion3Sql(IvfCoarseIds, 2, PqCodebookIds,
       PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),

@@ -1071,6 +1071,35 @@ object TextSql {
       "ORDER BY rn"
   }
 
+  /** Mirror of the INDEXED hybrid fusion ([[hybridRrfSql]]'s join/score
+    * shape with the persisted-store retrievers): the lexical ranking is
+    * bm25Sql over the surviving corpus (`excludeIds` = the forgotten
+    * docs — the store serves them through the deletion-vector liveView
+    * subtraction), the semantic ranking is ivfPqSearchSql with the same
+    * ids excluded from the candidate set (the vector store's anti-join).
+    * Both stores hold exact integers, so each probe is bitwise its
+    * one-shot scorer over the surviving corpus and the fusion crosses
+    * unrounded — same two-term left-associated RRF sum. */
+  def hybridIndexedRrfSql(queryTerms: Seq[String], k1: Double, b: Double,
+                          queryId: Long, coarseIds: Seq[Long],
+                          codebookIds: Seq[Long], m: Int, nprobe: Int,
+                          poolK: Int, kRrf: Int, topK: Int,
+                          excludeIds: Seq[Long] = Nil): String =
+    s"WITH lex AS (SELECT CAST($queryId AS BIGINT) AS query_id, " +
+      "doc_id AS neighbor_id, rn FROM " +
+      s"(${bm25Sql(queryTerms, poolK, k1, b, excludeIds)}) l), " +
+      "sem AS (SELECT query_id, neighbor_id, rn FROM " +
+      s"(${ivfPqSearchSql(coarseIds, codebookIds, m, Seq(queryId), nprobe,
+        poolK, excludeIds)}) s), " +
+      "f AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id, " +
+      "coalesce(lex.neighbor_id, sem.neighbor_id) AS neighbor_id, " +
+      s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + lex.rn AS DOUBLE), CAST(0 AS DOUBLE)) + " +
+      s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + sem.rn AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf " +
+      "FROM lex FULL OUTER JOIN sem ON lex.query_id = sem.query_id AND lex.neighbor_id = sem.neighbor_id), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rn2 FROM f) " +
+      s"SELECT query_id, neighbor_id, rrf, CAST(rn2 AS BIGINT) AS rn FROM rk WHERE rn2 <= $topK " +
+      "ORDER BY rn"
+
   /** Mirror of Similarity.rrfFuseN over THREE rankings (exact-cosine,
     * IVF, PQ-ADC) — each re-derived by its own contract CTEs. The join
     * chain is left-folded exactly like the operator's `reduce` (bf⟗ivf,

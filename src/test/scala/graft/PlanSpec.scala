@@ -628,6 +628,15 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Join")
   }
 
+  test("q_hybrid_indexed: one plan carries BOTH store probes — term IN pushed to the postings scan, cell_id partition pruning on the vector index, rank join full-outer, nothing cartesian, corpus text never read") {
+    val p = plan("q_hybrid_indexed")
+    p should include regex "PushedFilters: \\[[^\\]]*In\\(term"
+    p should include regex "PartitionFilters: \\[[^\\]]*cell_id"
+    p should include("FullOuter")
+    (p should not).include("CartesianProduct")
+    (p should not).include("documents.parquet")
+  }
+
   test("q_bm25_forget: the post-forget probe still pushes the term IN filter to the postings scan") {
     val p = plan("q_bm25_forget")
     p should include regex "PushedFilters: \\[[^\\]]*In\\(term"

@@ -583,6 +583,54 @@ class LlmSpec extends SparkSpec {
     stored.filter(col("cell_id").isin(7L, 123L)).count() should be > 0L
   }
 
+  test("indexed hybrid fusion over the persisted stores is bitwise the one-shot bm25 x ivf-pq fusion; forget composes through both stores") {
+    val dir = java.nio.file.Files.createTempDirectory("hybidx").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val terms = Seq("spark", "window", "customer", "filter")
+    val qid = 0L
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    for (b <- 0 until 3) {
+      graft.streaming.LexIngest.ingestBatch(
+        docs.filter(col("doc_id") % 3 === b), s"$dir/lex", b.toLong)
+      graft.streaming.VectorIndexIngest.ingestBatch(
+        emb.filter(col("vec_id") % 3 === b), s"$dir/vec", quant, b.toLong)
+    }
+    def fused() = Similarity.rrfFuse(
+      graft.streaming.LexIngest.probe(spark, s"$dir/lex", terms, 10)
+        .select(lit(qid).as("query_id"), col("doc_id").as("neighbor_id"), col("rn")),
+      Similarity.ivfPqProbe(
+          graft.streaming.VectorIndexIngest.index(spark, s"$dir/vec"), quant,
+          Similarity.collectVectors(emb, Seq(qid)), nprobe = 3, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rn")),
+      60, 5)
+    def oneShot(d: org.apache.spark.sql.DataFrame,
+                e: org.apache.spark.sql.DataFrame) = Similarity.rrfFuse(
+      TextAnalysis.bm25TopDocs(d, terms, 10)
+        .select(lit(qid).as("query_id"), col("doc_id").as("neighbor_id"), col("rn")),
+      Similarity.ivfPqSearch(e, coarseIds, cbIds, 4, Seq(qid), nprobe = 3, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rn")),
+      60, 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    // full corpus: the persisted-store fusion IS the one-shot fusion
+    key(fused()) shouldBe key(oneShot(docs, emb))
+    // forget the same ids on BOTH stores (logical deletes, liveView path):
+    // the fusion equals the one-shot hybrid over the SURVIVING corpus —
+    // the forgotten docs leave the lexical ranking model (df/N/Sumdl
+    // shift) and the vector candidate set in one composed operation
+    val forget = Seq(87L, 102L)
+    graft.streaming.LexIngest.markDeleted(spark, s"$dir/lex", forget)
+    graft.streaming.StoreCompaction.markDeleted(spark, s"$dir/vec", forget)
+    key(fused()) shouldBe key(oneShot(
+      docs.filter(!col("doc_id").isin(forget: _*)),
+      emb.filter(!col("vec_id").isin(forget: _*))))
+  }
+
   test("cosineNearDupPairs: finds parallel vectors in the same cell, not cross-cell") {
     val e = embDF(
       0L -> Seq(1f, 0f, 0f),      // coarse cell A
