@@ -1102,6 +1102,20 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // HARD ERASE on dimension history (GDPR on the SCD2 family):
+    // tombstones retain attribute history, erase purges it — every row
+    // of key%5==0 vanishes from the tombstoned merge, plus a ghost
+    // erase (never-existed key) as the idempotent no-op; the broadcast
+    // anti-join is the deletion-vector subtraction shape on SCD2
+    "q_scd2_erase" -> ((s, dir) => {
+      val merged = scd2MergedDel(s, dir)
+      val requests = merged.select(col("key")).distinct()
+        .filter(col("key") % 5 === 0)
+        .union(s.range(1).select((col("id") + 999999L).as("key")))
+      graft.ops.ScdMerge.eraseKeys(merged, requests, "key")
+        .orderBy(col("key"), col("valid_from"))
+    }),
+
     // point-in-time lookup against that merged history (the read side):
     // every merged key probes at t = key % 15, spanning the version
     // stamps {0, 5, 10} — new keys with t < 10 get the null
@@ -2110,12 +2124,11 @@ object SparkEntry {
           graft.streaming.LexIngest.ingestBatch(
             d.filter(col("doc_id") % 3 === b), idxDir, b.toLong)
         graft.streaming.LexIngest.markDeleted(s, idxDir, ForgetDocIds)
-        graft.streaming.StoreCompaction.compact(s, s"$idxDir/postings", Nil,
-          targetFiles = 1, sortCols = Seq("term"), deleteIdCol = Some("doc_id"))
-        graft.streaming.StoreCompaction.compact(s, s"$idxDir/stats", Nil,
-          deleteIdCol = Some("doc_id"))
-        graft.streaming.StoreCompaction.vacuum(s, s"$idxDir/postings")
-        graft.streaming.StoreCompaction.vacuum(s, s"$idxDir/stats")
+        // whole-store OPTIMIZE: term-sorted postings, physical delete
+        // apply, and the stats_agg generation rebuild — the probe's
+        // corpus constants then read O(1) aggregate rows, not per-doc
+        graft.streaming.LexIngest.compact(s, idxDir)
+        graft.streaming.LexIngest.vacuum(s, idxDir)
         graft.streaming.LexIngest.probe(s, idxDir, Bm25Terms, Bm25K)
           .orderBy(col("rn"))
       } finally {
@@ -3100,6 +3113,12 @@ object SparkEntry {
         "SELECT key, seg, nat, valid_from, valid_to, " +
         "(valid_to IS NULL) AS is_current " +
         "FROM iv WHERE op <> 'D' ORDER BY key, valid_from"),
+
+    // hard erase: the purged keys simply never appear — history is
+    // key-independent, so the filter over the merged CTE IS the erase
+    "q_scd2_erase" ->
+      (ScdDelCtes + " SELECT key, seg, nat, valid_from, valid_to, " +
+        "is_current FROM merged WHERE key % 5 <> 0 ORDER BY key, valid_from"),
 
     "q_scd2_pit_del" ->
       (ScdDelCtes + ", facts AS (SELECT DISTINCT key, key % 15 AS t FROM merged) " +

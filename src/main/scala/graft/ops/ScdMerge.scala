@@ -230,6 +230,31 @@ object ScdMerge {
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** HARD ERASE — the right-to-be-forgotten arm on dimension HISTORY
+    * (GDPR Art. 17 applied to an SCD2 table): purge EVERY row of the
+    * given keys, open and closed alike. A tombstone ([[mergeOps]]
+    * op='D') closes the key's open row but RETAINS its attribute
+    * history; erase removes the past itself — afterwards
+    * [[pointInTime]] resolves the key to null attrs at EVERY t, exactly
+    * as if the key had never been merged. That equivalence is real, not
+    * just intuitive: the merge fold treats keys independently, so
+    * erase(fold(log)) ≡ fold(log with the keys' rows removed)
+    * (generative-spec-pinned), and erasing a key that never existed is
+    * an idempotent no-op. Scale shape: one broadcast anti-join (erase
+    * requests are tiny relative to the dimension — the
+    * `StoreCompaction.liveView` subtraction shape on the SCD2 family);
+    * over a bucketed history the rewrite touches only partitions
+    * holding erased keys. */
+  def eraseKeys(history: DataFrame, keys: DataFrame, key: String): DataFrame =
+    history.join(broadcast(keys.select(col(key)).distinct()), Seq(key), "left_anti")
+
+  /** [[eraseKeys]] for a driver-side id list: compiles to a NOT IN
+    * data filter (no join at all — it pushes into the history scan). */
+  def erase(history: DataFrame, key: String, ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, "erase needs at least one key")
+    history.filter(!col(key).isin(ids: _*))
+  }
+
   /** Point-in-time dimension lookup against an SCD2 history — the read
     * side of [[merge]]: each fact row gets the attribute values that
     * were CURRENT at its version stamp (`asof_<attr>` columns; null

@@ -341,32 +341,95 @@ object EventStream {
         org.apache.spark.sql.streaming.OutputMode.Update(),
         GroupStateTimeout.NoTimeout()) {
         (user: Long, it: Iterator[AsofEvent], state: GroupState[AsofState]) =>
-          var st = state.getOption.getOrElse(
-            AsofState(Long.MinValue, Long.MinValue, seen = false))
-          val out = Seq.newBuilder[AsofMatch]
-          // the trigger's iterator is NOT time-ordered (DebounceStream trap)
-          for (e <- it.toSeq.sortBy(e => (e.tus, e.event_id))) {
-            if (e.event_type == rightType) {
-              if (!st.seen || e.tus > st.vLatest)
-                st = AsofState(e.tus,
-                  if (st.seen) st.vLatest else Long.MinValue, seen = true)
-              // e.tus == vLatest: a duplicate time changes nothing
-            } else if (e.event_type == leftType) {
-              val cand =
-                if (st.seen && st.vLatest < e.tus) Some(st.vLatest)
-                else if (st.vPrevDistinct != Long.MinValue) Some(st.vPrevDistinct)
-                else None
-              // c < e.tus re-checked on the FALLBACK arm too: an
-              // out-of-contract late left (e.tus ≤ vPrevDistinct) must
-              // fail safe to null, never emit a match from the left's
-              // FUTURE (e.tus − c would be negative and pass the
-              // tolerance bound alone)
-              out += AsofMatch(user, e.event_id, e.tus,
-                cand.filter(c => c < e.tus && e.tus - c <= toleranceMicros))
-            }
-          }
+          val (st, out) = asofWalk(user, it.toSeq, state.getOption,
+            leftType, rightType, toleranceMicros)
           state.update(st)
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** The shared per-trigger walk: fold the group's (re-sorted) events
+    * into the two-long state, emitting one [[AsofMatch]] per left. */
+  private def asofWalk(user: Long, arrived: Seq[AsofEvent],
+                       prior: Option[AsofState], leftType: String,
+                       rightType: String,
+                       toleranceMicros: Long): (AsofState, Seq[AsofMatch]) = {
+    var st = prior.getOrElse(AsofState(Long.MinValue, Long.MinValue, seen = false))
+    val out = Seq.newBuilder[AsofMatch]
+    // the trigger's iterator is NOT time-ordered (DebounceStream trap)
+    for (e <- arrived.sortBy(e => (e.tus, e.event_id))) {
+      if (e.event_type == rightType) {
+        if (!st.seen || e.tus > st.vLatest)
+          st = AsofState(e.tus,
+            if (st.seen) st.vLatest else Long.MinValue, seen = true)
+        // e.tus == vLatest: a duplicate time changes nothing
+      } else if (e.event_type == leftType) {
+        val cand =
+          if (st.seen && st.vLatest < e.tus) Some(st.vLatest)
+          else if (st.vPrevDistinct != Long.MinValue) Some(st.vPrevDistinct)
+          else None
+        // c < e.tus re-checked on the FALLBACK arm too: an
+        // out-of-contract late left (e.tus ≤ vPrevDistinct) must
+        // fail safe to null, never emit a match from the left's
+        // FUTURE (e.tus − c would be negative and pass the
+        // tolerance bound alone)
+        out += AsofMatch(user, e.event_id, e.tus,
+          cand.filter(c => c < e.tus && e.tus - c <= toleranceMicros))
+      }
+    }
+    (st, out.result())
+  }
+
+  case class AsofEventTs(user_id: Long, event_id: Long, event_type: String,
+                         tus: Long, ts: java.sql.Timestamp)
+
+  /** [[streamingAsofWithin]] with EVENT-TIME EVICTION — the bounded-state
+    * production shape: a user whose latest right event has aged past
+    * `watermark − tolerance` is dropped from the store (event-time
+    * timeout). Eviction is SOUND under the operator's own contract: the
+    * timeout fires only once the watermark passes `vLatest + tolerance`
+    * (+1 ms rounding margin), and the watermark also filters older
+    * lefts, so any left the operator still processes satisfies
+    * `e.tus − vLatest > tolerance` — its match was stale → null with or
+    * without the state. Dropping the state changes no output, it only
+    * caps the store at the ACTIVE-user count instead of the ever-seen
+    * count (the unbounded variant's price for watermark-free matching).
+    * Rights arriving after eviction simply re-seed fresh state — the
+    * two-long state only ever serves FUTURE lefts. A user with no right
+    * seen stores nothing at all. Same ordered-trigger contract on late
+    * lefts; `watermarkDelay` is the lateness the walk tolerates before
+    * the filter (and eviction clock) engages. */
+  def streamingAsofWithinEvicting(events: Dataset[AsofEvent], leftType: String,
+                                  rightType: String, toleranceMicros: Long,
+                                  watermarkDelay: String = "0 seconds")
+      : Dataset[AsofMatch] = {
+    require(toleranceMicros >= 0L, s"need tolerance >= 0, got $toleranceMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .withWatermark("ts", watermarkDelay)
+      .as[AsofEventTs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[AsofEventTs], state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (st, out) = asofWalk(user,
+              it.map(e => AsofEvent(e.user_id, e.event_id, e.event_type, e.tus)).toSeq,
+              state.getOption, leftType, rightType, toleranceMicros)
+            if (st.seen) {
+              state.update(st)
+              // ceil-to-ms + 1 ms margin: never evict EARLY (a boundary
+              // left at exactly vLatest + tolerance still matches)
+              val evictAtMs = (st.vLatest + toleranceMicros) / 1000L + 2L
+              state.setTimeoutTimestamp(
+                math.max(evictAtMs, state.getCurrentWatermarkMs + 1L))
+            } else if (state.exists) state.remove()
+            out.iterator
+          }
       }
   }
 

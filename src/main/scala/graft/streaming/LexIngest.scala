@@ -10,9 +10,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `TextAnalysis.writeLexIndex` opened: each arriving micro-batch lands
   * its own postings rows (term, doc_id, tf, dl — all intra-document
   * quantities, so the projection is batch-local with NO cross-batch
-  * read) and a one-row stats partition; queries probe the stored rows
+  * read), a per-DOC stats partition (the forget-subtractable layout),
+  * and a one-row per-batch aggregate; queries probe the stored rows
   * with the corpus constants SUMMED across batches (n and Σdl are
-  * additive BIGINTs), bitwise the one-shot `bm25TopDocs` over the same
+  * additive BIGINTs, served from the per-batch aggregates —
+  * [[corpusStats]]), bitwise the one-shot `bm25TopDocs` over the same
   * corpus (spec-pinned — the shared `bm25ScoreSlice` kernel plus exact
   * integer round-trips leave nothing to drift).
   *
@@ -24,22 +26,51 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * doc_id ingested once — the vec_id contract), else its df would
   * double-count.
   *
-  * Long-lived stores compact with [[StoreCompaction]] — BOTH stores, and
-  * the postings with `sortCols = Seq("term")`: per-batch files each span
-  * the whole term range, so consolidation is exactly where the
-  * row-group term locality ([[graft.llm.TextAnalysis.lexPostings]]'s
-  * min/max skipping) is restored. Probes are bitwise unchanged; a
-  * replayed batch at or below either watershed SKIPS. */
+  * Long-lived stores OPTIMIZE with [[compact]] (postings consolidate
+  * with `sortCols = Seq("term")`: per-batch files each span the whole
+  * term range, so consolidation is exactly where the row-group term
+  * locality ([[graft.llm.TextAnalysis.lexPostings]]'s min/max skipping)
+  * is restored — and the `stats_agg` cache rebuilds for the new
+  * generation). Probes are bitwise unchanged; a replayed batch at or
+  * below either watershed SKIPS. */
 object LexIngest {
 
-  def ingestBatch(batch: DataFrame, indexPath: String, batchId: Long): Unit = {
+  /** @param dedupAdmission enforce the batch-disjointness contract
+    *        instead of assuming it: re-sent doc_ids are FILTERED before
+    *        the projection — within the batch deterministically (lowest
+    *        text per id, so a replay rewrites byte-identically) and
+    *        against the already-committed corpus via an anti-join on the
+    *        stats store's doc registry (prior view = batches < this one
+    *        through the committed filter, the SpanIngest prior-read
+    *        discipline — deterministic under replay by the watershed
+    *        argument). Without it a duplicate doc silently double-counts
+    *        df, N and Σdl. Off by default: disjoint feeds (the vec_id
+    *        contract) skip the per-batch registry scan. */
+  def ingestBatch(batch: DataFrame, indexPath: String, batchId: Long,
+                  dedupAdmission: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val batchDocs = batch.select(col("doc_id"), col("text"))
-    if (batchDocs.isEmpty) return
+    val raw = batch.select(col("doc_id"), col("text"))
+    if (raw.isEmpty) return
     if (batchId <= math.max(
         StoreCompaction.coveredThrough(spark, s"$indexPath/postings"),
         StoreCompaction.coveredThrough(spark, s"$indexPath/stats")))
       return // compacted replay: effects durable inside the generations
+    val batchDocs =
+      if (!dedupAdmission) raw
+      else {
+        val inBatch = raw.groupBy(col("doc_id"))
+          .agg(min(col("text")).as("text"))
+        val statsPath = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
+        val hasPrior = StoreCompaction.fsOf(spark, s"$indexPath/stats")
+          .exists(statsPath)
+        if (!hasPrior) inBatch
+        else inBatch.join(
+          StoreCompaction.committedView(spark, s"$indexPath/stats")
+            .filter(col("ingest_batch").cast("long") < batchId)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
+    if (batchDocs.isEmpty) return
     TextAnalysis.lexPostings(batchDocs)
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
@@ -57,37 +88,150 @@ object LexIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch")
       .parquet(s"$indexPath/stats")
+    // per-BATCH one-row aggregate (n, sumdl): the probe-side corpus
+    // constants become O(committed batches) instead of a per-probe scan
+    // of every per-doc row — BIGINT addition is associative, so the
+    // folded totals are bit-identical to the per-doc sum. Same pure-
+    // projection exactly-once story; the per-doc rows stay the source
+    // of truth (forget subtraction and compaction rebuilds need them).
+    TextAnalysis.lexStats(batchDocs)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(s"$indexPath/stats_agg")
   }
 
   /** Logically forget documents: postings AND stats mark the ids; every
     * [[probe]] from now on excludes them and re-derives the surviving
-    * corpus constants; the next [[StoreCompaction.compact]] (with
-    * `deleteIdCol = Some("doc_id")`) removes them physically. */
+    * corpus constants; the next [[compact]] removes them physically. */
   def markDeleted(spark: SparkSession, indexPath: String, docIds: Seq[Long]): Unit = {
     StoreCompaction.markDeleted(spark, s"$indexPath/postings", docIds)
     StoreCompaction.markDeleted(spark, s"$indexPath/stats", docIds)
   }
 
-  def start(docsStream: DataFrame, indexPath: String,
-            checkpoint: String): StreamingQuery =
+  /** @param autoCompactEvery when set, the ingest self-OPTIMIZEs via
+    *        [[compact]]+[[vacuum]] once the postings store's committed
+    *        batch partitions reach N — inside the same foreachBatch
+    *        (single-writer), replay-safe like the manual lifecycle.
+    * @param dedupAdmission see [[ingestBatch]]. */
+  def start(docsStream: DataFrame, indexPath: String, checkpoint: String,
+            autoCompactEvery: Option[Int] = None,
+            dedupAdmission: Boolean = false): StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        ingestBatch(batch.toDF(), indexPath, batchId)
+        ingestBatch(batch.toDF(), indexPath, batchId, dedupAdmission)
+        autoCompactEvery.foreach { n =>
+          val spark = batch.sparkSession
+          val w = StoreCompaction.coveredThrough(spark, s"$indexPath/postings")
+          val live = StoreCompaction.batchDirs(spark, s"$indexPath/postings")
+            .map(_._2).filter(_ > w).distinct.count(_ >= 0L)
+          if (live >= n) { compact(spark, indexPath); vacuum(spark, indexPath) }
+        }
       }
       .start()
 
-  /** BM25 top-k over the streamed store: corpus constants aggregated
-    * over the LIVE per-doc stats rows (exact additive BIGINTs, deleted
-    * docs subtracted), the term slice read through the live postings
-    * view — the shared scoring kernel makes this bitwise
-    * `bm25TopDocs`/`bm25Probe` over the surviving corpus. */
+  /** The live (N, Σdl) corpus constants — exact BIGINTs, served from the
+    * per-batch one-row aggregates: total = Σ over committed `stats_agg`
+    * rows (the stats store's watershed decides which are committed — the
+    * agg cache mirrors the per-doc partitions one row each), minus the
+    * DELETED docs' (count, Σdl) when forget requests are pending (one
+    * broadcast-semi-joined narrow scan, skipped entirely on the common
+    * no-deletes path). Probe-side stats cost is O(batches + deletes),
+    * never O(corpus docs); BIGINT addition is associative, so every
+    * value is bit-identical to the per-doc fold. Falls back to the exact
+    * per-doc aggregate when the agg cache is absent or lacks the
+    * generation row (a pre-round-17 store, a raw `StoreCompaction
+    * .compact` without [[compact]]'s rebuild, or a torn rebuild). */
+  def corpusStats(spark: SparkSession, indexPath: String): (Long, Long) = {
+    val statsPath = s"$indexPath/stats"
+    val aggPath = s"$indexPath/stats_agg"
+    val ws = StoreCompaction.watershed(spark, statsPath)
+    def perDocFallback(): (Long, Long) = {
+      val st = StoreCompaction.liveView(spark, statsPath, "doc_id")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      (st.getLong(0), st.getLong(1))
+    }
+    val fs = StoreCompaction.fsOf(spark, aggPath)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(aggPath)) ||
+        StoreCompaction.batchDirs(spark, aggPath).isEmpty) return perDocFallback()
+    val committed = spark.read.parquet(aggPath)
+      .filter(ws match {
+        case None => col("ingest_batch") >= 0L
+        case Some(StoreCompaction.Watershed(g, w)) =>
+          col("ingest_batch") === lit(-g) || col("ingest_batch") > lit(w)
+      })
+      // partition columns round-trip as INT from directory names
+      .select(col("ingest_batch").cast("long"), col("n"), col("sumdl"))
+      .collect() // one row per committed batch/generation, tiny
+    // a committed stats generation whose agg row never landed (torn
+    // rebuild) would silently DROP the compacted corpus — fall back
+    if (ws.exists(x => !committed.exists(_.getLong(0) == -x.generation)))
+      return perDocFallback()
+    val totN = committed.map(_.getLong(1)).sum
+    val totDl = committed.map(_.getLong(2)).sum
+    if (!StoreCompaction.hasPendingDeletes(spark, statsPath)) (totN, totDl)
+    else {
+      val del = StoreCompaction.committedView(spark, statsPath)
+        .join(broadcast(StoreCompaction.deletedIds(spark, statsPath)),
+          col("doc_id") === col("_del_id"), "left_semi")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      (totN - del.getLong(0), totDl - del.getLong(1))
+    }
+  }
+
+  /** BM25 top-k over the streamed store: corpus constants from
+    * [[corpusStats]] (exact additive BIGINTs, O(batches + deletes) —
+    * never a per-probe scan of the per-doc rows), the term slice read
+    * through the live postings view — the shared scoring kernel makes
+    * this bitwise `bm25TopDocs`/`bm25Probe` over the surviving corpus. */
   def probe(spark: SparkSession, indexPath: String, queryTerms: Seq[String],
             k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val st = StoreCompaction.liveView(spark, s"$indexPath/stats", "doc_id")
-      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val (n, sumdl) = corpusStats(spark, indexPath)
     TextAnalysis.bm25ScoreSlice(
       StoreCompaction.liveView(spark, s"$indexPath/postings", "doc_id"),
-      queryTerms, st.getLong(0), st.getLong(1), k, k1, b)
+      queryTerms, n, sumdl, k, k1, b)
+  }
+
+  /** OPTIMIZE the whole lexical store: postings consolidate TERM-SORTED
+    * (row-group term locality restored), per-doc stats compact, pending
+    * deletes apply physically to both, and the `stats_agg` cache is
+    * REBUILT for the new generation — one row holding the compacted
+    * corpus's exact (n, Σdl), written BEFORE any covered agg partitions
+    * are swept so a torn rebuild only ever leaves [[corpusStats]] on its
+    * per-doc fallback, never wrong. Run [[vacuum]] after, at the
+    * caller's retention policy. */
+  def compact(spark: SparkSession, indexPath: String): StoreCompaction.Watershed = {
+    StoreCompaction.compact(spark, s"$indexPath/postings", Nil,
+      targetFiles = 1, sortCols = Seq("term"), deleteIdCol = Some("doc_id"))
+    val sw = StoreCompaction.compact(spark, s"$indexPath/stats", Nil,
+      deleteIdCol = Some("doc_id"))
+    StoreCompaction.committedView(spark, s"$indexPath/stats")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
+      .withColumn("ingest_batch", lit(-sw.generation))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(s"$indexPath/stats_agg")
+    sw
+  }
+
+  /** GC after [[compact]]: vacuums postings and stats, and sweeps
+    * `stats_agg` partitions the stats watershed superseded (covered
+    * batches and stale generations — [[corpusStats]] never reads them,
+    * exactly the [[StoreCompaction.vacuum]] argument). */
+  def vacuum(spark: SparkSession, indexPath: String): Int = {
+    val n = StoreCompaction.vacuum(spark, s"$indexPath/postings") +
+      StoreCompaction.vacuum(spark, s"$indexPath/stats")
+    StoreCompaction.watershed(spark, s"$indexPath/stats") match {
+      case None => n
+      case Some(StoreCompaction.Watershed(g, w)) =>
+        val fs = StoreCompaction.fsOf(spark, s"$indexPath/stats_agg")
+        val dead = StoreCompaction.batchDirs(spark, s"$indexPath/stats_agg")
+          .filter { case (_, v) => (v >= 0L && v <= w) || (v < 0L && v != -g) }
+        dead.foreach { case (p, _) => fs.delete(p, true) }
+        n + dead.size
+    }
   }
 }

@@ -58,7 +58,7 @@ object StoreCompaction {
     * `coveredThrough`. */
   case class Watershed(generation: Long, coveredThrough: Long)
 
-  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+  private[streaming] def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def markerDir(path: String) = new Path(path, "_compaction")
@@ -134,14 +134,18 @@ object StoreCompaction {
       .parquet(s"$path/_deletes")
   }
 
+  /** Whether any logically-deleted ids are pending (un-applied delete
+    * files exist) — one directory listing, no Spark job. Probes use this
+    * to skip the subtraction entirely on the common no-deletes path. */
+  def hasPendingDeletes(spark: SparkSession, path: String): Boolean =
+    Option(fsOf(spark, path).globStatus(new Path(s"$path/_deletes", "*.parquet")))
+      .exists(_.nonEmpty)
+
   /** The distinct logically-deleted ids (empty frame when none). */
   def deletedIds(spark: SparkSession, path: String): DataFrame = {
-    val fs = fsOf(spark, path)
-    val dir = new Path(path, "_deletes")
     import spark.implicits._
-    if (fs.exists(dir) &&
-        Option(fs.globStatus(new Path(dir, "*.parquet"))).exists(_.nonEmpty))
-      spark.read.parquet(dir.toString).select(col("_del_id")).distinct()
+    if (hasPendingDeletes(spark, path))
+      spark.read.parquet(s"$path/_deletes").select(col("_del_id")).distinct()
     else Seq.empty[Long].toDF("_del_id")
   }
 
@@ -160,7 +164,7 @@ object StoreCompaction {
   /** `ingest_batch=` partition directories at either layout depth
     * (top-level for (ingest_batch) stores, one below for
     * (cluster, ingest_batch) stores), with their parsed batch values. */
-  private def batchDirs(spark: SparkSession, path: String): Seq[(Path, Long)] = {
+  private[streaming] def batchDirs(spark: SparkSession, path: String): Seq[(Path, Long)] = {
     val fs = fsOf(spark, path)
     def glob(pat: String): Seq[Path] =
       Option(fs.globStatus(new Path(path, pat))).map(_.toSeq).getOrElse(Seq.empty)
@@ -252,6 +256,30 @@ object StoreCompaction {
     // remain, liveView still subtracts, re-applying is a no-op.
     pendingDeleteFiles.foreach(fs0.delete(_, false))
     Watershed(gen, covered)
+  }
+
+  /** AUTO-OPTIMIZE policy hook: [[compact]] + [[vacuum]] only when the
+    * committed batch partitions above the watershed have reached
+    * `maxBatches` — the check an ingest runs in its own foreachBatch
+    * (the single-writer contract makes the ingest the only legal
+    * caller; mid-stream compaction is replay-safe because a batch at or
+    * below the new watershed SKIPS on replay). One directory listing
+    * when below threshold; idempotent right after a compaction (live
+    * batches reset to 0). Returns the new watershed when it fired. */
+  def compactIfNeeded(spark: SparkSession, path: String,
+                      clusterCols: Seq[String], maxBatches: Int,
+                      targetFiles: Int = 1, sortCols: Seq[String] = Nil,
+                      deleteIdCol: Option[String] = None): Option[Watershed] = {
+    require(maxBatches >= 1, s"need maxBatches >= 1, got $maxBatches")
+    val w = coveredThrough(spark, path)
+    val live = batchDirs(spark, path).map(_._2).filter(_ > w).distinct
+      .count(_ >= 0L)
+    if (live < maxBatches) None
+    else {
+      val ws = compact(spark, path, clusterCols, targetFiles, sortCols, deleteIdCol)
+      vacuum(spark, path)
+      Some(ws)
+    }
   }
 
   /** Deletes partitions the latest committed generation superseded:

@@ -55,13 +55,24 @@ object VectorIndexIngest {
       .parquet(indexPath)
   }
 
-  /** @param vecStream streaming (vec_id, embedding) rows. */
+  /** @param vecStream streaming (vec_id, embedding) rows.
+    * @param autoCompactEvery when set, the ingest self-OPTIMIZEs: once
+    *        the committed batch partitions above the watershed reach N,
+    *        the store compacts per-cell and vacuums INSIDE the same
+    *        foreachBatch (single-writer, so this is the one legal place;
+    *        replay-safe — a replayed batch at or below the new watershed
+    *        skips). Pending deletes apply physically as they would at a
+    *        manual compact. Probes stay bitwise throughout (spec-pinned). */
   def start(vecStream: DataFrame, indexPath: String, q: IvfPqQuantizer,
-            checkpoint: String): StreamingQuery =
+            checkpoint: String,
+            autoCompactEvery: Option[Int] = None): StreamingQuery =
     vecStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         ingestBatch(batch.toDF(), indexPath, q, batchId)
+        autoCompactEvery.foreach(n => StoreCompaction.compactIfNeeded(
+          batch.sparkSession, indexPath, Seq("cell_id"), n,
+          deleteIdCol = Some("vec_id")))
       }
       .start()
 

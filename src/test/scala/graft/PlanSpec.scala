@@ -601,6 +601,13 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q_scd2_erase: the hard-erase is one broadcast anti-join over the history — nothing cartesian, no extra history scan") {
+    val p = plan("q_scd2_erase", "simple")
+    p should include("LeftAnti")
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("q_hybrid_retrieval: the cross-modality fusion joins stay equi — nothing cartesian, the rank join is full-outer on (query, neighbor)") {
     val p = plan("q_hybrid_retrieval", "simple")
     p should include("FullOuter")

@@ -190,6 +190,35 @@ class ScdMergeGenerativeSpec extends SparkSpec {
           pit((k, t)) shouldBe ((expected.flatMap(_.seg), expected.map(_.nat)))
         }
       }
+      // HARD ERASE: keys merge independently, so purging a key's rows IS
+      // never having merged it — erase(fold(log)) ≡ fold(filtered log);
+      // a ghost key (never existed) erases as an idempotent no-op
+      val erased = rnd.shuffle(keys).take(5) :+ 999999L
+      val erasedSet = erased.toSet
+      def rowSet(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5))).toSet
+      val refFiltered = toRows(refHist).filterNot(t => erasedSet(t._1))
+      withClue(s"seed $seed erase: ") {
+        rowSet(ScdMerge.eraseKeys(df, erased.toDF("key"), "key")) shouldBe refFiltered
+        rowSet(ScdMerge.erase(df, "key", erased)) shouldBe refFiltered
+        rowSet(ScdMerge.fromChangeLogOps(
+          fullLog.filterNot(r => erasedSet(r._1)).toDF("key", "op", "seg", "nat", "v"),
+          "key", Seq("seg", "nat"), "v", "op")) shouldBe refFiltered
+      }
+      // PIT after erase: erased keys resolve to null attrs at EVERY t
+      val pitAfter = ScdMerge.pointInTime(ScdMerge.erase(df, "key", erased),
+          probes.toDF("key", "t"), "key", "t", Seq("seg", "nat"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (Option(r.getString(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      for ((k, t) <- probes) {
+        withClue(s"seed $seed post-erase PIT key=$k t=$t: ") {
+          if (erasedSet(k)) pitAfter((k, t)) shouldBe ((None, None))
+          else pitAfter((k, t)) shouldBe pit((k, t))
+        }
+      }
     }
   }
 }

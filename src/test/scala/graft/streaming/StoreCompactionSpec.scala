@@ -438,6 +438,76 @@ class StoreCompactionSpec extends SparkSpec {
     rows() shouldBe pre
   }
 
+  test("lexical corpus constants serve from the per-batch aggregates: never the per-doc rows without deletes, exact under forget, rebuilt at compact, per-doc fallback on a torn rebuild") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("cmplexagg").toString
+    val idx = s"$dir/idx"
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "window", "customer", "filter")
+    def key() = LexIngest.probe(spark, idx, terms, 10)
+      .orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    def oneShot(docs: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25TopDocs(docs, terms, 10)
+        .orderBy("rn").collect().map(r => (r.getLong(0),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    for (b <- 0 until 4)
+      LexIngest.ingestBatch(rows.filter(_._1 % 4 == b).toSeq.toDF("doc_id", "text"),
+        idx, b.toLong)
+    // the folded per-batch aggregates ARE the corpus totals (associative
+    // BIGINT addition) and the probe stays bitwise the one-shot scorer
+    val st = TextAnalysis.lexStats(d).head()
+    LexIngest.corpusStats(spark, idx) shouldBe ((st.getLong(0), st.getLong(1)))
+    key() shouldBe oneShot(d)
+    // forget: pending deletes subtract exactly (totals minus the deleted
+    // docs' count and lengths — still bitwise the surviving one-shot)
+    val forget = Seq(87L, 102L)
+    LexIngest.markDeleted(spark, idx, forget)
+    val surviving = d.filter(!col("doc_id").isin(forget: _*))
+    val stS = TextAnalysis.lexStats(surviving).head()
+    LexIngest.corpusStats(spark, idx) shouldBe ((stS.getLong(0), stS.getLong(1)))
+    key() shouldBe oneShot(surviving)
+    // OPTIMIZE the whole store: physical apply + stats_agg rebuild for
+    // the generation; probe bitwise; vacuum sweeps the covered agg rows
+    val ws = LexIngest.compact(spark, idx)
+    ws shouldBe StoreCompaction.Watershed(1L, 3L)
+    LexIngest.corpusStats(spark, idx) shouldBe ((stS.getLong(0), stS.getLong(1)))
+    key() shouldBe oneShot(surviving)
+    LexIngest.vacuum(spark, idx) should be > 0
+    parquetFiles(s"$idx/stats_agg")
+      .map(_.replaceAll(".*/(ingest_batch=[^/]*)/.*", "$1"))
+      .distinct shouldBe Seq("ingest_batch=-1")
+    key() shouldBe oneShot(surviving)
+    // covered replay skips the agg store too — byte-unchanged
+    val aggFiles = parquetFiles(s"$idx/stats_agg")
+    LexIngest.ingestBatch(rows.filter(_._1 % 4 == 2).toSeq.toDF("doc_id", "text"),
+      idx, batchId = 2L)
+    parquetFiles(s"$idx/stats_agg") shouldBe aggFiles
+    // torn rebuild: the generation's agg row missing -> the per-doc
+    // fallback serves the same exact totals (never wrong, only slower)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/stats_agg/ingest_batch=-1"), true)
+    LexIngest.corpusStats(spark, idx) shouldBe ((stS.getLong(0), stS.getLong(1)))
+    key() shouldBe oneShot(surviving)
+    // PROOF the no-deletes path reads ONLY the aggregates: a fresh store
+    // whose per-doc stats rows are REMOVED from disk still probes
+    // correctly (the per-doc table is a forget/compact-time structure,
+    // not a probe-time one)
+    val idx2 = s"$dir/idx2"
+    for (b <- 0 until 2)
+      LexIngest.ingestBatch(rows.filter(_._1 % 2 == b).toSeq.toDF("doc_id", "text"),
+        idx2, b.toLong)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx2/stats"), true) shouldBe true
+    LexIngest.corpusStats(spark, idx2) shouldBe ((st.getLong(0), st.getLong(1)))
+    LexIngest.probe(spark, idx2, terms, 10)
+      .orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2))) shouldBe oneShot(d)
+  }
+
   test("torn clustered retry cannot resurrect forgotten rows: a cluster emptied by deletes between the torn attempt and the retry leaves no stale -g partition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cmptornclu").toString

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -1090,6 +1090,112 @@ class StreamingSpec extends SparkSpec {
     key(Similarity.ivfPqProbe(replayed, quant, queries, nprobe = 2, k = 10)) shouldBe expected
   }
 
+  test("auto-compaction: a long vector ingest self-OPTIMIZEs at the batch threshold mid-stream; probes stay bitwise, the store stays bounded") {
+    implicit val ctx = spark.sqlContext
+    import graft.llm.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("vecauto").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    val queries = Similarity.collectVectors(emb, Seq(0L, 1L, 2L))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    val expected = key(Similarity.ivfPqSearch(
+      emb, coarseIds, cbIds, 4, Seq(0L, 1L, 2L), nprobe = 2, k = 10))
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = VectorIndexIngest.start(
+      mem.toDF.toDF("vec_id", "embedding"), s"$dir/idx", quant, s"$dir/ck",
+      autoCompactEvery = Some(3))
+    try {
+      for (b <- 0 until 8) {
+        mem.addData(rows.filter(_._1 % 8 == b).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the policy fired at least twice over 8 batches (thresholds at 3)
+    val ws = StoreCompaction.watershed(spark, s"$dir/idx")
+    ws should not be empty
+    ws.get.generation should be >= 2L
+    // live batch partitions above the watershed stay under the threshold
+    val live = spark.read.parquet(s"$dir/idx")
+      .filter(col("ingest_batch").cast("long") > ws.get.coveredThrough)
+      .select(col("ingest_batch").cast("long")).distinct().collect()
+      .map(_.getLong(0)).filter(_ >= 0L)
+    live.length should be < 3
+    // probes bitwise the one-shot search throughout
+    key(Similarity.ivfPqProbe(VectorIndexIngest.index(spark, s"$dir/idx"),
+      quant, queries, nprobe = 2, k = 10)) shouldBe expected
+  }
+
+  test("lex ingest dedup admission: re-sent and within-batch duplicate docs are filtered, never double-counting df/N/Sumdl") {
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("lexadm").toString
+    val docs = Seq(
+      1L -> "spark window spark filter",
+      2L -> "customer window filter here",
+      3L -> "spark customer customer data")
+    val clean = docs.toDF("doc_id", "text")
+    val terms = Seq("spark", "window", "customer", "filter")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    // batch 1 re-sends doc 2 and carries doc 3 TWICE internally
+    val b0 = Seq(docs(0), docs(1)).toDF("doc_id", "text")
+    val b1 = Seq(docs(1), docs(2), docs(2)).toDF("doc_id", "text")
+    LexIngest.ingestBatch(b0, s"$dir/guarded", 0L, dedupAdmission = true)
+    LexIngest.ingestBatch(b1, s"$dir/guarded", 1L, dedupAdmission = true)
+    val st = TextAnalysis.lexStats(clean).head()
+    LexIngest.corpusStats(spark, s"$dir/guarded") shouldBe
+      ((st.getLong(0), st.getLong(1)))
+    key(LexIngest.probe(spark, s"$dir/guarded", terms, 10)) shouldBe
+      key(TextAnalysis.bm25TopDocs(clean, terms, 10))
+    // each doc owns exactly one postings partition's rows: no term's df
+    // can exceed the distinct doc count
+    StoreCompaction.committedView(spark, s"$dir/guarded/postings")
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("rows"))
+      .filter(col("df") =!= col("rows")).count() shouldBe 0L
+    // the unguarded twin DOES corrupt (the hazard the flag closes):
+    // doc 2 and the doubled doc 3 inflate N from 3 to 6
+    LexIngest.ingestBatch(b0, s"$dir/raw", 0L)
+    LexIngest.ingestBatch(b1, s"$dir/raw", 1L)
+    LexIngest.corpusStats(spark, s"$dir/raw")._1 shouldBe 5L
+  }
+
+  test("lex ingest auto-compaction: the streamed store self-OPTIMIZEs at the threshold; probe bitwise, stats_agg rebuilt") {
+    implicit val ctx = spark.sqlContext
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("lexauto").toString
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "window", "customer", "filter")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = LexIngest.start(mem.toDF.toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/ck", autoCompactEvery = Some(3))
+    try {
+      for (b <- 0 until 6) {
+        mem.addData(rows.filter(_._1 % 6 == b).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    StoreCompaction.watershed(spark, s"$dir/idx/postings") should not be empty
+    StoreCompaction.watershed(spark, s"$dir/idx/stats") should not be empty
+    key(LexIngest.probe(spark, s"$dir/idx", terms, 10)) shouldBe
+      key(TextAnalysis.bm25TopDocs(d, terms, 10))
+    val st = TextAnalysis.lexStats(d).head()
+    LexIngest.corpusStats(spark, s"$dir/idx") shouldBe
+      ((st.getLong(0), st.getLong(1)))
+  }
+
   test("lex ingest: streamed BM25 index probes bitwise-equal to the one-shot scorer and the batch store; replay rewrites identically") {
     implicit val ctx = spark.sqlContext
     import graft.llm.TextAnalysis
@@ -1474,6 +1580,54 @@ class StreamingSpec extends SparkSpec {
     streamed.toMap.apply(7L) shouldBe ((1L, 250L, Some(200L)))
     streamed.toMap.apply(3L) shouldBe ((2L, 60L, None))
     streamed.toMap.apply(8L) shouldBe ((2L, 290L, Some(210L)))
+  }
+
+  test("streamingAsofWithinEvicting: outputs equal the unbounded twin on in-horizon data; aged-out users leave the state store and later lefts null") {
+    implicit val ctx = spark.sqlContext
+    import EventStream.AsofEvent
+    val tol = 100L
+    // in-horizon replay of the batch-equality fixture: eviction must be
+    // output-invisible while every user stays active
+    val triggers = Seq(
+      Seq(AsofEvent(1L, 2L, "click", 50L), AsofEvent(1L, 1L, "view", 10L),
+        AsofEvent(2L, 3L, "click", 60L)),
+      Seq(AsofEvent(1L, 5L, "click", 200L), AsofEvent(1L, 4L, "view", 200L),
+        AsofEvent(2L, 6L, "view", 210L)),
+      Seq(AsofEvent(1L, 7L, "click", 250L), AsofEvent(2L, 8L, "click", 290L)))
+    def run(name: String, data: Seq[Seq[AsofEvent]],
+            f: org.apache.spark.sql.Dataset[AsofEvent] => org.apache.spark.sql.Dataset[EventStream.AsofMatch]) = {
+      val mem = MemoryStream[AsofEvent]
+      val q = f(mem.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try data.foreach { t => mem.addData(t: _*); q.processAllAvailable() }
+      finally q.stop()
+      (spark.table(name).collect()
+        .map(r => (r.getLong(1), (r.getLong(0), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).sortBy(_._1),
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).toSeq)
+    }
+    val (evicted, _) = run("asofev1", triggers,
+      ds => EventStream.streamingAsofWithinEvicting(ds, "click", "view", tol))
+    val (unbounded, _) = run("asofev2", triggers,
+      ds => EventStream.streamingAsofWithin(ds, "click", "view", tol))
+    evicted shouldBe unbounded
+    // eviction: user 1's state (view@1000) ages past watermark - tol when
+    // user 2 pushes event time to 10s; the store drops to the ACTIVE
+    // count, and a later in-watermark left for user 1 nulls — exactly
+    // what the stale match would have produced anyway
+    val evictTriggers = Seq(
+      Seq(AsofEvent(1L, 1L, "view", 1000L), AsofEvent(1L, 2L, "click", 1050L)),
+      Seq(AsofEvent(2L, 3L, "view", 10000000L)),
+      Seq(AsofEvent(2L, 4L, "click", 10000050L)), // watermark passes 1100us; user 1 times out
+      Seq(AsofEvent(1L, 5L, "click", 10000200L))) // evicted user: fresh walk, null
+    val (out, stateRows) = run("asofev3", evictTriggers,
+      ds => EventStream.streamingAsofWithinEvicting(ds, "click", "view", tol))
+    out.toMap.apply(2L) shouldBe ((1L, 1050L, Some(1000L)))
+    out.toMap.apply(4L) shouldBe ((2L, 10000050L, Some(10000000L)))
+    out.toMap.apply(5L) shouldBe ((1L, 10000200L, None))
+    // the store shrank when user 1 aged out (2 users seen, 1 retained)
+    stateRows.max shouldBe 2L
+    stateRows.last should be < 2L
   }
 
   test("streamingAsofWithin: an out-of-contract late left fails safe to null, never a match from its own future") {
