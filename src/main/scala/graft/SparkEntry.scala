@@ -161,6 +161,15 @@ object SparkEntry {
   /** BM25 contract: query term set (corpus vocabulary words) + top-k. */
   private val Bm25Terms = Seq("spark", "window", "customer", "filter")
   private val Bm25K = 10
+  // multi-probe sets: query 2 shares "filter" with query 0 so the
+  // one-slice fanout's shared-term arm is exercised, not just disjoint
+  private val Bm25Queries = Seq(
+    0L -> Bm25Terms,
+    1L -> Seq("join", "hash", "merge"),
+    2L -> Seq("scan", "sort", "stream", "filter"))
+  private val RefineR = 20
+  private val RagChunkTokens = 30
+  private val RagChunkOverlap = 10
   /** Farthest-point seeding: number of centroids to pick. */
   private val FpInitK = 5
   /** PCA power-iteration count (contract: equality needs identical
@@ -2010,6 +2019,14 @@ object SparkEntry {
         PqSubspaces, AnnQueryIds, nprobe = 2, k = PqSearchK)
         .orderBy(col("query_id"), col("rn"))),
 
+    // the FAISS refine stage: ADC proposes top-20 per query, the
+    // original vectors of just those rows re-score with EXACT L2² —
+    // quantization error bought back for R·Q exact distances
+    "q_ann_refined" -> ((s, dir) =>
+      Similarity.ivfPqSearchRefined(emb(s, dir), IvfCoarseIds, PqCodebookIds,
+        PqSubspaces, AnnQueryIds, nprobe = 2, rerankR = RefineR, k = PqSearchK)
+        .orderBy(col("query_id"), col("rn"))),
+
     // the PERSISTED-index path end-to-end: train the quantizer, write the
     // cell-partitioned integer index, probe the STORED rows (nprobe=3 to
     // exercise a different probe set than q_ivf_pq) — must equal the
@@ -2427,6 +2444,31 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, Bm25K)
         .orderBy(col("rn"))),
+
+    // RAG chunking: overlapping token windows (30 tokens, 10 overlap) —
+    // the retrieval-unit generator in front of any chunk-level index
+    "q_rag_chunks" -> ((s, dir) =>
+      TextAnalysis.ragChunks(docs(s, dir), RagChunkTokens, RagChunkOverlap)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // MULTI-QUERY probe over the persisted store: three term sets (one
+    // sharing a term with another) answered from ONE pushed-down slice
+    // scan — per query bitwise the single probe, so the oracle is the
+    // UNION ALL of the single-query SQLs. Eager + temp cleanup.
+    "q_bm25_multi" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_bm25_multi").toString
+      try {
+        TextAnalysis.writeLexIndex(docs(s, dir), idxDir)
+        TextAnalysis.bm25ProbeMany(s, idxDir, Bm25Queries, Bm25K)
+          .orderBy(col("query_id"), col("rn"))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxDir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
 
     // the PERSISTED lexical index end-to-end (the writeIvfPqIndex
     // pattern for retrieval): write the term-clustered integer postings
@@ -3635,6 +3677,14 @@ object SparkEntry {
         "GROUP BY d.source ORDER BY d.source"),
 
     "q_bm25" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
+    // per query bitwise the single probe → the oracle is the UNION ALL
+    // of the proven single-query mirrors
+    "q_bm25_multi" -> TextSql.bm25MultiSql(Bm25Queries, Bm25K, k1 = 1.2, b = 0.75),
+    "q_rag_chunks" -> TextSql.ragChunksSql(RagChunkTokens, RagChunkOverlap),
+    // ADC candidates at R=20 re-scored with the exact l2sq kernel both
+    // engines already cross bitwise; rounded to 4 before ranking
+    "q_ann_refined" -> TextSql.ivfPqRefinedSql(IvfCoarseIds, PqCodebookIds,
+      PqSubspaces, AnnQueryIds, nprobe = 2, rerankR = RefineR, k = PqSearchK),
     // the stored-index probe replays the one-shot scorer's expression
     // tree over exactly-round-tripped integers — same oracle
     "q_bm25_indexed" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),

@@ -1071,6 +1071,58 @@ object TextSql {
       "ORDER BY rn"
   }
 
+  /** Mirror of TextAnalysis.ragChunks: start positions from
+    * `range(0, len, stride)` (DuckDB's exclusive bound ≡ Spark's
+    * inclusive `sequence(0, len-1, stride)` start set), chunk ids from
+    * a ZIPPED same-SELECT unnest (the posexplode mirror), window text
+    * via list_slice + array_to_string — all exact integers and
+    * substrings, nothing float. */
+  def ragChunksSql(maxTokens: Int, overlap: Int): String = {
+    val stride = maxTokens - overlap
+    s"WITH t AS ($toksCte), " +
+      "s AS (SELECT doc_id, toks, len(toks) AS n, " +
+      s"unnest(range(0, CAST(greatest(len(toks), 1) AS BIGINT), $stride)) AS start_tok, " +
+      s"unnest(range(0, (CAST(greatest(len(toks), 1) AS BIGINT) + $stride - 1) // $stride)) AS chunk_id " +
+      "FROM t) " +
+      "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+      "CAST(start_tok AS BIGINT) AS start_tok, " +
+      s"CAST(least($maxTokens, n - start_tok) AS BIGINT) AS n_chunk_toks, " +
+      s"array_to_string(list_slice(toks, start_tok + 1, start_tok + $maxTokens), ' ') AS chunk " +
+      "FROM s ORDER BY doc_id, chunk_id"
+  }
+
+  /** Mirror of TextAnalysis.bm25ProbeMany: each query's ranking is the
+    * single-query bm25Sql verbatim (the operator pins per-query bitwise
+    * equality with the single probe, so the oracle composes the proven
+    * mirrors), stitched with the query id and unioned. */
+  def bm25MultiSql(queries: Seq[(Long, Seq[String])], k: Int,
+                   k1: Double, b: Double): String =
+    queries.map { case (qid, terms) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, score, rn " +
+        s"FROM (${bm25Sql(terms, k, k1, b)}) q$qid"
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY query_id, rn")
+
+  /** Mirror of Similarity.ivfPqSearchRefined: the ADC top-R candidate
+    * set comes from the full ivfPqSearchSql CTEs at k = rerankR, then
+    * the refine stage re-scores exactly — the same l2sqSql kernel both
+    * engines already cross bitwise — rounds to 4 BEFORE ranking, ties
+    * to the lowest neighbor id. */
+  def ivfPqRefinedSql(coarseIds: Seq[Long], codebookIds: Seq[Long], m: Int,
+                      queryIds: Seq[Long], nprobe: Int, rerankR: Int,
+                      k: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      "cand AS (SELECT query_id, neighbor_id FROM " +
+      s"(${ivfPqSearchSql(coarseIds, codebookIds, m, queryIds, nprobe, rerankR)}) c), " +
+      "rf AS (SELECT cand.query_id, cand.neighbor_id, " +
+      s"round(${l2sqSql("q.qv", "e.v")}, 4) AS d2 " +
+      "FROM cand JOIN e ON e.vec_id = cand.neighbor_id " +
+      "JOIN q ON q.query_id = cand.query_id), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY d2, neighbor_id) AS rn FROM rf) " +
+      s"SELECT query_id, neighbor_id, d2, CAST(rn AS BIGINT) AS rn FROM rk " +
+      s"WHERE rn <= $k ORDER BY query_id, rn"
+
   /** Mirror of the INDEXED hybrid fusion ([[hybridRrfSql]]'s join/score
     * shape with the persisted-store retrievers): the lexical ranking is
     * bm25Sql over the surviving corpus (`excludeIds` = the forgotten

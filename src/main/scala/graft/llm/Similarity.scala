@@ -972,6 +972,48 @@ object Similarity {
       queryIds.zip(pqCodebook(e, queryIds)), nprobe, k)
   }
 
+  /** IVF-PQ search with EXACT RE-RANKING — the FAISS `refine` stage,
+    * the production accuracy knob: the ADC ranking proposes the top
+    * `rerankR` candidates per query from the compressed codes, then the
+    * ORIGINAL vectors of just those R·Q rows are fetched (a broadcast
+    * join of the tiny candidate set against the embedding table — at
+    * scale, an id-keyed point fetch) and re-scored with exact L2²
+    * against the query. Quantization error is bought back for R·Q
+    * exact distances instead of the brute-force N·Q. Exact d2 rounds
+    * to 4 BEFORE ranking (both engines rank the same grid), ties to
+    * the lowest neighbor id. Output: (query_id, neighbor_id, d2, rn),
+    * top `k` per query by EXACT distance. */
+  def ivfPqSearchRefined(emb: DataFrame, coarseIds: Seq[Long],
+                         codebookIds: Seq[Long], m: Int, queryIds: Seq[Long],
+                         nprobe: Int, rerankR: Int, k: Int): DataFrame = {
+    require(k >= 1 && rerankR >= k,
+      s"need rerankR >= k >= 1, got rerankR=$rerankR k=$k")
+    val cands = ivfPqSearch(emb, coarseIds, codebookIds, m, queryIds,
+        nprobe, rerankR)
+      .select(col("query_id"), col("neighbor_id"))
+    refineExact(emb, cands, queryIds, k)
+  }
+
+  /** The refine stage alone: exact-L2² re-rank of a (query_id,
+    * neighbor_id) candidate frame against the original vectors — shared
+    * by [[ivfPqSearchRefined]] and any stored-index probe whose ADC
+    * ranking needs the accuracy buy-back. */
+  def refineExact(emb: DataFrame, cands: DataFrame, queryIds: Seq[Long],
+                  k: Int): DataFrame = {
+    val e = emb.select(col("vec_id").as("neighbor_id"),
+      v(col("embedding")).as("vec"))
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), v(col("embedding")).as("qvec"))
+    val scored = e.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(distSq(col("qvec"), col("vec")), 4).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Train an [[IvfPqQuantizer]] from corpus vectors selected by id —
     * the deterministic-contract counterpart of a per-subspace
     * VectorKMeans fit (the production trainer). The quantizer is a

@@ -2449,6 +2449,96 @@ object TextAnalysis {
     out
   }
 
+  /** RAG chunking: split every document into OVERLAPPING token windows
+    * — the retrieval-unit generator in front of any embedding/BM25
+    * index (chunk what you index, not whole documents). Window `i`
+    * covers tokens [i·stride, i·stride + maxTokens) with stride =
+    * maxTokens − overlap; the last window may be shorter, and every
+    * token belongs to at least one window (starts sweep 0..n−1). All
+    * outputs are exact integers + substrings of the input — nothing
+    * float, bitwise on any engine. One scan + one generator (the
+    * start positions explode from a `sequence`, the window text is a
+    * `slice` — codegen'd column ops, no HOF-duplication hazard since
+    * each is referenced once); at 100 TB this is embarrassingly
+    * parallel, the downstream index bears the fanout.
+    * Output: (doc_id, chunk_id, start_tok, n_chunk_toks, chunk). */
+  def ragChunks(docs: DataFrame, maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+    val stride = maxTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        least(lit(maxTokens), size(col("toks")) - col("col")).cast("long")
+          .as("n_chunk_toks"),
+        concat_ws(" ", slice(col("toks"), col("col") + 1, lit(maxTokens)))
+          .as("chunk"))
+  }
+
+  /** BM25 top-k for MANY queries in ONE postings pass — the probe-heavy
+    * production shape: the scan filters on the UNION of every query's
+    * terms (one pushed-down IN over the term-clustered store), df per
+    * term computes once from that shared slice, and each query scores
+    * its own terms through a broadcast (query_id, term) membership join
+    * — so Q queries cost one slice scan + a Q·|slice|-bounded fanout,
+    * never Q scans. Per query the weight expression, the rounded sum,
+    * and the (score DESC, doc_id) ranking are [[bm25ScoreSlice]]'s
+    * verbatim, so each query's ranking is bitwise its single-query
+    * probe (spec-pinned). Output: (query_id, doc_id, score, rn). */
+  private[graft] def bm25ScoreSliceMany(postings: DataFrame,
+                                        queries: Seq[(Long, Seq[String])],
+                                        n: Long, sumdl: Long, k: Int,
+                                        k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25 multi-probe: empty query set")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25 multi-probe: duplicate query ids")
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val tf = postings
+      .filter(col("term").isin(allTerms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = lit(sumdl).cast("double") / lit(n)
+    val idf = log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val denom = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl))
+    val w = idf * (col("tf") * lit(k1 + 1.0)) / denom
+    val qt = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(w), 4).as("score"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val out = scored.withColumn("rn", row_number().over(win).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist(false)
+    out
+  }
+
+  /** [[bm25Probe]] for a batch of queries over a [[writeLexIndex]]
+    * store — one slice scan serves them all. */
+  def bm25ProbeMany(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: Seq[(Long, Seq[String])], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = spark.read.parquet(s"$path/stats").head()
+    bm25ScoreSliceMany(spark.read.parquet(s"$path/postings"), queries,
+      st.getLong(0), st.getLong(1), k, k1, b)
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
     * derandomized: each document draws an exponential clock
     * key = −ln(u)/w and the k SMALLEST keys win — the distribution-

@@ -194,6 +194,19 @@ object LexIngest {
       queryTerms, n, sumdl, k, k1, b)
   }
 
+  /** [[probe]] for a batch of queries — one live-view slice scan (the
+    * UNION of every query's terms pushed down once) serves them all,
+    * with the same [[corpusStats]] constants; each query's ranking is
+    * bitwise its single-query probe (the shared multi-query kernel). */
+  def probeMany(spark: SparkSession, indexPath: String,
+                queries: Seq[(Long, Seq[String])], k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (n, sumdl) = corpusStats(spark, indexPath)
+    TextAnalysis.bm25ScoreSliceMany(
+      StoreCompaction.liveView(spark, s"$indexPath/postings", "doc_id"),
+      queries, n, sumdl, k, k1, b)
+  }
+
   /** OPTIMIZE the whole lexical store: postings consolidate TERM-SORTED
     * (row-group term locality restored), per-doc stats compact, pending
     * deletes apply physically to both, and the `stats_agg` cache is

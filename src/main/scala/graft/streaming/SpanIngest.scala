@@ -123,13 +123,25 @@ object SpanIngest {
     ()
   }
 
+  /** @param autoCompactEvery when set, both stores self-OPTIMIZE once
+    *        the corpus's committed batch partitions reach N (the
+    *        [[StoreCompaction.compactIfNeeded]] policy, run inside the
+    *        ingest's own foreachBatch — single-writer, replay-safe by
+    *        the watershed skip; both stores share the batch spine so
+    *        one threshold check drives both compactions). */
   def start(docsStream: DataFrame, corpusPath: String, indexPath: String,
             checkpoint: String, n: Int,
-            selfClean: Boolean = false): StreamingQuery =
+            selfClean: Boolean = false,
+            autoCompactEvery: Option[Int] = None): StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         ingestBatch(batch.toDF(), corpusPath, indexPath, batchId, n, selfClean)
+        autoCompactEvery.foreach { k =>
+          val spark = batch.sparkSession
+          if (StoreCompaction.compactIfNeeded(spark, corpusPath, Nil, k).isDefined)
+            StoreCompaction.compactIfNeeded(spark, indexPath, Nil, 1)
+        }
       }
       .start()
 }

@@ -42,12 +42,39 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * partition would double them. */
 object VectorIndexIngest {
 
+  /** @param dedupAdmission enforce the vec_id batch-disjointness
+    *        contract instead of assuming it: a re-sent id is FILTERED —
+    *        within the batch deterministically (lowest embedding per id,
+    *        arrays order lexicographically, so a replay rewrites
+    *        byte-identically) and against the committed index via an
+    *        anti-join on its integer vec_id column (prior view = batches
+    *        < this one through the committed filter — deterministic
+    *        under replay by the watershed argument). Without it a
+    *        duplicate id lands twice and probes rank the same neighbor
+    *        twice. Off by default: disjoint feeds skip the per-batch
+    *        registry read. */
   def ingestBatch(batch: DataFrame, indexPath: String, q: IvfPqQuantizer,
-                  batchId: Long): Unit = {
+                  batchId: Long, dedupAdmission: Boolean = false): Unit = {
     if (batch.isEmpty) return
-    if (batchId <= StoreCompaction.coveredThrough(batch.sparkSession, indexPath))
+    val spark = batch.sparkSession
+    if (batchId <= StoreCompaction.coveredThrough(spark, indexPath))
       return // compacted replay: effects durable inside the generation
-    Similarity.ivfPqIndexRows(batch, q)
+    val admitted =
+      if (!dedupAdmission) batch
+      else {
+        val inBatch = batch.groupBy(col("vec_id"))
+          .agg(min(col("embedding")).as("embedding"))
+        val hasPrior = StoreCompaction.fsOf(spark, indexPath)
+          .exists(new org.apache.hadoop.fs.Path(indexPath))
+        if (!hasPrior) inBatch
+        else inBatch.join(
+          StoreCompaction.committedView(spark, indexPath)
+            .filter(col("ingest_batch").cast("long") < batchId)
+            .select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      }
+    if (admitted.isEmpty) return
+    Similarity.ivfPqIndexRows(admitted, q)
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -65,11 +92,12 @@ object VectorIndexIngest {
     *        manual compact. Probes stay bitwise throughout (spec-pinned). */
   def start(vecStream: DataFrame, indexPath: String, q: IvfPqQuantizer,
             checkpoint: String,
-            autoCompactEvery: Option[Int] = None): StreamingQuery =
+            autoCompactEvery: Option[Int] = None,
+            dedupAdmission: Boolean = false): StreamingQuery =
     vecStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        ingestBatch(batch.toDF(), indexPath, q, batchId)
+        ingestBatch(batch.toDF(), indexPath, q, batchId, dedupAdmission)
         autoCompactEvery.foreach(n => StoreCompaction.compactIfNeeded(
           batch.sparkSession, indexPath, Seq("cell_id"), n,
           deleteIdCol = Some("vec_id")))

@@ -364,6 +364,62 @@ object ScalingAudit {
     val medoidSum = graft.llm.Similarity.cellMedoids(embBig, mdCoarse)
       .agg(coalesce(sum(col("medoid_id")), lit(0L))).head.getLong(0)
     val mdW = (System.nanoTime() - mdT0) / 1e9
+    // Round-17 families. Lexical index LIFECYCLE at the decade: 8 ingest
+    // batches, probe, OPTIMIZE (compact + vacuum), probe again — Σ doc_id
+    // of the ranked top-10 fingerprints the postings/stats round-trip and
+    // is emitted from BOTH sides of the compaction so the artifact diff
+    // itself carries the bitwise-lifecycle invariant; postings file
+    // counts collapse is the OPTIMIZE claim (walls for context).
+    def pqFileCount(p: String): Long = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
+      var c = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+      c
+    }
+    val lxTerms = Seq("spark", "window", "customer", "filter")
+    val lxDir = java.nio.file.Files.createTempDirectory("graft_scale_lex").toString
+    val lxIngT0 = System.nanoTime()
+    for (b <- 0 until 8)
+      graft.streaming.LexIngest.ingestBatch(
+        big.filter(col("doc_id") % 8 === b), lxDir, b.toLong)
+    val lxIngW = (System.nanoTime() - lxIngT0) / 1e9
+    val lxFilesBefore = pqFileCount(s"$lxDir/postings")
+    def lxProbeSum(): Long = graft.streaming.LexIngest
+      .probe(spark, lxDir, lxTerms, 10)
+      .agg(coalesce(sum(col("doc_id")), lit(0L))).head.getLong(0)
+    val lxPreT0 = System.nanoTime()
+    val lxPre = lxProbeSum()
+    val lxPreW = (System.nanoTime() - lxPreT0) / 1e9
+    val lxCmpT0 = System.nanoTime()
+    graft.streaming.LexIngest.compact(spark, lxDir)
+    graft.streaming.LexIngest.vacuum(spark, lxDir)
+    val lxCmpW = (System.nanoTime() - lxCmpT0) / 1e9
+    val lxFilesAfter = pqFileCount(s"$lxDir/postings")
+    val lxPostT0 = System.nanoTime()
+    val lxPost = lxProbeSum()
+    val lxPostW = (System.nanoTime() - lxPostT0) / 1e9
+    // Hybrid retrieval at the decade: the decade BM25 ranking fused with
+    // the persisted IVF-PQ index's ADC ranking for query 0 — Σ
+    // neighbor_id over the fused top-5 fingerprints the cross-modality
+    // RRF composition end-to-end (rank joins + integer-division score).
+    val hyT0 = System.nanoTime()
+    val hyLex = TextAnalysis.bm25TopDocs(big, lxTerms, 10)
+      .select(lit(0L).as("query_id"), col("doc_id").as("neighbor_id"), col("rn"))
+    val hySem = graft.llm.Similarity.ivfPqProbe(
+        graft.llm.Similarity.readIvfPqIndex(spark, aiDir), aiQuant,
+        graft.llm.Similarity.collectVectors(embBig, Seq(0L)), nprobe = 2, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rn"))
+    val hySum = graft.llm.Similarity.rrfFuse(hyLex, hySem, 60, 5)
+      .agg(coalesce(sum(col("neighbor_id")), lit(0L))).head.getLong(0)
+    val hyW = (System.nanoTime() - hyT0) / 1e9
+    for (tmp <- Seq(lxDir, aiDir)) {
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case _: Throwable => () }
+    }
     embBig.unpersist()
     // Dedup-aware effective token volume: Σ keeper-only tokens at the
     // decade — fingerprints the cluster closure + token arithmetic
@@ -506,6 +562,9 @@ object ScalingAudit {
         s""""card_rows":$cardRows,"card_token_delta":$cardTokenDelta,""" +
         s""""unigram_vocab_rows":${ugVocab.length},"unigram_n_sum":$ugNSum,""" +
         s""""unigram_top6":"$ugSig","unigram_subtokens":$ugSubtok,""" +
+        s""""lex_probe_docsum":$lxPre,"lex_probe_docsum_compacted":$lxPost,""" +
+        s""""lex_files_before":$lxFilesBefore,"lex_files_after":$lxFilesAfter,""" +
+        s""""hybrid_fused_docsum":$hySum,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
@@ -516,7 +575,10 @@ object ScalingAudit {
         s""""bursts":${d2(buW)},"scd2":${d2(scW)},"eff_tokens":${d2(etW)},""" +
         s""""ann_indexed":${d2(aiW)},"medoids":${d2(mdW)},""" +
         s""""span_removal":${d2(srW)},"span_incr":${d2(siW)},"mixed_lang":${d2(mlW)},""" +
-        s""""card_diff":${d2(ccW)},"unigram":${d2(ugW)}}}"""
+        s""""card_diff":${d2(ccW)},"unigram":${d2(ugW)},""" +
+        s""""lex_ingest":${d2(lxIngW)},"lex_probe":${d2(lxPreW)},""" +
+        s""""lex_compact":${d2(lxCmpW)},"lex_probe_compacted":${d2(lxPostW)},""" +
+        s""""hybrid":${d2(hyW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()

@@ -644,6 +644,18 @@ class PlanSpec extends SparkSpec {
     (p should not).include("documents.parquet")
   }
 
+  test("q_bm25_multi: the union of all query terms pushes to ONE postings slice scan; corpus text never read") {
+    val p = plan("q_bm25_multi")
+    p should include regex "PushedFilters: \\[[^\\]]*In\\(term"
+    (p should not).include("documents.parquet")
+  }
+
+  test("q_ann_refined: the exact re-rank is broadcast-joined candidate fetch — nothing cartesian") {
+    val p = plan("q_ann_refined", "simple")
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("q_bm25_forget: the post-forget probe still pushes the term IN filter to the postings scan") {
     val p = plan("q_bm25_forget")
     p should include regex "PushedFilters: \\[[^\\]]*In\\(term"

@@ -583,6 +583,92 @@ class LlmSpec extends SparkSpec {
     stored.filter(col("cell_id").isin(7L, 123L)).count() should be > 0L
   }
 
+  test("ragChunks: hand fixture windows, full token coverage, stride/size invariants on the corpus") {
+    // 7 tokens, window 3, overlap 1 → stride 2 → starts 0,2,4,6
+    TextAnalysis.ragChunks(docsDF(1L -> "a b c d e f g"), 3, 1)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))) shouldBe
+      Array((0L, 0L, 3L, "a b c"), (1L, 2L, 3L, "c d e"),
+        (2L, 4L, 3L, "e f g"), (3L, 6L, 1L, "g"))
+    // corpus invariants: starts sweep 0, stride, … with the last start
+    // < n_toks (every token covered); window sizes in [1, maxTokens]
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = TextAnalysis.ragChunks(docs, 30, 10)
+    out.filter(col("start_tok") =!= col("chunk_id") * 20).count() shouldBe 0L
+    out.filter(col("n_chunk_toks") < 1 || col("n_chunk_toks") > 30).count() shouldBe 0L
+    // chunk 0 exists for every doc and covered positions reach n_toks
+    out.filter(col("chunk_id") === 0).count() shouldBe docs.count()
+    val lastCover = out.groupBy(col("doc_id"))
+      .agg(max(col("start_tok") + col("n_chunk_toks")).as("covered"))
+    val toks = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " "))
+        .cast("long").as("n"))
+    lastCover.join(toks, Seq("doc_id"))
+      .filter(col("covered") =!= col("n")).count() shouldBe 0L
+  }
+
+  test("bm25 multi-probe: one slice scan answers every query, each ranking bitwise its single-query probe — including shared terms and the live store under forget") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25multi").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val queries = Seq(
+      0L -> Seq("spark", "window", "customer", "filter"),
+      1L -> Seq("join", "hash", "merge"),
+      2L -> Seq("scan", "sort", "stream", "filter")) // shares "filter" with q0
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    def singles(d: org.apache.spark.sql.DataFrame) = queries.flatMap { case (qid, ts) =>
+      TextAnalysis.bm25TopDocs(d, ts, 10).collect().map(r => (qid, r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    }.sortBy(t => (t._1, t._4)).toArray
+    // batch store
+    TextAnalysis.writeLexIndex(docs, s"$dir/batch")
+    key(TextAnalysis.bm25ProbeMany(spark, s"$dir/batch", queries, 10)) shouldBe
+      singles(docs)
+    // streamed store with a pending forget: per-query bitwise the live
+    // single probe AND the one-shot scorer over the surviving corpus
+    for (b <- 0 until 3)
+      graft.streaming.LexIngest.ingestBatch(
+        docs.filter(col("doc_id") % 3 === b), s"$dir/live", b.toLong)
+    graft.streaming.LexIngest.markDeleted(spark, s"$dir/live", Seq(87L, 102L))
+    val surviving = docs.filter(!col("doc_id").isin(87L, 102L))
+    key(graft.streaming.LexIngest.probeMany(spark, s"$dir/live", queries, 10)) shouldBe
+      singles(surviving)
+  }
+
+  test("ivfPqSearchRefined: exact re-rank of the ADC top-R equals the driver-side exact-distance reference over the same candidates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val queryIds = Seq(0L, 1L, 2L)
+    val (nprobe, r, k) = (2, 20, 5)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cands = Similarity.ivfPqSearch(emb, coarseIds, cbIds, 4, queryIds, nprobe, r)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val expected = cands.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      cs.map { case (_, nid) => (qid, nid, r4(l2(vecs(qid), vecs(nid)))) }
+        .sortBy(t => (t._3, t._2)).take(k).zipWithIndex
+        .map { case ((q, nb, d2), i) =>
+          (q, nb, java.lang.Double.doubleToRawLongBits(d2), (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._4)).toArray
+    Similarity.ivfPqSearchRefined(emb, coarseIds, cbIds, 4, queryIds, nprobe, r, k)
+      .orderBy("query_id", "rn").collect().map(x => (x.getLong(0), x.getLong(1),
+        java.lang.Double.doubleToRawLongBits(x.getDouble(2)), x.getLong(3))) shouldBe
+      expected
+  }
+
   test("indexed hybrid fusion over the persisted stores is bitwise the one-shot bm25 x ivf-pq fusion; forget composes through both stores") {
     val dir = java.nio.file.Files.createTempDirectory("hybidx").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

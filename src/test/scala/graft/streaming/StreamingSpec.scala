@@ -1167,6 +1167,62 @@ class StreamingSpec extends SparkSpec {
     LexIngest.corpusStats(spark, s"$dir/raw")._1 shouldBe 5L
   }
 
+  test("span ingest auto-compaction: a self-OPTIMIZing stream lands the same corpus as the manual twin; both stores compact") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("spanauto").toString
+    val n = 3
+    val batches = Seq(
+      Seq((1L, "w1 w2 w3 w4 w5"), (2L, "p1 p2 p3 p4")),
+      Seq((3L, "x w1 w2 w3 w4 y"), (4L, "q1 q2 q3 q4 q5 q6")),
+      Seq((5L, "w3 w4 w5 z q1 q2 q3"), (6L, "fresh tokens only here")),
+      Seq((7L, "p1 p2 p3 p4 tail run")),
+      Seq((8L, "q4 q5 q6 and w1 w2 w3 again")),
+      Seq((9L, "all novel text at the end")))
+    val mem = MemoryStream[(Long, String)]
+    val q = SpanIngest.start(mem.toDF.toDF("doc_id", "text"),
+      s"$dir/a/corpus", s"$dir/a/index", s"$dir/a/ck", n,
+      autoCompactEvery = Some(2))
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    for ((b, i) <- batches.zipWithIndex)
+      SpanIngest.ingestBatch(b.toDF("doc_id", "text"),
+        s"$dir/b/corpus", s"$dir/b/index", i.toLong, n)
+    def corpus(root: String) =
+      StoreCompaction.committedView(spark, s"$root/corpus")
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    corpus(s"$dir/a") shouldBe corpus(s"$dir/b")
+    StoreCompaction.watershed(spark, s"$dir/a/corpus") should not be empty
+    StoreCompaction.watershed(spark, s"$dir/a/index") should not be empty
+  }
+
+  test("vector ingest dedup admission: re-sent and within-batch duplicate ids are filtered; the index equals the distinct-corpus encode") {
+    import graft.llm.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("vecadm").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quant = Similarity.trainIvfPqQuantizer(
+      emb, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), m = 4)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    // batch 1 re-sends the whole corpus (half of it a duplicate of batch
+    // 0) and doubles one row internally
+    val b1 = emb.union(emb.filter(col("vec_id") === 42L))
+    VectorIndexIngest.ingestBatch(half, s"$dir/guarded", quant, 0L,
+      dedupAdmission = true)
+    VectorIndexIngest.ingestBatch(b1, s"$dir/guarded", quant, 1L,
+      dedupAdmission = true)
+    val idx = VectorIndexIngest.index(spark, s"$dir/guarded")
+    idx.count() shouldBe emb.count()
+    idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1) shouldBe
+      Similarity.ivfPqIndexRows(emb, quant).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1)
+    // the unguarded twin lands the duplicates (the hazard the flag closes)
+    VectorIndexIngest.ingestBatch(half, s"$dir/raw", quant, 0L)
+    VectorIndexIngest.ingestBatch(b1, s"$dir/raw", quant, 1L)
+    VectorIndexIngest.index(spark, s"$dir/raw").count() should be > emb.count()
+  }
+
   test("lex ingest auto-compaction: the streamed store self-OPTIMIZEs at the threshold; probe bitwise, stats_agg rebuilt") {
     implicit val ctx = spark.sqlContext
     import graft.llm.TextAnalysis
