@@ -168,6 +168,7 @@ object SparkEntry {
     1L -> Seq("join", "hash", "merge"),
     2L -> Seq("scan", "sort", "stream", "filter"))
   private val RefineR = 20
+  private val RefineSweep = Seq(5, 10, 20)
   private val RagChunkTokens = 30
   private val RagChunkOverlap = 10
   /** Farthest-point seeding: number of centroids to pick. */
@@ -2027,6 +2028,44 @@ object SparkEntry {
         PqSubspaces, AnnQueryIds, nprobe = 2, rerankR = RefineR, k = PqSearchK)
         .orderBy(col("query_id"), col("rn"))),
 
+    // the refine budget's measured value: recall@k vs the exact L2 top-k
+    // over the rerank sweep — R = k is the plain ADC candidate set,
+    // recall climbs monotonically toward the probed cells' ceiling
+    "q_refine_recall" -> ((s, dir) =>
+      Similarity.refineRecall(emb(s, dir), IvfCoarseIds, PqCodebookIds,
+        PqSubspaces, AnnQueryIds, nprobe = 2, RefineSweep, k = PqSearchK)
+        .orderBy(col("rerank_r"))),
+
+    // FILTERED vector search (the metadata-predicate production shape):
+    // the predicate applies to the INDEX FRAME itself — candidates drop
+    // before ranking, the deletion-vector subtraction generalized to an
+    // arbitrary filter; ranking is over the allowed set only. Eager +
+    // temp cleanup like ann_indexed.
+    "q_ann_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_ann_filtered").toString
+      try {
+        Similarity.writeIvfPqIndex(e, quant, idxDir)
+        val out = Similarity.ivfPqProbe(
+            Similarity.readIvfPqIndex(s, idxDir)
+              .filter(col("vec_id") % 3 === 0),
+            quant, Similarity.collectVectors(e, AnnQueryIds),
+            nprobe = 2, k = PqSearchK)
+          .orderBy(col("query_id"), col("rn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxDir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // the PERSISTED-index path end-to-end: train the quantizer, write the
     // cell-partitioned integer index, probe the STORED rows (nprobe=3 to
     // exercise a different probe set than q_ivf_pq) — must equal the
@@ -2450,6 +2489,21 @@ object SparkEntry {
     "q_rag_chunks" -> ((s, dir) =>
       TextAnalysis.ragChunks(docs(s, dir), RagChunkTokens, RagChunkOverlap)
         .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // chunk-LEVEL retrieval: the chunks become the BM25 units (synthetic
+    // key = doc_id*100000 + chunk_id, split back after ranking) — what a
+    // RAG pipeline actually indexes and retrieves; hits point INTO the
+    // document, not just at it
+    "q_chunk_retrieval" -> ((s, dir) => {
+      val chunks = TextAnalysis
+        .ragChunks(docs(s, dir), RagChunkTokens, RagChunkOverlap)
+        .select((col("doc_id") * 100000L + col("chunk_id")).as("doc_id"),
+          col("chunk").as("text"))
+      TextAnalysis.bm25TopDocs(chunks, Bm25Terms, Bm25K)
+        .select(expr("doc_id div 100000").as("doc_id"),
+          (col("doc_id") % 100000L).as("chunk_id"), col("score"), col("rn"))
+        .orderBy(col("rn"))
+    }),
 
     // MULTI-QUERY probe over the persisted store: three term sets (one
     // sharing a term with another) answered from ONE pushed-down slice
@@ -3681,10 +3735,19 @@ object SparkEntry {
     // of the proven single-query mirrors
     "q_bm25_multi" -> TextSql.bm25MultiSql(Bm25Queries, Bm25K, k1 = 1.2, b = 0.75),
     "q_rag_chunks" -> TextSql.ragChunksSql(RagChunkTokens, RagChunkOverlap),
+    "q_chunk_retrieval" -> TextSql.chunkRetrievalSql(RagChunkTokens,
+      RagChunkOverlap, Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
     // ADC candidates at R=20 re-scored with the exact l2sq kernel both
     // engines already cross bitwise; rounded to 4 before ranking
     "q_ann_refined" -> TextSql.ivfPqRefinedSql(IvfCoarseIds, PqCodebookIds,
       PqSubspaces, AnnQueryIds, nprobe = 2, rerankR = RefineR, k = PqSearchK),
+    "q_refine_recall" -> TextSql.refineRecallSql(IvfCoarseIds, PqCodebookIds,
+      PqSubspaces, AnnQueryIds, nprobe = 2, RefineSweep, k = PqSearchK),
+    // the stored-index probe with a candidate predicate: the oracle is
+    // the one-shot search SQL with the same predicate on the candidates
+    "q_ann_filtered" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds,
+      PqSubspaces, AnnQueryIds, nprobe = 2, k = PqSearchK,
+      candidatePred = Some("a.vec_id % 3 = 0")),
     // the stored-index probe replays the one-shot scorer's expression
     // tree over exactly-round-tripped integers — same oracle
     "q_bm25_indexed" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),

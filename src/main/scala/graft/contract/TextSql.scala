@@ -1091,6 +1091,21 @@ object TextSql {
       "FROM s ORDER BY doc_id, chunk_id"
   }
 
+  /** Mirror of the chunk-level retrieval composition: RAG chunks become
+    * the retrieval units (synthetic key = doc_id·100000 + chunk_id, the
+    * Spark side's exact arithmetic), ranked by the whole bm25 pipeline
+    * via [[bm25SqlFrom]], then the key splits back into (doc_id,
+    * chunk_id) with integer div/mod. */
+  def chunkRetrievalSql(maxTokens: Int, overlap: Int, queryTerms: Seq[String],
+                        k: Int, k1: Double, b: Double): String = {
+    val chunkToks =
+      s"SELECT doc_id * 100000 + chunk_id AS doc_id, " +
+        s"string_split(chunk, ' ') AS toks FROM (${ragChunksSql(maxTokens, overlap)}) ch"
+    s"SELECT doc_id // 100000 AS doc_id, doc_id % 100000 AS chunk_id, " +
+      s"score, rn FROM (${bm25SqlFrom(chunkToks, queryTerms, k, k1, b)}) r " +
+      "ORDER BY rn"
+  }
+
   /** Mirror of TextAnalysis.bm25ProbeMany: each query's ranking is the
     * single-query bm25Sql verbatim (the operator pins per-query bitwise
     * equality with the single probe, so the oracle composes the proven
@@ -1196,10 +1211,12 @@ object TextSql {
     * is unchanged — exactly the store-side anti-join). */
   def ivfPqSearchSql(coarseIds: Seq[Long], codebookIds: Seq[Long], m: Int,
                      queryIds: Seq[Long], nprobe: Int, k: Int,
-                     excludeNeighbors: Seq[Long] = Nil): String = {
+                     excludeNeighbors: Seq[Long] = Nil,
+                     candidatePred: Option[String] = None): String = {
     val exclN =
-      if (excludeNeighbors.isEmpty) ""
-      else s" AND a.vec_id NOT IN (${excludeNeighbors.mkString(", ")})"
+      (if (excludeNeighbors.isEmpty) ""
+       else s" AND a.vec_id NOT IN (${excludeNeighbors.mkString(", ")})") +
+        candidatePred.map(pr => s" AND ($pr)").getOrElse("")
     val cbValues = codebookIds.zipWithIndex
       .map { case (id, c) => s"($c, $id)" }.mkString(", ")
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
@@ -1283,6 +1300,31 @@ object TextSql {
       nprobes.map(np => arm("ivf_pq", np,
         ivfPqSearchSql(coarseIds, codebookIds, m, queryIds, np, k)))
     s"SELECT * FROM (${arms.mkString(" UNION ALL ")}) ORDER BY method, nprobe"
+  }
+
+  /** Mirror of Similarity.refineRecall — pqRecallSql's audit shape with
+    * ivfPqRefinedSql as the approx arm per swept rerank budget. */
+  def refineRecallSql(coarseIds: Seq[Long], codebookIds: Seq[Long], m: Int,
+                      queryIds: Seq[Long], nprobe: Int, rerankRs: Seq[Int],
+                      k: Int): String = {
+    val exactL2 =
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+        s"sc AS (SELECT query_id, e.vec_id AS neighbor_id, ${l2sqSql("qv", "v")} AS d2 " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn FROM sc) " +
+        s"SELECT query_id, neighbor_id FROM r WHERE rn <= $k"
+    val arms = rerankRs.map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rerank_r, n_exact, n_found, " +
+        "CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall FROM (" +
+        "SELECT CAST(count(*) AS BIGINT) AS n_exact, " +
+        "CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_found " +
+        s"FROM (SELECT query_id, neighbor_id FROM ($exactL2) x) ex " +
+        "LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit " +
+        s"FROM (${ivfPqRefinedSql(coarseIds, codebookIds, m, queryIds,
+          nprobe, r, k)}) a) ap USING (query_id, neighbor_id))"
+    }
+    s"SELECT * FROM (${arms.mkString(" UNION ALL ")}) ORDER BY rerank_r"
   }
 
   /** The order-invariant per-(cell, dim) mean shared by the vkmeans
@@ -2115,12 +2157,20 @@ object TextSql {
     * per-doc stats subtraction on the Spark side), not just the final
     * ranking. */
   def bm25Sql(queryTerms: Seq[String], k: Int, k1: Double, b: Double,
-              excludeIds: Seq[Long] = Nil): String = {
+              excludeIds: Seq[Long] = Nil): String =
+    bm25SqlFrom(toksCte, queryTerms, k, k1, b, excludeIds)
+
+  /** [[bm25Sql]] over any (doc_id, toks) source CTE — the chunk-level
+    * retrieval mirror reuses the whole scoring pipeline with RAG chunks
+    * standing in for documents. */
+  def bm25SqlFrom(sourceToksCte: String, queryTerms: Seq[String], k: Int,
+                  k1: Double, b: Double,
+                  excludeIds: Seq[Long] = Nil): String = {
     val terms = strList(queryTerms)
     val excl =
       if (excludeIds.isEmpty) ""
       else s" WHERE doc_id NOT IN (${excludeIds.mkString(", ")})"
-    s"WITH t AS (SELECT * FROM ($toksCte) t0$excl), " +
+    s"WITH t AS (SELECT * FROM ($sourceToksCte) t0$excl), " +
       "ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t), " +
       s"q AS (SELECT unnest($terms) AS term), " +
       "tf AS (SELECT doc_id, term, count(*) AS tf, first(dl) AS dl " +

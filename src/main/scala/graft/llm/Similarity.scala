@@ -194,6 +194,40 @@ object Similarity {
     out
   }
 
+  /** Recall audit for the REFINE stage — [[pqRecall]]'s counterpart for
+    * [[ivfPqSearchRefined]]: for each swept rerank budget R, the recall
+    * of the refined top-k against the exact L2² top-k. R = k is the
+    * plain ADC ranking's candidate SET (re-ordered exactly, same
+    * membership), and recall is monotone in R toward the probed cells'
+    * ceiling — the measured answer to "how much accuracy does each unit
+    * of refine budget buy". Same audit economics as the other recall
+    * queries: pays brute force once, never a production path.
+    * Output: (rerank_r, n_exact, n_found, recall). */
+  def refineRecall(emb: DataFrame, coarseIds: Seq[Long],
+                   codebookIds: Seq[Long], m: Int, queryIds: Seq[Long],
+                   nprobe: Int, rerankRs: Seq[Int], k: Int): DataFrame = {
+    require(rerankRs.nonEmpty && rerankRs.forall(_ >= k),
+      s"need every rerankR >= k=$k, got $rerankRs")
+    val exact = l2Ranked(emb, queryIds, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = rerankRs.map { r =>
+      val approx = ivfPqSearchRefined(emb, coarseIds, codebookIds, m,
+          queryIds, nprobe, r, k)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .select(lit(r.toLong).as("rerank_r"), col("n_exact"), col("n_found"),
+          (col("n_found").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_ union _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    exact.unpersist(false)
+    out
+  }
+
   /** Exact L2² top-k per query (ascending distance, ties to lowest
     * neighbor id) — the reference ranking for the distance-metric ANN
     * audits. Same broadcast-queries/one-scan shape as [[bruteRanked]]. */

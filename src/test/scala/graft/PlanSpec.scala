@@ -650,6 +650,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("documents.parquet")
   }
 
+  test("q_ann_filtered: the predicate-filtered probe keeps cell_id partition pruning and plans no join") {
+    val p = plan("q_ann_filtered")
+    p should include regex "PartitionFilters: \\[[^\\]]*cell_id"
+    (p should not).include("Join")
+  }
+
   test("q_ann_refined: the exact re-rank is broadcast-joined candidate fetch — nothing cartesian") {
     val p = plan("q_ann_refined", "simple")
     p should include("BroadcastHashJoin")

@@ -669,6 +669,61 @@ class LlmSpec extends SparkSpec {
       expected
   }
 
+  test("filtered vector search: probing the predicate-filtered index is bitwise probing an index built from only the allowed vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    val queries = Similarity.collectVectors(emb, Seq(0L, 1L, 2L))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    // index rows are per-vector projections, so filtering the full index
+    // IS encoding only the allowed vectors — the metadata-filter claim
+    val full = Similarity.ivfPqIndexRows(emb, quant)
+    val filteredProbe = Similarity.ivfPqProbe(
+      full.filter(col("vec_id") % 3 === 0), quant, queries, nprobe = 2, k = 10)
+    val subsetProbe = Similarity.ivfPqProbe(
+      Similarity.ivfPqIndexRows(emb.filter(col("vec_id") % 3 === 0), quant),
+      quant, queries, nprobe = 2, k = 10)
+    val got = key(filteredProbe)
+    got shouldBe key(subsetProbe)
+    all(got.map(_._2 % 3)) shouldBe 0L // only allowed ids rank
+  }
+
+  test("refineRecall: monotone in the rerank budget; R = k grades the plain ADC candidate set") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val out = Similarity.refineRecall(emb, coarseIds, cbIds, 4, Seq(0L, 1L, 2L),
+        nprobe = 2, rerankRs = Seq(5, 10, 20), k = 5)
+      .orderBy("rerank_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.map(_._1) shouldBe Array(5L, 10L, 20L)
+    all(out.map(_._2)) shouldBe 15L // 3 queries x k exact rows
+    // recall climbs (weakly) with the budget
+    out.map(_._3).sliding(2).foreach { case Array(a, b) => b should be >= a }
+    // the R = k arm's found-count equals grading the raw ADC top-k set
+    val adc = Similarity.ivfPqSearch(emb, coarseIds, cbIds, 4, Seq(0L, 1L, 2L),
+        nprobe = 2, k = 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val exact = Seq(0L, 1L, 2L).flatMap { qid =>
+      vecs.keys.filter(_ != qid).toSeq
+        .map(nid => (nid, l2(vecs(qid), vecs(nid))))
+        .sortBy { case (nid, d) => (d, nid) }.take(5).map(n => (qid, n._1))
+    }.toSet
+    out.head._3 shouldBe (exact & adc).size.toLong
+  }
+
   test("indexed hybrid fusion over the persisted stores is bitwise the one-shot bm25 x ivf-pq fusion; forget composes through both stores") {
     val dir = java.nio.file.Files.createTempDirectory("hybidx").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
