@@ -795,6 +795,70 @@ object ScalingAudit {
     }
   }
 
+  /** Multi-probe A/B (committed mode `probeab`): over an 8-batch
+    * compacted lexical store at the second decade, alternate ONE
+    * `bm25ProbeMany` for three query term sets against the THREE
+    * single-query probes it replaces, interleaved per round so host
+    * throttling hits both sides equally; rankings are checked equal
+    * (per query bitwise, the spec-pinned contract) every round. The
+    * claim under audit: N queries = one slice scan + one window, not N
+    * of each — at the job-floor-dominated local scale the win is the
+    * job count itself. */
+  private def probeAb(spark: SparkSession, dir: String): Unit = {
+    import graft.llm.TextAnalysis
+    import graft.streaming.LexIngest
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val big = synthesize10x(base).repartition(64).persist()
+    big.count()
+    val queries = Seq(
+      0L -> Seq("spark", "window", "customer", "filter"),
+      1L -> Seq("join", "hash", "merge"),
+      2L -> Seq("scan", "sort", "stream", "filter"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_probeab").toString
+    try {
+      for (b <- 0 until 8)
+        LexIngest.ingestBatch(big.filter(col("doc_id") % 8 === b), tmp, b.toLong)
+      LexIngest.compact(spark, tmp)
+      LexIngest.vacuum(spark, tmp)
+      def multi(): (Seq[(Long, Long, Long)], Double) = {
+        val t0 = System.nanoTime()
+        val rows = LexIngest.probeMany(spark, tmp, queries, 10)
+          .orderBy("query_id", "rn").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSeq
+        (rows.map(t => (t._1, t._2, t._3)), (System.nanoTime() - t0) / 1e9)
+      }
+      def singles(): (Seq[(Long, Long, Long)], Double) = {
+        val t0 = System.nanoTime()
+        val rows = queries.flatMap { case (qid, ts) =>
+          LexIngest.probe(spark, tmp, ts, 10).orderBy("rn").collect()
+            .map(r => (qid, r.getLong(0),
+              java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+        }
+        (rows, (System.nanoTime() - t0) / 1e9)
+      }
+      multi(); singles() // warm both code paths
+      val (wm, ws) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+      for (_ <- 1 to 5) {
+        val (rm, w1) = multi(); wm += w1
+        val (rs, w2) = singles(); ws += w2
+        require(rm == rs, "multi-probe ranking diverged from the single probes")
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
+      println(s"""{"artifact":"probeab","queries":${queries.size},""" +
+        s""""probe_med_multi_s":${d2(med(wm.result()))},""" +
+        s""""probe_med_singles_s":${d2(med(ws.result()))},""" +
+        s""""probe_walls_multi":[${wm.result().map(d2).mkString(",")}],""" +
+        s""""probe_walls_singles":[${ws.result().map(d2).mkString(",")}]}""")
+    } finally {
+      big.unpersist()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScalingAudit candidates|sf1ish|annprobe <sfDir>...")
     val spark = SparkSession.builder()
@@ -817,6 +881,7 @@ object ScalingAudit {
         require(args.length >= 3, "usage: ScalingAudit scalejson <sf0.1Dir> <outFile>")
         scaleJson(spark, args(1), args(2))
       case "compactab"  => compactAb(spark, args(1))
+      case "probeab"    => probeAb(spark, args(1))
       case other        => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -1223,6 +1223,28 @@ class StreamingSpec extends SparkSpec {
     VectorIndexIngest.index(spark, s"$dir/raw").count() should be > emb.count()
   }
 
+  test("chunk-level streamed index: ragChunks batches through LexIngest probe bitwise the one-shot chunk retrieval") {
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("chunkidx").toString
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "window", "customer", "filter")
+    // the retrieval units: chunk rows with the synthetic composite key
+    def chunksOf(docs: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.ragChunks(docs, 30, 10)
+        .select((col("doc_id") * 100000L + col("chunk_id")).as("doc_id"),
+          col("chunk").as("text"))
+    // chunks arrive with their documents, three ingest batches
+    for (b <- 0 until 3)
+      LexIngest.ingestBatch(chunksOf(d.filter(col("doc_id") % 3 === b)),
+        dir, b.toLong)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    key(LexIngest.probe(spark, dir, terms, 10)) shouldBe
+      key(TextAnalysis.bm25TopDocs(chunksOf(d), terms, 10))
+  }
+
   test("lex ingest auto-compaction: the streamed store self-OPTIMIZEs at the threshold; probe bitwise, stats_agg rebuilt") {
     implicit val ctx = spark.sqlContext
     import graft.llm.TextAnalysis
