@@ -672,8 +672,12 @@ object Bench {
               Similarity.readIvfPqIndex(spark, s"$tmp/vec"), quant,
               Similarity.collectVectors(e, Seq(0L)), nprobe = 2, k = 10)
             .select(col("query_id"), col("neighbor_id"), col("rn"))
+          // guard EACH retriever, not just the fusion: RRF happily ranks
+          // from one surviving arm, so a dead store would pass fused > 0
+          val (nLex, nSem) = (lex.count(), sem.count())
           val fused = Similarity.rrfFuse(lex, sem, 60, 5).count()
-          require(fused > 0, "empty hybrid fusion over the persisted stores")
+          require(nLex > 0 && nSem > 0 && fused > 0,
+            s"hybrid arm died: lex=$nLex sem=$nSem fused=$fused")
         } finally {
           try {
             val p = new org.apache.hadoop.fs.Path(tmp)

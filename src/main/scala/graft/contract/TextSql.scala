@@ -1129,13 +1129,17 @@ object TextSql {
       s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
       "cand AS (SELECT query_id, neighbor_id FROM " +
       s"(${ivfPqSearchSql(coarseIds, codebookIds, m, queryIds, nprobe, rerankR)}) c), " +
+      // rank by the UNROUNDED exact distance (the l2sq kernel is bitwise
+      // cross-engine); only the OUTPUT rounds — the ordering stays
+      // immune to the round() half-boundary class
       "rf AS (SELECT cand.query_id, cand.neighbor_id, " +
-      s"round(${l2sqSql("q.qv", "e.v")}, 4) AS d2 " +
+      s"${l2sqSql("q.qv", "e.v")} AS d2raw " +
       "FROM cand JOIN e ON e.vec_id = cand.neighbor_id " +
       "JOIN q ON q.query_id = cand.query_id), " +
       "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
-      "ORDER BY d2, neighbor_id) AS rn FROM rf) " +
-      s"SELECT query_id, neighbor_id, d2, CAST(rn AS BIGINT) AS rn FROM rk " +
+      "ORDER BY d2raw, neighbor_id) AS rn FROM rf) " +
+      s"SELECT query_id, neighbor_id, round(d2raw, 4) AS d2, " +
+      s"CAST(rn AS BIGINT) AS rn FROM rk " +
       s"WHERE rn <= $k ORDER BY query_id, rn"
 
   /** Mirror of the INDEXED hybrid fusion ([[hybridRrfSql]]'s join/score

@@ -1038,14 +1038,21 @@ object Similarity {
       v(col("embedding")).as("vec"))
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), v(col("embedding")).as("qvec"))
+    // rank by the UNROUNDED exact distance: the l2sq kernel is bitwise
+    // cross-engine (same left-to-right loop both sides), so the ordering
+    // needs no rounded grid — rounding only the OUTPUT column keeps the
+    // rank immune to the DuckDB round() half-boundary class (the r10
+    // hazard) instead of exposed to it
     val scored = e.join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(distSq(col("qvec"), col("vec")), 4).as("d2"))
+        distSq(col("qvec"), col("vec")).as("_d2"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2"), col("neighbor_id"))
+      .orderBy(col("_d2"), col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("_d2"), 4).as("d2"), col("rn"))
   }
 
   /** Train an [[IvfPqQuantizer]] from corpus vectors selected by id —

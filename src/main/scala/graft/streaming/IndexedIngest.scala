@@ -112,8 +112,10 @@ object IndexedIngest {
         ingestBatch(batch.toDF(), corpusPath, indexPath, batchId, threshold)
         autoCompactEvery.foreach { k =>
           val spark = batch.sparkSession
-          if (StoreCompaction.compactIfNeeded(spark, corpusPath, Nil, k).isDefined)
-            StoreCompaction.compactIfNeeded(spark, indexPath, Nil, 1)
+          if (StoreCompaction.compactIfNeeded(spark, corpusPath, Nil, k,
+              deleteIdCol = Some("doc_id")).isDefined)
+            StoreCompaction.compactIfNeeded(spark, indexPath, Nil, 1,
+              deleteIdCol = Some("doc_id"))
         }
       }
       .start()

@@ -55,14 +55,16 @@ object LexIngest {
         StoreCompaction.coveredThrough(spark, s"$indexPath/postings"),
         StoreCompaction.coveredThrough(spark, s"$indexPath/stats")))
       return // compacted replay: effects durable inside the generations
-    val batchDocs =
+    val admitted =
       if (!dedupAdmission) raw
       else {
         val inBatch = raw.groupBy(col("doc_id"))
           .agg(min(col("text")).as("text"))
-        val statsPath = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
-        val hasPrior = StoreCompaction.fsOf(spark, s"$indexPath/stats")
-          .exists(statsPath)
+        // data-file presence, not directory existence: a forget request
+        // marked before the first ingest leaves a stats dir holding only
+        // _deletes, which parquet discovery cannot infer a schema from
+        val hasPrior = StoreCompaction
+          .batchDirs(spark, s"$indexPath/stats").nonEmpty
         if (!hasPrior) inBatch
         else inBatch.join(
           StoreCompaction.committedView(spark, s"$indexPath/stats")
@@ -70,36 +72,42 @@ object LexIngest {
             .select(col("doc_id")),
           Seq("doc_id"), "left_anti")
       }
-    if (batchDocs.isEmpty) return
-    TextAnalysis.lexPostings(batchDocs)
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(s"$indexPath/postings")
-    // per-DOCUMENT stats (doc_id, dl): still additive across batches,
-    // and subtractable per doc — a deletion-vector probe recomputes the
-    // exact (n, Σdl) of the SURVIVING corpus, which is what keeps the
-    // post-forget ranking bitwise-equal to the one-shot scorer over the
-    // surviving documents
-    TextAnalysis.lexDocStats(batchDocs)
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(s"$indexPath/stats")
-    // per-BATCH one-row aggregate (n, sumdl): the probe-side corpus
-    // constants become O(committed batches) instead of a per-probe scan
-    // of every per-doc row — BIGINT addition is associative, so the
-    // folded totals are bit-identical to the per-doc sum. Same pure-
-    // projection exactly-once story; the per-doc rows stay the source
-    // of truth (forget subtraction and compaction rebuilds need them).
-    TextAnalysis.lexStats(batchDocs)
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(s"$indexPath/stats_agg")
+    // three writes read this plan (postings, stats, stats_agg) — persist
+    // once or the admission anti-join re-runs per consumer
+    val batchDocs = admitted
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (batchDocs.isEmpty) return
+      TextAnalysis.lexPostings(batchDocs)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(s"$indexPath/postings")
+      // per-DOCUMENT stats (doc_id, dl): still additive across batches,
+      // and subtractable per doc — a deletion-vector probe recomputes the
+      // exact (n, Σdl) of the SURVIVING corpus, which is what keeps the
+      // post-forget ranking bitwise-equal to the one-shot scorer over the
+      // surviving documents
+      TextAnalysis.lexDocStats(batchDocs)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(s"$indexPath/stats")
+      // per-BATCH one-row aggregate (n, sumdl): the probe-side corpus
+      // constants become O(committed batches) instead of a per-probe scan
+      // of every per-doc row — BIGINT addition is associative, so the
+      // folded totals are bit-identical to the per-doc sum. Same pure-
+      // projection exactly-once story; the per-doc rows stay the source
+      // of truth (forget subtraction and compaction rebuilds need them).
+      TextAnalysis.lexStats(batchDocs)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(s"$indexPath/stats_agg")
+    } finally batchDocs.unpersist(false)
   }
 
   /** Logically forget documents: postings AND stats mark the ids; every
@@ -141,9 +149,12 @@ object LexIngest {
     * no-deletes path). Probe-side stats cost is O(batches + deletes),
     * never O(corpus docs); BIGINT addition is associative, so every
     * value is bit-identical to the per-doc fold. Falls back to the exact
-    * per-doc aggregate when the agg cache is absent or lacks the
-    * generation row (a pre-round-17 store, a raw `StoreCompaction
-    * .compact` without [[compact]]'s rebuild, or a torn rebuild). */
+    * per-doc aggregate whenever the agg cache does not cover EVERY
+    * committed stats partition — absent entirely (a pre-round-17
+    * store), missing old batch rows (a pre-round-17 store that took a
+    * new batch), or missing the generation row (a raw `StoreCompaction
+    * .compact` without [[compact]]'s rebuild, or a torn rebuild) — so a
+    * partial cache can never silently underreport the corpus. */
   def corpusStats(spark: SparkSession, indexPath: String): (Long, Long) = {
     val statsPath = s"$indexPath/stats"
     val aggPath = s"$indexPath/stats_agg"
@@ -165,9 +176,19 @@ object LexIngest {
       // partition columns round-trip as INT from directory names
       .select(col("ingest_batch").cast("long"), col("n"), col("sumdl"))
       .collect() // one row per committed batch/generation, tiny
-    // a committed stats generation whose agg row never landed (torn
-    // rebuild) would silently DROP the compacted corpus — fall back
-    if (ws.exists(x => !committed.exists(_.getLong(0) == -x.generation)))
+    // COVERAGE, not just generation presence: every committed stats
+    // partition (old batches of a pre-round-17 store, the generation of
+    // a torn rebuild) must have its agg row, else the fold silently
+    // underreports the corpus — fall back to the exact per-doc path
+    val aggBatches = committed.map(_.getLong(0)).toSet
+    val statsCommitted = StoreCompaction.batchDirs(spark, statsPath)
+      .map(_._2).distinct
+      .filter(v => ws match {
+        case None => v >= 0L
+        case Some(StoreCompaction.Watershed(g, w)) => v == -g || v > w
+      })
+    if (ws.exists(x => !aggBatches.contains(-x.generation)) ||
+        !statsCommitted.forall(aggBatches.contains))
       return perDocFallback()
     val totN = committed.map(_.getLong(1)).sum
     val totDl = committed.map(_.getLong(2)).sum

@@ -128,7 +128,14 @@ object SpanIngest {
     *        [[StoreCompaction.compactIfNeeded]] policy, run inside the
     *        ingest's own foreachBatch — single-writer, replay-safe by
     *        the watershed skip; both stores share the batch spine so
-    *        one threshold check drives both compactions). */
+    *        one threshold check drives both compactions). Corpus
+    *        compaction passes `doc_id` so pending forget requests apply
+    *        physically instead of killing the stream; the gram index
+    *        has NO id column (rows are bare distinct grams, not
+    *        doc-attributable), so `markDeleted` on it is unsupported —
+    *        a deleted doc's grams stay indexed by design (what the
+    *        store's history owned for span-dedup purposes is corpus
+    *        policy, the liveView doctrine). */
   def start(docsStream: DataFrame, corpusPath: String, indexPath: String,
             checkpoint: String, n: Int,
             selfClean: Boolean = false,
@@ -139,7 +146,8 @@ object SpanIngest {
         ingestBatch(batch.toDF(), corpusPath, indexPath, batchId, n, selfClean)
         autoCompactEvery.foreach { k =>
           val spark = batch.sparkSession
-          if (StoreCompaction.compactIfNeeded(spark, corpusPath, Nil, k).isDefined)
+          if (StoreCompaction.compactIfNeeded(spark, corpusPath, Nil, k,
+              deleteIdCol = Some("doc_id")).isDefined)
             StoreCompaction.compactIfNeeded(spark, indexPath, Nil, 1)
         }
       }

@@ -64,8 +64,10 @@ object VectorIndexIngest {
       else {
         val inBatch = batch.groupBy(col("vec_id"))
           .agg(min(col("embedding")).as("embedding"))
-        val hasPrior = StoreCompaction.fsOf(spark, indexPath)
-          .exists(new org.apache.hadoop.fs.Path(indexPath))
+        // data-file presence, not directory existence: a forget request
+        // marked before the first ingest leaves only _deletes under the
+        // root, which parquet discovery cannot infer a schema from
+        val hasPrior = StoreCompaction.batchDirs(spark, indexPath).nonEmpty
         if (!hasPrior) inBatch
         else inBatch.join(
           StoreCompaction.committedView(spark, indexPath)

@@ -657,11 +657,13 @@ class LlmSpec extends SparkSpec {
     val cands = Similarity.ivfPqSearch(emb, coarseIds, cbIds, 4, queryIds, nprobe, r)
       .select(col("query_id"), col("neighbor_id")).collect()
       .map(x => (x.getLong(0), x.getLong(1)))
+    // rank by the UNROUNDED exact distance (the operator's contract);
+    // the output column rounds after ranking
     val expected = cands.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
-      cs.map { case (_, nid) => (qid, nid, r4(l2(vecs(qid), vecs(nid)))) }
+      cs.map { case (_, nid) => (qid, nid, l2(vecs(qid), vecs(nid))) }
         .sortBy(t => (t._3, t._2)).take(k).zipWithIndex
         .map { case ((q, nb, d2), i) =>
-          (q, nb, java.lang.Double.doubleToRawLongBits(d2), (i + 1).toLong) }
+          (q, nb, java.lang.Double.doubleToRawLongBits(r4(d2)), (i + 1).toLong) }
     }.sortBy(t => (t._1, t._4)).toArray
     Similarity.ivfPqSearchRefined(emb, coarseIds, cbIds, 4, queryIds, nprobe, r, k)
       .orderBy("query_id", "rn").collect().map(x => (x.getLong(0), x.getLong(1),

@@ -508,6 +508,66 @@ class StoreCompactionSpec extends SparkSpec {
         java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2))) shouldBe oneShot(d)
   }
 
+  test("corpusStats coverage guard: a pre-round-17 store taking its first new batch falls back to the per-doc fold — the partial agg cache never underreports") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("cmplexpre").toString
+    val idx = s"$dir/idx"
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    for (b <- 0 until 2)
+      LexIngest.ingestBatch(rows.filter(_._1 % 3 == b).toSeq.toDF("doc_id", "text"),
+        idx, b.toLong)
+    // simulate a pre-round-17 store: the agg cache never existed
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/stats_agg"), true) shouldBe true
+    // the first round-17 batch creates stats_agg with ONLY its own row;
+    // the coverage guard must detect batches 0-1 are uncovered and fall
+    // back — the corpus constants stay exact, never partial
+    LexIngest.ingestBatch(rows.filter(_._1 % 3 == 2).toSeq.toDF("doc_id", "text"),
+      idx, 2L)
+    val st = TextAnalysis.lexStats(d).head()
+    LexIngest.corpusStats(spark, idx) shouldBe ((st.getLong(0), st.getLong(1)))
+    // a whole-store OPTIMIZE rebuilds full coverage: the agg path serves
+    LexIngest.compact(spark, idx)
+    LexIngest.vacuum(spark, idx)
+    LexIngest.corpusStats(spark, idx) shouldBe ((st.getLong(0), st.getLong(1)))
+    parquetFiles(s"$idx/stats_agg")
+      .map(_.replaceAll(".*/(ingest_batch=[^/]*)/.*", "$1"))
+      .distinct shouldBe Seq("ingest_batch=-1")
+  }
+
+  test("forget marked BEFORE the first ingest: admission-guarded ingests survive the _deletes-only store and the pre-marked ids never serve") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("premark").toString
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // lexical: the forget request lands first (creates stats/_deletes and
+    // postings/_deletes with no data files anywhere)
+    LexIngest.markDeleted(spark, s"$dir/lex", Seq(87L))
+    LexIngest.ingestBatch(d, s"$dir/lex", 0L, dedupAdmission = true)
+    val terms = Seq("spark", "window", "customer", "filter")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    key(LexIngest.probe(spark, s"$dir/lex", terms, 10)) shouldBe
+      key(TextAnalysis.bm25TopDocs(d.filter(col("doc_id") =!= 87L), terms, 10))
+    // vector twin: _deletes under the index root before any batch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quant = Similarity.trainIvfPqQuantizer(
+      emb, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), m = 4)
+    StoreCompaction.markDeleted(spark, s"$dir/vec", Seq(42L))
+    VectorIndexIngest.ingestBatch(emb, s"$dir/vec", quant, 0L,
+      dedupAdmission = true)
+    val idx = VectorIndexIngest.index(spark, s"$dir/vec")
+    idx.filter(col("vec_id") === 42L).count() shouldBe 0L
+    idx.count() shouldBe emb.count() - 1L
+  }
+
   test("torn clustered retry cannot resurrect forgotten rows: a cluster emptied by deletes between the torn attempt and the retry leaves no stale -g partition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cmptornclu").toString
