@@ -117,6 +117,11 @@ object SparkEntry {
   private val RrfConst = 60
   private val RrfTopK = 5
   private val HybridQueryId = 0L
+  /** MMR reranking contract: cosine candidate pool, selected k, the
+    * classic λ = 0.7 relevance/diversity trade (Carbonell 1998). */
+  private val MmrPoolN = 12
+  private val MmrK = 5
+  private val MmrLambda = 0.7
   // forget fixtures: ids disjoint from the quantizer-training and query
   // ids; one id that never existed (tombstones are idempotent)
   private val ForgetVecIds = Seq(5L, 18L, 42L, 999999L)
@@ -1946,6 +1951,24 @@ object SparkEntry {
       }
     }),
 
+    // MMR diversity reranking (Carbonell & Goldstein 1998): greedy
+    // λ-tradeoff between query relevance and max-similarity to the
+    // already-selected set, over the top-poolN cosine pool — the
+    // standard de-crowding final stage of a RAG retrieval stack (near-
+    // duplicate passages can't fill the context window)
+    "q_mmr" -> ((s, dir) =>
+      Similarity.mmrRerank(emb(s, dir), HybridQueryId, MmrPoolN, MmrK, MmrLambda)
+        .orderBy(col("sel_rank"))),
+
+    // the INDEXED MMR composition — propose (IVF-PQ ADC top-poolR) →
+    // exact-cosine rerank of just those rows → greedy MMR de-crowding:
+    // the full production retrieval tail, nothing corpus-sized past the
+    // compressed-domain candidate scan
+    "q_mmr_indexed" -> ((s, dir) =>
+      Similarity.mmrRerankIndexed(emb(s, dir), IvfCoarseIds, PqCodebookIds,
+        PqSubspaces, HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda)
+        .orderBy(col("sel_rank"))),
+
     // three-retriever RRF ensemble: exact cosine + IVF + PQ-ADC fused by
     // the n-ary fold (rrfFuseN) — the realistic hybrid-search shape;
     // score is a fixed-order three-term sum of exact-integer divisions
@@ -3568,6 +3591,11 @@ object SparkEntry {
     "q_hybrid_indexed" -> TextSql.hybridIndexedRrfSql(Bm25Terms, 1.2, 0.75,
       HybridQueryId, IvfCoarseIds, PqCodebookIds, PqSubspaces, nprobe = 3,
       RrfPoolK, RrfConst, RrfTopK, excludeIds = ForgetDocIds),
+
+    "q_mmr" -> TextSql.mmrSql(HybridQueryId, MmrPoolN, MmrK, MmrLambda),
+
+    "q_mmr_indexed" -> TextSql.mmrIndexedSql(IvfCoarseIds, PqCodebookIds,
+      PqSubspaces, HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda),
 
     "q_rrf3" -> TextSql.rrfFusion3Sql(IvfCoarseIds, 2, PqCodebookIds,
       PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),

@@ -881,6 +881,76 @@ object TextSql {
       s"SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM r WHERE rn <= $k " +
       "ORDER BY query_id, neighbor_id"
 
+  /** Mirror of Similarity.mmrRerank: the identical cosine pool (the
+    * same unrounded (rel DESC, vec_id) window as annTopKSql), a
+    * directed pairwise pool-cosine table (cosine is bitwise symmetric —
+    * per-term products and the two norm factors commute — so it equals
+    * the Spark side's one stored triangle by value), and the greedy
+    * selection unrolled to k LIMIT-1 CTEs (the vkmeansIterateSql
+    * pattern): each step scores the unselected pool by
+    * `λ·rel − (1−λ)·max(sim to selected)` with the same interpolated
+    * literals in the same written order (ms = 0.0 for the first pick)
+    * and takes (score DESC, vec_id) — a bitwise-total order, so both
+    * relevance and mmr_score cross UNROUNDED. */
+  def mmrSql(queryId: Long, poolN: Int, k: Int, lambda: Double): String = {
+    require(poolN >= k && k >= 1, s"need poolN >= k >= 1, got poolN=$poolN k=$k")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId), " +
+      s"scored AS (SELECT e.vec_id, e.v, $cosSql AS rel " +
+      s"FROM e CROSS JOIN q WHERE e.vec_id <> $queryId), " +
+      "pr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rn FROM scored), " +
+      s"pool AS MATERIALIZED (SELECT vec_id, v, rel FROM pr WHERE rn <= $poolN), " +
+      mmrGreedyCtes(k, lambda)
+  }
+
+  /** Mirror of Similarity.mmrRerankIndexed — the propose→rerank→MMR
+    * production composition: the pool CTE is the ivfPqSearchSql
+    * candidate set at k = poolR (the proven ADC mirror, nested exactly
+    * as ivfPqRefinedSql nests it) with each candidate's EXACT cosine as
+    * relevance; the greedy chain is [[mmrGreedyCtes]] verbatim. */
+  def mmrIndexedSql(coarseIds: Seq[Long], codebookIds: Seq[Long], m: Int,
+                    queryId: Long, nprobe: Int, poolR: Int, k: Int,
+                    lambda: Double): String = {
+    require(poolR >= k && k >= 1, s"need poolR >= k >= 1, got poolR=$poolR k=$k")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId), " +
+      "cand AS (SELECT neighbor_id FROM " +
+      s"(${ivfPqSearchSql(coarseIds, codebookIds, m, Seq(queryId), nprobe, poolR)}) c), " +
+      s"pool AS MATERIALIZED (SELECT e.vec_id, e.v AS v, $cosSql AS rel " +
+      "FROM cand JOIN e ON e.vec_id = cand.neighbor_id CROSS JOIN q), " +
+      mmrGreedyCtes(k, lambda)
+  }
+
+  /** The unrolled MMR greedy over a `pool`(vec_id, v, rel) CTE — shared
+    * by [[mmrSql]] and [[mmrIndexedSql]]: a directed pairwise-cosine
+    * table, then k LIMIT-1 selection CTEs (the vkmeansIterateSql
+    * pattern), each scoring the unselected pool by
+    * `λ·rel − (1−λ)·max(sim to selected)` with interpolated literals in
+    * fixed written order and taking (score DESC, vec_id). */
+  private def mmrGreedyCtes(k: Int, lambda: Double): String = {
+    val mu = 1.0 - lambda
+    val cosAb = "list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v)))"
+    val head =
+      s"ps AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, $cosAb AS sim " +
+        "FROM pool a JOIN pool b ON a.vec_id <> b.vec_id), " +
+        "acc1 AS (SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel, " +
+        s"$lambda * rel - $mu * 0.0 AS mmr FROM pool " +
+        s"ORDER BY $lambda * rel - $mu * 0.0 DESC, vec_id LIMIT 1)"
+    val steps = (2 to k).map { t =>
+      val prev = s"acc${t - 1}"
+      s"cand$t AS (SELECT p.vec_id, p.rel, max(ps.sim) AS ms FROM pool p " +
+        s"JOIN ps ON ps.ia = p.vec_id JOIN $prev s ON ps.ib = s.vec_id " +
+        s"WHERE p.vec_id NOT IN (SELECT vec_id FROM $prev) GROUP BY p.vec_id, p.rel), " +
+        s"sel$t AS (SELECT CAST($t AS BIGINT) AS sel_rank, vec_id, rel, " +
+        s"$lambda * rel - $mu * ms AS mmr FROM cand$t " +
+        s"ORDER BY $lambda * rel - $mu * ms DESC, vec_id LIMIT 1), " +
+        s"acc$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM sel$t)"
+    }
+    (head +: steps).mkString(", ") +
+      s" SELECT sel_rank, vec_id AS neighbor_id, rel AS relevance, " +
+      s"mmr AS mmr_score FROM acc$k ORDER BY sel_rank"
+  }
+
   def dedupEmbeddingSql(coarseIds: Seq[Long], threshold: Double): String = {
     val cos = "list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v)))"
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1053,6 +1053,167 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("_d2"), 4).as("d2"), col("rn"))
+  }
+
+  /** MMR (maximal-marginal-relevance) diversity reranking — Carbonell
+    * & Goldstein 1998, the standard de-crowding final stage of a RAG
+    * retrieval stack: from the top-`poolN` cosine candidates of
+    * `queryId`, greedily select `k` maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`, so near-duplicate
+    * hits can't fill the context window with the same passage.
+    *
+    * Scale shape: the corpus-sized work is exactly the brute-force
+    * scorer's — ONE embedding scan against the broadcast query vector
+    * and a top-poolN ranking window (the `rn <= poolN` filter collapses
+    * to TakeOrderedAndProject: per-partition top-N then one merge, so
+    * no single-partition corpus sort survives the optimizer — PlanSpec-
+    * pinned on [[mmrPool]]). Only then does the poolN-row pool cross
+    * to the driver, where the O(poolN²·k) greedy runs — poolN is the
+    * caller's context-window budget (tens), never the corpus: the
+    * pqSearch / ConnectedComponents driver-side-below-threshold
+    * pattern. At cluster scale the scan and window distribute; the
+    * greedy cost is constant.
+    *
+    * Float discipline: `rel` comes back from the SAME codegen'd cosine
+    * kernel that ranked the pool; pairwise pool sims are the driver
+    * mirror of that kernel (identical left-to-right dot loop; IEEE-754
+    * sqrt is correctly rounded in the JVM, Spark codegen, and DuckDB
+    * alike, so all three agree bitwise). Each step's score is
+    * `λ·rel − (1−λ)·maxSim` with shared literals in fixed written
+    * order (`maxSim = 0.0` for the first pick), `max` is
+    * order-invariant, and argmax ties break to the lowest vec_id — the
+    * selection is total and both relevance and mmr_score cross the
+    * oracle UNROUNDED (no round() half-boundary exposure at all).
+    * Cosine is bitwise symmetric (per-term products and the two norm
+    * factors commute), so one stored triangle serves both lookup
+    * directions while the oracle's directed pair table matches by
+    * value.
+    *
+    * Output: (sel_rank, neighbor_id, relevance, mmr_score), sel_rank
+    * 1..k in selection order (fewer rows if the pool is smaller). */
+  /** The distributed stage of [[mmrRerank]]: (vec_id, vec, rel) of the
+    * top-`poolN` cosine candidates — one corpus scan against the
+    * broadcast query vector; the global rn <= poolN window collapses to
+    * TakeOrderedAndProject (per-partition top-N, single merge — never a
+    * full corpus sort; PlanSpec-pinned). Exposed so the plan can be
+    * regression-guarded; the contract query's own plan is the
+    * driver-side LocalRelation the greedy emits. */
+  private[graft] def mmrPool(emb: DataFrame, queryId: Long,
+                             poolN: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val q = e.filter(col("vec_id") === queryId).select(col("vec").as("qvec"))
+    val w = Window.orderBy(col("rel").desc, col("vec_id"))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("vec"),
+        cosine(col("qvec"), col("vec")).as("rel"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= poolN)
+      .select(col("vec_id"), col("vec"), col("rel"))
+  }
+
+  def mmrRerank(emb: DataFrame, queryId: Long, poolN: Int, k: Int,
+                lambda: Double): DataFrame = {
+    require(poolN >= k && k >= 1, s"need poolN >= k >= 1, got poolN=$poolN k=$k")
+    mmrFromPool(emb.sparkSession, mmrPool(emb, queryId, poolN), k, lambda)
+  }
+
+  /** MMR over an ANN-proposed candidate pool — the production indexed
+    * RAG shape (FAISS propose → exact rerank → MMR de-crowd): the
+    * IVF-PQ index nominates the top-`poolR` ADC candidates of
+    * `queryId` (compressed-domain scan, nprobe cells only — never the
+    * float corpus), the original vectors of just those R rows fetch via
+    * a broadcast point-join (the refineExact fetch shape), relevance is
+    * their EXACT cosine, and the same driver greedy selects `k`. The
+    * candidate SET is the index's (recall < 1 vs [[mmrRerank]]'s exact
+    * pool — that is the semantics, not an approximation bug); every
+    * float that crosses the oracle is the exact kernel's, so the
+    * outputs stay bitwise unrounded. */
+  def mmrRerankIndexed(emb: DataFrame, coarseIds: Seq[Long],
+                       codebookIds: Seq[Long], m: Int, queryId: Long,
+                       nprobe: Int, poolR: Int, k: Int,
+                       lambda: Double): DataFrame = {
+    require(poolR >= k && k >= 1, s"need poolR >= k >= 1, got poolR=$poolR k=$k")
+    val cands = ivfPqSearch(emb, coarseIds, codebookIds, m, Seq(queryId),
+        nprobe, poolR)
+      .select(col("neighbor_id").as("vec_id"))
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
+    val q = e.filter(col("vec_id") === queryId).select(col("vec").as("qvec"))
+    val pool = e.join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(q))
+      .select(col("vec_id"), col("vec"),
+        cosine(col("qvec"), col("vec")).as("rel"))
+    mmrFromPool(emb.sparkSession, pool, k, lambda)
+  }
+
+  /** Shared greedy stage of the MMR family: collect the (bounded) pool,
+    * mirror the cosine kernel driver-side for pairwise sims, select k.
+    * See [[mmrRerank]] for the float-discipline argument. */
+  private def mmrFromPool(spark: org.apache.spark.sql.SparkSession,
+                          poolDf: DataFrame, k: Int,
+                          lambda: Double): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"need lambda in [0,1], got $lambda")
+    val pool = poolDf
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    // driver mirror of the VectorOps.dot kernel: same n, same
+    // left-to-right accumulation — bitwise the codegen'd fold
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val n = pool.length
+    val sims = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val s = cosD(pool(i)._2, pool(j)._2)
+        sims(i)(j) = s; sims(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+    val mu = 1.0 - lambda
+    val taken = Array.fill(n)(false)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var t = 1
+    while (t <= math.min(k, n)) {
+      // ascending-id sweep with strict > keeps the LOWEST id on score
+      // ties — the oracle's (score DESC, vec_id) LIMIT 1
+      var best = -1; var bestScore = 0.0
+      var c = 0
+      while (c < n) {
+        if (!taken(c)) {
+          var ms = 0.0
+          if (selected.nonEmpty) {
+            ms = Double.NegativeInfinity
+            selected.foreach { s => if (sims(c)(s) > ms) ms = sims(c)(s) }
+          }
+          val score = lambda * pool(c)._3 - mu * ms
+          if (best < 0 || score > bestScore) { best = c; bestScore = score }
+        }
+        c += 1
+      }
+      taken(best) = true; selected += best
+      out += Row(t.toLong, pool(best)._1, pool(best)._3, bestScore)
+      t += 1
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out.toSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sel_rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("relevance",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("mmr_score",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /** Train an [[IvfPqQuantizer]] from corpus vectors selected by id —

@@ -37,6 +37,22 @@ class PlanSpec extends SparkSpec {
     p should include("In(vec_id, [0,1,2])")
   }
 
+  test("mmr pool: query-vector filter pushed to scan, top-poolN via TakeOrderedAndProject, query side broadcasts") {
+    // the distributed stage of q_mmr (the contract query's own plan is
+    // the LocalRelation the driver-side greedy emits). The rn <= poolN
+    // global window collapses to TakeOrderedAndProject — per-partition
+    // top-N then a single merge, never a full corpus sort; the trailing
+    // Window recomputes rn over the poolN survivors only.
+    val p = graft.llm.Similarity.mmrPool(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), 0L, 12)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    p should include("EqualTo(vec_id,0)")       // query-vector scan pruned
+    p should include("TakeOrderedAndProject")   // no full corpus sort
+    p should include("BroadcastExchange")       // 1-row query side
+    (p should not).include("CartesianProduct")
+  }
+
   test("dedup joins are equi-joins — never cartesian/nested-loop") {
     for (q <- Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash", "q_simhash_wide")) {
       val p = plan(q)

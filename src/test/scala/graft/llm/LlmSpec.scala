@@ -1450,6 +1450,77 @@ class LlmSpec extends SparkSpec {
     n shouldBe two
   }
 
+  test("mmrRerank: lambda=1 degenerates to the pure-relevance ranking") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mmr = Similarity.mmrRerank(e, 0L, poolN = 10, k = 5, lambda = 1.0)
+      .orderBy(col("sel_rank")).collect().map(r => r.getLong(1))
+    val bf = Similarity.bruteForceTopKRanked(e, Seq(0L), 5)
+      .orderBy(col("rn")).collect().map(r => r.getLong(1))
+    mmr.toSeq shouldBe bf.toSeq
+  }
+
+  test("mmrRerank: a near-duplicate of the first pick is demoted below a diverse lower-relevance candidate") {
+    // query 0; a (id 1) and its near-clone b (id 2) dominate relevance;
+    // c (id 3) is diverse but less relevant. Pure relevance ranks (a, b);
+    // at lambda=0.3 the dupe penalty flips rank 2 to c.
+    val e = embDF(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(1f, 0.010f, 0f),
+      2L -> Seq(1f, 0.011f, 0f),
+      3L -> Seq(0.5f, 0.8f, 0f))
+    val rel = Similarity.mmrRerank(e, 0L, poolN = 3, k = 2, lambda = 1.0)
+      .orderBy(col("sel_rank")).collect().map(_.getLong(1))
+    rel.toSeq shouldBe Seq(1L, 2L)
+    val div = Similarity.mmrRerank(e, 0L, poolN = 3, k = 2, lambda = 0.3)
+      .orderBy(col("sel_rank")).collect().map(_.getLong(1))
+    div.toSeq shouldBe Seq(1L, 3L)
+  }
+
+  test("mmrRerank: rank-1 is the relevance argmax with score lambda*rel; selections are distinct pool members") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lambda = 0.7
+    val out = Similarity.mmrRerank(e, 0L, poolN = 12, k = 5, lambda)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    out.map(_._1).toSeq shouldBe (1L to 5L)
+    out.map(_._2).distinct.length shouldBe 5
+    val top = Similarity.bruteForceTopKRanked(e, Seq(0L), 12)
+      .orderBy(col("rn")).collect().map(_.getLong(1))
+    // every selection comes from the top-12 pool; rank 1 IS the argmax
+    out.map(_._2).toSet.subsetOf(top.toSet) shouldBe true
+    out.head._2 shouldBe top.head
+    // first pick's score is exactly lambda*rel - (1-lambda)*0.0 (bitwise)
+    out.head._4 shouldBe (lambda * out.head._3 - (1.0 - lambda) * 0.0)
+    // later picks shift by -(1-lambda)*maxSim with maxSim in [-1, 1]
+    // (an anti-correlated pool member makes the shift a BOOST, observed
+    // on this corpus — so only the cosine bound is invariant)
+    out.tail.foreach { case (_, _, rel2, sc) =>
+      math.abs(sc - lambda * rel2) should be <= (1.0 - lambda)
+    }
+  }
+
+  test("mmrRerankIndexed is bitwise mmrRerank restricted to the ADC candidate set") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (coarse, cb, m, np, poolR) = (Seq(7L, 13L, 21L), Seq(11L, 57L, 201L, 401L), 4, 2, 12)
+    val indexed = Similarity.mmrRerankIndexed(e, coarse, cb, m, 0L, np, poolR,
+        k = 5, lambda = 0.7)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // reference: the same greedy over a corpus REDUCED to the ADC
+    // candidates (+ query) — the exact-pool path then ranks precisely
+    // the candidate set, so the two compositions must agree bit-for-bit
+    val candIds = Similarity.ivfPqSearch(e, coarse, cb, m, Seq(0L), np, poolR)
+      .collect().map(_.getLong(1)).toSeq
+    val reduced = e.filter(col("vec_id").isin((candIds :+ 0L).map(Long.box): _*))
+    val ref = Similarity.mmrRerank(reduced, 0L, poolN = candIds.size, k = 5,
+        lambda = 0.7)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    indexed.toSeq shouldBe ref.toSeq
+    // and the selection genuinely came from the index's nominees
+    indexed.map(_._2).toSet.subsetOf(candIds.toSet) shouldBe true
+  }
+
   test("ivfTopKRanked: same neighbor set as ivfTopK, ranks dense 1..k, order tracks sim") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
