@@ -1313,6 +1313,64 @@ class StreamingSpec extends SparkSpec {
     (st.getLong(0), st.getLong(1)) shouldBe ((bt.getLong(0), bt.getLong(1)))
   }
 
+  test("streamed hybrid retrieval: both stores fed by live foreachBatch queries fuse bitwise to the one-shot hybrid; forget composes through both") {
+    // q_hybrid_indexed builds its stores with direct ingestBatch calls;
+    // this pins the SAME composition when both stores are written by
+    // real streaming queries (engine-assigned batch ids, checkpoints) —
+    // the production ingestion path end-to-end through the fused ranking
+    implicit val ctx = spark.sqlContext
+    import graft.llm.{Similarity, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("hybstream").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val terms = Seq("spark", "window", "customer", "filter")
+    val qid = 0L
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    val docRows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val vecRows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val dmem = MemoryStream[(Long, String)]
+    val vmem = MemoryStream[(Long, Seq[Double])]
+    val dq = LexIngest.start(dmem.toDF.toDF("doc_id", "text"),
+      s"$dir/lex", s"$dir/dck")
+    val vq = VectorIndexIngest.start(vmem.toDF.toDF("vec_id", "embedding"),
+      s"$dir/vec", quant, s"$dir/vck")
+    try {
+      for (b <- 0 until 3) {
+        dmem.addData(docRows.filter(_._1 % 3 == b).toIndexedSeq: _*)
+        vmem.addData(vecRows.filter(_._1 % 3 == b).toIndexedSeq: _*)
+        dq.processAllAvailable(); vq.processAllAvailable()
+      }
+    } finally { dq.stop(); vq.stop() }
+    def fused() = Similarity.rrfFuse(
+      LexIngest.probe(spark, s"$dir/lex", terms, 10)
+        .select(lit(qid).as("query_id"), col("doc_id").as("neighbor_id"), col("rn")),
+      Similarity.ivfPqProbe(VectorIndexIngest.index(spark, s"$dir/vec"),
+          quant, Similarity.collectVectors(emb, Seq(qid)), nprobe = 3, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rn")),
+      60, 5)
+    def oneShot(d: org.apache.spark.sql.DataFrame,
+                e: org.apache.spark.sql.DataFrame) = Similarity.rrfFuse(
+      TextAnalysis.bm25TopDocs(d, terms, 10)
+        .select(lit(qid).as("query_id"), col("doc_id").as("neighbor_id"), col("rn")),
+      Similarity.ivfPqSearch(e, coarseIds, cbIds, 4, Seq(qid), nprobe = 3, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rn")),
+      60, 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    key(fused()) shouldBe key(oneShot(docs, emb))
+    val forget = Seq(87L, 102L)
+    LexIngest.markDeleted(spark, s"$dir/lex", forget)
+    StoreCompaction.markDeleted(spark, s"$dir/vec", forget)
+    key(fused()) shouldBe key(oneShot(
+      docs.filter(!col("doc_id").isin(forget: _*)),
+      emb.filter(!col("vec_id").isin(forget: _*))))
+  }
+
   test("stepUpdates: the streamed K-Means step equals the batch step bitwise on every touched cell") {
     implicit val ctx = spark.sqlContext
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
