@@ -357,6 +357,18 @@ object ScalingAudit {
         nprobe = 2, k = 10)
       .agg(coalesce(sum(col("neighbor_id")), lit(0L))).head.getLong(0)
     val aiW = (System.nanoTime() - aiT0) / 1e9
+    // Round-17 MMR at the embedding decade: pool 64 / k 16 (4-5x the
+    // contract depth, so the greedy runs 16 penalty rounds over a
+    // 64-candidate pool). Σ sel_rank·neighbor_id fingerprints the pool
+    // RANKING and the selection ORDER in one BIGINT — a drift in the
+    // cosine kernel, the TakeOrderedAndProject pool cut, or the greedy
+    // tie-break all move it.
+    val mmT0 = System.nanoTime()
+    val mmrOrderSum = graft.llm.Similarity
+      .mmrRerank(embBig, 0L, poolN = 64, k = 16, lambda = 0.7)
+      .select(col("sel_rank"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) * r.getLong(1)).sum
+    val mmW = (System.nanoTime() - mmT0) / 1e9
     val mdT0 = System.nanoTime()
     val mdCoarse = embBase.filter(col("vec_id").isin(11L, 57L, 201L, 401L))
       .select(col("vec_id").as("cell_id"),
@@ -557,6 +569,7 @@ object ScalingAudit {
         s""""burst_rows":$burstRows,"scd2_rows":$scdRows,""" +
         s""""eff_tokens":$effTokens,""" +
         s""""ann_indexed_hits":$aiHits,"medoid_vecid_sum":$medoidSum,""" +
+        s""""mmr_order_sum":$mmrOrderSum,""" +
         s""""span_drop_tokens":$spanDropped,"span_incr_drop":$spanIncrDropped,""" +
         s""""mixed_lang_rows":$mixedRows,""" +
         s""""card_rows":$cardRows,"card_token_delta":$cardTokenDelta,""" +
@@ -573,7 +586,7 @@ object ScalingAudit {
         s""""frame_neardup":${d2(fnW)},"incr_sem":${d2(isW)},""" +
         s""""phash":${d2(phW)},"hash_drift":${d2(hdW)},"ks_drift":${d2(ksW)},""" +
         s""""bursts":${d2(buW)},"scd2":${d2(scW)},"eff_tokens":${d2(etW)},""" +
-        s""""ann_indexed":${d2(aiW)},"medoids":${d2(mdW)},""" +
+        s""""ann_indexed":${d2(aiW)},"medoids":${d2(mdW)},"mmr":${d2(mmW)},""" +
         s""""span_removal":${d2(srW)},"span_incr":${d2(siW)},"mixed_lang":${d2(mlW)},""" +
         s""""card_diff":${d2(ccW)},"unigram":${d2(ugW)},""" +
         s""""lex_ingest":${d2(lxIngW)},"lex_probe":${d2(lxPreW)},""" +
