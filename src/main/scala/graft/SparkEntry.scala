@@ -1969,6 +1969,36 @@ object SparkEntry {
         PqSubspaces, HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda)
         .orderBy(col("sel_rank"))),
 
+    // MMR over the PERSISTED store with forget composed through it —
+    // the served deployment's tail: ingest the index in batches, mark
+    // ids deleted (deletion-vector liveView), probe candidates from the
+    // store, exact-rerank + greedy. Forgotten ids never reach the
+    // candidate set; surviving scores untouched (per-row independence).
+    // The greedy collects during the call (LocalRelation result), so
+    // the temp store can delete in the finally with nothing left lazy.
+    "q_mmr_stored" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mmr_stored").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.VectorIndexIngest.ingestBatch(
+            e.filter(col("vec_id") % 3 === b), s"$root/vec", quant, b.toLong)
+        graft.streaming.StoreCompaction.markDeleted(s, s"$root/vec", ForgetDocIds)
+        Similarity.mmrRerankStored(
+            graft.streaming.VectorIndexIngest.index(s, s"$root/vec"), quant,
+            e, HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda)
+          .orderBy(col("sel_rank"))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // three-retriever RRF ensemble: exact cosine + IVF + PQ-ADC fused by
     // the n-ary fold (rrfFuseN) — the realistic hybrid-search shape;
     // score is a fixed-order three-term sum of exact-integer divisions
@@ -3596,6 +3626,13 @@ object SparkEntry {
 
     "q_mmr_indexed" -> TextSql.mmrIndexedSql(IvfCoarseIds, PqCodebookIds,
       PqSubspaces, HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda),
+
+    // the store serves the forgotten ids through the deletion-vector
+    // liveView, so the oracle is the one-shot indexed MMR with the ids
+    // excluded from the candidate set
+    "q_mmr_stored" -> TextSql.mmrIndexedSql(IvfCoarseIds, PqCodebookIds,
+      PqSubspaces, HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda,
+      excludeIds = ForgetDocIds),
 
     "q_rrf3" -> TextSql.rrfFusion3Sql(IvfCoarseIds, 2, PqCodebookIds,
       PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),

@@ -907,15 +907,20 @@ object TextSql {
     * production composition: the pool CTE is the ivfPqSearchSql
     * candidate set at k = poolR (the proven ADC mirror, nested exactly
     * as ivfPqRefinedSql nests it) with each candidate's EXACT cosine as
-    * relevance; the greedy chain is [[mmrGreedyCtes]] verbatim. */
+    * relevance; the greedy chain is [[mmrGreedyCtes]] verbatim.
+    * `excludeIds` mirrors a deletion-vector probe over the persisted
+    * store (mmrRerankStored): forgotten ids drop from the candidate set
+    * before ranking, surviving ADC scores and the rerank unchanged. */
   def mmrIndexedSql(coarseIds: Seq[Long], codebookIds: Seq[Long], m: Int,
                     queryId: Long, nprobe: Int, poolR: Int, k: Int,
-                    lambda: Double): String = {
+                    lambda: Double,
+                    excludeIds: Seq[Long] = Nil): String = {
     require(poolR >= k && k >= 1, s"need poolR >= k >= 1, got poolR=$poolR k=$k")
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId), " +
       "cand AS (SELECT neighbor_id FROM " +
-      s"(${ivfPqSearchSql(coarseIds, codebookIds, m, Seq(queryId), nprobe, poolR)}) c), " +
+      s"(${ivfPqSearchSql(coarseIds, codebookIds, m, Seq(queryId), nprobe,
+        poolR, excludeNeighbors = excludeIds)}) c), " +
       s"pool AS MATERIALIZED (SELECT e.vec_id, e.v AS v, $cosSql AS rel " +
       "FROM cand JOIN e ON e.vec_id = cand.neighbor_id CROSS JOIN q), " +
       mmrGreedyCtes(k, lambda)

@@ -1136,6 +1136,33 @@ object Similarity {
     val cands = ivfPqSearch(emb, coarseIds, codebookIds, m, Seq(queryId),
         nprobe, poolR)
       .select(col("neighbor_id").as("vec_id"))
+    mmrOverCandidates(emb, cands, queryId, k, lambda)
+  }
+
+  /** [[mmrRerankIndexed]] over a PERSISTED index frame — the served
+    * deployment's tail: the ADC candidates come from [[ivfPqProbe]]
+    * against the stored (vec_id, cell_id, codes) rows (so a liveView /
+    * deletion-vector store composes forget straight through the MMR
+    * ranking: forgotten ids never reach the candidate set, surviving
+    * scores are untouched — per-row independence), then the identical
+    * exact-cosine rerank + greedy. Bitwise ≡ [[mmrRerankIndexed]] over
+    * the corpus the store serves (spec-pinned). */
+  def mmrRerankStored(index: DataFrame, q: IvfPqQuantizer, emb: DataFrame,
+                      queryId: Long, nprobe: Int, poolR: Int, k: Int,
+                      lambda: Double): DataFrame = {
+    require(poolR >= k && k >= 1, s"need poolR >= k >= 1, got poolR=$poolR k=$k")
+    val cands = ivfPqProbe(index, q, collectVectors(emb, Seq(queryId)),
+        nprobe, poolR)
+      .select(col("neighbor_id").as("vec_id"))
+    mmrOverCandidates(emb, cands, queryId, k, lambda)
+  }
+
+  /** Shared propose→rerank stage of the indexed MMR family: fetch the
+    * original vectors of the candidate ids (broadcast point-join — the
+    * refineExact shape), exact cosine as relevance, then the greedy. */
+  private def mmrOverCandidates(emb: DataFrame, cands: DataFrame,
+                                queryId: Long, k: Int,
+                                lambda: Double): DataFrame = {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
     val q = e.filter(col("vec_id") === queryId).select(col("vec").as("qvec"))
     val pool = e.join(broadcast(cands), Seq("vec_id"))

@@ -1521,6 +1521,39 @@ class LlmSpec extends SparkSpec {
     indexed.map(_._2).toSet.subsetOf(candIds.toSet) shouldBe true
   }
 
+  test("mmrRerankStored: the persisted-store MMR is bitwise the one-shot indexed MMR; forget composes through the ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("mmrstore").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (coarse, cb, m) = (Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4)
+    val quant = Similarity.trainIvfPqQuantizer(e, coarse, cb, m)
+    for (b <- 0 until 3)
+      graft.streaming.VectorIndexIngest.ingestBatch(
+        e.filter(col("vec_id") % 3 === b), s"$dir/vec", quant, b.toLong)
+    def stored() = Similarity.mmrRerankStored(
+        graft.streaming.VectorIndexIngest.index(spark, s"$dir/vec"), quant,
+        e, 0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+    def oneShot(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrRerankIndexed(corpus, coarse, cb, m, 0L,
+          nprobe = 2, poolR = 12, k = 5, lambda = 0.7)
+        .orderBy(col("sel_rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+    // full store: the served tail IS the one-shot composition
+    stored().toSeq shouldBe oneShot(e).toSeq
+    // forget: marked ids leave the candidate set via the liveView;
+    // the ranking equals the one-shot over the SURVIVING corpus
+    // (forgotten ids are disjoint from the quantizer-training ids, so
+    // cells/codebooks are identical on both sides)
+    val forget = Seq(5L, 18L, 42L)
+    graft.streaming.StoreCompaction.markDeleted(spark, s"$dir/vec", forget)
+    stored().toSeq shouldBe oneShot(e.filter(!col("vec_id").isin(forget: _*))).toSeq
+  }
+
   test("ivfTopKRanked: same neighbor set as ivfTopK, ranks dense 1..k, order tracks sim") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
