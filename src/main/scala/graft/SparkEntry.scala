@@ -1999,6 +1999,24 @@ object SparkEntry {
       }
     }),
 
+    // the FULL RAG pipeline in one row — hybrid nomination, semantic
+    // de-crowding: BM25 ⊕ cosine ranks fuse via RRF into the candidate
+    // set (query doc excluded — a retrieval context never returns the
+    // query itself), then MMR greedily picks the final k by exact
+    // cosine relevance vs max-similarity-to-selected
+    "q_mmr_hybrid" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val lex = TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, RrfPoolK)
+        .select(lit(HybridQueryId).as("query_id"),
+          col("doc_id").as("neighbor_id"), col("rn"))
+      val sem = Similarity.bruteForceTopKRanked(e, Seq(HybridQueryId), RrfPoolK)
+      val cands = Similarity.rrfFuse(lex, sem, RrfConst, RrfPoolK)
+        .filter(col("neighbor_id") =!= HybridQueryId)
+        .select(col("neighbor_id").as("vec_id"))
+      Similarity.mmrOverCandidates(e, cands, HybridQueryId, MmrK, MmrLambda)
+        .orderBy(col("sel_rank"))
+    }),
+
     // three-retriever RRF ensemble: exact cosine + IVF + PQ-ADC fused by
     // the n-ary fold (rrfFuseN) — the realistic hybrid-search shape;
     // score is a fixed-order three-term sum of exact-integer divisions
@@ -3633,6 +3651,9 @@ object SparkEntry {
     "q_mmr_stored" -> TextSql.mmrIndexedSql(IvfCoarseIds, PqCodebookIds,
       PqSubspaces, HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda,
       excludeIds = ForgetDocIds),
+
+    "q_mmr_hybrid" -> TextSql.mmrHybridSql(Bm25Terms, 1.2, 0.75,
+      HybridQueryId, RrfPoolK, RrfConst, fusedK = RrfPoolK, MmrK, MmrLambda),
 
     "q_rrf3" -> TextSql.rrfFusion3Sql(IvfCoarseIds, 2, PqCodebookIds,
       PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),

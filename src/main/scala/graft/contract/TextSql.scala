@@ -926,6 +926,24 @@ object TextSql {
       mmrGreedyCtes(k, lambda)
   }
 
+  /** Mirror of the q_mmr_hybrid composition — the full RAG pipeline in
+    * one query: the hybridRrfSql fused top-`fusedK` (the proven
+    * cross-modality mirror, nested whole) nominates the candidates
+    * (query doc excluded — a retrieval context never returns the query
+    * itself), the pool re-scores each nominee by EXACT cosine, and the
+    * greedy chain de-crowds. */
+  def mmrHybridSql(queryTerms: Seq[String], k1: Double, b: Double,
+                   queryId: Long, poolK: Int, kRrf: Int, fusedK: Int,
+                   k: Int, lambda: Double): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId), " +
+      "cand AS (SELECT neighbor_id FROM " +
+      s"(${hybridRrfSql(queryTerms, k1, b, queryId, poolK, kRrf, fusedK)}) h " +
+      s"WHERE neighbor_id <> $queryId), " +
+      s"pool AS MATERIALIZED (SELECT e.vec_id, e.v AS v, $cosSql AS rel " +
+      "FROM cand JOIN e ON e.vec_id = cand.neighbor_id CROSS JOIN q), " +
+      mmrGreedyCtes(k, lambda)
+
   /** The unrolled MMR greedy over a `pool`(vec_id, v, rel) CTE — shared
     * by [[mmrSql]] and [[mmrIndexedSql]]: a directed pairwise-cosine
     * table, then k LIMIT-1 selection CTEs (the vkmeansIterateSql

@@ -1157,12 +1157,15 @@ object Similarity {
     mmrOverCandidates(emb, cands, queryId, k, lambda)
   }
 
-  /** Shared propose→rerank stage of the indexed MMR family: fetch the
-    * original vectors of the candidate ids (broadcast point-join — the
-    * refineExact shape), exact cosine as relevance, then the greedy. */
-  private def mmrOverCandidates(emb: DataFrame, cands: DataFrame,
-                                queryId: Long, k: Int,
-                                lambda: Double): DataFrame = {
+  /** MMR over an ARBITRARY candidate frame (one `vec_id` column) — the
+    * propose→rerank stage shared by the indexed MMR family and open to
+    * any retriever's nominations (a fused hybrid ranking, a filtered
+    * search, a business rule): fetch the original vectors of the
+    * candidate ids (broadcast point-join — the refineExact shape),
+    * exact cosine to `queryId` as relevance, then the greedy. */
+  def mmrOverCandidates(emb: DataFrame, cands: DataFrame,
+                        queryId: Long, k: Int,
+                        lambda: Double): DataFrame = {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
     val q = e.filter(col("vec_id") === queryId).select(col("vec").as("qvec"))
     val pool = e.join(broadcast(cands), Seq("vec_id"))

@@ -1554,6 +1554,34 @@ class LlmSpec extends SparkSpec {
     stored().toSeq shouldBe oneShot(e.filter(!col("vec_id").isin(forget: _*))).toSeq
   }
 
+  test("mmrOverCandidates: arbitrary nominations rerank bitwise like mmrRerank over the reduced corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // nominate via the hybrid fusion (the q_mmr_hybrid shape)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lex = TextAnalysis.bm25TopDocs(d, Seq("spark", "window", "customer", "filter"), 10)
+      .select(lit(0L).as("query_id"), col("doc_id").as("neighbor_id"), col("rn"))
+    val sem = Similarity.bruteForceTopKRanked(e, Seq(0L), 10)
+    val candIds = Similarity.rrfFuse(lex, sem, 60, 10)
+      .filter(col("neighbor_id") =!= 0L)
+      .collect().map(_.getLong(1)).toSeq
+    val out = Similarity.mmrOverCandidates(e,
+        candIds.toDF("vec_id"), 0L, k = 5, lambda = 0.7)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+    val reduced = e.filter(col("vec_id").isin((candIds :+ 0L).map(Long.box): _*))
+    val ref = Similarity.mmrRerank(reduced, 0L, poolN = candIds.size, k = 5,
+        lambda = 0.7)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+    out.toSeq shouldBe ref.toSeq
+    out.map(_._2).toSet.subsetOf(candIds.toSet) shouldBe true
+  }
+
   test("ivfTopKRanked: same neighbor set as ivfTopK, ranks dense 1..k, order tracks sim") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
