@@ -1499,6 +1499,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank edges: a pool smaller than k emits the whole pool; an absent query id emits nothing") {
+    val e = embDF(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(1f, 0.01f, 0f),
+      2L -> Seq(0.5f, 0.8f, 0f))
+    // corpus minus query = 2 candidates < k = 2 requested via poolN 2,
+    // but ask k beyond what survives: emit exactly the pool, ranked
+    val out = Similarity.mmrRerank(e, 0L, poolN = 2, k = 2, lambda = 0.5)
+      .collect()
+    out.length shouldBe 2
+    out.map(_.getLong(1)).toSet shouldBe Set(1L, 2L)
+    // a query id with no embedding row: empty pool, empty result —
+    // never a throw (the serving path's miss is a data condition)
+    Similarity.mmrRerank(e, 999L, poolN = 2, k = 2, lambda = 0.5)
+      .count() shouldBe 0L
+  }
+
   test("mmrRerankIndexed is bitwise mmrRerank restricted to the ADC candidate set") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (coarse, cb, m, np, poolR) = (Seq(7L, 13L, 21L), Seq(11L, 57L, 201L, 401L), 4, 2, 12)
