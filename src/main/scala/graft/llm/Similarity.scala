@@ -1165,14 +1165,22 @@ object Similarity {
     * exact cosine to `queryId` as relevance, then the greedy. */
   def mmrOverCandidates(emb: DataFrame, cands: DataFrame,
                         queryId: Long, k: Int,
-                        lambda: Double): DataFrame = {
+                        lambda: Double): DataFrame =
+    mmrFromPool(emb.sparkSession, mmrCandidatePool(emb, cands, queryId),
+      k, lambda)
+
+  /** The rerank fetch of [[mmrOverCandidates]]: original vectors of the
+    * candidate ids via a broadcast point-join (at cluster scale an
+    * id-keyed point fetch — PlanSpec-pinned broadcast, nothing
+    * cartesian), exact cosine to the broadcast query vector as rel. */
+  private[graft] def mmrCandidatePool(emb: DataFrame, cands: DataFrame,
+                                      queryId: Long): DataFrame = {
     val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"))
     val q = e.filter(col("vec_id") === queryId).select(col("vec").as("qvec"))
-    val pool = e.join(broadcast(cands), Seq("vec_id"))
+    e.join(broadcast(cands), Seq("vec_id"))
       .join(broadcast(q))
       .select(col("vec_id"), col("vec"),
         cosine(col("qvec"), col("vec")).as("rel"))
-    mmrFromPool(emb.sparkSession, pool, k, lambda)
   }
 
   /** Shared greedy stage of the MMR family: collect the (bounded) pool,

@@ -53,6 +53,19 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("mmr candidate fetch: broadcast point-join on vec_id, query scan pruned, nothing cartesian") {
+    import spark.implicits._
+    val p = graft.llm.Similarity.mmrCandidatePool(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      Seq(1L, 2L, 3L).toDF("vec_id"), 0L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    p should include("BroadcastHashJoin")        // id-keyed point fetch
+    p should include("EqualTo(vec_id,0)")        // query-vector scan pruned
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")      // candidates never shuffle the corpus
+  }
+
   test("dedup joins are equi-joins — never cartesian/nested-loop") {
     for (q <- Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash", "q_simhash_wide")) {
       val p = plan(q)
