@@ -166,6 +166,9 @@ object SparkEntry {
   /** BM25 contract: query term set (corpus vocabulary words) + top-k. */
   private val Bm25Terms = Seq("spark", "window", "customer", "filter")
   private val Bm25K = 10
+  /** PRF contract: feedback depth and expansion width. */
+  private val PrfFbDocs = 5
+  private val PrfFbTerms = 3
   // multi-probe sets: query 2 shares "filter" with query 0 so the
   // one-slice fanout's shared-term arm is exercised, not just disjoint
   private val Bm25Queries = Seq(
@@ -2555,6 +2558,24 @@ object SparkEntry {
       TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, Bm25K)
         .orderBy(col("rn"))),
 
+    // pseudo-relevance feedback (RM3 mechanism): the data-dependent
+    // expansion term set — the seed query's top-fbDocs docs vote terms
+    // by the exact-integer weight (ftf·10⁶) div df (feedback frequency
+    // up, corpus ubiquity down), seeds and in-every-doc terms excluded;
+    // no float anywhere, selection order total
+    "q_prf_terms" -> ((s, dir) =>
+      TextAnalysis.prfExpansionTerms(docs(s, dir), Bm25Terms,
+        PrfFbDocs, PrfFbTerms)
+        .orderBy(col("w").desc, col("term"))),
+
+    // the expanded re-query: BM25 over seed ∪ expansion through the
+    // terms-as-frame variant — the second pass inherits the proven
+    // scoring discipline verbatim
+    "q_bm25_prf" -> ((s, dir) =>
+      TextAnalysis.bm25Prf(docs(s, dir), Bm25Terms, PrfFbDocs, PrfFbTerms,
+        Bm25K)
+        .orderBy(col("rn"))),
+
     // RAG chunking: overlapping token windows (30 tokens, 10 overlap) —
     // the retrieval-unit generator in front of any chunk-level index
     "q_rag_chunks" -> ((s, dir) =>
@@ -3817,6 +3838,11 @@ object SparkEntry {
         "GROUP BY d.source ORDER BY d.source"),
 
     "q_bm25" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
+
+    "q_prf_terms" -> TextSql.prfTermsSql(Bm25Terms, PrfFbDocs, PrfFbTerms,
+      k1 = 1.2, b = 0.75),
+    "q_bm25_prf" -> TextSql.bm25PrfSql(Bm25Terms, PrfFbDocs, PrfFbTerms,
+      Bm25K, k1 = 1.2, b = 0.75),
     // per query bitwise the single probe → the oracle is the UNION ALL
     // of the proven single-query mirrors
     "q_bm25_multi" -> TextSql.bm25MultiSql(Bm25Queries, Bm25K, k1 = 1.2, b = 0.75),

@@ -2262,14 +2262,22 @@ object TextSql {
     * standing in for documents. */
   def bm25SqlFrom(sourceToksCte: String, queryTerms: Seq[String], k: Int,
                   k1: Double, b: Double,
-                  excludeIds: Seq[Long] = Nil): String = {
-    val terms = strList(queryTerms)
+                  excludeIds: Seq[Long] = Nil): String =
+    bm25SqlOverTerms(sourceToksCte,
+      s"SELECT unnest(${strList(queryTerms)}) AS term", k, k1, b, excludeIds)
+
+  /** [[bm25SqlFrom]] with the query terms as a CTE instead of literals
+    * (the bm25Over mirror) — a data-dependent term set (PRF expansion)
+    * plugs in while literal callers compose to the identical text. */
+  def bm25SqlOverTerms(sourceToksCte: String, termsCteSql: String, k: Int,
+                       k1: Double, b: Double,
+                       excludeIds: Seq[Long] = Nil): String = {
     val excl =
       if (excludeIds.isEmpty) ""
       else s" WHERE doc_id NOT IN (${excludeIds.mkString(", ")})"
     s"WITH t AS (SELECT * FROM ($sourceToksCte) t0$excl), " +
       "ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t), " +
-      s"q AS (SELECT unnest($terms) AS term), " +
+      s"q AS ($termsCteSql), " +
       "tf AS (SELECT doc_id, term, count(*) AS tf, first(dl) AS dl " +
       "FROM ex JOIN q USING (term) GROUP BY doc_id, term), " +
       "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
@@ -2288,6 +2296,39 @@ object TextSql {
       "(ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM sc) " +
       s"SELECT doc_id, score, rn FROM r WHERE rn <= $k ORDER BY rn"
   }
+
+  /** Mirror of TextAnalysis.prfExpansionTerms (RM3 expansion, equal-
+    * weight variant): the seed ranking is the proven bm25Sql nested
+    * whole, feedback term frequency counts only the top-fbDocs docs'
+    * tokens, the df stoplist (`2·df < N`) and the seed-term exclusion
+    * are exact-integer predicates, selection by (ftf DESC, term) LIMIT —
+    * a total order both engines share. DISTINCT applies to the
+    * post-unnest rows (the spanRemovalSql zip pattern), so cdf counts
+    * (doc, term) pairs exactly like Spark's array_distinct explode. */
+  def prfTermsSql(seedTerms: Seq[String], fbDocs: Int, fbTerms: Int,
+                  k1: Double, b: Double): String =
+    s"WITH fb AS (SELECT doc_id FROM (${bm25Sql(seedTerms, fbDocs, k1, b)}) f0), " +
+      s"t AS ($toksCte), " +
+      "fex AS (SELECT unnest(t.toks) AS term FROM t JOIN fb USING (doc_id)), " +
+      "ftf AS (SELECT term, CAST(count(*) AS BIGINT) AS ftf FROM fex GROUP BY term), " +
+      "cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS cdf FROM " +
+      "(SELECT DISTINCT doc_id, unnest(toks) AS term FROM t) dt GROUP BY term), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t) " +
+      "SELECT term, ftf, (ftf * 1000000) // cdf AS w " +
+      "FROM ftf JOIN cdf USING (term) CROSS JOIN nn " +
+      s"WHERE cdf < n AND term NOT IN (SELECT unnest(${strList(seedTerms)})) " +
+      s"ORDER BY w DESC, term LIMIT $fbTerms"
+
+  /** Mirror of TextAnalysis.bm25Prf: the term set is seeds UNION ALL
+    * the prfTermsSql selection (disjoint by the exclusion predicate),
+    * scored through the identical bm25 pipeline via the terms-CTE
+    * variant. */
+  def bm25PrfSql(seedTerms: Seq[String], fbDocs: Int, fbTerms: Int,
+                 k: Int, k1: Double, b: Double): String =
+    bm25SqlOverTerms(toksCte,
+      s"SELECT unnest(${strList(seedTerms)}) AS term " +
+        s"UNION ALL SELECT term FROM (${prfTermsSql(seedTerms, fbDocs, fbTerms, k1, b)}) px",
+      k, k1, b)
 
   /** Mirror of Dedup.sourceStats fed by the MinHash near-dup pair set
     * (dedupMinhashSql, identical parameters): per-source duplication

@@ -2305,11 +2305,22 @@ object TextAnalysis {
     * Output: (doc_id, score, rn) for the top `k` documents. */
   def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(queryTerms.nonEmpty, "bm25TopDocs: empty query")
-    require(k >= 1, s"need k >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
+    bm25Over(docs, queryTerms.toDF("term"), k, k1, b)
+  }
+
+  /** [[bm25TopDocs]] with the query terms as a FRAME instead of
+    * literals — the shape a data-dependent query needs (PRF expansion,
+    * a stored query table). Identical operations: the terms frame
+    * broadcasts into the same tf join, so literal callers are bitwise
+    * unchanged. */
+  def bm25Over(docs: DataFrame, termsDf: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = docs.sparkSession
     val toks = tokens(col("text"))
     // persist: tf feeds BOTH the df aggregate and the scoring join —
     // without it the corpus explode runs twice (the tfidfTopTerms
@@ -2317,7 +2328,7 @@ object TextAnalysis {
     val tf = docs
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), size(toks).cast("long").as("dl"), explode(toks).as("term"))
-      .join(broadcast(queryTerms.toDF("term")), Seq("term"))
+      .join(broadcast(termsDf.select(col("term"))), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2340,6 +2351,63 @@ object TextAnalysis {
     out.count()
     tf.unpersist(false)
     out
+  }
+
+  /** Pseudo-relevance-feedback expansion terms (the RM3 mechanism,
+    * Lavrenko & Croft 2001, equal-weight variant): run the seed query,
+    * take its top-`fbDocs` documents as feedback, and rank the terms
+    * they contain by an exact-integer tf·idf-style weight
+    * `w = (ftf · 10⁶) div df` (feedback frequency up, corpus ubiquity
+    * down — the RM3 relevance-model shape without a float anywhere;
+    * `div` is BIGINT division on both engines). Deterministic guards:
+    * seed terms are excluded, and a term in EVERY document is dropped
+    * (df < N — zero signal); ties break to the lexicographically-first
+    * term, so the selection is total.
+    *
+    * Scale shape: the feedback side explodes only the fbDocs documents
+    * (a broadcast semi-join first, then the explode); the corpus df
+    * aggregate is the standard vocabulary shuffle (the q_vocab class,
+    * one scan). Output: (term, ftf, w), the top `fbTerms` by (w DESC,
+    * term). */
+  def prfExpansionTerms(docs: DataFrame, seedTerms: Seq[String],
+                        fbDocs: Int, fbTerms: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(seedTerms.nonEmpty, "prfExpansionTerms: empty seed query")
+    require(fbDocs >= 1 && fbTerms >= 1,
+      s"need fbDocs, fbTerms >= 1, got $fbDocs, $fbTerms")
+    val fb = bm25TopDocs(docs, seedTerms, fbDocs, k1, b).select(col("doc_id"))
+    val toks = tokens(col("text"))
+    val ftf = docs.join(broadcast(fb), Seq("doc_id"))
+      .select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("ftf"))
+    val cdf = docs.select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    ftf.join(cdf, Seq("term"))
+      .crossJoin(broadcast(n))
+      .filter(col("cdf") < col("n"))
+      .filter(!col("term").isin(seedTerms: _*))
+      .withColumn("w", expr("(ftf * 1000000) div cdf"))
+      .orderBy(col("w").desc, col("term"))
+      .limit(fbTerms)
+      .select(col("term"), col("ftf"), col("w"))
+  }
+
+  /** BM25 with pseudo-relevance feedback — seed query → feedback docs →
+    * [[prfExpansionTerms]] → re-query with seed ∪ expansion, every term
+    * weighted equally (RM3's interpolation weight is a calibration
+    * knob; the contract pins the mechanism). The second pass is
+    * [[bm25Over]] with the union frame — the same scoring pipeline the
+    * one-shot query uses, so the float discipline is inherited. */
+  def bm25Prf(docs: DataFrame, seedTerms: Seq[String], fbDocs: Int,
+              fbTerms: Int, k: Int,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = seedTerms.toDF("term")
+      .union(prfExpansionTerms(docs, seedTerms, fbDocs, fbTerms, k1, b)
+        .select(col("term")))
+    bm25Over(docs, terms, k, k1, b)
   }
 
   /** Persist the lexical (BM25) index of a corpus — the write side of

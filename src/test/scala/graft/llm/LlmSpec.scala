@@ -1450,6 +1450,41 @@ class LlmSpec extends SparkSpec {
     n shouldBe two
   }
 
+  test("prfExpansionTerms: hand fixture — feedback-tf x rarity weight, seed and in-every-doc terms excluded") {
+    // seed 'query' hits docs 1-2 (feedback at fbDocs=2); 'rare' appears
+    // twice in feedback and in 2/4 docs -> w = 2e6 div 2; 'common' is in
+    // every doc -> dropped; the seed term itself is excluded
+    val d = docsDF(
+      1L -> "query rare common stuff",
+      2L -> "query rare common other",
+      3L -> "common unrelated words here",
+      4L -> "common thing stuff other")
+    val out = TextAnalysis.prfExpansionTerms(d, Seq("query"),
+        fbDocs = 2, fbTerms = 2)
+      .orderBy(col("w").desc, col("term")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.map(_._1) should contain("rare")
+    (out.map(_._1) should not).contain("common") // in every doc
+    (out.map(_._1) should not).contain("query")  // seed excluded
+    val rare = out.find(_._1 == "rare").get
+    rare._2 shouldBe 2L                          // ftf in the 2 feedback docs
+    rare._3 shouldBe (2L * 1000000L) / 2L        // df('rare') = 2
+  }
+
+  test("bm25Prf: the data-dependent expanded query is bitwise bm25TopDocs over the literal union term set") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seed = Seq("spark", "window", "customer", "filter")
+    val exp = TextAnalysis.prfExpansionTerms(d, seed, fbDocs = 5, fbTerms = 3)
+      .collect().map(_.getString(0)).toSeq
+    exp should not be empty
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    key(TextAnalysis.bm25Prf(d, seed, fbDocs = 5, fbTerms = 3, k = 10)) shouldBe
+      key(TextAnalysis.bm25TopDocs(d, seed ++ exp, 10))
+  }
+
   test("mmrRerank: lambda=1 degenerates to the pure-relevance ranking") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val mmr = Similarity.mmrRerank(e, 0L, poolN = 10, k = 5, lambda = 1.0)
