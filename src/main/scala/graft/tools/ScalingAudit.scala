@@ -369,6 +369,18 @@ object ScalingAudit {
       .select(col("sel_rank"), col("neighbor_id")).collect()
       .map(r => r.getLong(0) * r.getLong(1)).sum
     val mmW = (System.nanoTime() - mmT0) / 1e9
+    // Round-17 PRF at the document decade: the expansion term signature
+    // (term=w pairs — exact integers) and the Σ doc_id of the expanded
+    // re-query's top-10 fingerprint the feedback loop, the integer
+    // weight, and the second-pass scoring in two durable values.
+    val prT0 = System.nanoTime()
+    val prfSeed = Seq("spark", "window", "customer", "filter")
+    val prfSig = TextAnalysis.prfExpansionTerms(big, prfSeed, 5, 3)
+      .orderBy(col("w").desc, col("term")).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(",")
+    val prfDocsum = TextAnalysis.bm25Prf(big, prfSeed, 5, 3, 10)
+      .agg(coalesce(sum(col("doc_id")), lit(0L))).head.getLong(0)
+    val prW = (System.nanoTime() - prT0) / 1e9
     val mdT0 = System.nanoTime()
     val mdCoarse = embBase.filter(col("vec_id").isin(11L, 57L, 201L, 401L))
       .select(col("vec_id").as("cell_id"),
@@ -570,6 +582,7 @@ object ScalingAudit {
         s""""eff_tokens":$effTokens,""" +
         s""""ann_indexed_hits":$aiHits,"medoid_vecid_sum":$medoidSum,""" +
         s""""mmr_order_sum":$mmrOrderSum,""" +
+        s""""prf_terms":"$prfSig","prf_docsum":$prfDocsum,""" +
         s""""span_drop_tokens":$spanDropped,"span_incr_drop":$spanIncrDropped,""" +
         s""""mixed_lang_rows":$mixedRows,""" +
         s""""card_rows":$cardRows,"card_token_delta":$cardTokenDelta,""" +
@@ -586,7 +599,7 @@ object ScalingAudit {
         s""""frame_neardup":${d2(fnW)},"incr_sem":${d2(isW)},""" +
         s""""phash":${d2(phW)},"hash_drift":${d2(hdW)},"ks_drift":${d2(ksW)},""" +
         s""""bursts":${d2(buW)},"scd2":${d2(scW)},"eff_tokens":${d2(etW)},""" +
-        s""""ann_indexed":${d2(aiW)},"medoids":${d2(mdW)},"mmr":${d2(mmW)},""" +
+        s""""ann_indexed":${d2(aiW)},"medoids":${d2(mdW)},"mmr":${d2(mmW)},"prf":${d2(prW)},""" +
         s""""span_removal":${d2(srW)},"span_incr":${d2(siW)},"mixed_lang":${d2(mlW)},""" +
         s""""card_diff":${d2(ccW)},"unigram":${d2(ugW)},""" +
         s""""lex_ingest":${d2(lxIngW)},"lex_probe":${d2(lxPreW)},""" +
