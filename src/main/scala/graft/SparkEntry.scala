@@ -2576,6 +2576,35 @@ object SparkEntry {
         Bm25K)
         .orderBy(col("rn"))),
 
+    // the PRF loop served ENTIRELY from the persisted inverted index
+    // with forget composed end-to-end: feedback ranking, term vote
+    // (postings tf), candidate df (pushed term slice), and corpus N all
+    // come from the store's liveView — deleted docs leave every stage,
+    // so the oracle is the one-shot PRF with the ids excluded. Eager
+    // (persist + count) so the temp store deletes in the finally.
+    "q_prf_indexed" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_prf_indexed").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.LexIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), s"$root/lex", b.toLong)
+        graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetDocIds)
+        val out = graft.streaming.LexIngest.prfProbe(
+            s, s"$root/lex", Bm25Terms, PrfFbDocs, PrfFbTerms, Bm25K)
+          .orderBy(col("rn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // RAG chunking: overlapping token windows (30 tokens, 10 overlap) —
     // the retrieval-unit generator in front of any chunk-level index
     "q_rag_chunks" -> ((s, dir) =>
@@ -3843,6 +3872,10 @@ object SparkEntry {
       k1 = 1.2, b = 0.75),
     "q_bm25_prf" -> TextSql.bm25PrfSql(Bm25Terms, PrfFbDocs, PrfFbTerms,
       Bm25K, k1 = 1.2, b = 0.75),
+    // the store serves the forgotten docs through every PRF stage, so
+    // the oracle is the one-shot PRF over the surviving corpus
+    "q_prf_indexed" -> TextSql.bm25PrfSql(Bm25Terms, PrfFbDocs, PrfFbTerms,
+      Bm25K, k1 = 1.2, b = 0.75, excludeIds = ForgetDocIds),
     // per query bitwise the single probe → the oracle is the UNION ALL
     // of the proven single-query mirrors
     "q_bm25_multi" -> TextSql.bm25MultiSql(Bm25Queries, Bm25K, k1 = 1.2, b = 0.75),

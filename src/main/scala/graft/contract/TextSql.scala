@@ -2306,9 +2306,13 @@ object TextSql {
     * post-unnest rows (the spanRemovalSql zip pattern), so cdf counts
     * (doc, term) pairs exactly like Spark's array_distinct explode. */
   def prfTermsSql(seedTerms: Seq[String], fbDocs: Int, fbTerms: Int,
-                  k1: Double, b: Double): String =
-    s"WITH fb AS (SELECT doc_id FROM (${bm25Sql(seedTerms, fbDocs, k1, b)}) f0), " +
-      s"t AS ($toksCte), " +
+                  k1: Double, b: Double,
+                  excludeIds: Seq[Long] = Nil): String = {
+    val excl =
+      if (excludeIds.isEmpty) ""
+      else s" WHERE doc_id NOT IN (${excludeIds.mkString(", ")})"
+    s"WITH fb AS (SELECT doc_id FROM (${bm25Sql(seedTerms, fbDocs, k1, b, excludeIds)}) f0), " +
+      s"t AS (SELECT * FROM ($toksCte) tx$excl), " +
       "fex AS (SELECT unnest(t.toks) AS term FROM t JOIN fb USING (doc_id)), " +
       "ftf AS (SELECT term, CAST(count(*) AS BIGINT) AS ftf FROM fex GROUP BY term), " +
       "cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS cdf FROM " +
@@ -2318,17 +2322,20 @@ object TextSql {
       "FROM ftf JOIN cdf USING (term) CROSS JOIN nn " +
       s"WHERE cdf < n AND term NOT IN (SELECT unnest(${strList(seedTerms)})) " +
       s"ORDER BY w DESC, term LIMIT $fbTerms"
+  }
 
   /** Mirror of TextAnalysis.bm25Prf: the term set is seeds UNION ALL
     * the prfTermsSql selection (disjoint by the exclusion predicate),
     * scored through the identical bm25 pipeline via the terms-CTE
     * variant. */
   def bm25PrfSql(seedTerms: Seq[String], fbDocs: Int, fbTerms: Int,
-                 k: Int, k1: Double, b: Double): String =
+                 k: Int, k1: Double, b: Double,
+                 excludeIds: Seq[Long] = Nil): String =
     bm25SqlOverTerms(toksCte,
       s"SELECT unnest(${strList(seedTerms)}) AS term " +
-        s"UNION ALL SELECT term FROM (${prfTermsSql(seedTerms, fbDocs, fbTerms, k1, b)}) px",
-      k, k1, b)
+        "UNION ALL SELECT term FROM " +
+        s"(${prfTermsSql(seedTerms, fbDocs, fbTerms, k1, b, excludeIds)}) px",
+      k, k1, b, excludeIds)
 
   /** Mirror of Dedup.sourceStats fed by the MinHash near-dup pair set
     * (dedupMinhashSql, identical parameters): per-source duplication

@@ -215,6 +215,56 @@ object LexIngest {
       queryTerms, n, sumdl, k, k1, b)
   }
 
+  /** The full PRF loop served from the persisted store — the documents
+    * table is never read: the seed ranking is [[probe]]; the feedback
+    * vote comes from the feedback docs' own POSTINGS rows (a posting's
+    * tf IS the per-doc term count the expansion sums); candidate
+    * document frequency is a term-IN-pushed slice count over the live
+    * postings (bounded by the candidate set, never a whole-store
+    * aggregate); corpus N comes from [[corpusStats]]. The weight and
+    * guards are TextAnalysis.prfExpansionTerms' exact integers verbatim
+    * — `(ftf·10⁶) div df`, seeds and in-every-doc terms excluded, ties
+    * to the first term (driver-side over the bounded candidate set, the
+    * ivfPqProbe probe-list pattern) — and the re-query is [[probe]]
+    * with seed ∪ expansion. The whole loop is therefore bitwise
+    * `TextAnalysis.bm25Prf` over the SURVIVING corpus (spec-pinned),
+    * with forget composed end-to-end: deleted docs leave the feedback
+    * ranking, the vote, the df counts, and the constants.
+    *
+    * The one non-term-clustered read is the feedback-postings fetch
+    * (doc_id IN over a term-sorted store): fbDocs is interactive-sized,
+    * so it is a columnar semi-join scan; the classic pairing — a
+    * forward doc→terms index making it a point lookup — is the next
+    * layout step if feedback depth ever grows. */
+  def prfProbe(spark: SparkSession, indexPath: String,
+               seedTerms: Seq[String], fbDocs: Int, fbTerms: Int, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(seedTerms.nonEmpty, "prfProbe: empty seed query")
+    require(fbDocs >= 1 && fbTerms >= 1,
+      s"need fbDocs, fbTerms >= 1, got $fbDocs, $fbTerms")
+    val fb = probe(spark, indexPath, seedTerms, fbDocs, k1, b)
+      .select(col("doc_id"))
+    val live = StoreCompaction.liveView(spark, s"$indexPath/postings", "doc_id")
+    // the feedback docs' postings ARE the (term, tf) vote
+    val ftf = live.join(broadcast(fb), Seq("doc_id"))
+      .filter(!col("term").isin(seedTerms: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("ftf"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (ftf.isEmpty) return probe(spark, indexPath, seedTerms, k, k1, b)
+    // candidate df: one pushed-down slice, one row per (term, doc)
+    val dfs = live.filter(col("term").isin(ftf.map(_._1): _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (n, _) = corpusStats(spark, indexPath)
+    val expansion = ftf
+      .filter { case (t, _) => dfs(t) < n }
+      .map { case (t, f) => (t, (f * 1000000L) / dfs(t)) }
+      .sortBy { case (t, w) => (-w, t) }
+      .take(fbTerms)
+      .map(_._1)
+    probe(spark, indexPath, seedTerms ++ expansion, k, k1, b)
+  }
+
   /** [[probe]] for a batch of queries — one live-view slice scan (the
     * UNION of every query's terms pushed down once) serves them all,
     * with the same [[corpusStats]] constants; each query's ranking is

@@ -1371,6 +1371,29 @@ class StreamingSpec extends SparkSpec {
       emb.filter(!col("vec_id").isin(forget: _*))))
   }
 
+  test("prfProbe: the store-served PRF loop is bitwise the one-shot bm25Prf; forget composes through every stage") {
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("prfprobe").toString
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seed = Seq("spark", "window", "customer", "filter")
+    for (b <- 0 until 3)
+      LexIngest.ingestBatch(d.filter(col("doc_id") % 3 === b), s"$dir/lex", b.toLong)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    key(LexIngest.prfProbe(spark, s"$dir/lex", seed, 5, 3, 10)) shouldBe
+      key(TextAnalysis.bm25Prf(d, seed, 5, 3, 10))
+    // forget: deleted docs leave the feedback ranking, the vote, the df
+    // counts AND the constants — the loop equals the one-shot PRF over
+    // the surviving corpus
+    val forget = Seq(87L, 102L)
+    LexIngest.markDeleted(spark, s"$dir/lex", forget)
+    key(LexIngest.prfProbe(spark, s"$dir/lex", seed, 5, 3, 10)) shouldBe
+      key(TextAnalysis.bm25Prf(
+        d.filter(!col("doc_id").isin(forget: _*)), seed, 5, 3, 10))
+  }
+
   test("stepUpdates: the streamed K-Means step equals the batch step bitwise on every touched cell") {
     implicit val ctx = spark.sqlContext
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
