@@ -344,6 +344,16 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Collect a BOUNDED (k-row) result into a LocalRelation-backed frame
+    * — the eager-result discipline for contract rows whose temp store
+    * deletes in a finally: nothing stays lazy over the doomed store and
+    * nothing stays registered in the cache manager (the persist+count
+    * pattern leaks one cached frame per driver run). Row order is the
+    * input's (collect preserves it), so an ORDER BY upstream survives. */
+  private def localRelation(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(df.collect().toSeq: _*), df.schema)
+
   /** Schema-adaptive events reader: every source column plus a canonical
     * `tus` BIGINT epoch-microseconds column in place of the raw `ts`.
     * The generator has shipped events.parquet as both TIMESTAMP(NANOS)
@@ -1937,7 +1947,8 @@ object SparkEntry {
           .select(lit(HybridQueryId).as("query_id"),
             col("doc_id").as("neighbor_id"), col("rn"))
         val sem = Similarity.ivfPqProbe(
-            graft.streaming.VectorIndexIngest.index(s, s"$root/vec"), quant,
+            graft.streaming.VectorIndexIngest.index(s, s"$root/vec"),
+            graft.streaming.VectorIndexIngest.quantizer(s, s"$root/vec"),
             Similarity.collectVectors(e, Seq(HybridQueryId)),
             nprobe = 3, k = RrfPoolK)
           .select(col("query_id"), col("neighbor_id"), col("rn"))
@@ -1990,10 +2001,91 @@ object SparkEntry {
           graft.streaming.VectorIndexIngest.ingestBatch(
             e.filter(col("vec_id") % 3 === b), s"$root/vec", quant, b.toLong)
         graft.streaming.StoreCompaction.markDeleted(s, s"$root/vec", ForgetDocIds)
+        // the probe loads the store's OWN published model — no
+        // trainIvfPqQuantizer on the query path (doubles round-trip
+        // parquet exactly, so the probe is bitwise the in-memory one)
         Similarity.mmrRerankStored(
-            graft.streaming.VectorIndexIngest.index(s, s"$root/vec"), quant,
+            graft.streaming.VectorIndexIngest.index(s, s"$root/vec"),
+            graft.streaming.VectorIndexIngest.quantizer(s, s"$root/vec"),
             e, HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda)
           .orderBy(col("sel_rank"))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
+    // the STORE-COMPLETE served tail — zero raw-corpus access at probe
+    // time: the quantizer loads from beside the index (_quantizer), the
+    // ADC candidates come from the index store's liveView, and the
+    // exact-rerank vectors (query included) fetch from the persisted
+    // FLOAT-VECTOR store's liveView — forget marked on BOTH stores, so
+    // an erased id can't even be fetched as a rerank candidate. The
+    // raw embeddings frame is touched only to BUILD the stores.
+    "q_mmr_served" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mmr_served").toString
+      try {
+        for (b <- 0 until 3) {
+          val part = e.filter(col("vec_id") % 3 === b)
+          graft.streaming.VectorIndexIngest.ingestBatch(
+            part, s"$root/idx", quant, b.toLong)
+          graft.streaming.VecStoreIngest.ingestBatch(
+            part, s"$root/vecs", b.toLong)
+        }
+        graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetDocIds)
+        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetDocIds)
+        Similarity.mmrRerankStored(
+            graft.streaming.VectorIndexIngest.index(s, s"$root/idx"),
+            graft.streaming.VectorIndexIngest.quantizer(s, s"$root/idx"),
+            graft.streaming.VecStoreIngest.view(s, s"$root/vecs"),
+            HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda)
+          .orderBy(col("sel_rank"))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
+    // the FAISS refine stage served STORE-ONLY: ADC proposal from the
+    // index store (stored quantizer, liveView), exact-L2² rerank
+    // vectors AND query vectors from the float-vector store's liveView
+    // — forget composed through proposal and fetch alike. Bitwise the
+    // one-shot refined search over the surviving corpus (stores hold
+    // exact bits). LocalRelation result so the temp stores delete clean.
+    "q_refine_served" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_refine_served").toString
+      try {
+        for (b <- 0 until 3) {
+          val part = e.filter(col("vec_id") % 3 === b)
+          graft.streaming.VectorIndexIngest.ingestBatch(
+            part, s"$root/idx", quant, b.toLong)
+          graft.streaming.VecStoreIngest.ingestBatch(
+            part, s"$root/vecs", b.toLong)
+        }
+        graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetVecIds)
+        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
+        val vecs = graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
+        val cands = Similarity.ivfPqProbe(
+            graft.streaming.VectorIndexIngest.index(s, s"$root/idx"),
+            graft.streaming.VectorIndexIngest.quantizer(s, s"$root/idx"),
+            Similarity.collectVectors(vecs, AnnQueryIds),
+            nprobe = 2, k = RefineR)
+          .select(col("query_id"), col("neighbor_id"))
+        localRelation(s,
+          Similarity.refineExact(vecs, cands, AnnQueryIds, PqSearchK)
+            .orderBy(col("query_id"), col("rn")))
       } finally {
         try {
           val p = new org.apache.hadoop.fs.Path(root)
@@ -2017,6 +2109,30 @@ object SparkEntry {
         .filter(col("neighbor_id") =!= HybridQueryId)
         .select(col("neighbor_id").as("vec_id"))
       Similarity.mmrOverCandidates(e, cands, HybridQueryId, MmrK, MmrLambda)
+        .orderBy(col("sel_rank"))
+    }),
+
+    // PASSAGE FETCH — the final serving stage: the q_mmr_hybrid
+    // selection (a k-row LocalRelation) broadcast-point-joins back to
+    // the documents table to return the text a served answer actually
+    // hands the generator. At 100 TB the fetch is an id-keyed point
+    // lookup against the doc store; here the k-row side broadcasts so
+    // the corpus never shuffles.
+    "q_rag_answer" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val lex = TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, RrfPoolK)
+        .select(lit(HybridQueryId).as("query_id"),
+          col("doc_id").as("neighbor_id"), col("rn"))
+      val sem = Similarity.bruteForceTopKRanked(e, Seq(HybridQueryId), RrfPoolK)
+      val cands = Similarity.rrfFuse(lex, sem, RrfConst, RrfPoolK)
+        .filter(col("neighbor_id") =!= HybridQueryId)
+        .select(col("neighbor_id").as("vec_id"))
+      val sel = Similarity.mmrOverCandidates(e, cands, HybridQueryId,
+        MmrK, MmrLambda)
+      docs(s, dir).join(broadcast(sel),
+          col("doc_id") === col("neighbor_id"))
+        .select(col("sel_rank"), col("neighbor_id"), col("relevance"),
+          col("mmr_score"), col("text"))
         .orderBy(col("sel_rank"))
     }),
 
@@ -2580,8 +2696,10 @@ object SparkEntry {
     // with forget composed end-to-end: feedback ranking, term vote
     // (postings tf), candidate df (pushed term slice), and corpus N all
     // come from the store's liveView — deleted docs leave every stage,
-    // so the oracle is the one-shot PRF with the ids excluded. Eager
-    // (persist + count) so the temp store deletes in the finally.
+    // so the oracle is the one-shot PRF with the ids excluded. The
+    // k-row result collects to a LocalRelation (the MMR entries'
+    // pattern) so the temp store deletes in the finally with nothing
+    // left lazy and nothing left cached.
     "q_prf_indexed" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val root = java.nio.file.Files
@@ -2594,9 +2712,7 @@ object SparkEntry {
         val out = graft.streaming.LexIngest.prfProbe(
             s, s"$root/lex", Bm25Terms, PrfFbDocs, PrfFbTerms, Bm25K)
           .orderBy(col("rn"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        out
+        localRelation(s, out)
       } finally {
         try {
           val p = new org.apache.hadoop.fs.Path(root)
@@ -2624,6 +2740,44 @@ object SparkEntry {
         .select(expr("doc_id div 100000").as("doc_id"),
           (col("doc_id") % 100000L).as("chunk_id"), col("score"), col("rn"))
         .orderBy(col("rn"))
+    }),
+
+    // chunk-level PERSISTED index with CASCADE forget: the LexIngest
+    // lifecycle over ragChunks units (synthetic key = doc_id·100000 +
+    // chunk_id), batched by PARENT doc so a document's chunks land
+    // together; forgetting a doc marks EVERY stored chunk of it
+    // (markDeletedCascade — the deleteCascade composition at the
+    // retrieval-unit level), and the probe recomputes the surviving
+    // CHUNK corpus constants. LocalRelation result → temp store deletes
+    // clean.
+    "q_chunk_indexed" -> ((s, dir) => {
+      val chunks = TextAnalysis
+        .ragChunks(docs(s, dir), RagChunkTokens, RagChunkOverlap)
+        .select(col("doc_id").as("parent_id"),
+          (col("doc_id") * 100000L + col("chunk_id")).as("doc_id"),
+          col("chunk").as("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_chunk_indexed").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.LexIngest.ingestBatch(
+            chunks.filter(col("parent_id") % 3 === b)
+              .select(col("doc_id"), col("text")),
+            s"$root/lex", b.toLong)
+        graft.streaming.LexIngest.markDeletedCascade(
+          s, s"$root/lex", ForgetDocIds, keyDiv = 100000L)
+        val out = graft.streaming.LexIngest
+          .probe(s, s"$root/lex", Bm25Terms, Bm25K)
+          .select(expr("doc_id div 100000").as("doc_id"),
+            (col("doc_id") % 100000L).as("chunk_id"), col("score"), col("rn"))
+          .orderBy(col("rn"))
+        localRelation(s, out)
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
     }),
 
     // MULTI-QUERY probe over the persisted store: three term sets (one
@@ -3702,8 +3856,32 @@ object SparkEntry {
       PqSubspaces, HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda,
       excludeIds = ForgetDocIds),
 
+    // the STORE-COMPLETE tail computes the same quantity as q_mmr_stored
+    // (the quantizer and vectors round-trip parquet bit-exactly, the
+    // forget set is identical on both stores) — same one-shot oracle
+    "q_mmr_served" -> TextSql.mmrIndexedSql(IvfCoarseIds, PqCodebookIds,
+      PqSubspaces, HybridQueryId, nprobe = 2, MmrPoolN, MmrK, MmrLambda,
+      excludeIds = ForgetDocIds),
+
+    // store-only refined search = the one-shot refined search over the
+    // surviving corpus: forgotten ids leave the ADC candidate set before
+    // ranking (index liveView), and could not be fetched anyway (vector
+    // store liveView)
+    "q_refine_served" -> TextSql.ivfPqRefinedSql(IvfCoarseIds, PqCodebookIds,
+      PqSubspaces, AnnQueryIds, nprobe = 2, rerankR = RefineR, k = PqSearchK,
+      excludeNeighbors = ForgetVecIds),
+
     "q_mmr_hybrid" -> TextSql.mmrHybridSql(Bm25Terms, 1.2, 0.75,
       HybridQueryId, RrfPoolK, RrfConst, fusedK = RrfPoolK, MmrK, MmrLambda),
+
+    // passage fetch: the proven q_mmr_hybrid mirror nested whole, each
+    // selected id joined to its document text — raw data elements, no
+    // new float surface
+    "q_rag_answer" ->
+      ("SELECT m.sel_rank, m.neighbor_id, m.relevance, m.mmr_score, d.text " +
+        s"FROM (${TextSql.mmrHybridSql(Bm25Terms, 1.2, 0.75, HybridQueryId,
+          RrfPoolK, RrfConst, RrfPoolK, MmrK, MmrLambda)}) m " +
+        "JOIN documents d ON d.doc_id = m.neighbor_id ORDER BY m.sel_rank"),
 
     "q_rrf3" -> TextSql.rrfFusion3Sql(IvfCoarseIds, 2, PqCodebookIds,
       PqSubspaces, AnnQueryIds, RrfPoolK, RrfConst, RrfTopK),
@@ -3882,6 +4060,13 @@ object SparkEntry {
     "q_rag_chunks" -> TextSql.ragChunksSql(RagChunkTokens, RagChunkOverlap),
     "q_chunk_retrieval" -> TextSql.chunkRetrievalSql(RagChunkTokens,
       RagChunkOverlap, Bm25Terms, Bm25K, k1 = 1.2, b = 0.75),
+    // the chunk store's cascade forget drops EVERY chunk of a forgotten
+    // doc, and the probe recomputes the surviving CHUNK corpus — so the
+    // oracle is the one-shot chunk retrieval with the parent ids
+    // excluded before the constants derive
+    "q_chunk_indexed" -> TextSql.chunkRetrievalSql(RagChunkTokens,
+      RagChunkOverlap, Bm25Terms, Bm25K, k1 = 1.2, b = 0.75,
+      excludeDocIds = ForgetDocIds),
     // ADC candidates at R=20 re-scored with the exact l2sq kernel both
     // engines already cross bitwise; rounded to 4 before ranking
     "q_ann_refined" -> TextSql.ivfPqRefinedSql(IvfCoarseIds, PqCodebookIds,

@@ -1190,10 +1190,18 @@ object TextSql {
     * via [[bm25SqlFrom]], then the key splits back into (doc_id,
     * chunk_id) with integer div/mod. */
   def chunkRetrievalSql(maxTokens: Int, overlap: Int, queryTerms: Seq[String],
-                        k: Int, k1: Double, b: Double): String = {
+                        k: Int, k1: Double, b: Double,
+                        excludeDocIds: Seq[Long] = Nil): String = {
+    // excludeDocIds are PARENT doc ids: every chunk of an excluded doc
+    // drops (the store side's cascade forget), and bm25SqlFrom derives
+    // the corpus constants from the filtered CTE — the surviving CHUNK
+    // corpus, exactly what the store's post-forget probe recomputes
+    val excl =
+      if (excludeDocIds.isEmpty) ""
+      else s" WHERE doc_id NOT IN (${excludeDocIds.mkString(", ")})"
     val chunkToks =
       s"SELECT doc_id * 100000 + chunk_id AS doc_id, " +
-        s"string_split(chunk, ' ') AS toks FROM (${ragChunksSql(maxTokens, overlap)}) ch"
+        s"string_split(chunk, ' ') AS toks FROM (${ragChunksSql(maxTokens, overlap)}) ch$excl"
     s"SELECT doc_id // 100000 AS doc_id, doc_id % 100000 AS chunk_id, " +
       s"score, rn FROM (${bm25SqlFrom(chunkToks, queryTerms, k, k1, b)}) r " +
       "ORDER BY rn"
@@ -1217,11 +1225,12 @@ object TextSql {
     * to the lowest neighbor id. */
   def ivfPqRefinedSql(coarseIds: Seq[Long], codebookIds: Seq[Long], m: Int,
                       queryIds: Seq[Long], nprobe: Int, rerankR: Int,
-                      k: Int): String =
+                      k: Int, excludeNeighbors: Seq[Long] = Nil): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
       "cand AS (SELECT query_id, neighbor_id FROM " +
-      s"(${ivfPqSearchSql(coarseIds, codebookIds, m, queryIds, nprobe, rerankR)}) c), " +
+      s"(${ivfPqSearchSql(coarseIds, codebookIds, m, queryIds, nprobe, rerankR,
+        excludeNeighbors = excludeNeighbors)}) c), " +
       // rank by the UNROUNDED exact distance (the l2sq kernel is bitwise
       // cross-engine); only the OUTPUT rounds — the ordering stays
       // immune to the round() half-boundary class
@@ -2300,8 +2309,9 @@ object TextSql {
   /** Mirror of TextAnalysis.prfExpansionTerms (RM3 expansion, equal-
     * weight variant): the seed ranking is the proven bm25Sql nested
     * whole, feedback term frequency counts only the top-fbDocs docs'
-    * tokens, the df stoplist (`2·df < N`) and the seed-term exclusion
-    * are exact-integer predicates, selection by (ftf DESC, term) LIMIT —
+    * tokens, the df stoplist (`df < N` — only in-every-doc terms drop)
+    * and the seed-term exclusion
+    * are exact-integer predicates, selection by (w DESC, term) LIMIT —
     * a total order both engines share. DISTINCT applies to the
     * post-unnest rows (the spanRemovalSql zip pattern), so cdf counts
     * (doc, term) pairs exactly like Spark's array_distinct explode. */

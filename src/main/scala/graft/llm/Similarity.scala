@@ -1185,7 +1185,14 @@ object Similarity {
 
   /** Shared greedy stage of the MMR family: collect the (bounded) pool,
     * mirror the cosine kernel driver-side for pairwise sims, select k.
-    * See [[mmrRerank]] for the float-discipline argument. */
+    * See [[mmrRerank]] for the float-discipline argument.
+    *
+    * PRECONDITION — nonzero-norm vectors only: a zero-norm embedding
+    * makes its cosine NaN, and the driver argmax (strict `>` sweep) and
+    * the SQL mirror's ORDER BY order NaN differently (DuckDB sorts NaN
+    * first under DESC), so the engines would silently diverge. The pool
+    * is guarded here: any non-finite relevance — which is exactly what a
+    * zero-norm pool vector or query produces — fails loudly instead. */
   private def mmrFromPool(spark: org.apache.spark.sql.SparkSession,
                           poolDf: DataFrame, k: Int,
                           lambda: Double): DataFrame = {
@@ -1194,6 +1201,12 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
+    pool.find(p => !java.lang.Double.isFinite(p._3)).foreach { p =>
+      throw new IllegalArgumentException(
+        s"mmr: non-finite relevance for vec_id=${p._1} — zero-norm " +
+          "embeddings are outside the MMR contract (NaN cosine orders " +
+          "differently across engines); filter them before reranking")
+    }
     // driver mirror of the VectorOps.dot kernel: same n, same
     // left-to-right accumulation — bitwise the codegen'd fold
     def dotD(a: Array[Double], b: Array[Double]): Double = {
@@ -1361,6 +1374,65 @@ object Similarity {
     spark.read.parquet(path)
       .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
         col("codes"))
+
+  /** Persist a trained [[IvfPqQuantizer]] as two tiny parquet tables —
+    * the model artifact that makes an index store SELF-DESCRIBING: a
+    * probe session reads the quantizer back from beside the index
+    * instead of retraining from the raw corpus embeddings (which a
+    * served deployment does not even have mounted). Doubles round-trip
+    * parquet bit-exactly, so a probe through the read-back model is
+    * bitwise the probe through the in-memory one (spec-pinned).
+    *
+    * Layout: `<path>/cells` (cell_id, v) and `<path>/codebook`
+    * (code_id ordinal, v, m) — codeword ORDER is load-bearing (index
+    * codes are positions into it), so the ordinal column pins it.
+    * Commit protocol: both tables write under `<path>.staging`, then one
+    * directory rename publishes — a torn write leaves only staging,
+    * which the next write sweeps; readers require the published dir
+    * (single-writer, the store-lifecycle contract). */
+  def writeIvfPqQuantizer(spark: org.apache.spark.sql.SparkSession,
+                          q: IvfPqQuantizer, path: String): Unit = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(s"$path.staging")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    q.cells.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell_id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path.staging/cells")
+    q.codebook.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq, q.m) }
+      .toDF("code_id", "v", "m").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path.staging/codebook")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(staging, dst) || !fs.exists(dst))
+      throw new java.io.IOException(s"quantizer commit $staging -> $dst failed")
+  }
+
+  /** Load a [[writeIvfPqQuantizer]] artifact. Cell set and codeword
+    * order restore exactly (the ordinal column; cells re-sort inside the
+    * model anyway), every double bit-identical to the trained values. */
+  def readIvfPqQuantizer(spark: org.apache.spark.sql.SparkSession,
+                         path: String): IvfPqQuantizer = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("cell_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val cb = spark.read.parquet(s"$path/codebook")
+      .select(col("code_id"), col("v"), col("m")).collect()
+      .sortBy(_.getLong(0))
+    IvfPqQuantizer(cells, cb.map(_.getSeq[Double](1).toArray).toSeq,
+      cb.head.getInt(2))
+  }
+
+  /** Whether a [[writeIvfPqQuantizer]] artifact is published at `path`
+    * — one existence check, no Spark job (the ingest's write-once
+    * guard). */
+  def hasIvfPqQuantizer(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new org.apache.hadoop.fs.Path(s"$path/codebook"))
 }
 
 /** Driver-side IVF-PQ quantizer — the trained model an ANN deployment

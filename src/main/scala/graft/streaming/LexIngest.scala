@@ -118,6 +118,26 @@ object LexIngest {
     StoreCompaction.markDeleted(spark, s"$indexPath/stats", docIds)
   }
 
+  /** CASCADE forget for a store whose units are CHUNKS of parent
+    * documents keyed `parent_id · keyDiv + chunk_id` (the ragChunks
+    * synthetic key): forgetting a document must remove EVERY chunk of
+    * it, or its text keeps serving probes piecewise — the
+    * `Dedup.deleteCascade` composition at the retrieval-unit level.
+    * The stored unit ids of the forgotten parents resolve from the
+    * per-doc stats registry (one narrow committed-view scan; the
+    * collect is bounded by |forgotten docs| × chunks-per-doc — a
+    * forget request, never the corpus) and mark exactly like
+    * [[markDeleted]]. Idempotent: deletes are a set union, and a
+    * parent with no stored chunks marks nothing. */
+  def markDeletedCascade(spark: SparkSession, indexPath: String,
+                         parentIds: Seq[Long], keyDiv: Long): Unit = {
+    if (parentIds.isEmpty) return
+    val unitIds = StoreCompaction.committedView(spark, s"$indexPath/stats")
+      .filter(expr(s"doc_id div $keyDiv").isin(parentIds: _*))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    if (unitIds.nonEmpty) markDeleted(spark, indexPath, unitIds)
+  }
+
   /** @param autoCompactEvery when set, the ingest self-OPTIMIZEs via
     *        [[compact]]+[[vacuum]] once the postings store's committed
     *        batch partitions reach N — inside the same foreachBatch

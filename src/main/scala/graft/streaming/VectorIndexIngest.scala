@@ -57,6 +57,13 @@ object VectorIndexIngest {
                   batchId: Long, dedupAdmission: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // publish the frozen model beside the index on first contact — the
+    // store becomes SELF-DESCRIBING: a probe session loads [[quantizer]]
+    // instead of retraining from raw embeddings it may not even have.
+    // Write-once (idempotent under replay: the model is frozen, so the
+    // existence check is the whole protocol).
+    if (!Similarity.hasIvfPqQuantizer(spark, quantizerPath(indexPath)))
+      Similarity.writeIvfPqQuantizer(spark, q, quantizerPath(indexPath))
     if (batchId <= StoreCompaction.coveredThrough(spark, indexPath))
       return // compacted replay: effects durable inside the generation
     val admitted =
@@ -118,4 +125,18 @@ object VectorIndexIngest {
     StoreCompaction.liveView(spark, indexPath, "vec_id")
       .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
         col("codes"))
+
+  /** Where the store's model artifact lives: `_`-prefixed so partition
+    * discovery of the index rows never sees it (the _compaction/_deletes
+    * convention). */
+  private def quantizerPath(indexPath: String): String =
+    s"$indexPath/_quantizer"
+
+  /** The store's OWN quantizer, read back from beside the index — the
+    * served probe path needs no raw-corpus access and no retraining:
+    * `ivfPqProbe(index(...), quantizer(...), …)` is bitwise the probe
+    * through the trained in-memory model (doubles round-trip parquet
+    * exactly; spec-pinned read∘write identity). */
+  def quantizer(spark: SparkSession, indexPath: String): IvfPqQuantizer =
+    Similarity.readIvfPqQuantizer(spark, quantizerPath(indexPath))
 }
