@@ -583,6 +583,58 @@ class LlmSpec extends SparkSpec {
     stored.filter(col("cell_id").isin(7L, 123L)).count() should be > 0L
   }
 
+  test("writeIvfPqQuantizer/readIvfPqQuantizer: read∘write is the identity — bit-exact cells, codebook order, m — and probes through the read-back model are bitwise") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqquant").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    Similarity.hasIvfPqQuantizer(spark, s"$dir/q") shouldBe false
+    Similarity.writeIvfPqQuantizer(spark, quant, s"$dir/q")
+    Similarity.hasIvfPqQuantizer(spark, s"$dir/q") shouldBe true
+    val back = Similarity.readIvfPqQuantizer(spark, s"$dir/q")
+    back.m shouldBe quant.m
+    // bit-exact round-trip: doubles compared as raw bits, order preserved
+    def bits(a: Array[Double]) = a.map(java.lang.Double.doubleToRawLongBits)
+    back.cells.map { case (id, v) => (id, bits(v).toSeq) } shouldBe
+      quant.cells.map { case (id, v) => (id, bits(v).toSeq) }
+    back.codebook.map(v => bits(v).toSeq) shouldBe
+      quant.codebook.map(v => bits(v).toSeq)
+    // the served-probe criterion: encode + probe through the READ-BACK
+    // model is bitwise the trained one — no retraining on the query path
+    val queries = Similarity.collectVectors(emb, Seq(0L, 1L, 2L))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    val idx = Similarity.ivfPqIndexRows(emb, quant)
+    key(Similarity.ivfPqProbe(idx, back, queries, nprobe = 2, k = 10)) shouldBe
+      key(Similarity.ivfPqProbe(idx, quant, queries, nprobe = 2, k = 10))
+    // overwrite publishes atomically over an existing artifact
+    Similarity.writeIvfPqQuantizer(spark, back, s"$dir/q")
+    Similarity.readIvfPqQuantizer(spark, s"$dir/q").m shouldBe quant.m
+  }
+
+  test("mmr guards the nonzero-norm precondition: a zero-norm pool vector fails LOUDLY instead of silently diverging from the SQL mirror") {
+    // query (1,0); candidate (0,0) — its cosine denominator is 0. Under
+    // the session's ANSI mode the codegen'd kernel throws DIVIDE_BY_ZERO
+    // at rel computation; with ANSI off the cosine is NaN and the
+    // mmrFromPool guard rejects it (DuckDB sorts NaN first under DESC
+    // while the driver argmax keeps it only if first-unselected — the
+    // engines would disagree). Either way: an error, never a divergence.
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 0.0)), (2L, Seq(0.8, 0.6)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.mmrRerank(e, 0L, poolN = 2, k = 2, lambda = 0.5)
+    }
+    val loud =
+      ex.isInstanceOf[IllegalArgumentException] ||
+        ex.toString.contains("DIVIDE_BY_ZERO") ||
+        Option(ex.getCause).exists(_.toString.contains("DIVIDE_BY_ZERO"))
+    withClue(s"expected a loud zero-norm failure, got: $ex") { loud shouldBe true }
+  }
+
   test("ragChunks: hand fixture windows, full token coverage, stride/size invariants on the corpus") {
     // 7 tokens, window 3, overlap 1 → stride 2 → starts 0,2,4,6
     TextAnalysis.ragChunks(docsDF(1L -> "a b c d e f g"), 3, 1)

@@ -1394,6 +1394,171 @@ class StreamingSpec extends SparkSpec {
         d.filter(!col("doc_id").isin(forget: _*)), seed, 5, 3, 10))
   }
 
+  test("vec store + stored quantizer: the store-complete tail (MMR + refine) is bitwise the one-shot; forget composes — an erased id cannot be fetched even as a rerank candidate") {
+    import graft.llm.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("vecstore").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    for (b <- 0 until 3) {
+      val part = emb.filter(col("vec_id") % 3 === b)
+      VectorIndexIngest.ingestBatch(part, s"$dir/idx", quant, b.toLong)
+      VecStoreIngest.ingestBatch(part, s"$dir/vecs", b.toLong)
+    }
+    // the view round-trips the corpus bit-exactly (drop-in emb frame)
+    def vbits(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)
+          .map(java.lang.Double.doubleToRawLongBits).toSeq)).sortBy(_._1)
+    val vecs = VecStoreIngest.view(spark, s"$dir/vecs")
+    vbits(vecs).toSeq shouldBe vbits(emb).toSeq
+    val storedQ = VectorIndexIngest.quantizer(spark, s"$dir/idx")
+    def mmrKey(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("sel_rank").collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+    def refKey(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    // store-only MMR ≡ one-shot over the same quantizer and corpus
+    val storeMmr = mmrKey(Similarity.mmrRerankStored(
+      VectorIndexIngest.index(spark, s"$dir/idx"), storedQ, vecs,
+      0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7))
+    storeMmr shouldBe mmrKey(Similarity.mmrRerankStored(
+      Similarity.ivfPqIndexRows(emb, quant), quant, emb,
+      0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7))
+    // store-only refined search ≡ one-shot ivfPqSearchRefined
+    val queryIds = Seq(0L, 1L, 2L)
+    def storeRefined() = {
+      val cands = Similarity.ivfPqProbe(
+          VectorIndexIngest.index(spark, s"$dir/idx"), storedQ,
+          Similarity.collectVectors(vecs, queryIds), nprobe = 2, k = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      Similarity.refineExact(vecs, cands, queryIds, k = 5)
+    }
+    refKey(storeRefined()) shouldBe refKey(Similarity.ivfPqSearchRefined(
+      emb, coarseIds, cbIds, 4, queryIds, nprobe = 2, rerankR = 20, k = 5))
+    // forget an id the un-forgotten MMR actually selected: it leaves the
+    // candidate set (index liveView) AND becomes unfetchable (vec store
+    // liveView) — the tail equals the one-shot over the surviving corpus
+    val gone = storeMmr.map(_._2).filter(_ != 0L).head
+    StoreCompaction.markDeleted(spark, s"$dir/idx", Seq(gone))
+    VecStoreIngest.markDeleted(spark, s"$dir/vecs", Seq(gone))
+    VecStoreIngest.view(spark, s"$dir/vecs")
+      .filter(col("vec_id") === gone).count() shouldBe 0L
+    val survivors = emb.filter(col("vec_id") =!= gone)
+    mmrKey(Similarity.mmrRerankStored(
+      VectorIndexIngest.index(spark, s"$dir/idx"), storedQ,
+      VecStoreIngest.view(spark, s"$dir/vecs"),
+      0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7)) shouldBe
+      mmrKey(Similarity.mmrRerankStored(
+        Similarity.ivfPqIndexRows(survivors, quant), quant, survivors,
+        0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7))
+    // compaction applies the delete physically; probes stay bitwise
+    VecStoreIngest.compact(spark, s"$dir/vecs")
+    StoreCompaction.vacuum(spark, s"$dir/vecs")
+    spark.read.parquet(s"$dir/vecs").filter(col("vec_id") === gone)
+      .count() shouldBe 0L
+    vbits(VecStoreIngest.view(spark, s"$dir/vecs")).toSeq shouldBe
+      vbits(survivors).toSeq
+  }
+
+  test("chunk-level persisted index: cascade forget removes EVERY chunk of a parent; the probe equals the one-shot chunk retrieval over surviving chunks") {
+    import graft.llm.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("chunkidx").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val chunks = TextAnalysis.ragChunks(docs, 30, 10)
+      .select(col("doc_id").as("parent_id"),
+        (col("doc_id") * 100000L + col("chunk_id")).as("doc_id"),
+        col("chunk").as("text"))
+    for (b <- 0 until 3)
+      LexIngest.ingestBatch(
+        chunks.filter(col("parent_id") % 3 === b).select(col("doc_id"), col("text")),
+        s"$dir/lex", b.toLong)
+    val terms = Seq("spark", "window", "customer", "filter")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    key(LexIngest.probe(spark, s"$dir/lex", terms, 10)) shouldBe
+      key(TextAnalysis.bm25TopDocs(chunks.select(col("doc_id"), col("text")),
+        terms, 10))
+    // cascade: both parents have multiple chunks; the ghost id marks none
+    val parents = Seq(87L, 102L, 999999L)
+    val parentChunks = chunks
+      .filter(col("parent_id").isin(parents: _*)).count()
+    parentChunks should be >= 4L
+    LexIngest.markDeletedCascade(spark, s"$dir/lex", parents, keyDiv = 100000L)
+    StoreCompaction.liveView(spark, s"$dir/lex/stats", "doc_id")
+      .filter(org.apache.spark.sql.functions.expr("doc_id div 100000")
+        .isin(parents: _*)).count() shouldBe 0L
+    // post-forget probe ≡ one-shot over the SURVIVING chunk corpus (the
+    // constants re-derive over surviving chunks)
+    val surviving = chunks.filter(!col("parent_id").isin(parents: _*))
+      .select(col("doc_id"), col("text"))
+    key(LexIngest.probe(spark, s"$dir/lex", terms, 10)) shouldBe
+      key(TextAnalysis.bm25TopDocs(surviving, terms, 10))
+    // idempotent: cascading again marks nothing new and changes nothing
+    LexIngest.markDeletedCascade(spark, s"$dir/lex", parents, keyDiv = 100000L)
+    key(LexIngest.probe(spark, s"$dir/lex", terms, 10)) shouldBe
+      key(TextAnalysis.bm25TopDocs(surviving, terms, 10))
+  }
+
+  test("streamed serving twin: a foreachBatch-maintained store pair answers prfProbe and mmrRerankStored bitwise the one-shot at EVERY trigger") {
+    implicit val ctx = spark.sqlContext
+    import graft.llm.{Similarity, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("ragserve").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val quant = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, m = 4)
+    val seed = Seq("spark", "window", "customer", "filter")
+    val docRows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val vecRows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val dmem = MemoryStream[(Long, String)]
+    val vmem = MemoryStream[(Long, Seq[Double])]
+    val lexQ = LexIngest.start(
+      dmem.toDF.toDF("doc_id", "text"), s"$dir/lex", s"$dir/ck1")
+    val idxQ = VectorIndexIngest.start(
+      vmem.toDF.toDF("vec_id", "embedding"), s"$dir/idx", quant, s"$dir/ck2")
+    val vecQ = VecStoreIngest.start(
+      vmem.toDF.toDF("vec_id", "embedding"), s"$dir/vecs", s"$dir/ck3")
+    def prfKey(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
+    def mmrKey(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("sel_rank").collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+    try {
+      for (b <- 0 until 3) {
+        dmem.addData(docRows.filter(_._1 % 3 == b).toIndexedSeq: _*)
+        vmem.addData(vecRows.filter(_._1 % 3 == b).toIndexedSeq: _*)
+        lexQ.processAllAvailable()
+        idxQ.processAllAvailable()
+        vecQ.processAllAvailable()
+        // the corpus SEEN so far (query id 0 arrives in trigger 0)
+        val seenDocs = docs.filter(col("doc_id") % 3 <= b)
+        val seenEmb = emb.filter(col("vec_id") % 3 <= b)
+        prfKey(LexIngest.prfProbe(spark, s"$dir/lex", seed, 5, 3, 10)) shouldBe
+          prfKey(TextAnalysis.bm25Prf(seenDocs, seed, 5, 3, 10))
+        mmrKey(Similarity.mmrRerankStored(
+          VectorIndexIngest.index(spark, s"$dir/idx"),
+          VectorIndexIngest.quantizer(spark, s"$dir/idx"),
+          VecStoreIngest.view(spark, s"$dir/vecs"),
+          0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7)) shouldBe
+          mmrKey(Similarity.mmrRerankStored(
+            Similarity.ivfPqIndexRows(seenEmb, quant), quant, seenEmb,
+            0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7))
+      }
+    } finally { lexQ.stop(); idxQ.stop(); vecQ.stop() }
+  }
+
   test("stepUpdates: the streamed K-Means step equals the batch step bitwise on every touched cell") {
     implicit val ctx = spark.sqlContext
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
