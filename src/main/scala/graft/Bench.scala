@@ -627,6 +627,60 @@ object Bench {
           } catch { case _: Throwable => () }
         }
       }),
+      // the STREAMED SERVING tail end-to-end: docs and vectors file-
+      // stream into the full store triple (lexical postings, IVF-PQ
+      // index with its published quantizer, float-vector refine store),
+      // then BOTH production probes serve store-only — PRF query
+      // expansion from the postings, MMR de-crowding with the rerank
+      // fetch against the vec store's liveView; the raw corpus frames
+      // are never read on the query path (bitwise twin is spec-pinned).
+      // Guard: each probe returns its full k and the MMR ids exist.
+      "stream_rag_serve" -> (() => {
+        import org.apache.spark.sql.functions._
+        import graft.llm.Similarity
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val quant = Similarity.trainIvfPqQuantizer(
+          emb, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ragserve_bench").toString
+        try {
+          docs.repartition(2).write.mode("overwrite").parquet(s"$tmp/din")
+          emb.repartition(2).write.mode("overwrite").parquet(s"$tmp/vin")
+          val dsrc = s2.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/din")
+          val vsrc = s2.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vin")
+          val lexQ = graft.streaming.LexIngest.start(
+            dsrc, s"$tmp/lex", s"$tmp/ck1")
+          val idxQ = graft.streaming.VectorIndexIngest.start(
+            vsrc, s"$tmp/idx", quant, s"$tmp/ck2")
+          val vecQ = graft.streaming.VecStoreIngest.start(
+            vsrc, s"$tmp/vecs", s"$tmp/ck3")
+          try {
+            lexQ.processAllAvailable(); idxQ.processAllAvailable()
+            vecQ.processAllAvailable()
+          } finally { lexQ.stop(); idxQ.stop(); vecQ.stop() }
+          val prf = graft.streaming.LexIngest.prfProbe(s2, s"$tmp/lex",
+            Seq("spark", "window", "customer", "filter"), 5, 3, 10).count()
+          val mmr = Similarity.mmrRerankStored(
+              graft.streaming.VectorIndexIngest.index(s2, s"$tmp/idx"),
+              graft.streaming.VectorIndexIngest.quantizer(s2, s"$tmp/idx"),
+              graft.streaming.VecStoreIngest.view(s2, s"$tmp/vecs"),
+              0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7)
+            .join(emb.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"))
+            .count()
+          require(prf == 10 && mmr == 5,
+            s"stream_rag_serve: prf ranked $prf, mmr selected $mmr valid ids")
+        } finally {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+      }),
       // persisted lexical (BM25) index lifecycle: write the term-clustered
       // postings + stats store, probe it for the contract term set — the
       // amortization claim is the probe reading |Q| term slices instead of
