@@ -438,7 +438,62 @@ object ScalingAudit {
     val hySum = graft.llm.Similarity.rrfFuse(hyLex, hySem, 60, 5)
       .agg(coalesce(sum(col("neighbor_id")), lit(0L))).head.getLong(0)
     val hyW = (System.nanoTime() - hyT0) / 1e9
-    for (tmp <- Seq(lxDir, aiDir)) {
+    // Round-18 families — the STORE-COMPLETE served tail at the decade.
+    // Quantizer round-trip: the decade index probed THROUGH the
+    // read-back model; the docsum must EQUAL ann_indexed_hits, so the
+    // artifact diff itself carries the read∘write identity.
+    val qtT0 = System.nanoTime()
+    val qtDir = java.nio.file.Files.createTempDirectory("graft_scale_quant").toString
+    graft.llm.Similarity.writeIvfPqQuantizer(spark, aiQuant, qtDir)
+    val qtBack = graft.llm.Similarity.readIvfPqQuantizer(spark, qtDir)
+    val qtHits = graft.llm.Similarity.ivfPqProbe(
+        graft.llm.Similarity.readIvfPqIndex(spark, aiDir), qtBack,
+        graft.llm.Similarity.collectVectors(embBig, Seq(0L, 1L, 2L)),
+        nprobe = 2, k = 10)
+      .agg(coalesce(sum(col("neighbor_id")), lit(0L))).head.getLong(0)
+    val qtW = (System.nanoTime() - qtT0) / 1e9
+    // Refine-store fetch: ADC top-20 per query re-ranked EXACTLY with
+    // vectors fetched from a persisted float-vector store's liveView —
+    // Σ rn·neighbor_id fingerprints the exact ranking AND the store
+    // fetch in one BIGINT (store bits ≡ corpus bits, so a drift means
+    // the lifecycle moved a vector).
+    val rsT0 = System.nanoTime()
+    val rsDir = java.nio.file.Files.createTempDirectory("graft_scale_vecs").toString
+    for (b <- 0 until 4)
+      graft.streaming.VecStoreIngest.ingestBatch(
+        embBig.filter(col("vec_id") % 4 === b), rsDir, b.toLong)
+    val rsVecs = graft.streaming.VecStoreIngest.view(spark, rsDir)
+    val rsCands = graft.llm.Similarity.ivfPqProbe(
+        graft.llm.Similarity.readIvfPqIndex(spark, aiDir), qtBack,
+        graft.llm.Similarity.collectVectors(rsVecs, Seq(0L, 1L, 2L)),
+        nprobe = 2, k = 20)
+      .select(col("query_id"), col("neighbor_id"))
+    val rsSum = graft.llm.Similarity.refineExact(rsVecs, rsCands, Seq(0L, 1L, 2L), 5)
+      .agg(coalesce(sum(col("rn") * col("neighbor_id")), lit(0L))).head.getLong(0)
+    val rsW = (System.nanoTime() - rsT0) / 1e9
+    // Chunk-level index with CASCADE forget at the decade: the decade's
+    // ~10x chunk corpus ingests in 4 parent-keyed batches, two parents
+    // cascade-forget (every chunk of each must mark), and the post-
+    // forget probe docsum tripwires the surviving-chunk constants.
+    val ciT0 = System.nanoTime()
+    val ciDir = java.nio.file.Files.createTempDirectory("graft_scale_chunk").toString
+    val bigChunks = TextAnalysis.ragChunks(big, 30, 10)
+      .select(col("doc_id").as("parent_id"),
+        (col("doc_id") * 100000L + col("chunk_id")).as("doc_id"),
+        col("chunk").as("text"))
+    for (b <- 0 until 4)
+      graft.streaming.LexIngest.ingestBatch(
+        bigChunks.filter(col("parent_id") % 4 === b)
+          .select(col("doc_id"), col("text")),
+        ciDir, b.toLong)
+    graft.streaming.LexIngest.markDeletedCascade(
+      spark, ciDir, Seq(87L, 102L), keyDiv = 100000L)
+    val ciMarked = graft.streaming.StoreCompaction
+      .deletedIds(spark, s"$ciDir/stats").count()
+    val ciSum = graft.streaming.LexIngest.probe(spark, ciDir, lxTerms, 10)
+      .agg(coalesce(sum(col("doc_id")), lit(0L))).head.getLong(0)
+    val ciW = (System.nanoTime() - ciT0) / 1e9
+    for (tmp <- Seq(lxDir, aiDir, qtDir, rsDir, ciDir)) {
       try {
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -591,6 +646,8 @@ object ScalingAudit {
         s""""lex_probe_docsum":$lxPre,"lex_probe_docsum_compacted":$lxPost,""" +
         s""""lex_files_before":$lxFilesBefore,"lex_files_after":$lxFilesAfter,""" +
         s""""hybrid_fused_docsum":$hySum,""" +
+        s""""quant_probe_docsum":$qtHits,"refine_store_ranksum":$rsSum,""" +
+        s""""chunk_cascade_marked":$ciMarked,"chunk_probe_docsum":$ciSum,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
@@ -604,7 +661,8 @@ object ScalingAudit {
         s""""card_diff":${d2(ccW)},"unigram":${d2(ugW)},""" +
         s""""lex_ingest":${d2(lxIngW)},"lex_probe":${d2(lxPreW)},""" +
         s""""lex_compact":${d2(lxCmpW)},"lex_probe_compacted":${d2(lxPostW)},""" +
-        s""""hybrid":${d2(hyW)}}}"""
+        s""""hybrid":${d2(hyW)},"quant_roundtrip":${d2(qtW)},""" +
+        s""""refine_store":${d2(rsW)},"chunk_index":${d2(ciW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()
