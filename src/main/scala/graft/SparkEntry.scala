@@ -2136,6 +2136,65 @@ object SparkEntry {
         .orderBy(col("sel_rank"))
     }),
 
+    // the COMPLETE served RAG query, every stage store-only with forget
+    // composed end-to-end: lexical postings × IVF-PQ index (stored
+    // quantizer) nominate via RRF, the float-vector store reranks and
+    // de-crowds, and the DOC-TEXT store assembles the answer — four
+    // persisted stores, the same forgotten ids marked on ALL of them,
+    // so an erased document leaves the rankings AND its words become
+    // unreturnable (the deletion-vector liveView at the fetch). The
+    // raw corpus frames are touched only to BUILD the stores.
+    "q_rag_served" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_rag_served").toString
+      try {
+        for (b <- 0 until 3) {
+          val dp = d.filter(col("doc_id") % 3 === b)
+          val ep = e.filter(col("vec_id") % 3 === b)
+          graft.streaming.LexIngest.ingestBatch(dp, s"$root/lex", b.toLong)
+          graft.streaming.VectorIndexIngest.ingestBatch(
+            ep, s"$root/idx", quant, b.toLong)
+          graft.streaming.VecStoreIngest.ingestBatch(ep, s"$root/vecs", b.toLong)
+          graft.streaming.DocStoreIngest.ingestBatch(dp, s"$root/docs", b.toLong)
+        }
+        graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetDocIds)
+        graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetDocIds)
+        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetDocIds)
+        graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+        val vecs = graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
+        val lex = graft.streaming.LexIngest
+          .probe(s, s"$root/lex", Bm25Terms, RrfPoolK)
+          .select(lit(HybridQueryId).as("query_id"),
+            col("doc_id").as("neighbor_id"), col("rn"))
+        val sem = Similarity.ivfPqProbe(
+            graft.streaming.VectorIndexIngest.index(s, s"$root/idx"),
+            graft.streaming.VectorIndexIngest.quantizer(s, s"$root/idx"),
+            Similarity.collectVectors(vecs, Seq(HybridQueryId)),
+            nprobe = 3, k = RrfPoolK)
+          .select(col("query_id"), col("neighbor_id"), col("rn"))
+        val cands = Similarity.rrfFuse(lex, sem, RrfConst, RrfPoolK)
+          .filter(col("neighbor_id") =!= HybridQueryId)
+          .select(col("neighbor_id").as("vec_id"))
+        val sel = Similarity.mmrOverCandidates(vecs, cands, HybridQueryId,
+          MmrK, MmrLambda)
+        val out = graft.streaming.DocStoreIngest.view(s, s"$root/docs")
+          .join(broadcast(sel), col("doc_id") === col("neighbor_id"))
+          .select(col("sel_rank"), col("neighbor_id"), col("relevance"),
+            col("mmr_score"), col("text"))
+          .orderBy(col("sel_rank"))
+        localRelation(s, out)
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // three-retriever RRF ensemble: exact cosine + IVF + PQ-ADC fused by
     // the n-ary fold (rrfFuseN) — the realistic hybrid-search shape;
     // score is a fixed-order three-term sum of exact-integer divisions
@@ -3881,6 +3940,18 @@ object SparkEntry {
       ("SELECT m.sel_rank, m.neighbor_id, m.relevance, m.mmr_score, d.text " +
         s"FROM (${TextSql.mmrHybridSql(Bm25Terms, 1.2, 0.75, HybridQueryId,
           RrfPoolK, RrfConst, RrfPoolK, MmrK, MmrLambda)}) m " +
+        "JOIN documents d ON d.doc_id = m.neighbor_id ORDER BY m.sel_rank"),
+
+    // every store serves through deletion vectors, so the oracle is the
+    // one-shot indexed-hybrid MMR with the forgotten ids excluded, each
+    // selected id joined to its text (an excluded id can never be
+    // selected, so the full documents table is safe on the SQL side)
+    "q_rag_served" ->
+      ("SELECT m.sel_rank, m.neighbor_id, m.relevance, m.mmr_score, d.text " +
+        s"FROM (${TextSql.mmrHybridIndexedSql(Bm25Terms, 1.2, 0.75,
+          HybridQueryId, IvfCoarseIds, PqCodebookIds, PqSubspaces, nprobe = 3,
+          RrfPoolK, RrfConst, RrfPoolK, MmrK, MmrLambda,
+          excludeIds = ForgetDocIds)}) m " +
         "JOIN documents d ON d.doc_id = m.neighbor_id ORDER BY m.sel_rank"),
 
     "q_rrf3" -> TextSql.rrfFusion3Sql(IvfCoarseIds, 2, PqCodebookIds,

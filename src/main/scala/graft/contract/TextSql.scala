@@ -944,6 +944,31 @@ object TextSql {
       "FROM cand JOIN e ON e.vec_id = cand.neighbor_id CROSS JOIN q), " +
       mmrGreedyCtes(k, lambda)
 
+  /** Mirror of the FULLY-SERVED MMR selection (q_rag_served): the
+    * candidates come from the INDEXED hybrid fusion over the persisted
+    * stores ([[hybridIndexedRrfSql]] — forgotten ids excluded from both
+    * rankings, the deletion-vector liveViews), query doc excluded, the
+    * pool re-scores each nominee by exact cosine, the greedy chain
+    * de-crowds. Forgotten ids never reach the candidate set, so the
+    * pool and the rerank-vector fetch are value-identical whether the
+    * vectors come from the full table (here) or the store's liveView
+    * (the Spark side). */
+  def mmrHybridIndexedSql(queryTerms: Seq[String], k1: Double, b: Double,
+                          queryId: Long, coarseIds: Seq[Long],
+                          codebookIds: Seq[Long], m: Int, nprobe: Int,
+                          poolK: Int, kRrf: Int, fusedK: Int, k: Int,
+                          lambda: Double,
+                          excludeIds: Seq[Long] = Nil): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId), " +
+      "cand AS (SELECT neighbor_id FROM " +
+      s"(${hybridIndexedRrfSql(queryTerms, k1, b, queryId, coarseIds,
+        codebookIds, m, nprobe, poolK, kRrf, fusedK, excludeIds)}) h " +
+      s"WHERE neighbor_id <> $queryId), " +
+      s"pool AS MATERIALIZED (SELECT e.vec_id, e.v AS v, $cosSql AS rel " +
+      "FROM cand JOIN e ON e.vec_id = cand.neighbor_id CROSS JOIN q), " +
+      mmrGreedyCtes(k, lambda)
+
   /** The unrolled MMR greedy over a `pool`(vec_id, v, rel) CTE — shared
     * by [[mmrSql]] and [[mmrIndexedSql]]: a directed pairwise-cosine
     * table, then k LIMIT-1 selection CTEs (the vkmeansIterateSql

@@ -18,7 +18,10 @@ class StoreCompactionSpec extends SparkSpec {
     val out = Seq.newBuilder[String]
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet"))
+      // skip `_`-metadata subtrees (_deletes, _compaction, _quantizer):
+      // this helper counts the store's DATA partitions
+      if (f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.toString.split('/').exists(_.startsWith("_")))
         out += f.getPath.toString
     }
     out.result().sorted

@@ -1506,6 +1506,37 @@ class StreamingSpec extends SparkSpec {
       key(TextAnalysis.bm25TopDocs(surviving, terms, 10))
   }
 
+  test("doc-text store: verbatim round-trip, forgotten text unreturnable from the fetch view, replay skip, physical apply at compact") {
+    val dir = java.nio.file.Files.createTempDirectory("docstore").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (b <- 0 until 3)
+      DocStoreIngest.ingestBatch(
+        docs.filter(col("doc_id") % 3 === b), s"$dir/docs", b.toLong)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // byte-verbatim round-trip of the whole corpus
+    rows(DocStoreIngest.view(spark, s"$dir/docs")) shouldBe rows(docs)
+    // replay of batch 1 rewrites its own partition byte-identically
+    DocStoreIngest.ingestBatch(
+      docs.filter(col("doc_id") % 3 === 1), s"$dir/docs", 1L)
+    rows(DocStoreIngest.view(spark, s"$dir/docs")) shouldBe rows(docs)
+    // forget: the TEXT stops being returnable from the fetch view
+    // immediately (a stale candidate id point-joining the view gets
+    // nothing), and compact removes the bytes physically
+    val forget = Seq(87L, 102L, 999999L)
+    DocStoreIngest.markDeleted(spark, s"$dir/docs", forget)
+    DocStoreIngest.view(spark, s"$dir/docs")
+      .filter(col("doc_id").isin(forget: _*)).count() shouldBe 0L
+    val survivors = docs.filter(!col("doc_id").isin(forget: _*))
+    rows(DocStoreIngest.view(spark, s"$dir/docs")) shouldBe rows(survivors)
+    DocStoreIngest.compact(spark, s"$dir/docs")
+    StoreCompaction.vacuum(spark, s"$dir/docs")
+    spark.read.parquet(s"$dir/docs")
+      .filter(col("doc_id").isin(forget: _*)).count() shouldBe 0L
+    rows(DocStoreIngest.view(spark, s"$dir/docs")) shouldBe rows(survivors)
+  }
+
   test("streamed serving twin: a foreachBatch-maintained store pair answers prfProbe and mmrRerankStored bitwise the one-shot at EVERY trigger") {
     implicit val ctx = spark.sqlContext
     import graft.llm.{Similarity, TextAnalysis}
