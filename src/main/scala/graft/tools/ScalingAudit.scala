@@ -26,6 +26,11 @@ import graft.llm.Dedup
   *
   * Run: spark-submit --class graft.tools.ScalingAudit <jar> candidates \
   *        /root/testdata/sf0.01 /root/testdata/sf0.1
+  *
+  * `scalejson` needs `--driver-memory 8g`: spark-submit's default 1 GB
+  * driver heap (the builder's spark.driver.memory is too late to grow
+  * a local-mode JVM) OOMs in the round-18 decade-chunk ingest — 32
+  * concurrent hash-aggregate tasks over the ~10x chunk postings.
   */
 object ScalingAudit {
 
