@@ -1506,6 +1506,42 @@ class StreamingSpec extends SparkSpec {
       key(TextAnalysis.bm25TopDocs(surviving, terms, 10))
   }
 
+  test("vec/doc store admission arms: re-sent and within-batch duplicate ids are filtered — a rerank candidate can never fetch twice, a passage can never assemble twice") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("storeadm").toString
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    // batch 0: id 1 doubled within the batch (collapses to min embedding)
+    VecStoreIngest.ingestBatch(
+      vecs.filter(col("vec_id") <= 2)
+        .union(Seq((1L, Seq(2.0, 2.0))).toDF("vec_id", "embedding")),
+      s"$dir/vecs", 0L, dedupAdmission = true)
+    // batch 1: id 2 re-sent (anti-joins away), id 3 new
+    VecStoreIngest.ingestBatch(
+      vecs.filter(col("vec_id") >= 2), s"$dir/vecs", 1L, dedupAdmission = true)
+    val got = VecStoreIngest.view(spark, s"$dir/vecs").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    got shouldBe Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 1.0)))
+    // doc twin: duplicate doc collapses to min(text), re-sent doc drops
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    DocStoreIngest.ingestBatch(
+      docs.filter(col("doc_id") <= 2)
+        .union(Seq((1L, "zzz")).toDF("doc_id", "text")),
+      s"$dir/docs", 0L, dedupAdmission = true)
+    DocStoreIngest.ingestBatch(
+      docs.filter(col("doc_id") >= 2), s"$dir/docs", 1L, dedupAdmission = true)
+    DocStoreIngest.view(spark, s"$dir/docs").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq shouldBe
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+    // without the flag the duplicate lands twice — the hazard the arm closes
+    DocStoreIngest.ingestBatch(docs.filter(col("doc_id") === 2),
+      s"$dir/raw", 0L)
+    DocStoreIngest.ingestBatch(docs.filter(col("doc_id") === 2),
+      s"$dir/raw", 1L)
+    DocStoreIngest.view(spark, s"$dir/raw").count() shouldBe 2L
+  }
+
   test("doc-text store: verbatim round-trip, forgotten text unreturnable from the fetch view, replay skip, physical apply at compact") {
     val dir = java.nio.file.Files.createTempDirectory("docstore").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
