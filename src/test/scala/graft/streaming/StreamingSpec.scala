@@ -1595,6 +1595,8 @@ class StreamingSpec extends SparkSpec {
       vmem.toDF.toDF("vec_id", "embedding"), s"$dir/idx", quant, s"$dir/ck2")
     val vecQ = VecStoreIngest.start(
       vmem.toDF.toDF("vec_id", "embedding"), s"$dir/vecs", s"$dir/ck3")
+    val docQ = DocStoreIngest.start(
+      dmem.toDF.toDF("doc_id", "text"), s"$dir/docs", s"$dir/ck4")
     def prfKey(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("rn").collect().map(r => (r.getLong(0),
         java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
@@ -1609,21 +1611,32 @@ class StreamingSpec extends SparkSpec {
         lexQ.processAllAvailable()
         idxQ.processAllAvailable()
         vecQ.processAllAvailable()
+        docQ.processAllAvailable()
         // the corpus SEEN so far (query id 0 arrives in trigger 0)
         val seenDocs = docs.filter(col("doc_id") % 3 <= b)
         val seenEmb = emb.filter(col("vec_id") % 3 <= b)
         prfKey(LexIngest.prfProbe(spark, s"$dir/lex", seed, 5, 3, 10)) shouldBe
           prfKey(TextAnalysis.bm25Prf(seenDocs, seed, 5, 3, 10))
-        mmrKey(Similarity.mmrRerankStored(
+        val servedSel = Similarity.mmrRerankStored(
           VectorIndexIngest.index(spark, s"$dir/idx"),
           VectorIndexIngest.quantizer(spark, s"$dir/idx"),
           VecStoreIngest.view(spark, s"$dir/vecs"),
-          0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7)) shouldBe
+          0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7)
+        mmrKey(servedSel) shouldBe
           mmrKey(Similarity.mmrRerankStored(
             Similarity.ivfPqIndexRows(seenEmb, quant), quant, seenEmb,
             0L, nprobe = 2, poolR = 12, k = 5, lambda = 0.7))
+        // …and the passage fetch: the doc store assembles the SAME
+        // answer text the seen corpus would, at every trigger
+        def answer(docsFrame: org.apache.spark.sql.DataFrame) = docsFrame
+          .join(org.apache.spark.sql.functions.broadcast(servedSel),
+            col("doc_id") === col("neighbor_id"))
+          .select(col("sel_rank"), col("neighbor_id"), col("text"))
+          .orderBy("sel_rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+        answer(DocStoreIngest.view(spark, s"$dir/docs")) shouldBe answer(seenDocs)
       }
-    } finally { lexQ.stop(); idxQ.stop(); vecQ.stop() }
+    } finally { lexQ.stop(); idxQ.stop(); vecQ.stop(); docQ.stop() }
   }
 
   test("stepUpdates: the streamed K-Means step equals the batch step bitwise on every touched cell") {
