@@ -948,6 +948,54 @@ object ScalingAudit {
     }
   }
 
+  /** §17 quantizer-store A/B: what loading the PUBLISHED model buys a
+    * probe session over retraining from raw embeddings — interleaved 5
+    * rounds (the repo's A/B discipline), probe results checked
+    * bit-identical every round (they must be: the round-trip is exact).
+    * The structural point is bigger than the wall delta: the retrain
+    * arm needs the raw embeddings table MOUNTED at probe time (at
+    * 100 TB, a second copy of the corpus on the serving path); the
+    * stored arm reads two K-row parquet tables. */
+  private def quantAb(spark: SparkSession, dir: String): Unit = {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val coarseIds = Seq(7L, 123L, 247L, 331L, 433L)
+    val cbIds = Seq(11L, 57L, 201L, 401L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_quantab").toString
+    try {
+      val trained = Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, 4)
+      Similarity.writeIvfPqIndex(emb, trained, s"$tmp/idx")
+      Similarity.writeIvfPqQuantizer(spark, trained, s"$tmp/q")
+      // query vectors arrive with the request in a served deployment —
+      // collected once outside every timed arm
+      val queries = Similarity.collectVectors(emb, Seq(0L, 1L, 2L))
+      def probeSum(q: graft.llm.IvfPqQuantizer): Long =
+        Similarity.ivfPqProbe(Similarity.readIvfPqIndex(spark, s"$tmp/idx"),
+            q, queries, nprobe = 2, k = 10)
+          .agg(coalesce(sum(col("neighbor_id")), lit(0L))).head.getLong(0)
+      val wr = Seq.newBuilder[Double]; val ws = Seq.newBuilder[Double]
+      var equal = true
+      for (_ <- 1 to 5) {
+        val t0 = System.nanoTime()
+        val hr = probeSum(Similarity.trainIvfPqQuantizer(emb, coarseIds, cbIds, 4))
+        wr += (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val hs = probeSum(Similarity.readIvfPqQuantizer(spark, s"$tmp/q"))
+        ws += (System.nanoTime() - t1) / 1e9
+        equal &&= (hr == hs)
+      }
+      def d2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
+      println(s"""{"artifact":"quantab","identical_every_round":$equal,""" +
+        s""""probe_min_retrain_s":${d2(wr.result().min)},""" +
+        s""""probe_min_stored_s":${d2(ws.result().min)},""" +
+        s""""walls_retrain":[${wr.result().map(d2).mkString(",")}],""" +
+        s""""walls_stored":[${ws.result().map(d2).mkString(",")}]}""")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScalingAudit candidates|sf1ish|annprobe <sfDir>...")
     val spark = SparkSession.builder()
@@ -971,6 +1019,7 @@ object ScalingAudit {
         scaleJson(spark, args(1), args(2))
       case "compactab"  => compactAb(spark, args(1))
       case "probeab"    => probeAb(spark, args(1))
+      case "quantab"    => quantAb(spark, args(1))
       case other        => sys.error(s"unknown mode $other")
     }
     spark.stop()
