@@ -126,6 +126,18 @@ object SparkEntry {
   // ids; one id that never existed (tombstones are idempotent)
   private val ForgetVecIds = Seq(5L, 18L, 42L, 999999L)
   private val ForgetDocIds = Seq(87L, 102L, 999999L)
+  // LOAD-BEARING disjointness: the store-served rows (q_refine_served,
+  // q_mmr_served, q_rag_served) resolve their query vectors through the
+  // post-forget store liveViews while the DuckDB mirrors read the full
+  // tables — identical only because no query id is ever forgotten. A
+  // forgotten query would silently drop a query on the Spark side (or
+  // empty the probe) and surface as an inscrutable hash mismatch, so
+  // pin the invariant where the constants live.
+  require(!(ForgetVecIds ++ ForgetDocIds)
+      .exists((AnnQueryIds :+ HybridQueryId).contains),
+    "forget fixtures must stay disjoint from the ANN/hybrid query ids: " +
+      "the served rows fetch query vectors from post-forget liveViews " +
+      "while their oracles read the full tables")
   // non-uniform target mix for the waterfilling planner (1x/2x/3x bands)
   private val MixWeights: Seq[(String, Long)] =
     (0 until 20).map(i => (s"src$i", 1L + i % 3))
@@ -343,6 +355,25 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The q_mmr_hybrid selection, shared with q_rag_answer (the passage
+    * fetch extends THIS row's answer, so the two entries must select
+    * identically by construction): BM25 ⊕ exact-cosine ranks fuse via
+    * RRF into the candidate set (query doc excluded), MMR de-crowds. */
+  private def hybridMmrSelection(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val lex = graft.llm.TextAnalysis
+      .bm25TopDocs(docs(s, dir), Bm25Terms, RrfPoolK)
+      .select(lit(HybridQueryId).as("query_id"),
+        col("doc_id").as("neighbor_id"), col("rn"))
+    val sem = graft.llm.Similarity
+      .bruteForceTopKRanked(e, Seq(HybridQueryId), RrfPoolK)
+    val cands = graft.llm.Similarity.rrfFuse(lex, sem, RrfConst, RrfPoolK)
+      .filter(col("neighbor_id") =!= HybridQueryId)
+      .select(col("neighbor_id").as("vec_id"))
+    graft.llm.Similarity.mmrOverCandidates(e, cands, HybridQueryId,
+      MmrK, MmrLambda)
+  }
 
   /** Collect a BOUNDED (k-row) result into a LocalRelation-backed frame
     * — the eager-result discipline for contract rows whose temp store
@@ -2099,36 +2130,18 @@ object SparkEntry {
     // set (query doc excluded — a retrieval context never returns the
     // query itself), then MMR greedily picks the final k by exact
     // cosine relevance vs max-similarity-to-selected
-    "q_mmr_hybrid" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val lex = TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, RrfPoolK)
-        .select(lit(HybridQueryId).as("query_id"),
-          col("doc_id").as("neighbor_id"), col("rn"))
-      val sem = Similarity.bruteForceTopKRanked(e, Seq(HybridQueryId), RrfPoolK)
-      val cands = Similarity.rrfFuse(lex, sem, RrfConst, RrfPoolK)
-        .filter(col("neighbor_id") =!= HybridQueryId)
-        .select(col("neighbor_id").as("vec_id"))
-      Similarity.mmrOverCandidates(e, cands, HybridQueryId, MmrK, MmrLambda)
-        .orderBy(col("sel_rank"))
-    }),
+    "q_mmr_hybrid" -> ((s, dir) =>
+      hybridMmrSelection(s, dir).orderBy(col("sel_rank"))),
 
     // PASSAGE FETCH — the final serving stage: the q_mmr_hybrid
-    // selection (a k-row LocalRelation) broadcast-point-joins back to
-    // the documents table to return the text a served answer actually
-    // hands the generator. At 100 TB the fetch is an id-keyed point
-    // lookup against the doc store; here the k-row side broadcasts so
-    // the corpus never shuffles.
+    // selection (the SHARED helper, so the two rows can never compute
+    // different selections; a k-row LocalRelation) broadcast-point-
+    // joins back to the documents table to return the text a served
+    // answer actually hands the generator. At 100 TB the fetch is an
+    // id-keyed point lookup against the doc store; here the k-row side
+    // broadcasts so the corpus never shuffles.
     "q_rag_answer" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val lex = TextAnalysis.bm25TopDocs(docs(s, dir), Bm25Terms, RrfPoolK)
-        .select(lit(HybridQueryId).as("query_id"),
-          col("doc_id").as("neighbor_id"), col("rn"))
-      val sem = Similarity.bruteForceTopKRanked(e, Seq(HybridQueryId), RrfPoolK)
-      val cands = Similarity.rrfFuse(lex, sem, RrfConst, RrfPoolK)
-        .filter(col("neighbor_id") =!= HybridQueryId)
-        .select(col("neighbor_id").as("vec_id"))
-      val sel = Similarity.mmrOverCandidates(e, cands, HybridQueryId,
-        MmrK, MmrLambda)
+      val sel = hybridMmrSelection(s, dir)
       docs(s, dir).join(broadcast(sel),
           col("doc_id") === col("neighbor_id"))
         .select(col("sel_rank"), col("neighbor_id"), col("relevance"),

@@ -1386,16 +1386,20 @@ object Similarity {
     * Layout: `<path>/cells` (cell_id, v) and `<path>/codebook`
     * (code_id ordinal, v, m) — codeword ORDER is load-bearing (index
     * codes are positions into it), so the ordinal column pins it.
-    * Commit protocol: both tables write under `<path>.staging`, then one
-    * directory rename publishes — a torn write leaves only staging,
-    * which the next write sweeps; readers require the published dir
-    * (single-writer, the store-lifecycle contract). */
+    * Commit protocol — SOME artifact stays readable at every instant:
+    * both tables write under `<path>.staging`; on overwrite the
+    * published dir renames aside to `<path>.prev` before staging
+    * renames in, and readers fall back to `.prev` during (or after a
+    * torn) swap — a crash at any point leaves either the old or the
+    * new model served, never neither (single-writer, the
+    * store-lifecycle contract; the next write sweeps leftovers). */
   def writeIvfPqQuantizer(spark: org.apache.spark.sql.SparkSession,
                           q: IvfPqQuantizer, path: String): Unit = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new org.apache.hadoop.fs.Path(s"$path.staging")
+    val prev = new org.apache.hadoop.fs.Path(s"$path.prev")
     val dst = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(staging)) fs.delete(staging, true)
     q.cells.map { case (id, v) => (id, v.toSeq) }
@@ -1404,9 +1408,26 @@ object Similarity {
     q.codebook.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq, q.m) }
       .toDF("code_id", "v", "m").coalesce(1)
       .write.mode("overwrite").parquet(s"$path.staging/codebook")
-    if (fs.exists(dst)) fs.delete(dst, true)
+    if (fs.exists(dst)) {
+      if (fs.exists(prev)) fs.delete(prev, true)
+      if (!fs.rename(dst, prev))
+        throw new java.io.IOException(s"quantizer swap-aside $dst -> $prev failed")
+    }
     if (!fs.rename(staging, dst) || !fs.exists(dst))
       throw new java.io.IOException(s"quantizer commit $staging -> $dst failed")
+    if (fs.exists(prev)) fs.delete(prev, true)
+  }
+
+  /** The readable artifact dir: the published path, or `.prev` when a
+    * torn overwrite crashed mid-swap (old model keeps serving). */
+  private def quantizerDirOf(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebook"))) Some(path)
+    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$path.prev/codebook")))
+      Some(s"$path.prev")
+    else None
   }
 
   /** Load a [[writeIvfPqQuantizer]] artifact. Cell set and codeword
@@ -1414,25 +1435,37 @@ object Similarity {
     * model anyway), every double bit-identical to the trained values. */
   def readIvfPqQuantizer(spark: org.apache.spark.sql.SparkSession,
                          path: String): IvfPqQuantizer = {
-    val cells = spark.read.parquet(s"$path/cells")
+    val dir = quantizerDirOf(spark, path).getOrElse(throw new java.io.FileNotFoundException(
+      s"no published IVF-PQ quantizer at $path (nor a .prev from a torn swap)"))
+    val cells = spark.read.parquet(s"$dir/cells")
       .select(col("cell_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    val cb = spark.read.parquet(s"$path/codebook")
+    val cb = spark.read.parquet(s"$dir/codebook")
       .select(col("code_id"), col("v"), col("m")).collect()
       .sortBy(_.getLong(0))
     IvfPqQuantizer(cells, cb.map(_.getSeq[Double](1).toArray).toSeq,
       cb.head.getInt(2))
   }
 
-  /** Whether a [[writeIvfPqQuantizer]] artifact is published at `path`
-    * — one existence check, no Spark job (the ingest's write-once
-    * guard). */
+  /** Whether a readable [[writeIvfPqQuantizer]] artifact exists at
+    * `path` (published, or `.prev` surviving a torn swap) — existence
+    * checks only, no Spark job (the ingest's write-once guard). */
   def hasIvfPqQuantizer(spark: org.apache.spark.sql.SparkSession,
                         path: String): Boolean =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-      .exists(new org.apache.hadoop.fs.Path(s"$path/codebook"))
+    quantizerDirOf(spark, path).isDefined
+
+  /** Bitwise equality of two quantizers — the ingest's model-mismatch
+    * guard compares against the published artifact with this (raw
+    * double bits, order-sensitive on the codebook like the codes that
+    * index into it; cells compare as the sorted kernel order). */
+  def quantizersMatch(a: IvfPqQuantizer, b: IvfPqQuantizer): Boolean = {
+    def bits(x: Array[Double]) = x.map(java.lang.Double.doubleToRawLongBits).toSeq
+    a.m == b.m &&
+      a.cells.map { case (id, v) => (id, bits(v)) }.sortBy(_._1) ==
+        b.cells.map { case (id, v) => (id, bits(v)) }.sortBy(_._1) &&
+      a.codebook.map(bits) == b.codebook.map(bits)
+  }
 }
 
 /** Driver-side IVF-PQ quantizer — the trained model an ANN deployment

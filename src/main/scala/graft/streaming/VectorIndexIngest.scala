@@ -60,10 +60,22 @@ object VectorIndexIngest {
     // publish the frozen model beside the index on first contact — the
     // store becomes SELF-DESCRIBING: a probe session loads [[quantizer]]
     // instead of retraining from raw embeddings it may not even have.
-    // Write-once (idempotent under replay: the model is frozen, so the
-    // existence check is the whole protocol).
+    // Write-once + MISMATCH GUARD: the model is frozen per store, so a
+    // caller arriving with a DIFFERENT quantizer (a retrained pipeline
+    // restarted against an old path, two stores pointed at one
+    // directory) would encode new batches against one model while
+    // probes decode every code with the published other — silently
+    // wrong rankings. Fail loudly instead (two K-row reads, once per
+    // batch — cheap beside the batch's own write jobs).
     if (!Similarity.hasIvfPqQuantizer(spark, quantizerPath(indexPath)))
       Similarity.writeIvfPqQuantizer(spark, q, quantizerPath(indexPath))
+    else if (!Similarity.quantizersMatch(q,
+        Similarity.readIvfPqQuantizer(spark, quantizerPath(indexPath))))
+      throw new IllegalStateException(
+        s"quantizer mismatch at $indexPath: the caller's model differs " +
+          "bitwise from the store's published _quantizer — the quantizer " +
+          "is FROZEN per store (retraining means a batch rebuild via " +
+          "writeIvfPqIndex to a new path, never a streaming mutation)")
     if (batchId <= StoreCompaction.coveredThrough(spark, indexPath))
       return // compacted replay: effects durable inside the generation
     val admitted =

@@ -610,9 +610,26 @@ class LlmSpec extends SparkSpec {
     val idx = Similarity.ivfPqIndexRows(emb, quant)
     key(Similarity.ivfPqProbe(idx, back, queries, nprobe = 2, k = 10)) shouldBe
       key(Similarity.ivfPqProbe(idx, quant, queries, nprobe = 2, k = 10))
-    // overwrite publishes atomically over an existing artifact
+    // overwrite publishes over an existing artifact
     Similarity.writeIvfPqQuantizer(spark, back, s"$dir/q")
     Similarity.readIvfPqQuantizer(spark, s"$dir/q").m shouldBe quant.m
+    // torn-swap readability: if a crash left only <path>.prev (published
+    // dir renamed aside, staging never renamed in), readers fall back —
+    // the OLD model keeps serving, never a path-not-found outage
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/q"),
+      new org.apache.hadoop.fs.Path(s"$dir/q.prev")) shouldBe true
+    Similarity.hasIvfPqQuantizer(spark, s"$dir/q") shouldBe true
+    Similarity.readIvfPqQuantizer(spark, s"$dir/q").m shouldBe quant.m
+    // and the next write heals: publishes fresh, sweeps the leftover
+    Similarity.writeIvfPqQuantizer(spark, quant, s"$dir/q")
+    Similarity.readIvfPqQuantizer(spark, s"$dir/q").m shouldBe quant.m
+    // mismatch detector: bitwise-equal models match, a perturbed one not
+    Similarity.quantizersMatch(quant, back) shouldBe true
+    val perturbed = graft.llm.IvfPqQuantizer(quant.cells,
+      quant.codebook.updated(0, quant.codebook.head.map(_ + 1e-13)), quant.m)
+    Similarity.quantizersMatch(quant, perturbed) shouldBe false
   }
 
   test("mmr guards the nonzero-norm precondition: a zero-norm pool vector fails LOUDLY instead of silently diverging from the SQL mirror") {

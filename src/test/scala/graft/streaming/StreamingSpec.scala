@@ -1506,6 +1506,32 @@ class StreamingSpec extends SparkSpec {
       key(TextAnalysis.bm25TopDocs(surviving, terms, 10))
   }
 
+  test("vector index ingest refuses a quantizer that differs from the store's published model — mixed-model codes can never land silently") {
+    import graft.llm.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("quantguard").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quant = Similarity.trainIvfPqQuantizer(
+      emb, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4)
+    VectorIndexIngest.ingestBatch(
+      emb.filter(col("vec_id") % 2 === 0), s"$dir/idx", quant, 0L)
+    // the same (bitwise-equal) model ingests on: write-once is an
+    // equality contract, not an identity one
+    VectorIndexIngest.ingestBatch(
+      emb.filter(col("vec_id") % 2 === 1), s"$dir/idx",
+      Similarity.readIvfPqQuantizer(spark, s"$dir/idx/_quantizer"), 1L)
+    VectorIndexIngest.index(spark, s"$dir/idx").count() shouldBe emb.count()
+    // a DIFFERENT model (retrained pipeline against an old path) fails
+    // loudly before any row lands — probes would otherwise decode its
+    // codes with the published model and rank silently wrong
+    val other = Similarity.trainIvfPqQuantizer(
+      emb, Seq(3L, 17L, 29L, 101L, 211L), Seq(11L, 57L, 201L, 401L), 4)
+    val ex = intercept[IllegalStateException] {
+      VectorIndexIngest.ingestBatch(emb, s"$dir/idx", other, 2L)
+    }
+    ex.getMessage should include("quantizer mismatch")
+    VectorIndexIngest.index(spark, s"$dir/idx").count() shouldBe emb.count()
+  }
+
   test("vec/doc store admission arms: re-sent and within-batch duplicate ids are filtered — a rerank candidate can never fetch twice, a passage can never assemble twice") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("storeadm").toString
