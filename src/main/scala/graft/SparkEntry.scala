@@ -2149,6 +2149,33 @@ object SparkEntry {
         .orderBy(col("sel_rank"))
     }),
 
+    // TIME-TRAVEL read (Delta-style VERSION AS OF on the ingest-batch
+    // axis): the doc store as a reader saw it right after batch 1 —
+    // batch 2's documents are invisible however long ago they landed —
+    // MINUS everything erased since (retroactive forget: no snapshot
+    // may resurrect erased text). The reproducible-training-snapshot
+    // primitive; the as-of filter stays on the partition column, so the
+    // snapshot read prunes directories. LocalRelation → clean temp.
+    "q_store_asof" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_store_asof").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.DocStoreIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), s"$root/docs", b.toLong)
+        graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+        localRelation(s,
+          graft.streaming.DocStoreIngest.viewAsOf(s, s"$root/docs", maxBatch = 1L)
+            .orderBy(col("doc_id")))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // the COMPLETE served RAG query, every stage store-only with forget
     // composed end-to-end: lexical postings × IVF-PQ index (stored
     // quantizer) nominate via RRF, the float-vector store reranks and
@@ -3954,6 +3981,13 @@ object SparkEntry {
         s"FROM (${TextSql.mmrHybridSql(Bm25Terms, 1.2, 0.75, HybridQueryId,
           RrfPoolK, RrfConst, RrfPoolK, MmrK, MmrLambda)}) m " +
         "JOIN documents d ON d.doc_id = m.neighbor_id ORDER BY m.sel_rank"),
+
+    // as-of batch 1 = the batches whose docs arrived by then (doc_id %
+    // 3 <= 1), minus the retroactive forget set
+    "q_store_asof" ->
+      ("SELECT doc_id, text FROM documents WHERE doc_id % 3 <= 1 " +
+        s"AND doc_id NOT IN (${ForgetDocIds.mkString(", ")}) " +
+        "ORDER BY doc_id"),
 
     // every store serves through deletion vectors, so the oracle is the
     // one-shot indexed-hybrid MMR with the forgotten ids excluded, each

@@ -45,6 +45,14 @@ object DocStoreIngest {
   def view(spark: SparkSession, storePath: String): DataFrame =
     KeyedStoreCore.view(spark, storePath, "doc_id", "text")
 
+  /** TIME-TRAVEL fetch frame — the corpus as of ingest batch `maxBatch`
+    * ([[StoreCompaction.committedViewAsOf]] semantics: reproducible
+    * snapshot, loud retention boundary) minus every id erased SINCE
+    * (retroactive forget: no snapshot resurrects erased text). */
+  def viewAsOf(spark: SparkSession, storePath: String,
+               maxBatch: Long): DataFrame =
+    KeyedStoreCore.viewAsOf(spark, storePath, "doc_id", "text", maxBatch)
+
   /** OPTIMIZE: one consolidated doc_id-sorted generation, pending
     * deletes applied physically. */
   def compact(spark: SparkSession, storePath: String): StoreCompaction.Watershed =

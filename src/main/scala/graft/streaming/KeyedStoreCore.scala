@@ -72,6 +72,11 @@ private[streaming] object KeyedStoreCore {
     StoreCompaction.liveView(spark, storePath, idCol)
       .select(col(idCol), col(valCol))
 
+  def viewAsOf(spark: SparkSession, storePath: String,
+               idCol: String, valCol: String, maxBatch: Long): DataFrame =
+    StoreCompaction.liveViewAsOf(spark, storePath, idCol, maxBatch)
+      .select(col(idCol), col(valCol))
+
   def compact(spark: SparkSession, storePath: String,
               idCol: String): StoreCompaction.Watershed =
     StoreCompaction.compact(spark, storePath, Nil, targetFiles = 1,

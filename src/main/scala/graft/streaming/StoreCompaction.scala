@@ -114,6 +114,53 @@ object StoreCompaction {
     }
   }
 
+  /** TIME-TRAVEL read — the store as a reader saw it right after batch
+    * `maxBatch` committed (the Delta/Iceberg `VERSION AS OF` semantics
+    * on the ingest-batch axis): the reproducible-training-snapshot
+    * primitive — "train on the corpus as of batch B" re-reads the SAME
+    * rows on any later day, however many batches landed since.
+    *
+    * Resolution: the latest committed generation covers batches ≤ W
+    * byte-identically to reading them raw (the compaction invariant),
+    * so as-of B ≥ W is {−g} ∪ {W < b ≤ B}; an uncompacted store is just
+    * {0 ≤ b ≤ B}. RETENTION BOUNDARY, checked loudly: below the latest
+    * watershed the covered partitions may be vacuumed, so `maxBatch < W`
+    * throws instead of silently returning a partial corpus — exactly
+    * Delta's "version no longer reconstructible after VACUUM" rule.
+    * The filter stays on the partition column, so an as-of read prunes
+    * directories like [[committedView]]. */
+  def committedViewAsOf(spark: SparkSession, path: String,
+                        maxBatch: Long): DataFrame = {
+    require(maxBatch >= 0L, s"need maxBatch >= 0, got $maxBatch")
+    val raw = spark.read.parquet(path)
+    watershed(spark, path) match {
+      case None =>
+        raw.filter(col("ingest_batch") >= 0L &&
+          col("ingest_batch") <= lit(maxBatch))
+      case Some(Watershed(g, w)) =>
+        require(maxBatch >= w,
+          s"as-of batch $maxBatch is below the compaction watershed $w " +
+            s"of $path: the covered partitions may be vacuumed, so the " +
+            "snapshot is no longer reconstructible (retention) — keep " +
+            "generations or vacuum later if older snapshots must serve")
+        raw.filter(col("ingest_batch") === lit(-g) ||
+          (col("ingest_batch") > lit(w) &&
+            col("ingest_batch") <= lit(maxBatch)))
+    }
+  }
+
+  /** [[committedViewAsOf]] minus the deletion vectors — and the
+    * subtraction is deliberately RETROACTIVE: forget is
+    * right-to-be-forgotten, so no historical snapshot may resurrect an
+    * erased row (erasure would be meaningless if "as of last month"
+    * still served the content). A time-travel read therefore reproduces
+    * the historical CORPUS membership minus everything since erased. */
+  def liveViewAsOf(spark: SparkSession, path: String, idCol: String,
+                   maxBatch: Long): DataFrame =
+    committedViewAsOf(spark, path, maxBatch).join(
+      org.apache.spark.sql.functions.broadcast(deletedIds(spark, path)),
+      col(idCol) === col("_del_id"), "left_anti")
+
   // ---------- deletion vectors (right-to-be-forgotten on indexes) ----------
 
   /** Marks rows as LOGICALLY deleted — the Delta deletion-vector story

@@ -63,6 +63,12 @@ object VecStoreIngest {
   def view(spark: SparkSession, storePath: String): DataFrame =
     KeyedStoreCore.view(spark, storePath, "vec_id", "embedding")
 
+  /** TIME-TRAVEL rerank frame — the vector corpus as of ingest batch
+    * `maxBatch` minus every id erased since (retroactive forget). */
+  def viewAsOf(spark: SparkSession, storePath: String,
+               maxBatch: Long): DataFrame =
+    KeyedStoreCore.viewAsOf(spark, storePath, "vec_id", "embedding", maxBatch)
+
   /** OPTIMIZE: one consolidated generation sorted by vec_id (row-group
     * min/max serves the id point-lookups the refine fetch makes),
     * pending deletes applied physically. [[StoreCompaction.vacuum]]

@@ -600,4 +600,48 @@ class StoreCompactionSpec extends SparkSpec {
       .select("id").orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 2L)
     all(parquetFiles(store)) should not include "cell=B"
   }
+
+  test("time travel: as-of B equals the B-batch store, survives compaction at the watershed, refuses below retention, and forget applies RETROACTIVELY to every snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("asof").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    for (b <- 0 until 3)
+      DocStoreIngest.ingestBatch(
+        docs.filter(col("doc_id") % 3 === b), s"$dir/a", b.toLong)
+    // as-of B ≡ a store that only ever ingested batches <= B
+    for (b <- 0 until 3)
+      DocStoreIngest.ingestBatch(
+        docs.filter(col("doc_id") % 3 === b && b <= 1), s"$dir/only01", b.toLong)
+    rows(DocStoreIngest.viewAsOf(spark, s"$dir/a", 1L)) shouldBe
+      rows(DocStoreIngest.view(spark, s"$dir/only01"))
+    rows(DocStoreIngest.viewAsOf(spark, s"$dir/a", 2L)) shouldBe
+      rows(DocStoreIngest.view(spark, s"$dir/a"))
+    // retroactive forget: NO snapshot resurrects an erased row
+    val gone = Seq(87L)
+    DocStoreIngest.markDeleted(spark, s"$dir/a", gone)
+    for (b <- 0L to 2L)
+      DocStoreIngest.viewAsOf(spark, s"$dir/a", b)
+        .filter(col("doc_id").isin(gone: _*)).count() shouldBe 0L
+    // compaction: the generation covers <= 2, so as-of 2 still serves
+    // (bitwise) and as-of below the watershed fails LOUDLY (retention)
+    val expected2 = rows(DocStoreIngest.view(spark, s"$dir/a"))
+    DocStoreIngest.compact(spark, s"$dir/a")
+    StoreCompaction.vacuum(spark, s"$dir/a")
+    rows(DocStoreIngest.viewAsOf(spark, s"$dir/a", 2L)) shouldBe expected2
+    val ex = intercept[IllegalArgumentException] {
+      DocStoreIngest.viewAsOf(spark, s"$dir/a", 1L)
+    }
+    ex.getMessage should include("watershed")
+    // post-watershed batches time-travel again: a new batch 3 lands,
+    // as-of 2 stays the compacted snapshot, as-of 3 sees it
+    DocStoreIngest.ingestBatch(
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id") + 1000000L as "doc_id", col("text")),
+      s"$dir/a", 3L)
+    rows(DocStoreIngest.viewAsOf(spark, s"$dir/a", 2L)) shouldBe expected2
+    DocStoreIngest.viewAsOf(spark, s"$dir/a", 3L).count() shouldBe
+      expected2.size.toLong + docs.filter(col("doc_id") % 3 === 0).count()
+  }
 }
