@@ -663,6 +663,48 @@ object SparkEntry {
         PqSubspaces, AnnQueryIds, RecallProbes, RecallK)
         .orderBy(col("method"), col("nprobe"))),
 
+    // binary (Hamming) ANN: 64 float dims collapse to 2 BIGINT sign
+    // words — a 32x-narrower candidate scan whose distance is
+    // XOR+popcount; every output column an exact integer
+    "q_hamming_ann" -> ((s, dir) =>
+      Similarity.hammingTopK(emb(s, dir), AnnQueryIds, 10)),
+
+    // recall@k audit of the binary proposer vs the exact cosine top-k —
+    // what the sign bits keep, per query (whether Hamming can nominate
+    // for an exact refine stage)
+    "q_hamming_recall" -> ((s, dir) =>
+      Similarity.hammingRecall(emb(s, dir), AnnQueryIds, RecallK)),
+
+    // the binary path over the PERSISTED float-vector store: signatures
+    // derive from the store's liveView, so forget composes through the
+    // Hamming ranking (an erased vector never signs, never ranks)
+    "q_hamming_stored" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hamming_stored").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.VecStoreIngest.ingestBatch(
+            e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
+        localRelation(s, Similarity.hammingProbe(
+          Similarity.signSignature(
+            graft.streaming.VecStoreIngest.view(s, s"$root/vecs")),
+          AnnQueryIds, 10))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
+    // hard-negative mining for contrastive training (DPR-style): per
+    // query, the top-k most-similar DIFFERENT-label vectors — the
+    // negatives the next training round needs; sim crosses unrounded
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(emb(s, dir), AnnQueryIds, 10)),
+
     // multimodal: binary payload metadata (no decode needed)
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
@@ -2176,6 +2218,100 @@ object SparkEntry {
       }
     }),
 
+    // snapshot EXPORT: the as-of view materialized as a standalone
+    // immutable store (atomic staging-rename publish) — and then the
+    // SOURCE moves on (compact past the snapshot batch + vacuum, which
+    // destroys the source's own ability to reconstruct batch 1), while
+    // the clone keeps serving the frozen bits: the reproducible-
+    // training-corpus story beyond the retention boundary
+    "q_store_export" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_store_export").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.DocStoreIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), s"$root/docs", b.toLong)
+        graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+        graft.streaming.StoreCompaction.exportAsOf(
+          s, s"$root/docs", "doc_id", maxBatch = 1L, dest = s"$root/snap")
+        graft.streaming.DocStoreIngest.compact(s, s"$root/docs")
+        graft.streaming.StoreCompaction.vacuum(s, s"$root/docs")
+        localRelation(s,
+          graft.streaming.StoreCompaction.committedView(s, s"$root/snap")
+            .select(col("doc_id"), col("text")).orderBy(col("doc_id")))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
+    // DESCRIBE DETAIL for an ingest-built store, before and after the
+    // compact+vacuum maintenance pass: commit state, partition pressure
+    // (the compactIfNeeded trigger quantity), forget backlog, and the
+    // committed/live row counts whose gap is what a compact physically
+    // drops — the operational summary as a hash-checked fact. describe
+    // is fully eager (driver-side listing + counted aggregates), so the
+    // 'before' row is immune to the mutation that follows it.
+    "q_store_describe" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_store_describe").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.DocStoreIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), s"$root/docs", b.toLong)
+        graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+        val before = graft.streaming.StoreCompaction
+          .describe(s, s"$root/docs", "doc_id").withColumn("stage", lit("before"))
+        graft.streaming.DocStoreIngest.compact(s, s"$root/docs")
+        graft.streaming.StoreCompaction.vacuum(s, s"$root/docs")
+        val after = graft.streaming.StoreCompaction
+          .describe(s, s"$root/docs", "doc_id").withColumn("stage", lit("after"))
+        localRelation(s, before.unionByName(after).orderBy(col("stage")))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
+    // cross-store consistency audit over the serving family: the
+    // doc-text store (forget marked), the float-vector store (one batch
+    // BEHIND — the planted divergence), and the source corpus, reduced
+    // to id membership and counted per presence combination. Divergence
+    // between independently-ingested stores is silent by construction —
+    // this row makes it a hash-checked fact (candidates whose text
+    // can't be fetched, docs invisible to the vector arm, forget holes)
+    "q_store_consistency" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val e = emb(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_store_consistency").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.DocStoreIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), s"$root/docs", b.toLong)
+        graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+        for (b <- 0 until 2) // vec store never receives batch 2
+          graft.streaming.VecStoreIngest.ingestBatch(
+            e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+        localRelation(s, graft.ops.StoreAudit.presence(Seq(
+          "doc" -> graft.streaming.DocStoreIngest.view(s, s"$root/docs"),
+          "vec" -> graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
+            .withColumnRenamed("vec_id", "doc_id"),
+          "corpus" -> d), "doc_id"))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // the COMPLETE served RAG query, every stage store-only with forget
     // composed end-to-end: lexical postings × IVF-PQ index (stored
     // quantizer) nominate via RRF, the float-vector store reranks and
@@ -3188,6 +3324,11 @@ object SparkEntry {
     "q_ivf_recall" -> TextSql.ivfRecallSql(IvfCoarseIds, AnnQueryIds, RecallProbes, RecallK),
     "q_pq_recall" -> TextSql.pqRecallSql(IvfCoarseIds, PqCodebookIds, PqSubspaces,
       AnnQueryIds, RecallProbes, RecallK),
+    "q_hamming_ann" -> TextSql.hammingSql(AnnQueryIds, 10),
+    "q_hamming_recall" -> TextSql.hammingRecallSql(AnnQueryIds, RecallK),
+    "q_hamming_stored" -> TextSql.hammingSql(AnnQueryIds, 10,
+      excludeIds = ForgetVecIds),
+    "q_hard_negatives" -> TextSql.hardNegativesSql(AnnQueryIds, 10),
     "multimodal_meta" -> TextSql.multimodalMetaSql,
 
     "q_media_dedup" ->
@@ -3988,6 +4129,46 @@ object SparkEntry {
       ("SELECT doc_id, text FROM documents WHERE doc_id % 3 <= 1 " +
         s"AND doc_id NOT IN (${ForgetDocIds.mkString(", ")}) " +
         "ORDER BY doc_id"),
+
+    // the exported snapshot serves exactly the as-of view's rows — even
+    // after the source compacts past the snapshot batch and vacuums
+    "q_store_export" ->
+      ("SELECT doc_id, text FROM documents WHERE doc_id % 3 <= 1 " +
+        s"AND doc_id NOT IN (${ForgetDocIds.mkString(", ")}) " +
+        "ORDER BY doc_id"),
+
+    // before: 3 batch partitions, 3 live, forget backlog = the distinct
+    // REQUESTED ids (ghost included — the deletes file is a set of
+    // demands, not an inner join), committed 500 / live 498; after
+    // compact+vacuum: one generation partition, backlog applied, the
+    // counts converge on the survivors
+    "q_store_describe" ->
+      ("SELECT 'before' AS stage, CAST(0 AS BIGINT) AS generation, " +
+        "CAST(-1 AS BIGINT) AS covered_through, " +
+        "CAST(3 AS BIGINT) AS n_batch_parts, " +
+        "CAST(3 AS BIGINT) AS n_live_batches, " +
+        s"CAST(${ForgetDocIds.size} AS BIGINT) AS n_pending_delete_ids, " +
+        "(SELECT count(*) FROM documents) AS n_committed, " +
+        "(SELECT count(*) FROM documents WHERE doc_id NOT IN " +
+        s"(${ForgetDocIds.mkString(", ")})) AS n_live " +
+        "UNION ALL SELECT 'after', CAST(1 AS BIGINT), CAST(2 AS BIGINT), " +
+        "CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), " +
+        "(SELECT count(*) FROM documents WHERE doc_id NOT IN " +
+        s"(${ForgetDocIds.mkString(", ")})), " +
+        "(SELECT count(*) FROM documents WHERE doc_id NOT IN " +
+        s"(${ForgetDocIds.mkString(", ")})) " +
+        "ORDER BY stage"),
+
+    // membership combos derive straight from the construction: the doc
+    // store misses the forgotten ids, the vec store misses batch 2, the
+    // corpus holds everything
+    "q_store_consistency" ->
+      ("WITH d AS (SELECT doc_id, " +
+        s"doc_id NOT IN (${ForgetDocIds.mkString(", ")}) AS in_doc, " +
+        "doc_id % 3 <= 1 AS in_vec, TRUE AS in_corpus FROM documents) " +
+        "SELECT in_doc, in_vec, in_corpus, CAST(count(*) AS BIGINT) AS n " +
+        "FROM d GROUP BY in_doc, in_vec, in_corpus " +
+        "ORDER BY in_doc, in_vec, in_corpus"),
 
     // every store serves through deletion vectors, so the oracle is the
     // one-shot indexed-hybrid MMR with the forgotten ids excluded, each

@@ -881,6 +881,94 @@ object TextSql {
       s"SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM r WHERE rn <= $k " +
       "ORDER BY query_id, neighbor_id"
 
+  /** Packed sign-signature list of a DOUBLE[] `v` — mirror of
+    * graft.functions.BitOps.signBits: word `w` (0-based) holds bits for
+    * positions 32w..32w+31, bit j set iff the coordinate is strictly
+    * > 0. Each word is a sum of DISTINCT powers of two below 2^32 —
+    * exact BIGINT arithmetic, no sign-bit overflow, so both engines
+    * assemble identical words by construction (float > 0 is invariant
+    * under the float→double cast both engines share). */
+  private val sigSql: String =
+    "list_transform(range(0, (len(v)+31)//32), " +
+      "w -> CAST(list_sum(list_transform(range(32*w+1, least(32*w+32, len(v))+1), " +
+      "i -> CASE WHEN v[i::INT] > 0 THEN (1::BIGINT << CAST((i-1) % 32 AS INT)) " +
+      "ELSE 0::BIGINT END)) AS BIGINT))"
+
+  /** XOR-popcount Hamming distance between two signature lists — mirror
+    * of BitOps.hamming (DuckDB's bit_count on BIGINT is the two's-
+    * complement popcount, identical to Java's Long.bitCount). */
+  private def hammingDistSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($b)+1), " +
+      s"w -> bit_count(xor($a[w::INT], $b[w::INT])))) AS BIGINT)"
+
+  /** Mirror of Similarity.hammingTopK / hammingProbe: sign signatures,
+    * XOR-popcount distance, per-query (hamming, neighbor_id) window —
+    * every column an exact integer, zero float discipline. `excludeIds`
+    * mirrors a deletion-vector probe over a persisted signature store:
+    * forgotten ids leave the corpus before signatures derive. */
+  def hammingSql(queryIds: Seq[Long], k: Int,
+                 excludeIds: Seq[Long] = Nil): String = {
+    val excl =
+      if (excludeIds.isEmpty) ""
+      else s" WHERE vec_id NOT IN (${excludeIds.mkString(", ")})"
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      s"FROM embeddings$excl), " +
+      s"s AS (SELECT vec_id, $sigSql AS sig FROM e), " +
+      "q AS (SELECT vec_id AS query_id, sig AS qsig FROM s " +
+      s"WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      "scored AS (SELECT query_id, s.vec_id AS neighbor_id, " +
+      s"${hammingDistSql("qsig", "sig")} AS hamming " +
+      "FROM s CROSS JOIN q WHERE s.vec_id <> q.query_id), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY hamming, neighbor_id) AS rn FROM scored) " +
+      s"SELECT query_id, neighbor_id, hamming, rn FROM r WHERE rn <= $k " +
+      "ORDER BY query_id, neighbor_id"
+  }
+
+  /** Mirror of Similarity.hammingRecall: exact cosine top-k pool (the
+    * annTopKSql window, unrounded) left-joined with the Hamming top-k,
+    * grouped per query; counts exact BIGINTs, recall one CAST-to-DOUBLE
+    * division (the rrfFuse discipline — bitwise, no rounding). */
+  def hammingRecallSql(queryIds: Seq[Long], k: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"s AS (SELECT vec_id, $sigSql AS sig FROM e), " +
+      "hq AS (SELECT vec_id AS query_id, sig AS qsig FROM s " +
+      s"WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      "hs AS (SELECT query_id, s.vec_id AS neighbor_id, " +
+      s"${hammingDistSql("qsig", "sig")} AS hamming " +
+      "FROM s CROSS JOIN hq WHERE s.vec_id <> hq.query_id), " +
+      "hr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY hamming, neighbor_id) AS rn FROM hs), " +
+      "cq AS (SELECT vec_id AS query_id, v AS qv FROM e " +
+      s"WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      s"cs AS (SELECT query_id, e.vec_id AS neighbor_id, $cosSql AS sim " +
+      "FROM e CROSS JOIN cq WHERE e.vec_id <> cq.query_id), " +
+      "cr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY sim DESC, neighbor_id) AS rn FROM cs) " +
+      "SELECT query_id, n_exact, n_found, " +
+      "CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall FROM (" +
+      "SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact, " +
+      "CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_found " +
+      s"FROM (SELECT query_id, neighbor_id FROM cr WHERE rn <= $k) ex " +
+      "LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM hr " +
+      s"WHERE rn <= $k) ap USING (query_id, neighbor_id) " +
+      "GROUP BY query_id) ORDER BY query_id"
+
+  /** Mirror of Similarity.hardNegatives: the annTopKSql shape with the
+    * label-inequality predicate on the query join; `sim` crosses
+    * UNROUNDED (the mmrSql discipline — the cosine kernel is mirrored
+    * exactly, the (sim DESC, neighbor_id) order is total). */
+  def hardNegativesSql(queryIds: Seq[Long], k: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e " +
+      s"WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      s"scored AS (SELECT query_id, e.vec_id AS neighbor_id, e.label, $cosSql AS sim " +
+      "FROM e CROSS JOIN q WHERE e.label <> q.qlabel), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY sim DESC, neighbor_id) AS rn FROM scored) " +
+      s"SELECT query_id, neighbor_id, label, sim, rn FROM r WHERE rn <= $k " +
+      "ORDER BY query_id, neighbor_id"
+
   /** Mirror of Similarity.mmrRerank: the identical cosine pool (the
     * same unrounded (rel DESC, vec_id) window as annTopKSql), a
     * directed pairwise pool-cosine table (cosine is bitwise symmetric —

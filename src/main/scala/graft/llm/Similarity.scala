@@ -61,6 +61,118 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  // ---------- binary (Hamming) ANN — the bitwise compressed domain ----------
+
+  /** Packed sign signature of each embedding: `ceil(dim/32)` BIGINT
+    * words, bit `i % 32` of word `i / 32` set iff `v(i) > 0.0` (the
+    * Charikar 2002 SimHash family with the identity hyperplanes — the
+    * coordinate signs themselves; a production deployment composes
+    * [[randomProject]] in front for isotropy, same signature kernel).
+    * 64 float dims become 2 longs: a 32x-narrower candidate scan whose
+    * distance is XOR+popcount — integer ops only, no FPU, no float
+    * discipline. Words stay below 2^32 (32 bits per word, never 64) so
+    * both engines assemble them as exact sums of distinct powers of two
+    * and parquet round-trips them trivially.
+    *
+    * Scale shape: one projection — embarrassingly parallel; at 100 TB
+    * the signature table is the thing you persist and scan (32x less
+    * IO than the float corpus) while originals stay in the refine
+    * store for exact re-ranking. */
+  def signSignature(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      graft.functions.BitOps.signBitsCol(v(col("embedding"))).as("sig"))
+
+  /** Top-k per query by Hamming distance over [[signSignature]] —
+    * the binary ANN proposer: broadcast the query signatures, one
+    * signature scan, XOR-popcount distance, per-query window top-k.
+    * Ties (common: 64-bit signatures collide in distance) break to the
+    * lowest neighbor_id — a total order, so EVERY column is an exact
+    * integer and the oracle crosses with zero float discipline.
+    * Output: (query_id, neighbor_id, hamming, rn). */
+  def hammingTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    hammingRanked(signSignature(emb), queryIds, k)
+      .orderBy(col("query_id"), col("neighbor_id"))
+
+  /** [[hammingTopK]] over a PRE-BUILT signature frame (vec_id, sig) —
+    * the persisted-store entry point: signatures from a store's
+    * liveView probe without touching float embeddings at all. */
+  def hammingProbe(sig: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    hammingRanked(sig, queryIds, k)
+      .orderBy(col("query_id"), col("neighbor_id"))
+
+  private def hammingRanked(s: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = s.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val scored = s.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.BitOps.hammingCol(col("qsig"), col("sig")).as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Recall@k audit of the binary proposer against the exact cosine
+    * top-k — per query, how many of the true neighbors the sign bits
+    * keep (the number that decides whether Hamming can nominate for an
+    * exact refine stage, the [[refineExact]] composition). The exact
+    * pool left-joins the Hamming pool so a query with ZERO overlap
+    * still reports its row; recall is one CAST-to-DOUBLE division of
+    * exact BIGINTs (the rrfFuse discipline — crosses bitwise). Pays
+    * brute force once: an sf-scale audit, never a production path.
+    * EAGER (materializes the queries-row result, releases the pool).
+    * Output: (query_id, n_exact, n_found, recall). */
+  def hammingRecall(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = bruteRanked(e, queryIds, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = hammingRanked(signSignature(e), queryIds, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val out = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("query_id"), col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy(col("query_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist(false)
+    out
+  }
+
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-prep step, Karpukhin et al. 2020): for each query vector, the
+    * top-k most-similar vectors whose LABEL differs — the negatives a
+    * trained retriever confuses, which is exactly what the next
+    * training round needs. Self is excluded for free (same label).
+    *
+    * Shape = [[bruteForceTopK]] with the label-inequality predicate on
+    * the broadcast join: one corpus scan, per-query window top-k —
+    * nothing new shuffles. At 100 TB the proposer swaps to the IVF-PQ
+    * candidate path ([[refineExact]]'s composition) with the same
+    * label filter on the candidate frame; the exact form here is also
+    * the audit reference for that swap. Ranking uses the UNROUNDED
+    * cosine (the mmrRerank discipline: the kernel is mirrored exactly,
+    * so `sim` crosses the oracle bitwise with no round() exposure).
+    * Output: (query_id, neighbor_id, label, sim, rn). */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), v(col("embedding")).as("vec"), col("label"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("label").as("qlabel"))
+    val scored = e.join(broadcast(q), col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        cosine(col("qvec"), col("vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
     * retrieval-ensemble combiner: two ranked candidate lists per query
     * merge on rank alone, score = Σ 1/(kRrf + rank), absent-from-one-

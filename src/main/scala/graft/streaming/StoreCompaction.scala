@@ -161,6 +161,84 @@ object StoreCompaction {
       org.apache.spark.sql.functions.broadcast(deletedIds(spark, path)),
       col(idCol) === col("_del_id"), "left_anti")
 
+  /** Materializes a time-travel snapshot as a NEW standalone store —
+    * the reproducible-training-corpus EXPORT: "freeze the corpus as of
+    * batch B" becomes a directory that keeps serving the same bits even
+    * after the source store compacts past B and vacuums the covered
+    * partitions (the retention boundary [[committedViewAsOf]] enforces
+    * loudly). The snapshot rows are [[liveViewAsOf]] — deletion vectors
+    * subtract retroactively, so an export can never resurrect erased
+    * content — rewritten as the clone's single `ingest_batch = 0`
+    * generation: the clone IS a valid store (committedView/liveView/
+    * compact/markDeleted all work on it; its own forget lifecycle
+    * starts empty).
+    *
+    * Publish is atomic (the writeIvfPqQuantizer discipline): data lands
+    * under `<dest>.staging`, then ONE directory rename makes the clone
+    * visible — a torn export leaves only staging, never a half-readable
+    * store. Refuses an existing destination (snapshots are immutable;
+    * overwriting one silently would defeat the reproducibility point).
+    *
+    * Scale shape: one partition-pruned read of the snapshot's
+    * directories + one write shuffled by `clusterCols` (or
+    * `targetFiles` round-robin) — the [[compact]] write shape. */
+  def exportAsOf(spark: SparkSession, path: String, idCol: String,
+                 maxBatch: Long, dest: String,
+                 clusterCols: Seq[String] = Nil,
+                 targetFiles: Int = 1,
+                 sortCols: Seq[String] = Nil): Unit = {
+    require(targetFiles >= 1, s"need targetFiles >= 1, got $targetFiles")
+    val fs = fsOf(spark, dest)
+    val destPath = new Path(dest)
+    require(!fs.exists(destPath),
+      s"export destination $dest already exists — snapshots are " +
+        "immutable, pick a fresh path")
+    val staging = new Path(dest + ".staging")
+    fs.delete(staging, true) // torn prior attempt
+    val rows = liveViewAsOf(spark, path, idCol, maxBatch)
+      .withColumn("ingest_batch", lit(0L))
+    val packed =
+      if (clusterCols.nonEmpty) rows.repartition(clusterCols.map(col): _*)
+      else rows.repartition(targetFiles)
+    val sized =
+      if (sortCols.isEmpty) packed
+      else packed.sortWithinPartitions(sortCols.map(col): _*)
+    sized.write.mode("overwrite")
+      .partitionBy((clusterCols :+ "ingest_batch"): _*)
+      .parquet(staging.toString)
+    if (!fs.rename(staging, destPath) || !fs.exists(destPath))
+      throw new java.io.IOException(s"export publish $staging -> $dest failed")
+  }
+
+  /** One-row operational summary of an ingest-built store — the
+    * `DESCRIBE DETAIL` surface an operator reads before trusting a
+    * store or scheduling maintenance: commit state (generation,
+    * watershed), partition pressure (total `ingest_batch` directories,
+    * live batches above the watershed — the [[compactIfNeeded]]
+    * trigger quantity), forget backlog (distinct pending deletion-
+    * vector ids — REQUESTED ids, present in the store or not: the
+    * deletes file is a set of demands, not an inner join), and row
+    * counts (committed = exactly-once view; live = committed minus the
+    * deletion vectors — `n_committed − n_live` is the rows a compact
+    * would physically drop). Counting costs two aggregates over the
+    * committed view by design — this is an explicit audit call, never
+    * on a probe path. */
+  def describe(spark: SparkSession, path: String, idCol: String): DataFrame = {
+    val w = watershed(spark, path)
+    val dirs = batchDirs(spark, path).map(_._2).distinct
+    val wCov = w.map(_.coveredThrough).getOrElse(-1L)
+    val nPending = deletedIds(spark, path).count()
+    val nCommitted = committedView(spark, path).count()
+    val nLive =
+      if (nPending == 0L) nCommitted else liveView(spark, path, idCol).count()
+    import spark.implicits._
+    Seq((w.map(_.generation).getOrElse(0L), wCov,
+      dirs.size.toLong, dirs.count(b => b >= 0L && b > wCov).toLong,
+      nPending, nCommitted, nLive))
+      .toDF("generation", "covered_through", "n_batch_parts",
+        "n_live_batches", "n_pending_delete_ids", "n_committed", "n_live")
+  }
+
   // ---------- deletion vectors (right-to-be-forgotten on indexes) ----------
 
   /** Marks rows as LOGICALLY deleted — the Delta deletion-vector story

@@ -393,6 +393,36 @@ object ScalingAudit {
     val medoidSum = graft.llm.Similarity.cellMedoids(embBig, mdCoarse)
       .agg(coalesce(sum(col("medoid_id")), lit(0L))).head.getLong(0)
     val mdW = (System.nanoTime() - mdT0) / 1e9
+    // Round-18 binary ANN at the embedding decade: Σ rn·neighbor_id
+    // over the Hamming top-10 of 3 queries fingerprints the sign-bit
+    // packing, the XOR-popcount kernel, and the (hamming, id) tie-break
+    // in one BIGINT (integers end to end — the store round-trip cannot
+    // move it). Hard negatives ride the same corpus with synthesized
+    // labels (vec_id % 7): Σ neighbor_id fingerprints the label-
+    // inequality ranking. The recall fingerprint Σ n_found pins how
+    // many exact-cosine neighbors the sign bits keep at the decade.
+    val hmT0 = System.nanoTime()
+    val hamRankSum = graft.llm.Similarity.hammingTopK(embBig, Seq(0L, 1L, 2L), 10)
+      .agg(coalesce(sum(col("rn") * col("neighbor_id")), lit(0L))).head.getLong(0)
+    val hamFound = graft.llm.Similarity.hammingRecall(embBig, Seq(0L, 1L, 2L), 10)
+      .agg(coalesce(sum(col("n_found")), lit(0L))).head.getLong(0)
+    val hnSum = graft.llm.Similarity.hardNegatives(
+        embBig.withColumn("label", (col("vec_id") % 7).cast("int")),
+        Seq(0L, 1L, 2L), 10)
+      .agg(coalesce(sum(col("neighbor_id")), lit(0L))).head.getLong(0)
+    val hmW = (System.nanoTime() - hmT0) / 1e9
+    // Cross-store presence audit at the decade: two synthetic membership
+    // slices (ids % 3 <= 1 vs % 5 != 0) — Σ n·(2·in_a + in_b) is an
+    // exact weighted fingerprint of every combination count.
+    val psT0 = System.nanoTime()
+    val presenceSum = graft.ops.StoreAudit.presence(Seq(
+        "a" -> embBig.filter(col("vec_id") % 3 <= 1),
+        "b" -> embBig.filter(col("vec_id") % 5 =!= 0)), "vec_id")
+      .collect().map { r =>
+        r.getLong(2) * ((if (r.getBoolean(0)) 2L else 0L) +
+          (if (r.getBoolean(1)) 1L else 0L))
+      }.sum
+    val psW = (System.nanoTime() - psT0) / 1e9
     // Round-17 families. Lexical index LIFECYCLE at the decade: 8 ingest
     // batches, probe, OPTIMIZE (compact + vacuum), probe again — Σ doc_id
     // of the ranked top-10 fingerprints the postings/stats round-trip and
@@ -653,6 +683,8 @@ object ScalingAudit {
         s""""hybrid_fused_docsum":$hySum,""" +
         s""""quant_probe_docsum":$qtHits,"refine_store_ranksum":$rsSum,""" +
         s""""chunk_cascade_marked":$ciMarked,"chunk_probe_docsum":$ciSum,""" +
+        s""""hamming_ranksum":$hamRankSum,"hamming_found10":$hamFound,""" +
+        s""""hard_neg_docsum":$hnSum,"presence_weighted":$presenceSum,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
@@ -667,7 +699,8 @@ object ScalingAudit {
         s""""lex_ingest":${d2(lxIngW)},"lex_probe":${d2(lxPreW)},""" +
         s""""lex_compact":${d2(lxCmpW)},"lex_probe_compacted":${d2(lxPostW)},""" +
         s""""hybrid":${d2(hyW)},"quant_roundtrip":${d2(qtW)},""" +
-        s""""refine_store":${d2(rsW)},"chunk_index":${d2(ciW)}}}"""
+        s""""refine_store":${d2(rsW)},"chunk_index":${d2(ciW)},""" +
+        s""""hamming":${d2(hmW)},"presence":${d2(psW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()

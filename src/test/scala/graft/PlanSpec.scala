@@ -37,6 +37,22 @@ class PlanSpec extends SparkSpec {
     p should include("In(vec_id, [0,1,2])")
   }
 
+  test("q_hamming_ann: query-id IN pushed, schema pruned to (vec_id, embedding), query side broadcasts, nothing cartesian") {
+    val p = plan("q_hamming_ann")
+    p should include("In(vec_id, [0,1,2])")      // query-signature scan pruned
+    p should include("BroadcastExchange")        // 3-row query side
+    (p should not).include("CartesianProduct")
+    (p should not).include("label")              // untouched column never read
+  }
+
+  test("q_hard_negatives: query-id IN pushed, label read for the inequality join, broadcast query side, nothing cartesian") {
+    val p = plan("q_hard_negatives")
+    p should include("In(vec_id, [0,1,2])")
+    p should include("BroadcastExchange")
+    (p should not).include("CartesianProduct")
+    p should include("ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>")
+  }
+
   test("mmr pool: query-vector filter pushed to scan, top-poolN via TakeOrderedAndProject, query side broadcasts") {
     // the distributed stage of q_mmr (the contract query's own plan is
     // the LocalRelation the driver-side greedy emits). The rn <= poolN

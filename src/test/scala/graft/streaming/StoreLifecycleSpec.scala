@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** exportAsOf (snapshot clone) + describe (DESCRIBE DETAIL) over the
+  * ingest-built store lifecycle. */
+class StoreLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus =
+    (0L until 30L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+
+  private def build(root: String, batches: Int = 3): Unit =
+    for (b <- 0 until batches)
+      DocStoreIngest.ingestBatch(
+        corpus.filter($"doc_id" % batches === b), s"$root/docs", b.toLong)
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+    df.select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1).toSeq
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_lifecycle").toString
+
+  private def rm(root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
+  test("exportAsOf: clone == liveViewAsOf, survives source compaction past retention") {
+    val root = tmp()
+    try {
+      build(root)
+      DocStoreIngest.markDeleted(spark, s"$root/docs", Seq(6L, 7L))
+      val want = rowsOf(DocStoreIngest.viewAsOf(spark, s"$root/docs", 1L))
+      StoreCompaction.exportAsOf(
+        spark, s"$root/docs", "doc_id", 1L, s"$root/snap")
+      rowsOf(StoreCompaction.committedView(spark, s"$root/snap")) shouldBe want
+      // forgotten ids never exported (retroactive subtraction)
+      want.map(_._1) should contain noneOf (6L, 7L)
+
+      // the source moves on: compact (watershed 2 > snapshot batch 1),
+      // vacuum, and forget MORE ids — the source can no longer
+      // reconstruct batch 1, the clone is bit-for-bit unmoved
+      DocStoreIngest.compact(spark, s"$root/docs")
+      StoreCompaction.vacuum(spark, s"$root/docs")
+      DocStoreIngest.markDeleted(spark, s"$root/docs", Seq(3L))
+      an[IllegalArgumentException] should be thrownBy
+        DocStoreIngest.viewAsOf(spark, s"$root/docs", 1L).collect()
+      rowsOf(StoreCompaction.committedView(spark, s"$root/snap")) shouldBe want
+
+      // the clone is a real store with its OWN lifecycle starting empty
+      StoreCompaction.hasPendingDeletes(spark, s"$root/snap") shouldBe false
+      DocStoreIngest.markDeleted(spark, s"$root/snap", Seq(0L))
+      rowsOf(DocStoreIngest.view(spark, s"$root/snap")) shouldBe
+        want.filterNot(_._1 == 0L)
+      // ...and clone-side forget never leaks back to the source
+      rowsOf(DocStoreIngest.view(spark, s"$root/docs"))
+        .map(_._1) should contain(0L)
+    } finally rm(root)
+  }
+
+  test("exportAsOf refuses an existing destination; a torn staging dir retries clean") {
+    val root = tmp()
+    try {
+      build(root)
+      // torn prior attempt: stale staging content must not leak into the export
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/snap.staging/garbage"))
+      StoreCompaction.exportAsOf(spark, s"$root/docs", "doc_id", 2L, s"$root/snap")
+      rowsOf(StoreCompaction.committedView(spark, s"$root/snap")) shouldBe
+        rowsOf(corpus)
+      an[IllegalArgumentException] should be thrownBy
+        StoreCompaction.exportAsOf(spark, s"$root/docs", "doc_id", 2L, s"$root/snap")
+    } finally rm(root)
+  }
+
+  test("describe: fresh store values, then post-compact convergence") {
+    val root = tmp()
+    try {
+      build(root)
+      DocStoreIngest.markDeleted(spark, s"$root/docs", Seq(6L, 7L, 999L)) // 999 = ghost
+      val before = StoreCompaction.describe(spark, s"$root/docs", "doc_id")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+      before shouldBe ((0L, -1L, 3L, 3L, 3L, 30L, 28L))
+
+      DocStoreIngest.compact(spark, s"$root/docs")
+      StoreCompaction.vacuum(spark, s"$root/docs")
+      val after = StoreCompaction.describe(spark, s"$root/docs", "doc_id")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+      after shouldBe ((1L, 2L, 1L, 0L, 0L, 28L, 28L))
+    } finally rm(root)
+  }
+
+  test("describe: no-deletes path reports n_live == n_committed; new batches count as live") {
+    val root = tmp()
+    try {
+      build(root)
+      DocStoreIngest.compact(spark, s"$root/docs")
+      // one fresh batch lands ABOVE the watershed
+      DocStoreIngest.ingestBatch(
+        Seq((100L, "late doc")).toDF("doc_id", "text"), s"$root/docs", 3L)
+      val d = StoreCompaction.describe(spark, s"$root/docs", "doc_id")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+      // generation 1 covering <=2; dirs: batches 0,1,2 (unvacuumed), gen -1,
+      // batch 3 => 5 parts, 1 live batch; 31 rows committed and live
+      d shouldBe ((1L, 2L, 5L, 1L, 0L, 31L, 31L))
+    } finally rm(root)
+  }
+}
