@@ -699,6 +699,14 @@ object SparkEntry {
       }
     }),
 
+    // binary propose -> exact refine: sign bits nominate top-50 in the
+    // integer domain, only those originals fetch for the exact-L2²
+    // rerank — the refine budget turning sign bits into a usable
+    // proposer (measured: top-50 keeps 21/30 exact-top-10 vs 9/30 raw)
+    "q_hamming_refined" -> ((s, dir) =>
+      Similarity.hammingRefined(emb(s, dir), AnnQueryIds,
+        proposeR = 50, k = 10).orderBy(col("query_id"), col("rn"))),
+
     // hard-negative mining for contrastive training (DPR-style): per
     // query, the top-k most-similar DIFFERENT-label vectors — the
     // negatives the next training round needs; sim crosses unrounded
@@ -3328,6 +3336,8 @@ object SparkEntry {
     "q_hamming_recall" -> TextSql.hammingRecallSql(AnnQueryIds, RecallK),
     "q_hamming_stored" -> TextSql.hammingSql(AnnQueryIds, 10,
       excludeIds = ForgetVecIds),
+    "q_hamming_refined" -> TextSql.hammingRefinedSql(AnnQueryIds,
+      proposeR = 50, k = 10),
     "q_hard_negatives" -> TextSql.hardNegativesSql(AnnQueryIds, 10),
     "multimodal_meta" -> TextSql.multimodalMetaSql,
 

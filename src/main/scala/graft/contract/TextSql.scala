@@ -925,6 +925,26 @@ object TextSql {
       "ORDER BY query_id, neighbor_id"
   }
 
+  /** Mirror of Similarity.hammingRefined — the binary propose → exact
+    * refine composition: the hammingSql candidate set at k = proposeR
+    * (nested whole, the ivfPqRefinedSql pattern) re-scored by the same
+    * l2sqSql kernel both engines already cross bitwise; ranking on the
+    * UNROUNDED distance, only the output rounds. */
+  def hammingRefinedSql(queryIds: Seq[Long], proposeR: Int, k: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      "cand AS (SELECT query_id, neighbor_id FROM " +
+      s"(${hammingSql(queryIds, proposeR)}) c), " +
+      "rf AS (SELECT cand.query_id, cand.neighbor_id, " +
+      s"${l2sqSql("q.qv", "e.v")} AS d2raw " +
+      "FROM cand JOIN e ON e.vec_id = cand.neighbor_id " +
+      "JOIN q ON q.query_id = cand.query_id), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY d2raw, neighbor_id) AS rn FROM rf) " +
+      s"SELECT query_id, neighbor_id, round(d2raw, 4) AS d2, " +
+      "CAST(rn AS BIGINT) AS rn FROM rk " +
+      s"WHERE rn <= $k ORDER BY query_id, rn"
+
   /** Mirror of Similarity.hammingRecall: exact cosine top-k pool (the
     * annTopKSql window, unrounded) left-joined with the Hamming top-k,
     * grouped per query; counts exact BIGINTs, recall one CAST-to-DOUBLE

@@ -134,6 +134,47 @@ class HammingSpec extends SparkSpec {
     }
   }
 
+  test("hammingRefined: exact-L2² rerank of the hamming candidate set, driver-mirrored") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.hammingRefined(e, Seq(0L, 1L, 2L), 20, 5)
+      .select($"query_id", $"neighbor_id", $"d2", $"rn")
+      .as[(Long, Long, Double, Long)].collect().toSeq.sortBy(t => (t._1, t._4))
+
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    val sigs = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => id -> sigOf(v) }
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val want = Seq(0L, 1L, 2L).flatMap { q =>
+      val qs = sigs.find(_._1 == q).get._2
+      val cand = sigs.filter(_._1 != q)
+        .map { case (id, s) => (hammingOf(qs, s), id) }.sorted.take(20).map(_._2)
+      cand.map(id => (l2sq(vecs(q), vecs(id)), id)).sorted.take(5).zipWithIndex
+        .map { case ((d2, id), i) =>
+          (q, id, BigDecimal(d2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            (i + 1).toLong) }
+    }
+    got shouldBe want
+  }
+
+  test("hammingRefined: the propose budget strictly helps on this corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // exact-L2² reference top-10 per query
+    val exact = Similarity.hammingRefined(e, Seq(0L, 1L, 2L), 499, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val plain = Similarity.hammingTopK(e, Seq(0L, 1L, 2L), 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val refined = Similarity.hammingRefined(e, Seq(0L, 1L, 2L), 50, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert((refined & exact).size > (plain & exact).size,
+      s"refine budget should recover exact neighbors: refined=${(refined & exact).size} plain=${(plain & exact).size}")
+  }
+
   test("hardNegatives: hand fixture excludes same-label, ranks by cosine") {
     // query 0 label 1. Candidate 1: same label, nearly identical (would be
     // rank 1 if admitted). Candidates 2,3: different label, 2 closer.
