@@ -1661,6 +1661,14 @@ class StreamingSpec extends SparkSpec {
           .orderBy("sel_rank").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
         answer(DocStoreIngest.view(spark, s"$dir/docs")) shouldBe answer(seenDocs)
+        // …and the binary proposer serves store-only: signatures derive
+        // from the vec store's liveView, bitwise the one-shot over the
+        // seen corpus at every trigger (all-integer rows)
+        def hamKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        hamKey(Similarity.hammingProbe(Similarity.signSignature(
+            VecStoreIngest.view(spark, s"$dir/vecs")), Seq(0L), 5)) shouldBe
+          hamKey(Similarity.hammingTopK(seenEmb, Seq(0L), 5))
       }
     } finally { lexQ.stop(); idxQ.stop(); vecQ.stop(); docQ.stop() }
   }
