@@ -707,6 +707,36 @@ object SparkEntry {
       Similarity.hammingRefined(emb(s, dir), AnnQueryIds,
         proposeR = 50, k = 10).orderBy(col("query_id"), col("rn"))),
 
+    // the binary propose/refine pair served STORE-ONLY: the signature
+    // store (2 BIGINT words per vector on disk - the 32x narrowing
+    // cashed out) nominates in the integer domain, the float-vector
+    // store fetches originals for the exact rerank; the same forgotten
+    // ids marked on BOTH stores leave every stage
+    "q_hamming_served" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hamming_served").toString
+      try {
+        for (b <- 0 until 3) {
+          val part = e.filter(col("vec_id") % 3 === b)
+          graft.streaming.SigStoreIngest.ingestBatch(part, s"$root/sigs", b.toLong)
+          graft.streaming.VecStoreIngest.ingestBatch(part, s"$root/vecs", b.toLong)
+        }
+        graft.streaming.SigStoreIngest.markDeleted(s, s"$root/sigs", ForgetVecIds)
+        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
+        localRelation(s, Similarity.hammingRefinedStored(
+            graft.streaming.SigStoreIngest.view(s, s"$root/sigs"),
+            graft.streaming.VecStoreIngest.view(s, s"$root/vecs"),
+            AnnQueryIds, proposeR = 50, k = 10)
+          .orderBy(col("query_id"), col("rn")))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // hard-negative mining for contrastive training (DPR-style): per
     // query, the top-k most-similar DIFFERENT-label vectors — the
     // negatives the next training round needs; sim crosses unrounded
@@ -3338,6 +3368,8 @@ object SparkEntry {
       excludeIds = ForgetVecIds),
     "q_hamming_refined" -> TextSql.hammingRefinedSql(AnnQueryIds,
       proposeR = 50, k = 10),
+    "q_hamming_served" -> TextSql.hammingRefinedSql(AnnQueryIds,
+      proposeR = 50, k = 10, excludeIds = ForgetVecIds),
     "q_hard_negatives" -> TextSql.hardNegativesSql(AnnQueryIds, 10),
     "multimodal_meta" -> TextSql.multimodalMetaSql,
 

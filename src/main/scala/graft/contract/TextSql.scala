@@ -930,11 +930,12 @@ object TextSql {
     * (nested whole, the ivfPqRefinedSql pattern) re-scored by the same
     * l2sqSql kernel both engines already cross bitwise; ranking on the
     * UNROUNDED distance, only the output rounds. */
-  def hammingRefinedSql(queryIds: Seq[Long], proposeR: Int, k: Int): String =
+  def hammingRefinedSql(queryIds: Seq[Long], proposeR: Int, k: Int,
+                        excludeIds: Seq[Long] = Nil): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
       "cand AS (SELECT query_id, neighbor_id FROM " +
-      s"(${hammingSql(queryIds, proposeR)}) c), " +
+      s"(${hammingSql(queryIds, proposeR, excludeIds)}) c), " +
       "rf AS (SELECT cand.query_id, cand.neighbor_id, " +
       s"${l2sqSql("q.qv", "e.v")} AS d2raw " +
       "FROM cand JOIN e ON e.vec_id = cand.neighbor_id " +

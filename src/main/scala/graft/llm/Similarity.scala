@@ -133,6 +133,26 @@ object Similarity {
     refineExact(emb, cands, queryIds, k)
   }
 
+  /** [[hammingRefined]] served STORE-ONLY — the binary propose/refine
+    * pair over persisted stores: `sig` is a signature store's liveView
+    * (the 32×-narrower integer scan nominates top-proposeR), `emb` is
+    * the float-vector store's liveView (originals fetch by broadcast
+    * point-join for the exact rerank, and the QUERY vectors resolve
+    * from it too). Forget composes through both stages when the same
+    * ids are marked on both stores: a forgotten vector can neither be
+    * proposed (sig liveView) nor fetched as a rerank candidate (vec
+    * liveView) — bitwise the one-shot [[hammingRefined]] over the
+    * surviving corpus. */
+  def hammingRefinedStored(sig: DataFrame, emb: DataFrame,
+                           queryIds: Seq[Long], proposeR: Int,
+                           k: Int): DataFrame = {
+    require(proposeR >= k && k >= 1,
+      s"need proposeR >= k >= 1, got proposeR=$proposeR k=$k")
+    val cands = hammingRanked(sig, queryIds, proposeR)
+      .select(col("query_id"), col("neighbor_id"))
+    refineExact(emb, cands, queryIds, k)
+  }
+
   /** Recall@k audit of the binary proposer against the exact cosine
     * top-k — per query, how many of the true neighbors the sign bits
     * keep (the number that decides whether Hamming can nominate for an

@@ -175,6 +175,64 @@ class HammingSpec extends SparkSpec {
       s"refine budget should recover exact neighbors: refined=${(refined & exact).size} plain=${(plain & exact).size}")
   }
 
+  test("store-complete binary pair: sig-store propose + vec-store refine, forget on both, compact keeps it bitwise") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_sig_store").toString
+    try {
+      for (b <- 0 until 3) {
+        val part = e.filter($"vec_id" % 3 === b)
+        graft.streaming.SigStoreIngest.ingestBatch(part, s"$root/sigs", b.toLong)
+        graft.streaming.VecStoreIngest.ingestBatch(part, s"$root/vecs", b.toLong)
+      }
+      // the store holds ONLY (vec_id, sig) — the 32x-narrower layout
+      graft.streaming.SigStoreIngest.view(spark, s"$root/sigs")
+        .columns.toSeq shouldBe Seq("vec_id", "sig")
+
+      // pre-forget: stored pair == one-shot hammingRefined bitwise
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy($"query_id", $"rn").collect().map(r => (r.getLong(0),
+          r.getLong(1), java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          r.getLong(3))).toSeq
+      def stored() = Similarity.hammingRefinedStored(
+        graft.streaming.SigStoreIngest.view(spark, s"$root/sigs"),
+        graft.streaming.VecStoreIngest.view(spark, s"$root/vecs"),
+        Seq(0L, 1L, 2L), 20, 5)
+      key(stored()) shouldBe key(Similarity.hammingRefined(e, Seq(0L, 1L, 2L), 20, 5))
+
+      // forget on BOTH stores: == one-shot over the surviving corpus,
+      // and the forgotten ids leave both stages
+      val forget = Seq(5L, 18L, 42L, 999999L)
+      graft.streaming.SigStoreIngest.markDeleted(spark, s"$root/sigs", forget)
+      graft.streaming.VecStoreIngest.markDeleted(spark, s"$root/vecs", forget)
+      val surviving = e.filter(!$"vec_id".isin(forget: _*))
+      val postForget = key(stored())
+      postForget shouldBe key(Similarity.hammingRefined(surviving, Seq(0L, 1L, 2L), 20, 5))
+      postForget.map(_._2).toSet.intersect(forget.toSet) shouldBe empty
+
+      // the as-of signature frame travels (retroactive forget composed)
+      graft.streaming.SigStoreIngest.viewAsOf(spark, s"$root/sigs", 1L)
+        .select($"vec_id").as[Long].collect().toSet shouldBe
+        e.filter($"vec_id" % 3 <= 1 && !$"vec_id".isin(forget: _*))
+          .select($"vec_id").as[Long].collect().toSet
+
+      // physical apply: compact both, probe bitwise unchanged
+      graft.streaming.SigStoreIngest.compact(spark, s"$root/sigs")
+      graft.streaming.VecStoreIngest.compact(spark, s"$root/vecs")
+      graft.streaming.StoreCompaction.vacuum(spark, s"$root/sigs")
+      graft.streaming.StoreCompaction.vacuum(spark, s"$root/vecs")
+      key(stored()) shouldBe postForget
+      // ...and the sig-store probe alone serves the Hamming ranking
+      graft.streaming.SigStoreIngest.probe(spark, s"$root/sigs", Seq(0L), 5)
+        .select($"neighbor_id").as[Long].collect().toSeq shouldBe
+        Similarity.hammingTopK(surviving, Seq(0L), 5)
+          .select($"neighbor_id").as[Long].collect().toSeq
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+  }
+
   test("hardNegatives: hand fixture excludes same-label, ranks by cosine") {
     // query 0 label 1. Candidate 1: same label, nearly identical (would be
     // rank 1 if admitted). Candidates 2,3: different label, 2 closer.

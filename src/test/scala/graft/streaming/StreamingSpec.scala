@@ -1623,6 +1623,8 @@ class StreamingSpec extends SparkSpec {
       vmem.toDF.toDF("vec_id", "embedding"), s"$dir/vecs", s"$dir/ck3")
     val docQ = DocStoreIngest.start(
       dmem.toDF.toDF("doc_id", "text"), s"$dir/docs", s"$dir/ck4")
+    val sigQ = SigStoreIngest.start(
+      vmem.toDF.toDF("vec_id", "embedding"), s"$dir/sigs", s"$dir/ck5")
     def prfKey(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("rn").collect().map(r => (r.getLong(0),
         java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.getLong(2)))
@@ -1638,6 +1640,7 @@ class StreamingSpec extends SparkSpec {
         idxQ.processAllAvailable()
         vecQ.processAllAvailable()
         docQ.processAllAvailable()
+        sigQ.processAllAvailable()
         // the corpus SEEN so far (query id 0 arrives in trigger 0)
         val seenDocs = docs.filter(col("doc_id") % 3 <= b)
         val seenEmb = emb.filter(col("vec_id") % 3 <= b)
@@ -1661,16 +1664,16 @@ class StreamingSpec extends SparkSpec {
           .orderBy("sel_rank").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
         answer(DocStoreIngest.view(spark, s"$dir/docs")) shouldBe answer(seenDocs)
-        // …and the binary proposer serves store-only: signatures derive
-        // from the vec store's liveView, bitwise the one-shot over the
-        // seen corpus at every trigger (all-integer rows)
+        // …and the binary proposer serves store-only: the STREAMED
+        // signature store (2 BIGINT words per vector on disk — batches
+        // signed at ingest) answers bitwise the one-shot over the seen
+        // corpus at every trigger (all-integer rows)
         def hamKey(df: org.apache.spark.sql.DataFrame) = df.collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        hamKey(Similarity.hammingProbe(Similarity.signSignature(
-            VecStoreIngest.view(spark, s"$dir/vecs")), Seq(0L), 5)) shouldBe
+        hamKey(SigStoreIngest.probe(spark, s"$dir/sigs", Seq(0L), 5)) shouldBe
           hamKey(Similarity.hammingTopK(seenEmb, Seq(0L), 5))
       }
-    } finally { lexQ.stop(); idxQ.stop(); vecQ.stop(); docQ.stop() }
+    } finally { lexQ.stop(); idxQ.stop(); vecQ.stop(); docQ.stop(); sigQ.stop() }
   }
 
   test("stepUpdates: the streamed K-Means step equals the batch step bitwise on every touched cell") {
