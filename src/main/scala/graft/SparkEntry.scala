@@ -2317,6 +2317,36 @@ object SparkEntry {
       }
     }),
 
+    // forget-COMPLIANCE audit: the attestation a deployment runs after
+    // a right-to-be-forgotten request — the doc store has the forget
+    // marked (serves 0 requested ids), the vec store was deliberately
+    // skipped and still serves the content: the classic hole this
+    // audit exists to catch, as a hash-checked fact
+    "q_forget_compliance" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val e = emb(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_forget_compliance").toString
+      try {
+        for (b <- 0 until 3) {
+          graft.streaming.DocStoreIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), s"$root/docs", b.toLong)
+          graft.streaming.VecStoreIngest.ingestBatch(
+            e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+        }
+        graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+        localRelation(s, graft.ops.StoreAudit.forgetCompliance(ForgetDocIds, Seq(
+          "doc" -> graft.streaming.DocStoreIngest.view(s, s"$root/docs"),
+          "vec" -> graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
+            .withColumnRenamed("vec_id", "doc_id")), "doc_id"))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // cross-store consistency audit over the serving family: the
     // doc-text store (forget marked), the float-vector store (one batch
     // BEHIND — the planted divergence), and the source corpus, reduced
@@ -4200,6 +4230,14 @@ object SparkEntry {
         "(SELECT count(*) FROM documents WHERE doc_id NOT IN " +
         s"(${ForgetDocIds.mkString(", ")})) " +
         "ORDER BY stage"),
+
+    // the doc store (forget marked) serves 0 requested ids; the vec
+    // store (deliberately skipped) still serves the present ones — the
+    // ghost id counts nowhere
+    "q_forget_compliance" ->
+      ("SELECT 'doc' AS store, CAST(0 AS BIGINT) AS n_serving " +
+        "UNION ALL SELECT 'vec', (SELECT count(*) FROM documents " +
+        s"WHERE doc_id IN (${ForgetDocIds.mkString(", ")}))"),
 
     // membership combos derive straight from the construction: the doc
     // store misses the forgotten ids, the vec store misses batch 2, the

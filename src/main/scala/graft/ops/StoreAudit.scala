@@ -50,6 +50,35 @@ object StoreAudit {
       .orderBy(stores.map { case (name, _) => col(s"in_$name") }: _*)
   }
 
+  /** Forget-COMPLIANCE audit: after a right-to-be-forgotten request,
+    * how many requested ids does each store in the serving set STILL
+    * serve — the check a deployment runs before attesting erasure, and
+    * the one that catches the classic hole where forget was marked on
+    * the corpus but an index keeps answering with the content. Every
+    * count must be 0 for compliance; a ghost id (never stored) is
+    * correctly compliant everywhere. Eager by design (an audit is a
+    * point-in-time attestation, not a lazy plan): one membership count
+    * per store — each a broadcast-semi-join-sized probe of the store's
+    * serving view, never a corpus materialization. Output:
+    * (store, n_serving), input order preserved. */
+  def forgetCompliance(requestedIds: Seq[Long],
+                       stores: Seq[(String, DataFrame)],
+                       idCol: String): DataFrame = {
+    require(stores.nonEmpty, "need at least one store")
+    require(stores.map(_._1).distinct.size == stores.size,
+      "store names must be unique")
+    val spark = stores.head._2.sparkSession
+    val rows = stores.map { case (name, df) =>
+      val n =
+        if (requestedIds.isEmpty) 0L
+        else df.filter(col(idCol).isin(requestedIds: _*))
+          .select(col(idCol)).distinct().count()
+      (name, n)
+    }
+    import spark.implicits._
+    rows.toDF("store", "n_serving")
+  }
+
   /** The ids behind one divergence class — everything NOT matching the
     * consistent all-present pattern, with its membership flags: the
     * repair worklist [[presence]] summarizes. Same join shape; output

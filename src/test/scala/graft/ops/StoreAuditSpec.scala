@@ -56,6 +56,24 @@ class StoreAuditSpec extends SparkSpec {
     p shouldBe got.size.toLong
   }
 
+  test("forgetCompliance: per-store counts of still-served requested ids, ghosts compliant") {
+    val compliant = ids(1L, 2L, 3L)              // 4, 5 already erased
+    val hole = ids(1L, 2L, 3L, 4L, 5L)           // forget never reached it
+    val got = StoreAudit.forgetCompliance(Seq(4L, 5L, 999L),
+      Seq("clean" -> compliant, "hole" -> hole), "id")
+      .as[(String, Long)].collect().toSeq
+    got shouldBe Seq(("clean", 0L), ("hole", 2L)) // input order, ghost 999 nowhere
+  }
+
+  test("forgetCompliance: empty request is compliant everywhere; duplicate store rows count once") {
+    StoreAudit.forgetCompliance(Nil, Seq("a" -> ids(1L)), "id")
+      .as[(String, Long)].collect().toSeq shouldBe Seq(("a", 0L))
+    StoreAudit.forgetCompliance(Seq(7L), Seq("a" -> ids(7L, 7L, 7L)), "id")
+      .as[(String, Long)].collect().toSeq shouldBe Seq(("a", 1L))
+    an[IllegalArgumentException] should be thrownBy
+      StoreAudit.forgetCompliance(Seq(1L), Seq("a" -> ids(1L), "a" -> ids(2L)), "id")
+  }
+
   test("divergentIds is empty on consistent stores") {
     StoreAudit.divergentIds(
       Seq("a" -> ids(7L, 8L), "b" -> ids(8L, 7L)), "id")
