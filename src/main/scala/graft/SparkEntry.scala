@@ -737,6 +737,17 @@ object SparkEntry {
       }
     }),
 
+    // retrieval-quality evaluation: the exact-cosine ranking graded
+    // against label-derived relevance — hits@k, precision@k,
+    // reciprocal rank, and average precision on the exact-integer
+    // lcm(1..k) grid (ONE final division per metric, never NaN)
+    "q_retrieval_eval" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.retrievalEval(
+        Similarity.bruteForceTopKRanked(e, AnnQueryIds, 10),
+        Similarity.labelQrels(e, AnnQueryIds), 10)
+    }),
+
     // hard-negative mining for contrastive training (DPR-style): per
     // query, the top-k most-similar DIFFERENT-label vectors — the
     // negatives the next training round needs; sim crosses unrounded
@@ -3401,6 +3412,7 @@ object SparkEntry {
     "q_hamming_served" -> TextSql.hammingRefinedSql(AnnQueryIds,
       proposeR = 50, k = 10, excludeIds = ForgetVecIds),
     "q_hard_negatives" -> TextSql.hardNegativesSql(AnnQueryIds, 10),
+    "q_retrieval_eval" -> TextSql.retrievalEvalSql(AnnQueryIds, 10),
     "multimodal_meta" -> TextSql.multimodalMetaSql,
 
     "q_media_dedup" ->

@@ -975,6 +975,41 @@ object TextSql {
       s"WHERE rn <= $k) ap USING (query_id, neighbor_id) " +
       "GROUP BY query_id) ORDER BY query_id"
 
+  /** Mirror of Similarity.retrievalEval over the exact-cosine ranking
+    * graded by label-derived qrels: the annTopKSql window (unrounded)
+    * is the ranked frame, relevance = same label as the query, and the
+    * metrics follow the exact-grid discipline — every P@r carried as
+    * the BIGINT h·(lcm(1..k)/r), AP/precision/RR each ONE division of
+    * CAST-to-DOUBLE exact integers, no-relevant queries 0.0 never NaN. */
+  def retrievalEvalSql(queryIds: Seq[Long], k: Int): String = {
+    val lcm = graft.llm.Similarity.lcmTo(k)
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e " +
+      s"WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      s"scored AS (SELECT query_id, e.vec_id AS neighbor_id, $cosSql AS sim " +
+      "FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), " +
+      "rked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (" +
+      "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored), " +
+      "rel AS (SELECT DISTINCT q.query_id, e.vec_id AS doc_id FROM e " +
+      "JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id), " +
+      "j AS (SELECT r.query_id, r.rn, " +
+      "CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+      s"FROM (SELECT * FROM rked WHERE rn <= $k) r " +
+      "LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.neighbor_id), " +
+      "c AS (SELECT *, sum(hit) OVER (PARTITION BY query_id ORDER BY rn) AS hits_so_far FROM j), " +
+      "per AS (SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_rel, " +
+      "min(CASE WHEN hit = 1 THEN rn END) AS frr, " +
+      s"CAST(sum(CASE WHEN hit = 1 THEN hits_so_far * ($lcm // rn) ELSE 0 END) AS BIGINT) AS apnum " +
+      "FROM c GROUP BY query_id), " +
+      "rt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS r_total FROM rel GROUP BY query_id) " +
+      "SELECT per.query_id, n_rel, " +
+      s"CAST(n_rel AS DOUBLE) / CAST($k AS DOUBLE) AS prec, " +
+      "CASE WHEN frr IS NULL THEN 0.0 ELSE CAST(1 AS DOUBLE) / CAST(frr AS DOUBLE) END AS rr, " +
+      "CASE WHEN coalesce(r_total, 0) = 0 THEN 0.0 ELSE " +
+      s"CAST(apnum AS DOUBLE) / CAST($lcm * least(r_total, $k) AS DOUBLE) END AS ap " +
+      "FROM per LEFT JOIN rt ON rt.query_id = per.query_id ORDER BY per.query_id"
+  }
+
   /** Mirror of Similarity.hardNegatives: the annTopKSql shape with the
     * label-inequality predicate on the query join; `sim` crosses
     * UNROUNDED (the mmrSql discipline — the cosine kernel is mirrored

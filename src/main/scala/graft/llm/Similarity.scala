@@ -184,6 +184,86 @@ object Similarity {
     out
   }
 
+  /** lcm(1..k) — the exact-fraction denominator grid for rank-reciprocal
+    * sums: every precision-at-rank value P@r = h/r with r ≤ k becomes
+    * the INTEGER h·(lcm/r), so rank-discounted aggregates (average
+    * precision) stay in BIGINT until one final division. k ≤ 20 keeps
+    * the grid (and the summed numerators) comfortably inside long. */
+  private[graft] def lcmTo(k: Int): Long = {
+    require(k >= 1 && k <= 20, s"need 1 <= k <= 20, got $k")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  /** Retrieval-quality evaluation of ANY ranked frame against a
+    * relevance table — the measurement loop that closes the retrieval
+    * stack (the engine serves rankings; this grades them): per query,
+    * hits@k, precision@k, reciprocal rank, and average precision.
+    *
+    * `ranked` is any retriever's (query_id, neighbor_id, rn) output —
+    * [[bruteForceTopKRanked]], a BM25/Hamming/IVF-PQ probe, a fused
+    * list; `qrels` is the judgment table (query_id, doc_id), here
+    * typically label-derived (same label = relevant, the standard
+    * proxy when human judgments don't exist at corpus scale).
+    *
+    * Float discipline — the qualityClassifier exact-grid pattern, no
+    * rounding anywhere: every P@r = h/r is carried as the exact BIGINT
+    * h·(lcm(1..k)/r) (r divides the lcm, so the integer division is
+    * exact), and AP@k = Σ_{hit r≤k} P@r / min(R, k) emits as ONE
+    * division of two CAST-to-DOUBLE exact integers; precision and
+    * reciprocal rank are likewise single divisions; a query with no
+    * relevant documents reports 0.0 by convention, never NaN.
+    *
+    * Scale shape: one broadcast-or-equi join of the top-k frame
+    * (queries·k rows, never the corpus) against qrels, one per-query
+    * running-sum window over ≤ k rows, one qrels-sized count aggregate.
+    * Output: (query_id, n_rel, prec, rr, ap) ordered by query_id. */
+  def retrievalEval(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val lcm = lcmTo(k)
+    // distinct: a duplicated judgment row would double-count a hit
+    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val j = ranked.filter(col("rn") <= k)
+      .join(rel.withColumn("_rel", lit(1L)),
+        ranked("query_id") === rel("query_id") &&
+          col("neighbor_id") === col("doc_id"), "left")
+      .select(ranked("query_id"), col("neighbor_id"), col("rn"),
+        coalesce(col("_rel"), lit(0L)).as("hit"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rn"))
+    val c = j.withColumn("hits_so_far", sum(col("hit")).over(w))
+    val per = c.groupBy(col("query_id")).agg(
+      sum(col("hit")).cast("long").as("n_rel"),
+      min(when(col("hit") === 1L, col("rn"))).as("_frr"),
+      sum(when(col("hit") === 1L,
+        col("hits_so_far") * expr(s"$lcm div rn"))
+        .otherwise(lit(0L))).cast("long").as("_apnum"))
+    val rTotal = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("_r_total"))
+    per.join(rTotal, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        (col("n_rel").cast("double") / lit(k.toLong).cast("double")).as("prec"),
+        when(col("_frr").isNull, lit(0.0))
+          .otherwise(lit(1L).cast("double") / col("_frr").cast("double"))
+          .as("rr"),
+        when(coalesce(col("_r_total"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("_apnum").cast("double") /
+            (lit(lcm) * least(col("_r_total"), lit(k.toLong))).cast("double"))
+          .as("ap"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Label-derived relevance judgments over the embeddings table — the
+    * scale-practical qrels proxy (same label as the query = relevant,
+    * self excluded): a broadcast join of the few query rows against
+    * one corpus scan. Output: (query_id, doc_id). */
+  def labelQrels(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-prep step, Karpukhin et al. 2020): for each query vector, the
     * top-k most-similar vectors whose LABEL differs — the negatives a
