@@ -45,6 +45,19 @@ class PlanSpec extends SparkSpec {
     (p should not).include("label")              // untouched column never read
   }
 
+  test("q_hamming_refined: the exact rerank is a broadcast candidate fetch — nothing cartesian") {
+    val p = plan("q_hamming_refined")
+    p should include("In(vec_id, [0,1,2])")
+    p should include("BroadcastExchange")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q_retrieval_eval: top-k grading joins are equi or broadcast — nothing cartesian, one qrels aggregate") {
+    val p = plan("q_retrieval_eval")
+    (p should not).include("CartesianProduct")
+    p should include("In(vec_id, [0,1,2])")
+  }
+
   test("q_hard_negatives: query-id IN pushed, label read for the inequality join, broadcast query side, nothing cartesian") {
     val p = plan("q_hard_negatives")
     p should include("In(vec_id, [0,1,2])")
