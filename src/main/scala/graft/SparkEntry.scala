@@ -748,6 +748,26 @@ object SparkEntry {
         Similarity.labelQrels(e, AnnQueryIds), 10)
     }),
 
+    // retriever COMPARISON: exact cosine vs raw Hamming vs
+    // Hamming-propose/exact-refine, each graded by the same label
+    // qrels on the same exact-integer grid - what the refine budget
+    // buys, in AP terms, as a hash-checked fact
+    "q_eval_compare" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qrels = Similarity.labelQrels(e, AnnQueryIds)
+      def arm(name: String, ranked: org.apache.spark.sql.DataFrame) =
+        Similarity.retrievalEval(
+          ranked.select(col("query_id"), col("neighbor_id"), col("rn")),
+          qrels, 10).withColumn("method", lit(name))
+      arm("exact", Similarity.bruteForceTopKRanked(e, AnnQueryIds, 10))
+        .unionByName(arm("hamming", Similarity.hammingTopK(e, AnnQueryIds, 10)))
+        .unionByName(arm("hamming_refined",
+          Similarity.hammingRefined(e, AnnQueryIds, 50, 10)))
+        .select(col("method"), col("query_id"), col("n_rel"), col("prec"),
+          col("rr"), col("ap"))
+        .orderBy(col("method"), col("query_id"))
+    }),
+
     // hard-negative mining for contrastive training (DPR-style): per
     // query, the top-k most-similar DIFFERENT-label vectors — the
     // negatives the next training round needs; sim crosses unrounded
@@ -3413,6 +3433,7 @@ object SparkEntry {
       proposeR = 50, k = 10, excludeIds = ForgetVecIds),
     "q_hard_negatives" -> TextSql.hardNegativesSql(AnnQueryIds, 10),
     "q_retrieval_eval" -> TextSql.retrievalEvalSql(AnnQueryIds, 10),
+    "q_eval_compare" -> TextSql.evalCompareSql(AnnQueryIds, 10, proposeR = 50),
     "multimodal_meta" -> TextSql.multimodalMetaSql,
 
     "q_media_dedup" ->

@@ -1010,6 +1010,67 @@ object TextSql {
       "FROM per LEFT JOIN rt ON rt.query_id = per.query_id ORDER BY per.query_id"
   }
 
+  /** One arm of [[evalCompareSql]]: retrievalEval's metric fold over an
+    * ARBITRARY ranked subquery (any SELECT yielding query_id,
+    * neighbor_id, rn — nested whole, the mmrIndexedSql pattern), tagged
+    * with its method name. Same label-qrels and exact-grid arithmetic
+    * as retrievalEvalSql. */
+  private def retrievalEvalOverSql(rankedSql: String, method: String,
+                                   queryIds: Seq[Long], k: Int): String = {
+    val lcm = graft.llm.Similarity.lcmTo(k)
+    "WITH e AS (SELECT vec_id, label FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, label AS qlabel FROM e " +
+      s"WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      "rel AS (SELECT DISTINCT q.query_id, e.vec_id AS doc_id FROM e " +
+      "JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id), " +
+      s"rked AS (SELECT query_id, neighbor_id, rn FROM ($rankedSql) xr " +
+      s"WHERE rn <= $k), " +
+      "j AS (SELECT r.query_id, r.rn, " +
+      "CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+      "FROM rked r " +
+      "LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.neighbor_id), " +
+      "c AS (SELECT *, sum(hit) OVER (PARTITION BY query_id ORDER BY rn) AS hits_so_far FROM j), " +
+      "per AS (SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_rel, " +
+      "min(CASE WHEN hit = 1 THEN rn END) AS frr, " +
+      s"CAST(sum(CASE WHEN hit = 1 THEN hits_so_far * ($lcm // rn) ELSE 0 END) AS BIGINT) AS apnum " +
+      "FROM c GROUP BY query_id), " +
+      "rt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS r_total FROM rel GROUP BY query_id) " +
+      s"SELECT '$method' AS method, per.query_id, n_rel, " +
+      s"CAST(n_rel AS DOUBLE) / CAST($k AS DOUBLE) AS prec, " +
+      "CASE WHEN frr IS NULL THEN 0.0 ELSE CAST(1 AS DOUBLE) / CAST(frr AS DOUBLE) END AS rr, " +
+      "CASE WHEN coalesce(r_total, 0) = 0 THEN 0.0 ELSE " +
+      s"CAST(apnum AS DOUBLE) / CAST($lcm * least(r_total, $k) AS DOUBLE) END AS ap " +
+      "FROM per LEFT JOIN rt ON rt.query_id = per.query_id"
+  }
+
+  /** Mirror of the retriever COMPARISON row: the exact-cosine ranking,
+    * the raw Hamming ranking, and the Hamming-propose/exact-refine
+    * ranking each graded by the same label qrels on the same exact
+    * grid — three nested ranked subqueries (each already a proven
+    * contract mirror) through one metric fold. The exact arm's ranked
+    * frame is the annTopKSql window; the refined arm ranks by exact
+    * L2², so its metrics quantify what the refine budget buys in AP
+    * terms, hash-checked. */
+  def evalCompareSql(queryIds: Seq[Long], k: Int, proposeR: Int): String = {
+    val exactRanked =
+      "WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2 " +
+        s"WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+        // v (from e2) and qv (from q2) are unambiguous in this join, so
+        // the shared cosine kernel string applies verbatim
+        s"s2 AS (SELECT query_id, e2.vec_id AS neighbor_id, $cosSql AS sim " +
+        "FROM e2 CROSS JOIN q2 WHERE e2.vec_id <> q2.query_id) " +
+        "SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY sim DESC, neighbor_id) AS rn FROM s2"
+    val arms = Seq(
+      retrievalEvalOverSql(exactRanked, "exact", queryIds, k),
+      retrievalEvalOverSql(hammingSql(queryIds, k), "hamming", queryIds, k),
+      retrievalEvalOverSql(hammingRefinedSql(queryIds, proposeR, k),
+        "hamming_refined", queryIds, k))
+    arms.map(a => s"SELECT * FROM ($a)").mkString("", " UNION ALL ", " ") +
+      "ORDER BY method, query_id"
+  }
+
   /** Mirror of Similarity.hardNegatives: the annTopKSql shape with the
     * label-inequality predicate on the query join; `sim` crosses
     * UNROUNDED (the mmrSql discipline — the cosine kernel is mirrored

@@ -72,6 +72,23 @@ class RetrievalEvalSpec extends SparkSpec {
       Seq((0L, 1L), (0L, 3L)) // query 2's label has no other member
   }
 
+  test("retriever comparison: refined-Hamming dominates raw Hamming on every metric (sf0.001)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qrels = Similarity.labelQrels(e, Seq(0L, 1L, 2L))
+    def evalOf(ranked: org.apache.spark.sql.DataFrame) =
+      Similarity.retrievalEval(
+        ranked.select($"query_id", $"neighbor_id", $"rn"), qrels, 10)
+        .as[(Long, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+    val ham = evalOf(Similarity.hammingTopK(e, Seq(0L, 1L, 2L), 10))
+    val ref = evalOf(Similarity.hammingRefined(e, Seq(0L, 1L, 2L), 50, 10))
+    // the refine stage re-ranks a 5x candidate superset by exact
+    // distance — across the query set it must not lose relevant mass
+    ref.values.map(_._2).sum should be >= ham.values.map(_._2).sum
+    ham.keySet shouldBe Set(0L, 1L, 2L)
+    ref.keySet shouldBe Set(0L, 1L, 2L)
+  }
+
   test("corpus run agrees with a driver-side reference (sf0.001)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity.retrievalEval(
