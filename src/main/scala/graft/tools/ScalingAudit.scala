@@ -411,6 +411,23 @@ object ScalingAudit {
         Seq(0L, 1L, 2L), 10)
       .agg(coalesce(sum(col("neighbor_id")), lit(0L))).head.getLong(0)
     val hmW = (System.nanoTime() - hmT0) / 1e9
+    // Retrieval-eval fingerprints at the decade (labels vec_id % 7):
+    // Σ n_rel over the 3 queries for the exact-cosine and the Hamming
+    // rankings — exact BIGINTs pinning ranking membership against the
+    // label qrels through the whole metric fold.
+    val evT0 = System.nanoTime()
+    val evLabeled = embBig.withColumn("label", (col("vec_id") % 7).cast("int"))
+    val evQrels = graft.llm.Similarity.labelQrels(evLabeled, Seq(0L, 1L, 2L))
+    def relSum(ranked: DataFrame): Long =
+      graft.llm.Similarity.retrievalEval(
+          ranked.select(col("query_id"), col("neighbor_id"), col("rn")),
+          evQrels, 10)
+        .agg(coalesce(sum(col("n_rel")), lit(0L))).head.getLong(0)
+    val evalRelExact = relSum(
+      graft.llm.Similarity.bruteForceTopKRanked(embBig, Seq(0L, 1L, 2L), 10))
+    val evalRelHamming = relSum(
+      graft.llm.Similarity.hammingTopK(embBig, Seq(0L, 1L, 2L), 10))
+    val evW = (System.nanoTime() - evT0) / 1e9
     // Cross-store presence audit at the decade: two synthetic membership
     // slices (ids % 3 <= 1 vs % 5 != 0) — Σ n·(2·in_a + in_b) is an
     // exact weighted fingerprint of every combination count.
@@ -685,6 +702,7 @@ object ScalingAudit {
         s""""chunk_cascade_marked":$ciMarked,"chunk_probe_docsum":$ciSum,""" +
         s""""hamming_ranksum":$hamRankSum,"hamming_found10":$hamFound,""" +
         s""""hard_neg_docsum":$hnSum,"presence_weighted":$presenceSum,""" +
+        s""""eval_relsum_exact":$evalRelExact,"eval_relsum_hamming":$evalRelHamming,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
@@ -700,7 +718,7 @@ object ScalingAudit {
         s""""lex_compact":${d2(lxCmpW)},"lex_probe_compacted":${d2(lxPostW)},""" +
         s""""hybrid":${d2(hyW)},"quant_roundtrip":${d2(qtW)},""" +
         s""""refine_store":${d2(rsW)},"chunk_index":${d2(ciW)},""" +
-        s""""hamming":${d2(hmW)},"presence":${d2(psW)}}}"""
+        s""""hamming":${d2(hmW)},"presence":${d2(psW)},"eval":${d2(evW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()
