@@ -763,6 +763,8 @@ object SparkEntry {
         .unionByName(arm("hamming", Similarity.hammingTopK(e, AnnQueryIds, 10)))
         .unionByName(arm("hamming_refined",
           Similarity.hammingRefined(e, AnnQueryIds, 50, 10)))
+        .unionByName(arm("ivf_pq", Similarity.ivfPqSearch(e, IvfCoarseIds,
+          PqCodebookIds, PqSubspaces, AnnQueryIds, nprobe = 2, k = 10)))
         .select(col("method"), col("query_id"), col("n_rel"), col("prec"),
           col("rr"), col("ap"))
         .orderBy(col("method"), col("query_id"))
@@ -3433,7 +3435,8 @@ object SparkEntry {
       proposeR = 50, k = 10, excludeIds = ForgetVecIds),
     "q_hard_negatives" -> TextSql.hardNegativesSql(AnnQueryIds, 10),
     "q_retrieval_eval" -> TextSql.retrievalEvalSql(AnnQueryIds, 10),
-    "q_eval_compare" -> TextSql.evalCompareSql(AnnQueryIds, 10, proposeR = 50),
+    "q_eval_compare" -> TextSql.evalCompareSql(AnnQueryIds, 10, proposeR = 50,
+      IvfCoarseIds, PqCodebookIds, PqSubspaces, nprobe = 2),
     "multimodal_meta" -> TextSql.multimodalMetaSql,
 
     "q_media_dedup" ->

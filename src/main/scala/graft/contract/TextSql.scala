@@ -1051,7 +1051,9 @@ object TextSql {
     * frame is the annTopKSql window; the refined arm ranks by exact
     * L2², so its metrics quantify what the refine budget buys in AP
     * terms, hash-checked. */
-  def evalCompareSql(queryIds: Seq[Long], k: Int, proposeR: Int): String = {
+  def evalCompareSql(queryIds: Seq[Long], k: Int, proposeR: Int,
+                     coarseIds: Seq[Long], codebookIds: Seq[Long],
+                     m: Int, nprobe: Int): String = {
     val exactRanked =
       "WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2 " +
@@ -1066,7 +1068,10 @@ object TextSql {
       retrievalEvalOverSql(exactRanked, "exact", queryIds, k),
       retrievalEvalOverSql(hammingSql(queryIds, k), "hamming", queryIds, k),
       retrievalEvalOverSql(hammingRefinedSql(queryIds, proposeR, k),
-        "hamming_refined", queryIds, k))
+        "hamming_refined", queryIds, k),
+      retrievalEvalOverSql(
+        ivfPqSearchSql(coarseIds, codebookIds, m, queryIds, nprobe, k),
+        "ivf_pq", queryIds, k))
     arms.map(a => s"SELECT * FROM ($a)").mkString("", " UNION ALL ", " ") +
       "ORDER BY method, query_id"
   }
