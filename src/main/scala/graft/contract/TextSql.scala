@@ -887,11 +887,16 @@ object TextSql {
     * > 0. Each word is a sum of DISTINCT powers of two below 2^32 —
     * exact BIGINT arithmetic, no sign-bit overflow, so both engines
     * assemble identical words by construction (float > 0 is invariant
-    * under the float→double cast both engines share). */
+    * under the float→double cast both engines share). The isnan guard
+    * pins the one comparison the engines DON'T share: DuckDB orders
+    * NaN greater than everything (NaN > 0 is TRUE) while Java's
+    * primitive compare returns false — the sf corpora carry no NaN
+    * today, but a regeneration must not flip oracle bits. */
   private val sigSql: String =
     "list_transform(range(0, (len(v)+31)//32), " +
       "w -> CAST(list_sum(list_transform(range(32*w+1, least(32*w+32, len(v))+1), " +
-      "i -> CASE WHEN v[i::INT] > 0 THEN (1::BIGINT << CAST((i-1) % 32 AS INT)) " +
+      "i -> CASE WHEN v[i::INT] > 0 AND NOT isnan(v[i::INT]) " +
+      "THEN (1::BIGINT << CAST((i-1) % 32 AS INT)) " +
       "ELSE 0::BIGINT END)) AS BIGINT))"
 
   /** XOR-popcount Hamming distance between two signature lists — mirror
@@ -929,10 +934,19 @@ object TextSql {
     * refine composition: the hammingSql candidate set at k = proposeR
     * (nested whole, the ivfPqRefinedSql pattern) re-scored by the same
     * l2sqSql kernel both engines already cross bitwise; ranking on the
-    * UNROUNDED distance, only the output rounds. */
+    * UNROUNDED distance, only the output rounds. `excludeIds` filters
+    * the refine-stage e/q CTEs too, not just the nested propose stage:
+    * the stored path (hammingRefinedStored) resolves query vectors and
+    * rerank fetches from the vec store's liveView, where a forgotten id
+    * is gone EVERYWHERE — the mirror must match those semantics by
+    * construction, not by relying on AnnQueryIds staying disjoint from
+    * the forget set (r18 advisor). */
   def hammingRefinedSql(queryIds: Seq[Long], proposeR: Int, k: Int,
-                        excludeIds: Seq[Long] = Nil): String =
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+                        excludeIds: Seq[Long] = Nil): String = {
+    val excl =
+      if (excludeIds.isEmpty) ""
+      else s" WHERE vec_id NOT IN (${excludeIds.mkString(", ")})"
+    s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$excl), " +
       s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
       "cand AS (SELECT query_id, neighbor_id FROM " +
       s"(${hammingSql(queryIds, proposeR, excludeIds)}) c), " +
@@ -945,6 +959,7 @@ object TextSql {
       s"SELECT query_id, neighbor_id, round(d2raw, 4) AS d2, " +
       "CAST(rn AS BIGINT) AS rn FROM rk " +
       s"WHERE rn <= $k ORDER BY query_id, rn"
+  }
 
   /** Mirror of Similarity.hammingRecall: exact cosine top-k pool (the
     * annTopKSql window, unrounded) left-joined with the Hamming top-k,

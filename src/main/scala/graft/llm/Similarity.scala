@@ -216,18 +216,26 @@ object Similarity {
     *
     * Scale shape: one broadcast-or-equi join of the top-k frame
     * (queries·k rows, never the corpus) against qrels, one per-query
-    * running-sum window over ≤ k rows, one qrels-sized count aggregate.
+    * running-sum window over ≤ k rows. The per-query relevant total
+    * rides INTO the join as a count window over the (tiny by
+    * construction) qrels frame rather than a second aggregate of it —
+    * Spark reuses no DataFrame subplans, so referencing qrels twice
+    * would replan its source scan twice (r18 advisor); a no-hit query
+    * surfaces a null `_r_total`, which is safe because its `_apnum` is
+    * 0 and AP reports 0.0 by convention anyway.
     * Output: (query_id, n_rel, prec, rr, ap) ordered by query_id. */
   def retrievalEval(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     val lcm = lcmTo(k)
     // distinct: a duplicated judgment row would double-count a hit
     val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
+      .withColumn("_r_total",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
     val j = ranked.filter(col("rn") <= k)
       .join(rel.withColumn("_rel", lit(1L)),
         ranked("query_id") === rel("query_id") &&
           col("neighbor_id") === col("doc_id"), "left")
       .select(ranked("query_id"), col("neighbor_id"), col("rn"),
-        coalesce(col("_rel"), lit(0L)).as("hit"))
+        coalesce(col("_rel"), lit(0L)).as("hit"), col("_r_total"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("rn"))
     val c = j.withColumn("hits_so_far", sum(col("hit")).over(w))
     val per = c.groupBy(col("query_id")).agg(
@@ -235,10 +243,9 @@ object Similarity {
       min(when(col("hit") === 1L, col("rn"))).as("_frr"),
       sum(when(col("hit") === 1L,
         col("hits_so_far") * expr(s"$lcm div rn"))
-        .otherwise(lit(0L))).cast("long").as("_apnum"))
-    val rTotal = rel.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("_r_total"))
-    per.join(rTotal, Seq("query_id"), "left")
+        .otherwise(lit(0L))).cast("long").as("_apnum"),
+      max(col("_r_total")).as("_r_total"))
+    per
       .select(col("query_id"), col("n_rel"),
         (col("n_rel").cast("double") / lit(k.toLong).cast("double")).as("prec"),
         when(col("_frr").isNull, lit(0.0))

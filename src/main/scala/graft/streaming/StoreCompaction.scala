@@ -197,6 +197,15 @@ object StoreCompaction {
     fs.delete(staging, true) // torn prior attempt
     val rows = liveViewAsOf(spark, path, idCol, maxBatch)
       .withColumn("ingest_batch", lit(0L))
+    // an empty as-of view (every row deletion-vectored since the
+    // snapshot batch) would publish a clone holding only _SUCCESS; a
+    // later committedView on it then dies in parquet schema inference
+    // instead of returning an empty frame. Refuse LOUDLY at export
+    // time — the one-partition isEmpty probe costs a bounded job, and
+    // an export is an explicit audit-grade call, never a probe path.
+    require(!rows.isEmpty,
+      s"as-of batch $maxBatch of $path is empty after deletion-vector " +
+        "subtraction — an exported snapshot must hold at least one row")
     val packed =
       if (clusterCols.nonEmpty) rows.repartition(clusterCols.map(col): _*)
       else rows.repartition(targetFiles)

@@ -52,10 +52,17 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
-  test("q_retrieval_eval: top-k grading joins are equi or broadcast — nothing cartesian, one qrels aggregate") {
+  test("q_retrieval_eval: top-k grading joins are equi or broadcast — nothing cartesian, qrels scanned ONCE") {
     val p = plan("q_retrieval_eval")
     (p should not).include("CartesianProduct")
     p should include("In(vec_id, [0,1,2])")
+    // 4 embeddings scans total: ranker (corpus + query side) + qrels
+    // (corpus + query side). The per-query relevant total rides as a
+    // count WINDOW over the qrels frame, not a second aggregate of it —
+    // a 5th/6th scan here means the r18-advisor double-reference
+    // (Spark replans unshared subtrees) crept back in (simple mode:
+    // formatted would list every scan twice, tree + details)
+    "Scan parquet".r.findAllIn(plan("q_retrieval_eval", "simple")).length shouldBe 4
   }
 
   test("q_hard_negatives: query-id IN pushed, label read for the inequality join, broadcast query side, nothing cartesian") {

@@ -77,6 +77,24 @@ class StoreLifecycleSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("exportAsOf refuses an EMPTY as-of view (every row deletion-vectored)") {
+    val root = tmp()
+    try {
+      build(root)
+      // forget the whole corpus: the retroactive subtraction empties
+      // every historical snapshot, and exporting one would publish a
+      // clone holding only _SUCCESS that later reads can't schema-infer
+      DocStoreIngest.markDeleted(spark, s"$root/docs", 0L until 30L)
+      an[IllegalArgumentException] should be thrownBy
+        StoreCompaction.exportAsOf(spark, s"$root/docs", "doc_id", 1L, s"$root/snap")
+      // the refusal is pre-publish: neither dest nor staging appears
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/snap")) shouldBe false
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/snap.staging")) shouldBe false
+    } finally rm(root)
+  }
+
   test("describe: fresh store values, then post-compact convergence") {
     val root = tmp()
     try {
