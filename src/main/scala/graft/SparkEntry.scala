@@ -770,6 +770,100 @@ object SparkEntry {
         .orderBy(col("method"), col("query_id"))
     }),
 
+    // EVAL OVER THE SERVED STORES — the measurement loop on the
+    // production path: the two persisted propose/refine serving stacks
+    // (sig+vec stores; IVF-PQ index with its STORED quantizer + vec
+    // store), ForgetVecIds marked on ALL of them, each graded by
+    // retrievalEval — and the JUDGMENT table is the surviving
+    // membership's label qrels, so forgetting an id changes what is
+    // judged, exactly what the erasure attestation promises. Labels
+    // are catalog metadata beside the stores (the stores hold payloads,
+    // not judgments). LocalRelation result so the temp stores delete.
+    "q_eval_served" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_eval_served").toString
+      try {
+        for (b <- 0 until 3) {
+          val part = e.filter(col("vec_id") % 3 === b)
+          graft.streaming.SigStoreIngest.ingestBatch(part, s"$root/sigs", b.toLong)
+          graft.streaming.VectorIndexIngest.ingestBatch(
+            part, s"$root/idx", quant, b.toLong)
+          graft.streaming.VecStoreIngest.ingestBatch(part, s"$root/vecs", b.toLong)
+        }
+        graft.streaming.SigStoreIngest.markDeleted(s, s"$root/sigs", ForgetVecIds)
+        graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetVecIds)
+        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
+        val vecs = graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
+        val qrels = Similarity.labelQrels(
+          e.filter(!col("vec_id").isin(ForgetVecIds: _*)), AnnQueryIds)
+        def graded(name: String, ranked: org.apache.spark.sql.DataFrame) =
+          Similarity.retrievalEval(
+            ranked.select(col("query_id"), col("neighbor_id"), col("rn")),
+            qrels, PqSearchK).withColumn("method", lit(name))
+        val ham = Similarity.hammingRefinedStored(
+          graft.streaming.SigStoreIngest.view(s, s"$root/sigs"), vecs,
+          AnnQueryIds, proposeR = 50, k = PqSearchK)
+        val rf = Similarity.refineExact(vecs,
+          Similarity.ivfPqProbe(
+              graft.streaming.VectorIndexIngest.index(s, s"$root/idx"),
+              graft.streaming.VectorIndexIngest.quantizer(s, s"$root/idx"),
+              Similarity.collectVectors(vecs, AnnQueryIds),
+              nprobe = 2, k = RefineR)
+            .select(col("query_id"), col("neighbor_id")),
+          AnnQueryIds, PqSearchK)
+        localRelation(s, graded("hamming_served", ham)
+          .unionByName(graded("refine_served", rf))
+          .select(col("method"), col("query_id"), col("n_rel"), col("prec"),
+            col("rr"), col("ap"))
+          .orderBy(col("method"), col("query_id")))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
+    // TIME-TRAVEL eval reproducibility — "evaluate on the frozen
+    // snapshot": the SAME exact-cosine retriever graded against the
+    // vec store AS OF batch 1 and batch 2, from one store that already
+    // took all three batches. Ranking, query resolution, and judgment
+    // table all restrict to each snapshot's membership — a query
+    // vector not yet ingested at the as-of batch has no row at all,
+    // and RetrievalEvalSpec pins that later ingests never move an
+    // earlier snapshot's metrics (while a later FORGET does,
+    // retroactively — erasure beats reproducibility by design).
+    "q_eval_asof" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_eval_asof").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.VecStoreIngest.ingestBatch(
+            e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+        def arm(b: Long) =
+          Similarity.retrievalEval(
+            Similarity.bruteForceTopKRanked(
+              graft.streaming.VecStoreIngest.viewAsOf(s, s"$root/vecs", b),
+              AnnQueryIds, PqSearchK),
+            Similarity.labelQrels(
+              e.filter(col("vec_id") % 3 <= b), AnnQueryIds), PqSearchK)
+            .withColumn("method", lit(s"asof_b$b"))
+        localRelation(s, arm(1L).unionByName(arm(2L))
+          .select(col("method"), col("query_id"), col("n_rel"), col("prec"),
+            col("rr"), col("ap"))
+          .orderBy(col("method"), col("query_id")))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // hard-negative mining for contrastive training (DPR-style): per
     // query, the top-k most-similar DIFFERENT-label vectors — the
     // negatives the next training round needs; sim crosses unrounded
@@ -2721,6 +2815,41 @@ object SparkEntry {
       }
     }),
 
+    // FROZEN-CORPUS BM25 SNAPSHOT — the composite-store export: a
+    // 3-batch lex store forgets ForgetDocIds, exports "as of batch 1"
+    // (postings + per-doc stats + rebuilt stats_agg as one standalone
+    // store), and then the SOURCE moves on — compacts past the
+    // snapshot batch, vacuums, forgets MORE ids. The clone's ranking
+    // must be bitwise the one-shot scorer over exactly the snapshot
+    // membership (batches 0-1 minus the ORIGINAL forget set): batch
+    // 2's documents never entered it, the post-export forget never
+    // reaches it, and the source can no longer even reconstruct the
+    // batch (retention). LocalRelation result so the temp roots
+    // delete clean.
+    "q_lex_export" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lex_export").toString
+      try {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        for (b <- 0 until 3)
+          graft.streaming.LexIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), s"$root/lex", b.toLong)
+        graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetDocIds)
+        graft.streaming.LexIngest.exportAsOf(s, s"$root/lex", 1L, s"$root/snap")
+        graft.streaming.LexIngest.compact(s, s"$root/lex")
+        graft.streaming.LexIngest.vacuum(s, s"$root/lex")
+        graft.streaming.LexIngest.markDeleted(s, s"$root/lex", Seq(3L, 10L))
+        localRelation(s, graft.streaming.LexIngest
+          .probe(s, s"$root/snap", Bm25Terms, Bm25K)
+          .orderBy(col("rn")))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // Gopher-style quality rule gate: per-doc rule inputs + pass bit
     "q_gopher" -> ((s, dir) =>
       TextAnalysis.gopherRules(docs(s, dir), GopherMinWords, GopherMaxWords,
@@ -3437,6 +3566,16 @@ object SparkEntry {
     "q_retrieval_eval" -> TextSql.retrievalEvalSql(AnnQueryIds, 10),
     "q_eval_compare" -> TextSql.evalCompareSql(AnnQueryIds, 10, proposeR = 50,
       IvfCoarseIds, PqCodebookIds, PqSubspaces, nprobe = 2),
+    // served arms graded over the SURVIVING judgment corpus: the two
+    // proven refined-serving mirrors nested through the metric fold
+    // with the forget set excluded from rankings AND qrels alike
+    "q_eval_served" -> TextSql.evalServedSql(AnnQueryIds, PqSearchK,
+      proposeR = 50, IvfCoarseIds, PqCodebookIds, PqSubspaces,
+      nprobe = 2, rerankR = RefineR, excludeIds = ForgetVecIds),
+    // each as-of arm restricts ranking, query resolution, and qrels to
+    // the snapshot membership (the vec_id % 3 ingest split)
+    "q_eval_asof" -> TextSql.evalAsOfSql(AnnQueryIds, PqSearchK,
+      nBatches = 3, asOfBatches = Seq(1L, 2L)),
     "multimodal_meta" -> TextSql.multimodalMetaSql,
 
     "q_media_dedup" ->
@@ -4499,6 +4638,13 @@ object SparkEntry {
     // post-forget ranking = the one-shot scorer over the SURVIVING corpus
     "q_bm25_forget" -> TextSql.bm25Sql(Bm25Terms, Bm25K, k1 = 1.2, b = 0.75,
       excludeIds = ForgetDocIds),
+    // frozen snapshot = the one-shot scorer over EXACTLY the snapshot
+    // membership: batches 0-1 (doc_id % 3 <= 1, the ingest split) minus
+    // the pre-export forget set; the source's later compaction/vacuum/
+    // forgets are invisible by construction
+    "q_lex_export" -> TextSql.bm25SqlFrom(
+      s"SELECT * FROM (${TextSql.toksCte}) m WHERE doc_id % 3 <= 1",
+      Bm25Terms, Bm25K, k1 = 1.2, b = 0.75, excludeIds = ForgetDocIds),
 
     "q_weighted_sample" -> TextSql.weightedSampleSql(WsK),
 

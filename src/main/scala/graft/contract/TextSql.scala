@@ -1030,10 +1030,20 @@ object TextSql {
     * neighbor_id, rn — nested whole, the mmrIndexedSql pattern), tagged
     * with its method name. Same label-qrels and exact-grid arithmetic
     * as retrievalEvalSql. */
+  /** `memberPred`/`excludeIds` restrict the JUDGMENT corpus — the
+    * served/as-of eval rows grade against the qrels of the surviving
+    * (or snapshot) membership: a forgotten id leaves the judged set,
+    * and a doc not yet ingested at the as-of batch was never in it. */
   private def retrievalEvalOverSql(rankedSql: String, method: String,
-                                   queryIds: Seq[Long], k: Int): String = {
+                                   queryIds: Seq[Long], k: Int,
+                                   memberPred: Option[String] = None,
+                                   excludeIds: Seq[Long] = Nil): String = {
     val lcm = graft.llm.Similarity.lcmTo(k)
-    "WITH e AS (SELECT vec_id, label FROM embeddings), " +
+    val preds = memberPred.toSeq ++
+      (if (excludeIds.isEmpty) Nil
+       else Seq(s"vec_id NOT IN (${excludeIds.mkString(", ")})"))
+    val where = if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")
+    s"WITH e AS (SELECT vec_id, label FROM embeddings$where), " +
       "q AS (SELECT vec_id AS query_id, label AS qlabel FROM e " +
       s"WHERE vec_id IN (${queryIds.mkString(", ")})), " +
       "rel AS (SELECT DISTINCT q.query_id, e.vec_id AS doc_id FROM e " +
@@ -1069,16 +1079,7 @@ object TextSql {
   def evalCompareSql(queryIds: Seq[Long], k: Int, proposeR: Int,
                      coarseIds: Seq[Long], codebookIds: Seq[Long],
                      m: Int, nprobe: Int): String = {
-    val exactRanked =
-      "WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2 " +
-        s"WHERE vec_id IN (${queryIds.mkString(", ")})), " +
-        // v (from e2) and qv (from q2) are unambiguous in this join, so
-        // the shared cosine kernel string applies verbatim
-        s"s2 AS (SELECT query_id, e2.vec_id AS neighbor_id, $cosSql AS sim " +
-        "FROM e2 CROSS JOIN q2 WHERE e2.vec_id <> q2.query_id) " +
-        "SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY sim DESC, neighbor_id) AS rn FROM s2"
+    val exactRanked = exactRankedSql(queryIds, None)
     val arms = Seq(
       retrievalEvalOverSql(exactRanked, "exact", queryIds, k),
       retrievalEvalOverSql(hammingSql(queryIds, k), "hamming", queryIds, k),
@@ -1087,6 +1088,65 @@ object TextSql {
       retrievalEvalOverSql(
         ivfPqSearchSql(coarseIds, codebookIds, m, queryIds, nprobe, k),
         "ivf_pq", queryIds, k))
+    arms.map(a => s"SELECT * FROM ($a)").mkString("", " UNION ALL ", " ") +
+      "ORDER BY method, query_id"
+  }
+
+  /** Exact-cosine ranked frame (query_id, neighbor_id, rn), optionally
+    * restricted to a corpus-membership predicate — the as-of/served
+    * arms rank over a snapshot or surviving membership. v (from e2)
+    * and qv (from q2) are unambiguous in this join, so the shared
+    * cosine kernel string applies verbatim. */
+  private def exactRankedSql(queryIds: Seq[Long],
+                             memberPred: Option[String]): String = {
+    val mp = memberPred.map(p => s" WHERE $p").getOrElse("")
+    s"WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$mp), " +
+      "q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2 " +
+      s"WHERE vec_id IN (${queryIds.mkString(", ")})), " +
+      s"s2 AS (SELECT query_id, e2.vec_id AS neighbor_id, $cosSql AS sim " +
+      "FROM e2 CROSS JOIN q2 WHERE e2.vec_id <> q2.query_id) " +
+      "SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY sim DESC, neighbor_id) AS rn FROM s2"
+  }
+
+  /** Mirror of the SERVED-store eval row: the two production serving
+    * rankings — binary propose/exact refine (sig + vec stores) and
+    * IVF-PQ propose/exact refine (index + vec stores), BOTH with the
+    * forget set marked — graded through the same metric fold, with the
+    * JUDGMENT corpus also restricted to the survivors (`excludeIds`
+    * leaves qrels too: forgetting an id changes what is judged, which
+    * is the attestation story's point). Each ranked arm is its already-
+    * proven contract mirror nested whole. */
+  def evalServedSql(queryIds: Seq[Long], k: Int, proposeR: Int,
+                    coarseIds: Seq[Long], codebookIds: Seq[Long],
+                    m: Int, nprobe: Int, rerankR: Int,
+                    excludeIds: Seq[Long]): String = {
+    val arms = Seq(
+      retrievalEvalOverSql(
+        hammingRefinedSql(queryIds, proposeR, k, excludeIds),
+        "hamming_served", queryIds, k, excludeIds = excludeIds),
+      retrievalEvalOverSql(
+        ivfPqRefinedSql(coarseIds, codebookIds, m, queryIds, nprobe,
+          rerankR, k, excludeNeighbors = excludeIds),
+        "refine_served", queryIds, k, excludeIds = excludeIds))
+    arms.map(a => s"SELECT * FROM ($a)").mkString("", " UNION ALL ", " ") +
+      "ORDER BY method, query_id"
+  }
+
+  /** Mirror of the TIME-TRAVEL eval row: the same exact-cosine
+    * retriever graded against the corpus AS OF two different ingest
+    * batches (membership = the `vec_id % nBatches <= b` ingest split) —
+    * ranking, query resolution, AND judgment table all restricted to
+    * each snapshot: a query vector not yet ingested at batch b simply
+    * has no row, and later batches never move an earlier snapshot's
+    * metrics (the reproducible-eval primitive, spec-pinned). */
+  def evalAsOfSql(queryIds: Seq[Long], k: Int, nBatches: Int,
+                  asOfBatches: Seq[Long]): String = {
+    val arms = asOfBatches.map { b =>
+      val pred = s"vec_id % $nBatches <= $b"
+      retrievalEvalOverSql(exactRankedSql(queryIds, Some(pred)),
+        s"asof_b$b", queryIds, k, memberPred = Some(pred))
+    }
     arms.map(a => s"SELECT * FROM ($a)").mkString("", " UNION ALL ", " ") +
       "ORDER BY method, query_id"
   }

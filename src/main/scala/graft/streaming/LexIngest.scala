@@ -321,6 +321,77 @@ object LexIngest {
     sw
   }
 
+  /** Materializes a time-travel snapshot of the WHOLE composite lexical
+    * store as a new standalone store — [[StoreCompaction.exportAsOf]]
+    * extended to the three-part layout: a lex store is postings + per-doc
+    * stats + the `stats_agg` cache, so a frozen-corpus BM25 snapshot
+    * ("the index exactly as batch B's readers ranked it, minus everything
+    * since erased") needs all three rewritten together or the clone's
+    * probes read constants from a corpus its postings don't hold.
+    *
+    * Semantics per part:
+    *  - postings and stats rows are their [[StoreCompaction.liveViewAsOf]]
+    *    views (committed batches ≤ maxBatch, deletion vectors subtracting
+    *    RETROACTIVELY — no snapshot resurrects erased text), rewritten as
+    *    the clone's single `ingest_batch = 0` generation; postings land
+    *    TERM-SORTED (the [[compact]] row-group-locality discipline).
+    *  - `stats_agg` REBUILDS from the staged snapshot stats — one exact
+    *    (n, Σdl) row — so clone probes serve corpus constants from the
+    *    O(1) cache immediately ([[corpusStats]] coverage holds by
+    *    construction: one agg row covering the one stats partition).
+    *
+    * The clone IS a valid lex store: [[probe]]/[[prfProbe]]/[[compact]]/
+    * [[markDeleted]]/[[ingestBatch]] all work on it and its own forget
+    * lifecycle starts empty. Probing it is bitwise the as-of probe of
+    * the source by construction (same postings bits, same additive
+    * BIGINT constants), however far the source compacts, vacuums, or
+    * forgets afterwards.
+    *
+    * Publish is atomic at the ROOT (the [[StoreCompaction.exportAsOf]]
+    * discipline): all three parts land under `<dest>.staging`, then ONE
+    * directory rename makes the clone visible — a torn export leaves
+    * only staging, never a half-readable store. Refuses an existing
+    * destination (snapshots are immutable) and an EMPTY snapshot (a
+    * clone of only _SUCCESS files would fail schema inference at first
+    * read instead of failing loudly here).
+    *
+    * Scale shape: two partition-pruned snapshot reads + two writes (the
+    * compact shape) + one one-row aggregate — never a corpus collect. */
+  def exportAsOf(spark: SparkSession, indexPath: String, maxBatch: Long,
+                 dest: String): Unit = {
+    val fs = StoreCompaction.fsOf(spark, dest)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    require(!fs.exists(destPath),
+      s"export destination $dest already exists — snapshots are " +
+        "immutable, pick a fresh path")
+    val staging = new org.apache.hadoop.fs.Path(dest + ".staging")
+    fs.delete(staging, true) // torn prior attempt
+    val stats = StoreCompaction
+      .liveViewAsOf(spark, s"$indexPath/stats", "doc_id", maxBatch)
+      .withColumn("ingest_batch", lit(0L))
+    require(!stats.isEmpty,
+      s"as-of batch $maxBatch of $indexPath is empty after deletion-" +
+        "vector subtraction — an exported snapshot must hold at least one document")
+    stats.repartition(1)
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$staging/stats")
+    StoreCompaction
+      .liveViewAsOf(spark, s"$indexPath/postings", "doc_id", maxBatch)
+      .withColumn("ingest_batch", lit(0L))
+      .repartition(1).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$staging/postings")
+    // agg cache from the STAGED stats (one narrow scan of what was
+    // actually written, not a replan of the as-of view)
+    spark.read.parquet(s"$staging/stats")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$staging/stats_agg")
+    if (!fs.rename(staging, destPath) || !fs.exists(destPath))
+      throw new java.io.IOException(s"export publish $staging -> $dest failed")
+  }
+
   /** GC after [[compact]]: vacuums postings and stats, and sweeps
     * `stats_agg` partitions the stats watershed superseded (covered
     * batches and stale generations — [[corpusStats]] never reads them,

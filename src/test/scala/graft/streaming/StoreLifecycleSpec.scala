@@ -77,6 +77,59 @@ class StoreLifecycleSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("LexIngest.exportAsOf: frozen BM25 snapshot — clone probe bitwise the as-of ranking, immune to source compact/vacuum/forget") {
+    val root = tmp()
+    val terms = Seq("doc", "body", "5")
+    try {
+      val lexDocs = (0L until 30L)
+        .map(i => (i, s"doc $i body" + (" filler" * (i % 4).toInt)))
+        .toDF("doc_id", "text")
+      for (b <- 0 until 3)
+        LexIngest.ingestBatch(
+          lexDocs.filter($"doc_id" % 3 === b), s"$root/lex", b.toLong)
+      LexIngest.markDeleted(spark, s"$root/lex", Seq(6L, 7L))
+      // the as-of truth: a FRESH store holding exactly batches 0-1
+      // minus the forget set (construction equality — no shared code
+      // path with the export under test)
+      for (b <- 0 until 2)
+        LexIngest.ingestBatch(
+          lexDocs.filter($"doc_id" % 3 === b && !$"doc_id".isin(6L, 7L)),
+          s"$root/truth", b.toLong)
+      val want = LexIngest.probe(spark, s"$root/truth", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+
+      LexIngest.exportAsOf(spark, s"$root/lex", 1L, s"$root/snap")
+      def snapProbe() = LexIngest.probe(spark, s"$root/snap", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      snapProbe() shouldBe want
+      // the clone serves its corpus constants from the rebuilt agg
+      // cache: 20 batch-0/1 docs minus the 2 forgotten
+      LexIngest.corpusStats(spark, s"$root/snap")._1 shouldBe 18L
+
+      // source moves on: compact past the snapshot batch, vacuum,
+      // forget MORE — the clone is bit-for-bit unmoved and the source
+      // can no longer reconstruct the batch
+      LexIngest.compact(spark, s"$root/lex")
+      LexIngest.vacuum(spark, s"$root/lex")
+      LexIngest.markDeleted(spark, s"$root/lex", Seq(3L))
+      an[IllegalArgumentException] should be thrownBy
+        StoreCompaction.committedViewAsOf(spark, s"$root/lex/postings", 1L).collect()
+      snapProbe() shouldBe want
+
+      // the clone is a REAL lex store: its own forget lifecycle works
+      // and never leaks back to the source
+      LexIngest.markDeleted(spark, s"$root/snap", Seq(0L))
+      LexIngest.probe(spark, s"$root/snap", terms, 10)
+        .collect().map(_.getLong(0)) should not contain 0L
+      LexIngest.probe(spark, s"$root/lex", terms, 30)
+        .collect().map(_.getLong(0)) should contain(0L)
+
+      // immutability + empty-snapshot refusals (the single-store rules)
+      an[IllegalArgumentException] should be thrownBy
+        LexIngest.exportAsOf(spark, s"$root/lex", 2L, s"$root/snap")
+    } finally rm(root)
+  }
+
   test("exportAsOf refuses an EMPTY as-of view (every row deletion-vectored)") {
     val root = tmp()
     try {
