@@ -770,6 +770,48 @@ object SparkEntry {
         .orderBy(col("method"), col("query_id"))
     }),
 
+    // CROSS-MODALITY eval — lexical vs semantic vs their RRF fusion
+    // under ONE judgment table: the persisted lexical index answers the
+    // three term-set queries in one pushed-down slice scan
+    // (bm25ProbeMany, bitwise the one-shot scorer), the exact-cosine
+    // ranking answers the same three query ids (doc_id ≡ vec_id in this
+    // corpus), and rrfFuse merges the two pools per query — each
+    // ranking graded by the SAME label qrels through retrievalEval, so
+    // "does fusion beat either modality here" is a hash-checked
+    // contract fact, not an argument. Eager + temp cleanup (the
+    // q_bm25_multi store discipline); LocalRelation so the store
+    // deletes before the result is read.
+    "q_eval_hybrid" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_eval_hybrid").toString
+      try {
+        TextAnalysis.writeLexIndex(docs(s, dir), idxDir)
+        val lex = TextAnalysis.bm25ProbeMany(s, idxDir, Bm25Queries, Bm25K)
+          .select(col("query_id"), col("doc_id").as("neighbor_id"),
+            col("rn").cast("long").as("rn"))
+        val sem = Similarity.bruteForceTopKRanked(e, AnnQueryIds, Bm25K)
+        val fused = Similarity.rrfFuse(lex, sem, RrfConst, Bm25K)
+          .select(col("query_id"), col("neighbor_id"), col("rn"))
+        val qrels = Similarity.labelQrels(e, AnnQueryIds)
+        def arm(name: String, ranked: org.apache.spark.sql.DataFrame) =
+          Similarity.retrievalEval(
+            ranked.select(col("query_id"), col("neighbor_id"), col("rn")),
+            qrels, Bm25K).withColumn("method", lit(name))
+        localRelation(s, arm("lexical", lex)
+          .unionByName(arm("semantic", sem))
+          .unionByName(arm("rrf_fused", fused))
+          .select(col("method"), col("query_id"), col("n_rel"), col("prec"),
+            col("rr"), col("ap"))
+          .orderBy(col("method"), col("query_id")))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxDir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // EVAL OVER THE SERVED STORES — the measurement loop on the
     // production path: the two persisted propose/refine serving stacks
     // (sig+vec stores; IVF-PQ index with its STORED quantizer + vec
@@ -3566,6 +3608,11 @@ object SparkEntry {
     "q_retrieval_eval" -> TextSql.retrievalEvalSql(AnnQueryIds, 10),
     "q_eval_compare" -> TextSql.evalCompareSql(AnnQueryIds, 10, proposeR = 50,
       IvfCoarseIds, PqCodebookIds, PqSubspaces, nprobe = 2),
+    // three modalities, one judgment table: the lexical multi-probe
+    // mirror, the exact ranking, and the generalized RRF fusion each
+    // nested through the metric fold (doc_id ≡ vec_id in this corpus)
+    "q_eval_hybrid" -> TextSql.evalHybridSql(Bm25Queries, Bm25K,
+      kRrf = RrfConst, k1 = 1.2, b = 0.75),
     // served arms graded over the SURVIVING judgment corpus: the two
     // proven refined-serving mirrors nested through the metric fold
     // with the forget set excluded from rankings AND qrels alike

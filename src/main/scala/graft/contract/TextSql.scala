@@ -1133,6 +1133,40 @@ object TextSql {
       "ORDER BY method, query_id"
   }
 
+  /** Mirror of the CROSS-MODALITY eval row: the proven lexical
+    * multi-probe mirror ([[bm25MultiSql]]), the exact-cosine ranking,
+    * and their RRF fusion (the [[hybridRrfSql]] join/score shape
+    * generalized to the multi-query pools: integer rank adds CAST to
+    * DOUBLE, lex term + sem term in written order, ties to the lowest
+    * neighbor id) — each nested whole through the same metric fold.
+    * doc_id ≡ vec_id in this corpus, so one label-qrels table judges
+    * all three modalities. */
+  def evalHybridSql(queries: Seq[(Long, Seq[String])], k: Int, kRrf: Int,
+                    k1: Double, b: Double): String = {
+    val queryIds = queries.map(_._1)
+    val lexRanked =
+      s"SELECT query_id, doc_id AS neighbor_id, rn FROM (${bm25MultiSql(queries, k, k1, b)}) lx"
+    val semRanked =
+      s"SELECT * FROM (${exactRankedSql(queryIds, None)}) sx WHERE rn <= $k"
+    val fusedRanked =
+      s"WITH lex AS ($lexRanked), sem AS ($semRanked), " +
+        "f AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id, " +
+        "coalesce(lex.neighbor_id, sem.neighbor_id) AS neighbor_id, " +
+        s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + lex.rn AS DOUBLE), CAST(0 AS DOUBLE)) + " +
+        s"coalesce(CAST(1 AS DOUBLE) / CAST($kRrf + sem.rn AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf " +
+        "FROM lex FULL OUTER JOIN sem ON lex.query_id = sem.query_id " +
+        "AND lex.neighbor_id = sem.neighbor_id), " +
+        "rk AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rn FROM f) " +
+        s"SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn FROM rk WHERE rn <= $k"
+    val arms = Seq(
+      retrievalEvalOverSql(lexRanked, "lexical", queryIds, k),
+      retrievalEvalOverSql(semRanked, "semantic", queryIds, k),
+      retrievalEvalOverSql(fusedRanked, "rrf_fused", queryIds, k))
+    arms.map(a => s"SELECT * FROM ($a)").mkString("", " UNION ALL ", " ") +
+      "ORDER BY method, query_id"
+  }
+
   /** Mirror of the TIME-TRAVEL eval row: the same exact-cosine
     * retriever graded against the corpus AS OF two different ingest
     * batches (membership = the `vec_id % nBatches <= b` ingest split) —

@@ -25,6 +25,26 @@ class RetrievalEvalSpec extends SparkSpec {
       3108.0 / (2520.0 * 4.0)))
   }
 
+  test("cross-modality fusion: rrf top-2 surfaces each modality's winner, so fused precision beats both single arms on the disjoint fixture") {
+    // lexical finds relevant 10 (rank 1), semantic finds relevant 20
+    // (rank 1); neither sees the other's winner. Fusion puts both
+    // modality winners in the top 2 (each carries the rank-1 rrf term,
+    // the irrelevant tails only rank-2 terms), so fused P@2 = 1.0 while
+    // each single arm reads 0.5 — the q_eval_hybrid claim in miniature.
+    val lex = rankedDF((0L, 10L, 1L), (0L, 99L, 2L))
+    val sem = rankedDF((0L, 20L, 1L), (0L, 98L, 2L))
+    val rels = qrelsDF((0L, 10L), (0L, 20L))
+    val fused = Similarity.rrfFuse(lex, sem, 60, 2)
+      .select(col("query_id"), col("neighbor_id"), col("rn"))
+    fused.orderBy(col("rn")).select(col("neighbor_id"))
+      .as[Long].collect() shouldBe Array(10L, 20L)
+    def prec(r: org.apache.spark.sql.DataFrame) =
+      Similarity.retrievalEval(r, rels, 2).select(col("prec")).as[Double].head()
+    prec(fused) shouldBe 1.0
+    prec(lex) shouldBe 0.5
+    prec(sem) shouldBe 0.5
+  }
+
   test("no relevant in top-k vs no relevant AT ALL: both 0.0, never NaN") {
     val ranked = rankedDF((1L, 10L, 1L), (1L, 11L, 2L), (2L, 10L, 1L))
     // query 1 has a relevant doc that never ranked; query 2 has none
