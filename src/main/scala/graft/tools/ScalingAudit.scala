@@ -545,7 +545,55 @@ object ScalingAudit {
     val ciSum = graft.streaming.LexIngest.probe(spark, ciDir, lxTerms, 10)
       .agg(coalesce(sum(col("doc_id")), lit(0L))).head.getLong(0)
     val ciW = (System.nanoTime() - ciT0) / 1e9
-    for (tmp <- Seq(lxDir, aiDir, qtDir, rsDir, ciDir)) {
+    // Round-19 families. Frozen-corpus lex snapshot at the decade: the
+    // chunk store (4 parent-keyed batches, cascade forget already
+    // marked) exports "as of batch 1" as a standalone clone. The
+    // clone's probe docsum fingerprints the postings/stats/stats_agg
+    // snapshot rewrite AND the retroactive cascade subtraction in one
+    // BIGINT — note it may legitimately EQUAL chunk_probe_docsum: the
+    // copy-id shift is ≡ 0 mod 4, so every near-copy of a base doc
+    // shares its batch, the top-10 set can survive the halving intact,
+    // and the docsum is order-invariant over the set. The membership
+    // restriction itself is pinned by the clone's EXACT corpus
+    // constants (n, Σdl) from the rebuilt stats_agg cache — an as-of
+    // that silently stopped restricting would double them. The source
+    // then compacts past the snapshot and the clone is re-probed:
+    // equality is asserted HERE, so the emitted values also carry the
+    // immune-to-source-maintenance invariant.
+    val lxExpT0 = System.nanoTime()
+    val ceDir = java.nio.file.Files.createTempDirectory("graft_scale_lexsnap").toString
+    graft.streaming.LexIngest.exportAsOf(spark, ciDir, 1L, s"$ceDir/snap")
+    def ceProbeSum(): Long = graft.streaming.LexIngest
+      .probe(spark, s"$ceDir/snap", lxTerms, 10)
+      .agg(coalesce(sum(col("doc_id")), lit(0L))).head.getLong(0)
+    val lexExportSum = ceProbeSum()
+    graft.streaming.LexIngest.compact(spark, ciDir)
+    graft.streaming.LexIngest.vacuum(spark, ciDir)
+    val lexExportAfter = ceProbeSum()
+    require(lexExportSum == lexExportAfter,
+      s"lex snapshot moved under source compaction: $lexExportSum -> $lexExportAfter")
+    val (ceN, ceSumdl) = graft.streaming.LexIngest.corpusStats(spark, s"$ceDir/snap")
+    val lxExpW = (System.nanoTime() - lxExpT0) / 1e9
+    // Served + as-of eval at the decade, extending the eval_relsum
+    // tripwires to the production path: the refine-store ranking (ADC
+    // propose through the READ-BACK quantizer, exact refine fetching
+    // from the persisted vec store) graded against the same decade
+    // label qrels; and the same grader against the vec store AS OF
+    // batch 2, ranking and qrels both restricted to the snapshot
+    // membership (vec_id % 4 <= 2, the rsDir ingest split).
+    val evSvT0 = System.nanoTime()
+    val evalRelServed = relSum(
+      graft.llm.Similarity.refineExact(rsVecs, rsCands, Seq(0L, 1L, 2L), 10))
+    val evalRelAsof = graft.llm.Similarity.retrievalEval(
+        graft.llm.Similarity.bruteForceTopKRanked(
+            graft.streaming.VecStoreIngest.viewAsOf(spark, rsDir, 2L),
+            Seq(0L, 1L, 2L), 10)
+          .select(col("query_id"), col("neighbor_id"), col("rn")),
+        graft.llm.Similarity.labelQrels(
+          evLabeled.filter(col("vec_id") % 4 <= 2), Seq(0L, 1L, 2L)), 10)
+      .agg(coalesce(sum(col("n_rel")), lit(0L))).head.getLong(0)
+    val evSvW = (System.nanoTime() - evSvT0) / 1e9
+    for (tmp <- Seq(lxDir, aiDir, qtDir, rsDir, ciDir, ceDir)) {
       try {
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -703,6 +751,9 @@ object ScalingAudit {
         s""""hamming_ranksum":$hamRankSum,"hamming_found10":$hamFound,""" +
         s""""hard_neg_docsum":$hnSum,"presence_weighted":$presenceSum,""" +
         s""""eval_relsum_exact":$evalRelExact,"eval_relsum_hamming":$evalRelHamming,""" +
+        s""""lex_export_docsum":$lexExportSum,""" +
+        s""""lex_export_n":$ceN,"lex_export_sumdl":$ceSumdl,""" +
+        s""""eval_relsum_served":$evalRelServed,"eval_relsum_asof":$evalRelAsof,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
@@ -718,7 +769,8 @@ object ScalingAudit {
         s""""lex_compact":${d2(lxCmpW)},"lex_probe_compacted":${d2(lxPostW)},""" +
         s""""hybrid":${d2(hyW)},"quant_roundtrip":${d2(qtW)},""" +
         s""""refine_store":${d2(rsW)},"chunk_index":${d2(ciW)},""" +
-        s""""hamming":${d2(hmW)},"presence":${d2(psW)},"eval":${d2(evW)}}}"""
+        s""""hamming":${d2(hmW)},"presence":${d2(psW)},"eval":${d2(evW)},""" +
+        s""""lex_export":${d2(lxExpW)},"eval_served_asof":${d2(evSvW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()
