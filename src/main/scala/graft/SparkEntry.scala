@@ -2892,6 +2892,42 @@ object SparkEntry {
       }
     }),
 
+    // DESCRIBE DETAIL for the COMPOSITE lexical store, before and after
+    // maintenance: one row per physical component (postings, stats)
+    // with commit state, partition pressure, forget backlog, committed
+    // vs live counts, PLUS the served corpus constants on every row —
+    // corpus_n ≡ the stats row's n_live is the cache-coherence
+    // invariant surfaced as data. The 'before' frame is eager by
+    // construction (describe counts driver-side), so it is immune to
+    // the compact/vacuum that follows. Oracle = the construction's
+    // literals plus membership counts over documents (the postings
+    // row counts are distinct (doc, token) pairs of the mirrored
+    // tokenizer).
+    "q_lex_describe" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lex_describe").toString
+      try {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        for (b <- 0 until 3)
+          graft.streaming.LexIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), s"$root/lex", b.toLong)
+        graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetDocIds)
+        val before = graft.streaming.LexIngest.describe(s, s"$root/lex")
+          .withColumn("stage", lit("before"))
+        graft.streaming.LexIngest.compact(s, s"$root/lex")
+        graft.streaming.LexIngest.vacuum(s, s"$root/lex")
+        val after = graft.streaming.LexIngest.describe(s, s"$root/lex")
+          .withColumn("stage", lit("after"))
+        localRelation(s, before.unionByName(after)
+          .orderBy(col("stage"), col("component")))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // Gopher-style quality rule gate: per-doc rule inputs + pass bit
     "q_gopher" -> ((s, dir) =>
       TextAnalysis.gopherRules(docs(s, dir), GopherMinWords, GopherMaxWords,
@@ -4689,6 +4725,10 @@ object SparkEntry {
     // membership: batches 0-1 (doc_id % 3 <= 1, the ingest split) minus
     // the pre-export forget set; the source's later compaction/vacuum/
     // forgets are invisible by construction
+    // the composite describe: construction literals + membership counts
+    // (distinct (doc, token) pairs for postings, documents for stats,
+    // surviving (n, sum-dl) as the corpus constants on every row)
+    "q_lex_describe" -> TextSql.lexDescribeSql(ForgetDocIds),
     "q_lex_export" -> TextSql.bm25SqlFrom(
       s"SELECT * FROM (${TextSql.toksCte}) m WHERE doc_id % 3 <= 1",
       Bm25Terms, Bm25K, k1 = 1.2, b = 0.75, excludeIds = ForgetDocIds),

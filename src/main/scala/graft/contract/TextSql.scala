@@ -2598,6 +2598,50 @@ object TextSql {
       s"(sqrt(CAST(na.n2l AS DOUBLE))*sqrt(CAST(nb.n2l AS DOUBLE))), 4) >= $threshold " +
       "ORDER BY da, db"
 
+  /** Mirror of the composite-lex DESCRIBE row (`q_lex_describe`): the
+    * commit/maintenance columns are the 3-batch construction's
+    * literals (the q_store_describe discipline), the row counts are
+    * membership counts over `documents` — postings rows are distinct
+    * (doc, token) pairs of the mirrored tokenizer, stats rows are
+    * document counts, corpus constants the surviving (n, Σdl) — all
+    * exact BIGINTs (DuckDB sums promote to HUGEINT, so every aggregate
+    * CASTs back). `forgetIds` may contain ghosts: the pending-delete
+    * backlog counts REQUESTS, the live counts subtract only ids the
+    * corpus holds. */
+  def lexDescribeSql(forgetIds: Seq[Long]): String = {
+    val notIn = s"doc_id NOT IN (${forgetIds.mkString(", ")})"
+    val pairsAll =
+      "(SELECT CAST(count(*) AS BIGINT) FROM " +
+        "(SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t) pa)"
+    val pairsLive =
+      "(SELECT CAST(count(*) AS BIGINT) FROM " +
+        s"(SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t WHERE $notIn) pl)"
+    val docsAll = "(SELECT CAST(count(*) AS BIGINT) FROM t)"
+    val docsLive = s"(SELECT CAST(count(*) AS BIGINT) FROM t WHERE $notIn)"
+    val sumdlLive =
+      s"(SELECT CAST(sum(len(toks)) AS BIGINT) FROM t WHERE $notIn)"
+    def row(stage: String, comp: String, gen: Long, cov: Long, parts: Long,
+            liveB: Long, pend: Long, nCom: String, nLive: String) =
+      s"SELECT '$stage' AS stage, '$comp' AS component, " +
+        s"CAST($gen AS BIGINT) AS generation, " +
+        s"CAST($cov AS BIGINT) AS covered_through, " +
+        s"CAST($parts AS BIGINT) AS n_batch_parts, " +
+        s"CAST($liveB AS BIGINT) AS n_live_batches, " +
+        s"CAST($pend AS BIGINT) AS n_pending_delete_ids, " +
+        s"$nCom AS n_committed, $nLive AS n_live, " +
+        s"$docsLive AS corpus_n, $sumdlLive AS corpus_sumdl"
+    s"WITH t AS ($toksCte) " +
+      Seq(
+        row("before", "postings", 0L, -1L, 3L, 3L, forgetIds.size.toLong,
+          pairsAll, pairsLive),
+        row("before", "stats", 0L, -1L, 3L, 3L, forgetIds.size.toLong,
+          docsAll, docsLive),
+        row("after", "postings", 1L, 2L, 1L, 0L, 0L, pairsLive, pairsLive),
+        row("after", "stats", 1L, 2L, 1L, 0L, 0L, docsLive, docsLive))
+        .mkString("", " UNION ALL ", " ") +
+      "ORDER BY stage, component"
+  }
+
   /** Mirror of TextAnalysis.bm25TopDocs: identical formula text (the
     * constants interpolate from the SAME Scala doubles, which
     * round-trip exactly through their decimal repr), identical

@@ -222,6 +222,35 @@ object LexIngest {
     }
   }
 
+  /** DESCRIBE DETAIL for the COMPOSITE lexical store —
+    * [[StoreCompaction.describe]] extended to the three-part layout:
+    * one row per physical component (`postings`, `stats`) with the
+    * standard commit/maintenance columns (generation, covered
+    * watershed, partition pressure, forget backlog, committed vs live
+    * row counts), plus the SERVED corpus constants from [[corpusStats]]
+    * — the O(1)-cache-or-exact-fallback values probes actually rank
+    * with — repeated on every row. Invariant visible IN the output:
+    * `corpus_n` equals the stats row's `n_live` (the agg cache serves
+    * exactly the surviving membership), so the torn-rebuild /
+    * partial-cache bug class surfaces as a column disagreement, not a
+    * silent score shift. Eager audit call (each component row is a
+    * handful of counts over the committed view), never a probe path. */
+  def describe(spark: SparkSession, indexPath: String): DataFrame = {
+    val (n, sumdl) = corpusStats(spark, indexPath)
+    Seq("postings", "stats")
+      .map { name =>
+        StoreCompaction.describe(spark, s"$indexPath/$name", "doc_id")
+          .withColumn("component", lit(name))
+      }
+      .reduce(_.unionByName(_))
+      .withColumn("corpus_n", lit(n))
+      .withColumn("corpus_sumdl", lit(sumdl))
+      .select(col("component"), col("generation"), col("covered_through"),
+        col("n_batch_parts"), col("n_live_batches"),
+        col("n_pending_delete_ids"), col("n_committed"), col("n_live"),
+        col("corpus_n"), col("corpus_sumdl"))
+  }
+
   /** BM25 top-k over the streamed store: corpus constants from
     * [[corpusStats]] (exact additive BIGINTs, O(batches + deletes) —
     * never a per-probe scan of the per-doc rows), the term slice read

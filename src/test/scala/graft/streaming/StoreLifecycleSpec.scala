@@ -28,6 +28,55 @@ class StoreLifecycleSpec extends SparkSpec {
     ()
   }
 
+  test("LexIngest.describe: per-component commit state, forget backlog counts requests, corpus_n tracks the stats live count across maintenance") {
+    val root = tmp()
+    try {
+      val lexDocs = (0L until 30L)
+        .map(i => (i, s"doc $i body" + (" pad" * (i % 3).toInt)))
+        .toDF("doc_id", "text")
+      for (b <- 0 until 3)
+        LexIngest.ingestBatch(
+          lexDocs.filter($"doc_id" % 3 === b), s"$root/lex", b.toLong)
+      // 2 real ids + 1 ghost: the backlog counts REQUESTS (3), the live
+      // counts subtract only what the corpus holds (2)
+      LexIngest.markDeleted(spark, s"$root/lex", Seq(4L, 9L, 999L))
+      def desc() = LexIngest.describe(spark, s"$root/lex")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+            r.getLong(9))).toMap
+      val before = desc()
+      before.keySet shouldBe Set("postings", "stats")
+      val (_, _, parts, liveB, pend, nComStats, nLiveStats, corpusN, corpusDl) =
+        before("stats")
+      (parts, liveB, pend) shouldBe ((3L, 3L, 3L))
+      nComStats shouldBe 30L
+      nLiveStats shouldBe 28L
+      corpusN shouldBe 28L // the cache-coherence invariant: == stats n_live
+      // postings committed = distinct (doc, token) pairs: every doc has
+      // {doc, <i>, body}, docs with i%3 != 0 add one distinct "pad" →
+      // 30*3 + 20 = 110; live drops doc 4's 4 pairs and doc 9's 3
+      before("postings")._6 shouldBe 110L
+      before("postings")._7 shouldBe 103L
+      val expectedDl = lexDocs.filter(!$"doc_id".isin(4L, 9L))
+        .select(sum(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")).cast("long")))
+        .as[Long].head()
+      corpusDl shouldBe expectedDl
+      // maintenance: compact applies the deletes physically, vacuum
+      // collapses partitions — committed falls to the survivors, the
+      // backlog clears, and the SERVED corpus constants do not move
+      LexIngest.compact(spark, s"$root/lex")
+      LexIngest.vacuum(spark, s"$root/lex")
+      val after = desc()
+      after("stats")._5 shouldBe 0L // pending cleared
+      after("stats")._6 shouldBe 28L // committed = survivors now
+      after("stats")._8 shouldBe 28L
+      after("stats")._9 shouldBe expectedDl
+      after("postings")._3 shouldBe 1L // one generation dir
+    } finally rm(root)
+  }
+
   test("exportAsOf: clone == liveViewAsOf, survives source compaction past retention") {
     val root = tmp()
     try {
