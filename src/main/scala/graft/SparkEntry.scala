@@ -813,12 +813,15 @@ object SparkEntry {
     }),
 
     // EVAL OVER THE SERVED STORES — the measurement loop on the
-    // production path: the two persisted propose/refine serving stacks
-    // (sig+vec stores; IVF-PQ index with its STORED quantizer + vec
-    // store), ForgetVecIds marked on ALL of them, each graded by
-    // retrievalEval — and the JUDGMENT table is the surviving
+    // production path, across all three serving modalities: the two
+    // persisted propose/refine vector stacks (sig+vec stores; IVF-PQ
+    // index with its STORED quantizer + vec store) AND the lexical
+    // store's multi-probe, ForgetVecIds marked on ALL of them, each
+    // graded by retrievalEval — and the JUDGMENT table is the surviving
     // membership's label qrels, so forgetting an id changes what is
-    // judged, exactly what the erasure attestation promises. Labels
+    // judged, exactly what the erasure attestation promises (for the
+    // lexical arm the forget also shifts the BM25 corpus constants —
+    // the deletion-vector probe semantics, here measured). Labels
     // are catalog metadata beside the stores (the stores hold payloads,
     // not judgments). LocalRelation result so the temp stores delete.
     "q_eval_served" -> ((s, dir) => {
@@ -828,16 +831,20 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft_eval_served").toString
       try {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
         for (b <- 0 until 3) {
           val part = e.filter(col("vec_id") % 3 === b)
           graft.streaming.SigStoreIngest.ingestBatch(part, s"$root/sigs", b.toLong)
           graft.streaming.VectorIndexIngest.ingestBatch(
             part, s"$root/idx", quant, b.toLong)
           graft.streaming.VecStoreIngest.ingestBatch(part, s"$root/vecs", b.toLong)
+          graft.streaming.LexIngest.ingestBatch(
+            d.filter(col("doc_id") % 3 === b), s"$root/lex", b.toLong)
         }
         graft.streaming.SigStoreIngest.markDeleted(s, s"$root/sigs", ForgetVecIds)
         graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetVecIds)
         graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
+        graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetVecIds)
         val vecs = graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
         val qrels = Similarity.labelQrels(
           e.filter(!col("vec_id").isin(ForgetVecIds: _*)), AnnQueryIds)
@@ -856,7 +863,12 @@ object SparkEntry {
               nprobe = 2, k = RefineR)
             .select(col("query_id"), col("neighbor_id")),
           AnnQueryIds, PqSearchK)
+        val lx = graft.streaming.LexIngest
+          .probeMany(s, s"$root/lex", Bm25Queries, PqSearchK)
+          .select(col("query_id"), col("doc_id").as("neighbor_id"),
+            col("rn").cast("long").as("rn"))
         localRelation(s, graded("hamming_served", ham)
+          .unionByName(graded("lex_served", lx))
           .unionByName(graded("refine_served", rf))
           .select(col("method"), col("query_id"), col("n_rel"), col("prec"),
             col("rr"), col("ap"))
@@ -3654,7 +3666,8 @@ object SparkEntry {
     // with the forget set excluded from rankings AND qrels alike
     "q_eval_served" -> TextSql.evalServedSql(AnnQueryIds, PqSearchK,
       proposeR = 50, IvfCoarseIds, PqCodebookIds, PqSubspaces,
-      nprobe = 2, rerankR = RefineR, excludeIds = ForgetVecIds),
+      nprobe = 2, rerankR = RefineR, lexQueries = Bm25Queries,
+      k1 = 1.2, b = 0.75, excludeIds = ForgetVecIds),
     // each as-of arm restricts ranking, query resolution, and qrels to
     // the snapshot membership (the vec_id % 3 ingest split)
     "q_eval_asof" -> TextSql.evalAsOfSql(AnnQueryIds, PqSearchK,

@@ -1109,22 +1109,30 @@ object TextSql {
       "ORDER BY sim DESC, neighbor_id) AS rn FROM s2"
   }
 
-  /** Mirror of the SERVED-store eval row: the two production serving
-    * rankings — binary propose/exact refine (sig + vec stores) and
-    * IVF-PQ propose/exact refine (index + vec stores), BOTH with the
-    * forget set marked — graded through the same metric fold, with the
-    * JUDGMENT corpus also restricted to the survivors (`excludeIds`
-    * leaves qrels too: forgetting an id changes what is judged, which
-    * is the attestation story's point). Each ranked arm is its already-
-    * proven contract mirror nested whole. */
+  /** Mirror of the SERVED-store eval row: the three production serving
+    * rankings — binary propose/exact refine (sig + vec stores), IVF-PQ
+    * propose/exact refine (index + vec stores), and the LEXICAL store's
+    * multi-probe (postings + stats_agg), ALL with the same forget set
+    * marked — graded through the same metric fold, with the JUDGMENT
+    * corpus also restricted to the survivors (`excludeIds` leaves qrels
+    * too: forgetting an id changes what is judged, which is the
+    * attestation story's point; for the lexical arm it ALSO shifts the
+    * BM25 corpus constants, the deletion-vector probe semantics). Each
+    * ranked arm is its already-proven contract mirror nested whole. */
   def evalServedSql(queryIds: Seq[Long], k: Int, proposeR: Int,
                     coarseIds: Seq[Long], codebookIds: Seq[Long],
                     m: Int, nprobe: Int, rerankR: Int,
+                    lexQueries: Seq[(Long, Seq[String])],
+                    k1: Double, b: Double,
                     excludeIds: Seq[Long]): String = {
+    val lexRanked = "SELECT query_id, doc_id AS neighbor_id, rn FROM " +
+      s"(${bm25MultiSql(lexQueries, k, k1, b, excludeIds)}) lxm"
     val arms = Seq(
       retrievalEvalOverSql(
         hammingRefinedSql(queryIds, proposeR, k, excludeIds),
         "hamming_served", queryIds, k, excludeIds = excludeIds),
+      retrievalEvalOverSql(lexRanked,
+        "lex_served", queryIds, k, excludeIds = excludeIds),
       retrievalEvalOverSql(
         ivfPqRefinedSql(coarseIds, codebookIds, m, queryIds, nprobe,
           rerankR, k, excludeNeighbors = excludeIds),
@@ -1556,10 +1564,11 @@ object TextSql {
     * equality with the single probe, so the oracle composes the proven
     * mirrors), stitched with the query id and unioned. */
   def bm25MultiSql(queries: Seq[(Long, Seq[String])], k: Int,
-                   k1: Double, b: Double): String =
+                   k1: Double, b: Double,
+                   excludeIds: Seq[Long] = Nil): String =
     queries.map { case (qid, terms) =>
       s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, score, rn " +
-        s"FROM (${bm25Sql(terms, k, k1, b)}) q$qid"
+        s"FROM (${bm25Sql(terms, k, k1, b, excludeIds)}) q$qid"
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY query_id, rn")
 
   /** Mirror of Similarity.ivfPqSearchRefined: the ADC top-R candidate
