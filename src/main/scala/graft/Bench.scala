@@ -28,7 +28,8 @@ object Bench {
     "q_ann_filtered", "ann_indexed", "ann_compacted", "ann_forget",
     "q_bm25_forget", "q_prf_indexed", "q_chunk_indexed",
     "q_bm25_multi", "q_bm25_indexed", "q_lex_export",
-    "q_eval_served", "q_eval_asof", "q_eval_hybrid", "q_lex_describe")
+    "q_eval_served", "q_eval_asof", "q_eval_hybrid", "q_lex_describe",
+    "q_vec_export")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2904,6 +2904,47 @@ object SparkEntry {
       }
     }),
 
+    // FROZEN ANN SNAPSHOT — the composite-index export: a 3-batch
+    // IVF-PQ index store (codes + its published _quantizer) forgets
+    // ForgetVecIds, exports "as of batch 1" as one standalone clone,
+    // and then the SOURCE moves on — compacts past the snapshot batch,
+    // vacuums, forgets MORE ids. The clone is probed through ITS OWN
+    // stored quantizer (no raw-corpus retraining, no source access):
+    // the ranking must be the ADC search over exactly the snapshot
+    // membership (batches 0-1, vec_id % 3 <= 1, minus the ORIGINAL
+    // forget set) — batch 2's codes never entered it, the post-export
+    // forget never reaches it. LocalRelation so the temp roots delete.
+    "q_vec_export" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, IvfCoarseIds, PqCodebookIds, PqSubspaces)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vec_export").toString
+      try {
+        for (b <- 0 until 3)
+          graft.streaming.VectorIndexIngest.ingestBatch(
+            e.filter(col("vec_id") % 3 === b), s"$root/idx", quant, b.toLong)
+        graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetVecIds)
+        graft.streaming.VectorIndexIngest.exportAsOf(
+          s, s"$root/idx", 1L, s"$root/snap")
+        graft.streaming.StoreCompaction.compact(s, s"$root/idx",
+          Seq("cell_id"), deleteIdCol = Some("vec_id"))
+        graft.streaming.StoreCompaction.vacuum(s, s"$root/idx")
+        graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", Seq(7L))
+        localRelation(s, Similarity.ivfPqProbe(
+            graft.streaming.VectorIndexIngest.index(s, s"$root/snap"),
+            graft.streaming.VectorIndexIngest.quantizer(s, s"$root/snap"),
+            Similarity.collectVectors(e, AnnQueryIds),
+            nprobe = 2, k = PqSearchK)
+          .orderBy(col("query_id"), col("rn")))
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }),
+
     // DESCRIBE DETAIL for the COMPOSITE lexical store, before and after
     // maintenance: one row per physical component (postings, stats)
     // with commit state, partition pressure, forget backlog, committed
@@ -4738,6 +4779,13 @@ object SparkEntry {
     // membership: batches 0-1 (doc_id % 3 <= 1, the ingest split) minus
     // the pre-export forget set; the source's later compaction/vacuum/
     // forgets are invisible by construction
+    // frozen ANN snapshot = the ADC search over EXACTLY the snapshot
+    // membership (batches 0-1 via the candidate predicate) minus the
+    // pre-export forget set; the source's later maintenance invisible
+    "q_vec_export" -> TextSql.ivfPqSearchSql(IvfCoarseIds, PqCodebookIds,
+      PqSubspaces, AnnQueryIds, nprobe = 2, k = PqSearchK,
+      excludeNeighbors = ForgetVecIds,
+      candidatePred = Some("a.vec_id % 3 <= 1")),
     // the composite describe: construction literals + membership counts
     // (distinct (doc, token) pairs for postings, documents for stats,
     // surviving (n, sum-dl) as the corpus constants on every row)

@@ -138,6 +138,55 @@ object VectorIndexIngest {
       .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
         col("codes"))
 
+  /** Materializes a time-travel snapshot of the WHOLE ANN index store —
+    * [[StoreCompaction.exportAsOf]] extended to the model-carrying
+    * layout: this store is cell-partitioned code rows PLUS the frozen
+    * `_quantizer` artifact, and a clone holding only the codes is
+    * unreadable by construction (ADC distance tables rebuild from the
+    * quantizer; a probe session against the clone would have nothing to
+    * decode with — the exact composite-store gap [[LexIngest.exportAsOf]]
+    * closed for postings + stats_agg, here for codes + model).
+    *
+    * Semantics: the code rows are their [[StoreCompaction.liveViewAsOf]]
+    * view (committed batches ≤ maxBatch, deletion vectors subtracting
+    * RETROACTIVELY — no snapshot resurrects erased vectors), rewritten
+    * CELL-partitioned as the clone's single generation so `ivfPqProbe`'s
+    * nprobe pre-filter keeps directory-level pruning; the quantizer is
+    * copied bitwise (doubles round-trip parquet exactly), so probing the
+    * clone through ITS OWN stored model is bitwise the as-of probe of
+    * the source, however far the source compacts, vacuums, or forgets
+    * afterwards.
+    *
+    * Publish is atomic at the ROOT: the codes land via the single-store
+    * export into `<dest>.staging` (itself staging-renamed), the model
+    * into `<dest>.staging/_quantizer` (write-once staging-renamed), then
+    * ONE directory rename makes the composite clone visible — a torn
+    * export leaves only staging, never a codes-without-model store. The
+    * single-store refusals (existing destination, EMPTY snapshot) apply
+    * unchanged; a source without a published quantizer is refused — it
+    * is not a servable index store. */
+  def exportAsOf(spark: SparkSession, indexPath: String, maxBatch: Long,
+                 dest: String): Unit = {
+    require(Similarity.hasIvfPqQuantizer(spark, quantizerPath(indexPath)),
+      s"$indexPath has no published _quantizer — not a servable index " +
+        "store; export refused (a codes-only clone cannot answer probes)")
+    val fs = StoreCompaction.fsOf(spark, dest)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    require(!fs.exists(destPath),
+      s"export destination $dest already exists — snapshots are " +
+        "immutable, pick a fresh path")
+    val staging = dest + ".staging"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true) // torn prior attempt
+    StoreCompaction.exportAsOf(spark, indexPath, "vec_id", maxBatch,
+      staging, clusterCols = Seq("cell_id"))
+    Similarity.writeIvfPqQuantizer(spark,
+      Similarity.readIvfPqQuantizer(spark, quantizerPath(indexPath)),
+      quantizerPath(staging))
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), destPath) ||
+        !fs.exists(destPath))
+      throw new java.io.IOException(s"export publish $staging -> $dest failed")
+  }
+
   /** Where the store's model artifact lives: `_`-prefixed so partition
     * discovery of the index rows never sees it (the _compaction/_deletes
     * convention). */

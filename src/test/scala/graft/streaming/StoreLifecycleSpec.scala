@@ -179,6 +179,58 @@ class StoreLifecycleSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("VectorIndexIngest.exportAsOf: frozen ANN snapshot — clone probes through ITS OWN quantizer, immune to source compact/vacuum/forget; codes-only source refused") {
+    import graft.llm.Similarity
+    val root = tmp()
+    try {
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val quant = Similarity.trainIvfPqQuantizer(
+        e, Seq(11L, 57L, 201L, 401L), Seq(3L, 29L, 118L, 222L), 4)
+      for (b <- 0 until 3)
+        VectorIndexIngest.ingestBatch(
+          e.filter($"vec_id" % 3 === b), s"$root/idx", quant, b.toLong)
+      StoreCompaction.markDeleted(spark, s"$root/idx", Seq(5L, 18L))
+      // as-of truth: a FRESH store holding exactly batches 0-1 minus the
+      // forget set (construction equality, no shared path with export)
+      for (b <- 0 until 2)
+        VectorIndexIngest.ingestBatch(
+          e.filter($"vec_id" % 3 === b && !$"vec_id".isin(5L, 18L)),
+          s"$root/truth", quant, b.toLong)
+      def probeOf(path: String) = Similarity.ivfPqProbe(
+          VectorIndexIngest.index(spark, path),
+          VectorIndexIngest.quantizer(spark, path),
+          Similarity.collectVectors(e, Seq(0L, 1L, 2L)), nprobe = 2, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      val want = probeOf(s"$root/truth")
+
+      VectorIndexIngest.exportAsOf(spark, s"$root/idx", 1L, s"$root/snap")
+      probeOf(s"$root/snap") shouldBe want
+      // source moves on; the clone is bit-for-bit unmoved and needs
+      // NOTHING from the source (its own model artifact answers)
+      StoreCompaction.compact(spark, s"$root/idx", Seq("cell_id"),
+        deleteIdCol = Some("vec_id"))
+      StoreCompaction.vacuum(spark, s"$root/idx")
+      StoreCompaction.markDeleted(spark, s"$root/idx", Seq(7L))
+      probeOf(s"$root/snap") shouldBe want
+      // the clone is a real index store: its own forget works and never
+      // leaks back
+      val victim = want.map(_._2)
+        .find(id => !Seq(5L, 18L, 7L).contains(id)).get
+      StoreCompaction.markDeleted(spark, s"$root/snap", Seq(victim))
+      probeOf(s"$root/snap").map(_._2) should not contain victim
+      StoreCompaction.deletedIds(spark, s"$root/idx")
+        .as[Long].collect() should not contain victim
+      // refusals: immutable destination; a codes-only dir (no published
+      // _quantizer) is not a servable index store
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndexIngest.exportAsOf(spark, s"$root/idx", 1L, s"$root/snap")
+      e.limit(5).select($"vec_id").withColumn("ingest_batch", lit(0L))
+        .write.partitionBy("ingest_batch").parquet(s"$root/bare")
+      an[IllegalArgumentException] should be thrownBy
+        VectorIndexIngest.exportAsOf(spark, s"$root/bare", 0L, s"$root/snap2")
+    } finally rm(root)
+  }
+
   test("exportAsOf refuses an EMPTY as-of view (every row deletion-vectored)") {
     val root = tmp()
     try {
