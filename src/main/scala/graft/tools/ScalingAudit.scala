@@ -593,7 +593,41 @@ object ScalingAudit {
           evLabeled.filter(col("vec_id") % 4 <= 2), Seq(0L, 1L, 2L)), 10)
       .agg(coalesce(sum(col("n_rel")), lit(0L))).head.getLong(0)
     val evSvW = (System.nanoTime() - evSvT0) / 1e9
-    for (tmp <- Seq(lxDir, aiDir, qtDir, rsDir, ciDir, ceDir)) {
+    // Composite ANN snapshot at the decade: a 4-batch INGEST-built
+    // IVF-PQ store (same frozen quantizer) forgets two ids, exports
+    // "as of batch 2" (codes rewritten cell-partitioned + the model
+    // artifact, one root rename), and the clone is probed through ITS
+    // OWN stored quantizer — Σ rn·neighbor_id over the top-10 of 3
+    // queries fingerprints the snapshot membership AND the model
+    // round-trip in one BIGINT; the clone's committed row count pins
+    // membership size directly (3/4 of the decade corpus minus the two
+    // erased — a non-restricting as-of would inflate it by a third).
+    // The immune-to-source-compaction invariant is hard-asserted.
+    val aeT0 = System.nanoTime()
+    val aeDir = java.nio.file.Files.createTempDirectory("graft_scale_annexp").toString
+    for (b <- 0 until 4)
+      graft.streaming.VectorIndexIngest.ingestBatch(
+        embBig.filter(col("vec_id") % 4 === b), s"$aeDir/idx", aiQuant, b.toLong)
+    graft.streaming.StoreCompaction.markDeleted(spark, s"$aeDir/idx", Seq(5L, 18L))
+    graft.streaming.VectorIndexIngest.exportAsOf(
+      spark, s"$aeDir/idx", 2L, s"$aeDir/snap")
+    def aeProbeSum(): Long = graft.llm.Similarity.ivfPqProbe(
+        graft.streaming.VectorIndexIngest.index(spark, s"$aeDir/snap"),
+        graft.streaming.VectorIndexIngest.quantizer(spark, s"$aeDir/snap"),
+        graft.llm.Similarity.collectVectors(embBig, Seq(0L, 1L, 2L)),
+        nprobe = 2, k = 10)
+      .agg(coalesce(sum(col("rn") * col("neighbor_id")), lit(0L))).head.getLong(0)
+    val annExportSum = aeProbeSum()
+    val annExportRows = graft.streaming.StoreCompaction
+      .committedView(spark, s"$aeDir/snap").count()
+    graft.streaming.StoreCompaction.compact(
+      spark, s"$aeDir/idx", Seq("cell_id"), deleteIdCol = Some("vec_id"))
+    graft.streaming.StoreCompaction.vacuum(spark, s"$aeDir/idx")
+    val annExportAfter = aeProbeSum()
+    require(annExportSum == annExportAfter,
+      s"ANN snapshot moved under source compaction: $annExportSum -> $annExportAfter")
+    val aeW = (System.nanoTime() - aeT0) / 1e9
+    for (tmp <- Seq(lxDir, aiDir, qtDir, rsDir, ciDir, ceDir, aeDir)) {
       try {
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -754,6 +788,7 @@ object ScalingAudit {
         s""""lex_export_docsum":$lexExportSum,""" +
         s""""lex_export_n":$ceN,"lex_export_sumdl":$ceSumdl,""" +
         s""""eval_relsum_served":$evalRelServed,"eval_relsum_asof":$evalRelAsof,""" +
+        s""""ann_export_ranksum":$annExportSum,"ann_export_rows":$annExportRows,""" +
         s""""walls_s":{"minhash":${d2(mhW)},"simhash_wide":${d2(swW)},""" +
         s""""jaccard":${d2(jacW)},"chunk_dedup":${d2(ckW)},""" +
         s""""bpe_train6":${d2(bpeW)},"bloom_dedup":${d2(bloomW)},""" +
@@ -770,7 +805,8 @@ object ScalingAudit {
         s""""hybrid":${d2(hyW)},"quant_roundtrip":${d2(qtW)},""" +
         s""""refine_store":${d2(rsW)},"chunk_index":${d2(ciW)},""" +
         s""""hamming":${d2(hmW)},"presence":${d2(psW)},"eval":${d2(evW)},""" +
-        s""""lex_export":${d2(lxExpW)},"eval_served_asof":${d2(evSvW)}}}"""
+        s""""lex_export":${d2(lxExpW)},"eval_served_asof":${d2(evSvW)},""" +
+        s""""ann_export":${d2(aeW)}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     ()
