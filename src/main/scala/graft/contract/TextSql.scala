@@ -1135,7 +1135,8 @@ object TextSql {
         "lex_served", queryIds, k, excludeIds = excludeIds),
       retrievalEvalOverSql(
         ivfPqRefinedSql(coarseIds, codebookIds, m, queryIds, nprobe,
-          rerankR, k, excludeNeighbors = excludeIds),
+          rerankR, k, excludeNeighbors = excludeIds,
+          excludeIds = excludeIds),
         "refine_served", queryIds, k, excludeIds = excludeIds))
     arms.map(a => s"SELECT * FROM ($a)").mkString("", " UNION ALL ", " ") +
       "ORDER BY method, query_id"
@@ -1576,10 +1577,22 @@ object TextSql {
     * the refine stage re-scores exactly — the same l2sqSql kernel both
     * engines already cross bitwise — rounds to 4 BEFORE ranking, ties
     * to the lowest neighbor id. */
+  /** `excludeIds` additionally restricts the REFINE-stage e and q CTEs
+    * (vector fetch + query resolution) — the stored semantics, where
+    * both come from the vec store's liveView: a forgotten id cannot be
+    * fetched even as a rerank candidate, and a forgotten QUERY id
+    * resolves no vector and emits no rows (the hammingRefinedSql r18
+    * discipline; without it parity relies on the query set staying
+    * disjoint from the forget set). The nested propose stage's
+    * codebook/coarse lookups are deliberately NOT restricted — the
+    * quantizer is a frozen model artifact, not corpus membership. */
   def ivfPqRefinedSql(coarseIds: Seq[Long], codebookIds: Seq[Long], m: Int,
                       queryIds: Seq[Long], nprobe: Int, rerankR: Int,
-                      k: Int, excludeNeighbors: Seq[Long] = Nil): String =
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+                      k: Int, excludeNeighbors: Seq[Long] = Nil,
+                      excludeIds: Seq[Long] = Nil): String =
+    s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings${
+      if (excludeIds.isEmpty) ""
+      else s" WHERE vec_id NOT IN (${excludeIds.mkString(", ")})"}), " +
       s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (${queryIds.mkString(", ")})), " +
       "cand AS (SELECT query_id, neighbor_id FROM " +
       s"(${ivfPqSearchSql(coarseIds, codebookIds, m, queryIds, nprobe, rerankR,

@@ -404,9 +404,18 @@ object LexIngest {
     stats.repartition(1)
       .write.mode("overwrite").partitionBy("ingest_batch")
       .parquet(s"$staging/stats")
-    StoreCompaction
+    // guard EACH component, not just stats: a clone component holding
+    // only _SUCCESS fails parquet schema inference at first read, and
+    // the tokenizer makes empty postings-with-live-stats unreachable in
+    // practice — but an unreachable-in-practice torn clone is exactly
+    // what the single-store refusal exists to make impossible
+    val postings = StoreCompaction
       .liveViewAsOf(spark, s"$indexPath/postings", "doc_id", maxBatch)
       .withColumn("ingest_batch", lit(0L))
+    require(!postings.isEmpty,
+      s"as-of batch $maxBatch of $indexPath has live stats but an empty " +
+        "postings view — refusing to publish an unreadable clone component")
+    postings
       .repartition(1).sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("ingest_batch")
       .parquet(s"$staging/postings")

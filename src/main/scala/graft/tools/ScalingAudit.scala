@@ -40,6 +40,36 @@ object ScalingAudit {
   private val SubstrDfCap = 16L
   private val TcosDfCap = 64L
 
+  /** Temp-store registry + JVM shutdown-hook backstop: the fingerprint
+    * section's hard `require`s (snapshot-moved, membership) and the
+    * export refusals can throw BETWEEN store creation and the in-line
+    * cleanup loop — without a backstop that aborts the audit leaving
+    * multi-GB decade stores under /tmp (r19 review finding). Local
+    * java.nio deletion, not Hadoop FS: Spark's own shutdown hooks may
+    * have closed the FileSystem by the time this runs. The success path
+    * still deletes promptly in-line; the hook is idempotent. */
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.forEach { d =>
+        try {
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                catch { case _: Throwable => () })
+          }
+        } catch { case _: Throwable => () }
+      }))
+  }
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tmpDirs.add(d)
+    d
+  }
+
   private def pairsOf(groupSizes: DataFrame): Long =
     groupSizes.agg(coalesce(sum(col("g") * (col("g") - 1)), lit(0L)))
       .head.getLong(0) / 2
@@ -354,7 +384,7 @@ object ScalingAudit {
     val aiT0 = System.nanoTime()
     val aiQuant = graft.llm.Similarity.trainIvfPqQuantizer(
       embBig, Seq(7L, 123L, 247L, 331L, 433L), Seq(11L, 57L, 201L, 401L), 4)
-    val aiDir = java.nio.file.Files.createTempDirectory("graft_scale_annidx").toString
+    val aiDir = tmpDir("graft_scale_annidx")
     graft.llm.Similarity.writeIvfPqIndex(embBig, aiQuant, aiDir)
     val aiHits = graft.llm.Similarity.ivfPqProbe(
         graft.llm.Similarity.readIvfPqIndex(spark, aiDir), aiQuant,
@@ -455,7 +485,7 @@ object ScalingAudit {
       c
     }
     val lxTerms = Seq("spark", "window", "customer", "filter")
-    val lxDir = java.nio.file.Files.createTempDirectory("graft_scale_lex").toString
+    val lxDir = tmpDir("graft_scale_lex")
     val lxIngT0 = System.nanoTime()
     for (b <- 0 until 8)
       graft.streaming.LexIngest.ingestBatch(
@@ -495,7 +525,7 @@ object ScalingAudit {
     // read-back model; the docsum must EQUAL ann_indexed_hits, so the
     // artifact diff itself carries the read∘write identity.
     val qtT0 = System.nanoTime()
-    val qtDir = java.nio.file.Files.createTempDirectory("graft_scale_quant").toString
+    val qtDir = tmpDir("graft_scale_quant")
     graft.llm.Similarity.writeIvfPqQuantizer(spark, aiQuant, qtDir)
     val qtBack = graft.llm.Similarity.readIvfPqQuantizer(spark, qtDir)
     val qtHits = graft.llm.Similarity.ivfPqProbe(
@@ -510,7 +540,7 @@ object ScalingAudit {
     // fetch in one BIGINT (store bits ≡ corpus bits, so a drift means
     // the lifecycle moved a vector).
     val rsT0 = System.nanoTime()
-    val rsDir = java.nio.file.Files.createTempDirectory("graft_scale_vecs").toString
+    val rsDir = tmpDir("graft_scale_vecs")
     for (b <- 0 until 4)
       graft.streaming.VecStoreIngest.ingestBatch(
         embBig.filter(col("vec_id") % 4 === b), rsDir, b.toLong)
@@ -528,7 +558,7 @@ object ScalingAudit {
     // cascade-forget (every chunk of each must mark), and the post-
     // forget probe docsum tripwires the surviving-chunk constants.
     val ciT0 = System.nanoTime()
-    val ciDir = java.nio.file.Files.createTempDirectory("graft_scale_chunk").toString
+    val ciDir = tmpDir("graft_scale_chunk")
     val bigChunks = TextAnalysis.ragChunks(big, 30, 10)
       .select(col("doc_id").as("parent_id"),
         (col("doc_id") * 100000L + col("chunk_id")).as("doc_id"),
@@ -561,7 +591,7 @@ object ScalingAudit {
     // equality is asserted HERE, so the emitted values also carry the
     // immune-to-source-maintenance invariant.
     val lxExpT0 = System.nanoTime()
-    val ceDir = java.nio.file.Files.createTempDirectory("graft_scale_lexsnap").toString
+    val ceDir = tmpDir("graft_scale_lexsnap")
     graft.streaming.LexIngest.exportAsOf(spark, ciDir, 1L, s"$ceDir/snap")
     def ceProbeSum(): Long = graft.streaming.LexIngest
       .probe(spark, s"$ceDir/snap", lxTerms, 10)
@@ -604,7 +634,7 @@ object ScalingAudit {
     // erased — a non-restricting as-of would inflate it by a third).
     // The immune-to-source-compaction invariant is hard-asserted.
     val aeT0 = System.nanoTime()
-    val aeDir = java.nio.file.Files.createTempDirectory("graft_scale_annexp").toString
+    val aeDir = tmpDir("graft_scale_annexp")
     for (b <- 0 until 4)
       graft.streaming.VectorIndexIngest.ingestBatch(
         embBig.filter(col("vec_id") % 4 === b), s"$aeDir/idx", aiQuant, b.toLong)
