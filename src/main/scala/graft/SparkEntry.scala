@@ -385,6 +385,32 @@ object SparkEntry {
     s.createDataFrame(
       java.util.Arrays.asList(df.collect().toSeq: _*), df.schema)
 
+  /** Runs INDEPENDENT store builds as concurrent driver-side tasks —
+    * the guide-§2.6 "overlap independent jobs" pattern: Spark's
+    * scheduler happily runs several jobs at once inside one
+    * application; the multi-store serving rows were only sequential
+    * because the driver called their ingests sequentially. Each task
+    * here owns a DISJOINT store directory (the single-writer-per-store
+    * contract is preserved — parallelism is across stores, never
+    * within one store's batch order), so the bytes each store ends up
+    * with are identical to the sequential build, and every probe
+    * result is bitwise unchanged. Measured on the four-store rows
+    * (q_rag_served / q_eval_served): the build phase's tiny-data job
+    * floors overlap instead of adding. Exceptions propagate unwrapped
+    * (first failure wins), matching the sequential behavior. */
+  private def concurrently[T](tasks: (() => T)*): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = t()
+      }))
+      futs.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Schema-adaptive events reader: every source column plus a canonical
     * `tus` BIGINT epoch-microseconds column in place of the raw `ts`.
     * The generator has shipped events.parquet as both TIMESTAMP(NANOS)
@@ -590,10 +616,18 @@ object SparkEntry {
       val d = docs(s, dir)
       def tag(df: DataFrame, name: String) =
         df.select(col("da"), col("db")).withColumn(name, lit(1L))
-      tag(Dedup.minhashPairs(d, JacThreshold), "mh")
-        .join(tag(Dedup.simhashPairsWide(d, maxHamming = 2), "sh"),
+      // the three signal operators are EAGER (each materializes its
+      // pair table internally) and fully independent — overlap their
+      // builds on driver threads (guide-§2.6; outputs are the same
+      // materialized tables, so the fold below is bitwise unchanged)
+      val Seq(mhP, shP, tcP) = concurrently(
+        () => Dedup.minhashPairs(d, JacThreshold),
+        () => Dedup.simhashPairsWide(d, maxHamming = 2),
+        () => Dedup.tfidfCosinePairs(d, TcosThreshold, TcosDfCap))
+      tag(mhP, "mh")
+        .join(tag(shP, "sh"),
           Seq("da", "db"), "full_outer")
-        .join(tag(Dedup.tfidfCosinePairs(d, TcosThreshold, TcosDfCap), "tc"),
+        .join(tag(tcP, "tc"),
           Seq("da", "db"), "full_outer")
         .select((coalesce(col("mh"), lit(0L)) === 1L).as("in_minhash"),
           (coalesce(col("sh"), lit(0L)) === 1L).as("in_simhash"),
@@ -610,10 +644,14 @@ object SparkEntry {
     // scale, not just argued in SCALING.md. One exact-grid division.
     "q_lsh_recall" -> ((s, dir) => {
       val d = docs(s, dir)
-      val exact = Dedup.jaccardPairs(d, JacThreshold, JacDfCap)
-        .select(col("da"), col("db"))
-      val banded = Dedup.minhashPairs(d, JacThreshold)
-        .select(col("da"), col("db"))
+      // both arms are EAGER and independent — overlap them on driver
+      // threads (guide-§2.6); each arm's materialized pair table is
+      // bitwise what the sequential build produced
+      val Seq(exactP, bandedP) = concurrently(
+        () => Dedup.jaccardPairs(d, JacThreshold, JacDfCap),
+        () => Dedup.minhashPairs(d, JacThreshold))
+      val exact = exactP.select(col("da"), col("db"))
+      val banded = bandedP.select(col("da"), col("db"))
       exact.withColumn("x", lit(1L))
         .join(banded.withColumn("b", lit(1L)), Seq("da", "db"), "full_outer")
         .agg(sum(coalesce(col("x"), lit(0L))).as("n_exact"),
@@ -717,13 +755,20 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft_hamming_served").toString
       try {
-        for (b <- 0 until 3) {
-          val part = e.filter(col("vec_id") % 3 === b)
-          graft.streaming.SigStoreIngest.ingestBatch(part, s"$root/sigs", b.toLong)
-          graft.streaming.VecStoreIngest.ingestBatch(part, s"$root/vecs", b.toLong)
-        }
-        graft.streaming.SigStoreIngest.markDeleted(s, s"$root/sigs", ForgetVecIds)
-        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
+        // two INDEPENDENT stores, one driver thread each (`concurrently`)
+        concurrently(
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.SigStoreIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/sigs", b.toLong)
+            graft.streaming.SigStoreIngest.markDeleted(s, s"$root/sigs", ForgetVecIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VecStoreIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+            graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
+          })
         localRelation(s, Similarity.hammingRefinedStored(
             graft.streaming.SigStoreIngest.view(s, s"$root/sigs"),
             graft.streaming.VecStoreIngest.view(s, s"$root/vecs"),
@@ -832,19 +877,33 @@ object SparkEntry {
         .createTempDirectory("graft_eval_served").toString
       try {
         val d = docs(s, dir).select(col("doc_id"), col("text"))
-        for (b <- 0 until 3) {
-          val part = e.filter(col("vec_id") % 3 === b)
-          graft.streaming.SigStoreIngest.ingestBatch(part, s"$root/sigs", b.toLong)
-          graft.streaming.VectorIndexIngest.ingestBatch(
-            part, s"$root/idx", quant, b.toLong)
-          graft.streaming.VecStoreIngest.ingestBatch(part, s"$root/vecs", b.toLong)
-          graft.streaming.LexIngest.ingestBatch(
-            d.filter(col("doc_id") % 3 === b), s"$root/lex", b.toLong)
-        }
-        graft.streaming.SigStoreIngest.markDeleted(s, s"$root/sigs", ForgetVecIds)
-        graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetVecIds)
-        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
-        graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetVecIds)
+        // four INDEPENDENT stores: one driver thread each (batch order
+        // sequential within a store; bytes identical — `concurrently`)
+        concurrently(
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.SigStoreIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/sigs", b.toLong)
+            graft.streaming.SigStoreIngest.markDeleted(s, s"$root/sigs", ForgetVecIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VectorIndexIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/idx", quant, b.toLong)
+            graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetVecIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VecStoreIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+            graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.LexIngest.ingestBatch(
+                d.filter(col("doc_id") % 3 === b), s"$root/lex", b.toLong)
+            graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetVecIds)
+          })
         val vecs = graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
         val qrels = Similarity.labelQrels(
           e.filter(!col("vec_id").isin(ForgetVecIds: _*)), AnnQueryIds)
@@ -2226,14 +2285,20 @@ object SparkEntry {
         .createTempDirectory("graft_hybrid_indexed").toString
       try {
         val d = docs(s, dir).select(col("doc_id"), col("text"))
-        for (b <- 0 until 3) {
-          graft.streaming.LexIngest.ingestBatch(
-            d.filter(col("doc_id") % 3 === b), s"$root/lex", b.toLong)
-          graft.streaming.VectorIndexIngest.ingestBatch(
-            e.filter(col("vec_id") % 3 === b), s"$root/vec", quant, b.toLong)
-        }
-        graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetDocIds)
-        graft.streaming.StoreCompaction.markDeleted(s, s"$root/vec", ForgetDocIds)
+        // two INDEPENDENT stores, one driver thread each (`concurrently`)
+        concurrently(
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.LexIngest.ingestBatch(
+                d.filter(col("doc_id") % 3 === b), s"$root/lex", b.toLong)
+            graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetDocIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VectorIndexIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/vec", quant, b.toLong)
+            graft.streaming.StoreCompaction.markDeleted(s, s"$root/vec", ForgetDocIds)
+          })
         val lex = graft.streaming.LexIngest
           .probe(s, s"$root/lex", Bm25Terms, RrfPoolK)
           .select(lit(HybridQueryId).as("query_id"),
@@ -2323,15 +2388,20 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft_mmr_served").toString
       try {
-        for (b <- 0 until 3) {
-          val part = e.filter(col("vec_id") % 3 === b)
-          graft.streaming.VectorIndexIngest.ingestBatch(
-            part, s"$root/idx", quant, b.toLong)
-          graft.streaming.VecStoreIngest.ingestBatch(
-            part, s"$root/vecs", b.toLong)
-        }
-        graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetDocIds)
-        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetDocIds)
+        // two INDEPENDENT stores, one driver thread each (`concurrently`)
+        concurrently(
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VectorIndexIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/idx", quant, b.toLong)
+            graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetDocIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VecStoreIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+            graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetDocIds)
+          })
         Similarity.mmrRerankStored(
             graft.streaming.VectorIndexIngest.index(s, s"$root/idx"),
             graft.streaming.VectorIndexIngest.quantizer(s, s"$root/idx"),
@@ -2359,15 +2429,20 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft_refine_served").toString
       try {
-        for (b <- 0 until 3) {
-          val part = e.filter(col("vec_id") % 3 === b)
-          graft.streaming.VectorIndexIngest.ingestBatch(
-            part, s"$root/idx", quant, b.toLong)
-          graft.streaming.VecStoreIngest.ingestBatch(
-            part, s"$root/vecs", b.toLong)
-        }
-        graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetVecIds)
-        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
+        // two INDEPENDENT stores, one driver thread each (`concurrently`)
+        concurrently(
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VectorIndexIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/idx", quant, b.toLong)
+            graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetVecIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VecStoreIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+            graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetVecIds)
+          })
         val vecs = graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
         val cands = Similarity.ivfPqProbe(
             graft.streaming.VectorIndexIngest.index(s, s"$root/idx"),
@@ -2509,13 +2584,19 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft_forget_compliance").toString
       try {
-        for (b <- 0 until 3) {
-          graft.streaming.DocStoreIngest.ingestBatch(
-            d.filter(col("doc_id") % 3 === b), s"$root/docs", b.toLong)
-          graft.streaming.VecStoreIngest.ingestBatch(
-            e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
-        }
-        graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+        // two INDEPENDENT stores, one driver thread each (`concurrently`)
+        concurrently(
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.DocStoreIngest.ingestBatch(
+                d.filter(col("doc_id") % 3 === b), s"$root/docs", b.toLong)
+            graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VecStoreIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+          })
         localRelation(s, graft.ops.StoreAudit.forgetCompliance(ForgetDocIds, Seq(
           "doc" -> graft.streaming.DocStoreIngest.view(s, s"$root/docs"),
           "vec" -> graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
@@ -2541,13 +2622,19 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft_store_consistency").toString
       try {
-        for (b <- 0 until 3)
-          graft.streaming.DocStoreIngest.ingestBatch(
-            d.filter(col("doc_id") % 3 === b), s"$root/docs", b.toLong)
-        graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
-        for (b <- 0 until 2) // vec store never receives batch 2
-          graft.streaming.VecStoreIngest.ingestBatch(
-            e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+        // two INDEPENDENT stores, one driver thread each (`concurrently`)
+        concurrently(
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.DocStoreIngest.ingestBatch(
+                d.filter(col("doc_id") % 3 === b), s"$root/docs", b.toLong)
+            graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+          },
+          () => {
+            for (b <- 0 until 2) // vec store never receives batch 2
+              graft.streaming.VecStoreIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+          })
         localRelation(s, graft.ops.StoreAudit.presence(Seq(
           "doc" -> graft.streaming.DocStoreIngest.view(s, s"$root/docs"),
           "vec" -> graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
@@ -2577,19 +2664,34 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft_rag_served").toString
       try {
-        for (b <- 0 until 3) {
-          val dp = d.filter(col("doc_id") % 3 === b)
-          val ep = e.filter(col("vec_id") % 3 === b)
-          graft.streaming.LexIngest.ingestBatch(dp, s"$root/lex", b.toLong)
-          graft.streaming.VectorIndexIngest.ingestBatch(
-            ep, s"$root/idx", quant, b.toLong)
-          graft.streaming.VecStoreIngest.ingestBatch(ep, s"$root/vecs", b.toLong)
-          graft.streaming.DocStoreIngest.ingestBatch(dp, s"$root/docs", b.toLong)
-        }
-        graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetDocIds)
-        graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetDocIds)
-        graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetDocIds)
-        graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+        // four INDEPENDENT stores: build each on its own driver thread
+        // (batch order stays sequential inside a store; bytes identical
+        // to the sequential build — see `concurrently`)
+        concurrently(
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.LexIngest.ingestBatch(
+                d.filter(col("doc_id") % 3 === b), s"$root/lex", b.toLong)
+            graft.streaming.LexIngest.markDeleted(s, s"$root/lex", ForgetDocIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VectorIndexIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/idx", quant, b.toLong)
+            graft.streaming.StoreCompaction.markDeleted(s, s"$root/idx", ForgetDocIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.VecStoreIngest.ingestBatch(
+                e.filter(col("vec_id") % 3 === b), s"$root/vecs", b.toLong)
+            graft.streaming.VecStoreIngest.markDeleted(s, s"$root/vecs", ForgetDocIds)
+          },
+          () => {
+            for (b <- 0 until 3)
+              graft.streaming.DocStoreIngest.ingestBatch(
+                d.filter(col("doc_id") % 3 === b), s"$root/docs", b.toLong)
+            graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
+          })
         val vecs = graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
         val lex = graft.streaming.LexIngest
           .probe(s, s"$root/lex", Bm25Terms, RrfPoolK)

@@ -321,6 +321,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = positionalGrams(toksed, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // force the gram cache (which forces toksed through it) BEFORE the
+    // plan fans out: firstDoc's broadcast build, the dropped join and
+    // the reassembly branches otherwise start concurrently on COLD
+    // caches and each recomputes the tokenize/gram pipeline from
+    // parquet (measured r19: two ~15 CPU-s stages re-reading the
+    // source — the jaccardPairs force discipline applied here)
+    grams.count()
     val firstDoc = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     // token positions covered by some duplicated gram occurrence; the
     // n-way explode touches only dropped occurrences, and the distinct

@@ -133,21 +133,35 @@ object TextAnalysis {
       s"need profileK, docK >= 1, got $profileK, $docK")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
-    val grams = docs
+    // ONE corpus pass: native char-trigram explode (graft.functions
+    // .CharNGrams — the HOF transform/substr form it replaces is
+    // interpreted, and r19 measured it at ~12-16 executor-CPU-s per
+    // pass) folded immediately into the (doc, lang, gram) count table.
+    // Persisting the AGGREGATE instead of the raw gram stream means
+    // every downstream consumer (both profile windows AND the
+    // duplicated broadcast builds — Spark reuses no DataFrame
+    // subplans) re-reads a table of distinct per-doc grams, never the
+    // corpus; forced before the fan-out so the concurrent broadcast
+    // builds can't race the cold cache back to parquet (the
+    // jaccardPairs forceAndCheckPackable lesson — r19 measured three
+    // full re-computations without it).
+    val dg = docs
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), col("lang"),
-        explode(when(length(col("text")) >= 3,
-          transform(sequence(lit(1), length(col("text")) - 2),
-            i => col("text").substr(i, lit(3))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+        explode(coalesce(graft.functions.CharNGrams(col("text"), 3),
+          array().cast("array<string>"))).as("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dg.count()
+    // per-language counts are the SUM of per-doc counts (exact BIGINT
+    // addition — bit-identical to counting the raw gram stream)
     val wl = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
-    val langProf = grams.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+    val langProf = dg.groupBy(col("lang"), col("g")).agg(sum(col("n")).as("n"))
       .withColumn("rl", row_number().over(wl).cast("long"))
       .filter(col("rl") <= profileK)
       .select(col("lang").as("plang"), col("g"), col("rl"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("g"))
-    val docProf = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+    val docProf = dg
       .withColumn("rd", row_number().over(wd).cast("long"))
       .filter(col("rd") <= docK)
       .select(col("doc_id"), col("g"), col("rd"))
@@ -165,7 +179,7 @@ object TextAnalysis {
         (col("pred_lang") === col("lang")).as("correct"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize before releasing the shared gram cache
-    grams.unpersist(false)
+    dg.unpersist(false)
     out
   }
 
@@ -2655,9 +2669,11 @@ object TextAnalysis {
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-    val charPairs = when(length(col("w")) >= 2,
-      transform(sequence(lit(1), length(col("w")) - 1), i => col("w").substr(i, lit(2))))
-      .otherwise(array().cast("array<string>"))
+    // native char-bigram pass (CharNGrams — same semantics as the HOF
+    // transform/substr form incl. the <2-char empty-array guard; the
+    // coalesce keeps null words on the empty-array contract)
+    val charPairs = coalesce(graft.functions.CharNGrams(col("w"), 2),
+      array().cast("array<string>"))
     val counts = words
       .select(col("wc"), explode(charPairs).as("pair"))
       .groupBy(col("pair")).agg(sum(col("wc")).as("n"))

@@ -43,7 +43,10 @@ private[streaming] object KeyedStoreCore {
             .select(col(idCol)),
           Seq(idCol), "left_anti")
       }
-    if (admitted.isEmpty) return
+    // empty only the admission anti-join can produce: without
+    // dedupAdmission, admitted IS rows (whose source isEmpty already
+    // ran) — skip the limit-1 job per batch (r19 job-floor trim)
+    if (dedupAdmission && admitted.isEmpty) return
     admitted
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")

@@ -77,7 +77,11 @@ object LexIngest {
     val batchDocs = admitted
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (batchDocs.isEmpty) return
+      // empty only the admission anti-join can produce: without
+      // dedupAdmission, batchDocs IS raw, whose isEmpty already ran —
+      // re-checking would pay one limit-1 job per batch for nothing
+      // (r19: ~1 job floor per batch across every lex lifecycle line)
+      if (dedupAdmission && batchDocs.isEmpty) return
       TextAnalysis.lexPostings(batchDocs)
         .withColumn("ingest_batch", lit(batchId))
         .write.mode("overwrite")

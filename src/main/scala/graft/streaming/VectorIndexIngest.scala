@@ -94,7 +94,10 @@ object VectorIndexIngest {
             .select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       }
-    if (admitted.isEmpty) return
+    // empty only the admission anti-join can produce: without
+    // dedupAdmission, admitted IS batch (already isEmpty-checked) —
+    // skip the limit-1 job per batch (r19 job-floor trim)
+    if (dedupAdmission && admitted.isEmpty) return
     Similarity.ivfPqIndexRows(admitted, q)
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
