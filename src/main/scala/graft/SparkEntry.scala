@@ -398,18 +398,7 @@ object SparkEntry {
     * (q_rag_served / q_eval_served): the build phase's tiny-data job
     * floors overlap instead of adding. Exceptions propagate unwrapped
     * (first failure wins), matching the sequential behavior. */
-  private def concurrently[T](tasks: (() => T)*): Seq[T] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
-    try {
-      val futs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[T] {
-        override def call(): T = t()
-      }))
-      futs.map { f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      }
-    } finally pool.shutdown()
-  }
+  private def concurrently[T](tasks: (() => T)*): Seq[T] = Par.run(tasks: _*)
 
   /** Schema-adaptive events reader: every source column plus a canonical
     * `tus` BIGINT epoch-microseconds column in place of the raw `ts`.
@@ -911,21 +900,26 @@ object SparkEntry {
           Similarity.retrievalEval(
             ranked.select(col("query_id"), col("neighbor_id"), col("rn")),
             qrels, PqSearchK).withColumn("method", lit(name))
-        val ham = Similarity.hammingRefinedStored(
-          graft.streaming.SigStoreIngest.view(s, s"$root/sigs"), vecs,
-          AnnQueryIds, proposeR = 50, k = PqSearchK)
-        val rf = Similarity.refineExact(vecs,
-          Similarity.ivfPqProbe(
-              graft.streaming.VectorIndexIngest.index(s, s"$root/idx"),
-              graft.streaming.VectorIndexIngest.quantizer(s, s"$root/idx"),
-              Similarity.collectVectors(vecs, AnnQueryIds),
-              nprobe = 2, k = RefineR)
-            .select(col("query_id"), col("neighbor_id")),
-          AnnQueryIds, PqSearchK)
-        val lx = graft.streaming.LexIngest
-          .probeMany(s, s"$root/lex", Bm25Queries, PqSearchK)
-          .select(col("query_id"), col("doc_id").as("neighbor_id"),
-            col("rn").cast("long").as("rn"))
+        // arm CONSTRUCTION runs driver-side jobs (query-vector collects,
+        // stored-quantizer reads, corpus-constant folds) — overlap the
+        // three independent arms like the store builds above; the
+        // returned frames are the same lazy plans either way
+        val Seq(ham, rf, lx) = concurrently(
+          () => Similarity.hammingRefinedStored(
+            graft.streaming.SigStoreIngest.view(s, s"$root/sigs"), vecs,
+            AnnQueryIds, proposeR = 50, k = PqSearchK),
+          () => Similarity.refineExact(vecs,
+            Similarity.ivfPqProbe(
+                graft.streaming.VectorIndexIngest.index(s, s"$root/idx"),
+                graft.streaming.VectorIndexIngest.quantizer(s, s"$root/idx"),
+                Similarity.collectVectors(vecs, AnnQueryIds),
+                nprobe = 2, k = RefineR)
+              .select(col("query_id"), col("neighbor_id")),
+            AnnQueryIds, PqSearchK),
+          () => graft.streaming.LexIngest
+            .probeMany(s, s"$root/lex", Bm25Queries, PqSearchK)
+            .select(col("query_id"), col("doc_id").as("neighbor_id"),
+              col("rn").cast("long").as("rn")))
         localRelation(s, graded("hamming_served", ham)
           .unionByName(graded("lex_served", lx))
           .unionByName(graded("refine_served", rf))
@@ -2299,16 +2293,18 @@ object SparkEntry {
                 e.filter(col("vec_id") % 3 === b), s"$root/vec", quant, b.toLong)
             graft.streaming.StoreCompaction.markDeleted(s, s"$root/vec", ForgetDocIds)
           })
-        val lex = graft.streaming.LexIngest
-          .probe(s, s"$root/lex", Bm25Terms, RrfPoolK)
-          .select(lit(HybridQueryId).as("query_id"),
-            col("doc_id").as("neighbor_id"), col("rn"))
-        val sem = Similarity.ivfPqProbe(
-            graft.streaming.VectorIndexIngest.index(s, s"$root/vec"),
-            graft.streaming.VectorIndexIngest.quantizer(s, s"$root/vec"),
-            Similarity.collectVectors(e, Seq(HybridQueryId)),
-            nprobe = 3, k = RrfPoolK)
-          .select(col("query_id"), col("neighbor_id"), col("rn"))
+        // probe-arm construction overlaps (the q_rag_served rationale)
+        val Seq(lex, sem) = concurrently(
+          () => graft.streaming.LexIngest
+            .probe(s, s"$root/lex", Bm25Terms, RrfPoolK)
+            .select(lit(HybridQueryId).as("query_id"),
+              col("doc_id").as("neighbor_id"), col("rn")),
+          () => Similarity.ivfPqProbe(
+              graft.streaming.VectorIndexIngest.index(s, s"$root/vec"),
+              graft.streaming.VectorIndexIngest.quantizer(s, s"$root/vec"),
+              Similarity.collectVectors(e, Seq(HybridQueryId)),
+              nprobe = 3, k = RrfPoolK)
+            .select(col("query_id"), col("neighbor_id"), col("rn")))
         val out = Similarity.rrfFuse(lex, sem, RrfConst, RrfTopK)
           .orderBy(col("rn"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2693,16 +2689,20 @@ object SparkEntry {
             graft.streaming.DocStoreIngest.markDeleted(s, s"$root/docs", ForgetDocIds)
           })
         val vecs = graft.streaming.VecStoreIngest.view(s, s"$root/vecs")
-        val lex = graft.streaming.LexIngest
-          .probe(s, s"$root/lex", Bm25Terms, RrfPoolK)
-          .select(lit(HybridQueryId).as("query_id"),
-            col("doc_id").as("neighbor_id"), col("rn"))
-        val sem = Similarity.ivfPqProbe(
-            graft.streaming.VectorIndexIngest.index(s, s"$root/idx"),
-            graft.streaming.VectorIndexIngest.quantizer(s, s"$root/idx"),
-            Similarity.collectVectors(vecs, Seq(HybridQueryId)),
-            nprobe = 3, k = RrfPoolK)
-          .select(col("query_id"), col("neighbor_id"), col("rn"))
+        // probe-arm construction overlaps too (corpus-constant folds on
+        // the lex side, query-vector collect + stored-quantizer read on
+        // the semantic side — independent driver-side jobs)
+        val Seq(lex, sem) = concurrently(
+          () => graft.streaming.LexIngest
+            .probe(s, s"$root/lex", Bm25Terms, RrfPoolK)
+            .select(lit(HybridQueryId).as("query_id"),
+              col("doc_id").as("neighbor_id"), col("rn")),
+          () => Similarity.ivfPqProbe(
+              graft.streaming.VectorIndexIngest.index(s, s"$root/idx"),
+              graft.streaming.VectorIndexIngest.quantizer(s, s"$root/idx"),
+              Similarity.collectVectors(vecs, Seq(HybridQueryId)),
+              nprobe = 3, k = RrfPoolK)
+            .select(col("query_id"), col("neighbor_id"), col("rn")))
         val cands = Similarity.rrfFuse(lex, sem, RrfConst, RrfPoolK)
           .filter(col("neighbor_id") =!= HybridQueryId)
           .select(col("neighbor_id").as("vec_id"))

@@ -1330,6 +1330,11 @@ object TextAnalysis {
     require(chunkTokens >= 1, s"need chunkTokens >= 1, got $chunkTokens")
     val ch = chunkTable(docs, chunkTokens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // force before the fan-out: keepers' broadcast build, the semi-join
+    // probe and the reassembly branches start concurrently, and on a
+    // cold cache each recomputes the chunk explode from parquet
+    // (measured r19: three ~8-10 CPU-s stages re-reading the source)
+    ch.count()
     val keepers = ch.groupBy(col("chunk_text"))
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
       .select(col("m.doc_id").as("doc_id"), col("m.chunk_id").as("chunk_id"))
@@ -1356,6 +1361,10 @@ object TextAnalysis {
     require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
     val ch = chunkTable(docs, chunkTokens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // force before the fan-out (the chunkDedup rationale: three cold-
+    // cache consumers re-ran the chunk explode — measured ~14-16 CPU-s
+    // per duplicate stage on q_boilerplate at sf0.1)
+    ch.count()
     val boiler = ch.groupBy(col("chunk_text"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
@@ -2054,7 +2063,8 @@ object TextAnalysis {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(k >= 1, s"need k >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val edges = textrankEdges(docs, Seq.empty)
+    val (edgesRaw, und) = textrankEdges(docs, Seq.empty)
+    val edges = edgesRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (pr, cache) = textrankWalk(edges, Seq.empty, iterations)
     // TakeOrderedAndProject trims the vocab to k rows BEFORE the
@@ -2067,6 +2077,7 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     edges.unpersist(false)
+    und.unpersist(false)
     cache.foreach(_.unpersist(false))
     out
   }
@@ -2083,7 +2094,8 @@ object TextAnalysis {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(k >= 1, s"need k >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val edges = textrankEdges(docs, Seq("doc_id"))
+    val (edgesRaw, und) = textrankEdges(docs, Seq("doc_id"))
+    val edges = edgesRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (pr, cache) = textrankWalk(edges, Seq("doc_id"), iterations)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pr").desc, col("w"))
@@ -2094,13 +2106,30 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     edges.unpersist(false)
+    und.unpersist(false)
     cache.foreach(_.unpersist(false))
     out
   }
 
   /** Symmetrized DISTINCT word-adjacency edges, optionally keyed
-    * (keys ++ (src, dst)). Shared by the corpus and per-doc walks. */
-  private def textrankEdges(docs: DataFrame, keys: Seq[String]): DataFrame = {
+    * (keys ++ (src, dst)). Shared by the corpus and per-doc walks.
+    *
+    * Shape (r19): canonicalize each adjacency to its UNDIRECTED
+    * (least, greatest) form first, distinct THAT, and symmetrize by
+    * unioning the distinct half-edge set with its swap. The previous
+    * union-then-distinct form evaluated the tokenize/zip/explode
+    * pipeline TWICE (Spark reuses no DataFrame subplans — one full
+    * bigram pass per union branch) and hash-distinct'ed 2x the rows;
+    * here the corpus pass runs once, distinct sees half the rows, and
+    * the swap branch is a projection of the persisted half-edge cache
+    * (forced before the union so the two branches can't race it cold).
+    * Set-equivalent by construction: w1 != w2 is filtered before
+    * canonicalization, so {(a,b),(b,a)} maps 1:1 to {(min,max)} and
+    * back — downstream degrees, walks, and rankings are bitwise
+    * unchanged (integer math over the same edge SET).
+    * Returns (edges, half-edge cache handle) — the caller releases the
+    * cache after materializing its output. */
+  private def textrankEdges(docs: DataFrame, keys: Seq[String]): (DataFrame, DataFrame) = {
     val kc = keys.map(col)
     // adjacency pairs straight from zip-shifted slices (the trigram
     // gramRows shape) — no join-then-resplit string round-trip on the
@@ -2114,9 +2143,15 @@ object TextAnalysis {
         slice(t, lit(2), len).as("w2"))).as("g")): _*)
       .select((kc :+ col("g.w1").as("w1") :+ col("g.w2").as("w2")): _*)
       .filter(col("w1") =!= col("w2"))
-    bg.select((kc :+ col("w1").as("src") :+ col("w2").as("dst")): _*)
-      .unionAll(bg.select((kc :+ col("w2").as("src") :+ col("w1").as("dst")): _*))
+    val und = bg
+      .select((kc :+ least(col("w1"), col("w2")).as("src")
+        :+ greatest(col("w1"), col("w2")).as("dst")): _*)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    val edges = und.unionAll(
+      und.select((kc :+ col("dst").as("src") :+ col("src").as("dst")): _*))
+    (edges, und)
   }
 
   /** The shared integer PageRank walk over a (keys, src, dst) edge

@@ -81,18 +81,30 @@ object IndexedIngest {
       .join(dropIds, Seq("doc_id"), "left_anti")
       .withColumn("ingest_batch", lit(batchId))
       .persist()
-    survivors.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(corpusPath)
-    Dedup.bandIndexRows(survivors.select(col("doc_id"), col("text")))
-      .withColumn("ingest_batch", lit(batchId))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(indexPath)
+    // force the survivor cache with one job, then land corpus and index
+    // CONCURRENTLY (guide-§2.6 driver overlap): both are deterministic
+    // projections of the same cached survivors into their own batch
+    // partitions, so write order never mattered for replay — a torn
+    // attempt in either order is healed by the same dynamic-overwrite
+    // rewrite (the index-written/corpus-missing case replays as a first
+    // batch and overwrites its own index partition byte-identically).
+    // Per-batch wall drops from write+write to max(write, write).
+    survivors.count()
+    graft.Par.run(
+      () =>
+        survivors.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(corpusPath),
+      () =>
+        Dedup.bandIndexRows(survivors.select(col("doc_id"), col("text")))
+          .withColumn("ingest_batch", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(indexPath))
     survivors.unpersist(false)
     dropIds.unpersist(false)
     ()

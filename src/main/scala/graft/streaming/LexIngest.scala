@@ -82,35 +82,50 @@ object LexIngest {
       // re-checking would pay one limit-1 job per batch for nothing
       // (r19: ~1 job floor per batch across every lex lifecycle line)
       if (dedupAdmission && batchDocs.isEmpty) return
-      TextAnalysis.lexPostings(batchDocs)
-        .withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(s"$indexPath/postings")
-      // per-DOCUMENT stats (doc_id, dl): still additive across batches,
-      // and subtractable per doc — a deletion-vector probe recomputes the
-      // exact (n, Σdl) of the SURVIVING corpus, which is what keeps the
-      // post-forget ranking bitwise-equal to the one-shot scorer over the
-      // surviving documents
-      TextAnalysis.lexDocStats(batchDocs)
-        .withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(s"$indexPath/stats")
-      // per-BATCH one-row aggregate (n, sumdl): the probe-side corpus
-      // constants become O(committed batches) instead of a per-probe scan
-      // of every per-doc row — BIGINT addition is associative, so the
-      // folded totals are bit-identical to the per-doc sum. Same pure-
-      // projection exactly-once story; the per-doc rows stay the source
-      // of truth (forget subtraction and compaction rebuilds need them).
-      TextAnalysis.lexStats(batchDocs)
-        .withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(s"$indexPath/stats_agg")
+      // materialize the shared batch cache with ONE cheap job before the
+      // fan-out, then land the three components CONCURRENTLY (guide
+      // §2.6 driver-thread overlap): they are separate sub-stores of
+      // the same single writer with no ordering dependency — a torn
+      // ingest was already possible between the sequential writes and
+      // is healed identically by the deterministic replay rewrite,
+      // while the per-batch wall drops from the sum of three write
+      // jobs to the slowest one (postings). Bytes per component are
+      // unchanged.
+      batchDocs.count()
+      graft.Par.run(
+        () =>
+          TextAnalysis.lexPostings(batchDocs)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(s"$indexPath/postings"),
+        // per-DOCUMENT stats (doc_id, dl): still additive across batches,
+        // and subtractable per doc — a deletion-vector probe recomputes the
+        // exact (n, Σdl) of the SURVIVING corpus, which is what keeps the
+        // post-forget ranking bitwise-equal to the one-shot scorer over the
+        // surviving documents
+        () =>
+          TextAnalysis.lexDocStats(batchDocs)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(s"$indexPath/stats"),
+        // per-BATCH one-row aggregate (n, sumdl): the probe-side corpus
+        // constants become O(committed batches) instead of a per-probe scan
+        // of every per-doc row — BIGINT addition is associative, so the
+        // folded totals are bit-identical to the per-doc sum. Same pure-
+        // projection exactly-once story; the per-doc rows stay the source
+        // of truth (forget subtraction and compaction rebuilds need them).
+        () =>
+          TextAnalysis.lexStats(batchDocs)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(s"$indexPath/stats_agg"))
+      ()
     } finally batchDocs.unpersist(false)
   }
 

@@ -107,18 +107,26 @@ object SpanIngest {
         merged
       }
     val cleaned = cleanedBase.withColumn("ingest_batch", lit(batchId))
-    cleaned.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(corpusPath)
-    Dedup.spanIndexRows(cleaned.select(col("doc_id"), col("text")), n)
-      .withColumn("ingest_batch", lit(batchId))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(indexPath)
+    // cleanedBase is already persisted + materialized, so both writes
+    // are cache reads of the one computation — land them CONCURRENTLY
+    // (the IndexedIngest driver-overlap rationale; write order never
+    // mattered for replay, a torn attempt in either order rewrites its
+    // own partitions byte-identically)
+    graft.Par.run(
+      () =>
+        cleaned.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(corpusPath),
+      () =>
+        Dedup.spanIndexRows(cleaned.select(col("doc_id"), col("text")), n)
+          .withColumn("ingest_batch", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(indexPath))
     cleanedBase.unpersist(false)
     ()
   }
