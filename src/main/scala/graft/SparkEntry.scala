@@ -4037,7 +4037,10 @@ object SparkEntry {
         "FROM top JOIN ut ua ON ua.w = string_split(top.pair, ' ')[1] " +
         "JOIN ut ub ON ub.w = string_split(top.pair, ' ')[2]) " +
         "SELECT pair, n_pairs, " +
-        "ln(CAST(n_pairs * t * t AS DOUBLE) / CAST(b * ca * cb AS DOUBLE)) AS pmi " +
+        // round-4 + sign-of-zero guard, mirroring the Spark side's new
+        // rounding (libm ln diverges by 1 ulp cross-engine — hit live
+        // at sf0.001 in r19; the LM-scorer round discipline applies)
+        "round(ln(CAST(n_pairs * t * t AS DOUBLE) / CAST(b * ca * cb AS DOUBLE)), 4) + 0.0 AS pmi " +
         "FROM j ORDER BY n_pairs DESC, pair"),
 
     "q_vocab_growth" ->

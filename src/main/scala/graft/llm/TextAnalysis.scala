@@ -752,9 +752,17 @@ object TextAnalysis {
       .join(broadcast(top), Seq("wa"))
     uni.select(col("w").as("wb"), col("c").as("cb"))
       .join(broadcast(j1), Seq("wb"))
+      // round-4 like every other ln output (the LM-scorer discipline):
+      // the ln ARGUMENT is one division of two exact BIGINT products
+      // (bitwise identical cross-engine), but ln itself is libm — Java
+      // Math.log and DuckDB/glibc ln diverge by 1 ulp on real corpus
+      // values (hit LIVE at sf0.001 in r19: x = 0x1.6601ba28dca33p+0
+  // -> ...786 vs ...787). Raw pmi was the one LM-family float
+      // emitted unrounded; round-4 absorbs the last-bit divergence
+      // exactly as it does for the bigram/trigram scorers.
       .select(col("pair"), col("n_pairs"),
-        log((col("n_pairs") * col("t") * col("t")).cast("double") /
-          (col("bt") * col("ca") * col("cb")).cast("double")).as("pmi"))
+        round(log((col("n_pairs") * col("t") * col("t")).cast("double") /
+          (col("bt") * col("ca") * col("cb")).cast("double")), 4).as("pmi"))
   }
 
   /** Vocabulary-growth (Heaps) curve over ingestion order — the

@@ -2315,9 +2315,12 @@ class LlmSpec extends SparkSpec {
   test("collocations: counts and PMI by hand on the exact product grid") {
     val out = TextAnalysis.collocations(docsDF(1L -> "x y x y"), 2)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    // bigrams: (x y):2, (y x):1; T=4 tokens, B=3 bigrams, c_x=c_y=2
-    out("x y") shouldBe ((2L, math.log(32.0 / 12.0)))
-    out("y x") shouldBe ((1L, math.log(16.0 / 12.0)))
+    // bigrams: (x y):2, (y x):1; T=4 tokens, B=3 bigrams, c_x=c_y=2;
+    // pmi rounds to 4 decimals (the LM-scorer ln discipline, r19)
+    def r4(d: Double): Double =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out("x y") shouldBe ((2L, r4(math.log(32.0 / 12.0))))
+    out("y x") shouldBe ((1L, r4(math.log(16.0 / 12.0))))
   }
 
   test("tokenGini: dominated mixture vs equal shares, exact numerator") {
