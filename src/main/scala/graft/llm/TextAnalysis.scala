@@ -757,7 +757,7 @@ object TextAnalysis {
       // (bitwise identical cross-engine), but ln itself is libm — Java
       // Math.log and DuckDB/glibc ln diverge by 1 ulp on real corpus
       // values (hit LIVE at sf0.001 in r19: x = 0x1.6601ba28dca33p+0
-  // -> ...786 vs ...787). Raw pmi was the one LM-family float
+      // -> ...786 vs ...787). Raw pmi was the one LM-family float
       // emitted unrounded; round-4 absorbs the last-bit divergence
       // exactly as it does for the bigram/trigram scorers.
       .select(col("pair"), col("n_pairs"),
