@@ -302,14 +302,17 @@ object Dedup {
     *
     * Scale shape — deliberately NOT the pair generator's: removal
     * needs no candidate pairs at all, only each gram's min doc_id.
-    * One positional-gram explode (rows = tokens, linear), one gram-
-    * keyed min aggregate (map-side partials collapse boilerplate), one
-    * gram-keyed join back, a token-range explode of only the DROPPED
-    * occurrences, and a doc-keyed anti-join + reassembly — every stage
-    * linear, every shuffle key either the gram or the doc id. No df
-    * cap is needed because nothing is quadratic: a gram in a million
-    * docs aggregates to one (g, first_doc) row. All arithmetic is
-    * integer/string — the oracle mirrors bitwise.
+    * One positional-gram explode (rows = tokens, linear), first_doc as
+    * a min WINDOW over the gram key (r19: ONE exchange of the gram
+    * stream — the old min-aggregate + gram-keyed join-back shuffled it
+    * twice, and the sort-merge join already co-located each gram's
+    * occurrences, so the window changes no skew shape), a token-range
+    * explode of only the DROPPED occurrences, and a doc-keyed
+    * anti-join + reassembly — every stage linear, every shuffle key
+    * either the gram or the doc id. No df cap is needed because
+    * nothing is quadratic: a hot gram is one window group, exactly the
+    * rows the old join already sent to one partition. All arithmetic
+    * is integer/string — the oracle mirrors bitwise.
     *
     * Persisted + materialized like chunkDedup (internal caches
     * released before returning). Output: (doc_id, n_tokens, n_dropped,
@@ -328,12 +331,27 @@ object Dedup {
     // parquet (measured r19: two ~15 CPU-s stages re-reading the
     // source — the jaccardPairs force discipline applied here)
     grams.count()
-    val firstDoc = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    // first_doc via a min WINDOW over the gram key, not aggregate +
+    // join-back: the agg+join shape shuffled the full positional gram
+    // stream TWICE (once into the partial-agg exchange, once into the
+    // sort-merge join) — the r19 profile showed both as ~15 CPU-s full
+    // cache scans with ~10 MB shuffle writes each. The window needs
+    // ONE exchange by g; min(doc_id) over the unbounded frame is the
+    // same exact long, so the dropped set is identical by construction
+    // (the CLAUDE.md windows-over-reaggregation discipline). Skew shape
+    // is unchanged: a boilerplate gram's occurrences already co-located
+    // in one join partition before; they co-locate in one window group
+    // now (and the n-way explode below still touches only dropped
+    // occurrences).
+    //
     // token positions covered by some duplicated gram occurrence; the
     // n-way explode touches only dropped occurrences, and the distinct
     // collapses the n-1 overlaps of consecutive duplicated grams before
     // the anti-join builds on it
-    val dropped = grams.join(firstDoc, Seq("g"))
+    val dropped = grams
+      .withColumn("first_doc",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
       .filter(col("first_doc") < col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(n - 1))).as("tpos"))

@@ -1659,18 +1659,29 @@ object TextAnalysis {
     * document. novelty = round(n_unique / n_shingles, 4); documents
     * with < 2 tokens have no bigrams and score NULL via the left join.
     *
-    * Shape: one shingle explode feeds the corpus df aggregate AND the
-    * per-doc count (persisted — two consumers); the df side joins back
-    * on the shingle string (equi, broadcast when the vocabulary is
-    * small). Integer counts + one rounded division: bitwise
-    * cross-engine. Output: (doc_id, n_shingles, n_unique, novelty). */
+    * Shape: one shingle explode, then df as a count WINDOW over the
+    * shingle key — one exchange of the shingle stream instead of the
+    * aggregate + join-back's two, and the stream has one consumer so
+    * nothing persists (r19; the removeDuplicateSpans rationale — local
+    * CPU a wash because the explode dominates, the removed exchange is
+    * the scale lever). Integer counts + one rounded division: bitwise
+    * cross-engine.
+    * Output: (doc_id, n_shingles, n_unique, novelty). */
   def novelty(docs: DataFrame): DataFrame = {
-    val sh = docs
+    // df via a count WINDOW over the shingle key (r19, the
+    // removeDuplicateSpans rationale): aggregate + join-back shuffled
+    // the full shingle stream twice — the window needs one exchange,
+    // and a hot boilerplate shingle's rows were already co-located by
+    // the old sort-merge join, so the skew shape is unchanged. Counts
+    // are exact longs; the output is bitwise identical. The window
+    // leaves the shingle stream with ONE consumer, so the old persist
+    // is gone too (single-consumer caches are the measured regression,
+    // see the substringPairs scaladoc).
+    val per = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val per = sh.join(dfreq, Seq("s"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("df") === 1, 1)).as("n_unique"))
@@ -1684,7 +1695,6 @@ object TextAnalysis {
         col("novelty"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    sh.unpersist(false)
     out
   }
 

@@ -636,7 +636,8 @@ class PlanSpec extends SparkSpec {
     // the operator persists + materializes its reassembled output and
     // releases the internal gram/token caches before returning (the
     // q_bursts discipline): the served plan reads the cache, and span
-    // detection is aggregate+join-back — no pair generation anywhere
+    // detection is a min window over the gram key (r19: one exchange,
+    // no join-back) — no pair generation anywhere
     val p = plan("q_span_removal", "simple")
     p should include("InMemoryTableScan")
     (p should not).include("CartesianProduct")

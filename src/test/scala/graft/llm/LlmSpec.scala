@@ -2623,6 +2623,24 @@ class LlmSpec extends SparkSpec {
     owned.toSeq shouldBe Seq((1L, 0L, "m n o"), (7L, 6L, ""))
   }
 
+  test("removeDuplicateSpans: hot boilerplate gram across many docs — one window group, lowest id owns, every higher doc strips") {
+    // r19 internals change: first_doc is a min WINDOW over the gram key
+    // (one exchange) instead of aggregate + join-back (two). A gram in
+    // MANY docs co-locates all its occurrences in one window group —
+    // this pins the hot-key shape: 40 docs share 'dup gram here', only
+    // doc 1 keeps it, and unique tails survive everywhere.
+    val hot = (1L to 40L).map(i => i -> s"dup gram here u$i tail$i")
+    val out = Dedup.removeDuplicateSpans(docsDF(hot: _*), n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out.length shouldBe 40
+    out.head shouldBe ((1L, 5L, 0L, "dup gram here u1 tail1"))
+    out.tail.zipWithIndex.foreach { case ((id, n_t, n_d, t), i) =>
+      val doc = i + 2L
+      (id, n_t, n_d, t) shouldBe ((doc, 5L, 3L, s"u$doc tail$doc"))
+    }
+  }
+
   test("removeCorpusSpans: corpus grams own everything, batch-internal repeats survive, persisted index round-trips") {
     val corpus = docsDF(1L -> "a b c d", 2L -> "p q r")
     val batch = docsDF(
