@@ -2013,9 +2013,15 @@ object SparkEntry {
     // negatives (the embedding-model data-mining recipe)
     "q_contrastive" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.contrastivePairs(
-        Dedup.minhashPairs(d, JacThreshold),
-        Dedup.tfidfCosinePairs(d, CtrNegThreshold, TcosDfCap))
+      // both pair generators are EAGER (each materializes its pair
+      // table internally) and independent — overlap their builds on
+      // driver threads (guide-§2.6, the q_signal_overlap pattern; the
+      // composition below reads the same materialized tables, so the
+      // output is bitwise unchanged)
+      val Seq(pos, neg) = concurrently(
+        () => Dedup.minhashPairs(d, JacThreshold),
+        () => Dedup.tfidfCosinePairs(d, CtrNegThreshold, TcosDfCap))
+      Dedup.contrastivePairs(pos, neg)
         .orderBy(col("label").desc, col("da"), col("db"))
     }),
 

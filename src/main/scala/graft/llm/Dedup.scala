@@ -314,23 +314,13 @@ object Dedup {
     * rows the old join already sent to one partition. All arithmetic
     * is integer/string — the oracle mirrors bitwise.
     *
-    * Persisted + materialized like chunkDedup (internal caches
-    * released before returning). Output: (doc_id, n_tokens, n_dropped,
-    * text). */
+    * Output persisted + materialized like chunkDedup; no internal
+    * caches remain (r20): after the window rewrite every internal
+    * subtree has a single consumer, and the measured r19 rule says a
+    * single-consumer array cache loses to re-running scan+split.
+    * Output: (doc_id, n_tokens, n_dropped, text). */
   def removeDuplicateSpans(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"need n >= 2, got $n")
-    val toksed = spread(docs)
-      .select(col("doc_id"), graft.llm.TextAnalysis.tokens(col("text")).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val grams = positionalGrams(toksed, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // force the gram cache (which forces toksed through it) BEFORE the
-    // plan fans out: firstDoc's broadcast build, the dropped join and
-    // the reassembly branches otherwise start concurrently on COLD
-    // caches and each recomputes the tokenize/gram pipeline from
-    // parquet (measured r19: two ~15 CPU-s stages re-reading the
-    // source — the jaccardPairs force discipline applied here)
-    grams.count()
     // first_doc via a min WINDOW over the gram key, not aggregate +
     // join-back: the agg+join shape shuffled the full positional gram
     // stream TWICE (once into the partial-agg exchange, once into the
@@ -344,11 +334,21 @@ object Dedup {
     // now (and the n-way explode below still touches only dropped
     // occurrences).
     //
+    // r20: after the window rewrite the gram stream has ONE consumer,
+    // so the r19 grams/toksed persists were the documented
+    // single-consumer-cache regression (substringPairs scaladoc; the
+    // ADVICE.md item) — both dropped. Grams now come from one native
+    // positional pass (posexplode of WordNGrams — zero-copy byte-range
+    // slices instead of carrying the token array through an explode
+    // and re-slicing + concat_ws per position), and the reassembly
+    // passes re-run scan+split (measured r19: the array<string> cache
+    // round-trip costs MORE than re-running scan+split).
+    //
     // token positions covered by some duplicated gram occurrence; the
     // n-way explode touches only dropped occurrences, and the distinct
     // collapses the n-1 overlaps of consecutive duplicated grams before
     // the anti-join builds on it
-    val dropped = grams
+    val dropped = positionalGrams(spread(docs), n)
       .withColumn("first_doc",
         min(col("doc_id")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
@@ -356,36 +356,37 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(n - 1))).as("tpos"))
       .distinct()
-    val out = removeCovered(docs, toksed, dropped)
+    val out = removeCovered(docs, dropped)
     out.count()
-    grams.unpersist(false)
-    toksed.unpersist(false)
     out
   }
 
-  /** Positional word n-gram table of a tokenized frame: (doc_id, p, g)
-    * with p 0-based; docs shorter than n emit nothing. Shared by the
-    * whole-corpus and incremental span-removal paths. */
-  private def positionalGrams(toksed: DataFrame, n: Int): DataFrame =
-    toksed
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - n)).as("p"))
-      .select(col("doc_id"), col("p"),
-        concat_ws(" ", slice(col("toks"), col("p") + 1, lit(n))).as("g"))
+  /** Positional word n-gram table of a (doc_id, text) frame: (doc_id,
+    * p, g) with p 0-based; docs shorter than n emit nothing. One native
+    * pass — WordNGrams non-distinct element i IS the gram at token
+    * position i (spec-pinned), and posexplode supplies the position,
+    * replacing the explode(sequence)+slice+concat_ws shape that carried
+    * the full token array through the generator and re-sliced it per
+    * position. Shared by the whole-corpus and incremental span-removal
+    * paths. */
+  private def positionalGrams(src: DataFrame, n: Int): DataFrame =
+    src.select(col("doc_id"),
+      posexplode(graft.functions.WordNGrams(col("text"), n, distinct = false))
+        .as(Seq("p", "g")))
 
   /** Reassembles documents minus a dropped (doc_id, tpos) set: token
     * anti-join + in-order concat. Field extraction over the sorted
     * struct array is a native GetArrayStructFields (the chunkDedup
-    * reassembly discipline). Returns the PERSISTED (not yet
-    * materialized) output frame. */
-  private def removeCovered(docs: DataFrame, toksed: DataFrame,
-                            dropped: DataFrame): DataFrame = {
-    val tok = toksed.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("tpos", "tok")))
+    * reassembly discipline). The token and total passes re-derive from
+    * the source scan (single-consumer each — caching the array
+    * projection is the measured r19 regression). Returns the PERSISTED
+    * (not yet materialized) output frame. */
+  private def removeCovered(docs: DataFrame, dropped: DataFrame): DataFrame = {
+    val tok = spread(docs).select(col("doc_id"),
+      posexplode(graft.llm.TextAnalysis.tokens(col("text"))).as(Seq("tpos", "tok")))
     val kept = tok.join(dropped, Seq("doc_id", "tpos"), "left_anti")
-    val totals = toksed.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n_tokens"))
+    val totals = docs.select(col("doc_id"),
+      size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
     val re = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         sort_array(collect_list(struct(col("tpos"), col("tok")))).as("arr"))
@@ -440,18 +441,17 @@ object Dedup {
     * Output: (doc_id, n_tokens, n_dropped, text) over the batch. */
   def removeCorpusSpans(newDocs: DataFrame, corpusGrams: DataFrame,
                         n: Int): DataFrame = {
+    // every subtree here has ONE consumer (the r20 removeDuplicateSpans
+    // rationale): no caches — the batch grams come from one native
+    // positional pass and the reassembly re-runs scan+split
     require(n >= 2, s"need n >= 2, got $n")
-    val toksed = spread(newDocs)
-      .select(col("doc_id"), graft.llm.TextAnalysis.tokens(col("text")).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropped = positionalGrams(toksed, n)
+    val dropped = positionalGrams(spread(newDocs), n)
       .join(corpusGrams.select(col("g")), Seq("g"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(n - 1))).as("tpos"))
       .distinct()
-    val out = removeCovered(newDocs, toksed, dropped)
+    val out = removeCovered(newDocs, dropped)
     out.count()
-    toksed.unpersist(false)
     out
   }
 
@@ -839,6 +839,23 @@ object Dedup {
     // join emits ~36M candidate rows at sf0.1, combined 3.5x by the
     // map-side partial agg to 10.3M shuffled pairs) — see pairCount
     // for the packed-key rationale and measurements.
+    //
+    // Size-bound pre-filter inside the join condition — MEASURED AND
+    // REJECTED (r20, the verdict item): jac >= t forces min(na,nb)
+    // >= t*(na+nb)/(1+t) on the exact distinct-shingle counts, so
+    // decorating both join sides with n and evaluating that bound in
+    // the join condition provably preserves the final pair set while
+    // dropping candidate rows before the partial aggregation. On this
+    // corpus it prunes only 23% of the 36.5M rows (36.47M -> 28.08M,
+    // DuckDB mirror — doc sizes cluster at 8..98 distinct shingles, so
+    // the t=0.5 ratio test rarely fires), and the interleaved A/B
+    // (3 rounds x 2 reps, old vs new jar) showed the DECORATION costs
+    // more than the cut saves: stage-CPU distribution shifted UP
+    // (min 68.5 -> 76.0, medians +8%), stages 30 -> 34 (two more
+    // duplicated broadcast builds of the sizes aggregate), wall min
+    // 4.8 -> 6.1 s. On a corpus with heavy size dispersion the same
+    // filter would prune most of the enumeration — parameterizing it
+    // stays a documented option, but the contract corpus ships without.
     val joined = kept.as("a")
       .join(kept.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
     val hashInter = pairCount(joined, "ic", packable)

@@ -1433,8 +1433,9 @@ object TextAnalysis {
     * boilerplate scores high — threshold downstream.
     *
     * Shape: one token explode feeds the unigram aggregate; one
-    * zip-shifted explode (arrays_zip of the two slices — native, no
-    * HOF) feeds the bigram aggregate and the scoring rows; two
+    * native positional-struct explode ([[graft.functions
+    * .WordNGramStructs]], whole-stage codegen) feeds the bigram
+    * aggregate and the scoring rows; two
     * vocabulary equi-joins (broadcast when small) and one per-doc
     * aggregate. The per-term double is built with identical literals
     * and operation order in the oracle, so both engines ln the same
@@ -1479,13 +1480,15 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = toks.count()
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    // one native positional-struct pass (r20, the CharNGrams
+    // discipline): same (prev, cur) token pairs as the zip-shifted
+    // slices, without materializing the token array plus two sliced
+    // copies plus the zipped structs per row — WordNGramStructsSpec
+    // pins equality with the arrays_zip form
     val bg0 = spread
-      .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
-        explode(arrays_zip(
-          slice(col("t"), lit(1), size(col("t")) - 1).as("prev"),
-          slice(col("t"), lit(2), size(col("t")) - 1).as("cur"))).as("b"))
-      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+        explode(graft.functions.WordNGramStructs(col("text"), 2)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("prev"), col("b.w2").as("cur"))
     val bg =
       if (persistBg) bg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else bg0
@@ -1539,8 +1542,8 @@ object TextAnalysis {
     *
     * Shape: model-side token/bigram/trigram aggregates (vocab-sized,
     * broadcast when small — the bigramLogProb caveat applies), the doc
-    * trigram stream built by one zip-shifted explode (native
-    * arrays_zip of three slices, no HOF), five LEFT equi-joins whose
+    * trigram stream built by one native positional-struct explode
+    * ([[graft.functions.WordNGramStructs]]), five LEFT equi-joins whose
     * null pattern IS the backoff ladder (a model trigram implies its
     * prefix bigram, a model bigram implies its unigrams — so each
     * branch's denominator is non-null by construction), one per-doc
@@ -1577,14 +1580,14 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = mToks.count()
     val uni = mToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    def gramRows(src: DataFrame, keep: Seq[org.apache.spark.sql.Column], n: Int): DataFrame = {
-      val t = tokens(col("text"))
-      val len = greatest(size(t) - (n - 1), lit(0))
-      val zipped = arrays_zip(
-        (1 to n).map(i => slice(t, lit(i), len).as(s"w$i")): _*)
-      src.select((keep :+ explode(zipped).as("g")): _*)
+    // one native positional-struct pass per gram stream (r20): same
+    // (w1..wn) token tuples as the zip-shifted slices, one boundary
+    // scan per row instead of n+2 array materializations —
+    // WordNGramStructsSpec pins equality with the arrays_zip form
+    def gramRows(src: DataFrame, keep: Seq[org.apache.spark.sql.Column], n: Int): DataFrame =
+      src.select((keep :+
+        explode(graft.functions.WordNGramStructs(col("text"), n)).as("g")): _*)
         .select((keep ++ (1 to n).map(i => col(s"g.w$i").as(s"w$i"))): _*)
-    }
     val mBg = gramRows(mSpread, Seq.empty, 2)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val mTg = gramRows(mSpread, Seq.empty, 3)
@@ -1677,6 +1680,19 @@ object TextAnalysis {
     // leaves the shingle stream with ONE consumer, so the old persist
     // is gone too (single-consumer caches are the measured regression,
     // see the substringPairs scaladoc).
+    //
+    // Broadcast-regime caveat (r20, the ADVICE item — mirroring the
+    // substringPairs rejection rationale): when the old dfreq aggregate
+    // was small enough to BROADCAST back, the shingle stream never
+    // shuffled by key at all, and the window additionally forgoes
+    // map-side partial aggregation and AQE skew-join splitting — a
+    // corpus-universal shingle becomes one unsplittable window
+    // partition. Local CPU measured a wash (the explode dominates); the
+    // rewrite is kept for the removed full-stream exchange on the
+    // non-broadcast (large-corpus) regime, and ScalingAudit's
+    // `noveltyab` mode measures the hot-shingle straggler shape (decade
+    // corpus with a corpus-universal boilerplate shingle) before the
+    // scale claim is relied on.
     val per = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
@@ -2149,16 +2165,14 @@ object TextAnalysis {
     * cache after materializing its output. */
   private def textrankEdges(docs: DataFrame, keys: Seq[String]): (DataFrame, DataFrame) = {
     val kc = keys.map(col)
-    // adjacency pairs straight from zip-shifted slices (the trigram
-    // gramRows shape) — no join-then-resplit string round-trip on the
-    // corpus-wide hot path
-    val t = tokens(col("text"))
-    val len = greatest(size(t) - 1, lit(0))
+    // adjacency pairs from one native positional-struct pass (r20, the
+    // trigram gramRows shape) — no join-then-resplit string round-trip
+    // on the corpus-wide hot path, and no token-array + slices + zip
+    // materialization per row (WordNGramStructsSpec pins equality)
     val bg = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select((kc :+ explode(arrays_zip(
-        slice(t, lit(1), len).as("w1"),
-        slice(t, lit(2), len).as("w2"))).as("g")): _*)
+      .select((kc :+ explode(
+        graft.functions.WordNGramStructs(col("text"), 2)).as("g")): _*)
       .select((kc :+ col("g.w1").as("w1") :+ col("g.w2").as("w2")): _*)
       .filter(col("w1") =!= col("w2"))
     val und = bg

@@ -1165,6 +1165,74 @@ object ScalingAudit {
     }
   }
 
+  /** §10 novelty window-vs-join-back skew probe (the r19 ADVICE item):
+    * the shipped `novelty` computes shingle df as a count WINDOW over
+    * the shingle key, which forgoes map-side partial aggregation and
+    * AQE skew splitting — a corpus-universal shingle is ONE unsplittable
+    * window partition. This measures that straggler shape where it
+    * would bite: the synthesized decade corpus with a boilerplate
+    * sentence APPENDED to every document (every one of its bigrams has
+    * df = n_docs). Interleaved 3 rounds vs the agg+join-back twin (the
+    * pre-r19 shape, rebuilt here tool-side), outputs compared exactly
+    * every round; the hot-group size (max df) is printed so the
+    * straggler claim is quantified, not asserted. */
+  private def noveltyAb(spark: SparkSession, dir: String): Unit = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val boiler = "click here to subscribe to our newsletter terms apply"
+    val big = synthesize10x(base)
+      .select(col("doc_id"), concat(col("text"), lit(" " + boiler)).as("text"))
+      .repartition(64).persist()
+    val n = big.count()
+    val parts = big.sparkSession.sessionState.conf.numShufflePartitions
+    // the agg+join-back twin (pre-r19 shape): df aggregated then joined
+    // back onto the shingle stream — partial agg + AQE-splittable join
+    def joinBackNovelty(docs: DataFrame): DataFrame = {
+      val sh = docs.repartition(parts)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+      val dfr = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val per = sh.join(dfr, Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("df") === 1, 1)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_shingles"), 4).as("novelty"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"), col("novelty"))
+    }
+    val maxDf = big
+      .select(explode(Dedup.shingles(col("text"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head.getLong(0)
+    println(s"== noveltyAb: $n docs, hottest shingle df = $maxDf " +
+      s"(one window group spanning ${100.0 * maxDf / n} pct of the corpus) ==")
+    def run(df: => DataFrame): (Double, Map[Long, (Long, Long)]) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val out = df
+      val m = out.select(col("doc_id"), col("n_shingles"), col("n_unique"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      out.unpersist(false)
+      ((System.nanoTime() - t0) / 1e9, m)
+    }
+    var winWalls = List.empty[Double]
+    var jbWalls = List.empty[Double]
+    var identical = true
+    for (r <- 1 to 3) {
+      val (ww, mw) = run(graft.llm.TextAnalysis.novelty(big))
+      val (wj, mj) = run(joinBackNovelty(big))
+      winWalls :+= ww; jbWalls :+= wj
+      identical &&= (mw == mj)
+      println(f"round $r: window $ww%.2f s, join-back $wj%.2f s, identical=${mw == mj}")
+    }
+    println(f"min wall: window ${winWalls.min}%.2f s vs join-back ${jbWalls.min}%.2f s; " +
+      s"outputs identical every round: $identical")
+    big.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScalingAudit candidates|sf1ish|annprobe <sfDir>...")
     val spark = SparkSession.builder()
@@ -1186,6 +1254,7 @@ object ScalingAudit {
       case "scalejson"  =>
         require(args.length >= 3, "usage: ScalingAudit scalejson <sf0.1Dir> <outFile>")
         scaleJson(spark, args(1), args(2))
+      case "noveltyab"  => noveltyAb(spark, args(1))
       case "compactab"  => compactAb(spark, args(1))
       case "probeab"    => probeAb(spark, args(1))
       case "quantab"    => quantAb(spark, args(1))
