@@ -245,6 +245,20 @@ object Dedup {
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .select(col("g"))
     val kept = g.join(keep, Seq("g"))
+    // Group-expand pair generation — MEASURED AND REJECTED (r20): the
+    // stage profile showed the two self-join sides each re-scanning
+    // the warm gram cache + probing the keep broadcast + shuffling
+    // 9.4 MB (Spark cannot reuse self-join exchanges — the jaccardPairs
+    // probe), so collecting each gram's dfCap-bounded doc list in ONE
+    // exchange and expanding pairs with two explodes looked strictly
+    // better on exchange count (17 -> 12 stages, shuffle halved). The
+    // interleaved A/B said otherwise: stage-CPU min 16.3 -> 20.2 with
+    // the whole distribution up ~25% (winnowPairs, same shape: wash to
+    // worse) — collect_list aggregates outside whole-stage codegen and
+    // the double-explode materializes df^2 transient rows, which costs
+    // more than the second warm-cache join side it saves. The self-join
+    // stands; the one-exchange form remains the documented option for
+    // clusters where the exchange, not CPU, is the binding constraint.
     val joined = kept.as("a")
       .join(kept.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
     materialized(pairCount(joined, "n_shared", packable), Seq(g))
@@ -280,6 +294,10 @@ object Dedup {
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .select(col("fp"))
     val kept = f.join(keep, Seq("fp"))
+    // group-expand form measured and rejected here too (r20, the
+    // substringPairs ledger entry: one exchange but CPU up — the
+    // collect_list + double-explode costs more than the second warm
+    // join side)
     val joined = kept.as("a")
       .join(kept.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
     materialized(
