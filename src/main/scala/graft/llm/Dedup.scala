@@ -1363,10 +1363,28 @@ object Dedup {
                    threshold: Double): DataFrame = {
     val batchBands = bandTable(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withinPairs = verifyJaccard(newDocs, bandCandidates(batchBands),
-      threshold, release = Nil)
-    val vsCorpusPairs = corpus.map(c =>
-      corpusProbePairs(batchBands, newDocs, c, threshold))
+    // both verifier arms are EAGER, read-only, and independent given a
+    // WARM band table — overlap them on driver threads (r20, guide
+    // §2.6: the r20 job-level decomposition showed the line is
+    // floor-dominated — 159 jobs / 4 batches, median job 44 ms, 64% of
+    // wall in between-job driver gaps — so overlapping the ~half of
+    // each batch's serial job chain that is the corpus arm attacks the
+    // gaps directly). The force BEFORE the fan-out is the D1 cold-cache
+    // discipline: without it the two arms would race the band cache
+    // back to its source. First batch (no corpus) keeps the plain
+    // sequential single-arm path, no extra forcing job.
+    val (withinPairs, vsCorpusPairs) = corpus match {
+      case Some(c) =>
+        batchBands.count()
+        val Seq(w, v) = graft.Par.run[DataFrame](
+          () => verifyJaccard(newDocs, bandCandidates(batchBands),
+            threshold, release = Nil),
+          () => corpusProbePairs(batchBands, newDocs, c, threshold))
+        (w, Some(v))
+      case None =>
+        (verifyJaccard(newDocs, bandCandidates(batchBands),
+          threshold, release = Nil), None)
+    }
     val ids = vsCorpusPairs
       .map(vc => withinPairs.select(col("db").as("doc_id"))
         .unionByName(vc.select(col("da").as("doc_id"))))
