@@ -1277,7 +1277,13 @@ object Dedup {
   def tfidfCosinePairs(docs: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
     require(dfCap >= 2, s"need dfCap >= 2, got $dfCap")
     val n = docs.count() // driver boundary: one count (the tfidf pattern)
-    // non-distinct bigram occurrences, native single-pass (see WordNGrams)
+    // non-distinct bigram occurrences, native single-pass (see WordNGrams).
+    // The per-row WordCounts(text, 2) form was MEASURED AND REJECTED
+    // here (r20): documents repeat few bigrams internally, so the
+    // per-row map pays full per-gram overhead with almost no dedup —
+    // interleaved A/B stage-CPU min 8.7 -> 10.6 (the mirror of the r19
+    // pre-agg rejection; token-level WordCounts wins in lexPostings /
+    // tfidfTopTerms, where repetition is ~2x and keys are shorter).
     val bigrams = coalesce(graft.functions.WordNGrams(col("text"), 2, distinct = false),
       array().cast("array<string>"))
     val tf = spread(docs)

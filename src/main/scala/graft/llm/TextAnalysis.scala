@@ -145,6 +145,14 @@ object TextAnalysis {
     // builds can't race the cold cache back to parquet (the
     // jaccardPairs forceAndCheckPackable lesson — r19 measured three
     // full re-computations without it).
+    // A per-row native count pass (the WordCounts shape) was MEASURED
+    // AND REJECTED here (r20): char trigrams repeat heavily within a
+    // doc but the per-row linked-map counting still lost to the codegen
+    // hash aggregate — interleaved A/B stage-CPU min 12.0 -> 25.6 with
+    // the whole distribution up (vs the clear win on TOKEN counts in
+    // lexPostings/tfidfTopTerms, where key bytes are shorter and the
+    // explode+agg exchange was the dominant cost). The explode +
+    // groupBy aggregate stands.
     val dg = docs
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), col("lang"),
@@ -357,29 +365,36 @@ object TextAnalysis {
     * Output: (doc_id, n_tokens, dup_word_frac, top_word_frac,
     * dup_bigram_frac). */
   def repetition(docs: DataFrame): DataFrame = {
-    val base = docs
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    // ZERO-shuffle form (r20): every statistic here is a function of
+    // ONE document's tokens, so the whole operator is a per-row
+    // projection over the native WordCounts passes — the old shape
+    // exploded the corpus twice and ran four hash aggregates to
+    // recombine what was never split. Row-set equality with the old
+    // shape: docs with NULL text vanished there via the words inner
+    // aggregate (explode of null emits nothing) — mirrored by the
+    // filter; n_tokens = Σ tf = size(split); n_distinct/top_cnt are
+    // the size/max over the count structs; n_bi = max(t-1, 0) exactly
+    // (non-distinct bigram occurrences), with the n_bi = 0 docs taking
+    // the literal-0.0 branch the old left-join-miss coalesce produced.
+    // All divisions see the same exact-long inputs, same literals,
+    // same order => bitwise-identical doubles.
     val toks = tokens(col("text"))
-    // non-distinct bigram occurrences (shingles() would distinct them)
-    val bigrams = coalesce(graft.functions.WordNGrams(col("text"), 2, distinct = false),
-      array().cast("array<string>"))
-    val words = base
-      .select(col("doc_id"), explode(toks).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
-        max("c").as("top_cnt"))
-    val bi = base
-      .select(col("doc_id"), explode(bigrams).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum("c").as("n_bi"), count(lit(1)).as("n_bi_distinct"))
-    words.join(bi, Seq("doc_id"), "left")
+    val wc = graft.functions.WordCounts(col("text"), 1)
+    val bc = graft.functions.WordCounts(col("text"), 2)
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(wc).cast("long").as("n_distinct"),
+        array_max(wc.getField("tf")).as("top_cnt"),
+        greatest(size(toks).cast("long") - 1L, lit(0L)).as("n_bi"),
+        size(bc).cast("long").as("n_bi_distinct"))
       .select(col("doc_id"), col("n_tokens"),
         round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4).as("dup_word_frac"),
         round(col("top_cnt") / col("n_tokens"), 4).as("top_word_frac"),
-        coalesce(round(lit(1.0) - col("n_bi_distinct") / col("n_bi"), 4), lit(0.0))
-          .as("dup_bigram_frac"))
+        when(col("n_bi") > 0,
+          round(lit(1.0) - col("n_bi_distinct") / col("n_bi"), 4))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
   }
 
   /** Deterministic stratified sample: the `perGroup` documents of each
@@ -1191,7 +1206,8 @@ object TextAnalysis {
     * rounded to 4 decimals BEFORE ranking so both engines order the
     * same quantity (raw libm ln may differ in the last ulp; the rounded
     * grid is the contract). Ties break to the lexicographically smaller
-    * term. One explode + two hash aggregates + a vocabulary-sized join;
+    * term. One native per-row count pass (WordCounts, r20) + one
+    * vocabulary hash aggregate + a vocabulary-sized join;
     * the per-doc window sorts k·docs rows, never the corpus. `n` is the
     * corpus document count (driver-side K-row boundary: one count).
     *
@@ -1202,11 +1218,15 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()
+    // within-doc term counts in one native per-row pass (r20, the
+    // lexPostings rationale — WordCounts): same (doc_id, term, tf)
+    // rows as the old explode + corpus-wide groupBy(doc_id, term)
+    // hash aggregate (WordCountsSpec pins row equality)
     val tf = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordCounts(col("text"), 1)).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
@@ -2511,13 +2531,21 @@ object TextAnalysis {
     * read (the VectorIndexIngest property on the lexical family). */
   def lexPostings(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val toks = tokens(col("text"))
+    // within-doc term counts are a PER-ROW computation (a doc's tokens
+    // all live in one row) — the native WordCounts pass emits the same
+    // (term, tf) rows as the old explode + corpus-wide
+    // groupBy(doc_id, term) hash aggregate, whose partial/final
+    // aggregation was the measured cost center of every lex lifecycle
+    // line (r20: 7-16 stage-CPU-s per batch vs 0.2-0.8 for the explode;
+    // WordCountsSpec pins row equality). (doc_id, term) is unique by
+    // construction, so no aggregate remains — the only shuffle left is
+    // the term-clustered layout repartition.
     docs
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        explode(graft.functions.WordCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"), col("dl"))
       .repartition(col("term"))
       .sortWithinPartitions(col("term"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
